@@ -1,13 +1,907 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.model.{Meta, TimeUtils}
+import graft.store.Container
+import graft.temporal.TemporalOps
+import graft.temporal.TemporalOps._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` wherever the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules (the driver hash-compares values after sorting
+  * columns by name):
+  *  - every query ends in a total-order ORDER BY, mirrored in the SQL;
+  *  - integer outputs are cast to BIGINT on both sides (DuckDB reads
+  *    TPC-H keys as int32, Spark sums to int64, …);
+  *  - money aggregates run in DECIMAL(18,2) (exact, associative) and
+  *    are cast to DOUBLE at the end — identical bits on both engines,
+  *    unlike native double sums whose value depends on add order;
+  *  - event times are `epoch_us(ts)/1e6` doubles — the same two IEEE
+  *    ops on both engines, so comparisons/outputs are bit-identical.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------ fixtures
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Fixed "as of" instant for snapshot-wrapped static tables
+    * (2024-01-01 UTC) — Spark plans must not embed wall-clock.
+    */
+  private val AsOf: Double = 1704067200.0
+
+  /** lineitem wrapped as a versioned-object container:
+    * `_oid = l_orderkey*10 + l_linenumber` (unique), one current
+    * version per row (reference model: core_api.py:85-131).
+    */
+  private def lineitemContainer(s: SparkSession, dir: String): Container = {
+    val li = tbl(s, dir, "lineitem")
+    Container.fromRaw(
+      s, "lineitem", li,
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long"), AsOf)
+  }
+
+  private def partContainer(s: SparkSession, dir: String): Container =
+    Container.fromRaw(s, "part", tbl(s, dir, "part"), col("p_partkey"), AsOf)
+
+  /** SCD2 version history derived from the events stream: one version
+    * per (user, event), valid until the user's next event. `_start` is
+    * `epoch_us/1e6` so the DuckDB oracle computes bit-identical values.
+    */
+  /** Event time in epoch MICROSECONDS as a long — exact on both the
+    * TimestampType and the nanos-as-long parquet reading (Spark cannot
+    * read TIMESTAMP(NANOS) natively; with
+    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as long
+    * nanos, and integer `DIV 1000` keeps full precision where a double
+    * divide would not).
+    */
+  private def eventMicros(ev: DataFrame): Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts"))
+    }
+
+  private def versionedEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    ev.select(
+        col("user_id").cast("long").as(Meta.OID),
+        (eventMicros(ev) / lit(1e6)).as(Meta.START),
+        col("event_id"),
+        col("event_type"),
+        col("value"))
+      .withColumn(Meta.END, lead(col(Meta.START), 1).over(
+        Window.partitionBy(Meta.OID).orderBy(col(Meta.START), col("event_id"))))
+      .drop("event_id")
+  }
+
+  /** Stamp the meta columns onto a (_oid, _start, _end, event_type,
+    * value) frame — content hash over the two data columns only.
+    */
+  private def wrapEvents(df: DataFrame): DataFrame =
+    df.select(col(Meta.OID), col(Meta.START), col(Meta.END), col("event_type"), col("value"))
+      .withColumn(Meta.HASH, Meta.contentHashOf(
+        "event_type" -> col("event_type"), "value" -> col("value")))
+      .withColumn(Meta.ID, Meta.genId(col(Meta.OID), col(Meta.START), col(Meta.END)))
+      .withColumn(Meta.V, lit(0))
+      .withColumn(Meta.LIB_V, lit(Meta.LibVersion))
+      .withColumn(Meta.E, lit(null).cast("map<string,string>"))
+
+  /** The DuckDB rendering of [[versionedEvents]] — shared CTE prefix. */
+  private val VEventsSql: String =
+    """WITH v AS (
+      |  SELECT CAST(user_id AS BIGINT) AS _oid,
+      |         epoch_us(ts)/1e6 AS _start,
+      |         lead(epoch_us(ts)/1e6) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _end,
+      |         event_type, value
+      |  FROM events
+      |)""".stripMargin
+
+  private def ts(d: String): Double = TimeUtils.dt2ts(d)
+
+  /** Decimal-exact money expression: both engines compute
+    * `DECIMAL(18,2) × DECIMAL(18,2)` exactly, so the final
+    * cast-to-double is bit-identical.
+    */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private def revenue: Column =
+    dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(18,2)") - dec(col("l_discount")))
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship: MQL find over the versioned lineitem container joined to
+    * orders, revenue per order-priority. Exercises the whole stack —
+    * wrap→MQL parse→Catalyst filter→broadcast join→decimal agg.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val c = lineitemContainer(spark, dir)
+    val found = c.find(query = "l_quantity > 20 and l_returnflag in ['A', 'R']", date = "~")
+    found
+      .join(broadcast(tbl(spark, dir, "orders")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(cast_sum_double(revenue).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def cast_sum_double(c: Column): Column = sum(c).cast("double")
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------- MQL find / filters
+    "q_find_mql" -> ((s, dir) => {
+      val c = lineitemContainer(s, dir)
+      c.find(query = "l_quantity > 40 and l_returnflag == 'R'", date = "~")
+        .select(
+          col(Meta.OID),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col(Meta.OID), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_find_fields" -> ((s, dir) => {
+      val c = lineitemContainer(s, dir)
+      c.find(query = "l_linestatus == 'O'", fields = "l_quantity,l_returnflag", date = "~")
+        .orderBy(col(Meta.OID), col("l_quantity"), col("l_returnflag"))
+    }),
+
+    "q_find_in_notin" -> ((s, dir) => {
+      val c = lineitemContainer(s, dir)
+      c.find(
+          query = "l_returnflag in ['A', 'N'] and l_linestatus != 'F' and not (l_quantity < 10)",
+          date = "~")
+        .select(col(Meta.OID), col("l_returnflag"), col("l_quantity"))
+        .orderBy(col(Meta.OID), col("l_returnflag"), col("l_quantity"))
+    }),
+
+    "q_find_sort_limit" -> ((s, dir) => {
+      val c = partContainer(s, dir)
+      c.find(query = "p_size >= 10", date = "~",
+          sort = Meta.OID, descending = true, limit = 100)
+        .select(col(Meta.OID), col("p_retailprice"))
+    }),
+
+    "q_find_regex" -> ((s, dir) => {
+      val c = partContainer(s, dir)
+      c.find(query = "p_name == regex('a.*o') and p_type == iregex('BRASS|STEEL')", date = "~")
+        .select(col(Meta.OID), col("p_name"), col("p_type"))
+        .orderBy(col(Meta.OID))
+    }),
+
+    "q_count_mql" -> ((s, dir) => {
+      val c = lineitemContainer(s, dir)
+      // count() collapses to a Long; expose as a one-row DataFrame
+      c.find(query = "l_quantity >= 30 and l_discount < 0.05", date = "~")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_distinct_scalar" -> ((s, dir) => {
+      val c = lineitemContainer(s, dir)
+      c.distinct("l_returnflag").withColumnRenamed("l_returnflag", "flag")
+    }),
+
+    // distinct over an ARRAY field flattens elements first
+    // (reference: sqlalchemy.py:706-721)
+    "q_distinct_array" -> ((s, dir) => {
+      val orders = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(array_distinct(collect_list(col("l_returnflag")))).as("flags"))
+      val c = Container.fromRaw(s, "oflags", orders, col("l_orderkey"), AsOf)
+      c.distinct("flags").withColumnRenamed("flags", "flag")
+    }),
+
+    // array-field MQL: `flags == 'R'` is ANY-element-equals; `empty()`
+    "q_find_array_any" -> ((s, dir) => {
+      val orders = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(array_distinct(collect_list(col("l_returnflag")))).as("flags"))
+      val c = Container.fromRaw(s, "oflags", orders, col("l_orderkey"), AsOf)
+      c.find(query = "flags == 'R' and flags in ['A', 'N']", date = "~")
+        .select(col(Meta.OID), size(col("flags")).cast("long").as("n_flags"))
+        .orderBy(col(Meta.OID))
+    }),
+
+    "q_find_array_empty" -> ((s, dir) => {
+      val orders = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(array_distinct(collect_list(
+          when(col("l_returnflag") === "R", col("l_returnflag"))))).as("r_flags"))
+      val c = Container.fromRaw(s, "orflags", orders, col("l_orderkey"), AsOf)
+      c.find(query = "empty(r_flags)", date = "~")
+        .select(col(Meta.OID)).orderBy(col(Meta.OID))
+    }),
+
+    // ------------------------------------------- temporal date dimension
+    "q_date_current" -> ((s, dir) => {
+      val c = new Container(s, "vevents", versionedEvents(s, dir))
+      c.find(date = null) // None ⇒ `_end == None` (current snapshot)
+        .select(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID))
+    }),
+
+    "q_date_asof" -> ((s, dir) => {
+      val c = new Container(s, "vevents", versionedEvents(s, dir))
+      c.find(date = "2024-01-15")
+        .select(col(Meta.OID), col(Meta.START), col(Meta.END), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    "q_date_window" -> ((s, dir) => {
+      val c = new Container(s, "vevents", versionedEvents(s, dir))
+      c.find(query = "event_type != 'error'", date = "2024-01-10~2024-01-20")
+        .select(col(Meta.OID), col(Meta.START), col("event_type"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    "q_date_before" -> ((s, dir) => {
+      val c = new Container(s, "vevents", versionedEvents(s, dir))
+      c.find(date = "~2024-01-05")
+        .select(col(Meta.OID), col(Meta.START))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    "q_date_after" -> ((s, dir) => {
+      val c = new Container(s, "vevents", versionedEvents(s, dir))
+      c.find(date = "2024-01-25~")
+        .select(col(Meta.OID), col(Meta.START))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // `on_date` uses `<=` on `_start` (vs strict `<` server-side) —
+    // both semantics preserved (reference: result.py:175 vs parse.py:109)
+    "q_on_date" -> ((s, dir) => {
+      versionedEvents(s, dir)
+        .onDate(ts("2024-01-15"))
+        .select(col(Meta.OID), col(Meta.START), col("event_type"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    "q_history_counts" -> ((s, dir) => {
+      val grid = (2 to 29).map(d => ts(f"2024-01-$d%02d"))
+      versionedEvents(s, dir).history(grid)
+    }),
+
+    "q_persistent_oids" -> ((s, dir) => {
+      val grid = (2 to 29 by 3).map(d => ts(f"2024-01-$d%02d"))
+      versionedEvents(s, dir).persistentOidCounts(grid)
+    }),
+
+    "q_last_version" -> ((s, dir) => {
+      versionedEvents(s, dir).lastVersion
+        .select(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID))
+    }),
+
+    "q_first_version" -> ((s, dir) => {
+      versionedEvents(s, dir).firstVersion
+        .select(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID))
+    }),
+
+    "q_versions_age" -> ((s, dir) => {
+      versionedEvents(s, dir)
+        .lastVersionsWithAge(ts("2024-02-01"))
+        .select(col(Meta.OID), col(Meta.START), col("age"))
+        .orderBy(col(Meta.OID))
+    }),
+
+    "q_started_after" -> ((s, dir) => {
+      versionedEvents(s, dir)
+        .startedAfter(ts("2024-01-01 12:00:00"))
+        .select(col(Meta.OID), col(Meta.START))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    "q_unfinished" -> ((s, dir) => {
+      // drop versions open at the right bound, then ask for unfinished
+      versionedEvents(s, dir)
+        .filter(col(Meta.END).isNull || col(Meta.END) < ts("2024-01-20"))
+        .unfinishedObjects()
+        .select(col(Meta.OID), col(Meta.START), col("event_type"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // gaps appear when 'error' versions are removed from the chain
+    "q_last_chain" -> ((s, dir) => {
+      versionedEvents(s, dir)
+        .filter(col("event_type") =!= "error")
+        .lastChain()
+        .select(col(Meta.OID), col(Meta.START), col("event_type"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // version-to-version field diffs (dfind / DictDiffer)
+    "q_dfind" -> ((s, dir) => {
+      val c = new Container(s, "vevents", versionedEvents(s, dir))
+      c.dfind()
+        .orderBy(col(Meta.OID), col(Meta.START), col("field"))
+    }),
+
+    // ------------------------------------------------ SCD2 write path
+    "q_upsert_scd2" -> ((s, dir) => {
+      val cut = ts("2024-01-15")
+      val ev = tbl(s, dir, "events")
+      // base: version history from events before the cutoff
+      val base = versionedEvents(s, dir)
+        .filter(col(Meta.START) < cut)
+        .withColumn(Meta.END, when(col(Meta.END) < cut, col(Meta.END)))
+      // incoming: latest event per user overall, as a current snapshot
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val incoming = wrapEvents(ev
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(
+          col("user_id").cast("long").as(Meta.OID),
+          (eventMicros(ev) / lit(1e6)).as(Meta.START),
+          lit(null).cast("double").as(Meta.END),
+          col("event_type"), col("value")))
+      val baseWrapped = wrapEvents(base)
+      new Container(s, "vevents", baseWrapped)
+        .upsert(incoming)
+        .df
+        .select(col(Meta.OID), col(Meta.START), col(Meta.END), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // history import: replace ALL versions of the oids in the batch
+    "q_history_import" -> ((s, dir) => {
+      val base = versionedEvents(s, dir)
+      val replacement = versionedEvents(s, dir)
+        .filter(col(Meta.OID) < 5 && col("event_type") === "purchase")
+        .withColumn(Meta.END, lead(col(Meta.START), 1).over(
+          Window.partitionBy(Meta.OID).orderBy(col(Meta.START))))
+      new Container(s, "vevents", base)
+        .historyImport(replacement)
+        .df
+        .select(col(Meta.OID), col(Meta.START), col(Meta.END), col("event_type"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // recursive closure over a link field (deptree)
+    "q_deptree" -> ((s, dir) => {
+      import s.implicits._
+      val c = Container.fromRaw(
+        s, "nation", tbl(s, dir, "nation"), col("n_nationkey").cast("long"), AsOf)
+      val keys = c.deptree("n_regionkey", Seq(0L, 1L, 2L), date = "~")
+        .map(_.toString.toDouble.toLong).distinct
+      keys.sorted.toDF("k").orderBy("k")
+    }),
+
+    // container union/extend with `_id` dedup
+    "q_union_dedup" -> ((s, dir) => {
+      val c = Container.fromRaw(
+        s, "orders", tbl(s, dir, "orders"), col("o_orderkey"), AsOf)
+      c.df.unionByName(c.df)
+        .dropDuplicates(Meta.ID)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ------------------------------------------------ joins / aggregates
+    "q1_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          cast_sum_double(dec(col("l_quantity"))).as("sum_qty"),
+          cast_sum_double(dec(col("l_extendedprice"))).as("sum_base_price"),
+          cast_sum_double(revenue).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      li.join(broadcast(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(cast_sum_double(revenue).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val sup = tbl(s, dir, "supplier")
+      val nat = tbl(s, dir, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(cast_sum_double(revenue).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // gap-based sessionization over the events stream (30-min gaps)
+    "q_sessionize" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          (eventMicros(tbl(s, dir, "events")) / lit(1e6)).as("t"),
+          col("event_id"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      ev.withColumn("gap", when(col("t") - lag(col("t"), 1).over(w) > 1800.0, 1)
+          .otherwise(when(lag(col("t"), 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("session", sum(col("gap")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session"))
+        .agg(
+          min(col("t")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          cast_sum_double(dec(col("value"))).as("sum_value"))
+        .select(col("user_id"), col("session").cast("long").as("session"),
+          col("session_start"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session")
+    }),
+
+    // --------------------------------------------------- text analysis
+    "q_token_counts" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_bpe_token_counts" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.shingleFingerprint(col("text")).as("shingle_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------- deduplication
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(tbl(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_groups" -> ((s, dir) => {
+      Dedup.exactGroups(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(md5(col("text")).as("text_md5"), col("n_dups"), col("keep_id"))
+        .orderBy("keep_id")
+    }),
+
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          k = 32, bands = 8, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          tbl(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", n = 3, threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ------------------------------------------------ similarity search
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      emb.crossJoin(broadcast(q))
+        .select(
+          col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    "q_embed_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(
+          tbl(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", threshold = 0.25)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1)
+      Similarity.annTopK(emb, "vec_id", "embedding", qv, k = 10, dim = 64)
+    }),
+
+    // ------------------------------------------------------- multimodal
+    "q_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(s, 120)
+      Multimodal.extractFeatures(assets, dim = 8)
+        .select(
+          col("asset_id"), col("modality"),
+          round(element_at(col("features"), 1), 5).as("f0"),
+          size(col("features")).cast("long").as("dim"))
+        .orderBy("asset_id")
+    }),
+
+    "q_frame_plan" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(s, 120)
+      Multimodal.planFrameSamples(assets, everyMs = 500L, maxFrames = 8)
+        .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("ts_ms"))
+        .orderBy("asset_id", "frame_idx")
+    })
+  )
+
+  // ----------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = {
+    val oidLi = "CAST(l_orderkey*10 + l_linenumber AS BIGINT)"
+    Map(
+      "q_find_mql" ->
+        s"""SELECT $oidLi AS _oid, l_quantity, l_extendedprice, l_returnflag, l_linestatus
+           |FROM lineitem WHERE l_quantity > 40 AND l_returnflag = 'R'
+           |ORDER BY _oid, l_quantity, l_extendedprice, l_returnflag, l_linestatus""".stripMargin,
+
+      "q_find_fields" ->
+        s"""SELECT l_quantity, l_returnflag, $AsOf AS _start,
+           |  CAST(NULL AS DOUBLE) AS _end, $oidLi AS _oid
+           |FROM lineitem WHERE l_linestatus = 'O' ORDER BY _oid, l_quantity, l_returnflag""".stripMargin,
+
+      "q_find_in_notin" ->
+        s"""SELECT $oidLi AS _oid, l_returnflag, l_quantity FROM lineitem
+           |WHERE l_returnflag IN ('A','N') AND l_linestatus <> 'F' AND NOT (l_quantity < 10)
+           |ORDER BY _oid, l_returnflag, l_quantity""".stripMargin,
+
+      "q_find_sort_limit" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS _oid, p_retailprice FROM part
+          |WHERE p_size >= 10 ORDER BY _oid DESC LIMIT 100""".stripMargin,
+
+      "q_find_regex" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS _oid, p_name, p_type FROM part
+          |WHERE regexp_matches(p_name, 'a.*o') AND regexp_matches(p_type, '(?i)BRASS|STEEL')
+          |ORDER BY _oid""".stripMargin,
+
+      "q_count_mql" ->
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity >= 30 AND l_discount < 0.05",
+
+      "q_distinct_scalar" ->
+        "SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag",
+
+      "q_distinct_array" ->
+        "SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag",
+
+      "q_find_array_any" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS _oid,
+          |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+          |FROM lineitem GROUP BY l_orderkey
+          |HAVING bool_or(l_returnflag = 'R') AND bool_or(l_returnflag IN ('A','N'))
+          |ORDER BY _oid""".stripMargin,
+
+      "q_find_array_empty" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS _oid FROM lineitem
+          |GROUP BY l_orderkey HAVING NOT bool_or(l_returnflag = 'R')
+          |ORDER BY _oid""".stripMargin,
+
+      "q_date_current" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type, value FROM v WHERE _end IS NULL ORDER BY _oid""".stripMargin,
+
+      "q_date_asof" -> {
+        val d = ts("2024-01-15")
+        s"""$VEventsSql
+           |SELECT _oid, _start, _end, event_type, value FROM v
+           |WHERE _start < $d AND (_end >= $d OR _end IS NULL)
+           |ORDER BY _oid, _start""".stripMargin
+      },
+
+      "q_date_window" -> {
+        val a = ts("2024-01-10"); val b = ts("2024-01-20")
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type FROM v
+           |WHERE event_type <> 'error' AND _start < $b AND (_end >= $a OR _end IS NULL)
+           |ORDER BY _oid, _start""".stripMargin
+      },
+
+      "q_date_before" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start FROM v WHERE _start < ${ts("2024-01-05")}
+           |ORDER BY _oid, _start""".stripMargin,
+
+      "q_date_after" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start FROM v WHERE _end >= ${ts("2024-01-25")} OR _end IS NULL
+           |ORDER BY _oid, _start""".stripMargin,
+
+      "q_on_date" -> {
+        val d = ts("2024-01-15")
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type FROM v
+           |WHERE _start <= $d AND (_end > $d OR _end IS NULL)
+           |ORDER BY _oid, _start""".stripMargin
+      },
+
+      "q_history_counts" -> {
+        val days = (2 to 29).map(d => s"(${ts(f"2024-01-$d%02d")})").mkString(", ")
+        s"""$VEventsSql, grid(date) AS (SELECT * FROM (VALUES $days))
+           |SELECT g.date, count(*) AS n FROM v JOIN grid g
+           |  ON v._start <= g.date AND (v._end > g.date OR v._end IS NULL)
+           |GROUP BY g.date ORDER BY g.date""".stripMargin
+      },
+
+      "q_persistent_oids" -> {
+        val days = (2 to 29 by 3).map(d => s"(${ts(f"2024-01-$d%02d")})").mkString(", ")
+        s"""$VEventsSql, fs AS (SELECT _oid, min(_start) AS first_start FROM v GROUP BY _oid),
+           |grid(date) AS (SELECT * FROM (VALUES $days))
+           |SELECT g.date, count(DISTINCT fs._oid) AS n FROM fs JOIN grid g ON fs.first_start <= g.date
+           |GROUP BY g.date ORDER BY g.date""".stripMargin
+      },
+
+      "q_last_version" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type, value FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY _oid ORDER BY _start DESC) AS rn FROM v)
+           |WHERE rn = 1 ORDER BY _oid""".stripMargin,
+
+      "q_first_version" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type, value FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY _oid ORDER BY _start ASC) AS rn FROM v)
+           |WHERE rn = 1 ORDER BY _oid""".stripMargin,
+
+      "q_versions_age" -> {
+        val cut = ts("2024-02-01")
+        s"""$VEventsSql
+           |SELECT _oid, _start,
+           |  least(coalesce(_end, $cut), $cut) - min_start AS age
+           |FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY _oid ORDER BY _start DESC) AS rn,
+           |         min(_start) OVER (PARTITION BY _oid) AS min_start FROM v)
+           |WHERE rn = 1 ORDER BY _oid""".stripMargin
+      },
+
+      "q_started_after" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start FROM (
+           |  SELECT *, min(_start) OVER (PARTITION BY _oid) AS fs FROM v)
+           |WHERE fs > ${ts("2024-01-01 12:00:00")} ORDER BY _oid, _start""".stripMargin,
+
+      "q_unfinished" -> {
+        val rb = ts("2024-01-20")
+        s"""$VEventsSql, f AS (SELECT * FROM v WHERE _end IS NULL OR _end < $rb)
+           |SELECT _oid, _start, event_type FROM (
+           |  SELECT *, max(CASE WHEN _end IS NULL THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY _oid) AS has_open FROM f)
+           |WHERE has_open = 1 ORDER BY _oid, _start""".stripMargin
+      },
+
+      "q_last_chain" ->
+        s"""$VEventsSql, f AS (SELECT * FROM v WHERE event_type <> 'error'),
+           |g AS (SELECT *, CASE WHEN lag(_end) OVER w IS NULL THEN 0
+           |                     WHEN lag(_end) OVER w = _start THEN 0 ELSE 1 END AS gap
+           |      FROM f WINDOW w AS (PARTITION BY _oid ORDER BY _start)),
+           |h AS (SELECT *, sum(gap) OVER (PARTITION BY _oid ORDER BY _start
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain FROM g)
+           |SELECT _oid, _start, event_type FROM h
+           |WHERE chain = (SELECT max(chain) FROM h h2 WHERE h2._oid = h._oid)
+           |ORDER BY _oid, _start""".stripMargin,
+
+      "q_dfind" ->
+        s"""$VEventsSql, d AS (
+           |  SELECT _oid, _start,
+           |    lag(_start) OVER w AS prev_start,
+           |    lag(event_type) OVER w AS prev_et, event_type,
+           |    lag(value) OVER w AS prev_v, value
+           |  FROM v WINDOW w AS (PARTITION BY _oid ORDER BY _start))
+           |SELECT _oid, _start, field, old_value, new_value FROM (
+           |  SELECT _oid, _start, 'event_type' AS field,
+           |    CAST(prev_et AS VARCHAR) AS old_value, CAST(event_type AS VARCHAR) AS new_value,
+           |    prev_start, (prev_et IS DISTINCT FROM event_type) AS chg FROM d
+           |  UNION ALL
+           |  SELECT _oid, _start, 'value' AS field,
+           |    CAST(prev_v AS VARCHAR), CAST(value AS VARCHAR),
+           |    prev_start, (prev_v IS DISTINCT FROM value) FROM d)
+           |WHERE prev_start IS NOT NULL AND chg
+           |ORDER BY _oid, _start, field""".stripMargin,
+
+      "q_upsert_scd2" -> {
+        val cut = ts("2024-01-15")
+        s"""WITH ve AS (
+           |  SELECT CAST(user_id AS BIGINT) AS _oid,
+           |         epoch_us(ts)/1e6 AS _start,
+           |         lead(epoch_us(ts)/1e6) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _end,
+           |         event_type, value
+           |  FROM events),
+           |base AS (
+           |  SELECT _oid, _start,
+           |         CASE WHEN _end < $cut THEN _end END AS _end, event_type, value
+           |  FROM ve WHERE _start < $cut),
+           |inc AS (
+           |  SELECT CAST(user_id AS BIGINT) AS _oid, epoch_us(ts)/1e6 AS _start,
+           |         event_type, value
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |        FROM events) WHERE rn = 1),
+           |curr AS (SELECT * FROM base WHERE _end IS NULL),
+           |hist AS (SELECT * FROM base WHERE _end IS NOT NULL),
+           |kept AS (
+           |  SELECT c.* FROM curr c LEFT JOIN inc i ON c._oid = i._oid
+           |  WHERE i._oid IS NULL OR (c.event_type = i.event_type AND c.value = i.value)),
+           |rotated AS (
+           |  SELECT c._oid, c._start, i._start AS _end, c.event_type, c.value
+           |  FROM curr c JOIN inc i ON c._oid = i._oid
+           |  WHERE NOT (c.event_type = i.event_type AND c.value = i.value)),
+           |fresh AS (
+           |  SELECT i._oid, i._start, CAST(NULL AS DOUBLE) AS _end, i.event_type, i.value
+           |  FROM inc i WHERE NOT EXISTS (
+           |    SELECT 1 FROM curr c WHERE c._oid = i._oid
+           |      AND c.event_type = i.event_type AND c.value = i.value))
+           |SELECT * FROM (
+           |  SELECT * FROM hist UNION ALL SELECT * FROM kept
+           |  UNION ALL SELECT * FROM rotated UNION ALL SELECT * FROM fresh)
+           |ORDER BY _oid, _start""".stripMargin
+      },
+
+      "q_history_import" ->
+        s"""$VEventsSql, repl AS (
+           |  SELECT _oid, _start,
+           |    lead(_start) OVER (PARTITION BY _oid ORDER BY _start) AS _end, event_type
+           |  FROM v WHERE _oid < 5 AND event_type = 'purchase')
+           |SELECT _oid, _start, _end, event_type FROM (
+           |  SELECT _oid, _start, _end, event_type FROM v
+           |  WHERE _oid NOT IN (SELECT DISTINCT _oid FROM repl)
+           |  UNION ALL SELECT * FROM repl)
+           |ORDER BY _oid, _start""".stripMargin,
+
+      "q_deptree" ->
+        """WITH RECURSIVE r(k) AS (
+          |  SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT))) t(k)
+          |  UNION
+          |  SELECT CAST(n.n_regionkey AS BIGINT) FROM nation n JOIN r ON n.n_nationkey = r.k)
+          |SELECT k FROM r ORDER BY k""".stripMargin,
+
+      "q_union_dedup" ->
+        """SELECT o_orderstatus, count(*) AS n FROM orders
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q3_top_orders" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+      "q5_nation_revenue" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+      "q_window_topn" ->
+        """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+          |  CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          |        ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+          |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH e AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts)/1e6 AS t, event_id, value
+          |  FROM events),
+          |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL THEN 1
+          |                    WHEN t - lag(t) OVER w > 1800.0 THEN 1 ELSE 0 END AS gap
+          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          |s AS (SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM g)
+          |SELECT user_id, CAST(session AS BIGINT) AS session, min(t) AS session_start,
+          |  count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+
+      "q_token_counts" ->
+        """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+          |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_bpe_token_counts" ->
+        """SELECT doc_id,
+          |  CAST(list_sum(list_transform(
+          |      list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0),
+          |      x -> CAST(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT)
+          |  + CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_bpe
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_text_stats" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+          |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |n AS (SELECT *, list_filter(string_split(norm, ' '), x -> len(x) > 0) AS ntoks FROM t)
+          |SELECT doc_id,
+          |  round(CASE WHEN length(text) = 0 THEN 0.0
+          |    ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+          |  round(CASE WHEN len(toks) = 0 THEN 0.0
+          |    ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END, 6) AS mean_word_len,
+          |  round(CASE WHEN len(ntoks) = 0 THEN 0.0
+          |    ELSE CAST(len(list_filter(ntoks, x -> list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], x))) AS DOUBLE) / len(ntoks) END, 6) AS stopword_ratio
+          |FROM n ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT doc_id, lang, source FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_groups" ->
+        """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id
+          |FROM documents GROUP BY text HAVING count(*) > 1 ORDER BY keep_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Designed for the 100 TB
+  * shape: exact dedup is one hash-shuffle; near-dup never goes
+  * quadratic — candidate pairs come from LSH band buckets
+  * (shingle→minhash→band→bucket-join), so the join key cardinality is
+  * bounded by collision groups, not n².
+  */
+object Dedup {
+
+  /** Exact dedup on `keyCols`: keeps the row with the smallest `idCol`
+    * per duplicate group. One shuffle on the group key; with AQE, skewed
+    * duplicate groups get split automatically.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Exact-duplicate groups on a content hash of `textCol` — returns
+    * (content key, n_dups, representative id) for groups of size > 1.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_dups") > 1)
+
+  /** MinHash signature: `k` independent min-hashes over the word
+    * `n`-gram shingles. Hash family: xxhash64 of the shingle salted by
+    * the hash index — deterministic across runs and executors.
+    */
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
+    val shingles = TextFunctions.wordShingles(text, shingleN)
+    val sig = (0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(concat(lit(i.toString + "|"), s))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band keys from a minhash signature: `bands` hashes, each over
+    * a contiguous slice of the signature. Two docs share a band key iff
+    * that signature slice matches exactly.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** MinHash+LSH candidate pairs with estimated Jaccard.
+    *
+    * Pipeline: signature per doc → explode band keys → self-join on
+    * (band, key) → dedupe pairs → estimate similarity as matching
+    * signature positions / k. At scale this is the standard
+    * shingle→minhash→band→bucket-join: the only shuffle keys are band
+    * hashes, and genuinely similar docs collide in ≥1 band with high
+    * probability.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = df
+      .select(col(idCol).as("id"), minhashSignature(col(textCol), k).as("sig"))
+      .withColumn("band", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the word tokens: per bit, sum +1/-1 votes across
+    * token hashes; sign → bit. Pure `Column` composition (64
+    * aggregate lanes over the token-hash array) — stays in codegen.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(
+      filter(split(TextFunctions.normalizeText(text), " "), w => length(w) > 0),
+      w => xxhash64(w))
+    val bits = (0 until 64).map { bit =>
+      val votes = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: explode
+    * distinct shingles, self-join on shingle, |∩| / (|A|+|B|-|∩|).
+    * The shingle join is the scalable formulation — common shingles are
+    * the only join keys; pair with [[minhashPairs]] as a pre-filter at
+    * 100 TB so only candidate pairs reach the exact pass.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val exploded = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    val inter = exploded.as("x")
+      .join(exploded.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

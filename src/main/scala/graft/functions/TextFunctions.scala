@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure `Column` compositions of codegen'd
+  * builtins — no UDFs in the hot path, so whole-stage codegen and
+  * parquet column pruning survive (only `text` is read).
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text ⇒ 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token count: words contribute ceil(len/4) tokens
+    * (the classic ~4-chars-per-token heuristic), punctuation runs one
+    * each. Deterministic, cheap, and vectorizable — a stand-in for a
+    * real tokenizer at 100 TB scan scale.
+    */
+  def bpeTokenCount(text: Column): Column = {
+    val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    val wordToks = aggregate(
+      words, lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    wordToks + punct.cast("long")
+  }
+
+  /** Alphanumeric-normalized form used by fingerprints/dedup:
+    * lowercase, strip non [a-z0-9 ], collapse whitespace.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** 64-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = xxhash64(normalizeText(text))
+
+  /** Winnowing-style robust fingerprint: min/max hash over the word
+    * `n`-gram shingles of the normalized text — stable under small
+    * edits, unlike [[fingerprint]] (rolling-hash document
+    * fingerprinting a la Rabin-Karp winnowing).
+    */
+  def shingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(wordShingles(text, n), s => xxhash64(s)))
+
+  /** Word `n`-gram shingles of the normalized text. Texts shorter than
+    * `n` words yield a single shingle of the whole text.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(normalizeText(text), " ")
+    when(size(words) <= n, array(array_join(words, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  /** Stopword ratio over whitespace tokens (English stopword list). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "not", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "were", "be", "it", "this", "that", "as",
+    "at", "by", "from")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(normalizeText(text), " "), w => length(w) > 0)
+    val stops = filter(toks, w => w.isin(EnglishStopwords: _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") /
+          length(text).cast("double"))
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLength(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length documents,
+    * moderate stopword presence, low punctuation density — the
+    * length/punct/stopword-ratio recipe of C4/Gopher-style filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** Language-ID by stopword-marker voting: counts hits of per-language
+    * marker words among the tokens; highest count wins, ties broken by
+    * language code order, zero hits ⇒ "und". An n-gram-free heuristic
+    * that stays in codegen (each language is one array_intersect).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "para", "una"),
+    "fr" -> Seq("le", "la", "les", "est", "que", "pour", "dans", "une"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "wo3", "you3", "he2"))
+
+  def langId(text: Column): Column = {
+    val toks = array_distinct(filter(split(normalizeText(text), " "), w => length(w) > 0))
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
+      struct(
+        size(array_intersect(toks, array(markers.map(lit): _*))).as("hits"),
+        lit(code).as("code"))
+    }
+    // pick max hits; ties → lexicographically FIRST code. Negate hits and
+    // take array_min so (hits desc, code asc) needs no struct-compare tricks.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") === 0, lit("und")).otherwise(
+      // re-scan for the first code achieving the max hit count
+      scored.foldRight(lit("und")) { (s, acc) =>
+        when(s.getField("hits") === best.getField("hits"), s.getField("code")).otherwise(acc)
+      })
+  }
+}

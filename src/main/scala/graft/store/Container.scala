@@ -1,0 +1,275 @@
+package graft.store
+
+import graft.model.Meta
+import graft.mql.{Compiler, DateRange, Fields}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A named, versioned-object table: the Spark counterpart of the
+  * reference's `MetriqueContainer` + `SQLAlchemyProxy`
+  * (reference: metrique/core_api.py:137-793, metrique/sqlalchemy.py).
+  *
+  * State is a DataFrame carrying the [[Meta]] columns. Reads compile
+  * MQL + the temporal date dimension into Catalyst predicates; writes
+  * are whole-plan recomputations (Spark has no in-place UPDATE):
+  * the SCD2 `upsert` is a 3-way join-split, and persistence partitions
+  * by `is_current` so snapshot queries (`_end IS NULL` — by far the
+  * common case) prune to one partition at 100 TB scale.
+  */
+class Container(
+    val spark: SparkSession,
+    val name: String,
+    initial: DataFrame,
+    val path: Option[String] = None) {
+
+  private var state: DataFrame = initial
+
+  def df: DataFrame = state
+
+  // ---------------------------------------------------------------- reads
+
+  /** MQL find (reference: sqlalchemy.py:753-785).
+    *
+    * @param query MQL predicate, null/empty for all
+    * @param fields csv projection; "~"/null ⇒ all columns
+    * @param date temporal spec (see [[DateRange]]); null ⇒ current only
+    * @param sort column to order by
+    */
+  def find(
+      query: String = null,
+      fields: String = null,
+      date: String = "~",
+      sort: String = null,
+      descending: Boolean = false,
+      limit: Long = -1): DataFrame = {
+    val full = DateRange.fullQuery(Option(query), Option(date))
+    var out = full match {
+      case Some(mql) => state.filter(Compiler.compile(mql, state.schema))
+      case None => state
+    }
+    val proj = Fields.applyDefaultFields(Fields.parseFields(fields))
+      .filter(state.columns.map(_.toLowerCase).contains)
+    if (proj.nonEmpty) out = out.select(proj.map(col): _*)
+    if (sort != null) out = out.orderBy(if (descending) col(sort).desc else col(sort).asc)
+    if (limit >= 0) out = out.limit(limit.toInt)
+    out
+  }
+
+  /** Count matching rows (reference: sqlalchemy.py:641-664). */
+  def count(query: String = null, date: String = "~"): Long =
+    find(query = query, date = date).count()
+
+  /** Distinct values of one field; array fields are flattened first
+    * (reference: sqlalchemy.py:706-721).
+    */
+  def distinct(field: String, query: String = null, date: String = "~"): DataFrame = {
+    val base = find(query = query, date = date)
+    val isArray = base.schema(field).dataType.isInstanceOf[ArrayType]
+    val vals =
+      if (isArray) base.select(explode(col(field)).as(field))
+      else base.select(col(field))
+    vals.distinct().orderBy(col(field))
+  }
+
+  /** Max value of a field across ALL history (reference:
+    * sqlalchemy.py:787-803; drives delta sync watermarks).
+    */
+  def getLastField(field: String): Option[Any] = {
+    val row = state.agg(max(col(field))).head()
+    if (row.isNullAt(0)) None else Some(row.get(0))
+  }
+
+  /** Recursive closure over a parent-link field: BFS from `oids`
+    * following `field` (scalar or array of child oids), `level` hops max
+    * (reference: sqlalchemy.py:666-692 `deptree`).
+    *
+    * Iterative broadcast-semi-join loop — the idiomatic Spark shape for
+    * small-fringe transitive closure; each hop is one filtered scan, and
+    * the fringe stays driver-side (bounded by the entity-id set, not the
+    * row count).
+    */
+  def deptree(
+      field: String,
+      oids: Seq[Any],
+      date: String = null,
+      level: Int = Int.MaxValue): Seq[Any] = {
+    val snap = find(date = date)
+    val isArray = snap.schema(field).dataType.isInstanceOf[ArrayType]
+    var seen = oids.toSet
+    var fringe = oids.toSet
+    var depth = 0
+    while (fringe.nonEmpty && depth < level) {
+      val kids = snap
+        .filter(col(Meta.OID).isin(fringe.toSeq: _*))
+        .select(if (isArray) explode(col(field)).as("k") else col(field).as("k"))
+        .filter(col("k").isNotNull)
+        .distinct()
+        .collect()
+        .map(_.get(0))
+        .toSet
+      fringe = kids -- seen
+      seen ++= kids
+      depth += 1
+    }
+    seen.toSeq.sortBy(_.toString)
+  }
+
+  /** Version-to-version field diffs per `_oid` ordered by `_start`
+    * (reference: sqlalchemy.py:694-704 `dfind` + utils.py:1446-1535
+    * `DictDiffer`). Output: one row per (oid, version, field) whose value
+    * changed vs the previous version.
+    *
+    * Window `lag` per column — a single shuffle on `_oid`, no
+    * driver-side iteration.
+    */
+  def dfind(query: String = null, fields: String = null): DataFrame = {
+    val base = find(query = query, fields = fields, date = "~")
+    val dataCols = base.columns.filterNot(Meta.All.contains)
+    val w = Window.partitionBy(Meta.OID).orderBy(Meta.START)
+    val diffs = dataCols.map { c =>
+      struct(
+        lit(c).as("field"),
+        lag(col(c), 1).over(w).cast(StringType).as("old"),
+        col(c).cast(StringType).as("new"))
+    }
+    base
+      .withColumn("_prev_start", lag(col(Meta.START), 1).over(w))
+      .withColumn("_diffs", array(diffs: _*))
+      .filter(col("_prev_start").isNotNull)
+      .select(col(Meta.OID), col(Meta.START), explode(col("_diffs")).as("d"))
+      .filter(!(col("d.old") <=> col("d.new")))
+      .select(
+        col(Meta.OID),
+        col(Meta.START),
+        col("d.field").as("field"),
+        col("d.old").as("old_value"),
+        col("d.new").as("new_value"))
+  }
+
+  /** List container tables under a warehouse path prefix. */
+  def ls(): Seq[String] = spark.catalog.listTables().collect().map(_.name).toSeq
+
+  // --------------------------------------------------------------- writes
+
+  /** Plain append (reference: sqlalchemy.py:865-875 `insert`). */
+  def insert(objects: DataFrame): Container = {
+    state = state.unionByName(objects, allowMissingColumns = true)
+    this
+  }
+
+  /** SCD2 snapshot upsert (reference: sqlalchemy.py:906-975).
+    *
+    * Incoming rows are *current* versions (`_end == null`). Per `_oid`:
+    *  - new oid                      → insert as current
+    *  - same oid, same `_hash`       → no-op (idempotent re-flush;
+    *    reference golden: test_MetriqueContainer.py:164-170)
+    *  - same oid, different `_hash`  → rotate: old current gets
+    *    `_end = new._start` and `_id = "{oid}:{start}"`; new row inserted
+    *
+    * Pure join algebra — one shuffle by `_oid` (or broadcast when the
+    * batch is small vs the table), no per-row driver logic, safe at any
+    * scale. History rows are untouched, so a physical layout partitioned
+    * by `is_current` rewrites only the (small) current partition.
+    */
+  def upsert(incoming: DataFrame, autosnap: Boolean = true): Container = {
+    if (!autosnap) return historyImport(incoming)
+    val curr = state.filter(col(Meta.END).isNull)
+    val hist = state.filter(col(Meta.END).isNotNull)
+
+    // keep only the latest incoming version per oid within the batch
+    val w = Window.partitionBy(Meta.OID).orderBy(col(Meta.START).desc)
+    val inc = incoming
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    val incKeys = inc.select(
+      col(Meta.OID).as("_i_oid"),
+      col(Meta.HASH).as("_i_hash"),
+      col(Meta.START).as("_i_start"))
+
+    val joined = curr.join(incKeys, col(Meta.OID) === col("_i_oid"), "left")
+    // untouched current rows (no incoming or identical content)
+    val kept = joined
+      .filter(col("_i_oid").isNull || col(Meta.HASH) === col("_i_hash"))
+      .drop("_i_oid", "_i_hash", "_i_start")
+    // rotated: content changed → close the old version
+    val rotated = joined
+      .filter(col("_i_oid").isNotNull && col(Meta.HASH) =!= col("_i_hash"))
+      .withColumn(Meta.END, col("_i_start"))
+      .withColumn(Meta.ID, Meta.genId(col(Meta.OID), col(Meta.START), col(Meta.END)))
+      .drop("_i_oid", "_i_hash", "_i_start")
+
+    // incoming rows that are NOT duplicates of an existing current version
+    val currKeys = curr.select(
+      col(Meta.OID).as("_c_oid"), col(Meta.HASH).as("_c_hash"))
+    val fresh = inc
+      .join(
+        currKeys,
+        col(Meta.OID) === col("_c_oid") && col(Meta.HASH) === col("_c_hash"),
+        "left_anti")
+
+    state = hist
+      .unionByName(kept)
+      .unionByName(rotated)
+      .unionByName(fresh, allowMissingColumns = true)
+    this
+  }
+
+  /** History import: the batch carries ALL versions per oid — replace
+    * every existing row of those oids (reference: sqlalchemy.py:955-968).
+    */
+  def historyImport(incoming: DataFrame): Container = {
+    val oids = incoming.select(Meta.OID).distinct()
+    state = state
+      .join(oids, Seq(Meta.OID), "left_anti")
+      .unionByName(incoming, allowMissingColumns = true)
+    this
+  }
+
+  /** Persist current state, partitioned so current-snapshot queries
+    * prune: `is_current` is the leading partition column.
+    */
+  def save(): Container = {
+    path.foreach { p =>
+      state
+        .withColumn("is_current", col(Meta.END).isNull)
+        .write
+        .mode("overwrite")
+        .partitionBy("is_current")
+        .parquet(p)
+      state = spark.read.parquet(p).drop("is_current")
+    }
+    this
+  }
+
+  /** Drop persisted data (reference: sqlalchemy.py:723-747). */
+  def drop(): Unit = {
+    path.foreach { p =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    }
+    state = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], state.schema)
+  }
+}
+
+object Container {
+
+  /** Open a persisted container. */
+  def load(spark: SparkSession, name: String, path: String): Container =
+    new Container(spark, name, spark.read.parquet(path).drop("is_current"), Some(path))
+
+  /** Wrap a plain DataFrame (adds meta columns). */
+  def fromRaw(
+      spark: SparkSession,
+      name: String,
+      df: DataFrame,
+      oid: Column,
+      asOf: Double): Container =
+    new Container(spark, name, Meta.wrap(df, oid, asOf))
+}

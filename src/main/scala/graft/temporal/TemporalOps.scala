@@ -1,0 +1,200 @@
+package graft.temporal
+
+import graft.model.Meta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal analytics over a versioned-object DataFrame — the Spark
+  * counterpart of the reference's pandas `Result` subclass
+  * (reference: metrique/result.py:76-510). Import
+  * `graft.temporal.TemporalOps._` and call these on any DataFrame
+  * carrying `_oid`/`_start`/`_end` (epoch-second Doubles).
+  *
+  * All operators are window/groupBy formulations: one shuffle on
+  * `_oid` (or none, when AQE reuses the partitioning), no driver-side
+  * iteration — the pandas per-row masks become distributed plans.
+  */
+object TemporalOps {
+
+  implicit class TemporalDataFrame(val df: DataFrame) extends AnyVal {
+
+    private def oidWindow = Window.partitionBy(Meta.OID)
+
+    /** Snapshot of versions alive at instant `d`:
+      * `_start <= d < _end` (null `_end` = open interval).
+      * NOTE `<=` on `_start` here vs the strictly-before server-side
+      * `date_range` — the reference has BOTH semantics and we preserve
+      * each (reference: result.py:164-180 vs parse.py:109-124).
+      */
+    def onDate(d: Double): DataFrame =
+      df.filter(aliveAt(d))
+
+    private def aliveAt(d: Double): Column =
+      col(Meta.START) <= d && (col(Meta.END) > d || col(Meta.END).isNull)
+
+    /** Alive-object count per date in `dates` → (date, n).
+      *
+      * Formulated as a range-join against the date grid. The grid is
+      * tiny (~300 points, reference: result.py:277-298) so Spark
+      * broadcasts it: each partition of `df` streams once past all grid
+      * points — no shuffle of the fact table at all.
+      */
+    def history(dates: Seq[Double]): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val grid = broadcast(dates.toDF("date"))
+      df.join(
+          grid,
+          col(Meta.START) <= col("date") &&
+            (col(Meta.END) > col("date") || col(Meta.END).isNull))
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("date")
+    }
+
+    /** Count of distinct oids ever seen up to each grid date
+      * (reference: result.py:324-337 `persistent_oid_counts`).
+      * `min(_start)` per oid, then a cumulative count over the grid.
+      */
+    def persistentOidCounts(dates: Seq[Double]): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val firstSeen = df.groupBy(Meta.OID).agg(min(Meta.START).as("first_start"))
+      val grid = broadcast(dates.toDF("date"))
+      firstSeen
+        .join(grid, col("first_start") <= col("date"))
+        .groupBy("date")
+        .agg(countDistinct(Meta.OID).as("n"))
+        .orderBy("date")
+    }
+
+    /** All versions of oids that have an open version
+      * (reference: result.py:312-322 `unfinished_objects`).
+      */
+    def unfinishedObjects(rightBound: Option[Double] = None): DataFrame = {
+      val openCond = rightBound match {
+        case Some(rb) => col(Meta.END).isNull || col(Meta.END) > rb
+        case None => col(Meta.END).isNull
+      }
+      df.withColumn("_has_open", max(when(openCond, 1).otherwise(0)).over(oidWindow))
+        .filter(col("_has_open") === 1)
+        .drop("_has_open")
+    }
+
+    /** Latest version per oid, plus `age = min(cutoff, _end) - first
+      * _start of the oid` (reference: result.py:339-392).
+      */
+    def lastVersionsWithAge(cutoff: Double): DataFrame = {
+      val w = oidWindow.orderBy(col(Meta.START).desc)
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_first_start", min(Meta.START).over(oidWindow))
+        .filter(col("_rn") === 1)
+        .withColumn(
+          "age",
+          least(coalesce(col(Meta.END), lit(cutoff)), lit(cutoff)) - col("_first_start"))
+        .drop("_rn", "_first_start")
+    }
+
+    /** i-th version per oid by `_start` order; negative i counts from
+      * the end (reference: result.py:429-452 `one_version`).
+      */
+    def oneVersion(i: Int): DataFrame = {
+      val w =
+        if (i >= 0) oidWindow.orderBy(col(Meta.START).asc)
+        else oidWindow.orderBy(col(Meta.START).desc)
+      val target = if (i >= 0) i + 1 else -i
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === target)
+        .drop("_rn")
+    }
+
+    def firstVersion: DataFrame = oneVersion(0)
+    def lastVersion: DataFrame = oneVersion(-1)
+
+    /** Keep only the last unbroken run of versions per oid — a "chain"
+      * breaks where a version's `_end` is not the next version's
+      * `_start` (reference: result.py:394-427 `last_chain`).
+      *
+      * Window formulation: order versions by `_start`, flag gaps with
+      * `lag(_end) != _start`, cumulative-sum the flags into chain ids,
+      * keep the max chain id per oid.
+      */
+    def lastChain(): DataFrame = {
+      val w = oidWindow.orderBy(col(Meta.START).asc)
+      val gap = when(
+        lag(col(Meta.END), 1).over(w).isNull ||
+          lag(col(Meta.END), 1).over(w) === col(Meta.START),
+        0).otherwise(1)
+      df.withColumn("_chain", sum(gap).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("_max_chain", max(col("_chain")).over(oidWindow))
+        .filter(col("_chain") === col("_max_chain"))
+        .drop("_chain", "_max_chain")
+    }
+
+    /** Oids whose first `_start` is after `d`
+      * (reference: result.py:454-465 `started_after`).
+      */
+    def startedAfter(d: Double): DataFrame =
+      df.withColumn("_first_start", min(Meta.START).over(oidWindow))
+        .filter(col("_first_start") > d)
+        .drop("_first_start")
+
+    /** Keep listed oids (reference: result.py:302-310 `filter_oids`). */
+    def filterOids(oids: Seq[Any]): DataFrame =
+      df.filter(col(Meta.OID).isin(oids: _*))
+
+    /** Epoch Double `_start`/`_end` → timestamp view
+      * (reference: result.py:122-132 `to_datetime`).
+      */
+    def withTimestamps: DataFrame =
+      df.withColumn("_start_ts", timestamp_seconds(col(Meta.START)))
+        .withColumn("_end_ts", timestamp_seconds(col(Meta.END)))
+  }
+
+  /** Sample-date grid generation (reference: result.py:227-298
+    * `get_dates_range`): daily/weekly/monthly/quarterly/yearly grids, or
+    * `auto` targeting ~`ideal` points. Driver-side pure function — the
+    * grid is small by construction.
+    */
+  def datesRange(
+      start: Double,
+      end: Double,
+      scale: String = "auto",
+      ideal: Int = 300): Seq[Double] = {
+    require(end >= start, s"end $end < start $start")
+    val day = 86400.0
+    val stepOf = Map(
+      "daily" -> day, "weekly" -> 7 * day, "monthly" -> 30 * day,
+      "quarterly" -> 91 * day, "yearly" -> 365 * day)
+    val step = scale match {
+      case "auto" =>
+        val span = end - start
+        // pick the smallest scale that keeps the grid near `ideal` points
+        Seq("daily", "weekly", "monthly", "quarterly", "yearly")
+          .map(stepOf)
+          .find(s => span / s <= ideal)
+          .getOrElse(stepOf("yearly"))
+      case s => stepOf.getOrElse(s, throw new IllegalArgumentException(s"bad scale $s"))
+    }
+    Iterator.iterate(start)(_ + step).takeWhile(_ <= end).toSeq :+ end
+  }
+
+  /** Least-squares linear extrapolation of a (x, y) series, clamped at 0
+    * (reference: result.py:197-223 `_linreg_future`). The fit runs on
+    * the driver over the ~300-point series — never on the cluster.
+    */
+  def linregFuture(xs: Seq[Double], ys: Seq[Double], futureXs: Seq[Double]): Seq[Double] = {
+    require(xs.length == ys.length && xs.nonEmpty)
+    val n = xs.length.toDouble
+    val mx = xs.sum / n
+    val my = ys.sum / n
+    val denom = xs.map(x => (x - mx) * (x - mx)).sum
+    val slope = if (denom == 0) 0.0 else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / denom
+    val intercept = my - slope * mx
+    futureXs.map(x => math.max(0.0, slope * x + intercept))
+  }
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness check.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+Registers each parquet table as a DuckDB view, runs every oracle SQL from
+<verifyOutDir>/oracle_sql.json, and compares row-for-row (and as an
+order-insensitive multiset) against the Spark result parquet.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracles:
+            ok = len(got) > 0
+            results[name] = "rows-only:" + ("OK" if ok else "EMPTY")
+            n_ok += ok; n_bad += (not ok)
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR: {e}"
+            n_bad += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA: got {list(g.columns)} vs exp {list(e.columns)}"
+            n_bad += 1
+            continue
+        if len(g) != len(e):
+            results[name] = f"ROWS: got {len(g)} vs exp {len(e)}"
+            n_bad += 1
+            continue
+        # dtypes may differ (int32 vs int64 etc.) -> compare as objects
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            results[name] = "OK"
+            n_ok += 1
+        except AssertionError as ex:
+            # retry order-insensitively
+            try:
+                gs = g.sort_values(list(g.columns)).reset_index(drop=True)
+                es = e.sort_values(list(e.columns)).reset_index(drop=True)
+                pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
+                results[name] = "OK-UNORDERED (row order differs!)"
+                n_ok += 1
+            except Exception:
+                results[name] = "VALUES: " + str(ex).split("\n")[0]
+                n_bad += 1
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') or v=='rows-only:OK' else 'FAIL':4} {k:24} {v}")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
