@@ -520,14 +520,13 @@ object SparkEntry {
 
     "q_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
-          k = 32, bands = 8, threshold = 0.3)
+          k = 64, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
     "q_simhash" -> ((s, dir) => {
       tbl(s, dir, "documents")
-        .filter(col("doc_id") < 200)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), graft.functions.DedupExpressions.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -33,16 +33,25 @@ object Dedup {
       .filter(col("n_dups") > 1)
 
   /** MinHash signature: `k` independent min-hashes over the word
-    * `n`-gram shingles. Hash family: xxhash64 of the shingle salted by
-    * the hash index — deterministic across runs and executors.
+    * `n`-gram shingles. Hash family: one xxhash64 of each shingle
+    * string, then per-lane `xxhash64(lane, h)` long-mixes — the string
+    * is hashed ONCE, not k times, which dominates the cost at scale.
+    * Deterministic across runs and executors.
     */
-  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column = {
-    val shingles = TextFunctions.wordShingles(text, shingleN)
-    val sig = (0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(concat(lit(i.toString + "|"), s))))
-    }
-    array(sig: _*)
-  }
+  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
+    minhashOfHashes(shingleHashes(text, shingleN), k)
+
+  /** Per-shingle 64-bit hashes (the expensive string pass — compute
+    * once, reuse across lanes/operators).
+    */
+  def shingleHashes(text: Column, shingleN: Int = 3): Column =
+    transform(TextFunctions.wordShingles(text, shingleN), s => xxhash64(s))
+
+  /** k-lane minhash over precomputed shingle hashes (cheap long mixes). */
+  def minhashOfHashes(hashes: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => xxhash64(lit(i), h)))
+    }: _*)
 
   /** LSH band keys from a minhash signature: `bands` hashes, each over
     * a contiguous slice of the signature. Two docs share a band key iff
@@ -66,20 +75,32 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 32,
+      k: Int = 64,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = k / bands
+    val rowsPerBand = k / bands // r=8 at defaults: collision p = s^8 per
+    // band — random pairs (s≈0.4) almost never collide, real near-dups
+    // (s≥0.8) hit ≥1 of the 8 bands w.p. ≈1.
+    //
+    // Signature via the one-pass custom Expression (MinHashSigExpr) —
+    // the Column-composed lanes are interpreted HOFs and re-walk the
+    // shingle array k times. Repartition first: a small parquet file
+    // arrives as ONE split, which would serialize the signature pass.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val sigs = df
-      .select(col(idCol).as("id"), minhashSignature(col(textCol), k).as("sig"))
-      .withColumn("band", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
-    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
-    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
+      .repartition(par)
+      .select(col(idCol).as("id"),
+        DedupExpressions.minhashSig(col(textCol), k).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
     a.join(b, Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
           .cast("double") / k).as("est_jaccard"))
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
