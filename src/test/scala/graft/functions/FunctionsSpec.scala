@@ -1,0 +1,190 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text / dedup / similarity / multimodal operator specs. */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).head().getAs[T]("v")
+
+  test("tokenCount") {
+    assert(one[Int](TextFunctions.tokenCount(col("text")), "a b  c") == 3)
+    assert(one[Int](TextFunctions.tokenCount(col("text")), "  ") == 0)
+    assert(one[Int](TextFunctions.tokenCount(col("text")), "one") == 1)
+  }
+
+  test("bpeTokenCount: ceil(len/4) per word + punctuation") {
+    // "hello" -> 2, "hi" -> 1, '!' -> 1
+    assert(one[Long](TextFunctions.bpeTokenCount(col("text")), "hello hi!") == 4L)
+  }
+
+  test("normalizeText strips punctuation and collapses whitespace") {
+    assert(one[String](TextFunctions.normalizeText(col("text")), " Héllo,  WORLD!! 42 ") ==
+      "h llo world 42")
+  }
+
+  test("stopword / punct ratios") {
+    assert(math.abs(one[Double](TextFunctions.stopwordRatio(col("text")), "the cat is here") - 0.5) < 1e-9)
+    assert(math.abs(one[Double](TextFunctions.punctRatio(col("text")), "ab,.") - 0.5) < 1e-9)
+    assert(one[Double](TextFunctions.stopwordRatio(col("text")), "") == 0.0)
+  }
+
+  test("meanWordLength") {
+    assert(math.abs(one[Double](TextFunctions.meanWordLength(col("text")), "ab abcd") - 3.0) < 1e-9)
+  }
+
+  test("qualityScore in [0,1] and ordered sensibly") {
+    val good = one[Double](TextFunctions.qualityScore(col("text")),
+      "the quick brown fox jumps over the lazy dog and runs far away into the woods " * 5)
+    val bad = one[Double](TextFunctions.qualityScore(col("text")), "!!! ,,, ;;; :::")
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("langId votes on marker words") {
+    assert(one[String](TextFunctions.langId(col("text")), "the cat and the dog of war is that") == "en")
+    assert(one[String](TextFunctions.langId(col("text")), "der hund und die katze ist nicht") == "de")
+    assert(one[String](TextFunctions.langId(col("text")), "zzz qqq") == "und")
+  }
+
+  test("wordShingles") {
+    def shingles(n: Int, text: String): Seq[String] =
+      Seq(text).toDF("text").select(TextFunctions.wordShingles(col("text"), n).as("v"))
+        .head().getSeq[String](0)
+    assert(shingles(2, "a b c") == Seq("a b", "b c"))
+    assert(shingles(3, "a b") == Seq("a b"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val a = one[Long](TextFunctions.fingerprint(col("text")), "Hello, World!")
+    val b = one[Long](TextFunctions.fingerprint(col("text")), "hello   world")
+    assert(a == b)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today " * 4
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base + " extra tail words"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer rules and physical plans"),
+    (3L, "yet another unrelated document mentioning minhash banding and jaccard estimation theory"),
+    (4L, base)) // exact dup of 0
+    .toDF("id", "text")
+
+  test("exact dedup keeps smallest id per key group") {
+    val d = Dedup.exact(docs, "id", Seq("text"))
+    assert(d.count() == 4)
+    assert(d.filter(col("id") === 4L).count() == 0)
+  }
+
+  test("exactGroups finds the duplicate group") {
+    val g = Dedup.exactGroups(docs, "id", "text").collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n_dups") == 2 && g(0).getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhashPairs finds planted near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // exact dup: est_jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: near-dups have small hamming distance") {
+    val hs = docs.select(col("id"),
+        DedupExpressions.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0L), hs(4L)) == 0)
+    assert(ham(hs(0L), hs(1L)) < ham(hs(0L), hs(2L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((0L, 4L)) - 1.0) < 1e-9)
+  }
+
+  test("minhashSignature expression is deterministic and k-wide") {
+    val s1 = docs.select(DedupExpressions.minhashSig(col("text"), 32).as("s"))
+      .head().getSeq[Long](0)
+    val s2 = docs.select(DedupExpressions.minhashSig(col("text"), 32).as("s"))
+      .head().getSeq[Long](0)
+    assert(s1 == s2 && s1.size == 32)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(2f, 0f))).toDF("a", "b", "c")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+    assert(math.abs(df.select(Similarity.cosine(col("a"), col("c"))).head().getDouble(0) - 1.0) < 1e-9)
+    assert(df.select(Similarity.dot(col("a"), col("c"))).head().getDouble(0) == 2.0)
+  }
+
+  test("bruteForceTopK ranks by cosine") {
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(-1f, 0f, 0f)))
+      .toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(df, "id", "vec", Seq(1f, 0f, 0f), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("cosinePairs finds the close pair only") {
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.95f, 0.05f)), (3L, Seq(0f, 1f)))
+      .toDF("id", "vec")
+    val pairs = Similarity.cosinePairs(df, "id", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("annTopK finds the planted nearest neighbor") {
+    val dim = 8
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 50L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
+    val q = vecs(7)._2.map(v => v + 0.01f * rng.nextGaussian().toFloat)
+    val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+    val got = Similarity.annTopK(df, "id", "vec", q.toSeq, k = 3, dim = dim)
+      .collect().map(_.getLong(0))
+    assert(got.contains(7L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("extractFeatures: schema, shape, determinism") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val f = Multimodal.extractFeatures(assets, dim = 8)
+    assert(f.schema.fieldNames.toSeq == Seq("asset_id", "modality", "features"))
+    val rows = f.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getSeq[Float](2).size == 8))
+    val again = Multimodal.extractFeatures(assets, dim = 8).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("planFrameSamples: only videos, capped frames, correct timestamps") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val plan = Multimodal.planFrameSamples(assets, everyMs = 1000L, maxFrames = 4)
+    val rows = plan.collect()
+    assert(rows.nonEmpty)
+    val byAsset = rows.groupBy(_.getLong(0))
+    assert(byAsset.values.forall(_.length <= 4))
+    assert(rows.forall(r => r.getLong(2) % 1000L == 0L))
+    val videoIds = assets.filter(col("modality") === "video")
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(byAsset.keySet.subsetOf(videoIds))
+  }
+}

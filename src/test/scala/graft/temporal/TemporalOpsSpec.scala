@@ -1,0 +1,143 @@
+package graft.temporal
+
+import graft.SparkSpec
+import graft.temporal.TemporalOps._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Random
+
+/** Temporal analytics vs an independently-computed in-memory oracle
+  * over seeded random version chains (mirrors test_result.py:23-63).
+  */
+class TemporalOpsSpec extends SparkSpec {
+
+  case class V(oid: Long, start: Double, end: Option[Double], lala: Int)
+
+  /** ~40 oids × 1..8 versions; consecutive versions share boundaries;
+    * ~25% of oids end with an open version. Deterministic (seed 7).
+    */
+  private lazy val chains: Seq[V] = {
+    val rng = new Random(7)
+    (1L to 40L).flatMap { oid =>
+      val n = 1 + rng.nextInt(8)
+      var t = 100.0 + rng.nextInt(50)
+      val open = rng.nextDouble() < 0.25
+      (0 until n).map { i =>
+        val start = t
+        t += 10 + rng.nextInt(90)
+        val end = if (i == n - 1 && open) None else Some(t)
+        V(oid, start, end, rng.nextInt(1000))
+      }
+    }
+  }
+
+  private lazy val df: DataFrame = {
+    val rows = chains.map(v => Row(v.oid, v.start, v.end.map(Double.box).orNull, v.lala))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("_oid", LongType), StructField("_start", DoubleType),
+        StructField("_end", DoubleType), StructField("lala", IntegerType))))
+  }
+
+  test("onDate matches the <=/</open-interval oracle") {
+    for (d <- Seq(120.0, 250.0, 400.0)) {
+      val expected = chains.count(v => v.start <= d && v.end.forall(_ > d))
+      assert(df.onDate(d).count() == expected, s"at $d")
+    }
+  }
+
+  test("history counts per grid date") {
+    val grid = Seq(150.0, 300.0, 450.0)
+    val got = df.history(grid).collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    for (d <- grid) {
+      val expected = chains.count(v => v.start <= d && v.end.forall(_ > d)).toLong
+      assert(got.getOrElse(d, 0L) == expected, s"at $d")
+    }
+  }
+
+  test("persistentOidCounts is cumulative distinct-oid count") {
+    val grid = Seq(150.0, 500.0)
+    val got = df.persistentOidCounts(grid).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    for (d <- grid) {
+      val expected = chains.filter(_.start <= d).map(_.oid).distinct.size.toLong
+      assert(got.getOrElse(d, 0L) == expected, s"at $d")
+    }
+  }
+
+  test("unfinishedObjects keeps all versions of oids with an open version (test_result.py:58-63)") {
+    val openOids = chains.filter(_.end.isEmpty).map(_.oid).toSet
+    val got = df.unfinishedObjects().select("_oid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == openOids)
+    // and row count = all versions of those oids
+    assert(df.unfinishedObjects().count() == chains.count(v => openOids(v.oid)))
+  }
+
+  test("oneVersion / firstVersion / lastVersion") {
+    val first = df.firstVersion.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val last = df.lastVersion.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val second = df.oneVersion(1).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    chains.groupBy(_.oid).foreach { case (oid, vs) =>
+      val sorted = vs.sortBy(_.start)
+      assert(first(oid) == sorted.head.start)
+      assert(last(oid) == sorted.last.start)
+      if (sorted.size >= 2) assert(second(oid) == sorted(1).start)
+      else assert(!second.contains(oid))
+    }
+  }
+
+  test("lastVersionsWithAge") {
+    val cutoff = 400.0
+    val got = df.lastVersionsWithAge(cutoff).collect()
+      .map(r => r.getAs[Long]("_oid") -> r.getAs[Double]("age")).toMap
+    chains.groupBy(_.oid).foreach { case (oid, vs) =>
+      val sorted = vs.sortBy(_.start)
+      val firstStart = sorted.head.start
+      val lastV = sorted.last
+      val expected = math.min(lastV.end.getOrElse(cutoff), cutoff) - firstStart
+      assert(math.abs(got(oid) - expected) < 1e-9, s"oid $oid")
+    }
+  }
+
+  test("startedAfter") {
+    val d = 130.0
+    val expected = chains.groupBy(_.oid).filter(_._2.map(_.start).min > d).keySet
+    val got = df.startedAfter(d).select("_oid").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("lastChain keeps the trailing gap-free run") {
+    // built chains are gap-free, so lastChain == identity there; check
+    // a hand-made gapped history
+    val rows = Seq(
+      Row(1L, 10.0, Double.box(20.0), 0),
+      Row(1L, 20.0, Double.box(30.0), 1), // chain 1 ends: gap after 30
+      Row(1L, 50.0, Double.box(60.0), 2),
+      Row(1L, 60.0, null, 3)) // chain 2 = last
+    val g = spark.createDataFrame(spark.sparkContext.parallelize(rows), df.schema)
+    val kept = g.lastChain().collect().map(_.getInt(3)).sorted
+    assert(kept.toSeq == Seq(2, 3))
+    // gap-free history passes through whole
+    assert(df.lastChain().count() == chains.size)
+  }
+
+  test("filterOids") {
+    assert(df.filterOids(Seq(1L, 2L)).select("_oid").distinct().count() == 2)
+  }
+
+  test("datesRange picks a sane grid; linregFuture extrapolates") {
+    val grid = TemporalOps.datesRange(0.0, 86400.0 * 100, scale = "weekly")
+    assert(grid.head == 0.0 && grid.last == 86400.0 * 100)
+    assert(grid.size >= 14 && grid.size <= 16)
+    val auto = TemporalOps.datesRange(0.0, 86400.0 * 1000, scale = "auto", ideal = 300)
+    assert(auto.size <= 302)
+    // y = 2x + 1 fits exactly; clamped at 0
+    val ys = TemporalOps.linregFuture(Seq(0, 1, 2, 3), Seq(1, 3, 5, 7), Seq(10, -100))
+    assert(math.abs(ys.head - 21.0) < 1e-9)
+    assert(ys(1) == 0.0)
+  }
+}
