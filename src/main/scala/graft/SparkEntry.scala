@@ -565,6 +565,102 @@ object SparkEntry {
       Similarity.annTopK(emb, "vec_id", "embedding", qv, k = 10, dim = 64)
     }),
 
+    // ------------------------------------------------- ETL / streaming
+    // activity import: rebuild the full event history from (current doc
+    // + change log) — oracle is the consecutive-distinct version chain
+    "q_activity_import" -> ((s, dir) => {
+      val ve = versionedEvents(s, dir)
+        .select(col(Meta.OID), col(Meta.START),
+          col("event_type"), col("value").cast("string").as("value"))
+      val w = Window.partitionBy(Meta.OID).orderBy(Meta.START)
+      // consecutive-distinct states (identical consecutive states emit
+      // no activity, so they merge in the reconstruction)
+      val dedup = ve
+        .withColumn("pet", lag("event_type", 1).over(w))
+        .withColumn("pv", lag("value", 1).over(w))
+        .filter(col("pet").isNull ||
+          !(col("event_type") === col("pet") && col("value") === col("pv")))
+      val current = dedup
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(Meta.OID).orderBy(col(Meta.START).desc)))
+        .withColumn("creation", min(Meta.START).over(Window.partitionBy(Meta.OID)))
+        .filter(col("rn") === 1)
+        .select(col(Meta.OID), col("creation").as(Meta.START),
+          col("event_type"), col("value"))
+      val acts = dedup.filter(col("pet").isNotNull)
+        .select(col(Meta.OID), col(Meta.START).as("when"),
+          col("pet"), col("event_type"), col("pv"), col("value"))
+      val actRows = acts.select(col(Meta.OID), col("when"),
+          lit("event_type").as("field"), col("pet").as("removed"),
+          col("event_type").as("added"))
+        .unionByName(acts.select(col(Meta.OID), col("when"),
+          lit("value").as("field"), col("pv").as("removed"),
+          col("value").as("added")))
+      graft.etl.ActivityImport.rebuild(current, actRows)
+        .select(col(Meta.OID).cast("long").as(Meta.OID), col(Meta.START),
+          col(Meta.END), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // incremental delta sync: new oids beyond watermark + mtime-changed
+    "q_delta_oids" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val target = new Container(s, "orders",
+        Meta.wrap(
+          orders.filter(col("o_orderkey") <= 10000)
+            .select(col("o_orderkey").cast("long").as("k")),
+          col("k"), AsOf).withColumnRenamed("k", "okey"))
+      graft.etl.Delta.deltaOids(
+          orders.select(
+            col("o_orderkey").cast("long").as("id"),
+            (unix_micros(col("o_orderdate").cast("timestamp")) / lit(1e6)).as("mtime")),
+          "id", "mtime", target, ts("1997-06-01"))
+        .orderBy("id")
+    }),
+
+    // structured-streaming ingestion: events parquet as a file stream,
+    // foreachBatch SCD2 upsert -> current snapshot per user
+    "q_stream_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val chk = java.nio.file.Files.createTempDirectory("graft-chk")
+      // file-stream sources need a directory: stage the events file
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(Meta.OID, LongType), StructField(Meta.START, DoubleType),
+          StructField(Meta.END, DoubleType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField(Meta.HASH, StringType),
+          StructField(Meta.ID, StringType), StructField(Meta.V, IntegerType),
+          StructField(Meta.LIB_V, StringType),
+          StructField(Meta.E, MapType(StringType, StringType)))))
+      val c = new Container(s, "stream", empty)
+      val q = graft.streaming.StreamIngest.upsertStream(
+        s, srcDir.toString, schema, c, "user_id", "ts",
+        Seq("event_type", "value"), chk.toString,
+        startExpr = Some(df => expr("ts DIV 1000") / lit(1e6)))
+      q.awaitTermination()
+      c.df
+        .select(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // git-repo source (driver-side shellout; rows-only check)
+    "q_git_commits" -> ((s, dir) => {
+      graft.etl.GitSource.loadCommits(s, "/root/repo")
+        .select(col(Meta.OID), col("author"), col("added"), col("removed"),
+          size(col("parents")).cast("long").as("n_parents"),
+          size(col("signed_off_by")).cast("long").as("n_signoffs"))
+        .orderBy(Meta.OID)
+    }),
+
     // ------------------------------------------------------- multimodal
     "q_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(s, 120)
@@ -897,6 +993,40 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
           |  FROM documents)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "q_activity_import" ->
+        """WITH v AS (
+          |  SELECT CAST(user_id AS BIGINT) AS _oid, epoch_us(ts)/1e6 AS _start,
+          |         event_type, CAST(value AS VARCHAR) AS value
+          |  FROM events),
+          |o AS (SELECT *, lag(event_type) OVER w AS pet, lag(value) OVER w AS pv
+          |      FROM v WINDOW w AS (PARTITION BY _oid ORDER BY _start)),
+          |d AS (SELECT _oid, _start, event_type, value FROM o
+          |      WHERE pet IS NULL OR NOT (event_type = pet AND value = pv))
+          |SELECT _oid, _start,
+          |  lead(_start) OVER (PARTITION BY _oid ORDER BY _start) AS _end,
+          |  event_type, value
+          |FROM d ORDER BY _oid, _start""".stripMargin,
+
+      "q_delta_oids" -> {
+        val since = ts("1997-06-01")
+        s"""SELECT id FROM (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders
+           |  WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders WHERE o_orderkey <= 10000)
+           |  UNION
+           |  SELECT CAST(o_orderkey AS BIGINT) FROM orders
+           |  WHERE epoch_us(o_orderdate)/1e6 >= $since)
+           |ORDER BY id""".stripMargin
+      },
+
+      "q_stream_upsert" ->
+        """WITH e AS (
+          |  SELECT CAST(user_id AS BIGINT) AS _oid, epoch_us(ts)/1e6 AS _start,
+          |         event_type, value,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+          |  FROM events)
+          |SELECT _oid, _start, event_type, value FROM e WHERE rn = 1
+          |ORDER BY _oid, _start""".stripMargin,
 
       "q_dedup_groups" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keep_id

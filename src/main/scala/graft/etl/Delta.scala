@@ -1,0 +1,66 @@
+package graft.etl
+
+import graft.model.Meta
+import graft.store.Container
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Incremental delta sync (reference: cubes/sqldata/generic.py:201-269
+  * `_delta_force`/`get_new_oids`/`get_changed_oids` + watermark
+  * persistence sqlalchemy.py:805-824).
+  *
+  * The incremental id set = new oids (`oid > max known`) ∪ changed oids
+  * (`mtime >= last sync`); the watermark is a file-backed checkpoint or
+  * derived from `max(_start)` of the target container.
+  */
+object Delta {
+
+  /** Oids in `source` beyond the container's max known oid
+    * (generic.py:344-364). Both sides reduce to one number / one
+    * filtered scan — no join.
+    */
+  def newOids(source: DataFrame, oidCol: String, target: Container): DataFrame = {
+    val maxKnown = target.getLastField(Meta.OID)
+    maxKnown match {
+      case Some(m) => source.filter(col(oidCol) > lit(m)).select(col(oidCol)).distinct()
+      case None => source.select(col(oidCol)).distinct()
+    }
+  }
+
+  /** Oids whose `mtimeCol` is on/after the last-sync watermark
+    * (generic.py:228-253).
+    */
+  def changedOids(source: DataFrame, oidCol: String, mtimeCol: String, since: Double): DataFrame =
+    source.filter(col(mtimeCol) >= lit(since)).select(col(oidCol)).distinct()
+
+  /** Delta id set = new ∪ changed. */
+  def deltaOids(
+      source: DataFrame,
+      oidCol: String,
+      mtimeCol: String,
+      target: Container,
+      since: Double): DataFrame =
+    newOids(source, oidCol, target)
+      .unionByName(changedOids(source, oidCol, mtimeCol, since))
+      .distinct()
+
+  /** File-backed watermark (reference: get_delta_ts/update_delta_ts,
+    * sqlalchemy.py:805-824). Falls back to the container's
+    * `max(_start)` when absent (`_fetch_mtime`, generic.py:255-269).
+    */
+  def readWatermark(path: String, target: => Container): Option[Double] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p)).trim.toDouble)
+    else target.getLastField(Meta.START).map(_.toString.toDouble)
+  }
+
+  def writeWatermark(path: String, ts: Double): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, ts.toString.getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}

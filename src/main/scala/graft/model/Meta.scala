@@ -85,14 +85,19 @@ object Meta {
       asOf: Double,
       start: Option[Column] = None,
       end: Option[Column] = None,
-      v: Int = 0): DataFrame = {
+      v: Int = 0,
+      dataCols: Option[Seq[String]] = None): DataFrame = {
     val startCol = start.getOrElse(lit(asOf)).cast(DoubleType)
     val endCol = end.getOrElse(lit(null).cast(DoubleType)).cast(DoubleType)
     val withMeta = df
       .withColumn(OID, oid)
       .withColumn(START, startCol)
       .withColumn(END, endCol)
-    val hashed = withMeta.withColumn(HASH, contentHash(df))
+    val hashExpr = dataCols match {
+      case Some(cols) => contentHashOf(cols.map(c => c -> col(c)): _*)
+      case None => contentHash(df)
+    }
+    val hashed = withMeta.withColumn(HASH, hashExpr)
     hashed
       .withColumn(ID, genId(col(OID), col(START), col(END)))
       .withColumn(V, lit(v))

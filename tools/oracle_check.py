@@ -26,6 +26,10 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     results = {}
+    for name in oracles:
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            results[name] = "MISSING RESULT DIR (query failed in Verify?)"
+            n_bad += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
