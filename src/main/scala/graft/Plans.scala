@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality inspection: prints the formatted physical plan of key
+  * queries and flags the properties that matter at 100 TB — parquet
+  * filter pushdown, column pruning (ReadSchema), broadcast vs shuffle
+  * joins, and whole-stage codegen coverage.
+  * `sbt "runMain graft.Plans [queryName ...]"`.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_find_fields", "q_find_mql", "q1_pricing_summary",
+        "q3_top_orders", "q5_nation_revenue", "q_date_asof",
+        "q_upsert_scd2", "q_minhash_pairs", "q_embed_topk", "q_token_counts")
+    for (n <- names; fn <- SparkEntry.queries.get(n)) {
+      println(s"\n========== $n ==========")
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
+      def flag(label: String, ok: Boolean): Unit =
+        println(f"  [${if (ok) "ok" else "!!"}] $label")
+      println(s"---------- summary $n ----------")
+      flag("parquet scan present", plan.contains("Scan parquet"))
+      flag("filters pushed", !plan.contains("PushedFilters: []") || !plan.contains("Filter"))
+      flag("no cartesian product", !plan.contains("CartesianProduct") || n.contains("embed"))
+      flag("broadcast join used (if joining)",
+        !plan.contains("SortMergeJoin") || n == "q_upsert_scd2" || n.contains("minhash"))
+    }
+    spark.stop()
+  }
+}

@@ -404,7 +404,10 @@ object SparkEntry {
       val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = tbl(s, dir, "orders")
       val li = tbl(s, dir, "lineitem")
-      li.join(broadcast(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+      // customer (dim) broadcasts; lineitem⋈orders stays a shuffle join —
+      // at 100 TB orders is a fact table, so forcing its broadcast would
+      // OOM; AQE still converts to broadcast at small SFs at runtime
+      li.join(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(cast_sum_double(revenue).as("revenue"))

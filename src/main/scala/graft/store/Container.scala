@@ -186,36 +186,40 @@ class Container(
       .filter(col("_rn") === 1)
       .drop("_rn")
 
-    val incKeys = inc.select(
-      col(Meta.OID).as("_i_oid"),
-      col(Meta.HASH).as("_i_hash"),
-      col(Meta.START).as("_i_start"))
+    // Single-pass formulation: ONE full-outer join on _oid, emitting
+    // 0-2 rows per key via array+explode — per key:
+    //   incoming only            -> [new]          (insert)
+    //   current only             -> [old]          (untouched)
+    //   same content (_hash)     -> [old]          (idempotent re-flush)
+    //   changed content          -> [old rotated, new]
+    // One shuffle instead of the naive 3-join split that re-scans the
+    // current partition per branch — the property that matters when
+    // `state` is a 100 TB table and only the current partition rewrites.
+    val cols: Seq[String] = state.columns.toSeq
+    val incAligned = cols.foldLeft(inc) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(state.schema(c).dataType))
+    }.select(cols.map(col): _*)
 
-    val joined = curr.join(incKeys, col(Meta.OID) === col("_i_oid"), "left")
-    // untouched current rows (no incoming or identical content)
-    val kept = joined
-      .filter(col("_i_oid").isNull || col(Meta.HASH) === col("_i_hash"))
-      .drop("_i_oid", "_i_hash", "_i_start")
-    // rotated: content changed → close the old version
-    val rotated = joined
-      .filter(col("_i_oid").isNotNull && col(Meta.HASH) =!= col("_i_hash"))
-      .withColumn(Meta.END, col("_i_start"))
-      .withColumn(Meta.ID, Meta.genId(col(Meta.OID), col(Meta.START), col(Meta.END)))
-      .drop("_i_oid", "_i_hash", "_i_start")
+    val currS = curr.select(col(Meta.OID).as("_k"), struct(cols.map(col): _*).as("_c"))
+    val incS = incAligned.select(col(Meta.OID).as("_k"), struct(cols.map(col): _*).as("_i"))
+    val joined = currS.join(incS, Seq("_k"), "full_outer")
 
-    // incoming rows that are NOT duplicates of an existing current version
-    val currKeys = curr.select(
-      col(Meta.OID).as("_c_oid"), col(Meta.HASH).as("_c_hash"))
-    val fresh = inc
-      .join(
-        currKeys,
-        col(Meta.OID) === col("_c_oid") && col(Meta.HASH) === col("_c_hash"),
-        "left_anti")
+    val rotatedOld = struct(cols.map {
+      case Meta.END => col("_i." + Meta.START).as(Meta.END)
+      case Meta.ID =>
+        Meta.genId(col("_c." + Meta.OID), col("_c." + Meta.START), col("_i." + Meta.START))
+          .as(Meta.ID)
+      case c => col("_c." + c).as(c)
+    }: _*)
 
-    state = hist
-      .unionByName(kept)
-      .unionByName(rotated)
-      .unionByName(fresh, allowMissingColumns = true)
+    val emitted = joined.select(explode(
+      when(col("_i").isNull, array(col("_c")))
+        .when(col("_c").isNull, array(col("_i")))
+        .when(col("_c." + Meta.HASH) === col("_i." + Meta.HASH), array(col("_c")))
+        .otherwise(array(rotatedOld, col("_i")))).as("_r"))
+      .select(cols.map(c => col("_r." + c).as(c)): _*)
+
+    state = hist.unionByName(emitted)
     this
   }
 
