@@ -152,6 +152,51 @@ class Container(
   /** List container tables under a warehouse path prefix. */
   def ls(): Seq[String] = spark.catalog.listTables().collect().map(_.name).toSeq
 
+  /** `find(..., one)` — first matching row as a Map (reference:
+    * sqlalchemy.py:767-771 `one=True` returns a dict).
+    */
+  def findOne(query: String = null, date: String = "~"): Option[Map[String, Any]] =
+    find(query = query, date = date).limit(1).collect().headOption.map { r =>
+      r.schema.fieldNames.zip(r.toSeq).toMap
+    }
+
+  /** First column of the first row (reference: `scalar=True`,
+    * sqlalchemy.py:772-775).
+    */
+  def scalar(query: String = null, field: String, date: String = "~"): Option[Any] = {
+    val rows = find(query = query, fields = field, date = date).limit(1).collect()
+    rows.headOption.map(_.getAs[Any](field))
+  }
+
+  /** In-memory-style exact-equality filter over a where-map. The
+    * reference's version only checks the LAST key due to a loop bug
+    * (core_api.py:638-652) — this implements the intended AND
+    * semantics (divergence noted in SURVEY §7.4).
+    */
+  def where(conditions: Map[String, Any], date: String = "~"): DataFrame = {
+    val pred = conditions
+      .map { case (k, v) => col(k) <=> lit(v) }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    find(date = date).filter(pred)
+  }
+
+  /** Raw SQL passthrough (reference: sqlalchemy.py:528-547 `execute`).
+    * The container registers itself as a temp view first.
+    */
+  def execute(sql: String): DataFrame = {
+    state.createOrReplaceTempView(name)
+    spark.sql(sql)
+  }
+
+  /** Index request (reference: sqlalchemy.py:826-863). Spark has no
+    * secondary indexes; the analog is layout — record requested
+    * columns and use them as the sort/partition hint on [[save]].
+    */
+  private var indexCols: Seq[String] = Nil
+  def index(columns: String*): Container = { indexCols = columns.toSeq; this }
+  def indexList(): Seq[String] = indexCols
+
   // --------------------------------------------------------------- writes
 
   /** Plain append (reference: sqlalchemy.py:865-875 `insert`). */
@@ -239,8 +284,14 @@ class Container(
     */
   def save(): Container = {
     path.foreach { p =>
-      state
-        .withColumn("is_current", col(Meta.END).isNull)
+      val base = state.withColumn("is_current", col(Meta.END).isNull)
+      // indexed columns become the clustering order inside partitions,
+      // so parquet min/max stats prune on them (the Spark analog of the
+      // reference's secondary indexes)
+      val clustered =
+        if (indexCols.nonEmpty) base.sortWithinPartitions(indexCols.map(col): _*)
+        else base
+      clustered
         .write
         .mode("overwrite")
         .partitionBy("is_current")

@@ -2,7 +2,7 @@ package graft.temporal
 
 import graft.model.Meta
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -153,6 +153,42 @@ object TemporalOps {
     def withTimestamps: DataFrame =
       df.withColumn("_start_ts", timestamp_seconds(col(Meta.START)))
         .withColumn("_end_ts", timestamp_seconds(col(Meta.END)))
+
+    /** groupby `_oid` → apply a per-group transform → concat
+      * (reference: result.py:475-483 `object_apply`). The function
+      * receives each oid's versions as Rows; distributed via
+      * `flatMapGroups` — one shuffle on `_oid`.
+      */
+    def objectApply(f: Seq[Row] => Seq[Row]): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      implicit val enc: Encoder[Row] = Encoders.row(df.schema)
+      df.groupByKey(r => r.getAs[Any](Meta.OID).toString)
+        .flatMapGroups((_, it) => f(it.toSeq).iterator)
+    }
+  }
+
+  /** A query result with its temporal bounds remembered — asking for a
+    * date outside the originally-queried range raises (reference:
+    * result.py:134-162 `set_date_bounds`/`check_in_bounds`).
+    */
+  final case class BoundedResult(
+      df: DataFrame,
+      lbound: Option[Double],
+      rbound: Option[Double]) {
+
+    def checkInBounds(d: Double): Unit = {
+      val ok = lbound.forall(d >= _) && rbound.forall(d <= _)
+      if (!ok) throw new IllegalArgumentException(
+        s"date $d outside queried bounds [${lbound.getOrElse("-inf")}, ${rbound.getOrElse("inf")}]")
+    }
+
+    def onDate(d: Double): DataFrame = { checkInBounds(d); df.onDate(d) }
+
+    def history(dates: Seq[Double]): DataFrame = {
+      dates.foreach(checkInBounds)
+      df.history(dates)
+    }
   }
 
   /** Sample-date grid generation (reference: result.py:227-298
