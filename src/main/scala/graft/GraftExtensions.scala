@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{MinHashSigExpr, SimHash64Expr}
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Spark-native registration of the engine's custom expressions so
+  * they're usable from `spark.sql(...)` as well as the Column API:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)  // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT minhash_sig(text, 64, 3), simhash64(text) FROM docs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Register into an already-running session (the builder-time
+    * `withExtensions` path isn't available post-start).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "minhash_sig",
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => MinHashSigExpr(text, 64, 3)
+        case Seq(text, k) => MinHashSigExpr(text, intArg(k, "k"), 3)
+        case Seq(text, k, n) => MinHashSigExpr(text, intArg(k, "k"), intArg(n, "shingleN"))
+        case _ => throw new IllegalArgumentException("minhash_sig(text[, k[, shingle_n]])")
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64",
+      (args: Seq[Expression]) => SimHash64Expr(args.head),
+      "built-in")
+  }
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => MinHashSigExpr(text, 64, 3)
+        case Seq(text, k) => MinHashSigExpr(text, intArg(k, "k"), 3)
+        case Seq(text, k, n) => MinHashSigExpr(text, intArg(k, "k"), intArg(n, "shingleN"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(text[, k[, shingle_n]])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => SimHash64Expr(text)
+        case _ => throw new IllegalArgumentException("simhash64(text)")
+      }))
+  }
+}

@@ -50,6 +50,10 @@ class Container(
       case Some(mql) => state.filter(Compiler.compile(mql, state.schema))
       case None => state
     }
+    // current-snapshot queries on a persisted container prune to the
+    // is_current=true partition — the layout's whole point at 100 TB
+    if (date == null && out.columns.contains(Container.PartCol))
+      out = out.filter(col(Container.PartCol) === true)
     val proj = Fields.applyDefaultFields(Fields.parseFields(fields))
       .filter(state.columns.map(_.toLowerCase).contains)
     if (proj.nonEmpty) out = out.select(proj.map(col): _*)
@@ -127,7 +131,8 @@ class Container(
     */
   def dfind(query: String = null, fields: String = null): DataFrame = {
     val base = find(query = query, fields = fields, date = "~")
-    val dataCols = base.columns.filterNot(Meta.All.contains)
+    val dataCols = base.columns
+      .filterNot(Meta.All.contains).filterNot(_ == Container.PartCol)
     val w = Window.partitionBy(Meta.OID).orderBy(Meta.START)
     val diffs = dataCols.map { c =>
       struct(
@@ -199,9 +204,15 @@ class Container(
 
   // --------------------------------------------------------------- writes
 
+  /** The is_current storage artifact is only valid for unmutated
+    * loaded state — drop it before any write rebuilds the frame.
+    */
+  private def mutableState: DataFrame =
+    if (state.columns.contains(Container.PartCol)) state.drop(Container.PartCol) else state
+
   /** Plain append (reference: sqlalchemy.py:865-875 `insert`). */
   def insert(objects: DataFrame): Container = {
-    state = state.unionByName(objects, allowMissingColumns = true)
+    state = mutableState.unionByName(objects, allowMissingColumns = true)
     this
   }
 
@@ -221,8 +232,9 @@ class Container(
     */
   def upsert(incoming: DataFrame, autosnap: Boolean = true): Container = {
     if (!autosnap) return historyImport(incoming)
-    val curr = state.filter(col(Meta.END).isNull)
-    val hist = state.filter(col(Meta.END).isNotNull)
+    val base = mutableState
+    val curr = base.filter(col(Meta.END).isNull)
+    val hist = base.filter(col(Meta.END).isNotNull)
 
     // keep only the latest incoming version per oid within the batch
     val w = Window.partitionBy(Meta.OID).orderBy(col(Meta.START).desc)
@@ -240,9 +252,9 @@ class Container(
     // One shuffle instead of the naive 3-join split that re-scans the
     // current partition per branch — the property that matters when
     // `state` is a 100 TB table and only the current partition rewrites.
-    val cols: Seq[String] = state.columns.toSeq
+    val cols: Seq[String] = base.columns.toSeq
     val incAligned = cols.foldLeft(inc) { (d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(state.schema(c).dataType))
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(base.schema(c).dataType))
     }.select(cols.map(col): _*)
 
     val currS = curr.select(col(Meta.OID).as("_k"), struct(cols.map(col): _*).as("_c"))
@@ -273,7 +285,7 @@ class Container(
     */
   def historyImport(incoming: DataFrame): Container = {
     val oids = incoming.select(Meta.OID).distinct()
-    state = state
+    state = mutableState
       .join(oids, Seq(Meta.OID), "left_anti")
       .unionByName(incoming, allowMissingColumns = true)
     this
@@ -284,7 +296,7 @@ class Container(
     */
   def save(): Container = {
     path.foreach { p =>
-      val base = state.withColumn("is_current", col(Meta.END).isNull)
+      val base = state.withColumn(Container.PartCol, col(Meta.END).isNull)
       // indexed columns become the clustering order inside partitions,
       // so parquet min/max stats prune on them (the Spark analog of the
       // reference's secondary indexes)
@@ -294,9 +306,11 @@ class Container(
       clustered
         .write
         .mode("overwrite")
-        .partitionBy("is_current")
+        .partitionBy(Container.PartCol)
         .parquet(p)
-      state = spark.read.parquet(p).drop("is_current")
+      // keep the partition column: find(date=null) filters on it so
+      // Catalyst partition-prunes the scan
+      state = spark.read.parquet(p)
     }
     this
   }
@@ -315,9 +329,14 @@ class Container(
 
 object Container {
 
+  /** Partition column of persisted containers: current-version rows
+    * live in their own partition so snapshot reads prune.
+    */
+  val PartCol = "is_current"
+
   /** Open a persisted container. */
   def load(spark: SparkSession, name: String, path: String): Container =
-    new Container(spark, name, spark.read.parquet(path).drop("is_current"), Some(path))
+    new Container(spark, name, spark.read.parquet(path), Some(path))
 
   /** Wrap a plain DataFrame (adds meta columns). */
   def fromRaw(

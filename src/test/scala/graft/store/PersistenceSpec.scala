@@ -1,0 +1,58 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.model.Meta
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+class PersistenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("save partitions by is_current; find(date=null) partition-prunes the scan") {
+    val dir = Files.createTempDirectory("graft-persist").resolve("t").toString
+    val hist = Seq(
+      (1L, 100.0, Some(200.0), "old"),
+      (1L, 200.0, None, "new"),
+      (2L, 100.0, None, "only"))
+      .toDF("_oid", "_start", "_end", "v")
+      .select(col("_oid"), col("_start"),
+        col("_end").cast(DoubleType).as("_end"), col("v"))
+      .withColumn(Meta.HASH, Meta.contentHashOf("v" -> col("v")))
+      .withColumn(Meta.ID, Meta.genId(col("_oid"), col("_start"), col("_end")))
+    val c = new Container(spark, "t", hist, Some(dir))
+    c.save()
+
+    val loaded = Container.load(spark, "t", dir)
+    val snap = loaded.find(date = null)
+    assert(snap.count() == 2)
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("is_current"),
+      s"expected partition pruning on is_current, got:\n$plan")
+
+    // history queries still see everything
+    assert(loaded.count(date = "~") == 3)
+    // and upsert over the loaded state keeps working
+    val inc = Seq((2L, 300.0, "changed")).toDF("_oid", "_start", "v")
+      .withColumn(Meta.END, lit(null).cast(DoubleType))
+      .withColumn(Meta.HASH, Meta.contentHashOf("v" -> col("v")))
+      .withColumn(Meta.ID, Meta.genId(col("_oid"), col("_start"), col(Meta.END)))
+    loaded.upsert(inc)
+    assert(loaded.df.filter(col("_oid") === 2L).count() == 2)
+  }
+}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("minhash_sig / simhash64 callable from spark.sql") {
+    new graft.GraftExtensions().register(spark)
+    import spark.implicits._
+    Seq(("a b c d e f g h", 1L)).toDF("text", "id").createOrReplaceTempView("docs")
+    val row = spark.sql(
+      "SELECT size(minhash_sig(text, 16, 2)) AS k, simhash64(text) AS h FROM docs").head()
+    assert(row.getInt(0) == 16)
+    assert(row.getLong(1) != 0L)
+  }
+}
