@@ -271,6 +271,25 @@ object SparkEntry {
       versionedEvents(s, dir).history(grid)
     }),
 
+    // history + least-squares forecast (reference: result.py:197-223
+    // _linreg_future). The fit runs driver-side over the ~300-point
+    // series; exact-fit goldens live in TemporalOpsSpec (rows-only
+    // here: cross-engine regression aggregates are not bit-stable).
+    "q_history_linreg" -> ((s, dir) => {
+      import s.implicits._
+      val grid = (2 to 29).map(d => ts(f"2024-01-$d%02d"))
+      val hist = versionedEvents(s, dir).history(grid)
+        .collect().map(r => (r.getDouble(0), r.getLong(1).toDouble))
+      val (xs, ys) = hist.toSeq.unzip
+      val future = (30 to 32).map(d =>
+        if (d <= 31) ts(f"2024-01-$d%02d") else ts("2024-02-01"))
+      val fc = TemporalOps.linregFuture(xs, ys, future)
+      (hist.map { case (x, y) => (x, y, "observed") } ++
+        future.zip(fc).map { case (x, y) => (x, math.round(y * 1e6) / 1e6, "forecast") })
+        .toSeq.toDF("date", "n", "kind")
+        .orderBy("date")
+    }),
+
     "q_persistent_oids" -> ((s, dir) => {
       val grid = (2 to 29 by 3).map(d => ts(f"2024-01-$d%02d"))
       versionedEvents(s, dir).persistentOidCounts(grid)
@@ -445,17 +464,10 @@ object SparkEntry {
           col("user_id").cast("long").as("user_id"),
           (eventMicros(tbl(s, dir, "events")) / lit(1e6)).as("t"),
           col("event_id"), col("value"))
-      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
-      ev.withColumn("gap", when(col("t") - lag(col("t"), 1).over(w) > 1800.0, 1)
-          .otherwise(when(lag(col("t"), 1).over(w).isNull, 1).otherwise(0)))
-        .withColumn("session", sum(col("gap")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session"))
-        .agg(
-          min(col("t")).as("session_start"),
-          count(lit(1)).as("n_events"),
-          cast_sum_double(dec(col("value"))).as("sum_value"))
-        .select(col("user_id"), col("session").cast("long").as("session"),
+      graft.operators.Sessionize.sessions(
+          ev, "user_id", "t", gapSeconds = 1800.0, tieBreak = Some("event_id"),
+          aggs = Seq(cast_sum_double(dec(col("value"))).as("sum_value")))
+        .select(col("user_id"), col("session"),
           col("session_start"), col("n_events"), col("sum_value"))
         .orderBy("user_id", "session")
     }),
