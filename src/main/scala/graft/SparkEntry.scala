@@ -667,6 +667,85 @@ object SparkEntry {
         .orderBy(col(Meta.OID), col(Meta.START))
     }),
 
+    // salted two-phase aggregation for hot keys — must equal the plain
+    // groupBy (the oracle IS the unsalted result)
+    "q_salted_agg" -> ((s, dir) => {
+      graft.operators.Salt.aggregate(
+          tbl(s, dir, "events").select(col("event_type"), col("value")),
+          keys = Seq("event_type"),
+          partials = Seq(
+            "n" -> (count(lit(1)), sum(col("n")).cast("long")),
+            "sum_value" -> (sum(dec(col("value"))), cast_sum_double(col("sum_value")))),
+          buckets = 16)
+        .orderBy("event_type")
+    }),
+
+    // streaming windowed aggregation (tumbling 1h + watermark) — the
+    // stream result hash-matches DuckDB's time_bucket batch answer
+    "q_stream_window" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-win-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val agg = stream
+        .withColumn("__ts", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("__ts", "1 hour")
+        .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      val qname = "win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(
+          (unix_micros(col("window.start")) / lit(1e6)).as("w_start"),
+          col("event_type"), col("n"), col("sv").cast("double").as("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // IVF-style ANN: coarse-quantize to deterministic centroids, scan
+    // only the query's cell (rows-only; brute-force is the oracle path)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      // centroids: first 8 vectors by vec_id (deterministic "sample")
+      val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val cells = emb.withColumn("cell", Similarity.ivfAssign(col("embedding"), cents))
+      val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      val qCell = Seq(qv.map(_.toDouble)).zip(Seq(0)).map { case (v, _) =>
+        cents.zipWithIndex.maxBy { case (c, _) =>
+          val dot = c.zip(v).map { case (a, b) => a * b }.sum
+          val n = math.sqrt(c.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum)
+          if (n == 0) 0.0 else dot / n
+        }._2
+      }.head
+      val q = array(qv.map(v => lit(v)): _*)
+      cells.filter(col("cell") === qCell)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), q), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // exact + approx distinct (the approx is the 100 TB path; exact is
+    // the oracle-checked one)
+    "q_distinct_count" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // git-repo source (driver-side shellout; rows-only check)
     "q_git_commits" -> ((s, dir) => {
       graft.etl.GitSource.loadCommits(s, "/root/repo")
@@ -1033,6 +1112,21 @@ object SparkEntry {
            |  WHERE epoch_us(o_orderdate)/1e6 >= $since)
            |ORDER BY id""".stripMargin
       },
+
+      "q_salted_agg" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q_stream_window" ->
+        """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))/1e6 AS w_start,
+          |  event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+      "q_distinct_count" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       "q_stream_upsert" ->
         """WITH e AS (

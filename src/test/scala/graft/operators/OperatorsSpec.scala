@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SaltSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregate equals the plain groupBy (incl. a hot key)") {
+    val df = (Seq.fill(500)(("hot", 1.0)) ++ Seq(("a", 2.0), ("a", 3.0), ("b", 4.0)))
+      .toDF("k", "v")
+    val salted = Salt.aggregate(df, Seq("k"), Seq(
+        "n" -> (count(lit(1)), sum(col("n")).cast("long")),
+        "s" -> (sum(col("v")), sum(col("s")))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain)
+    assert(salted("hot")._1 == 500L)
+  }
+
+  test("countByKey") {
+    val df = Seq("x", "x", "y").toDF("k")
+    val got = Salt.countByKey(df, Seq("k"), buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 2L, "y" -> 1L))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session boundaries at gaps; rollup counts") {
+    val df = Seq(
+      (1L, 0.0), (1L, 100.0), (1L, 5000.0), (1L, 5100.0), // 2 sessions
+      (2L, 0.0)) // 1 session
+      .toDF("u", "t")
+    val ids = Sessionize.withSessionIds(df, "u", "t", gapSeconds = 1800.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(ids((1L, 0.0)) == 1L && ids((1L, 100.0)) == 1L)
+    assert(ids((1L, 5000.0)) == 2L && ids((1L, 5100.0)) == 2L)
+    val roll = Sessionize.sessions(df, "u", "t", 1800.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(roll == Map((1L, 1L) -> 2L, (1L, 2L) -> 2L, (2L, 1L) -> 1L))
+  }
+}
