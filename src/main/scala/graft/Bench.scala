@@ -11,10 +11,11 @@ object Bench {
     */
   val Headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-    "q_window_topn", "q_sessionize",
+    "q_window_topn", "q_sessionize", "q_salted_agg", "q_distinct_count",
     "q_find_mql", "q_date_asof", "q_last_version", "q_upsert_scd2",
+    "q_activity_import", "q_stream_window",
     "q_token_counts", "q_quality_score", "q_dedup_exact",
-    "q_minhash_pairs", "q_embed_topk")
+    "q_minhash_pairs", "q_simhash", "q_embed_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -150,6 +150,41 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   override def prettyName: String = "simhash64"
 }
 
+/** Cosine similarity of two float/double array columns in one
+  * imperative pass — the Column-composed `aggregate(zip_with(...))`
+  * formulation is an interpreted HOF chain that allocates per element.
+  * Null arrays or zero norms → 0.0 (matches Similarity.cosine).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lt = left.dataType.asInstanceOf[ArrayType].elementType
+    val rt = right.dataType.asInstanceOf[ArrayType].elementType
+    @inline def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = get(x, lt, i); val yv = get(y, rt, i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
 /** Column-API entry points for the custom expressions (Spark 4's
   * Column↔Expression bridge lives in `sql.classic.ExpressionUtils`).
   */
@@ -161,4 +196,7 @@ object DedupExpressions {
 
   def simhash64(text: Column): Column =
     column(SimHash64Expr(expression(text)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
 }

@@ -20,12 +20,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0, lit(0.0)).otherwise(d / n)
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. Backed by
+    * the one-pass [[CosineSimExpr]] — the composed `aggregate(zip_with)`
+    * form is an interpreted HOF chain (kept above for the dot/norm
+    * building blocks, which are off the hot path).
+    */
+  def cosine(a: Column, b: Column): Column = DedupExpressions.cosineSim(a, b)
 
   /** Exact brute-force top-k by cosine against one query vector.
     * One full scan, no shuffle until the final top-k (a TakeOrdered —

@@ -44,6 +44,31 @@ class PersistenceSpec extends SparkSpec {
   }
 }
 
+class BucketedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.temporal.TemporalOps._
+
+  test("bucketed save: per-_oid window runs without Exchange") {
+    val df = Seq(
+      (1L, 10.0, Some(20.0), "a"), (1L, 20.0, None, "b"), (2L, 10.0, None, "c"))
+      .toDF("_oid", "_start", "_end", "v")
+      .select(col("_oid"), col("_start"),
+        col("_end").cast(DoubleType).as("_end"), col("v"))
+      .withColumn(Meta.HASH, Meta.contentHashOf("v" -> col("v")))
+      .withColumn(Meta.ID, Meta.genId(col("_oid"), col("_start"), col("_end")))
+    val c = new Container(spark, "bt", df)
+    c.saveBucketed("bucketed_t", numBuckets = 4)
+
+    val lastV = spark.table("bucketed_t").lastVersion
+    val plan = lastV.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed per-oid window should not shuffle, got:\n$plan")
+    val got = lastV.collect().map(r => r.getAs[Long]("_oid") -> r.getAs[String]("v")).toMap
+    assert(got == Map(1L -> "b", 2L -> "c"))
+    spark.sql("DROP TABLE IF EXISTS bucketed_t")
+  }
+}
+
 class ExtensionsSpec extends SparkSpec {
 
   test("minhash_sig / simhash64 callable from spark.sql") {
