@@ -1,0 +1,104 @@
+package graft
+
+import graft.model.Meta
+import graft.store.Container
+import graft.temporal.TemporalOps._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale probe: synthesizes data 1-2 orders of magnitude beyond sf0.1
+  * in /tmp and drives the stateful operators, printing wall times.
+  * Catches the nonlinear cliffs (skew, explode blowups, window spills)
+  * that 600k-row correctness runs hide.
+  * `sbt "runMain graft.ScaleProbe [rows] [docs]"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.lift(0).map(_.toLong).getOrElse(10000000L) // 10M
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(500000L) // 500k
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // --- synthetic versioned events: 100k users x 100 versions -------
+    val users = nEvents / 100
+    val ev = spark.range(nEvents).repartition(32).select(
+      (col("id") % users).as(Meta.OID),
+      (col("id") / users).cast("double").as(Meta.START),
+      (pmod(hash(col("id")), lit(5))).cast("string").as("event_type"),
+      (pmod(hash(col("id"), lit(1)), lit(10000)) / lit(100.0)).as("value"))
+    val versioned = ev.withColumn(Meta.END,
+      lead(col(Meta.START), 1).over(Window.partitionBy(Meta.OID).orderBy(Meta.START)))
+
+    timed(s"window versions ($nEvents rows)") { versioned.count() }
+    timed("onDate snapshot") { versioned.onDate(50.0).count() }
+    timed("history 30-point grid") { versioned.history((0 until 30).map(_ * 3.0)).count() }
+    timed("lastVersion per oid") { versioned.lastVersion.count() }
+    timed("lastChain") {
+      versioned.filter(col("event_type") =!= "0").lastChain().count()
+    }
+
+    // --- SCD2 upsert: rotate half the users --------------------------
+    val hashed = versioned
+      .withColumn(Meta.HASH, Meta.contentHashOf(
+        "event_type" -> col("event_type"), "value" -> col("value")))
+      .withColumn(Meta.ID, Meta.genId(col(Meta.OID), col(Meta.START), col(Meta.END)))
+    val current = hashed.filter(col(Meta.END).isNull)
+    val incoming = current
+      .filter(col(Meta.OID) % 2 === 0)
+      .withColumn("value", col("value") + 1.0)
+      .withColumn(Meta.START, col(Meta.START) + 100.0)
+      .withColumn(Meta.HASH, Meta.contentHashOf(
+        "event_type" -> col("event_type"), "value" -> col("value")))
+    timed(s"SCD2 upsert (${users} keys)") {
+      new Container(spark, "probe", hashed).upsert(incoming).df.count()
+    }
+
+    // --- sessionize --------------------------------------------------
+    timed("sessionize") {
+      graft.operators.Sessionize.sessions(
+        ev.withColumnRenamed(Meta.START, "t"), Meta.OID, "t", gapSeconds = 0.5).count()
+    }
+
+    // --- minhash LSH over synthetic docs -----------------------------
+    val words = Array("spark", "query", "row", "data", "join", "filter",
+      "window", "stream", "table", "scan", "merge", "sort", "key", "hash",
+      "plan", "code", "node", "task", "stage", "shuffle")
+    val wordsCol = array(words.map(lit): _*)
+    val docs = spark.range(nDocs).repartition(32).select(
+      col("id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => element_at(wordsCol, pmod(hash(col("id"), i), lit(20)) + 1))).as("text"))
+    timed(s"minhash signatures ($nDocs docs)") {
+      docs.select(functions.DedupExpressions.minhashSig(col("text"), 64).as("s"))
+        .select(avg(element_at(col("s"), 1))).head()
+    }
+    timed("minhash LSH pairs") {
+      functions.Dedup.minhashPairs(docs, "id", "text", threshold = 0.9).count()
+    }
+    timed("simhash all docs") {
+      docs.select(functions.DedupExpressions.simhash64(col("text")).as("h"))
+        .select(avg(col("h"))).head()
+    }
+    timed("quality score all docs") {
+      docs.select(functions.TextFunctions.qualityScore(col("text")).as("q"))
+        .select(sum(col("q"))).head()
+    }
+    spark.stop()
+  }
+}

@@ -473,35 +473,38 @@ object SparkEntry {
     }),
 
     // --------------------------------------------------- text analysis
+    // text stats ride the one-pass TextStatsExpr (bit-equal to the
+    // Column formulations per TextStatsExprSpec, ~40x cheaper)
     "q_token_counts" -> ((s, dir) => {
       tbl(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .select(col("doc_id"),
+          graft.functions.TextStatsExpr(col("text"))
+            .getField("n_tokens").cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
 
     "q_bpe_token_counts" -> ((s, dir) => {
       tbl(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .select(col("doc_id"),
+          graft.functions.TextStatsExpr(col("text")).getField("n_bpe").as("n_bpe"))
         .orderBy("doc_id")
     }),
 
     "q_text_stats" -> ((s, dir) => {
       tbl(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.TextStatsExpr(col("text")).as("s"))
         .select(
           col("doc_id"),
-          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"),
-          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+          round(col("s.punct_ratio"), 6).as("punct_ratio"),
+          round(col("s.mean_word_len"), 6).as("mean_word_len"),
+          round(col("s.stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy("doc_id")
     }),
 
     "q_quality_score" -> ((s, dir) => {
       tbl(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"),
+          graft.functions.TextStatsExpr(col("text")).getField("quality").as("quality"))
         .orderBy("doc_id")
     }),
 

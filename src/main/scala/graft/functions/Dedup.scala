@@ -71,13 +71,22 @@ object Dedup {
     * hashes, and genuinely similar docs collide in ≥1 band with high
     * probability.
     */
+  /** @param maxBucketSize band buckets larger than this are dropped
+    *   before the self-join. A bucket of b docs emits b²/2 candidate
+    *   pairs — one boilerplate template shared by 100k docs would emit
+    *   5e9 pairs from a single bucket. Dropping oversized buckets
+    *   bounds the join quadratically per bucket while near-dup PAIRS
+    *   still collide in their other, rarer bands (recall loss only for
+    *   mega-clusters, which exact-hash dedup already catches).
+    */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 64,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000): DataFrame = {
     val rowsPerBand = k / bands // r=8 at defaults: collision p = s^8 per
     // band — random pairs (s≈0.4) almost never collide, real near-dups
     // (s≥0.8) hit ≥1 of the 8 bands w.p. ≈1.
@@ -91,9 +100,15 @@ object Dedup {
       .repartition(par)
       .select(col(idCol).as("id"),
         DedupExpressions.minhashSig(col(textCol), k).as("sig"))
-    val banded = sigs.select(
+    val bandedAll = sigs.select(
       col("id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    // drop pathological buckets before the quadratic self-join
+    val okBuckets = bandedAll.groupBy("band")
+      .agg(count(lit(1)).as("_bs"))
+      .filter(col("_bs") <= maxBucketSize)
+      .select("band")
+    val banded = bandedAll.join(okBuckets, Seq("band"), "left_semi")
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
     a.join(b, Seq("band"))

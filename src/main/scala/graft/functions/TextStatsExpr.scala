@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All text-quality statistics in ONE imperative pass per document.
+  *
+  * Bit-for-bit equal to the Column formulations in [[TextFunctions]]
+  * (asserted against them over the real documents table in
+  * TextStatsExprSpec) but ~40× cheaper: the composed version walks the
+  * token arrays through 8+ interpreted higher-order-function passes per
+  * row; at a 100 TB corpus scan that is the difference between hours
+  * and days.
+  *
+  * Output struct: n_tokens int, n_bpe long, mean_word_len double,
+  * punct_ratio double, stopword_ratio double, quality double.
+  */
+case class TextStatsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TextStatsExpr.schema
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val len = text.length
+
+    // --- raw whitespace tokens: split(trim(text), "\s+") ------------
+    // Spark `trim` strips 0x20 ONLY; Java-regex \s is the ASCII class;
+    // `split` keeps a leading "" element (counted by size() in
+    // tokenCount, filtered by length>0 in bpe/meanWordLength).
+    @inline def isAsciiWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var lo = 0
+    var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val emptyTrimmed = lo >= hi
+    var nRuns = 0
+    var sumWordLen = 0L
+    var nBpeWords = 0L
+    var i = lo
+    var runLen = 0
+    val leadingSep = !emptyTrimmed && isAsciiWs(text.charAt(lo))
+    while (i <= hi) {
+      val isWs = i == hi || isAsciiWs(text.charAt(i))
+      if (isWs) {
+        if (runLen > 0) {
+          nRuns += 1
+          sumWordLen += runLen
+          nBpeWords += (runLen + 3) / 4 // ceil(len/4)
+          runLen = 0
+        }
+      } else runLen += 1
+      i += 1
+    }
+    val nTokens = if (emptyTrimmed) 0 else nRuns + (if (leadingSep) 1 else 0)
+
+    // --- punctuation counts over the RAW text ------------------------
+    var punctBpe = 0L // [.,;:!?] — bpeTokenCount's class
+    var punctRatioChars = 0 // [.,;:!?'"()\[\]-] — punctRatio's class
+    i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?') {
+        punctBpe += 1; punctRatioChars += 1
+      } else if (c == '\'' || c == '"' || c == '(' || c == ')' || c == '[' ||
+        c == ']' || c == '-') punctRatioChars += 1
+      i += 1
+    }
+
+    // --- normalized tokens (normalizeText then split(" ")) -----------
+    val norm = TextFunctionsRuntime.normalize(text)
+    var nNorm = 0
+    var nStops = 0
+    i = 0
+    var start = 0
+    while (i <= norm.length) {
+      if (i == norm.length || norm.charAt(i) == ' ') {
+        if (i > start) {
+          nNorm += 1
+          if (TextFunctionsRuntime.Stopwords.contains(norm.substring(start, i))) nStops += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+
+    val meanWordLen = if (nRuns == 0) 0.0 else sumWordLen.toDouble / nRuns.toDouble
+    val punctRatio = if (len == 0) 0.0 else punctRatioChars.toDouble / len.toDouble
+    val stopRatio = if (nNorm == 0) 0.0 else nStops.toDouble / nNorm.toDouble
+    val lenScore = math.min(len.toDouble / 500.0, 1.0)
+    val stopScore = math.min(stopRatio * 4.0, 1.0)
+    val punctPenalty = math.max(0.0, 1.0 - punctRatio * 5.0)
+    val quality = BigDecimal(lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    InternalRow(
+      nTokens,
+      nBpeWords + punctBpe,
+      meanWordLen,
+      punctRatio,
+      stopRatio,
+      quality)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr = copy(child = c)
+  override def prettyName: String = "text_stats"
+}
+
+object TextStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_bpe", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+
+  def apply(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new TextStatsExpr(expression(text)))
+  }
+}
+
+/** Shared runtime pieces matching TextFunctions' Column semantics. */
+object TextFunctionsRuntime {
+  val Stopwords: Set[String] = TextFunctions.EnglishStopwords.toSet
+
+  /** normalizeText: lower, [^a-z0-9\s] -> ' ', collapse \s+ -> ' ',
+    * trim. (Character classes are the ASCII ones the regexes use.)
+    */
+  def normalize(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < text.length) {
+      val c0 = text.charAt(i)
+      val c = Character.toLowerCase(c0)
+      val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (keep) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else pendingSpace = true
+      i += 1
+    }
+    sb.toString
+  }
+}
