@@ -749,6 +749,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // exact interpolated quantiles per group (sketch variants in
+    // graft.functions.Sketches are the approximate 100 TB path)
+    "q_quantiles" -> ((s, dir) => {
+      graft.functions.Sketches.quantilesByKey(
+          tbl(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"),
+          round(element_at(col("quantiles"), 1), 4).as("p25"),
+          round(element_at(col("quantiles"), 2), 4).as("p50"),
+          round(element_at(col("quantiles"), 3), 4).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // HLL-sketch distinct: per-source sketches merged into a global
+    // estimate (rows-only: sketch internals are engine-specific)
+    "q_hll_distinct" -> ((s, dir) => {
+      val sketches = graft.functions.Sketches.hllSketchByKey(
+        tbl(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+      graft.functions.Sketches.hllMerge(sketches, Seq("lang"))
+        .select(col("lang"), col("distinct_estimate"))
+        .orderBy("lang")
+    }),
+
     // git-repo source (driver-side shellout; rows-only check)
     "q_git_commits" -> ((s, dir) => {
       graft.etl.GitSource.loadCommits(s, "/root/repo")
@@ -1129,6 +1152,13 @@ object SparkEntry {
 
       "q_distinct_count" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_quantiles" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+          |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+          |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
       "q_stream_upsert" ->

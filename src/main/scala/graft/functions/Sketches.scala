@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based aggregations — the scale path for distincts and
+  * quantiles. Not in the reference (it has only exact count/distinct);
+  * these are the natural extension points SURVEY §2.5 calls out: at
+  * 100 TB an exact global distinct is a full shuffle of the key set,
+  * while an HLL sketch is a few KB per partition, merged associatively
+  * (one narrow reduction, no key shuffle).
+  */
+object Sketches {
+
+  /** Approximate distinct per group (HyperLogLog++, relative error
+    * `rsd`). Map-side partial sketches merge in the combiner — the
+    * shuffle carries sketches, not keys.
+    */
+  def approxDistinctByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  /** Mergeable HLL sketch column (Apache DataSketches): build per
+    * group, union later — the pattern for incremental / cross-day
+    * distinct counts where re-scanning history is off the table.
+    */
+  def hllSketchByKey(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("hll"))
+
+  /** Union previously-built sketches and read the estimate. */
+  def hllMerge(sketches: DataFrame, keys: Seq[String], hllCol: String = "hll"): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(hllCol))).as("distinct_estimate"))
+
+  /** Exact interpolated quantiles per group (sort-based — fine per
+    * group, the oracle-checkable baseline).
+    */
+  def quantilesByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), array(qs.map(lit): _*)).as("quantiles"))
+
+  /** Approximate quantiles (deterministic Greenwald-Khanna summaries;
+    * bounded memory per partition — the 100 TB path).
+    */
+  def approxQuantilesByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile_approx(
+        col(valueCol), array(qs.map(lit): _*), lit(accuracy)).as("quantiles"))
+}

@@ -44,3 +44,28 @@ class SessionizeSpec extends SparkSpec {
     assert(roll == Map((1L, 1L) -> 2L, (1L, 2L) -> 2L, (2L, 1L) -> 1L))
   }
 }
+
+class SketchesSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.functions.Sketches
+
+  test("approx distinct within rsd of exact; HLL sketch merge estimates") {
+    val df = (1 to 10000).map(i => ("k", i % 1000)).toDF("k", "v")
+    val approx = Sketches.approxDistinctByKey(df, Seq("k"), "v", rsd = 0.02)
+      .head().getLong(1)
+    assert(math.abs(approx - 1000) < 100)
+    val sk = Sketches.hllSketchByKey(df, Seq("k"), "v")
+    val merged = Sketches.hllMerge(sk, Seq("k")).head().getLong(1).toDouble
+    assert(math.abs(merged - 1000) < 100)
+  }
+
+  test("exact quantiles interpolate; approx within tolerance") {
+    val df = (1 to 101).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val q = Sketches.quantilesByKey(df, Seq("k"), "v", Seq(0.5))
+      .head().getSeq[Double](1)
+    assert(q == Seq(51.0))
+    val qa = Sketches.approxQuantilesByKey(df, Seq("k"), "v", Seq(0.5))
+      .head().getSeq[Double](1)
+    assert(math.abs(qa.head - 51.0) <= 1.0)
+  }
+}
