@@ -749,6 +749,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // as-of join: attach the user's state (latest event at-or-before)
+    // to each error event — union+carry-forward formulation
+    "q_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val base = ev.select(
+        col("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        (eventMicros(ev) / lit(1e6)).as("t"),
+        col("event_type"), col("value"))
+      val errors = base.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val states = base.filter(col("event_type") =!= "error")
+        .select(col("user_id").as("uid"), col("t").as("st"),
+          col("event_type").as("state_type"), col("value").as("state_value"))
+      graft.operators.AsOfJoin.join(
+          errors, states, "user_id", "uid", "t", "st",
+          payload = Seq("state_type", "state_value"))
+        .orderBy("event_id")
+    }),
+
     // exact interpolated quantiles per group (sketch variants in
     // graft.functions.Sketches are the approximate 100 TB path)
     "q_quantiles" -> ((s, dir) => {
@@ -1153,6 +1173,20 @@ object SparkEntry {
       "q_distinct_count" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_asof_join" ->
+        """WITH base AS (
+          |  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+          |         epoch_us(ts)/1e6 AS t, event_type, value
+          |  FROM events),
+          |errors AS (SELECT event_id, user_id, t FROM base WHERE event_type = 'error'),
+          |states AS (SELECT user_id AS uid, t AS st, event_type AS state_type,
+          |                  value AS state_value
+          |           FROM base WHERE event_type <> 'error')
+          |SELECT e.event_id, e.user_id, e.t, s.state_type, s.state_value
+          |FROM errors e ASOF LEFT JOIN states s
+          |  ON e.user_id = s.uid AND s.st <= e.t
+          |ORDER BY e.event_id""".stripMargin,
 
       "q_quantiles" ->
         """SELECT l_returnflag,

@@ -69,3 +69,29 @@ class SketchesSpec extends graft.SparkSpec {
     assert(math.abs(qa.head - 51.0) <= 1.0)
   }
 }
+
+class AsOfJoinSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("latest right at-or-before left time; null when none; equal-time matches") {
+    val left = Seq((1L, 10.0, "e1"), (1L, 25.0, "e2"), (2L, 5.0, "e3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10.0, "a"), (1L, 20.0, "b"), (2L, 50.0, "z"))
+      .toDF("rk", "rt", "state")
+    val got = AsOfJoin.join(left, right, "k", "rk", "t", "rt", Seq("state"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      "e1" -> Some("a"),  // equal time matches (<=)
+      "e2" -> Some("b"),  // latest before 25
+      "e3" -> None))      // right row is after
+  }
+
+  test("nullable payload: a null state still overwrites the carry") {
+    val left = Seq((1L, 30.0, "e")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10.0, Some("old")), (1L, 20.0, None: Option[String]))
+      .toDF("rk", "rt", "state")
+    val got = AsOfJoin.join(left, right, "k", "rk", "t", "rt", Seq("state")).head()
+    assert(got.isNullAt(3)) // the t=20 null version wins, not "old"
+  }
+}
