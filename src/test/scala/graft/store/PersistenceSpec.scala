@@ -81,3 +81,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(1) != 0L)
   }
 }
+
+class IncrementalStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (Long, Double, String)*) =
+    rows.toSeq.toDF("_oid", "_start", "v")
+      .withColumn(Meta.END, lit(null).cast(DoubleType))
+      .withColumn(Meta.HASH, Meta.contentHashOf("v" -> col("v")))
+      .withColumn(Meta.ID, Meta.genId(col("_oid"), col("_start"), col(Meta.END)))
+
+  test("append-only history + snapshot replacement across flushes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-inc").resolve("t").toString
+    val s = IncrementalStore.open(spark, "t", root)
+
+    s.flushUpsert(batch((1L, 10.0, "a"), (2L, 10.0, "x")))
+    assert(s.currentDf.count() == 2)
+    assert(s.history.isEmpty)
+
+    // flush 2: oid 1 changes, oid 2 unchanged, oid 3 new
+    s.flushUpsert(batch((1L, 20.0, "b"), (2L, 20.0, "x"), (3L, 20.0, "n")))
+    val cur = s.currentDf.collect().map(r => r.getAs[Long]("_oid") -> r.getAs[String]("v")).toMap
+    assert(cur == Map(1L -> "b", 2L -> "x", 3L -> "n"))
+    val hist = s.history.get.collect()
+    assert(hist.length == 1)
+    assert(hist(0).getAs[Long]("_oid") == 1L && hist(0).getAs[Double]("_end") == 20.0)
+    assert(hist(0).getAs[String]("_id") == "1:10.0")
+    assert(s.df.count() == 4)
+
+    // flush 3: idempotent re-flush adds nothing
+    val historyFiles = new java.io.File(root, "history").listFiles().count(_.getName.endsWith(".parquet"))
+    s.flushUpsert(batch((1L, 30.0, "b"), (2L, 30.0, "x"), (3L, 30.0, "n")))
+    assert(s.df.count() == 4)
+    assert(s.currentDf.filter(col("_oid") === 1L).head().getAs[Double]("_start") == 20.0)
+
+    // current-only read never lists the history directory
+    val plan = s.currentDf.queryExecution.executedPlan.toString
+    assert(plan.contains("current_v") && !plan.contains("history"))
+  }
+}
