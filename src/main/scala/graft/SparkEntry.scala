@@ -1128,6 +1128,52 @@ object SparkEntry {
           |    ELSE CAST(len(list_filter(ntoks, x -> list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], x))) AS DOUBLE) / len(ntoks) END, 6) AS stopword_ratio
           |FROM n ORDER BY doc_id""".stripMargin,
 
+      "q_quality_score" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+          |  FROM documents),
+          |n AS (
+          |  SELECT doc_id, text,
+          |    list_filter(string_split(norm, ' '), x -> len(x) > 0) AS ntoks
+          |  FROM t),
+          |r AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |      ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+          |    CASE WHEN len(ntoks) = 0 THEN 0.0
+          |      ELSE CAST(len(list_filter(ntoks, x -> list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], x))) AS DOUBLE) / len(ntoks) END AS stop_ratio,
+          |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+          |  FROM n)
+          |SELECT doc_id,
+          |  round(len_score * 0.4 + least(stop_ratio * 4.0, 1.0) * 0.3
+          |        + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3, 6) AS quality
+          |FROM r ORDER BY doc_id""".stripMargin,
+
+      "q_lang_id" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_filter(string_split(
+          |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+          |      ' '), x -> len(x) > 0)) AS toks
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id,
+          |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein'])) AS h_de,
+          |    len(list_intersect(toks, ['the','and','of','to','is','that','for','with'])) AS h_en,
+          |    len(list_intersect(toks, ['el','la','los','las','es','que','para','una'])) AS h_es,
+          |    len(list_intersect(toks, ['le','la','les','est','que','pour','dans','une'])) AS h_fr,
+          |    len(list_intersect(toks, ['de5','shi4','bu4','le5','zai4','wo3','you3','he2'])) AS h_zh
+          |  FROM t)
+          |SELECT doc_id,
+          |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+          |       WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+          |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+          |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+          |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+          |       ELSE 'zh' END AS lang_pred
+          |FROM s ORDER BY doc_id""".stripMargin,
+
       "q_dedup_exact" ->
         """SELECT doc_id, lang, source FROM (
           |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
