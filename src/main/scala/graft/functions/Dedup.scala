@@ -150,19 +150,30 @@ object Dedup {
     * the only join keys; pair with [[minhashPairs]] as a pre-filter at
     * 100 TB so only candidate pairs reach the exact pass.
     */
+  /** @param maxShingleFreq shingles occurring in more than this many
+    *   docs are dropped from the INTERSECTION join (stop-shingle
+    *   removal) — a boilerplate shingle shared by 1M docs would emit
+    *   5e11 join rows. |A| and |B| still count all shingles, so the
+    *   Jaccard DENOMINATOR is exact and the estimate only loses the
+    *   stop-shingles' contribution to the numerator (a lower bound).
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxShingleFreq: Int = 10000): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
     val exploded = sh.select(col("id"), explode(col("shingles")).as("sh"))
-    val inter = exploded.as("x")
-      .join(exploded.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+    val rare = exploded.groupBy("sh")
+      .agg(count(lit(1)).as("_f")).filter(col("_f") <= maxShingleFreq).select("sh")
+    val pruned = exploded.join(rare, Seq("sh"), "left_semi")
+    val inter = pruned.as("x")
+      .join(pruned.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     inter

@@ -45,10 +45,17 @@ object Multimodal {
     out
   }
 
-  /** Batch feature extraction over the binary column: mapPartitions so
-    * the (stubbed) decoder amortizes any per-batch init cost — the same
-    * batch shape a Pandas-UDF/`mapInPandas` pipeline has. Output keeps
-    * asset_id + modality and appends `features: array<float>`.
+  /** Per-partition kernel-initialization counter — lets tests PROVE
+    * the batch shape (decoder inits once per partition, not per row),
+    * which is the property a real JNI/FFmpeg kernel needs.
+    */
+  val kernelInits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Batch feature extraction over the binary column: Dataset-native
+    * `mapPartitions` so the (stubbed) decoder initializes ONCE per
+    * partition and processes rows as a stream — the same batch shape a
+    * Pandas-UDF/`mapInPandas` pipeline has on the Python side. Output
+    * keeps asset_id + modality and appends `features: array<float>`.
     */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
     val spark = df.sparkSession
@@ -56,17 +63,20 @@ object Multimodal {
       StructField("asset_id", LongType),
       StructField("modality", StringType),
       StructField("features", ArrayType(FloatType))))
-    val pruned = df.select("asset_id", "modality", "content")
-    val rdd = pruned.rdd.mapPartitions { rows =>
-      // per-batch decoder init would go here (STUB: none needed)
-      rows.map { r =>
-        Row(
-          r.getLong(0),
-          r.getString(1),
-          fakeDecode(r.getAs[Array[Byte]](2), dim).toSeq)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.select("asset_id", "modality", "content")
+      .mapPartitions { rows =>
+        // per-partition decoder init (STUB: a real codec would open its
+        // native context here; the counter proves once-per-partition)
+        kernelInits.incrementAndGet()
+        rows.map { r =>
+          Row(
+            r.getLong(0),
+            r.getString(1),
+            fakeDecode(r.getAs[Array[Byte]](2), dim).toSeq)
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Frame-sampling plan for video assets: every `everyMs` milliseconds

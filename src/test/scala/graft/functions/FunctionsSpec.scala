@@ -175,6 +175,14 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("decoder kernel initializes once per partition, not per row") {
+    val assets = Multimodal.syntheticAssets(spark, 100).repartition(4)
+    Multimodal.kernelInits.set(0)
+    Multimodal.extractFeatures(assets, dim = 4).count()
+    val inits = Multimodal.kernelInits.get()
+    assert(inits == 4, s"expected 4 partition inits, got $inits")
+  }
+
   test("planFrameSamples: only videos, capped frames, correct timestamps") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val plan = Multimodal.planFrameSamples(assets, everyMs = 1000L, maxFrames = 4)
