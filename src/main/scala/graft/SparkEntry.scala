@@ -749,6 +749,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // full persistence lifecycle IN the gate: wrap -> save (partitioned
+    // by is_current) -> load -> current-snapshot find (partition-pruned)
+    "q_persist_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rt").resolve("ve").toString
+      val c = new Container(s, "ve", wrapEvents(versionedEvents(s, dir)), Some(tmp))
+      c.save()
+      Container.load(s, "ve", tmp)
+        .find(date = null)
+        .select(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
     // as-of join: attach the user's state (latest event at-or-before)
     // to each error event — union+carry-forward formulation
     "q_asof_join" -> ((s, dir) => {
@@ -1219,6 +1231,10 @@ object SparkEntry {
       "q_distinct_count" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_persist_roundtrip" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type, value FROM v WHERE _end IS NULL ORDER BY _oid, _start""".stripMargin,
 
       "q_asof_join" ->
         """WITH base AS (
