@@ -57,7 +57,13 @@ class Container(
     val proj = Fields.applyDefaultFields(Fields.parseFields(fields))
       .filter(state.columns.map(_.toLowerCase).contains)
     if (proj.nonEmpty) out = out.select(proj.map(col): _*)
-    if (sort != null) out = out.orderBy(if (descending) col(sort).desc else col(sort).asc)
+    if (sort != null) {
+      // csv multi-column sort, all asc or all desc (reference sort
+      // tuples map onto this)
+      val keys = sort.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(c => if (descending) col(c).desc else col(c).asc)
+      out = out.orderBy(keys.toSeq: _*)
+    }
     if (limit >= 0) out = out.limit(limit.toInt)
     out
   }

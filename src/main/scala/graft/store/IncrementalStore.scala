@@ -78,6 +78,30 @@ class IncrementalStore private (
   def currentDf: DataFrame =
     current.getOrElse(throw new IllegalStateException(s"store $root has no data"))
 
+  /** Compact the append-only history: many small flushes accumulate
+    * many small files; rewrite them into `targetFiles` larger ones.
+    * Writes to a staging dir first and swaps via rename, so a crash
+    * mid-compaction leaves the original history intact (read path sees
+    * either the old or the new directory, never a partial mix).
+    */
+  def compactHistory(targetFiles: Int = 8): IncrementalStore = {
+    history.foreach { h =>
+      val staging = new Path(root, "history_compacting")
+      fs.delete(staging, true)
+      h.repartition(targetFiles).write.parquet(staging.toString)
+      val retired = new Path(root, "history_retired")
+      fs.delete(retired, true)
+      if (!fs.rename(historyPath, retired))
+        throw new IllegalStateException(s"compaction rename failed for $historyPath")
+      if (!fs.rename(staging, historyPath)) {
+        fs.rename(retired, historyPath) // roll back
+        throw new IllegalStateException(s"compaction swap failed for $historyPath")
+      }
+      fs.delete(retired, true)
+    }
+    this
+  }
+
   /** SCD2 flush: same per-key semantics as Container.upsert
     * (insert / untouched / idempotent-skip / rotate+insert), with
     * append-only history and snapshot replacement.

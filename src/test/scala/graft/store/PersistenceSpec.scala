@@ -120,3 +120,29 @@ class IncrementalStoreSpec extends SparkSpec {
     assert(plan.contains("current_v") && !plan.contains("history"))
   }
 }
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("history compaction shrinks file count, preserves rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cmp").resolve("t").toString
+    val s = IncrementalStore.open(spark, "t", root)
+    def b(start: Double, v: String) =
+      Seq((1L, start, v), (2L, start, v + "2")).toDF("_oid", "_start", "v")
+        .withColumn(Meta.END, lit(null).cast(DoubleType))
+        .withColumn(Meta.HASH, Meta.contentHashOf("v" -> col("v")))
+        .withColumn(Meta.ID, Meta.genId(col("_oid"), col("_start"), col(Meta.END)))
+    // 5 flushes, each rotating both oids -> 8 closed versions appended
+    (1 to 5).foreach(i => s.flushUpsert(b(i * 10.0, s"v$i")))
+    val before = s.history.get.count()
+    assert(before == 8)
+    val filesBefore = new java.io.File(root, "history").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    s.compactHistory(targetFiles = 1)
+    val filesAfter = new java.io.File(root, "history").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1 && filesAfter < filesBefore)
+    assert(s.history.get.count() == before)
+    assert(s.df.count() == before + 2)
+  }
+}
