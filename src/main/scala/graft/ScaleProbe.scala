@@ -95,7 +95,11 @@ object ScaleProbe {
       docs.select(functions.DedupExpressions.simhash64(col("text")).as("h"))
         .select(avg(col("h"))).head()
     }
-    timed("quality score all docs") {
+    timed("quality score all docs (one-pass expr)") {
+      docs.select(functions.TextStatsExpr(col("text")).getField("quality").as("q"))
+        .select(sum(col("q"))).head()
+    }
+    timed("quality score all docs (Column HOFs)") {
       docs.select(functions.TextFunctions.qualityScore(col("text")).as("q"))
         .select(sum(col("q"))).head()
     }

@@ -115,8 +115,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
-          .cast("double") / k).as("est_jaccard"))
+        DedupExpressions.sigMatchRatio(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .groupBy("id_a", "id_b")
       .agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

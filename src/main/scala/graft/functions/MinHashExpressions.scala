@@ -150,6 +150,30 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   override def prettyName: String = "simhash64"
 }
 
+/** Fraction of equal positions between two long-array signatures —
+  * the MinHash Jaccard estimator — in one pass (the zip_with/filter
+  * composition is interpreted and allocates a boolean array per pair).
+  */
+case class SigMatchRatioExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) same += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(if (n == 0) 0.0 else same.toDouble / n)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchRatioExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_match_ratio"
+}
+
 /** Cosine similarity of two float/double array columns in one
   * imperative pass — the Column-composed `aggregate(zip_with(...))`
   * formulation is an interpreted HOF chain that allocates per element.
@@ -199,4 +223,7 @@ object DedupExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
+
+  def sigMatchRatio(a: Column, b: Column): Column =
+    column(SigMatchRatioExpr(expression(a), expression(b)))
 }
