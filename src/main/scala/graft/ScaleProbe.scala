@@ -79,7 +79,7 @@ object ScaleProbe {
     val words = Array("spark", "query", "row", "data", "join", "filter",
       "window", "stream", "table", "scan", "merge", "sort", "key", "hash",
       "plan", "code", "node", "task", "stage", "shuffle")
-    val wordsCol = array(words.map(lit): _*)
+    val wordsCol = array(words.toIndexedSeq.map(lit): _*)
     val docs = spark.range(nDocs).repartition(32).select(
       col("id"),
       concat_ws(" ", transform(sequence(lit(0), lit(49)),

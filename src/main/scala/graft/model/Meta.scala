@@ -49,7 +49,7 @@ object Meta {
     */
   def contentHash(df: DataFrame): Column = {
     val dataCols = df.columns.filterNot(HashExcludeKeys.contains).sorted
-    contentHashOf(dataCols.map(c => c -> col(c)): _*)
+    contentHashOf(dataCols.toIndexedSeq.map(c => c -> col(c)): _*)
   }
 
   /** Canonical hash over explicit (name, column) pairs. */

@@ -28,7 +28,7 @@ object Salt {
       partials: Seq[(String, (Column, Column))],
       buckets: Int = 16): DataFrame = {
     val salted = df.withColumn(
-      "_salt", pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      "_salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val stage1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(

@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   *
   * State is a DataFrame carrying the [[Meta]] columns. Reads compile
   * MQL + the temporal date dimension into Catalyst predicates; writes
-  * are whole-plan recomputations (Spark has no in-place UPDATE):
-  * the SCD2 `upsert` is a 3-way join-split, and persistence partitions
-  * by `is_current` so snapshot queries (`_end IS NULL` — by far the
-  * common case) prune to one partition at 100 TB scale.
+  * are whole-plan recomputations (Spark has no in-place UPDATE): the
+  * SCD2 `upsert` is ONE full-outer join emitting 0-2 rows per key, and
+  * persistence partitions by `is_current` so snapshot queries (`_end
+  * IS NULL` — by far the common case) prune to one partition at 100 TB
+  * scale (see [[IncrementalStore]] for the append-only-history flush).
   */
 class Container(
     val spark: SparkSession,
@@ -148,7 +149,7 @@ class Container(
     }
     base
       .withColumn("_prev_start", lag(col(Meta.START), 1).over(w))
-      .withColumn("_diffs", array(diffs: _*))
+      .withColumn("_diffs", array(diffs.toIndexedSeq: _*))
       .filter(col("_prev_start").isNotNull)
       .select(col(Meta.OID), col(Meta.START), explode(col("_diffs")).as("d"))
       .filter(!(col("d.old") <=> col("d.new")))
