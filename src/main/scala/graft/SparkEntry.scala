@@ -749,6 +749,55 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // the §1.3 value-prep pipeline in the gate: convert + typecast +
+    // variants as one codegen'd projection
+    "q_prep_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val prepped = graft.etl.Prep.prep(
+        tbl(s, dir, "part"),
+        Map(
+          "p_size" -> graft.etl.Prep.FieldSpec(LongType),
+          "p_type" -> graft.etl.Prep.FieldSpec(StringType,
+            convert = Some(c => lower(trim(c))),
+            variants = Map("type_len" -> (c => length(c).cast("long")))),
+          "p_retailprice" -> graft.etl.Prep.FieldSpec(DoubleType)))
+      prepped.select(
+          col("p_partkey").cast("long").as("p_partkey"),
+          col("p_size"), col("p_type"), col("type_len"), col("p_retailprice"))
+        .orderBy("p_partkey")
+    }),
+
+    // deptree over an ARRAY link field: region -> [nations]
+    "q_deptree_array" -> ((s, dir) => {
+      import s.implicits._
+      val regions = tbl(s, dir, "nation")
+        .groupBy(col("n_regionkey").cast("long").as("rk"))
+        .agg(array_sort(collect_list(col("n_nationkey").cast("long") + 100L)).as("children"))
+      val nations = tbl(s, dir, "nation")
+        .select((col("n_nationkey").cast("long") + 100L).as("rk"),
+          array().cast("array<long>").as("children"))
+      val c = Container.fromRaw(
+        s, "tree", regions.unionByName(nations), col("rk"), AsOf)
+      c.deptree("children", Seq(0L, 1L), date = "~")
+        .map(_.toString.toDouble.toLong).distinct.sorted
+        .toDF("k").orderBy("k")
+    }),
+
+    // two-stage dedup: LSH candidates confirmed by exact n-gram
+    // Jaccard — the recommended 100 TB chain (rows-only)
+    "q_dedup_two_stage" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val cand = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val candDocs = docs.join(
+        cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      Dedup.ngramJaccardPairs(candDocs, "doc_id", "text", threshold = 0.8)
+        .join(cand, Seq("id_a", "id_b"), "left_semi")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // full persistence lifecycle IN the gate: wrap -> save (partitioned
     // by is_current) -> load -> current-snapshot find (partition-pruned)
     "q_persist_roundtrip" -> ((s, dir) => {
@@ -1231,6 +1280,27 @@ object SparkEntry {
       "q_distinct_count" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q_prep_pipeline" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+          |  CAST(p_size AS BIGINT) AS p_size,
+          |  lower(trim(p_type)) AS p_type,
+          |  CAST(length(lower(trim(p_type))) AS BIGINT) AS type_len,
+          |  p_retailprice
+          |FROM part ORDER BY p_partkey""".stripMargin,
+
+      "q_deptree_array" ->
+        """WITH RECURSIVE tree AS (
+          |  SELECT CAST(n_regionkey AS BIGINT) AS rk,
+          |         list_sort(list(CAST(n_nationkey AS BIGINT) + 100)) AS children
+          |  FROM nation GROUP BY 1
+          |  UNION ALL
+          |  SELECT CAST(n_nationkey AS BIGINT) + 100, [] FROM nation),
+          |r(k) AS (
+          |  SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) t(k)
+          |  UNION
+          |  SELECT unnest(t.children) FROM tree t JOIN r ON t.rk = r.k)
+          |SELECT k FROM r ORDER BY k""".stripMargin,
 
       "q_persist_roundtrip" ->
         s"""$VEventsSql
