@@ -359,3 +359,49 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
     assert(closed2.toSeq == Seq(1L, 2L))
   }
 }
+
+class WatermarkSpec extends graft.SparkSpec {
+  import graft.streaming.StreamIngest
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.streaming.Trigger
+  import java.nio.file.Files
+
+  test("append-mode windows finalize past the watermark; late events are dropped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wm")
+    val src = dir.resolve("in"); Files.createDirectories(src)
+    val schema = StructType(Seq(
+      StructField("ts", DoubleType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+
+    // batch 1 must exist before the query starts (file source needs
+    // the directory non-empty is not required, but keeps it simple)
+    Seq((1.0, "a", 1.0), (2.0, "a", 1.0)).toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(src.toString)
+
+    // ONE long-lived query; new files picked up per processAllAvailable
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val agg = StreamIngest.windowedCounts(stream, "ts", "10 seconds", "10 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wmtest").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wmtest").count() == 0) // watermark hasn't passed
+
+      // batch 2: event far ahead advances the watermark -> [0,10) finalizes
+      Seq((100.0, "a", 1.0)).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(src.toString)
+      q.processAllAvailable()
+      val finalized = spark.table("wmtest").collect()
+      assert(finalized.length == 1 && finalized(0).getAs[Long]("n") == 2)
+
+      // batch 3: a LATE event for [0,10) arrives -> dropped, not re-emitted
+      Seq((3.0, "a", 99.0)).toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(src.toString)
+      q.processAllAvailable()
+      val after = spark.table("wmtest").collect()
+      assert(after.length == 1 && after(0).getAs[Long]("n") == 2,
+        "late event must not re-open the finalized window")
+    } finally q.stop()
+  }
+}
