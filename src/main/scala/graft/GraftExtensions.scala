@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{MinHashSigExpr, SimHash64Expr}
+import graft.mql.{MqlPredicate, MqlSql, ResolveMqlPredicate, RewriteMqlPredicate}
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "simhash64",
       (args: Seq[Expression]) => SimHash64Expr(args.head),
       "built-in")
+    reg.createOrReplaceTempFunction("mql", MqlSql.builder _, "built-in")
+    // no analyzer-rule injection post-start: rewrite in the (mutable)
+    // user-provided optimizer batch instead — see MqlSql scaladoc
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteMqlPredicate]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new RewriteMqlPredicate(spark)
   }
 
   private def intArg(e: Expression, what: String): Int = e match {
@@ -63,5 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => SimHash64Expr(text)
         case _ => throw new IllegalArgumentException("simhash64(text)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("mql"),
+      new ExpressionInfo(classOf[MqlPredicate].getName, "mql"),
+      MqlSql.builder _))
+    ext.injectResolutionRule(_ => new ResolveMqlPredicate)
   }
 }
