@@ -810,6 +810,28 @@ object SparkEntry {
         .orderBy(col(Meta.OID), col(Meta.START))
     }),
 
+    // z-order layout lifecycle IN the gate: cluster events on the
+    // (t, user_id) Morton curve, write, read back, filter on BOTH
+    // axes — layout must not change results (oracle = plain scan),
+    // while the clustered files serve either predicate with narrow
+    // min/max stats (measured in ZOrderSpec)
+    "q_zorder_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-z").resolve("ev").toString
+      val ev = tbl(s, dir, "events")
+      val base = ev.select(
+        col("event_id"),
+        (eventMicros(ev) / lit(1e6)).as("t"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value"))
+      graft.operators.ZOrder.cluster(base, Seq("t", "user_id"), numPartitions = 8)
+        .write.mode("overwrite").parquet(tmp)
+      val minT = base.agg(min("t")).head().getDouble(0)
+      s.read.parquet(tmp)
+        .filter(col("t") < lit(minT + 43200.0) && col("user_id") < 500)
+        .select("event_id", "t", "user_id", "event_type", "value")
+        .orderBy("event_id", "t", "user_id", "event_type", "value")
+    }),
+
     // as-of join: attach the user's state (latest event at-or-before)
     // to each error event — union+carry-forward formulation
     "q_asof_join" -> ((s, dir) => {
@@ -1305,6 +1327,14 @@ object SparkEntry {
       "q_persist_roundtrip" ->
         s"""$VEventsSql
            |SELECT _oid, _start, event_type, value FROM v WHERE _end IS NULL ORDER BY _oid, _start""".stripMargin,
+
+      "q_zorder_scan" ->
+        """SELECT event_id, epoch_us(ts)/1e6 AS t, CAST(user_id AS BIGINT) AS user_id,
+          |       event_type, value
+          |FROM events
+          |WHERE epoch_us(ts)/1e6 < (SELECT min(epoch_us(ts)/1e6) + 43200.0 FROM events)
+          |  AND user_id < 500
+          |ORDER BY event_id, t, user_id, event_type, value""".stripMargin,
 
       "q_asof_join" ->
         """WITH base AS (

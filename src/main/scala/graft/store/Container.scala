@@ -322,6 +322,26 @@ class Container(
     this
   }
 
+  /** Persist with Z-order clustering over `cols` (multi-column layout
+    * index — see [[graft.operators.ZOrder]]): every parquet file gets
+    * locally-narrow min/max on EVERY listed column, so scans filtering
+    * on any of them skip files. The multi-column generalization of
+    * [[index]]'s single-sort analog of the reference's secondary
+    * indexes (sqlalchemy.py:826-863).
+    */
+  def saveZOrdered(cols: String*): Container = {
+    path.foreach { p =>
+      val base = mutableState.withColumn(Container.PartCol, col(Meta.END).isNull)
+      graft.operators.ZOrder.cluster(base, cols.toSeq)
+        .write
+        .mode("overwrite")
+        .partitionBy(Container.PartCol)
+        .parquet(p)
+      state = spark.read.parquet(p)
+    }
+    this
+  }
+
   /** Persist bucketed by `_oid`, sorted by (`_oid`, `_start`) within
     * buckets. Every per-entity operator — the §2.8 temporal analytics
     * windows, `dfind`'s lag, activity import's cogroup, upsert's join —
