@@ -24,7 +24,8 @@ object Plans {
       if (args.nonEmpty) args.toSeq
       else Seq("q_find_fields", "q_find_mql", "q1_pricing_summary",
         "q3_top_orders", "q5_nation_revenue", "q_date_asof",
-        "q_upsert_scd2", "q_minhash_pairs", "q_embed_topk", "q_token_counts")
+        "q_upsert_scd2", "q_minhash_pairs", "q_embed_topk", "q_token_counts",
+        "q_zorder_scan")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)

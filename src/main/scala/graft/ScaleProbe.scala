@@ -103,6 +103,14 @@ object ScaleProbe {
       docs.select(functions.TextFunctions.qualityScore(col("text")).as("q"))
         .select(sum(col("q"))).head()
     }
+
+    // --- z-order clustering write (one range shuffle + sort) ---------
+    val zDir = java.nio.file.Files.createTempDirectory("probe-z").toString
+    timed(s"zorder cluster+write ($nEvents rows)") {
+      graft.operators.ZOrder.cluster(
+          ev.withColumnRenamed(Meta.START, "t"), Seq("t", Meta.OID), numPartitions = 64)
+        .write.mode("overwrite").parquet(zDir)
+    }
     spark.stop()
   }
 }
