@@ -101,6 +101,26 @@ object StreamIngest {
         })
   }
 
+  /** Streaming exact dedup on a key (e.g. the content `_hash` or a
+    * document fingerprint): keeps the FIRST arrival of each key, with
+    * state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` evicts seen-keys older than the
+    * delay, so state stays O(keys-per-watermark-window) instead of
+    * O(all keys ever), the property that lets a continuous
+    * training-data ingest run indefinitely. Batch counterpart:
+    * `functions.Dedup.exact`.
+    */
+  def streamingDedup(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .drop("__ts")
+
   /** Windowed streaming aggregation over an event stream: event counts
     * and value sums per (window, event_type) with a watermark bounding
     * state (the guide's canonical shape).
