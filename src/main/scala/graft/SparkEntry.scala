@@ -483,6 +483,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // token-budget sequence packing over the corpus (two-phase
+    // distributed prefix sum; oracle = same window in DuckDB)
+    "q_token_pack" -> ((s, dir) => {
+      val tok = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextStatsExpr(col("text"))
+            .getField("n_tokens").cast("long").as("n_tokens"))
+      graft.functions.Curation.packSequences(
+          tok, col("n_tokens"), budget = 2048L, orderBy = Seq(col("doc_id")),
+          numPartitions = 8)
+        .select("doc_id", "n_tokens", "cum_tokens", "pack_id", "pack_pos")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic group-stable train/val/test split (xxhash64 has no
+    // DuckDB twin -> rows-only gate; proportions/determinism/disjoint
+    // asserted in CurationSpec)
+    "q_hash_split" -> ((s, dir) => {
+      graft.functions.Curation.hashSplit(
+          tbl(s, dir, "documents"), col("doc_id"), Seq(0.9, 0.05, 0.05))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
     "q_bpe_token_counts" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -1186,6 +1210,21 @@ object SparkEntry {
         """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
           |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_token_pack" ->
+        """WITH tok AS (
+          |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+          |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |        sum(n_tokens) OVER (ORDER BY doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          |      FROM tok)
+          |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+          |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_id,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY (cum_tokens - n_tokens) // 2048 ORDER BY doc_id) AS BIGINT) AS pack_pos
+          |FROM c ORDER BY doc_id""".stripMargin,
 
       "q_bpe_token_counts" ->
         """SELECT doc_id,

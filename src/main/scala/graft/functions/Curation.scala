@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic splits, stratified
+  * sampling, and token-budget sequence packing. Not in the reference
+  * (its pipeline ends at warehouse storage); these are the steps
+  * between a deduped corpus and a training run, designed so every
+  * decision is a pure function of the data — rerunnable on any cluster
+  * size with identical output, no RNG state to checkpoint.
+  */
+object Curation {
+
+  /** Deterministic split assignment: `split` column in
+    * `[0, weights.size)` with expected proportions `weights`
+    * (normalized). The decision is `xxhash64(key, seed)` bucketed into
+    * 1e6 slots — stable under repartitioning, adding rows never moves
+    * an existing key between splits, and (unlike `randomSplit`) the
+    * same key ALWAYS lands on the same side, so near-duplicate groups
+    * keyed by their dedup-group id stay together: pass the group id
+    * (e.g. from `Dedup.exactGroups` / LSH components) as `key` and
+    * train/validation contamination through duplicates is impossible.
+    */
+  def hashSplit(df: DataFrame, key: Column, weights: Seq[Double], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val slots = 1000000L
+    val bounds = weights.scanLeft(0.0)(_ + _ / total).tail // cumulative upper bounds
+      .map(f => (f * slots).toLong)
+    val bucket = pmod(xxhash64(key, lit(seed)), lit(slots))
+    val assign = bounds.zipWithIndex.reverse.foldLeft(lit(weights.size - 1)) {
+      case (acc, (hi, i)) => when(bucket < lit(hi), lit(i)).otherwise(acc)
+    }
+    df.withColumn("split", assign.cast("int"))
+  }
+
+  /** Deterministic stratified sample: keep ~`fraction(stratum)` of rows
+    * per stratum, decided by `xxhash64(key, seed)` — the distributed,
+    * rerunnable version of `sampleBy` (no per-partition RNG, so the
+    * sample is identical on 1 or 1000 executors and is itself
+    * hash-splittable downstream).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratum: Column,
+      fractions: Map[String, Double],
+      key: Column,
+      seed: Long = 42L): DataFrame = {
+    val slots = 1000000L
+    val bucket = pmod(xxhash64(key, lit(seed)), lit(slots))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
+      when(stratum === lit(s), bucket < lit((f * slots).toLong)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Token-budget sequence packing (LLM pretraining "sample packing"):
+    * assign documents, in `orderBy` order, to consecutive packs of
+    * ~`budget` tokens. `pack_id = floor(exclusive-prefix-sum / budget)`
+    * — contiguous first-fit where a pack may overflow by at most one
+    * document, in exchange for a formulation with no stateful scan
+    * that is exactly reproducible in ANSI SQL (the gate oracle runs
+    * the equivalent window in DuckDB).
+    *
+    * The global prefix sum is the scale hazard: `Window.orderBy(...)`
+    * with no partition key funnels 100 TB through ONE task. Instead,
+    * the classic two-phase formulation: range-repartition on the
+    * order key, per-partition window cumsum (parallel), then add each
+    * partition's exclusive offset — a ~numPartitions-row driver
+    * scan-sum broadcast back as a literal map. Emits `pack_id`,
+    * `pack_pos` (rank within pack), and `cum_tokens`.
+    */
+  def packSequences(
+      df: DataFrame,
+      tokens: Column,
+      budget: Long,
+      orderBy: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
+       else df.repartitionByRange(orderBy: _*))
+        .sortWithinPartitions(orderBy: _*)
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__tok", tokens.cast("long"))
+    parted.cache()
+    // phase 1: per-partition totals (numPartitions rows to the driver)
+    val partials = parted.groupBy(col("__pid")).agg(sum(col("__tok")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partials.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + partials(p)).init).toMap
+    // phase 2: parallel per-partition cumsum + broadcast offset
+    val offsetCol =
+      if (pids.isEmpty) lit(0L)
+      else coalesce(
+        element_at(
+          map(pids.flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid")),
+        lit(0L))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = (sum(col("__tok")).over(wIn) + offsetCol).cast("long")
+    val withPack = parted
+      .withColumn("cum_tokens", cum)
+      .withColumn("pack_id", floor((cum - col("__tok")) / lit(budget)).cast("long"))
+    withPack
+      .withColumn("pack_pos",
+        row_number().over(Window.partitionBy(col("pack_id")).orderBy(orderBy: _*)).cast("long"))
+      .drop("__pid", "__tok")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, disjoint, ~proportional, group-stable") {
+    val df = spark.range(20000).toDF("id")
+      .withColumn("grp", col("id") % 1000) // 20 rows per group
+    val a = Curation.hashSplit(df, col("grp"), Seq(0.8, 0.1, 0.1))
+    val b = Curation.hashSplit(df, col("grp"), Seq(0.8, 0.1, 0.1))
+    // deterministic across invocations
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // every group entirely on one side (no train/val contamination)
+    assert(a.groupBy("grp").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count() == 0)
+    // proportions within tolerance
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts(0) / 20000.0 - 0.8) < 0.05, s"split 0: $counts")
+    assert(math.abs(counts(1) / 20000.0 - 0.1) < 0.04, s"split 1: $counts")
+    // different seed ⇒ different assignment
+    val c = Curation.hashSplit(df, col("grp"), Seq(0.8, 0.1, 0.1), seed = 7L)
+    assert(a.join(c.withColumnRenamed("split", "split2"), Seq("id", "grp"))
+      .filter(col("split") =!= col("split2")).count() > 0)
+  }
+
+  test("stratifiedSample: per-stratum fractions, deterministic") {
+    val df = spark.range(30000).toDF("id")
+      .withColumn("lang", when(col("id") % 3 === 0, "en")
+        .when(col("id") % 3 === 1, "de").otherwise("fr"))
+    val s = Curation.stratifiedSample(
+      df, col("lang"), Map("en" -> 0.5, "de" -> 0.1), col("id"))
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") / 10000.0 - 0.5) < 0.05, s"en: $counts")
+    assert(math.abs(counts("de") / 10000.0 - 0.1) < 0.04, s"de: $counts")
+    assert(!counts.contains("fr"), "unlisted stratum must drop")
+    assert(s.except(Curation.stratifiedSample(
+      df, col("lang"), Map("en" -> 0.5, "de" -> 0.1), col("id"))).count() == 0)
+  }
+
+  test("packSequences: contiguous packs, bounded overflow, exact prefix sums") {
+    val docs = Seq((1L, 300L), (2L, 500L), (3L, 400L), (4L, 900L),
+      (5L, 100L), (6L, 250L), (7L, 800L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Curation.packSequences(
+        docs, col("n_tokens"), budget = 1000L, orderBy = Seq(col("doc_id")),
+        numPartitions = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "cum_tokens", "pack_id", "pack_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // prefix sums: 300 800 1200 2100 2200 2450 3250
+    assert(packed.map(_._2) == Seq(300L, 800L, 1200L, 2100L, 2200L, 2450L, 3250L))
+    // pack = floor(exclusive-cum / 1000): 0 0 0 1 2 2 2
+    assert(packed.map(_._3) == Seq(0L, 0L, 0L, 1L, 2L, 2L, 2L))
+    assert(packed.map(_._4) == Seq(1L, 2L, 3L, 1L, 1L, 2L, 3L))
+  }
+
+  test("packSequences matches single-partition formulation at scale factors") {
+    val docs = spark.range(5000).toDF("doc_id")
+      .withColumn("n_tokens", pmod(hash(col("doc_id")), lit(900)) + 100)
+    val multi = Curation.packSequences(
+      docs, col("n_tokens"), 4096L, Seq(col("doc_id")), numPartitions = 13)
+    val single = Curation.packSequences(
+      docs, col("n_tokens"), 4096L, Seq(col("doc_id")), numPartitions = 1)
+    assert(multi.select("doc_id", "cum_tokens", "pack_id", "pack_pos")
+      .except(single.select("doc_id", "cum_tokens", "pack_id", "pack_pos"))
+      .count() == 0)
+  }
+}
