@@ -532,6 +532,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // canonical-representative selection: best-quality doc per
+    // (lang, source) cell — the keep-best half of near-dup dedup
+    "q_keep_best" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.functions.TextStatsExpr(col("text")).getField("quality").as("quality"))
+      graft.functions.Dedup.keepBest(scored, Seq("lang", "source"), "quality", "doc_id")
+        .select("lang", "source", "doc_id", "quality")
+        .orderBy("lang", "source")
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -930,6 +941,33 @@ object SparkEntry {
 
   // ----------------------------------------------------------- oracles
 
+  /** Shared DuckDB CTE chain computing the quality score (kept
+    * identical to TextStatsExpr's formula); ends with `q(doc_id,
+    * quality)`. Reused by q_quality_score and q_keep_best.
+    */
+  private val QualityCtes: String =
+    """t AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(norm, ' '), x -> len(x) > 0) AS ntoks
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+      |    CASE WHEN len(ntoks) = 0 THEN 0.0
+      |      ELSE CAST(len(list_filter(ntoks, x -> list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], x))) AS DOUBLE) / len(ntoks) END AS stop_ratio,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+      |  FROM n),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(len_score * 0.4 + least(stop_ratio * 4.0, 1.0) * 0.3
+      |          + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3, 6) AS quality
+      |  FROM r)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val oidLi = "CAST(l_orderkey*10 + l_linenumber AS BIGINT)"
     Map(
@@ -1251,26 +1289,18 @@ object SparkEntry {
           |FROM n ORDER BY doc_id""".stripMargin,
 
       "q_quality_score" ->
-        """WITH t AS (
-          |  SELECT doc_id, text,
-          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
-          |  FROM documents),
-          |n AS (
-          |  SELECT doc_id, text,
-          |    list_filter(string_split(norm, ' '), x -> len(x) > 0) AS ntoks
-          |  FROM t),
-          |r AS (
-          |  SELECT doc_id,
-          |    CASE WHEN length(text) = 0 THEN 0.0
-          |      ELSE CAST(len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
-          |    CASE WHEN len(ntoks) = 0 THEN 0.0
-          |      ELSE CAST(len(list_filter(ntoks, x -> list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], x))) AS DOUBLE) / len(ntoks) END AS stop_ratio,
-          |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
-          |  FROM n)
-          |SELECT doc_id,
-          |  round(len_score * 0.4 + least(stop_ratio * 4.0, 1.0) * 0.3
-          |        + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3, 6) AS quality
-          |FROM r ORDER BY doc_id""".stripMargin,
+        s"""WITH $QualityCtes
+           |SELECT doc_id, quality FROM q ORDER BY doc_id""".stripMargin,
+
+      "q_keep_best" ->
+        s"""WITH $QualityCtes,
+           |j AS (
+           |  SELECT d.lang, d.source, d.doc_id, q.quality,
+           |    row_number() OVER (PARTITION BY d.lang, d.source
+           |      ORDER BY q.quality DESC, d.doc_id) AS rn
+           |  FROM documents d JOIN q USING (doc_id))
+           |SELECT lang, source, doc_id, quality FROM j WHERE rn = 1
+           |ORDER BY lang, source""".stripMargin,
 
       "q_lang_id" ->
         """WITH t AS (

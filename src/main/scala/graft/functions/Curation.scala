@@ -56,6 +56,34 @@ object Curation {
     df.filter(keep)
   }
 
+  /** Deterministic corpus mixture: build a training mix from several
+    * sources at given sampling rates (e.g. web 0.6 @ 30%, code 1.0,
+    * wiki 2 epochs ⇒ rate 2.0 = keep + duplicate). Rates > 1 emit
+    * floor(rate) full copies (tagged `mix_epoch`) plus a hash-sampled
+    * remainder — all decisions from `xxhash64(key, seed)`, so the mix
+    * is reproducible row-for-row on any cluster. Adds `mix_source`.
+    */
+  def mixture(
+      sources: Seq[(String, DataFrame, Double)],
+      key: Column,
+      seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty && sources.forall(_._3 > 0), "rates must be positive")
+    val slots = 1000000L
+    val parts = sources.flatMap { case (name, df, rate) =>
+      val tagged = df.withColumn("mix_source", lit(name))
+      val whole = (0 until rate.toInt).map(e => tagged.withColumn("mix_epoch", lit(e)))
+      val fracRate = rate - rate.toInt
+      val frac =
+        if (fracRate > 0) {
+          val bucket = pmod(xxhash64(key, lit(seed), lit(rate.toInt)), lit(slots))
+          Seq(tagged.filter(bucket < lit((fracRate * slots).toLong))
+            .withColumn("mix_epoch", lit(rate.toInt)))
+        } else Nil
+      whole ++ frac
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Token-budget sequence packing (LLM pretraining "sample packing"):
     * assign documents, in `orderBy` order, to consecutive packs of
     * ~`budget` tokens. `pack_id = floor(exclusive-prefix-sum / budget)`

@@ -32,6 +32,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
       .filter(col("n_dups") > 1)
 
+  /** Canonical-representative selection: keep the best-scoring row per
+    * duplicate group (e.g. `TextFunctions.qualityScore` over LSH
+    * connected components) — dedup that keeps the HIGHEST-quality copy
+    * instead of an arbitrary one. Ties break on smallest `idCol` for
+    * determinism. One shuffle on the group key.
+    */
+  def keepBest(df: DataFrame, groupCols: Seq[String], scoreCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** MinHash signature: `k` independent min-hashes over the word
     * `n`-gram shingles. Hash family: one xxhash64 of each shingle
     * string, then per-lane `xxhash64(lane, h)` long-mixes — the string

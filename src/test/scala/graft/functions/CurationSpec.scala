@@ -43,6 +43,34 @@ class CurationSpec extends SparkSpec {
       df, col("lang"), Map("en" -> 0.5, "de" -> 0.1), col("id"))).count() == 0)
   }
 
+  test("mixture: epochs + fractional remainder, deterministic, tagged") {
+    val web = spark.range(10000).toDF("id").withColumn("src", lit("w"))
+    val code = spark.range(1000).toDF("id").withColumn("src", lit("c"))
+    val mix = Curation.mixture(
+      Seq(("web", web, 0.3), ("code", code, 2.5)), col("id"))
+    val counts = mix.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("web") / 10000.0 - 0.3) < 0.03, s"web: $counts")
+    // 2 full epochs + ~0.5 sampled remainder
+    assert(math.abs(counts("code") / 1000.0 - 2.5) < 0.1, s"code: $counts")
+    assert(mix.filter(col("mix_source") === "code")
+      .groupBy("mix_epoch").count().count() == 3)
+    // reproducible
+    val mix2 = Curation.mixture(
+      Seq(("web", web, 0.3), ("code", code, 2.5)), col("id"))
+    assert(mix.except(mix2).count() == 0 && mix2.except(mix).count() == 0)
+  }
+
+  test("keepBest picks highest score per group, id tiebreak") {
+    val df = Seq(
+      (1L, "g1", 0.5), (2L, "g1", 0.9), (3L, "g1", 0.9),
+      (4L, "g2", 0.1)
+    ).toDF("id", "grp", "score")
+    val kept = Dedup.keepBest(df, Seq("grp"), "score", "id")
+      .orderBy("grp").select("id").as[Long].collect().toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("packSequences: contiguous packs, bounded overflow, exact prefix sums") {
     val docs = Seq((1L, 300L), (2L, 500L), (3L, 400L), (4L, 900L),
       (5L, 100L), (6L, 250L), (7L, 800L))
