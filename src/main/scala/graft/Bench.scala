@@ -16,7 +16,7 @@ object Bench {
     "q_activity_import", "q_stream_window",
     "q_token_counts", "q_quality_score", "q_dedup_exact",
     "q_minhash_pairs", "q_simhash", "q_embed_topk",
-    "q_asof_join", "q_quantiles", "q_hll_distinct")
+    "q_asof_join", "q_quantiles", "q_hll_distinct", "q_token_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

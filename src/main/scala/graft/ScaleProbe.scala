@@ -104,6 +104,15 @@ object ScaleProbe {
         .select(sum(col("q"))).head()
     }
 
+    // --- token packing: two-phase distributed prefix sum -------------
+    timed(s"packSequences ($nEvents rows)") {
+      graft.functions.Curation.packSequences(
+          ev.withColumnRenamed(Meta.START, "t"),
+          pmod(hash(col("value")), lit(900)) + 100, budget = 4096L,
+          orderBy = Seq(col(Meta.OID), col("t")), numPartitions = 64)
+        .agg(max("pack_id")).head()
+    }
+
     // --- z-order clustering write (one range shuffle + sort) ---------
     val zDir = java.nio.file.Files.createTempDirectory("probe-z").toString
     timed(s"zorder cluster+write ($nEvents rows)") {
