@@ -722,7 +722,11 @@ object SparkEntry {
     // stream result hash-matches DuckDB's time_bucket batch answer
     "q_stream_window" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-win-src")
+      val tmpBase =
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-win-src")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         srcDir.resolve("events.parquet"))
@@ -737,8 +741,14 @@ object SparkEntry {
         .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
       val qname = "win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // checkpoint to tmpfs when available: the micro-batch commit log
+      // is fsync-bound, and this query's state is throwaway (complete
+      // mode, memory sink). A real deployment checkpoints to object
+      // storage; locally tmpfs removes host-IO noise from the bench.
+      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
