@@ -119,19 +119,27 @@ object Curation {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = partials.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + partials(p)).init).toMap
-    // phase 2: parallel per-partition cumsum + broadcast offset
-    val offsetCol =
-      if (pids.isEmpty) lit(0L)
-      else coalesce(
-        element_at(
-          map(pids.flatMap(p => Seq(lit(p), lit(offsets(p)))): _*), col("__pid")),
-        lit(0L))
-    val wIn = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = (sum(col("__tok")).over(wIn) + offsetCol).cast("long")
-    val withPack = parted
-      .withColumn("cum_tokens", cum)
-      .withColumn("pack_id", floor((cum - col("__tok")) / lit(budget)).cast("long"))
+    // phase 2: per-partition running sum seeded with the partition's
+    // offset. NOT a Window.partitionBy("__pid"): Catalyst cannot see
+    // that range partitions are pid-homogeneous and would hash-shuffle
+    // the full data again — a sorted mapPartitions pass needs no
+    // shuffle at all (rows are already in orderBy order per partition).
+    val schemaOut = parted.schema
+      .add("cum_tokens", org.apache.spark.sql.types.LongType)
+      .add("pack_id", org.apache.spark.sql.types.LongType)
+    val pidIdx = parted.schema.fieldIndex("__pid")
+    val tokIdx = parted.schema.fieldIndex("__tok")
+    val offsetsMap = offsets // immutable, ~numPartitions entries per task
+    val withPack = parted.mapPartitions { it =>
+      var run = Long.MinValue
+      it.map { r =>
+        if (run == Long.MinValue) run = offsetsMap.getOrElse(r.getInt(pidIdx), 0L)
+        val tok = r.getLong(tokIdx)
+        run += tok
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ run :+ ((run - tok) / budget))
+      }
+    }(org.apache.spark.sql.Encoders.row(schemaOut))
     withPack
       .withColumn("pack_pos",
         row_number().over(Window.partitionBy(col("pack_id")).orderBy(orderBy: _*)).cast("long"))
