@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSigExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, TextStatsExpr}
 import graft.mql.{MqlPredicate, MqlSql, ResolveMqlPredicate, RewriteMqlPredicate}
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "simhash64",
       (args: Seq[Expression]) => SimHash64Expr(args.head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_stats",
+      (args: Seq[Expression]) => new TextStatsExpr(args.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_sim",
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)),
+      "built-in")
     reg.createOrReplaceTempFunction("mql", MqlSql.builder _, "built-in")
     // no analyzer-rule injection post-start: rewrite in the (mutable)
     // user-provided optimizer batch instead — see MqlSql scaladoc
@@ -70,6 +78,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text) => SimHash64Expr(text)
         case _ => throw new IllegalArgumentException("simhash64(text)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
+      (args: Seq[Expression]) => new TextStatsExpr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
     ext.injectFunction((
       new FunctionIdentifier("mql"),
       new ExpressionInfo(classOf[MqlPredicate].getName, "mql"),

@@ -80,6 +80,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(0) == 16)
     assert(row.getLong(1) != 0L)
   }
+
+  test("text_stats / cosine_sim callable from spark.sql") {
+    new graft.GraftExtensions().register(spark)
+    import spark.implicits._
+    Seq(("the quick brown fox.", Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+      .toDF("text", "a", "b").createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      "SELECT text_stats(text).n_tokens AS n, cosine_sim(a, b) AS c FROM ext_docs").head()
+    assert(row.getInt(0) == 4)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
+  }
 }
 
 class IncrementalStoreSpec extends SparkSpec {
