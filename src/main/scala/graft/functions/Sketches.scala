@@ -37,6 +37,16 @@ object Sketches {
     sketches.groupBy(keys.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(hllCol))).as("distinct_estimate"))
 
+  /** Approximate heavy hitters (frequent items): single-pass,
+    * bounded-memory per partition, merged associatively — finds every
+    * value with frequency > 1/k (may include false positives; filter
+    * with an exact count over just the candidates, which is a
+    * semi-join, not a full groupBy). The 100 TB shape for "which hosts/
+    * tokens/keys dominate" questions.
+    */
+  def frequentItems(df: DataFrame, cols: Seq[String], support: Double = 0.01): DataFrame =
+    df.stat.freqItems(cols, support)
+
   /** Exact interpolated quantiles per group (sort-based — fine per
     * group, the oracle-checkable baseline).
     */

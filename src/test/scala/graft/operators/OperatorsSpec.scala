@@ -68,6 +68,14 @@ class SketchesSpec extends graft.SparkSpec {
       .head().getSeq[Double](1)
     assert(math.abs(qa.head - 51.0) <= 1.0)
   }
+
+  test("frequentItems surfaces the planted heavy hitter") {
+    // value 7 has 30% frequency; the rest are near-unique
+    val df = (1 to 10000).map(i => if (i % 10 < 3) 7L else i.toLong).toDF("v")
+    val hits = Sketches.frequentItems(df, Seq("v"), support = 0.1)
+      .head().getSeq[Long](0)
+    assert(hits.contains(7L), s"heavy hitter missing from $hits")
+  }
 }
 
 class AsOfJoinSpec extends graft.SparkSpec {
