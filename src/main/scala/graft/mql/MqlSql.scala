@@ -78,7 +78,9 @@ class ResolveMqlPredicate extends Rule[LogicalPlan] {
   */
 class RewriteMqlPredicate(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p if MqlSql.hasPlaceholder(p) =>
+    // childless nodes (SELECT mql('..') with no FROM) have no schema to
+    // compile against — leave the placeholder for execution to reject
+    case p if p.children.nonEmpty && MqlSql.hasPlaceholder(p) =>
       val schema = MqlSql.schemaOf(p)
       val child = p.children.head
       p.transformExpressions {
