@@ -27,6 +27,28 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = DedupExpressions.cosineSim(a, b)
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x|/127, elements → round(x/scale) in [-127, 127].
+    * At 100 TB of vectors this is the difference between shuffling/
+    * storing 4 bytes and 1 byte per dimension — ANN candidate
+    * generation (LSH buckets, IVF cells) runs on the int8 vectors and
+    * only the final rerank touches float precision. Returns a struct
+    * `(q: array<tinyint>, scale: double)`.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(
+      aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(java.lang.Double.MIN_NORMAL)) / lit(127.0)
+    struct(
+      transform(vec, x => round(x.cast("double") / scale).cast("tinyint")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Reconstruct approximate floats from [[quantizeInt8]] output. */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      x => (x.cast("double") * quantized.getField("scale")).cast("float"))
+
   /** Exact brute-force top-k by cosine against one query vector.
     * One full scan, no shuffle until the final top-k (a TakeOrdered —
     * per-partition heaps then a driver merge). Ties broken by id for

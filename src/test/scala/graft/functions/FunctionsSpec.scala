@@ -150,6 +150,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("quantizeInt8 round-trips within quantization error; cosine preserved") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+      .withColumn("qz", Similarity.quantizeInt8(col("vec")))
+      .withColumn("deq", Similarity.dequantizeInt8(col("qz")))
+    // element-wise error bounded by scale/2 = max|x|/254
+    val rows = df.select(col("vec"), col("deq"), col("qz").getField("scale")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val d = r.getSeq[Float](1); val s = r.getDouble(2)
+      v.zip(d).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= s / 2 + 1e-6, s"err ${math.abs(x - y)} > ${s / 2}")
+      }
+    }
+    // cosine on dequantized vectors stays close to float cosine
+    val c = df.crossJoin(df.select(col("vec").as("v2"), col("deq").as("d2")).limit(1))
+      .select(
+        Similarity.cosine(col("vec"), col("v2")).as("exact"),
+        Similarity.cosine(col("deq"), col("d2")).as("approx"))
+      .collect()
+    c.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02))
+  }
+
   test("annTopK finds the planted nearest neighbor") {
     val dim = 8
     val rng = new scala.util.Random(3)
