@@ -604,6 +604,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // int8 quantize -> dequantize -> rerank: top-k by approximate
+    // cosine must recover the same neighborhood the float scan finds
+    // (rows-only; quantization error bound asserted in SimilaritySpec)
+    "q_embed_quantized" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("qz", Similarity.quantizeInt8(col("embedding")))
+        .withColumn("deq", Similarity.dequantizeInt8(col("qz")))
+      val q = emb.filter(col("vec_id") === 0).select(col("deq").as("qvec"))
+      emb.crossJoin(broadcast(q))
+        .select(
+          col("vec_id"),
+          round(Similarity.cosine(col("deq"), col("qvec")), 3).as("approx_score"))
+        .orderBy(col("approx_score").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     "q_embed_pairs" -> ((s, dir) => {
       Similarity.cosinePairs(
           tbl(s, dir, "embeddings").filter(col("vec_id") < 200),
