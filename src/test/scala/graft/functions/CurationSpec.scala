@@ -88,6 +88,15 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_._4) == Seq(1L, 2L, 3L, 1L, 1L, 2L, 3L))
   }
 
+  test("packSequences plan never funnels through a single partition") {
+    val docs = spark.range(1000).toDF("doc_id").withColumn("n", lit(10L))
+    val plan = Curation.packSequences(
+        docs, col("n"), 100L, Seq(col("doc_id")), numPartitions = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global single-task stage in packing plan:\n$plan")
+  }
+
   test("packSequences matches single-partition formulation at scale factors") {
     val docs = spark.range(5000).toDF("doc_id")
       .withColumn("n_tokens", pmod(hash(col("doc_id")), lit(900)) + 100)
