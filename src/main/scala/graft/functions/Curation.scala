@@ -105,14 +105,23 @@ object Curation {
       tokens: Column,
       budget: Long,
       orderBy: Seq[Column],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      materialize: Boolean = true): DataFrame = {
     require(budget > 0, "budget must be positive")
     val parted =
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
        else df.repartitionByRange(orderBy: _*))
         .sortWithinPartitions(orderBy: _*)
         .withColumn("__pid", spark_partition_id())
-        .withColumn("__tok", tokens.cast("long"))
+        // null token counts pack as 0-width documents (getLong below
+        // would NPE on null otherwise)
+        .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
+    // The cache is CORRECTNESS, not just perf: phase 2 must see the
+    // exact partition boundaries phase 1 summed (range partitioning
+    // re-samples on recompute). Freed below once the result is
+    // materialized (materialize=true) — or owned by the caller when
+    // they pipe the lazy plan straight into a write (materialize=false:
+    // unpersist after the consuming action).
     parted.cache()
     // phase 1: per-partition totals (numPartitions rows to the driver)
     val partials = parted.groupBy(col("__pid")).agg(sum(col("__tok")).as("s"))
@@ -140,9 +149,16 @@ object Curation {
           r.toSeq :+ run :+ ((run - tok) / budget))
       }
     }(org.apache.spark.sql.Encoders.row(schemaOut))
-    withPack
+    val out = withPack
       .withColumn("pack_pos",
         row_number().over(Window.partitionBy(col("pack_id")).orderBy(orderBy: _*)).cast("long"))
       .drop("__pid", "__tok")
+    if (materialize) {
+      // pin the finished result, then release the phase-1/2 cache —
+      // repeated packings in one session no longer accumulate cached RDDs
+      val pinned = out.localCheckpoint(true)
+      parted.unpersist()
+      pinned
+    } else out
   }
 }

@@ -65,7 +65,10 @@ class Container(
         .map(c => if (descending) col(c).desc else col(c).asc)
       out = out.orderBy(keys.toSeq: _*)
     }
-    if (limit >= 0) out = out.limit(limit.toInt)
+    if (limit >= 0) {
+      require(limit <= Int.MaxValue, s"limit $limit exceeds Int.MaxValue; use find() without limit and a downstream filter")
+      out = out.limit(limit.toInt)
+    }
     out
   }
 
@@ -310,16 +313,36 @@ class Container(
       val clustered =
         if (indexCols.nonEmpty) base.sortWithinPartitions(indexCols.map(col): _*)
         else base
-      clustered
-        .write
-        .mode("overwrite")
-        .partitionBy(Container.PartCol)
-        .parquet(p)
+      stagedOverwrite(clustered, p)
       // keep the partition column: find(date=null) filters on it so
       // Catalyst partition-prunes the scan
       state = spark.read.parquet(p)
     }
     this
+  }
+
+  /** Overwrite `dest` safely when `state`'s lineage may still READ from
+    * `dest` (the load → mutate → save loop): a direct
+    * `mode(overwrite).parquet(dest)` deletes the directory before the
+    * reading plan executes, failing the job and losing the table. Write
+    * to a sibling staging dir first (fully materializing the plan), then
+    * swap via rename — the same versioned-dir idea as
+    * [[IncrementalStore]]'s MANIFEST, collapsed to one generation.
+    */
+  private def stagedOverwrite(df: DataFrame, dest: String): Unit = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      destPath.getParent,
+      s".${destPath.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write
+      .mode("overwrite")
+      .partitionBy(Container.PartCol)
+      .parquet(staging.toString)
+    // the staged write is a completed job: nothing reads `dest` anymore
+    if (fs.exists(destPath)) fs.delete(destPath, true)
+    if (!fs.rename(staging, destPath))
+      throw new java.io.IOException(s"rename $staging -> $destPath failed")
   }
 
   /** Persist with Z-order clustering over `cols` (multi-column layout
@@ -332,11 +355,7 @@ class Container(
   def saveZOrdered(cols: String*): Container = {
     path.foreach { p =>
       val base = mutableState.withColumn(Container.PartCol, col(Meta.END).isNull)
-      graft.operators.ZOrder.cluster(base, cols.toSeq)
-        .write
-        .mode("overwrite")
-        .partitionBy(Container.PartCol)
-        .parquet(p)
+      stagedOverwrite(graft.operators.ZOrder.cluster(base, cols.toSeq), p)
       state = spark.read.parquet(p)
     }
     this
@@ -352,13 +371,24 @@ class Container(
     * query and none.
     */
   def saveBucketed(tableName: String, numBuckets: Int = 64): Container = {
-    val w = state
+    // state may read spark.table(tableName) from a previous saveBucketed;
+    // overwriting a table being read throws. Materialize through a
+    // staging parquet dir first, then bucketed-write from the staged copy.
+    val stagingDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s".$tableName.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = stagingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    state
       .withColumn(Container.PartCol, col(Meta.END).isNull)
+      .write.mode("overwrite").parquet(stagingDir.toString)
+    val staged = spark.read.parquet(stagingDir.toString)
+    val w = staged
       .write
       .mode("overwrite")
       .bucketBy(numBuckets, Meta.OID)
       .sortBy(Meta.OID, Meta.START)
     path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+    fs.delete(stagingDir, true)
     state = spark.table(tableName)
     this
   }

@@ -68,36 +68,61 @@ object StreamIngest {
 
   /** Streaming gap-sessionization with CUSTOM state:
     * `flatMapGroupsWithState` keeps one open session per user; an
-    * event beyond the gap (or an event-time timeout) closes and emits
-    * the finished session. The stateful-streaming counterpart of
-    * `operators.Sessionize` — per-key state is O(1), bounded by the
-    * watermark, which is what lets it run forever at 100 TB/day.
+    * event beyond the gap closes and emits the finished session, and an
+    * EVENT-TIME TIMEOUT closes sessions of users who simply go quiet —
+    * without it, inactive users' sessions never emit and their state is
+    * never evicted, so state grows without bound. The stateful-streaming
+    * counterpart of `operators.Sessionize` — per-key state is O(1),
+    * bounded by the watermark, which is what lets it run forever at
+    * 100 TB/day.
     *
     * Input columns: (user_id long, t double epoch-seconds, value
     * double). Emits (user_id, session_start, session_end, n_events,
     * sum_value) for CLOSED sessions.
+    *
+    * @param watermarkDelay how much event-time lateness to tolerate;
+    *   defaults to the gap itself
     */
   def streamingSessionize(
       events: org.apache.spark.sql.Dataset[SessionEvent],
-      gapSeconds: Double = 1800.0): org.apache.spark.sql.Dataset[SessionOut] = {
+      gapSeconds: Double = 1800.0,
+      watermarkDelay: String = null): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val delay = Option(watermarkDelay).getOrElse(s"${gapSeconds.toLong} seconds")
     events
+      .withColumn("__event_ts", timestamp_seconds(col("t")))
+      .withWatermark("__event_ts", delay)
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          var s = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          for (e <- evs.toSeq.sortBy(ev => (ev.t, ev.event_id))) {
-            if (s == null) s = SessionState(e.t, e.t, 1L, e.value)
-            else if (e.t - s.lastT > gapSeconds) {
-              closed += SessionOut(user, s.startT, s.lastT, s.n, s.sum)
-              s = SessionState(e.t, e.t, 1L, e.value)
-            } else s = SessionState(s.startT, e.t, s.n + 1, s.sum + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed lastT+gap with no new events: close, evict
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startT, s.lastT, s.n, s.sum))
+          } else {
+            var s = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            for (e <- evs.toSeq.sortBy(ev => (ev.t, ev.event_id))) {
+              if (s == null) s = SessionState(e.t, e.t, 1L, e.value)
+              else if (e.t - s.lastT > gapSeconds) {
+                closed += SessionOut(user, s.startT, s.lastT, s.n, s.sum)
+                s = SessionState(e.t, e.t, 1L, e.value)
+              } else s = SessionState(s.startT, e.t, s.n + 1, s.sum + e.value)
+            }
+            if (s != null) {
+              state.update(s)
+              // fire once the watermark passes the gap after the last
+              // event; must stay strictly above the current watermark
+              state.setTimeoutTimestamp(math.max(
+                ((s.lastT + gapSeconds) * 1000).toLong,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          if (s != null) state.update(s)
-          closed.iterator
         })
   }
 

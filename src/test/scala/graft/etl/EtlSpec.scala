@@ -358,6 +358,42 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
     val closed2 = spark.table(qname + "b").collect().map(_.getLong(0)).sorted
     assert(closed2.toSeq == Seq(1L, 2L))
   }
+
+  test("event-time timeout closes and evicts sessions of users who go quiet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ss-to")
+    val src = dir.resolve("in"); Files.createDirectories(src)
+    val chk = dir.resolve("chk")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("t", DoubleType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+
+    Seq((1L, 0.0, 0L, 1.0), (1L, 100.0, 1L, 2.0))
+      .toDF("user_id", "t", "event_id", "value")
+      .write.mode("append").parquet(src.toString)
+    val qname = "sessto_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamIngest.streamingSessionize(
+        spark.readStream.schema(schema).parquet(src.toString).as[SessionEvent],
+        gapSeconds = 1800.0)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .option("checkpointLocation", chk.toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table(qname).count() == 0) // user 1's session still open
+
+    // a far-future event from ANOTHER user advances the watermark past
+    // user 1's (lastT + gap): user 1 never speaks again, yet the session
+    // must close via timeout (the unbounded-state bug this guards)
+    Seq((2L, 10000.0, 2L, 1.0)).toDF("user_id", "t", "event_id", "value")
+      .write.mode("append").parquet(src.toString)
+    q.processAllAvailable() // batch 2: watermark advances AFTER this batch
+    Seq((2L, 10100.0, 3L, 1.0)).toDF("user_id", "t", "event_id", "value")
+      .write.mode("append").parquet(src.toString)
+    q.processAllAvailable() // batch 3: user 1 times out under wm=8200s
+    q.stop()
+    val rows = spark.table(qname).as[graft.streaming.SessionOut].collect()
+    assert(rows.toSeq == Seq(graft.streaming.SessionOut(1L, 0.0, 100.0, 2L, 3.0)))
+  }
 }
 
 class WatermarkSpec extends graft.SparkSpec {

@@ -41,6 +41,18 @@ class PersistenceSpec extends SparkSpec {
       .withColumn(Meta.ID, Meta.genId(col("_oid"), col("_start"), col(Meta.END)))
     loaded.upsert(inc)
     assert(loaded.df.filter(col("_oid") === 2L).count() == 2)
+
+    // the load -> mutate -> save loop: state's lineage still READS the
+    // destination path; a naive overwrite deletes it before the plan
+    // runs and loses the table (round-1 ADVICE high finding)
+    loaded.save()
+    val reloaded = Container.load(spark, "t", dir)
+    assert(reloaded.count(date = "~") == 4)
+    assert(reloaded.find(date = null).count() == 2)
+
+    // and again through the Z-ordered writer (same staged-swap path)
+    reloaded.saveZOrdered("_oid")
+    assert(Container.load(spark, "t", dir).count(date = "~") == 4)
   }
 }
 

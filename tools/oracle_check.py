@@ -24,7 +24,7 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_warn = 0
     results = {}
     for name in oracles:
         if not os.path.isdir(os.path.join(out_dir, name)):
@@ -37,9 +37,10 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
+            # no oracle = weaker check; count separately so the gap is visible
             ok = len(got) > 0
-            results[name] = "rows-only:" + ("OK" if ok else "EMPTY")
-            n_ok += ok; n_bad += (not ok)
+            results[name] = "rows-only:" + ("WARN-NO-ORACLE" if ok else "EMPTY")
+            n_warn += ok; n_bad += (not ok)
             continue
         try:
             exp = con.sql(oracles[name]).df()
@@ -67,14 +68,17 @@ def main(sf_dir, out_dir):
                 gs = g.sort_values(list(g.columns)).reset_index(drop=True)
                 es = e.sort_values(list(e.columns)).reset_index(drop=True)
                 pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
-                results[name] = "OK-UNORDERED (row order differs!)"
-                n_ok += 1
+                # order contract violated: values match but the stated
+                # total-order ORDER BY determinism does not hold — warn
+                results[name] = "WARN-UNORDERED (row order differs!)"
+                n_warn += 1
             except Exception:
                 results[name] = "VALUES: " + str(ex).split("\n")[0]
                 n_bad += 1
     for k, v in sorted(results.items()):
-        print(f"{'PASS' if v.startswith('OK') or v=='rows-only:OK' else 'FAIL':4} {k:24} {v}")
-    print(f"\n{n_ok} ok, {n_bad} bad")
+        tag = "PASS" if v == "OK" else ("WARN" if "WARN" in v else "FAIL")
+        print(f"{tag:4} {k:24} {v}")
+    print(f"\n{n_ok} ok, {n_warn} warn, {n_bad} bad")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
