@@ -99,6 +99,13 @@ object Curation {
     * partition's exclusive offset — a ~numPartitions-row driver
     * scan-sum broadcast back as a literal map. Emits `pack_id`,
     * `pack_pos` (rank within pack), and `cum_tokens`.
+    *
+    * @param materialize true (default) pins the finished result and
+    *   frees the internal cache before returning. `false` returns the
+    *   LAZY plan — cheaper when the caller immediately writes it out
+    *   exactly once, but the internal cache then outlives the call and
+    *   `spark.catalog.clearCache()` is the only recourse; prefer
+    *   [[packSequencesRun]], which scopes the cache to one action.
     */
   def packSequences(
       df: DataFrame,
@@ -107,6 +114,45 @@ object Curation {
       orderBy: Seq[Column],
       numPartitions: Int = 0,
       materialize: Boolean = true): DataFrame = {
+    val (out, cached) = packSequencesInternal(df, tokens, budget, orderBy, numPartitions)
+    if (materialize) {
+      // pin the finished result, then release the phase-1/2 cache —
+      // repeated packings in one session no longer accumulate cached
+      // RDDs. With a checkpoint dir configured the pin is a RELIABLE
+      // checkpoint (survives executor loss/decommission — routine on
+      // large dynamically-allocated clusters); localCheckpoint is the
+      // single-JVM fallback, whose blocks die with their executor.
+      val pinned =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(true)
+        else out.localCheckpoint(true)
+      cached.unpersist()
+      pinned
+    } else out
+  }
+
+  /** [[packSequences]] for write-through pipelines: runs `action` on
+    * the LAZY packed plan and releases the internal phase-1/2 cache in
+    * a `finally` — the only way to honor the cache-lifetime contract
+    * without materializing the whole result first. Use this (not
+    * `materialize = false`) when the next step is a single write.
+    */
+  def packSequencesRun[T](
+      df: DataFrame,
+      tokens: Column,
+      budget: Long,
+      orderBy: Seq[Column],
+      numPartitions: Int = 0)(action: DataFrame => T): T = {
+    val (out, cached) = packSequencesInternal(df, tokens, budget, orderBy, numPartitions)
+    try action(out)
+    finally { cached.unpersist(); () }
+  }
+
+  private def packSequencesInternal(
+      df: DataFrame,
+      tokens: Column,
+      budget: Long,
+      orderBy: Seq[Column],
+      numPartitions: Int): (DataFrame, DataFrame) = {
     require(budget > 0, "budget must be positive")
     val parted =
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
@@ -118,10 +164,8 @@ object Curation {
         .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
     // The cache is CORRECTNESS, not just perf: phase 2 must see the
     // exact partition boundaries phase 1 summed (range partitioning
-    // re-samples on recompute). Freed below once the result is
-    // materialized (materialize=true) — or owned by the caller when
-    // they pipe the lazy plan straight into a write (materialize=false:
-    // unpersist after the consuming action).
+    // re-samples on recompute). Ownership: freed by the public
+    // packSequences (materialize=true) or packSequencesRun wrappers.
     parted.cache()
     // phase 1: per-partition totals (numPartitions rows to the driver)
     val partials = parted.groupBy(col("__pid")).agg(sum(col("__tok")).as("s"))
@@ -153,12 +197,6 @@ object Curation {
       .withColumn("pack_pos",
         row_number().over(Window.partitionBy(col("pack_id")).orderBy(orderBy: _*)).cast("long"))
       .drop("__pid", "__tok")
-    if (materialize) {
-      // pin the finished result, then release the phase-1/2 cache —
-      // repeated packings in one session no longer accumulate cached RDDs
-      val pinned = out.localCheckpoint(true)
-      parted.unpersist()
-      pinned
-    } else out
+    (out, parted)
   }
 }

@@ -332,17 +332,38 @@ class Container(
   private def stagedOverwrite(df: DataFrame, dest: String): Unit = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(
-      destPath.getParent,
-      s".${destPath.getName}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write
-      .mode("overwrite")
-      .partitionBy(Container.PartCol)
-      .parquet(staging.toString)
-    // the staged write is a completed job: nothing reads `dest` anymore
-    if (fs.exists(destPath)) fs.delete(destPath, true)
-    if (!fs.rename(staging, destPath))
-      throw new java.io.IOException(s"rename $staging -> $destPath failed")
+      destPath.getParent, s".${destPath.getName}.staging-$tag")
+    var staged = false
+    try {
+      df.write
+        .mode("overwrite")
+        .partitionBy(Container.PartCol)
+        .parquet(staging.toString)
+      staged = true
+      // the staged write is a completed job: nothing reads `dest`
+      // anymore. Swap by renaming dest ASIDE first (never delete the
+      // only copy before the new one is visible): a crash mid-swap
+      // leaves either the old or the new generation at `dest`, not an
+      // empty path. NB rename is only atomic on real filesystems; on
+      // object stores (S3A) pair this layout with a manifest commit
+      // like [[IncrementalStore]]'s.
+      val retired = new org.apache.hadoop.fs.Path(
+        destPath.getParent, s".${destPath.getName}.old-$tag")
+      val hadOld = fs.exists(destPath)
+      if (hadOld && !fs.rename(destPath, retired))
+        throw new java.io.IOException(s"rename $destPath -> $retired failed")
+      if (!fs.rename(staging, destPath)) {
+        // restore the old generation before failing
+        if (hadOld) fs.rename(retired, destPath)
+        throw new java.io.IOException(s"rename $staging -> $destPath failed")
+      }
+      if (hadOld) fs.delete(retired, true)
+    } finally {
+      // a failed staging write must not leak the staging dir
+      if (!staged && fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 
   /** Persist with Z-order clustering over `cols` (multi-column layout
@@ -378,18 +399,21 @@ class Container(
       spark.conf.get("spark.sql.warehouse.dir"),
       s".$tableName.staging-${java.util.UUID.randomUUID().toString.take(8)}")
     val fs = stagingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    state
-      .withColumn(Container.PartCol, col(Meta.END).isNull)
-      .write.mode("overwrite").parquet(stagingDir.toString)
-    val staged = spark.read.parquet(stagingDir.toString)
-    val w = staged
-      .write
-      .mode("overwrite")
-      .bucketBy(numBuckets, Meta.OID)
-      .sortBy(Meta.OID, Meta.START)
-    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
-    fs.delete(stagingDir, true)
-    state = spark.table(tableName)
+    try {
+      state
+        .withColumn(Container.PartCol, col(Meta.END).isNull)
+        .write.mode("overwrite").parquet(stagingDir.toString)
+      val staged = spark.read.parquet(stagingDir.toString)
+      val w = staged
+        .write
+        .mode("overwrite")
+        .bucketBy(numBuckets, Meta.OID)
+        .sortBy(Meta.OID, Meta.START)
+      path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+      state = spark.table(tableName)
+    } finally {
+      if (fs.exists(stagingDir)) fs.delete(stagingDir, true)
+    }
     this
   }
 

@@ -80,8 +80,17 @@ object StreamIngest {
     * double). Emits (user_id, session_start, session_end, n_events,
     * sum_value) for CLOSED sessions.
     *
+    * LATE-DATA BOUNDARY: the watermark makes this a lossy-but-bounded
+    * operator. Spark's stateful late-row filter DROPS any event whose
+    * event time is <= the current watermark — including, in the very
+    * first micro-batch, events at epoch 0 (the initial watermark).
+    * Events arriving more than `watermarkDelay` behind the max seen
+    * event time are silently discarded rather than sessionized; that
+    * is the price of O(watermark-window) state instead of O(forever).
+    *
     * @param watermarkDelay how much event-time lateness to tolerate;
-    *   defaults to the gap itself
+    *   defaults to the gap itself (rounded UP to whole seconds so a
+    *   sub-second gap never produces a zero-tolerance watermark)
     */
   def streamingSessionize(
       events: org.apache.spark.sql.Dataset[SessionEvent],
@@ -89,7 +98,8 @@ object StreamIngest {
       watermarkDelay: String = null): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val delay = Option(watermarkDelay).getOrElse(s"${gapSeconds.toLong} seconds")
+    val delay = Option(watermarkDelay)
+      .getOrElse(s"${math.ceil(gapSeconds).toLong} seconds")
     events
       .withColumn("__event_ts", timestamp_seconds(col("t")))
       .withWatermark("__event_ts", delay)

@@ -320,6 +320,12 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
   import org.apache.spark.sql.types._
   import java.nio.file.Files
 
+  // Event epochs sit well above the initial watermark (0): Spark's
+  // stateful late-row filter drops rows with event time <= the current
+  // watermark, so a first-batch event at t=0.0 would be silently
+  // discarded (see streamingSessionize scaladoc).
+  private val B = 1e6
+
   test("flatMapGroupsWithState closes sessions across micro-batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ss")
@@ -327,10 +333,10 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("t", DoubleType),
       StructField("event_id", LongType), StructField("value", DoubleType)))
-    // user 1: session A (t=0,100), then gap, session B (t=5000) open;
+    // user 1: session A (t=B,B+100), then gap, session B (t=B+5000) open;
     // user 2: one open session
-    Seq((1L, 0.0, 0L, 1.0), (1L, 100.0, 1L, 2.0), (1L, 5000.0, 2L, 4.0),
-        (2L, 0.0, 3L, 8.0))
+    Seq((1L, B, 0L, 1.0), (1L, B + 100.0, 1L, 2.0), (1L, B + 5000.0, 2L, 4.0),
+        (2L, B, 3L, 8.0))
       .toDF("user_id", "t", "event_id", "value")
       .write.mode("append").parquet(src.toString)
 
@@ -343,11 +349,15 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
     q.awaitTermination()
     val closed = spark.table(qname).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
-    // only user 1's first session closed (gap exceeded); open sessions withheld
-    assert(closed.toSeq == Seq((1L, 0.0, 100.0, 2L, 3.0)))
+      .sortBy(r => (r._1, r._2))
+    // user 1's first session closed by the gap; user 2's lone-event
+    // session closed by the event-time TIMEOUT (watermark B+3200 passed
+    // its lastT+gap = B+1800); user 1's B+5000 session stays open
+    // (timeout B+6800 > watermark)
+    assert(closed.toSeq == Seq((1L, B, B + 100.0, 2L, 3.0), (2L, B, B, 1L, 8.0)))
 
     // second batch: user 2 gets a far event -> user 2's session closes
-    Seq((2L, 9000.0, 4L, 1.0)).toDF("user_id", "t", "event_id", "value")
+    Seq((2L, B + 9000.0, 4L, 1.0)).toDF("user_id", "t", "event_id", "value")
       .write.mode("append").parquet(src.toString)
     val q2 = StreamIngest.streamingSessionize(
         spark.readStream.schema(schema).parquet(src.toString).as[SessionEvent],
@@ -355,8 +365,10 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
       .writeStream.outputMode("append").format("memory").queryName(qname + "b")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q2.awaitTermination()
+    // fresh run over all files: gap closes (1, B..B+100) and (2, B..B);
+    // the final watermark B+7200 then times out user 1's B+5000 session
     val closed2 = spark.table(qname + "b").collect().map(_.getLong(0)).sorted
-    assert(closed2.toSeq == Seq(1L, 2L))
+    assert(closed2.toSeq == Seq(1L, 1L, 2L))
   }
 
   test("event-time timeout closes and evicts sessions of users who go quiet") {
@@ -368,7 +380,7 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
       StructField("user_id", LongType), StructField("t", DoubleType),
       StructField("event_id", LongType), StructField("value", DoubleType)))
 
-    Seq((1L, 0.0, 0L, 1.0), (1L, 100.0, 1L, 2.0))
+    Seq((1L, B, 0L, 1.0), (1L, B + 100.0, 1L, 2.0))
       .toDF("user_id", "t", "event_id", "value")
       .write.mode("append").parquet(src.toString)
     val qname = "sessto_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -384,15 +396,15 @@ class StreamingSessionizeSpec extends graft.SparkSpec {
     // a far-future event from ANOTHER user advances the watermark past
     // user 1's (lastT + gap): user 1 never speaks again, yet the session
     // must close via timeout (the unbounded-state bug this guards)
-    Seq((2L, 10000.0, 2L, 1.0)).toDF("user_id", "t", "event_id", "value")
+    Seq((2L, B + 10000.0, 2L, 1.0)).toDF("user_id", "t", "event_id", "value")
       .write.mode("append").parquet(src.toString)
     q.processAllAvailable() // batch 2: watermark advances AFTER this batch
-    Seq((2L, 10100.0, 3L, 1.0)).toDF("user_id", "t", "event_id", "value")
+    Seq((2L, B + 10100.0, 3L, 1.0)).toDF("user_id", "t", "event_id", "value")
       .write.mode("append").parquet(src.toString)
-    q.processAllAvailable() // batch 3: user 1 times out under wm=8200s
+    q.processAllAvailable() // batch 3: user 1 times out under wm=B+8200s
     q.stop()
     val rows = spark.table(qname).as[graft.streaming.SessionOut].collect()
-    assert(rows.toSeq == Seq(graft.streaming.SessionOut(1L, 0.0, 100.0, 2L, 3.0)))
+    assert(rows.toSeq == Seq(graft.streaming.SessionOut(1L, B, B + 100.0, 2L, 3.0)))
   }
 }
 

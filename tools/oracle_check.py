@@ -34,7 +34,9 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(f"{d}/*.parquet")
+        # sorted: part-00000..N must concatenate in write order or the
+        # ordered comparison (and WARN-UNORDERED) is nondeterministic
+        files = sorted(glob.glob(f"{d}/*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
             # no oracle = weaker check; count separately so the gap is visible
