@@ -47,33 +47,46 @@ object Dedup {
   }
 
   /** MinHash signature: `k` independent min-hashes over the word
-    * `n`-gram shingles. Hash family: one xxhash64 of each shingle
-    * string, then per-lane `xxhash64(lane, h)` long-mixes — the string
-    * is hashed ONCE, not k times, which dominates the cost at scale.
-    * Deterministic across runs and executors.
+    * `n`-gram shingles — the Column-composed twin of the one-pass
+    * [[DedupExpressions.minhashSig]] expression (same hash family,
+    * same values; the expression is the hot path). The shingle string
+    * is hashed ONCE (md5-lower-64 mod P), then per-lane affine
+    * transforms — cheap mod-prime arithmetic, not k string hashes.
     */
   def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3): Column =
     minhashOfHashes(shingleHashes(text, shingleN), k)
 
-  /** Per-shingle 64-bit hashes (the expensive string pass — compute
-    * once, reuse across lanes/operators).
+  /** Per-shingle base hashes (the expensive string pass — compute
+    * once, reuse across lanes/operators): unsigned
+    * `md5_lower64(shingle) mod P`, matching [[HashUtil.shingleBase]].
+    * The unsigned mod of a signed Long uses 2^64 ≡ 4 (mod 2^31-1).
     */
   def shingleHashes(text: Column, shingleN: Int = 3): Column =
-    transform(TextFunctions.wordShingles(text, shingleN), s => xxhash64(s))
+    transform(TextFunctions.wordShingles(text, shingleN), s => {
+      val h = DedupExpressions.md5Lower64(s)
+      val p = lit(HashUtil.P)
+      pmod(pmod(h, p) + when(h < 0, lit(4L)).otherwise(lit(0L)), p)
+    })
 
-  /** k-lane minhash over precomputed shingle hashes (cheap long mixes). */
+  /** k-lane minhash over precomputed base hashes (cheap affine
+    * transforms mod the Mersenne prime — overflow-free in 64-bit).
+    */
   def minhashOfHashes(hashes: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(hashes, h => xxhash64(lit(i), h)))
+      array_min(transform(hashes,
+        h => (lit(HashUtil.laneA(i)) * h + lit(HashUtil.laneB(i))) % lit(HashUtil.P)))
     }: _*)
 
-  /** LSH band keys from a minhash signature: `bands` hashes, each over
-    * a contiguous slice of the signature. Two docs share a band key iff
-    * that signature slice matches exactly.
+  /** LSH band keys from a minhash signature: `bands` keys, each an md5
+    * over `<band>:<comma-joined signature slice>`. Two docs share a
+    * band key iff that signature slice matches exactly; md5 (a codegen
+    * builtin on both engines) keeps the shuffle key at a fixed 32
+    * bytes AND lets the oracle SQL build the identical key.
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+      md5(concat_ws(":", lit(b),
+        concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
     }: _*)
 
   /** MinHash+LSH candidate pairs with estimated Jaccard.
@@ -142,7 +155,7 @@ object Dedup {
   def simhash(text: Column): Column = {
     val hashes = transform(
       filter(split(TextFunctions.normalizeText(text), " "), w => length(w) > 0),
-      w => xxhash64(w))
+      w => DedupExpressions.md5Lower64(w))
     val bits = (0 until 64).map { bit =>
       val votes = aggregate(
         hashes,

@@ -18,34 +18,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * signature in ONE imperative pass per row (preference order (b) of
   * the build brief: custom `Expression` before custom operator).
   *
-  * Hashing: xxhash64-style avalanche mixes over murmur-hashed shingle
-  * strings — deterministic across executors/runs (no object identity,
-  * no wall clock), independent of Spark's internal hash seeds.
+  * Hashing: every hash bottoms out in the lower 64 bits of MD5 —
+  * deterministic across executors/runs (no object identity, no wall
+  * clock, no Spark-internal seeds) AND exactly reproducible in the
+  * DuckDB oracle as `md5_number_lower(...)`, which is what lets the
+  * driver hash-compare minhash/simhash/fingerprint gate queries
+  * end-to-end instead of trusting a rows>0 check. MD5 costs a few×
+  * more than a xxhash-style mix per SHINGLE, but each shingle is
+  * hashed once and the k min-hash lanes reuse it through cheap
+  * affine transforms mod a Mersenne prime, so the signature cost is
+  * still dominated by the lane loop, not the hash.
   */
 object HashUtil {
-  /** 64-bit avalanche (xxhash64 finalizer constants). */
-  @inline def mix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33
-    x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33
-    x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33
-    x
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** FNV-1a 64-bit over UTF-8 bytes — simple, fast, deterministic. */
-  def hashUtf8(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+  /** Lower 64 bits of MD5 over UTF-8 bytes, little-endian over digest
+    * bytes 8..15 — bit-for-bit DuckDB's `md5_number_lower(s)`
+    * (returned there as UBIGINT; the Long here carries the same bit
+    * pattern, so compare/shift UNSIGNED on both sides).
+    */
+  def md5Lower64(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
+    while (i < 8) {
+      h |= (d(8 + i) & 0xffL) << (8 * i)
       i += 1
     }
     h
   }
+
+  /** Hash-space modulus for min-hash lanes: the Mersenne prime 2^31-1.
+    * Keeping lane values in [0, P) makes the affine transform
+    * `(a*h + b) mod P` overflow-free in SIGNED 64-bit on BOTH engines
+    * (a,h < 2^31 ⇒ a*h < 2^62), and min() agrees between Scala's
+    * signed Long and DuckDB's BIGINT because values are non-negative.
+    */
+  val P: Long = 2147483647L
+
+  /** Lane-`i` (0-based) affine coefficients, mod [[P]] — the same
+    * arithmetic the oracle SQL writes out with `i+1` 1-based.
+    */
+  @inline def laneA(lane: Int): Long = ((lane + 1L) * 2654435761L) % P
+  @inline def laneB(lane: Int): Long = ((lane + 1L) * 40503L) % P
+
+  /** Base hash of one shingle: md5-lower-64 (unsigned) mod [[P]].
+    * DuckDB: `CAST(md5_number_lower(s) % 2147483647 AS BIGINT)`.
+    */
+  def shingleBase(s: String): Long = java.lang.Long.remainderUnsigned(md5Lower64(s), P)
 
   /** Normalize + tokenize the way TextFunctions.normalizeText does:
     * lowercase, non-[a-z0-9] → separator, collapse runs.
@@ -64,14 +87,14 @@ object HashUtil {
     out.toArray
   }
 
-  /** Word n-gram shingle hashes (hash of the joined shingle string).
-    * Shorter-than-n texts yield one whole-text shingle, matching
-    * TextFunctions.wordShingles.
+  /** Word n-gram shingle BASE hashes ([[shingleBase]] of the joined
+    * shingle string). Shorter-than-n texts yield one whole-text
+    * shingle, matching TextFunctions.wordShingles.
     */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val ws = tokens(text)
     if (ws.length <= n) {
-      Array(hashUtf8(UTF8String.fromString(ws.mkString(" "))))
+      Array(shingleBase(ws.mkString(" ")))
     } else {
       val out = new Array[Long](ws.length - n + 1)
       var i = 0
@@ -83,7 +106,7 @@ object HashUtil {
           sb.append(ws(i + j))
           j += 1
         }
-        out(i) = hashUtf8(UTF8String.fromString(sb.toString))
+        out(i) = shingleBase(sb.toString)
         i += 1
       }
       out
@@ -92,9 +115,11 @@ object HashUtil {
 }
 
 /** k-lane MinHash signature of a text column in one pass:
-  * `sig[i] = min over shingles of mix64(shingleHash ^ mix64(i+1))`.
-  * Null/short inputs still produce a k-array (single whole-text
-  * shingle), null text → null.
+  * `sig[lane] = min over shingles of (laneA*base + laneB) mod P` with
+  * `base = md5_number_lower(shingle) mod P` — the textbook universal-
+  * hash family, written so the DuckDB oracle reproduces every lane
+  * exactly. Null/short inputs still produce a k-array (single
+  * whole-text shingle), null text → null.
   */
 case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
     extends UnaryExpression with CodegenFallback {
@@ -102,16 +127,17 @@ case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
   override def nullSafeEval(input: Any): Any = {
     val hs = HashUtil.shingleHashes(input.asInstanceOf[UTF8String].toString, shingleN)
     val sig = Array.fill(k)(Long.MaxValue)
+    val as = Array.tabulate(k)(HashUtil.laneA)
+    val bs = Array.tabulate(k)(HashUtil.laneB)
     var i = 0
     while (i < hs.length) {
       val h = hs(i)
       var lane = 0
       while (lane < k) {
-        val v = HashUtil.mix64(h ^ HashUtil.mix64(lane + 1L))
+        val v = (as(lane) * h + bs(lane)) % HashUtil.P
         if (v < sig(lane)) sig(lane) = v
         lane += 1
       }
-      lane = 0
       i += 1
     }
     new GenericArrayData(sig)
@@ -121,7 +147,8 @@ case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
 }
 
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
-  * over token hashes; sign → bit.
+  * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
+  * pattern is reproducible in SQL from `md5_number_lower(token)`.
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -130,7 +157,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
     val votes = new Array[Int](64)
     var i = 0
     while (i < ws.length) {
-      val h = HashUtil.mix64(HashUtil.hashUtf8(UTF8String.fromString(ws(i))))
+      val h = HashUtil.md5Lower64(ws(i))
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
@@ -172,6 +199,116 @@ case class SigMatchRatioExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchRatioExpr =
     copy(left = l, right = r)
   override def prettyName: String = "sig_match_ratio"
+}
+
+/** Lower-64-bit MD5 of a string column as a (signed) Long — the bit
+  * pattern of DuckDB's `md5_number_lower`, so content fingerprints are
+  * hash-comparable by the oracle (which converts its UBIGINT to the
+  * signed twin via `x - 2^64` when `x >= 2^63`).
+  */
+case class Md5Lower64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashUtil.md5Lower64(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Md5Lower64Expr = copy(child = c)
+  override def prettyName: String = "md5_lower64"
+}
+
+/** Random-hyperplane LSH band value of a float/double array column in
+  * ONE imperative pass: `nBits` sign bits of dot products against
+  * deterministic ±1 (Rademacher) hyperplanes, packed little-endian
+  * into a Long. Plane signs derive from md5:
+  * `sign(plane, j) = bit (j mod 64) of md5_lower64("lshplane_<plane>_<j/64>")`
+  * — plane index is GLOBAL (`planeOffset + p`), so disjoint bands use
+  * disjoint plane families and the whole 128-plane code is one md5 per
+  * plane per 64 dims, reproducible verbatim in the DuckDB oracle.
+  * Rademacher signs give the same cosine-LSH guarantee as Gaussian
+  * planes (sign-stable under scaling; collision prob 1 - θ/π) without
+  * any RNG state to ship to executors or to the oracle.
+  *
+  * Accumulation is ascending-j in doubles, matching the oracle's
+  * `list_reduce` fold, so the `>= 0` sign decision is bit-identical.
+  */
+case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
+  override def dataType: DataType = LongType
+
+  // (plane, block) -> 64 sign bits; tiny and deterministic, cached per
+  // expression instance (executor-local after serialization)
+  @transient private lazy val planeBlocks =
+    scala.collection.mutable.LongMap.empty[Long]
+  private def signBits(plane: Int, blk: Int): Long =
+    planeBlocks.getOrElseUpdate(
+      (plane.toLong << 32) | blk,
+      HashUtil.md5Lower64(s"lshplane_${plane}_$blk"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    var band = 0L
+    var p = 0
+    while (p < nBits) {
+      val plane = planeOffset + p
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val v = et match {
+          case FloatType => arr.getFloat(j).toDouble
+          case _ => arr.getDouble(j)
+        }
+        val sign =
+          if (((signBits(plane, j >>> 6) >>> (j & 63)) & 1L) == 1L) 1.0 else -1.0
+        acc += v * sign
+        j += 1
+      }
+      if (acc >= 0.0) band |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(band)
+  }
+  override protected def withNewChildInternal(c: Expression): LshBandExpr = copy(child = c)
+  override def prettyName: String = "lsh_band"
+}
+
+/** IVF cell assignment in one pass: argmax over `centroids` of the
+  * plain dot product (centroids unit-normalized ⇒ equivalent to
+  * nearest-by-cosine), ties to the lowest cell index. One k×dim
+  * multiply-add loop per row — the Column-composed per-centroid
+  * `aggregate(zip_with)` chain is k interpreted HOF walks.
+  */
+case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "need at least one centroid")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val n = arr.numElements()
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        val v = et match {
+          case FloatType => arr.getFloat(j).toDouble
+          case _ => arr.getDouble(j)
+        }
+        d += v * cent(j)
+        j += 1
+      }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+  override protected def withNewChildInternal(c: Expression): IvfAssignExpr = copy(child = c)
+  override def prettyName: String = "ivf_assign"
 }
 
 /** Cosine similarity of two float/double array columns in one
@@ -226,4 +363,13 @@ object DedupExpressions {
 
   def sigMatchRatio(a: Column, b: Column): Column =
     column(SigMatchRatioExpr(expression(a), expression(b)))
+
+  def md5Lower64(s: Column): Column =
+    column(Md5Lower64Expr(expression(s)))
+
+  def lshBand(vec: Column, planeOffset: Int, nBits: Int): Column =
+    column(LshBandExpr(expression(vec), planeOffset, nBits))
+
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(IvfAssignExpr(expression(vec), centroids))
 }

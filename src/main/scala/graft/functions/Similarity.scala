@@ -1,18 +1,26 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`):
   * brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
-  * (random-hyperplane) and an IVF-style (coarse-quantizer) variant as
-  * the 100 TB scale path — both turn the O(n·q) scan into a bucketed
-  * join that only scores within matching buckets.
+  * (random-hyperplane) and an IVF-style (k-means coarse-quantizer)
+  * variant as the 100 TB scale path — both turn the O(n·q) scan into a
+  * bucketed join that only scores within matching buckets.
+  *
+  * All hashing/assignment here is DETERMINISTIC and oracle-replicable:
+  * LSH planes are ±1 sign vectors derived from md5 (see
+  * [[LshBandExpr]]), so the DuckDB gate reproduces bucket ids and
+  * candidate pairs bit-for-bit; IVF centroids come from a seeded
+  * k-means whose recall is gated against the brute-force oracle.
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (codegen'd builtins). */
+  /** Dot product of two float-array columns (codegen'd builtins).
+    * Off the hot path — per-row scoring uses the one-pass
+    * [[CosineSimExpr]]; this stays for ad-hoc Column math.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -21,9 +29,7 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0 when either vector has zero norm. Backed by
-    * the one-pass [[CosineSimExpr]] — the composed `aggregate(zip_with)`
-    * form is an interpreted HOF chain (kept above for the dot/norm
-    * building blocks, which are off the hot path).
+    * the one-pass [[CosineSimExpr]].
     */
   def cosine(a: Column, b: Column): Column = DedupExpressions.cosineSim(a, b)
 
@@ -68,9 +74,9 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs exact cosine ≥ threshold — embedding-based near-dup
-    * detection. Quadratic: use only after LSH prefiltering at scale
-    * (see [[lshBuckets]]); kept exact here as the correctness oracle.
+  /** All-pairs exact cosine ≥ threshold. QUADRATIC — never the gate
+    * path; kept only as the small-scale correctness oracle for
+    * [[cosinePairsLsh]], which is the 100 TB formulation.
     */
   def cosinePairs(
       df: DataFrame,
@@ -86,25 +92,75 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of dot products with
-    * `nPlanes` deterministic pseudo-random hyperplanes (seeded by plane
-    * index — stable across executors). Vectors in the same bucket are
-    * probable cosine neighbors.
+  /** LSH-prefiltered cosine near-dup pairs — the scale path: band each
+    * vector (`nBands` bands of `bandBits` sign-planes each), equi-join
+    * on (band index, band value) so candidates are only vectors
+    * agreeing on at least one full band, then score candidates exactly
+    * and keep `cos >= threshold`. No CartesianProduct anywhere: the
+    * only join is the banded equi-join, whose key cardinality is
+    * bounded by bucket collisions. Recall = 1-(1-p^bandBits)^nBands
+    * with p = 1-θ/π; pick more/narrower bands for low thresholds,
+    * fewer/wider for near-dup thresholds (and at 100 TB: wider bands —
+    * e.g. 16×8 — to keep random-pair collisions, and thus the scored
+    * candidate count, sub-quadratic).
     */
-  def lshBuckets(vec: Column, dim: Int, nPlanes: Int = 16, seed: Long = 42L): Column = {
-    val planes: Seq[Seq[Double]] = {
-      val rng = new scala.util.Random(seed)
-      Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  def cosinePairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBands: Int = 16,
+      bandBits: Int = 4): DataFrame = {
+    val banded = df.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            DedupExpressions.lshBand(col(vecCol), b * bandBits, bandBits).as("bv"))): _*))
+          .as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val a = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("band"), col("bv"))
+    val b = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits against the
+    * deterministic md5-derived ±1 plane family (global plane indices
+    * `0 until nPlanes`) — one imperative pass via [[LshBandExpr]].
+    */
+  def lshBuckets(vec: Column, nPlanes: Int = 16): Column =
+    DedupExpressions.lshBand(vec, 0, nPlanes)
+
+  /** Driver-side twin of [[LshBandExpr]] for query vectors — same
+    * planes, same ascending-j double accumulation, so a query's bucket
+    * matches what executors assign.
+    */
+  def lshBandOf(v: Seq[Float], planeOffset: Int, nBits: Int): Long = {
+    var band = 0L
+    var p = 0
+    while (p < nBits) {
+      val plane = planeOffset + p
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) {
+        val bits = HashUtil.md5Lower64(s"lshplane_${plane}_${j >>> 6}")
+        val sign = if (((bits >>> (j & 63)) & 1L) == 1L) 1.0 else -1.0
+        acc += v(j).toDouble * sign
+        j += 1
+      }
+      if (acc >= 0.0) band |= (1L << p)
+      p += 1
     }
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pc = array(p.map(lit): _*)
-      when(dot(vec, pc) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    band
   }
 
   /** ANN top-k via LSH buckets: score only within the query's bucket
-    * (plus optional multi-probe neighbors at Hamming distance 1).
+    * plus (optional multi-probe) all buckets at Hamming distance 1.
     * Approximate — recall depends on nPlanes; the scale path for ANN
     * when brute force over 100 TB of vectors is off the table.
     */
@@ -114,17 +170,10 @@ object Similarity {
       vecCol: String,
       query: Seq[Float],
       k: Int,
-      dim: Int,
-      nPlanes: Int = 8,
+      nPlanes: Int = 16,
       multiProbe: Boolean = true): DataFrame = {
-    val bucketed = df.withColumn("_bucket", lshBuckets(col(vecCol), dim, nPlanes))
-    // driver-side bucket id of the query vector (same plane family)
-    val rng = new scala.util.Random(42L)
-    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (x, y) => x * y }.sum
-      if (d >= 0) 1L << i else 0L
-    }.reduce(_ | _)
+    val bucketed = df.withColumn("_bucket", lshBuckets(col(vecCol), nPlanes))
+    val qBucket = lshBandOf(query, 0, nPlanes)
     val probes: Seq[Long] =
       if (multiProbe) qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
       else Seq(qBucket)
@@ -136,17 +185,104 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style coarse quantization: assign each vector to the nearest
-    * of `centroids`; at query time only the closest `nProbe` centroid
-    * partitions are scanned. Centroids come from a driver-side sample
-    * (k-means would slot in here); partitionBy("ivf_cell") at write
-    * time makes the probe a partition-pruned scan.
+  // ------------------------------------------------------------- IVF
+
+  /** Seeded k-means coarse quantizer over a deterministic sample:
+    * Lloyd iterations on the driver (sample is small), spherical
+    * (centroids unit-normalized each round, so nearest-centroid by
+    * plain dot product == by cosine). No RNG: seeds are evenly spaced
+    * sample vectors in id order; the whole fit is a pure function of
+    * the data. At 100 TB the sample collect is the only driver-side
+    * step (bounded by `sampleN`), assignment/probing are distributed.
     */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cc = array(c.map(lit): _*)
-      struct((-cosine(vec, cc)).as("negScore"), lit(i).as("cell"))
+  def ivfFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleN: Int = 2048,
+      iters: Int = 10): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(col(idCol))
+      .limit(sampleN)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
     }
-    array_min(array(scored: _*)).getField("cell")
+    val points = sample.map(normalized)
+    val dim = points.head.length
+    // seeds: evenly spaced points in id order (deterministic)
+    var centroids = Array.tabulate(k)(i => points((i.toLong * points.length / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += p(j) * centroids(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell: keep old centroid
+        else normalized(sums(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id via the one-pass [[IvfAssignExpr]]
+    * (centroids must be unit-normalized, e.g. from [[ivfFit]]).
+    */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
+    DedupExpressions.ivfAssign(vec, centroids)
+
+  /** The `nProbe` nearest cells to a query vector (driver-side). */
+  def ivfProbes(query: Seq[Float], centroids: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    val qn = {
+      val v = query.map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qn).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (d, i) => (-d, i) }
+      .take(nProbe)
+      .map(_._2)
+      .toSeq
+  }
+
+  /** IVF ANN top-k: assign cells (one pass), scan only the query's
+    * `nProbe` nearest cells, exact cosine within them. Writing the
+    * corpus `partitionBy("ivf_cell")` turns the probe filter into
+    * partition pruning — the scan reads nProbe/k of the data.
+    */
+  def annTopKIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val probes = ivfProbes(query, centroids, nProbe)
+    val q = array(query.map(v => lit(v)): _*)
+    df.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+      .filter(col("ivf_cell").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
   }
 }

@@ -35,16 +35,21 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
-  /** 64-bit content fingerprint of the normalized text. */
-  def fingerprint(text: Column): Column = xxhash64(normalizeText(text))
+  /** 64-bit content fingerprint of the normalized text: md5-lower-64
+    * (one pass over the normalized string), oracle-replicable as
+    * `md5_number_lower(norm)`.
+    */
+  def fingerprint(text: Column): Column =
+    DedupExpressions.md5Lower64(normalizeText(text))
 
-  /** Winnowing-style robust fingerprint: min/max hash over the word
+  /** Winnowing-style robust fingerprint: min hash over the word
     * `n`-gram shingles of the normalized text — stable under small
-    * edits, unlike [[fingerprint]] (rolling-hash document
-    * fingerprinting a la Rabin-Karp winnowing).
+    * edits, unlike [[fingerprint]] (Rabin-Karp-winnowing-style
+    * document fingerprinting). Implemented as lane 0 of the minhash
+    * family, so the oracle reproduces it with the same SQL formula.
     */
   def shingleFingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(wordShingles(text, n), s => xxhash64(s)))
+    element_at(DedupExpressions.minhashSig(text, 1, n), 1)
 
   /** Word `n`-gram shingles of the normalized text. Texts shorter than
     * `n` words yield a single shingle of the whole text.

@@ -179,9 +179,41 @@ class SimilaritySpec extends SparkSpec {
     val vecs = (0L until 50L).map(i => i -> Array.fill(dim)(rng.nextGaussian().toFloat))
     val q = vecs(7)._2.map(v => v + 0.01f * rng.nextGaussian().toFloat)
     val df = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
-    val got = Similarity.annTopK(df, "id", "vec", q.toSeq, k = 3, dim = dim)
+    val got = Similarity.annTopK(df, "id", "vec", q.toSeq, k = 3)
       .collect().map(_.getLong(0))
     assert(got.contains(7L))
+  }
+
+  test("cosinePairsLsh result is a subset of exact cosinePairs; high-sim pairs kept") {
+    val rng = new scala.util.Random(5)
+    val base = Array.fill(16)(rng.nextGaussian().toFloat)
+    val vecs = (0L until 30L).map { i =>
+      if (i % 3 == 0) // planted near-dups of `base`
+        (i, base.map(v => v + 0.02f * rng.nextGaussian().toFloat).toSeq)
+      else (i, Seq.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val exact = Similarity.cosinePairs(df, "id", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(df, "id", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    // planted clones are ~identical: every band agrees -> full recall
+    assert(lsh == exact)
+  }
+
+  test("ivfFit + annTopKIvf recover the brute-force top-3") {
+    val rng = new scala.util.Random(9)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.ivfFit(df, "id", "vec", k = 4, sampleN = 200)
+    assert(cents.length == 4)
+    // centroids unit-normalized
+    cents.foreach(c => assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    val q = vecs(13)._2
+    val ann = Similarity.annTopKIvf(df, "id", "vec", q, k = 3, cents, nProbe = 2)
+      .collect().map(_.getLong(0))
+    assert(ann.contains(13L)) // its own cell is always probed first
   }
 }
 
