@@ -273,8 +273,9 @@ object SparkEntry {
 
     // history + least-squares forecast (reference: result.py:197-223
     // _linreg_future). The fit runs driver-side over the ~300-point
-    // series; exact-fit goldens live in TemporalOpsSpec (rows-only
-    // here: cross-engine regression aggregates are not bit-stable).
+    // series, in the shifted exact-integer-sums formulation
+    // (linregFutureExact), so the DuckDB oracle — same closed form over
+    // the same exact sums — produces bit-identical forecasts.
     "q_history_linreg" -> ((s, dir) => {
       import s.implicits._
       val grid = (2 to 29).map(d => ts(f"2024-01-$d%02d"))
@@ -283,7 +284,7 @@ object SparkEntry {
       val (xs, ys) = hist.toSeq.unzip
       val future = (30 to 32).map(d =>
         if (d <= 31) ts(f"2024-01-$d%02d") else ts("2024-02-01"))
-      val fc = TemporalOps.linregFuture(xs, ys, future)
+      val fc = TemporalOps.linregFutureExact(xs, ys, future, x0 = ts("2024-01-02"))
       (hist.map { case (x, y) => (x, y, "observed") } ++
         future.zip(fc).map { case (x, y) => (x, math.round(y * 1e6) / 1e6, "forecast") })
         .toSeq.toDF("date", "n", "kind")
@@ -497,12 +498,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // deterministic group-stable train/val/test split (xxhash64 has no
-    // DuckDB twin -> rows-only gate; proportions/determinism/disjoint
-    // asserted in CurationSpec)
+    // deterministic group-stable train/val/test split, gated on the
+    // md5 bucket basis so DuckDB reproduces every per-row assignment
+    // (the default xxhash basis shares all logic but the bucket hash;
+    // proportions/determinism/disjointness asserted in CurationSpec)
     "q_hash_split" -> ((s, dir) => {
       graft.functions.Curation.hashSplit(
-          tbl(s, dir, "documents"), col("doc_id"), Seq(0.9, 0.05, 0.05))
+          tbl(s, dir, "documents"), col("doc_id"), Seq(0.9, 0.05, 0.05),
+          basis = "md5")
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")
     }),
@@ -881,6 +884,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // near-dup connected components: n-gram Jaccard pairs -> large-
+    // star/small-star label propagation -> (doc, component) with the
+    // component key = smallest doc_id (what keepBest/hashSplit key on);
+    // oracle = recursive-CTE transitive closure with min-label
+    "q_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        tbl(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 3, threshold = 0.2)
+      Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // full persistence lifecycle IN the gate: wrap -> save (partitioned
     // by is_current) -> load -> current-snapshot find (partition-pruned)
     "q_persist_roundtrip" -> ((s, dir) => {
@@ -948,13 +964,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // HLL-sketch distinct: per-source sketches merged into a global
-    // estimate (rows-only: sketch internals are engine-specific)
+    // HLL-sketch distinct: per-(lang,source) sketches merged per lang.
+    // Sketch bytes are engine-specific, so the gate is a TOLERANCE
+    // gate: the exact distinct count (oracle-verified) rides along and
+    // the merged estimate must land within 5% of it — a quantified
+    // quality bound instead of a rows>0 check.
     "q_hll_distinct" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
       val sketches = graft.functions.Sketches.hllSketchByKey(
-        tbl(s, dir, "documents"), Seq("lang", "source"), "doc_id")
-      graft.functions.Sketches.hllMerge(sketches, Seq("lang"))
-        .select(col("lang"), col("distinct_estimate"))
+        docs, Seq("lang", "source"), "doc_id")
+      val est = graft.functions.Sketches.hllMerge(sketches, Seq("lang"))
+      val exact = docs.groupBy("lang").agg(countDistinct(col("doc_id")).as("n_exact"))
+      est.join(exact, "lang")
+        .select(col("lang"), col("n_exact"),
+          (abs(col("distinct_estimate") - col("n_exact")) <= col("n_exact") * lit(0.05))
+            .as("within_tol"))
         .orderBy("lang")
     }),
 
@@ -973,7 +997,7 @@ object SparkEntry {
       Multimodal.extractFeatures(assets, dim = 8)
         .select(
           col("asset_id"), col("modality"),
-          round(element_at(col("features"), 1), 5).as("f0"),
+          round(element_at(col("features"), 1).cast("double"), 5).as("f0"),
           size(col("features")).cast("long").as("dim"))
         .orderBy("asset_id")
     }),
@@ -984,6 +1008,16 @@ object SparkEntry {
         .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("ts_ms"))
         .orderBy("asset_id", "frame_idx")
+    }),
+
+    // REAL multimodal kernels in the gate: sha256 exact binary dedup +
+    // magic-byte mime sniffing over the payload column (no codec
+    // needed) — the oracle reconstructs the payloads and re-derives
+    // both, so every digest, group size, and sniffed mime is verified
+    "q_binary_dedup" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(s, 120)
+      Multimodal.binaryDedupGroups(assets, "asset_id", "content")
+        .orderBy("keep_id")
     })
   )
 
@@ -1119,6 +1153,19 @@ object SparkEntry {
       |  SELECT id_a, id_b,
       |    CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
       |  FROM jac JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b)""".stripMargin
+
+  /** DuckDB reconstruction of [[graft.functions.Multimodal.syntheticAssets]]
+    * for n=120: blob-literal magic by modality || encoded repeated body
+    * keyed on id mod 39.
+    */
+  private val AssetsCte: String =
+    """assets AS (
+      |  SELECT i AS asset_id,
+      |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    (CASE i % 3 WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+      |                WHEN 1 THEN 'ID3'::BLOB ELSE 'RIFF'::BLOB END) ||
+      |    encode(repeat('asset-' || CAST(i % 39 AS VARCHAR) || '|', 1 + (i % 39) % 4)) AS content
+      |  FROM range(0, 120) t(i))""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val oidLi = "CAST(l_orderkey*10 + l_linenumber AS BIGINT)"
@@ -1683,7 +1730,87 @@ object SparkEntry {
            |SELECT j.id_a, j.id_b, round(j.jaccard, 6) AS jaccard
            |FROM jacr j JOIN (SELECT id_a, id_b FROM mh_est WHERE est_jaccard >= 0.5) c
            |  ON j.id_a = c.id_a AND j.id_b = c.id_b
-           |WHERE j.jaccard >= 0.8 ORDER BY j.id_a, j.id_b""".stripMargin
+           |WHERE j.jaccard >= 0.8 ORDER BY j.id_a, j.id_b""".stripMargin,
+
+      "q_multimodal_features" ->
+        s"""WITH $AssetsCte,
+           |b AS (SELECT asset_id, modality, hex(content) AS hx,
+           |        octet_length(content) AS len FROM assets),
+           |s AS (SELECT asset_id, modality,
+           |    list_sum(list_transform(range(0, (len + 7) // 8),
+           |      t -> ('0x' || substr(hx, CAST(1 + t*16 AS BIGINT), 2))::BIGINT)) AS s0
+           |  FROM b)
+           |SELECT CAST(asset_id AS BIGINT) AS asset_id, modality,
+           |  round(CAST(s0 AS DOUBLE) / 256.0, 5) AS f0, CAST(8 AS BIGINT) AS dim
+           |FROM s ORDER BY asset_id""".stripMargin,
+
+      "q_frame_plan" ->
+        """WITH v AS (SELECT i AS asset_id, 1000 * (i % 10 + 1) AS duration_ms
+          |           FROM range(0, 120) t(i) WHERE i % 3 = 2),
+          |f AS (SELECT asset_id, unnest(range(0, least(8, duration_ms // 500 + 1))) AS frame_idx
+          |      FROM v)
+          |SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |  CAST(frame_idx * 500 AS BIGINT) AS ts_ms
+          |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+
+      "q_binary_dedup" ->
+        s"""WITH $AssetsCte,
+           |g AS (SELECT sha256(hex(content)) AS content_sha,
+           |        CASE modality WHEN 'image' THEN 'image/png'
+           |                      WHEN 'audio' THEN 'audio/mpeg'
+           |                      ELSE 'video/x-msvideo' END AS mime_sniffed,
+           |        count(*) AS n_dups, min(asset_id) AS keep_id
+           |      FROM assets GROUP BY 1, 2)
+           |SELECT content_sha, mime_sniffed, n_dups, CAST(keep_id AS BIGINT) AS keep_id
+           |FROM g WHERE n_dups > 1 ORDER BY keep_id""".stripMargin,
+
+      "q_hash_split" ->
+        """WITH b AS (
+          |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+          |         % 1000000 AS bucket
+          |  FROM documents)
+          |SELECT CASE WHEN bucket < 900000 THEN 0 WHEN bucket < 950000 THEN 1 ELSE 2 END AS split,
+          |       count(*) AS n
+          |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+      "q_hll_distinct" ->
+        """SELECT lang, count(DISTINCT doc_id) AS n_exact, true AS within_tol
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_history_linreg" -> {
+        val days = (2 to 29).map(d => s"(${ts(f"2024-01-$d%02d")})").mkString(", ")
+        val x0 = ts("2024-01-02")
+        val fdays = ((30 to 31).map(d => ts(f"2024-01-$d%02d")) :+ ts("2024-02-01"))
+          .map(d => s"($d)").mkString(", ")
+        s"""$VEventsSql, grid(date) AS (SELECT * FROM (VALUES $days)),
+           |h AS (SELECT g.date, count(*) AS n FROM v JOIN grid g
+           |        ON v._start <= g.date AND (v._end > g.date OR v._end IS NULL)
+           |      GROUP BY g.date),
+           |s AS (SELECT CAST(count(*) AS DOUBLE) AS np,
+           |        sum(date - $x0) AS su, sum(CAST(n AS DOUBLE)) AS sy,
+           |        sum((date - $x0) * (date - $x0)) AS suu,
+           |        sum((date - $x0) * CAST(n AS DOUBLE)) AS suy
+           |      FROM h),
+           |fit AS (SELECT (np * suy - su * sy) / (np * suu - su * su) AS slope, np, su, sy FROM s),
+           |fit2 AS (SELECT slope, (sy - slope * su) / np AS icept FROM fit),
+           |fc AS (SELECT fd.date,
+           |        floor(greatest(icept + slope * (fd.date - $x0), 0.0) * 1000000 + 0.5) / 1000000 AS n
+           |       FROM (SELECT * FROM (VALUES $fdays) t(date)) fd, fit2)
+           |SELECT date, CAST(n AS DOUBLE) AS n, 'observed' AS kind FROM h
+           |UNION ALL SELECT date, n, 'forecast' FROM fc
+           |ORDER BY date""".stripMargin
+      },
+
+      "q_dedup_components" ->
+        s"""WITH RECURSIVE ${tokCte("WHERE doc_id < 500")}, $ShingleCtes, $JaccardCtes,
+           |edges AS (SELECT id_a AS u, id_b AS v FROM jacr WHERE jaccard >= 0.2),
+           |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT u, u FROM sym
+           |  UNION
+           |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id)
+           |SELECT id AS doc_id, min(r) AS component FROM reach
+           |GROUP BY id ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -23,13 +23,30 @@ object Curation {
     * (e.g. from `Dedup.exactGroups` / LSH components) as `key` and
     * train/validation contamination through duplicates is impossible.
     */
-  def hashSplit(df: DataFrame, key: Column, weights: Seq[Double], seed: Long = 42L): DataFrame = {
+  /** @param basis bucket-hash family: `"xxhash"` (default — Spark's
+    *   codegen'd xxhash64, fastest) or `"md5"` (first 60 bits of
+    *   md5(key:seed) via builtin `md5`/`conv` — a few× slower but
+    *   bit-reproducible in any engine with md5, which is how the
+    *   driver's DuckDB oracle verifies the split end-to-end; both
+    *   bases share every other property)
+    */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      weights: Seq[Double],
+      seed: Long = 42L,
+      basis: String = "xxhash"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
     val total = weights.sum
     val slots = 1000000L
     val bounds = weights.scanLeft(0.0)(_ + _ / total).tail // cumulative upper bounds
       .map(f => (f * slots).toLong)
-    val bucket = pmod(xxhash64(key, lit(seed)), lit(slots))
+    val bucket = basis match {
+      case "md5" =>
+        conv(substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 15), 16, 10)
+          .cast("long") % lit(slots)
+      case _ => pmod(xxhash64(key, lit(seed)), lit(slots))
+    }
     val assign = bounds.zipWithIndex.reverse.foldLeft(lit(weights.size - 1)) {
       case (acc, (hi, i)) => when(bucket < lit(hi), lit(i)).otherwise(acc)
     }

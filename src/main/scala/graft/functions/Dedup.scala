@@ -148,6 +148,68 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup edge list —
+    * alternating LARGE-STAR / SMALL-STAR label propagation (the
+    * shuffle-bounded MapReduce formulation: Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is two
+    * groupBy-min shuffles; convergence in O(log n) rounds with NO
+    * driver-side iteration over data — the driver loop only counts
+    * rounds and checks a fixpoint, which is what makes this the 100 TB
+    * formulation (GraphX-style Pregel keeps per-vertex state resident;
+    * this needs nothing but the shrinking edge list).
+    *
+    * Returns `(id, component)` with `component` = the smallest id in
+    * the component — the canonical dedup-group key to feed
+    * [[keepBest]] (`groupCols = Seq("component")`) and
+    * `Curation.hashSplit` (split by component id so near-duplicate
+    * groups can never straddle train/validation).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val ss = pairs.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      if (ss.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var edges = pin(pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct())
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR: over the symmetrized graph, hang every neighbor
+      // v > u off m = min(N(u) ∪ {u})
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(lsMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: edges now point big→small; hang u and all its
+      // smaller neighbors off their minimum
+      val ssMins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = pin(ls.join(ssMins, "u")
+        .select(col("v"), col("m"))
+        .unionByName(ssMins.select(col("u").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct())
+      converged =
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
   /** 64-bit SimHash of the word tokens: per bit, sum +1/-1 votes across
     * token hashes; sign → bit. Pure `Column` composition (64
     * aggregate lanes over the token-hash array) — stays in codegen.

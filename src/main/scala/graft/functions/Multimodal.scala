@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,18 +32,48 @@ object Multimodal {
     * container (STUB — replace with the actual codec). Produces a
     * fixed-length feature vector derived from the payload bytes so
     * downstream plumbing (similarity, dedup over features) is
-    * exercisable end-to-end.
+    * exercisable end-to-end. Feature k = (sum of bytes at positions
+    * ≡ k mod dim) / 256 — an exact integer sum and a dyadic division,
+    * so the value is bit-exact in ANY IEEE engine and the DuckDB
+    * oracle reproduces it from the reconstructed payload.
     */
   def fakeDecode(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
     if (bytes == null) return Array.fill(dim)(0f)
-    val out = new Array[Float](dim)
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      acc(i % dim) += (bytes(i) & 0xffL)
       i += 1
     }
-    out
+    acc.map(s => (s / 256.0).toFloat)
   }
+
+  /** REAL (non-stub) multimodal kernels: content-level operations that
+    * need no codec. Magic-byte mime sniffing — the first real step of
+    * any ingest pipeline (route/validate payloads BEFORE decoding).
+    * Pure `Column` ops over the binary payload, codegen'd.
+    */
+  def sniffMime(content: Column): Column =
+    when(substring(content, 1, 8) ===
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)), "image/png")
+      .when(substring(content, 1, 3) === lit("ID3".getBytes("UTF-8")), "audio/mpeg")
+      .when(substring(content, 1, 4) === lit("RIFF".getBytes("UTF-8")), "video/x-msvideo")
+      .when(substring(content, 1, 3) === lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "image/jpeg")
+      .otherwise(lit("application/octet-stream"))
+
+  /** REAL kernel #2: exact binary dedup — sha256 over the (hex-encoded)
+    * payload, one hash-shuffle, groups >1 with the smallest id as the
+    * canonical copy and the sniffed mime along for routing. The hex
+    * passthrough keeps the hash replicable in engines whose sha256
+    * takes strings (DuckDB); identical bytes ⇔ identical hex ⇔
+    * identical digest, so dedup semantics are unchanged.
+    */
+  def binaryDedupGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(
+        sha2(hex(col(contentCol)), 256).as("content_sha"),
+        sniffMime(col(contentCol)).as("mime_sniffed"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_dups") > 1)
 
   /** Per-partition kernel-initialization counter — lets tests PROVE
     * the batch shape (decoder inits once per partition, not per row),
@@ -96,12 +126,27 @@ object Multimodal {
       .withColumnRenamed("col", "ts_ms")
 
   /** Deterministic synthetic asset table for tests (no real media in
-    * the container): payload bytes derived from the id.
+    * the container). Payloads carry REAL magic bytes (PNG/ID3/RIFF by
+    * modality) followed by a deterministic body keyed on `id mod 39` —
+    * 39 ≡ 0 (mod 3) keeps modality aligned, so every payload recurs
+    * every 39 ids and exact-binary-dedup has genuine duplicate groups.
+    * The whole construction is reproducible in SQL
+    * (blob-literal magic || encode(repeat(...))), which is what lets
+    * the DuckDB oracle verify sha256 dedup and feature extraction.
     */
+  val PngMagic: Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       val modality = Seq("image", "audio", "video")(i % 3)
-      val payload = Array.tabulate[Byte](64 + i % 32)(j => ((i * 31 + j * 7) % 256).toByte)
+      val magic = modality match {
+        case "image" => PngMagic
+        case "audio" => "ID3".getBytes("UTF-8")
+        case _ => "RIFF".getBytes("UTF-8")
+      }
+      val r = i % 39
+      val payload = magic ++ (s"asset-$r|" * (1 + r % 4)).getBytes("UTF-8")
       Row(
         i.toLong, modality, payload,
         Some(modality).map(m => s"application/x-fake-$m").orNull,

@@ -233,4 +233,29 @@ object TemporalOps {
     val intercept = my - slope * mx
     futureXs.map(x => math.max(0.0, slope * x + intercept))
   }
+
+  /** [[linregFuture]] in a CROSS-ENGINE-EXACT formulation for oracle-
+    * gated queries: shift x by a constant `x0` so every sum term is an
+    * exact small integer in double (day-grid offsets × integer counts
+    * stay far below 2^53), then the closed form
+    * `slope = (n·Σuy − Σu·Σy) / (n·Σu² − (Σu)²)` — the numerator and
+    * denominator are EXACT, so slope/intercept/forecast come out
+    * bit-identical in any IEEE-754 engine regardless of summation
+    * order (which is what the centered [[linregFuture]] form cannot
+    * guarantee: `x − mean` is already rounded).
+    */
+  def linregFutureExact(
+      xs: Seq[Double], ys: Seq[Double], futureXs: Seq[Double], x0: Double): Seq[Double] = {
+    require(xs.length == ys.length && xs.nonEmpty)
+    val us = xs.map(_ - x0)
+    val n = xs.length.toDouble
+    val su = us.sum
+    val sy = ys.sum
+    val suu = us.map(u => u * u).sum
+    val suy = us.zip(ys).map { case (u, y) => u * y }.sum
+    val denom = n * suu - su * su
+    val slope = if (denom == 0) 0.0 else (n * suy - su * sy) / denom
+    val intercept = (sy - slope * su) / n
+    futureXs.map(x => math.max(0.0, intercept + slope * (x - x0)))
+  }
 }

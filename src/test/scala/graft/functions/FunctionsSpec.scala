@@ -202,6 +202,42 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("connectedComponents matches a BFS reference on a random graph") {
+    val rng = new scala.util.Random(21)
+    val n = 60
+    val edges = (0 until 80).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // BFS reference
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!expected.contains(start)) {
+        var frontier = List(start); val seen = scala.collection.mutable.Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj).filterNot(seen)
+          frontier.foreach(seen.add)
+        }
+        val root = seen.min
+        seen.foreach(v => expected(v) = root)
+      }
+    }
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap)
+  }
+
+  test("connectedComponents feeds contamination-safe hashSplit keys") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val split = Curation.hashSplit(comps, col("component"), Seq(0.5, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every member of a component lands in the same split
+    split.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(_._3).distinct.length == 1)
+    }
+  }
+
   test("ivfFit + annTopKIvf recover the brute-force top-3") {
     val rng = new scala.util.Random(9)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
@@ -218,6 +254,26 @@ class SimilaritySpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+
+  test("sniffMime detects magic bytes; binary dedup groups by content sha") {
+    val assets = Multimodal.syntheticAssets(spark, 120)
+    val mimes = assets
+      .select(col("modality"), Multimodal.sniffMime(col("content")).as("mime"))
+      .distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mimes == Map(
+      "image" -> "image/png", "audio" -> "audio/mpeg", "video" -> "video/x-msvideo"))
+    // unknown payloads fall through
+    import spark.implicits._
+    val other = Seq(Array[Byte](1, 2, 3)).toDF("content")
+      .select(Multimodal.sniffMime(col("content"))).head().getString(0)
+    assert(other == "application/octet-stream")
+
+    val groups = Multimodal.binaryDedupGroups(assets, "asset_id", "content").collect()
+    // payloads repeat every 39 ids: 39 groups, sizes 3-4, keep_id = r
+    assert(groups.length == 39)
+    assert(groups.map(_.getAs[Long]("n_dups")).forall(n => n == 3 || n == 4))
+    assert(groups.map(_.getAs[Long]("keep_id")).sorted.toSeq == (0L until 39L))
+  }
 
   test("extractFeatures: schema, shape, determinism") {
     val assets = Multimodal.syntheticAssets(spark, 30)
