@@ -291,6 +291,17 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // history over the scale="maximum" grid: every distinct version
+    // boundary in a 6-hour window — the reference's finest-resolution
+    // dates_range (result.py:243-262); boundary extraction + the
+    // count-per-instant both verified by the oracle
+    "q_history_maximum" -> ((s, dir) => {
+      val ve = versionedEvents(s, dir)
+      val grid = TemporalOps.datesRangeMaximum(
+        ve, ts("2024-01-10"), ts("2024-01-10 06:00:00"))
+      ve.history(grid)
+    }),
+
     "q_persistent_oids" -> ((s, dir) => {
       val grid = (2 to 29 by 3).map(d => ts(f"2024-01-$d%02d"))
       versionedEvents(s, dir).persistentOidCounts(grid)
@@ -1257,6 +1268,18 @@ object SparkEntry {
         val days = (2 to 29).map(d => s"(${ts(f"2024-01-$d%02d")})").mkString(", ")
         s"""$VEventsSql, grid(date) AS (SELECT * FROM (VALUES $days))
            |SELECT g.date, count(*) AS n FROM v JOIN grid g
+           |  ON v._start <= g.date AND (v._end > g.date OR v._end IS NULL)
+           |GROUP BY g.date ORDER BY g.date""".stripMargin
+      },
+
+      "q_history_maximum" -> {
+        val a = ts("2024-01-10"); val b = ts("2024-01-10 06:00:00")
+        s"""$VEventsSql, bounds AS (
+           |  SELECT DISTINCT bd AS date FROM (
+           |    SELECT _start AS bd FROM v
+           |    UNION ALL SELECT _end FROM v WHERE _end IS NOT NULL)
+           |  WHERE bd >= $a AND bd <= $b)
+           |SELECT g.date, count(*) AS n FROM v JOIN bounds g
            |  ON v._start <= g.date AND (v._end > g.date OR v._end IS NULL)
            |GROUP BY g.date ORDER BY g.date""".stripMargin
       },

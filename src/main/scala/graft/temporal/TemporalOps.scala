@@ -214,9 +214,32 @@ object TemporalOps {
           .map(stepOf)
           .find(s => span / s <= ideal)
           .getOrElse(stepOf("yearly"))
+      case "maximum" => throw new IllegalArgumentException(
+        "scale=maximum needs the version data: use datesRangeMaximum(df, start, end)")
       case s => stepOf.getOrElse(s, throw new IllegalArgumentException(s"bad scale $s"))
     }
     Iterator.iterate(start)(_ + step).takeWhile(_ <= end).toSeq :+ end
+  }
+
+  /** `scale="maximum"` (reference: result.py:243-262): the exact grid —
+    * every DISTINCT version boundary (`_start` and non-null `_end`)
+    * inside `[start, end]`, sorted. A history over this grid loses
+    * nothing: counts can only change at version boundaries, so
+    * sampling exactly there is the finest meaningful resolution.
+    * Distributed distinct+filter, then a driver collect bounded by the
+    * number of distinct boundaries in the window — pick windows (or
+    * fall back to fixed scales) accordingly at 100 TB.
+    */
+  def datesRangeMaximum(df: DataFrame, start: Double, end: Double): Seq[Double] = {
+    require(end >= start, s"end $end < start $start")
+    df.select(col(Meta.START).as("b"))
+      .unionByName(df.filter(col(Meta.END).isNotNull).select(col(Meta.END).as("b")))
+      .filter(col("b") >= start && col("b") <= end)
+      .distinct()
+      .orderBy("b")
+      .collect()
+      .map(_.getDouble(0))
+      .toSeq
   }
 
   /** Least-squares linear extrapolation of a (x, y) series, clamped at 0

@@ -1,0 +1,76 @@
+package graft
+
+/** Plan-quality assertions over EVERY gate query — the ScalaTest
+  * promotion of the `Plans` inspection main, so a plan regression
+  * (a cartesian sneaking in, a filter no longer reaching the scan, a
+  * dim join falling back to sort-merge) turns the suite red instead of
+  * only flagging in a manual run. Plans are built at sf0.001; building
+  * a DataFrame never executes the distributed query (driver-side prep
+  * in some gates does run, on the tiny SF).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // streaming gates execute a full (if tiny) streaming job just to
+  // BUILD the result frame; their plan properties are covered by the
+  // dedicated streaming specs
+  private val skip = Set("q_stream_upsert", "q_stream_window")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.filterNot { case (n, _) => skip(n) }.map { case (n, fn) =>
+      n -> fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    }
+
+  test("no gate query plans a CartesianProduct — embed/ANN queries included") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian in: ${offenders.mkString(", ")}")
+  }
+
+  test("MQL/date filters are pushed down to the parquet scan") {
+    for (n <- Seq("q_find_mql", "q_find_in_notin", "q_find_sort_limit")) {
+      val p = plans(n)
+      assert(p.contains("PushedFilters: ["), s"$n: no pushdown section")
+      assert(!p.contains("PushedFilters: []"), s"$n: empty pushdown")
+    }
+  }
+
+  test("projection prunes the parquet read schema") {
+    // token counting must read only (doc_id, text) — not lang/source
+    val p = plans("q_token_counts")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("doc_id"), p)
+    assert(!readSchemas.contains("lang"), s"unpruned scan:\n$readSchemas")
+  }
+
+  test("dimension joins broadcast; fact-fact joins do not force broadcast") {
+    assert(plans("q5_nation_revenue").contains("BroadcastHashJoin"))
+    assert(!plans("q5_nation_revenue").contains("SortMergeJoin"))
+    // q3 joins lineitem (fact) to orders (fact): the initial plan may
+    // keep a shuffle join (AQE converts at runtime for small SF) but
+    // the customer dim must broadcast
+    assert(plans("q3_top_orders").contains("BroadcastHashJoin"))
+  }
+
+  test("scan-heavy aggregation stays inside whole-stage codegen") {
+    // the pre-execution AQE plan hides codegen spans — run the (tiny)
+    // query, then inspect the finalized physical plan
+    for (n <- Seq("q1_pricing_summary", "q_token_counts", "q_distinct_count")) {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // "*(N) Operator" is the WholeStageCodegen span marker in the
+      // simple plan rendering
+      assert(p.contains("*("), s"$n left codegen:\n$p")
+    }
+  }
+
+  test("LSH near-dup pair generation joins on band keys (equi-join, no theta join)") {
+    val p = plans("q_embed_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair gen degenerated to NL join")
+    assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+  }
+}

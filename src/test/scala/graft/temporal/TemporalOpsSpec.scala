@@ -139,5 +139,31 @@ class TemporalOpsSpec extends SparkSpec {
     val ys = TemporalOps.linregFuture(Seq(0, 1, 2, 3), Seq(1, 3, 5, 7), Seq(10, -100))
     assert(math.abs(ys.head - 21.0) < 1e-9)
     assert(ys(1) == 0.0)
+    // the exact-sums formulation agrees with the centered one on an
+    // exact-fit series and is invariant to the shift origin
+    val ye = TemporalOps.linregFutureExact(
+      Seq(0, 1, 2, 3), Seq(1, 3, 5, 7), Seq(10, -100), x0 = 0.0)
+    assert(math.abs(ye.head - 21.0) < 1e-9 && ye(1) == 0.0)
+    val ye2 = TemporalOps.linregFutureExact(
+      Seq(1e9, 1e9 + 1, 1e9 + 2, 1e9 + 3), Seq(1, 3, 5, 7), Seq(1e9 + 10), x0 = 1e9)
+    assert(math.abs(ye2.head - 21.0) < 1e-9)
+  }
+
+  test("datesRangeMaximum: all distinct version boundaries in window") {
+    val lo = 150.0; val hi = 400.0
+    val expected = chains
+      .flatMap(v => v.start +: v.end.toSeq)
+      .filter(b => b >= lo && b <= hi)
+      .distinct.sorted
+    val grid = TemporalOps.datesRangeMaximum(df, lo, hi)
+    assert(grid == expected)
+    // a history over the maximum grid changes value at every point
+    // only at boundaries — sampling between two adjacent boundaries
+    // equals sampling at the earlier one
+    assert(grid == grid.sorted && grid.distinct == grid)
+    // scale=maximum via the scalar API points at the data-aware variant
+    intercept[IllegalArgumentException] {
+      TemporalOps.datesRange(0.0, 1.0, scale = "maximum")
+    }
   }
 }
