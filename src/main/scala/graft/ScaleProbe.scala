@@ -104,6 +104,32 @@ object ScaleProbe {
         .select(sum(col("q"))).head()
     }
 
+    // --- LSH bucket assignment: one-pass expr vs interpreted HOFs ----
+    val dim = 64
+    val vecs = spark.range(1000000L).repartition(32).select(
+      col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(hash(col("id"), j), lit(2000)) / lit(1000.0) - 1.0)
+          .cast("float")).as("v"))
+    timed("lsh band 16 planes (LshBandExpr, 1M x 64d)") {
+      vecs.select(functions.DedupExpressions.lshBand(col("v"), 0, 16).as("b"))
+        .select(avg(col("b"))).head()
+    }
+    timed("lsh band 16 planes (aggregate/zip_with HOFs)") {
+      // the pre-round-3 formulation: one interpreted dot per plane
+      val rng = new scala.util.Random(42L)
+      val planes = Seq.fill(16)(Seq.fill(dim)(rng.nextGaussian()))
+      val bits = planes.zipWithIndex.map { case (p, i) =>
+        val pc = array(p.map(lit): _*)
+        val dot = aggregate(
+          zip_with(col("v"), pc, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      vecs.select(bits.reduce((a, b) => a.bitwiseOR(b)).as("b"))
+        .select(avg(col("b"))).head()
+    }
+
     // --- token packing: two-phase distributed prefix sum -------------
     timed(s"packSequences ($nEvents rows)") {
       graft.functions.Curation.packSequences(

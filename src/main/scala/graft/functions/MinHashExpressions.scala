@@ -124,11 +124,12 @@ object HashUtil {
 case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // per-instance, not per-row (executor-local after serialization)
+  @transient private lazy val as = Array.tabulate(k)(HashUtil.laneA)
+  @transient private lazy val bs = Array.tabulate(k)(HashUtil.laneB)
   override def nullSafeEval(input: Any): Any = {
     val hs = HashUtil.shingleHashes(input.asInstanceOf[UTF8String].toString, shingleN)
     val sig = Array.fill(k)(Long.MaxValue)
-    val as = Array.tabulate(k)(HashUtil.laneA)
-    val bs = Array.tabulate(k)(HashUtil.laneB)
     var i = 0
     while (i < hs.length) {
       val h = hs(i)

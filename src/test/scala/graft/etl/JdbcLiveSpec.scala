@@ -12,6 +12,45 @@ import org.apache.spark.sql.functions._
   * the delta/watermark resync, all against a real database instead of
   * shape-only assertions.
   */
+/** The http(s) fetch wrapper, exercised against file:// URLs (the
+  * environment has no egress; the retry/temp-file contract is URL-
+  * scheme-independent). Reference: utils.py:1340-1359.
+  */
+class FetchSpec extends graft.SparkSpec {
+  import java.nio.file.Files
+
+  test("fetchToTemp downloads, keeps the extension, caller cleans up") {
+    val src = Files.createTempFile("fetch-src-", ".csv")
+    Files.writeString(src, "id,name\n1,a\n2,b\n")
+    val got = Fetch.fetchToTemp(src.toUri.toString)
+    assert(got.toString.endsWith(".csv"))
+    assert(new String(Files.readAllBytes(got)).contains("2,b"))
+    Files.delete(got); Files.delete(src)
+  }
+
+  test("fetchToTemp retries then fails with a diagnosable error; no temp leak") {
+    val tmpDir = System.getProperty("java.io.tmpdir")
+    def fetchTemps() = new java.io.File(tmpDir).list().count(_.startsWith("graft-fetch-"))
+    val before = fetchTemps()
+    val e = intercept[java.io.IOException] {
+      Fetch.fetchToTemp("file:///nonexistent/graft-no-such-file.csv",
+        retries = 3, backoffMs = 1L)
+    }
+    assert(e.getMessage.contains("after 3 attempts"))
+    assert(fetchTemps() == before) // failed attempts deleted their temp files
+  }
+
+  test("loadUrl: fetch + extension dispatch + cleanup end-to-end") {
+    val src = Files.createTempFile("fetch-src-", ".csv")
+    Files.writeString(src, "id,state\n1,open\n2,closed\n3,open\n")
+    val df = Fetch.loadUrl(spark, src.toUri.toString,
+      oid = Loaders.OidColumn("id"), asOf = 123.0)
+    assert(df.count() == 3)
+    assert(df.columns.contains("state"))
+    Files.delete(src)
+  }
+}
+
 class JdbcLiveSpec extends graft.SparkSpec {
 
   private val url = "jdbc:derby:memory:graftdb;create=true"
