@@ -737,6 +737,56 @@ object SparkEntry {
         .orderBy(col(Meta.OID), col(Meta.START))
     }),
 
+    // streaming gap-sessionization gate: the flatMapGroupsWithState
+    // operator (custom per-key state + event-time timeout) over the
+    // events file stream, hash-compared to DuckDB's batch gap-split.
+    // Only CLOSED sessions emit; the comparison restricts both sides
+    // to sessions deterministically closed — by gap (a later event
+    // exists for the user) or timed out with >=100 s of watermark
+    // margin — so ms-truncation at the exact timeout boundary can't
+    // flap the row set.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val tmpBase =
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ssess-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          (expr("ts DIV 1000") / lit(1e6)).as("t"),
+          col("event_id"), col("value"))
+        .as[graft.streaming.SessionEvent]
+      val qname = "ssess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ssess-ck").toString
+      val q = graft.streaming.StreamIngest.streamingSessionize(stream, gapSeconds = 1800.0)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ev = tbl(s, dir, "events")
+      val base = ev.select(
+        col("user_id").cast("long").as("user_id"),
+        (eventMicros(ev) / lit(1e6)).as("t"))
+      val mt = base.agg(max("t")).head().getDouble(0)
+      val userMax = base.groupBy("user_id").agg(max("t").as("umax"))
+      s.table(qname)
+        .join(userMax, "user_id")
+        .filter(col("session_end") <= lit(mt - 3700.0) || col("session_end") < col("umax"))
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // salted two-phase aggregation for hot keys — must equal the plain
     // groupBy (the oracle IS the unsalted result)
     "q_salted_agg" -> ((s, dir) => {
@@ -1589,6 +1639,25 @@ object SparkEntry {
           |  event_type, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+      "q_stream_sessionize" ->
+        """WITH e AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts)/1e6 AS t, event_id
+          |  FROM events),
+          |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL THEN 1
+          |                    WHEN t - lag(t) OVER w > 1800.0 THEN 1 ELSE 0 END AS gap
+          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          |s AS (SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM g),
+          |sess AS (SELECT user_id, session, min(t) AS session_start, max(t) AS session_end,
+          |           count(*) AS n_events
+          |         FROM s GROUP BY 1, 2),
+          |um AS (SELECT user_id, max(t) AS umax FROM e GROUP BY 1),
+          |mx AS (SELECT max(t) AS mt FROM e)
+          |SELECT user_id, session_start, session_end, n_events
+          |FROM sess JOIN um USING (user_id) CROSS JOIN mx
+          |WHERE session_end <= mt - 3700.0 OR session_end < umax
+          |ORDER BY user_id, session_start""".stripMargin,
 
       "q_distinct_count" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
