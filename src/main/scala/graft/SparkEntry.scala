@@ -563,6 +563,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing: deterministic synthetic PII (email/URL/IPv4 built
+    // from doc_id) appended to each document, then counted and
+    // redacted — the oracle rebuilds the same text, re-runs the same
+    // RE2-compatible regexes, and hash-compares counts AND the md5 of
+    // the scrubbed text, so redaction is verified, not trusted
+    "q_scrub_pii" -> ((s, dir) => {
+      val withPii = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via http://site"),
+          col("doc_id"), lit(".test/page or 10.0."), pmod(col("doc_id"), lit(200L)),
+          lit(".1 end")).as("text"))
+      withPii.select(
+          col("doc_id"),
+          TextFunctions.piiCounts(col("text")).as("p"),
+          md5(TextFunctions.scrubPii(col("text"))).as("scrubbed_md5"))
+        .select(col("doc_id"), col("p.n_urls").as("n_urls"),
+          col("p.n_emails").as("n_emails"), col("p.n_ips").as("n_ips"),
+          col("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // within-document n-gram repetition ratio (Gopher-style signal)
+    "q_repetition" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+          col("doc_id"),
+          round(TextFunctions.repetitionRatio(col("text")), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(
@@ -1811,6 +1842,30 @@ object SparkEntry {
            |  list_min(list_transform(bh.hs,
            |    h -> ((2654435761 % 2147483647) * h + 40503 % 2147483647) % 2147483647)) AS shingle_fp
            |FROM n JOIN bh ON n.doc_id = bh.doc_id ORDER BY n.doc_id""".stripMargin,
+
+      "q_scrub_pii" -> {
+        val url = "https?://[^\\s]+"
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        s"""WITH w AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via http://site' ||
+           |    CAST(doc_id AS VARCHAR) || '.test/page or 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1 end' AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+           |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g')) AS scrubbed_md5
+           |FROM w ORDER BY doc_id""".stripMargin
+      },
+
+      "q_repetition" ->
+        s"""WITH ${tokCte()}, $ShingleCtes
+           |SELECT doc_id,
+           |  round(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 6) AS rep_ratio
+           |FROM sh ORDER BY doc_id""".stripMargin,
 
       "q_ngram_jaccard" ->
         s"""WITH ${tokCte("WHERE doc_id < 500")}, $ShingleCtes, $JaccardCtes

@@ -103,6 +103,40 @@ object TextFunctions {
     round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
   }
 
+  /** PII scrubbing for training text: redact URLs, emails, and IPv4s
+    * with typed placeholder tokens, in that order (URLs first so an
+    * address inside a URL doesn't leave a torn remainder). Patterns
+    * are RE2-compatible (no backreferences/lookaround), so engines
+    * with RE2 regexes (DuckDB) replicate the scrub byte-for-byte —
+    * which is how the gate verifies redaction instead of trusting it.
+    */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
+  /** Counts of each PII class (pre-scrub) — the filter/report side. */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"))
+
+  /** Within-document repetition ratio (a Gopher-style quality signal):
+    * 1 − |distinct word n-grams| / |word n-grams|. 0 = no repeated
+    * n-grams; → 1 for degenerate boilerplate loops.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = wordShingles(text, n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double")
+  }
+
   /** Language-ID by stopword-marker voting: counts hits of per-language
     * marker words among the tokens; highest count wins, ties broken by
     * language code order, zero hits ⇒ "und". An n-gram-free heuristic

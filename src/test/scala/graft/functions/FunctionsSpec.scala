@@ -202,6 +202,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("scrubPii redacts urls, emails, ips; piiCounts counts them") {
+    val df = Seq(
+      "mail me at a.b+c@test-site.org or see https://x.y/z?a=1 from 192.168.0.1 ok",
+      "clean text with no pii at all").toDF("text")
+    val rows = df.select(
+      TextFunctions.scrubPii(col("text")).as("s"),
+      TextFunctions.piiCounts(col("text")).as("p")).collect()
+    assert(rows(0).getString(0) == "mail me at <EMAIL> or see <URL> from <IP> ok")
+    assert(rows(0).getStruct(1).toSeq == Seq(1L, 1L, 1L))
+    assert(rows(1).getString(0) == "clean text with no pii at all")
+    assert(rows(1).getStruct(1).toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("repetitionRatio: 0 for distinct text, high for boilerplate loops") {
+    val df = Seq(
+      "one two three four five six seven eight",            // all distinct 3-grams
+      ("spam ham eggs " * 20).trim                          // heavy repetition
+    ).toDF("text")
+    val r = df.select(TextFunctions.repetitionRatio(col("text")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 0.0)
+    assert(r(1) > 0.9)
+  }
+
   test("connectedComponents matches a BFS reference on a random graph") {
     val rng = new scala.util.Random(21)
     val n = 60
