@@ -521,6 +521,27 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // benchmark-contamination check: docs sharing >= 3 distinct word
+    // 5-grams with the held-out "eval" slice (doc_id % 50 == 0) —
+    // exactly one genuinely contaminated pair exists in the corpus
+    "q_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.functions.Curation.contamination(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+          n = 5, minOverlap = 3)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
+    // deterministic bottom-k sample: 3 docs per lang by md5 priority —
+    // reservoir-style sampling with no RNG state, verified row-for-row
+    "q_bottomk_sample" -> ((s, dir) => {
+      graft.functions.Curation.bottomKSample(
+          tbl(s, dir, "documents"), col("doc_id"), k = 3, strata = Seq("lang"))
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     "q_bpe_token_counts" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -1842,6 +1863,28 @@ object SparkEntry {
            |  list_min(list_transform(bh.hs,
            |    h -> ((2654435761 % 2147483647) * h + 40503 % 2147483647) % 2147483647)) AS shingle_fp
            |FROM n JOIN bh ON n.doc_id = bh.doc_id ORDER BY n.doc_id""".stripMargin,
+
+      "q_contamination" ->
+        s"""WITH ${tokCte()},
+           |sh5 AS (
+           |  SELECT doc_id, CASE WHEN len(ws) <= 5
+           |    THEN [coalesce(list_aggregate(ws, 'string_agg', ' '), '')]
+           |    ELSE list_transform(range(1, len(ws) - 3),
+           |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+           |  END AS shingles FROM toks),
+           |dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh5),
+           |ev AS (SELECT doc_id AS eval_id, sh FROM dsh WHERE doc_id % 50 = 0),
+           |co AS (SELECT doc_id AS corpus_id, sh FROM dsh WHERE doc_id % 50 <> 0)
+           |SELECT corpus_id, eval_id, count(*) AS n_shared
+           |FROM co JOIN ev USING (sh) GROUP BY 1, 2 HAVING count(*) >= 3
+           |ORDER BY corpus_id, eval_id""".stripMargin,
+
+      "q_bottomk_sample" ->
+        """WITH b AS (
+          |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT, doc_id) AS rn
+          |  FROM documents)
+          |SELECT lang, doc_id FROM b WHERE rn <= 3 ORDER BY lang, doc_id""".stripMargin,
 
       "q_scrub_pii" -> {
         val url = "https?://[^\\s]+"

@@ -73,6 +73,67 @@ object Curation {
     df.filter(keep)
   }
 
+  /** Benchmark-contamination detection (the GPT-3/Gopher n-gram
+    * overlap check): corpus documents sharing at least `minOverlap`
+    * distinct word `n`-grams with any eval-set document. The eval set
+    * is small by construction → broadcast; the join key is the
+    * shingle, so cost is bounded by shingle collisions across
+    * corpus×eval — never corpus². Returns
+    * `(corpus_id, eval_id, n_shared)`; feed the corpus ids to an
+    * anti-join to quarantine contaminated documents before training.
+    */
+  def contamination(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int = 5,
+      minOverlap: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val c = corpus.select(
+      col(idCol).as("corpus_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh"))
+    val e = eval.select(
+      col(evalIdCol).as("eval_id"),
+      explode(array_distinct(TextFunctions.wordShingles(col(evalTextCol), n))).as("sh"))
+    c.join(broadcast(e), "sh")
+      .groupBy("corpus_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /** Deterministic uniform sample: the `k` rows with the smallest
+    * md5-derived priority (per stratum when `strata` is given) — a
+    * mergeable bottom-k sketch, i.e. distributed reservoir sampling
+    * with NO RNG state: identical rows on any cluster size, any run,
+    * and replicable by any engine with md5. Global sampling uses
+    * sort+limit (TakeOrdered: per-partition heaps, driver merge);
+    * stratified sampling is one window shuffle on the strata.
+    */
+  def bottomKSample(
+      df: DataFrame,
+      key: Column,
+      k: Int,
+      strata: Seq[String] = Nil,
+      seed: Long = 42L): DataFrame = {
+    val priority = conv(
+      substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 15), 16, 10)
+      .cast("long")
+    if (strata.isEmpty) {
+      df.withColumn("__pri", priority)
+        .orderBy(col("__pri"), key)
+        .limit(k)
+        .drop("__pri")
+    } else {
+      val w = Window.partitionBy(strata.map(col): _*).orderBy(priority, key)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .drop("__rn")
+    }
+  }
+
   /** Deterministic corpus mixture: build a training mix from several
     * sources at given sampling rates (e.g. web 0.6 @ 30%, code 1.0,
     * wiki 2 epochs ⇒ rate 2.0 = keep + duplicate). Rates > 1 emit

@@ -4,6 +4,42 @@ import graft.SparkSpec
 
 import org.apache.spark.sql.functions._
 
+class CurationContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination flags only docs overlapping the eval set") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog and more"),
+      (2L, "completely unrelated text about spark catalyst plans and shuffles"),
+      (3L, "quick brown fox alone")) // < n words of overlap at n=5
+      .toDF("id", "text")
+    val hits = Curation.contamination(corpus, "id", "text", eval, "id", "text",
+        n = 5, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L)))
+    assert(hits.head._3 >= 2)
+  }
+
+  test("bottomKSample is deterministic, size-bounded, and stratum-stable") {
+    val df = spark.range(0, 500).select(
+      col("id"), (col("id") % 4).cast("string").as("grp"))
+    val s1 = Curation.bottomKSample(df, col("id"), k = 5, strata = Seq("grp"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    val s2 = Curation.bottomKSample(df.repartition(13), col("id"), k = 5, strata = Seq("grp"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    assert(s1 == s2)                      // partitioning-independent
+    assert(s1.groupBy(_._1).forall(_._2.size == 5))
+    // global variant: exact k, same rows regardless of layout
+    val g1 = Curation.bottomKSample(df, col("id"), k = 7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val g2 = Curation.bottomKSample(df.repartition(17), col("id"), k = 7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(g1 == g2 && g1.size == 7)
+  }
+}
+
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
