@@ -41,6 +41,30 @@ object OsInfoSource {
     fromQueryOutput(spark, out, host, asOf)
   }
 
+  /** The remote-extraction command of the reference's ssh path
+    * (rpm.py:77-117 runs the same queryformat through a paramiko
+    * channel; here it is one argv — no shell interpolation of the
+    * host, so a hostile hostname cannot inject). BatchMode keeps a
+    * scheduled extraction from hanging on a password prompt.
+    */
+  def sshCommand(
+      host: String,
+      sshOptions: Seq[String] = Seq("-o", "BatchMode=yes")): Seq[String] =
+    Seq("ssh") ++ sshOptions ++ Seq(host, "rpm", "-qa", "--queryformat", queryFormat)
+
+  /** Query a remote host's rpm database over ssh; empty DataFrame when
+    * unreachable (no ssh targets exist in this environment — the
+    * command construction + parse pipeline is the tested surface).
+    */
+  def loadPackagesRemote(
+      spark: SparkSession,
+      host: String,
+      sshOptions: Seq[String] = Seq("-o", "BatchMode=yes"),
+      asOf: Double = 0.0): DataFrame = {
+    val out = Try(sshCommand(host, sshOptions).!!).getOrElse("")
+    fromQueryOutput(spark, out, host, asOf)
+  }
+
   /** Parse rpm queryformat output (testable without rpm installed). */
   def fromQueryOutput(
       spark: SparkSession,

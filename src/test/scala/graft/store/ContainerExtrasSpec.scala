@@ -91,4 +91,19 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getAs[String]("packager") == null) // (none) -> null
     assert(rows(1).getAs[String]("license") == "MIT")
   }
+
+  test("OsInfoSource ssh path: injection-safe argv + per-host oids") {
+    import graft.etl.OsInfoSource
+    val cmd = OsInfoSource.sshCommand("build-host.example")
+    assert(cmd.take(4) == Seq("ssh", "-o", "BatchMode=yes", "build-host.example"))
+    assert(cmd.drop(4).take(3) == Seq("rpm", "-qa", "--queryformat"))
+    // hostile hostname stays a single argv element — nothing to inject
+    assert(OsInfoSource.sshCommand("h; rm -rf /").contains("h; rm -rf /"))
+    // unreachable host -> empty frame with the full schema, not a crash
+    val df = OsInfoSource.loadPackagesRemote(
+      spark, "graft-no-such-host.invalid",
+      sshOptions = Seq("-o", "BatchMode=yes", "-o", "ConnectTimeout=1"))
+    assert(df.count() == 0)
+    assert(df.columns.contains("nvra"))
+  }
 }
