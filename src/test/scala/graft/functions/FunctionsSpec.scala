@@ -184,6 +184,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains(7L))
   }
 
+  test("LshBandExpr matches the driver-side twin bit-for-bit (oracle invariant)") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val got = df.select(col("id"),
+        DedupExpressions.lshBand(col("vec"), 3, 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.foreach { case (i, v) =>
+      assert(got(i) == Similarity.lshBandOf(v, 3, 16), s"vec $i")
+    }
+  }
+
+  test("MinHashSigExpr / SimHash64Expr match their Column-composed twins (oracle invariant)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "spark catalyst plans optimize declarative queries",
+      "short", "", "a b", "repeated words repeated words repeated words")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val expr = df.select(col("id"),
+        DedupExpressions.minhashSig(col("text"), 16).as("sig"),
+        DedupExpressions.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val cols = df.select(col("id"),
+        Dedup.minhashSignature(col("text"), 16).as("sig"),
+        Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    texts.indices.foreach { i =>
+      assert(expr(i)._1 == cols(i)._1, s"minhash sig diverged for doc $i")
+      assert(expr(i)._2 == cols(i)._2, s"simhash diverged for doc $i")
+    }
+  }
+
   test("cosinePairsLsh result is a subset of exact cosinePairs; high-sim pairs kept") {
     val rng = new scala.util.Random(5)
     val base = Array.fill(16)(rng.nextGaussian().toFloat)
