@@ -185,6 +185,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // raw-SQL passthrough WITH an mql() predicate inside Spark SQL —
+    // gates Container.execute AND the GraftExtensions running-session
+    // rewrite (the MQL compiles against the view schema and still
+    // reaches the scan as a plain filter)
+    "q_execute_mql_sql" -> ((s, dir) => {
+      new GraftExtensions().register(s)
+      val c = lineitemContainer(s, dir)
+      c.execute(
+        """SELECT _oid, l_quantity, l_returnflag FROM lineitem
+          |WHERE mql('l_quantity > 45 and l_returnflag in ["A", "N"]') AND _end IS NULL
+          |ORDER BY _oid, l_quantity, l_returnflag""".stripMargin)
+    }),
+
     "q_distinct_scalar" -> ((s, dir) => {
       val c = lineitemContainer(s, dir)
       c.distinct("l_returnflag").withColumnRenamed("l_returnflag", "flag")
@@ -1312,6 +1325,11 @@ object SparkEntry {
 
       "q_distinct_scalar" ->
         "SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag",
+
+      "q_execute_mql_sql" ->
+        s"""SELECT $oidLi AS _oid, l_quantity, l_returnflag FROM lineitem
+           |WHERE l_quantity > 45 AND l_returnflag IN ('A', 'N')
+           |ORDER BY _oid, l_quantity, l_returnflag""".stripMargin,
 
       "q_distinct_array" ->
         "SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag",

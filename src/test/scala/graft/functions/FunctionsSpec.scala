@@ -294,6 +294,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf_cell-partitioned layout: the probe filter partition-prunes the scan") {
+    val rng = new scala.util.Random(23)
+    val vecs = (0L until 400L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.ivfFit(df, "id", "vec", k = 4, sampleN = 400)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").resolve("v").toString
+    df.withColumn("ivf_cell", Similarity.ivfAssign(col("vec"), cents))
+      .write.partitionBy("ivf_cell").parquet(tmp)
+    val all = spark.read.parquet(tmp)
+    val probe = all.filter(col("ivf_cell") === 0)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"), plan)
+    // pruned scan reads exactly the cell's rows
+    val cell0 = df.withColumn("c", Similarity.ivfAssign(col("vec"), cents))
+      .filter(col("c") === 0).count()
+    assert(probe.count() == cell0 && cell0 > 0)
+  }
+
   test("ivfFit + annTopKIvf recover the brute-force top-3") {
     val rng = new scala.util.Random(9)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
