@@ -1090,6 +1090,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // heavy hitters via the recommended sketch-then-confirm chain:
+    // freqItems candidates (single-pass, bounded memory, may include
+    // false positives) -> exact count over ONLY the candidates (a
+    // semi-join, not a full groupBy at scale) -> keep > support. The
+    // oracle computes the exact answer directly, so the chain must
+    // neither miss a hitter nor let a false positive through
+    "q_heavy_hitters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val total = docs.count()
+      val cand = graft.functions.Sketches.frequentItems(docs, Seq("lang"), 0.2)
+        .head().getSeq[String](0)
+      docs.filter(col("lang").isin(cand: _*))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .filter(col("n") > lit(total * 0.2))
+        .orderBy("lang")
+    }),
+
     // HLL-sketch distinct: per-(lang,source) sketches merged per lang.
     // Sketch bytes are engine-specific, so the gate is a TOLERANCE
     // gate: the exact distinct count (oracle-verified) rides along and
@@ -1984,6 +2001,11 @@ object SparkEntry {
       "q_hll_distinct" ->
         """SELECT lang, count(DISTINCT doc_id) AS n_exact, true AS within_tol
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_heavy_hitters" ->
+        """SELECT lang, count(*) AS n FROM documents GROUP BY lang
+          |HAVING count(*) > 0.2 * (SELECT count(*) FROM documents)
+          |ORDER BY lang""".stripMargin,
 
       "q_history_linreg" -> {
         val days = (2 to 29).map(d => s"(${ts(f"2024-01-$d%02d")})").mkString(", ")
