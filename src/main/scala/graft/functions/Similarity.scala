@@ -111,19 +111,24 @@ object Similarity {
       threshold: Double,
       nBands: Int = 16,
       bandBits: Int = 4): DataFrame = {
+    // band exploding carries ONLY (id, band, bv) — never the vector,
+    // which would otherwise be duplicated nBands× through the shuffle;
+    // vectors are attached to the (deduped) candidate pairs afterwards
     val banded = df.select(
-        col(idCol).as("id"), col(vecCol).as("v"),
+        col(idCol).as("id"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
             DedupExpressions.lshBand(col(vecCol), b * bandBits, bandBits).as("bv"))): _*))
           .as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val a = banded.select(col("id").as("id_a"), col("v").as("v_a"), col("band"), col("bv"))
-    val b = banded.select(col("id").as("id_b"), col("v").as("v_b"), col("band"), col("bv"))
-    a.join(b, Seq("band", "bv"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val pairs = banded.select(col("id").as("id_a"), col("band"), col("bv"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bv")), Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
