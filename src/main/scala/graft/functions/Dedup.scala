@@ -106,6 +106,42 @@ object Dedup {
     *   still collide in their other, rarer bands (recall loss only for
     *   mega-clusters, which exact-hash dedup already catches).
     */
+  /** [[minhashPairs]] over a PRECOMPUTED signature table `(id, sig)` —
+    * the 100 TB formulation: signatures are expensive and reused, so
+    * materialize them once (parquet/cache), then band with IDS ONLY
+    * (the single-pipeline `minhashPairs` carries the 512-byte
+    * signature `bands`× through the band shuffle to avoid recomputing
+    * it; with a persisted table that tradeoff inverts) and join the
+    * signatures back onto the deduped candidate pairs for the
+    * estimate.
+    */
+  def minhashPairsFromSigs(
+      sigs: DataFrame,
+      k: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandedAll = sigs.select(
+      col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val okBuckets = bandedAll.groupBy("band")
+      .agg(count(lit(1)).as("_bs"))
+      .filter(col("_bs") <= maxBucketSize)
+      .select("band")
+    val banded = bandedAll.join(okBuckets, Seq("band"), "left_semi")
+    val pairs = banded.select(col("id").as("id_a"), col("band"))
+      .join(banded.select(col("id").as("id_b"), col("band")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        DedupExpressions.sigMatchRatio(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,

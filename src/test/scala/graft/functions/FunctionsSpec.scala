@@ -216,6 +216,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("minhashPairsFromSigs (persisted-signature path) matches minhashPairs") {
+    val docs = (0L until 60L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      (i, if (i % 4 == 0) base else s"$base doc $i variant ${i % 7} tail words here")
+    }.toDF("doc_id", "text")
+    val direct = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sigs = docs.select(col("doc_id").as("id"),
+      DedupExpressions.minhashSig(col("text"), 64).as("sig"))
+    val fromSigs = Dedup.minhashPairsFromSigs(sigs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(direct == fromSigs && direct.nonEmpty)
+  }
+
   test("cosinePairsLsh result is a subset of exact cosinePairs; high-sim pairs kept") {
     val rng = new scala.util.Random(5)
     val base = Array.fill(16)(rng.nextGaussian().toFloat)
