@@ -236,13 +236,16 @@ case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
   override def dataType: DataType = LongType
 
   // (plane, block) -> 64 sign bits; tiny and deterministic, cached per
-  // expression instance (executor-local after serialization)
+  // expression instance. Concurrent map: instances are normally
+  // task-private after deserialization, but driver-side evaluation
+  // paths may share one — a racy plain map could silently corrupt and
+  // mis-bucket.
   @transient private lazy val planeBlocks =
-    scala.collection.mutable.LongMap.empty[Long]
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
   private def signBits(plane: Int, blk: Int): Long =
-    planeBlocks.getOrElseUpdate(
+    planeBlocks.computeIfAbsent(
       (plane.toLong << 32) | blk,
-      HashUtil.md5Lower64(s"lshplane_${plane}_$blk"))
+      key => HashUtil.md5Lower64(s"lshplane_${plane}_$blk"))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
