@@ -178,6 +178,25 @@ object SparkEntry {
         .orderBy(col(Meta.OID))
     }),
 
+    // negated regex: `!= regex(...)` keeps rows NOT matching
+    "q_find_regex_neg" -> ((s, dir) => {
+      val c = partContainer(s, dir)
+      c.find(query = "p_name != regex('o') and p_size < 4", date = "~")
+        .select(col(Meta.OID), col("p_name"))
+        .orderBy(col(Meta.OID))
+    }),
+
+    // regex over an ARRAY field: ANY element matching (PG `~@` parity)
+    "q_find_regex_array" -> ((s, dir) => {
+      val orders = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(array_distinct(collect_list(col("l_linestatus")))).as("modes"))
+      val c = Container.fromRaw(s, "omodes", orders, col("l_orderkey"), AsOf)
+      c.find(query = "modes == regex('^O')", date = "~")
+        .select(col(Meta.OID), size(col("modes")).cast("long").as("n_modes"))
+        .orderBy(col(Meta.OID))
+    }),
+
     "q_count_mql" -> ((s, dir) => {
       val c = lineitemContainer(s, dir)
       // count() collapses to a Long; expose as a one-row DataFrame
@@ -1339,6 +1358,17 @@ object SparkEntry {
 
       "q_count_mql" ->
         "SELECT count(*) AS n FROM lineitem WHERE l_quantity >= 30 AND l_discount < 0.05",
+
+      "q_find_regex_neg" ->
+        """SELECT CAST(p_partkey AS BIGINT) AS _oid, p_name FROM part
+          |WHERE NOT regexp_matches(p_name, 'o') AND p_size < 4 ORDER BY _oid""".stripMargin,
+
+      "q_find_regex_array" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS _oid,
+          |  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_modes
+          |FROM lineitem GROUP BY l_orderkey
+          |HAVING bool_or(regexp_matches(l_linestatus, '^O'))
+          |ORDER BY _oid""".stripMargin,
 
       "q_distinct_scalar" ->
         "SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag",
