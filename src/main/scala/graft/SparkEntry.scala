@@ -217,6 +217,15 @@ object SparkEntry {
           |ORDER BY _oid, l_quantity, l_returnflag""".stripMargin)
     }),
 
+    // where-map filter with the INTENDED AND semantics (the reference's
+    // loop bug only honors the last key — divergence noted SURVEY §7.4)
+    "q_filter_where" -> ((s, dir) => {
+      val c = lineitemContainer(s, dir)
+      c.where(Map("l_returnflag" -> "R", "l_linestatus" -> "F"), date = "~")
+        .select(col(Meta.OID), col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col(Meta.OID), col("l_quantity"))
+    }),
+
     "q_distinct_scalar" -> ((s, dir) => {
       val c = lineitemContainer(s, dir)
       c.distinct("l_returnflag").withColumnRenamed("l_returnflag", "flag")
@@ -1372,6 +1381,11 @@ object SparkEntry {
 
       "q_distinct_scalar" ->
         "SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag",
+
+      "q_filter_where" ->
+        s"""SELECT $oidLi AS _oid, l_quantity, l_returnflag, l_linestatus
+           |FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+           |ORDER BY _oid, l_quantity""".stripMargin,
 
       "q_execute_mql_sql" ->
         s"""SELECT $oidLi AS _oid, l_quantity, l_returnflag FROM lineitem
