@@ -1051,6 +1051,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IncrementalStore lifecycle IN the gate: flush the first event per
+    // user as the initial snapshot, flush the last event (rotating
+    // changed users into append-only history), compact history, read
+    // back history ∪ current — write volume O(|current|+|batch|) per
+    // flush, never a history rewrite; the oracle derives the same
+    // version set from first/last events directly
+    "q_incremental_store" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incr")
+        .resolve("store").toString
+      val ev = tbl(s, dir, "events")
+      def snapshotOf(w: org.apache.spark.sql.expressions.WindowSpec) = wrapEvents(
+        ev.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(
+            col("user_id").cast("long").as(Meta.OID),
+            (eventMicros(ev) / lit(1e6)).as(Meta.START),
+            lit(null).cast("double").as(Meta.END),
+            col("event_type"), col("value")))
+      val first = snapshotOf(
+        Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc))
+      val last = snapshotOf(
+        Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc))
+      val st = graft.store.IncrementalStore.open(s, "incr", tmp)
+      st.flushUpsert(first)
+      st.flushUpsert(last)
+      st.compactHistory(targetFiles = 2)
+      st.df
+        .select(col(Meta.OID), col(Meta.START), col(Meta.END), col("event_type"), col("value"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
     // full persistence lifecycle IN the gate: wrap -> save (partitioned
     // by is_current) -> load -> current-snapshot find (partition-pruned)
     "q_persist_roundtrip" -> ((s, dir) => {
@@ -1814,6 +1844,28 @@ object SparkEntry {
           |  UNION
           |  SELECT unnest(t.children) FROM tree t JOIN r ON t.rk = r.k)
           |SELECT k FROM r ORDER BY k""".stripMargin,
+
+      "q_incremental_store" ->
+        """WITH e AS (
+          |  SELECT CAST(user_id AS BIGINT) AS _oid, epoch_us(ts)/1e6 AS t, event_id,
+          |         event_type, value
+          |  FROM events),
+          |f AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY _oid ORDER BY t, event_id) AS rn
+          |      FROM e) WHERE rn = 1),
+          |l AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY _oid ORDER BY t DESC, event_id DESC) AS rn
+          |      FROM e) WHERE rn = 1),
+          |j AS (SELECT f._oid, f.t AS ft, f.event_type AS fe, f.value AS fv,
+          |             l.t AS lt, l.event_type AS le, l.value AS lv
+          |      FROM f JOIN l USING (_oid)),
+          |chg AS (SELECT * FROM j WHERE fe <> le OR fv <> lv)
+          |SELECT _oid, _start, _end, event_type, value FROM (
+          |  SELECT _oid, ft AS _start, lt AS _end, fe AS event_type, fv AS value FROM chg
+          |  UNION ALL
+          |  SELECT _oid, lt, CAST(NULL AS DOUBLE), le, lv FROM chg
+          |  UNION ALL
+          |  SELECT _oid, ft, CAST(NULL AS DOUBLE), fe, fv FROM j
+          |  WHERE NOT (fe <> le OR fv <> lv))
+          |ORDER BY _oid, _start""".stripMargin,
 
       "q_persist_roundtrip" ->
         s"""$VEventsSql
