@@ -583,6 +583,30 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // deterministic stratified sample on the md5 basis — every kept
+    // row verified (not just proportions)
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.functions.Curation.stratifiedSample(
+          tbl(s, dir, "documents"),
+          col("lang"), Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25),
+          col("doc_id"), basis = "md5")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic corpus mixture: full epochs + hash-sampled
+    // fractional remainder per source, every emitted row verified
+    "q_mixture" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.functions.Curation.mixture(
+          Seq(
+            ("en", docs.filter(col("lang") === "en"), 1.5),
+            ("rest", docs.filter(col("lang") =!= "en"), 0.5)),
+          col("doc_id"), basis = "md5")
+        .select(col("doc_id"), col("mix_source"), col("mix_epoch"))
+        .orderBy("doc_id", "mix_source", "mix_epoch")
+    }),
+
     "q_bpe_token_counts" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -2097,6 +2121,34 @@ object SparkEntry {
       "q_hll_distinct" ->
         """SELECT lang, count(DISTINCT doc_id) AS n_exact, true AS within_tol
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q_stratified_sample" ->
+        """WITH b AS (
+          |  SELECT doc_id, lang,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+          |    % 1000000 AS bucket
+          |  FROM documents)
+          |SELECT doc_id, lang FROM b
+          |WHERE (lang = 'en' AND bucket < 500000)
+          |   OR (lang = 'de' AND bucket < 1000000)
+          |   OR (lang = 'zh' AND bucket < 250000)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_mixture" ->
+        """WITH b AS (
+          |  SELECT doc_id, lang,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+          |    % 1000000 AS b42,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':43'), 1, 15))::BIGINT
+          |    % 1000000 AS b43
+          |  FROM documents)
+          |SELECT doc_id, mix_source, mix_epoch FROM (
+          |  SELECT doc_id, 'en' AS mix_source, 0 AS mix_epoch FROM b WHERE lang = 'en'
+          |  UNION ALL
+          |  SELECT doc_id, 'en', 1 FROM b WHERE lang = 'en' AND b43 < 500000
+          |  UNION ALL
+          |  SELECT doc_id, 'rest', 0 FROM b WHERE lang <> 'en' AND b42 < 500000)
+          |ORDER BY doc_id, mix_source, mix_epoch""".stripMargin,
 
       "q_heavy_hitters" ->
         """SELECT lang, count(*) AS n FROM documents GROUP BY lang

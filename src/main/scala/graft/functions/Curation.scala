@@ -41,12 +41,7 @@ object Curation {
     val slots = 1000000L
     val bounds = weights.scanLeft(0.0)(_ + _ / total).tail // cumulative upper bounds
       .map(f => (f * slots).toLong)
-    val bucket = basis match {
-      case "md5" =>
-        conv(substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 15), 16, 10)
-          .cast("long") % lit(slots)
-      case _ => pmod(xxhash64(key, lit(seed)), lit(slots))
-    }
+    val bucket = bucketOf(key, seed, slots, basis)
     val assign = bounds.zipWithIndex.reverse.foldLeft(lit(weights.size - 1)) {
       case (acc, (hi, i)) => when(bucket < lit(hi), lit(i)).otherwise(acc)
     }
@@ -64,14 +59,26 @@ object Curation {
       stratum: Column,
       fractions: Map[String, Double],
       key: Column,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      basis: String = "xxhash"): DataFrame = {
     val slots = 1000000L
-    val bucket = pmod(xxhash64(key, lit(seed)), lit(slots))
+    val bucket = bucketOf(key, seed, slots, basis)
     val keep = fractions.foldLeft(lit(false)) { case (acc, (s, f)) =>
       when(stratum === lit(s), bucket < lit((f * slots).toLong)).otherwise(acc)
     }
     df.filter(keep)
   }
+
+  /** Shared split/sample bucket hash — `"xxhash"` (codegen'd, default)
+    * or `"md5"` (oracle-replicable; see [[hashSplit]]'s basis doc).
+    */
+  private def bucketOf(key: Column, seed: Long, slots: Long, basis: String): Column =
+    basis match {
+      case "md5" =>
+        conv(substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 15), 16, 10)
+          .cast("long") % lit(slots)
+      case _ => pmod(xxhash64(key, lit(seed)), lit(slots))
+    }
 
   /** Benchmark-contamination detection (the GPT-3/Gopher n-gram
     * overlap check): corpus documents sharing at least `minOverlap`
@@ -144,7 +151,8 @@ object Curation {
   def mixture(
       sources: Seq[(String, DataFrame, Double)],
       key: Column,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      basis: String = "xxhash"): DataFrame = {
     require(sources.nonEmpty && sources.forall(_._3 > 0), "rates must be positive")
     val slots = 1000000L
     val parts = sources.flatMap { case (name, df, rate) =>
@@ -153,7 +161,9 @@ object Curation {
       val fracRate = rate - rate.toInt
       val frac =
         if (fracRate > 0) {
-          val bucket = pmod(xxhash64(key, lit(seed), lit(rate.toInt)), lit(slots))
+          // fold the epoch index into the seed so each source's
+          // fractional slice is an independent hash decision
+          val bucket = bucketOf(key, seed + rate.toInt, slots, basis)
           Seq(tagged.filter(bucket < lit((fracRate * slots).toLong))
             .withColumn("mix_epoch", lit(rate.toInt)))
         } else Nil
