@@ -91,6 +91,15 @@ object ScaleProbe {
     timed("minhash LSH pairs") {
       functions.Dedup.minhashPairs(docs, "id", "text", threshold = 0.9).count()
     }
+    timed("minhash LSH pairs (persisted sigs)") {
+      // the 100 TB shape: signatures materialized once, ids-only bands
+      val sigs = docs.select(col("id"),
+        functions.DedupExpressions.minhashSig(col("text"), 64).as("sig")).cache()
+      sigs.count()
+      val n = functions.Dedup.minhashPairsFromSigs(sigs, threshold = 0.9).count()
+      sigs.unpersist()
+      n
+    }
     timed("simhash all docs") {
       docs.select(functions.DedupExpressions.simhash64(col("text")).as("h"))
         .select(avg(col("h"))).head()
