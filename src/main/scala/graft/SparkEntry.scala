@@ -1207,12 +1207,14 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // git-repo source (driver-side shellout; rows-only check)
+    // git-repo source. The shellout's raw parse is dumped to a fixture
+    // parquet the DuckDB oracle reads by absolute path, so the
+    // trailer-regex + numstat-total pipeline above the subprocess
+    // boundary is value-verified (not just rows>0).
     "q_git_commits" -> ((s, dir) => {
-      graft.etl.GitSource.loadCommits(s, "/root/repo")
-        .select(col(Meta.OID), col("author"), col("added"), col("removed"),
-          size(col("parents")).cast("long").as("n_parents"),
-          size(col("signed_off_by")).cast("long").as("n_signoffs"))
+      val raw = graft.etl.GitSource.rawNumstatRows(s, "/root/repo")
+      raw.write.mode("overwrite").parquet(graft.etl.GitSource.FixturePath)
+      graft.etl.GitSource.commitStats(s.read.parquet(graft.etl.GitSource.FixturePath))
         .orderBy(Meta.OID)
     }),
 
@@ -2121,6 +2123,23 @@ object SparkEntry {
       "q_hll_distinct" ->
         """SELECT lang, count(DISTINCT doc_id) AS n_exact, true AS within_tol
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // Replays trailer extraction + numstat totals from the raw-parse
+      // fixture the Spark query dumped (the git shellout itself is the
+      // one layer DuckDB cannot run).
+      "q_git_commits" ->
+        s"""WITH raw AS (
+           |  SELECT * FROM read_parquet('${graft.etl.GitSource.FixturePath}/*.parquet')),
+           |agg AS (
+           |  SELECT _oid, min(author) AS author, min(message) AS message,
+           |         min(n_parents) AS n_parents,
+           |         CAST(sum(file_added) AS BIGINT) AS added,
+           |         CAST(sum(file_removed) AS BIGINT) AS removed
+           |  FROM raw GROUP BY _oid)
+           |SELECT _oid, author, added, removed, n_parents,
+           |  CAST(len(regexp_extract_all(message, '(?m)^\\s*Signed-off-by:\\s*(.*)$$', 1)) AS BIGINT) AS n_signoffs,
+           |  coalesce(array_to_string(regexp_extract_all(message, '(?m)^\\s*Signed-off-by:\\s*(.*)$$', 1), '|'), '') AS signoffs
+           |FROM agg ORDER BY _oid""".stripMargin,
 
       "q_stratified_sample" ->
         """WITH b AS (

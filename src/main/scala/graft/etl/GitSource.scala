@@ -99,4 +99,67 @@ object GitSource {
       .withColumn("resolves", all("(?mi)^\\s*Resolves:\\s*(.*)$"))
       .withColumn("related", all("(?mi)^\\s*Related:\\s*(.*)$"))
   }
+
+  // ------------------------------------------------------ oracle fixture
+
+  /** Where the raw-parse fixture parquet lands so the DuckDB oracle can
+    * `read_parquet` it by absolute path (the shellout itself is the one
+    * layer an external engine cannot replay).
+    */
+  val FixturePath = "/tmp/graft_fixtures/git_commits_raw.parquet"
+
+  /** The oracle-checkable boundary of the git source: everything BELOW
+    * this (subprocess + record split) is a driver-side shellout DuckDB
+    * cannot replay; everything ABOVE (trailer regexes, add/del totals)
+    * is engine-independent Column logic. One row per numstat file; a
+    * commit with no numstat output emits a single null-path zero row so
+    * `sum` stays total on both engines.
+    */
+  def rawNumstatRows(spark: SparkSession, repoPath: String): DataFrame = {
+    val fmt = Seq("%H", "%T", "%P", "%an <%ae>", "%cn <%ce>", "%at", "%ct", "%B")
+      .mkString(Sep)
+    val out = Try(Seq(
+      "git", "-C", repoPath, "log", "--all", "--numstat",
+      s"--pretty=format:$RecSep$fmt$Sep").!!).getOrElse("")
+    val rows = parseLog(out).flatMap { c =>
+      val files =
+        if (c.files.isEmpty) Seq((null: String, 0, 0))
+        else c.files.toSeq.map { case (p, (a, r)) => (p, a, r) }
+      files.map { case (p, a, r) =>
+        Row(c.sha, c.author, c.committer, c.message,
+          c.parents.size.toLong, p, a, r)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 5000 + 1)),
+      StructType(Seq(
+        StructField("_oid", StringType),
+        StructField("author", StringType),
+        StructField("committer", StringType),
+        StructField("message", StringType),
+        StructField("n_parents", LongType),
+        StructField("file_path", StringType),
+        StructField("file_added", IntegerType),
+        StructField("file_removed", IntegerType))))
+  }
+
+  /** Per-commit stats derived purely from the raw fixture layer —
+    * trailer extraction + numstat totals as Column logic the oracle
+    * replays verbatim (reference semantics: commit.py:54-131).
+    */
+  def commitStats(raw: DataFrame): DataFrame = {
+    val agg = raw.groupBy(Meta.OID).agg(
+      first(col("author")).as("author"),
+      first(col("message")).as("message"),
+      first(col("n_parents")).as("n_parents"),
+      sum(col("file_added")).cast("long").as("added"),
+      sum(col("file_removed")).cast("long").as("removed"))
+    val signoffs =
+      regexp_extract_all(col("message"), lit("(?m)^\\s*Signed-off-by:\\s*(.*)$"), lit(1))
+    agg.select(
+      col(Meta.OID), col("author"), col("added"), col("removed"),
+      col("n_parents"),
+      size(signoffs).cast("long").as("n_signoffs"),
+      array_join(signoffs, "|").as("signoffs"))
+  }
 }

@@ -214,6 +214,19 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
+    // One-action set fingerprint replacing the two exceptAll passes per
+    // round: edge lists are distinct, so (count, XOR of pair hashes) is
+    // an order-independent set identity — equal fingerprints on
+    // consecutive rounds = fixpoint. XOR (not sum) so ANSI overflow
+    // can't throw; one narrow agg job per round instead of two full
+    // edge-list shuffles.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = fingerprint(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -235,8 +248,9 @@ object Dedup {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct())
-      converged =
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextSig = fingerprint(next)
+      converged = nextSig == sig
+      sig = nextSig
       edges.unpersist()
       edges = next
       i += 1

@@ -3,7 +3,7 @@ package graft.store
 import graft.model.Meta
 import graft.mql.{Compiler, DateRange, Fields}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -100,24 +100,38 @@ class Container(
     * following `field` (scalar or array of child oids), `level` hops max
     * (reference: sqlalchemy.py:666-692 `deptree`).
     *
-    * Iterative broadcast-semi-join loop — the idiomatic Spark shape for
-    * small-fringe transitive closure; each hop is one filtered scan, and
-    * the fringe stays driver-side (bounded by the entity-id set, not the
-    * row count).
+    * Iterative semi-join loop — the idiomatic Spark shape for transitive
+    * closure; each hop is one filtered scan, and the fringe stays
+    * driver-side (bounded by the entity-id set, not the row count).
+    * Small fringes ride an `isin` literal (pushed to the scan as an In
+    * filter); past [[Container.DeptreeIsinMax]] ids the fringe becomes a
+    * broadcast `left_semi` join instead, so a 10^5–10^6-id hop never
+    * bloats the plan/codegen with a giant In-list.
     */
   def deptree(
       field: String,
       oids: Seq[Any],
       date: String = null,
-      level: Int = Int.MaxValue): Seq[Any] = {
+      level: Int = Int.MaxValue,
+      isinMax: Int = Container.DeptreeIsinMax): Seq[Any] = {
     val snap = find(date = date)
     val isArray = snap.schema(field).dataType.isInstanceOf[ArrayType]
+    val oidType = snap.schema(Meta.OID).dataType
     var seen = oids.toSet
     var fringe = oids.toSet
     var depth = 0
     while (fringe.nonEmpty && depth < level) {
-      val kids = snap
-        .filter(col(Meta.OID).isin(fringe.toSeq: _*))
+      val hop =
+        if (fringe.size <= isinMax)
+          snap.filter(col(Meta.OID).isin(fringe.toSeq: _*))
+        else {
+          val fdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              fringe.toSeq.map(Row(_)), math.max(1, fringe.size / 500000)),
+            StructType(Seq(StructField("__fringe_oid", oidType))))
+          snap.join(broadcast(fdf), col(Meta.OID) === col("__fringe_oid"), "left_semi")
+        }
+      val kids = hop
         .select(if (isArray) explode(col(field)).as("k") else col(field).as("k"))
         .filter(col("k").isNotNull)
         .distinct()
@@ -435,6 +449,12 @@ object Container {
     * live in their own partition so snapshot reads prune.
     */
   val PartCol = "is_current"
+
+  /** Largest deptree fringe embedded as an `isin` literal; bigger
+    * fringes switch to a broadcast left_semi join so the plan stays
+    * flat (an In-list of 10^5 ids bloats codegen and the driver plan).
+    */
+  val DeptreeIsinMax = 10000
 
   /** Open a persisted container. */
   def load(spark: SparkSession, name: String, path: String): Container =

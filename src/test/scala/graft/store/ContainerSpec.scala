@@ -131,6 +131,10 @@ class ContainerSpec extends SparkSpec {
       df.withColumn(Meta.START, lit(0.0)).withColumn(Meta.END, lit(null).cast(DoubleType)))
     assert(c.deptree("child", Seq(1L), date = "~").map(_.toString.toLong).sorted == Seq(1L, 2L, 3L))
     assert(c.deptree("child", Seq(1L), date = "~", level = 1).map(_.toString.toLong).sorted == Seq(1L, 2L))
+    // isinMax = 0 forces every hop through the broadcast left_semi path;
+    // the closure must be identical to the In-literal path
+    assert(c.deptree("child", Seq(1L), date = "~", isinMax = 0).map(_.toString.toLong).sorted == Seq(1L, 2L, 3L))
+    assert(c.deptree("child", Seq(1L), date = "~", level = 1, isinMax = 0).map(_.toString.toLong).sorted == Seq(1L, 2L))
   }
 
   test("insert + union dedup by _id") {
