@@ -148,6 +148,50 @@ object ScaleProbe {
         .agg(max("pack_id")).head()
     }
 
+    // --- deptree closure over a wide link graph ----------------------
+    // 10-ary tree: the last hop's fringe is ~90% of the graph, so the
+    // >DeptreeIsinMax broadcast-semi-join path carries 10^5 ids where
+    // the In-literal plan would bloat
+    val nNodes = 200000L
+    val links = spark.range(nNodes).select(
+      col("id").as(Meta.OID),
+      filter(transform(sequence(lit(1L), lit(10L)), j => col("id") * 10 + j),
+        c => c < nNodes).as("children"))
+      .withColumn(Meta.START, lit(0.0))
+      .withColumn(Meta.END, lit(null).cast("double"))
+    val linkC = new Container(spark, "links", links)
+    timed(s"deptree closure ($nNodes nodes, semi-join fringe)") {
+      linkC.deptree("children", Seq(0L), date = "~").size
+    }
+    timed(s"deptree closure ($nNodes nodes, isin-literal fringe)") {
+      linkC.deptree("children", Seq(0L), date = "~", isinMax = Int.MaxValue).size
+    }
+
+    // --- bloom-pruned full-resync anti-join --------------------------
+    // 10M source ids vs 6M-id target: 40% are true misses. The bloom
+    // classifies them without the join; only the maybe sliver shuffles.
+    val srcIds = spark.range(nEvents).select(col("id"))
+    val tgtIds = spark.range(nEvents).filter(pmod(col("id"), lit(5)) < 3)
+      .select(col("id").as(Meta.OID))
+    val tgtC = new Container(spark, "resync", tgtIds
+      .withColumn(Meta.START, lit(0.0))
+      .withColumn(Meta.END, lit(null).cast("double")))
+    timed(s"missedOids plain anti-join ($nEvents ids)") {
+      srcIds.join(tgtIds.withColumnRenamed(Meta.OID, "id"), Seq("id"), "left_anti").count()
+    }
+    timed(s"missedOids bloom-pruned ($nEvents ids)") {
+      etl.Delta.missedOids(srcIds, "id", tgtC, fpp = 0.01).count()
+    }
+    locally {
+      val bloomN = tgtIds.count()
+      val bloom = tgtIds.stat.bloomFilter(Meta.OID, bloomN, 0.01)
+      val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+      val sliver = srcIds.filter(
+        functions.DedupExpressions.bloomMightContain(col("id"), bytes)).count()
+      println(f"[probe] bloom sliver entering anti-join: $sliver%d / $nEvents%d " +
+        f"(${100.0 * sliver / nEvents}%.1f%% — scan reduction ${100.0 - 100.0 * sliver / nEvents}%.1f%%)")
+    }
+
     // --- z-order clustering write (one range shuffle + sort) ---------
     val zDir = java.nio.file.Files.createTempDirectory("probe-z").toString
     timed(s"zorder cluster+write ($nEvents rows)") {

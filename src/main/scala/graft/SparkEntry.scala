@@ -820,6 +820,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // full-resync diff: source oids absent from the target, with the
+    // anti-join Bloom-pruned (only the might-contain sliver shuffles).
+    // Bloom false positives are resolved by the exact join, so the
+    // result is deterministic and the DuckDB NOT-IN oracle replays it.
+    "q_resync_missed" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val target = new Container(s, "orders_resync",
+        Meta.wrap(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+            .select(col("o_orderkey").cast("long").as("k")),
+          col("k"), AsOf).withColumnRenamed("k", "okey"))
+      graft.etl.Delta.missedOids(
+          orders.select(col("o_orderkey").cast("long").as("id")), "id", target)
+        .orderBy("id")
+    }),
+
     // structured-streaming ingestion: events parquet as a file stream,
     // foreachBatch SCD2 upsert -> current snapshot per user
     "q_stream_upsert" -> ((s, dir) => {
@@ -1815,6 +1831,10 @@ object SparkEntry {
            |  WHERE epoch_us(o_orderdate)/1e6 >= $since)
            |ORDER BY id""".stripMargin
       },
+
+      "q_resync_missed" ->
+        """SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS id FROM orders
+          |WHERE o_orderkey % 3 = 0 ORDER BY id""".stripMargin,
 
       "q_salted_agg" ->
         """SELECT event_type, count(*) AS n,

@@ -36,6 +36,41 @@ object Delta {
   def changedOids(source: DataFrame, oidCol: String, mtimeCol: String, since: Double): DataFrame =
     source.filter(col(mtimeCol) >= lit(since)).select(col(oidCol)).distinct()
 
+  /** Full-resync id diff: source oids ABSENT from the target container
+    * (the catch-rows-we-missed companion to [[deltaOids]], reference
+    * `_delta_force` resync, generic.py:201-226). At 100 TB the naive
+    * formulation is a full source⋈target anti-join; here the join is
+    * Bloom-pruned: a filter built over the target's oid set classifies
+    * each source oid as DEFINITELY-absent (a miss by construction — no
+    * join needed) or maybe-present, and only the maybe sliver (true
+    * matches + `fpp` false positives) enters the exact left_anti join.
+    * The scan-reduction is measured in ScaleProbe.
+    *
+    * `expectedItems` sizes the filter (≈1.2 GB at 10^9 ids / 1% fpp —
+    * raise `fpp` to shrink it); defaults to a count of the target oids.
+    */
+  def missedOids(
+      source: DataFrame,
+      oidCol: String,
+      target: Container,
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    val targetOids = target.df.select(col(Meta.OID)).distinct()
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, targetOids.count())
+    val bloom = targetOids.stat.bloomFilter(Meta.OID, n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = graft.functions.DedupExpressions.bloomMightContain(col(oidCol), bytes)
+    val src = source.select(col(oidCol)).distinct()
+    src.filter(!might) // bloom-negative: provably not in target
+      .unionByName(
+        src.filter(might) // candidate sliver: exact anti-join decides
+          .join(targetOids.withColumnRenamed(Meta.OID, oidCol), Seq(oidCol), "left_anti"))
+  }
+
   /** Delta id set = new ∪ changed. */
   def deltaOids(
       source: DataFrame,

@@ -122,13 +122,38 @@ object HashUtil {
   * whole-text shingle), null text → null.
   */
 case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  // per-instance, not per-row (executor-local after serialization)
-  @transient private lazy val as = Array.tabulate(k)(HashUtil.laneA)
-  @transient private lazy val bs = Array.tabulate(k)(HashUtil.laneB)
-  override def nullSafeEval(input: Any): Any = {
-    val hs = HashUtil.shingleHashes(input.asInstanceOf[UTF8String].toString, shingleN)
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.compute(input.asInstanceOf[UTF8String], k, shingleN)
+  // NOT a CodegenFallback (one would veto whole-stage codegen for the
+  // whole containing plan): generated code calls the static kernel, so
+  // signature scans keep their *(N) span
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSigExpr$$.MODULE$$.compute($c, $k, $shingleN)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSigExpr {
+  // lane coefficients per k, shared across instances/threads (pure
+  // function of k; computeIfAbsent keeps it race-safe)
+  private val laneCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+  private def lanes(k: Int): (Array[Long], Array[Long]) =
+    laneCache.computeIfAbsent(k,
+      _ => (Array.tabulate(k)(HashUtil.laneA), Array.tabulate(k)(HashUtil.laneB)))
+
+  /** One-pass signature kernel; called from generated code (static
+    * forwarder) and the interpreted path alike.
+    */
+  def compute(input: UTF8String, k: Int, shingleN: Int): ArrayData = {
+    val (as, bs) = lanes(k)
+    val hs = HashUtil.shingleHashes(input.toString, shingleN)
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < hs.length) {
@@ -143,8 +168,6 @@ case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
-  override def prettyName: String = "minhash_sig"
 }
 
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
@@ -350,6 +373,40 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Membership probe against a serialized
+  * `org.apache.spark.util.sketch.BloomFilter` (as built by
+  * `df.stat.bloomFilter`): false = DEFINITELY absent, true = maybe
+  * present. The standard 100 TB anti-join pruner — rows the filter has
+  * never seen skip the join shuffle entirely; only the might-contain
+  * sliver (true matches + fpp) pays it. The filter bytes ride the
+  * task binary (broadcast once per stage) and deserialize lazily once
+  * per expression instance. Probe encoding matches
+  * `DataFrameStatFunctions.bloomFilter`'s insertion: integral types as
+  * longs, strings as their UTF-8 bytes.
+  */
+case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+  override def nullSafeEval(input: Any): Any = {
+    val hit = child.dataType match {
+      case LongType => bloom.mightContainLong(input.asInstanceOf[Long])
+      case IntegerType => bloom.mightContainLong(input.asInstanceOf[Int].toLong)
+      case ShortType => bloom.mightContainLong(input.asInstanceOf[Short].toLong)
+      case ByteType => bloom.mightContainLong(input.asInstanceOf[Byte].toLong)
+      case StringType => bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+      case BinaryType => bloom.mightContainBinary(input.asInstanceOf[Array[Byte]])
+      case t => throw new IllegalArgumentException(s"bloom probe on unsupported type $t")
+    }
+    java.lang.Boolean.valueOf(hit)
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
+    copy(child = c)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** Column-API entry points for the custom expressions (Spark 4's
   * Column↔Expression bridge lives in `sql.classic.ExpressionUtils`).
   */
@@ -376,4 +433,7 @@ object DedupExpressions {
 
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
     column(IvfAssignExpr(expression(vec), centroids))
+
+  def bloomMightContain(c: Column, filterBytes: Array[Byte]): Column =
+    column(BloomMightContainExpr(expression(c), filterBytes))
 }

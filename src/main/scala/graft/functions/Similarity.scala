@@ -270,9 +270,12 @@ object Similarity {
   }
 
   /** IVF ANN top-k: assign cells (one pass), scan only the query's
-    * `nProbe` nearest cells, exact cosine within them. Writing the
-    * corpus `partitionBy("ivf_cell")` turns the probe filter into
-    * partition pruning — the scan reads nProbe/k of the data.
+    * `nProbe` nearest cells, exact cosine within them. If `df` already
+    * carries an `ivf_cell` column — e.g. loaded from
+    * `Container.saveIvfPartitioned`, which wrote
+    * `partitionBy("ivf_cell")` — the probe filter lands on the stored
+    * column and becomes on-disk partition pruning: the scan reads
+    * nProbe/k of the files.
     */
   def annTopKIvf(
       df: DataFrame,
@@ -284,7 +287,10 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val probes = ivfProbes(query, centroids, nProbe)
     val q = array(query.map(v => lit(v)): _*)
-    df.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+    val withCell =
+      if (df.columns.contains("ivf_cell")) df
+      else df.withColumn("ivf_cell", ivfAssign(col(vecCol), centroids))
+    withCell
       .filter(col("ivf_cell").isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)

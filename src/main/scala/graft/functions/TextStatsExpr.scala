@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,15 +16,50 @@ import org.apache.spark.unsafe.types.UTF8String
   * row; at a 100 TB corpus scan that is the difference between hours
   * and days.
   *
+  * NOT a CodegenFallback: `CollapseCodegenStages` refuses whole-stage
+  * codegen for any plan containing one, so a fallback here would cut
+  * the `*(N)` span of every text-pipeline stage it sits in. `doGenCode`
+  * emits a static call to [[TextStatsExpr.compute]] — the generated
+  * code stays in the span and the per-row work is one JIT-compiled
+  * method call, no interpreted `eval` detour.
+  *
   * Output struct: n_tokens int, n_bpe long, mean_word_len double,
   * punct_ratio double, stopword_ratio double, quality double.
   */
-case class TextStatsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TextStatsExpr.schema
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    TextStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextStatsExpr$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr = copy(child = c)
+  override def prettyName: String = "text_stats"
+}
+
+object TextStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_bpe", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+
+  def apply(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new TextStatsExpr(expression(text)))
+  }
+
+  /** The one-pass kernel; called from generated code (static forwarder)
+    * and from the interpreted `eval` path alike.
+    */
+  def compute(input: UTF8String): InternalRow = {
+    val text = input.toString
     val len = text.length
 
     // --- raw whitespace tokens: split(trim(text), "\s+") ------------
@@ -105,24 +139,6 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression with Codegen
       punctRatio,
       stopRatio,
       quality)
-  }
-
-  override protected def withNewChildInternal(c: Expression): TextStatsExpr = copy(child = c)
-  override def prettyName: String = "text_stats"
-}
-
-object TextStatsExpr {
-  val schema: StructType = StructType(Seq(
-    StructField("n_tokens", IntegerType, nullable = false),
-    StructField("n_bpe", LongType, nullable = false),
-    StructField("mean_word_len", DoubleType, nullable = false),
-    StructField("punct_ratio", DoubleType, nullable = false),
-    StructField("stopword_ratio", DoubleType, nullable = false),
-    StructField("quality", DoubleType, nullable = false)))
-
-  def apply(text: Column): Column = {
-    import org.apache.spark.sql.GraftColumnBridge._
-    column(new TextStatsExpr(expression(text)))
   }
 }
 

@@ -343,7 +343,10 @@ class Container(
     * swap via rename — the same versioned-dir idea as
     * [[IncrementalStore]]'s MANIFEST, collapsed to one generation.
     */
-  private def stagedOverwrite(df: DataFrame, dest: String): Unit = {
+  private def stagedOverwrite(
+      df: DataFrame,
+      dest: String,
+      partCols: Seq[String] = Seq(Container.PartCol)): Unit = {
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -353,7 +356,7 @@ class Container(
     try {
       df.write
         .mode("overwrite")
-        .partitionBy(Container.PartCol)
+        .partitionBy(partCols: _*)
         .parquet(staging.toString)
       staged = true
       // the staged write is a completed job: nothing reads `dest`
@@ -391,6 +394,28 @@ class Container(
     path.foreach { p =>
       val base = mutableState.withColumn(Container.PartCol, col(Meta.END).isNull)
       stagedOverwrite(graft.operators.ZOrder.cluster(base, cols.toSeq), p)
+      state = spark.read.parquet(p)
+    }
+    this
+  }
+
+  /** Persist partitioned by IVF cell: each row's vector is assigned its
+    * nearest-centroid cell (one distributed pass over
+    * [[graft.functions.Similarity.ivfAssign]]) and the table is written
+    * `partitionBy(ivf_cell, is_current)` — so `annTopKIvf`'s probe
+    * filter becomes on-disk PARTITION PRUNING: a query scans
+    * nProbe/k of the files instead of the whole corpus. The storage-
+    * layer counterpart of the probe filter (Similarity.scala's own
+    * scaladoc advice), mirroring [[saveBucketed]]'s shuffle-free joins.
+    */
+  def saveIvfPartitioned(
+      vecCol: String, centroids: Array[Array[Double]]): Container = {
+    path.foreach { p =>
+      val base = mutableState
+        .withColumn("ivf_cell",
+          graft.functions.Similarity.ivfAssign(col(vecCol), centroids))
+        .withColumn(Container.PartCol, col(Meta.END).isNull)
+      stagedOverwrite(base, p, Seq("ivf_cell", Container.PartCol))
       state = spark.read.parquet(p)
     }
     this

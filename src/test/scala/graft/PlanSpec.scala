@@ -68,6 +68,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("TextStatsExpr stays inside whole-stage codegen (no fallback barrier)") {
+    // CollapseCodegenStages refuses WSCG for any plan containing a
+    // CodegenFallback expression — so the operator carrying text_stats
+    // must itself render with the *(N) span marker, not just SOME
+    // operator in the plan
+    for (n <- Seq("q_text_stats", "q_quality_score")) {
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect()
+      // AQE's rendering appends an "== Initial Plan ==" section whose
+      // operators never carry span markers — assert on the final plan only
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.split("== Initial Plan ==")(0)
+      val statsLines = p.linesIterator.filter(_.contains("text_stats")).toSeq
+      assert(statsLines.nonEmpty, s"$n: no text_stats in plan\n$p")
+      statsLines.foreach { l =>
+        assert(l.contains("*("), s"$n: text_stats outside a codegen span:\n$l\n\n$p")
+      }
+    }
+  }
+
+  test("MinHashSigExpr stays inside whole-stage codegen") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        functions.DedupExpressions.minhashSig(
+          org.apache.spark.sql.functions.col("text"), 8).as("sig"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.filter(_.contains("minhash_sig")).toSeq
+    assert(lines.nonEmpty && lines.forall(_.contains("*(")), p)
+  }
+
   test("LSH near-dup pair generation joins on band keys (equi-join, no theta join)") {
     val p = plans("q_embed_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), "pair gen degenerated to NL join")

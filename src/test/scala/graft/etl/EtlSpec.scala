@@ -232,6 +232,29 @@ class DeltaSpec extends SparkSpec {
     assert(delta.toSeq == Seq(5L, 9L))
   }
 
+  test("missedOids: bloom-pruned resync equals the plain anti-join") {
+    val src = (0L until 500L).map(i => (i, 0.0)).toDF("id", "mtime")
+    val tgt = container((0L until 500L).filter(_ % 3 != 0).map(i => (i, 10.0)): _*)
+    val expected = (0L until 500L).filter(_ % 3 == 0)
+    // default fpp, and a pathological 0.5 fpp that floods the
+    // candidate sliver with false positives — the exact join must
+    // resolve every one of them
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Delta.missedOids(src, "id", tgt, fpp = fpp)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected, s"fpp=$fpp")
+    }
+    // string oids take the UTF-8 probe path
+    val srcS = Seq("a", "b", "c", "d").toDF("id")
+      .withColumn("mtime", lit(0.0))
+    val tgtS = new Container(spark, "t",
+      Seq("a", "c").toDF(Meta.OID)
+        .withColumn(Meta.START, lit(0.0))
+        .withColumn(Meta.END, lit(null).cast(DoubleType)))
+    assert(Delta.missedOids(srcS, "id", tgtS).collect().map(_.getString(0)).sorted.toSeq
+      == Seq("b", "d"))
+  }
+
   test("watermark file round-trip; fallback to max(_start)") {
     val p = Files.createTempDirectory("graft-wm").resolve("wm.txt").toString
     assert(Delta.readWatermark(p, container((1L, 123.5))).contains(123.5))

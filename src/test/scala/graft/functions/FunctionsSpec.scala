@@ -327,6 +327,27 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.count() == cell0 && cell0 > 0)
   }
 
+  test("saveIvfPartitioned: persisted layout partition-prunes annTopKIvf") {
+    val rng = new scala.util.Random(31)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("_oid", "vec")
+      .withColumn(graft.model.Meta.START, lit(0.0))
+      .withColumn(graft.model.Meta.END, lit(null).cast("double"))
+    val cents = Similarity.ivfFit(df, "_oid", "vec", k = 4, sampleN = 300)
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfc").resolve("t").toString
+    val c = new graft.store.Container(spark, "t", df, Some(p))
+      .saveIvfPartitioned("vec", cents)
+    val q = vecs(7)._2
+    val persisted = Similarity.annTopKIvf(c.df, "_oid", "vec", q, k = 3, cents, nProbe = 2)
+    val plan = persisted.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the probe filter lands on the stored partition column -> pruning
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"), plan)
+    val fresh = Similarity.annTopKIvf(df, "_oid", "vec", q, k = 3, cents, nProbe = 2)
+    assert(persisted.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      fresh.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("ivfFit + annTopKIvf recover the brute-force top-3") {
     val rng = new scala.util.Random(9)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
