@@ -550,6 +550,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curriculum variant: packs fill in ascending token-count order
+    // (ties by doc_id) — same two-phase prefix sum, different sort key;
+    // the oracle replays it as a window ordered by (n_tokens, doc_id)
+    "q_token_pack_length" -> ((s, dir) => {
+      val tok = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextStatsExpr(col("text"))
+            .getField("n_tokens").cast("long").as("n_tokens"))
+      graft.functions.Curation.packSequencesByLength(
+          tok, col("n_tokens"), budget = 2048L, id = col("doc_id"),
+          numPartitions = 8)
+        .select("doc_id", "n_tokens", "cum_tokens", "pack_id", "pack_pos")
+        .orderBy("doc_id")
+    }),
+
     // deterministic group-stable train/val/test split, gated on the
     // md5 bucket basis so DuckDB reproduces every per-row assignment
     // (the default xxhash basis shares all logic but the bucket hash;
@@ -1234,6 +1249,22 @@ object SparkEntry {
         .orderBy(Meta.OID)
     }),
 
+    // rpm source parse layer over a pre-recorded `rpm -qa` capture (no
+    // rpm binary in env): raw lines go to a fixture parquet the oracle
+    // re-parses field-by-field, so the \x01 split, "(none)" -> NULL and
+    // host__nvra oid construction are value-verified
+    "q_rpm_parse" -> ((s, dir) => {
+      import s.implicits._
+      val raw = graft.etl.OsInfoSource.SampleQueryOutput
+      raw.split("\n").toSeq.filter(_.nonEmpty).toDF("line")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(graft.etl.OsInfoSource.FixturePath)
+      graft.etl.OsInfoSource.fromQueryOutput(s, raw, "host1", AsOf)
+        .select(col(Meta.OID), col("name"), col("version"), col("release"),
+          col("arch"), col("license"))
+        .orderBy(Meta.OID)
+    }),
+
     // ------------------------------------------------------- multimodal
     "q_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(s, 120)
@@ -1739,6 +1770,21 @@ object SparkEntry {
           |    PARTITION BY (cum_tokens - n_tokens) // 2048 ORDER BY doc_id) AS BIGINT) AS pack_pos
           |FROM c ORDER BY doc_id""".stripMargin,
 
+      "q_token_pack_length" ->
+        """WITH tok AS (
+          |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+          |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |        sum(n_tokens) OVER (ORDER BY n_tokens, doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          |      FROM tok)
+          |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+          |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS pack_id,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY (cum_tokens - n_tokens) // 2048 ORDER BY n_tokens, doc_id) AS BIGINT) AS pack_pos
+          |FROM c ORDER BY doc_id""".stripMargin,
+
       "q_bpe_token_counts" ->
         """SELECT doc_id,
           |  CAST(list_sum(list_transform(
@@ -2143,6 +2189,21 @@ object SparkEntry {
       "q_hll_distinct" ->
         """SELECT lang, count(DISTINCT doc_id) AS n_exact, true AS within_tol
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // Re-parses the recorded rpm queryformat lines from the fixture
+      // parquet: 1-based list indexing after a chr(1) split, with rpm's
+      // "(none)" sentinel nulled exactly like the Spark parse.
+      "q_rpm_parse" ->
+        s"""WITH raw AS (
+           |  SELECT line FROM read_parquet('${graft.etl.OsInfoSource.FixturePath}/*.parquet')),
+           |p AS (SELECT string_split(line, chr(1)) AS f FROM raw WHERE length(line) > 0)
+           |SELECT 'host1__' || f[5] AS _oid,
+           |  nullif(f[1], '(none)') AS name,
+           |  nullif(f[2], '(none)') AS version,
+           |  nullif(f[3], '(none)') AS release,
+           |  nullif(f[4], '(none)') AS arch,
+           |  nullif(f[6], '(none)') AS license
+           |FROM p ORDER BY _oid""".stripMargin,
 
       // Replays trailer extraction + numstat totals from the raw-parse
       // fixture the Spark query dumped (the git shellout itself is the

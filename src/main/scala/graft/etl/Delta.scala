@@ -48,6 +48,14 @@ object Delta {
     *
     * `expectedItems` sizes the filter (≈1.2 GB at 10^9 ids / 1% fpp —
     * raise `fpp` to shrink it); defaults to a count of the target oids.
+    *
+    * Measured (local[16], 10M source / 6M target): the bloom classifies
+    * 39.5% of the source as definite misses without joining, but the
+    * loopback run is SLOWER than the plain anti-join (7.8 s vs 2.3 s) —
+    * building the filter costs two target passes and local shuffle is
+    * free. The win is network-bound: on a cluster the pruned fraction
+    * never leaves its mapper, so use this when source≫target or shuffle
+    * bytes bind; use the plain anti-join for single-node work.
     */
   def missedOids(
       source: DataFrame,

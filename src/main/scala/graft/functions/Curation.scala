@@ -218,6 +218,26 @@ object Curation {
     } else out
   }
 
+  /** Length-bucketed ("curriculum") packing: documents pack in
+    * ascending token-count order (ties broken by `id`) instead of
+    * corpus order, so each pack holds similar-length documents — the
+    * common real-world packing mode that minimizes intra-batch padding
+    * and gives a short-to-long curriculum. Identical two-phase
+    * distributed prefix sum as [[packSequences]] (the range
+    * repartition now ranges over (tokens, id), which also balances
+    * skewed length distributions across partitions); only the pack
+    * order differs.
+    */
+  def packSequencesByLength(
+      df: DataFrame,
+      tokens: Column,
+      budget: Long,
+      id: Column,
+      numPartitions: Int = 0,
+      materialize: Boolean = true): DataFrame =
+    packSequences(df, tokens, budget, orderBy = Seq(tokens, id),
+      numPartitions, materialize)
+
   /** [[packSequences]] for write-through pipelines: runs `action` on
     * the LAZY packed plan and releases the internal phase-1/2 cache in
     * a `finally` — the only way to honor the cache-lifetime contract

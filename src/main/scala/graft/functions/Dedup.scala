@@ -114,6 +114,15 @@ object Dedup {
     * it; with a persisted table that tradeoff inverts) and join the
     * signatures back onto the deduped candidate pairs for the
     * estimate.
+    *
+    * Crossover guidance (measured, local[16] loopback): single-pipeline
+    * wins when shuffle is free — 10.7 s vs 13.8 s at 100k docs, 51 s vs
+    * 57 s at 1M docs — because the two sig-attach joins cost more than
+    * the band-shuffle bytes they save. On a real cluster the band
+    * shuffle crosses the NETWORK `bands`× per doc (at 1M docs × 512 B ×
+    * 8 bands ≈ 4 GB vs ids-only ≈ 64 MB); use this overload when
+    * signatures are already persisted AND shuffle bytes are the binding
+    * constraint, single-pipeline [[minhashPairs]] for one-shot runs.
     */
   def minhashPairsFromSigs(
       sigs: DataFrame,

@@ -133,6 +133,29 @@ class CurationSpec extends SparkSpec {
       s"global single-task stage in packing plan:\n$plan")
   }
 
+  test("packSequencesByLength: ascending-length packs, multi == single partition") {
+    val docs = spark.range(5000).toDF("doc_id")
+      .withColumn("n_tokens", pmod(hash(col("doc_id")), lit(900)) + 100)
+    val multi = Curation.packSequencesByLength(
+      docs, col("n_tokens"), 4096L, col("doc_id"), numPartitions = 13)
+    val single = Curation.packSequencesByLength(
+      docs, col("n_tokens"), 4096L, col("doc_id"), numPartitions = 1)
+    assert(multi.select("doc_id", "cum_tokens", "pack_id", "pack_pos")
+      .except(single.select("doc_id", "cum_tokens", "pack_id", "pack_pos"))
+      .count() == 0)
+    // packs are filled in ascending token-count order: cum_tokens is
+    // monotone in (n_tokens, doc_id) order
+    val rows = multi.orderBy("n_tokens", "doc_id")
+      .select("cum_tokens").as[Long].collect()
+    assert(rows.toSeq == rows.sorted.toSeq)
+    // each pack's min length >= the previous pack's max length can be
+    // violated only at the single boundary doc; check pack ids are
+    // nondecreasing in length order
+    val packIds = multi.orderBy("n_tokens", "doc_id")
+      .select("pack_id").as[Long].collect()
+    assert(packIds.toSeq == packIds.sorted.toSeq)
+  }
+
   test("packSequences matches single-partition formulation at scale factors") {
     val docs = spark.range(5000).toDF("doc_id")
       .withColumn("n_tokens", pmod(hash(col("doc_id")), lit(900)) + 100)
