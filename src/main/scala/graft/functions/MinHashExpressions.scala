@@ -2,11 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+// None of these expressions is a CodegenFallback: CollapseCodegenStages
+// refuses whole-stage codegen for ANY plan containing one, which would
+// cut the *(N) span of every dedup/similarity stage. Stateless kernels
+// codegen as static calls; stateful ones (plane cache, centroids, bloom
+// bytes) ride `ctx.addReferenceObj(this)` and call an instance method.
 
 /** Custom Catalyst expressions for the text-dedup hot path.
   *
@@ -174,10 +180,20 @@ object MinHashSigExpr {
   * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
   */
-case class SimHash64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val ws = HashUtil.tokens(input.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64Expr.compute(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash64Expr$$.MODULE$$.compute($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64Expr {
+  def compute(input: UTF8String): Long = {
+    val ws = HashUtil.tokens(input.toString)
     val votes = new Array[Int](64)
     var i = 0
     while (i < ws.length) {
@@ -195,10 +211,8 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
       if (votes(bit) > 0) out |= (1L << bit)
       bit += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
-  override def prettyName: String = "simhash64"
 }
 
 /** Fraction of equal positions between two long-array signatures —
@@ -206,11 +220,21 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   * composition is interpreted and allocates a boolean array per pair).
   */
 case class SigMatchRatioExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      SigMatchRatioExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.SigMatchRatioExpr$$.MODULE$$.compute($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchRatioExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_match_ratio"
+}
+
+object SigMatchRatioExpr {
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var same = 0
     var i = 0
@@ -218,11 +242,8 @@ case class SigMatchRatioExpr(left: Expression, right: Expression)
       if (x.getLong(i) == y.getLong(i)) same += 1
       i += 1
     }
-    java.lang.Double.valueOf(if (n == 0) 0.0 else same.toDouble / n)
+    if (n == 0) 0.0 else same.toDouble / n
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchRatioExpr =
-    copy(left = l, right = r)
-  override def prettyName: String = "sig_match_ratio"
 }
 
 /** Lower-64-bit MD5 of a string column as a (signed) Long — the bit
@@ -230,10 +251,13 @@ case class SigMatchRatioExpr(left: Expression, right: Expression)
   * hash-comparable by the oracle (which converts its UBIGINT to the
   * signed twin via `x - 2^64` when `x >= 2^63`).
   */
-case class Md5Lower64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Md5Lower64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(HashUtil.md5Lower64(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil$$.MODULE$$.md5Lower64($c.toString())")
   override protected def withNewChildInternal(c: Expression): Md5Lower64Expr = copy(child = c)
   override def prettyName: String = "md5_lower64"
 }
@@ -254,7 +278,7 @@ case class Md5Lower64Expr(child: Expression) extends UnaryExpression with Codege
   * `list_reduce` fold, so the `>= 0` sign decision is bit-identical.
   */
 case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
   override def dataType: DataType = LongType
 
@@ -270,10 +294,14 @@ case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
       (plane.toLong << 32) | blk,
       key => HashUtil.md5Lower64(s"lshplane_${plane}_$blk"))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Kernel; public so generated code can call it through the
+    * `addReferenceObj` handle (instance state: the plane-sign cache).
+    */
+  def computeBand(arr: ArrayData): Long = {
     val n = arr.numElements()
-    val et = child.dataType.asInstanceOf[ArrayType].elementType
     var band = 0L
     var p = 0
     while (p < nBits) {
@@ -281,10 +309,7 @@ case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
       var acc = 0.0
       var j = 0
       while (j < n) {
-        val v = et match {
-          case FloatType => arr.getFloat(j).toDouble
-          case _ => arr.getDouble(j)
-        }
+        val v = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
         val sign =
           if (((signBits(plane, j >>> 6) >>> (j & 63)) & 1L) == 1L) 1.0 else -1.0
         acc += v * sign
@@ -293,7 +318,14 @@ case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
       if (acc >= 0.0) band |= (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(band)
+    band
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(computeBand(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBand", this, classOf[LshBandExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeBand($c)")
   }
   override protected def withNewChildInternal(c: Expression): LshBandExpr = copy(child = c)
   override def prettyName: String = "lsh_band"
@@ -306,12 +338,17 @@ case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
   * `aggregate(zip_with)` chain is k interpreted HOF walks.
   */
 case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val et = child.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Kernel; public for the codegen `addReferenceObj` call (instance
+    * state: the centroid table).
+    */
+  def computeCell(arr: ArrayData): Int = {
     val n = arr.numElements()
     var best = 0
     var bestDot = Double.NegativeInfinity
@@ -322,17 +359,21 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
       var d = 0.0
       var j = 0
       while (j < m) {
-        val v = et match {
-          case FloatType => arr.getFloat(j).toDouble
-          case _ => arr.getDouble(j)
-        }
+        val v = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
         d += v * cent(j)
         j += 1
       }
       if (d > bestDot) { bestDot = d; best = c }
       c += 1
     }
-    java.lang.Integer.valueOf(best)
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(computeCell(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfAssign", this, classOf[IvfAssignExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeCell($c)")
   }
   override protected def withNewChildInternal(c: Expression): IvfAssignExpr = copy(child = c)
   override def prettyName: String = "ivf_assign"
@@ -344,20 +385,24 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
   * Null arrays or zero norms → 0.0 (matches Similarity.cosine).
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+
+  @transient private lazy val lt = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val rt = right.dataType.asInstanceOf[ArrayType].elementType
+
+  @inline private def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => arr.getFloat(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case _ => arr.getDouble(i)
+  }
+
+  /** Kernel; public for the codegen `addReferenceObj` call (instance
+    * state: the two element types).
+    */
+  def computeSim(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
-    val lt = left.dataType.asInstanceOf[ArrayType].elementType
-    val rt = right.dataType.asInstanceOf[ArrayType].elementType
-    @inline def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
-      case FloatType => arr.getFloat(i).toDouble
-      case IntegerType => arr.getInt(i).toDouble
-      case LongType => arr.getLong(i).toDouble
-      case _ => arr.getDouble(i)
-    }
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -366,7 +411,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(nx) * math.sqrt(ny)
-    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      computeSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSimExpr].getName)
+    defineCodeGen(ctx, ev, (l, r) => s"$ref.computeSim($l, $r)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
@@ -385,22 +438,30 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * longs, strings as their UTF-8 bytes.
   */
 case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BooleanType
   @transient private lazy val bloom =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(filterBytes))
-  override def nullSafeEval(input: Any): Any = {
-    val hit = child.dataType match {
-      case LongType => bloom.mightContainLong(input.asInstanceOf[Long])
-      case IntegerType => bloom.mightContainLong(input.asInstanceOf[Int].toLong)
-      case ShortType => bloom.mightContainLong(input.asInstanceOf[Short].toLong)
-      case ByteType => bloom.mightContainLong(input.asInstanceOf[Byte].toLong)
-      case StringType => bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
-      case BinaryType => bloom.mightContainBinary(input.asInstanceOf[Array[Byte]])
-      case t => throw new IllegalArgumentException(s"bloom probe on unsupported type $t")
-    }
-    java.lang.Boolean.valueOf(hit)
+
+  /** Kernel; public for the codegen `addReferenceObj` call. Takes Any:
+    * generated code passes the child's primitive (autoboxed) or
+    * UTF8String/byte[] reference.
+    */
+  def probe(input: Any): Boolean = child.dataType match {
+    case LongType => bloom.mightContainLong(input.asInstanceOf[Long])
+    case IntegerType => bloom.mightContainLong(input.asInstanceOf[Int].toLong)
+    case ShortType => bloom.mightContainLong(input.asInstanceOf[Short].toLong)
+    case ByteType => bloom.mightContainLong(input.asInstanceOf[Byte].toLong)
+    case StringType => bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+    case BinaryType => bloom.mightContainBinary(input.asInstanceOf[Array[Byte]])
+    case t => throw new IllegalArgumentException(s"bloom probe on unsupported type $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = java.lang.Boolean.valueOf(probe(input))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContainExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
   }
   override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
     copy(child = c)
