@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, MinHashSigExpr, SimHash64Expr, TextStatsExpr}
+import graft.functions.{CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr}
 import graft.mql.{MqlPredicate, MqlSql, ResolveMqlPredicate, RewriteMqlPredicate}
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -46,6 +46,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cosine_sim",
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5_lower64",
+      (args: Seq[Expression]) => Md5Lower64Expr(args.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "sig_match_ratio",
+      (args: Seq[Expression]) => SigMatchRatioExpr(args(0), args(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_band",
+      (args: Seq[Expression]) => args match {
+        case Seq(vec) => LshBandExpr(vec, 0, 16)
+        case Seq(vec, off, bits) =>
+          LshBandExpr(vec, intArg(off, "planeOffset"), intArg(bits, "nBits"))
+        case _ => throw new IllegalArgumentException("lsh_band(vec[, plane_offset, n_bits])")
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("mql", MqlSql.builder _, "built-in")
     // no analyzer-rule injection post-start: rewrite in the (mutable)
     // user-provided optimizer batch instead — see MqlSql scaladoc
@@ -86,6 +103,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_lower64"),
+      new ExpressionInfo(classOf[Md5Lower64Expr].getName, "md5_lower64"),
+      (args: Seq[Expression]) => Md5Lower64Expr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_match_ratio"),
+      new ExpressionInfo(classOf[SigMatchRatioExpr].getName, "sig_match_ratio"),
+      (args: Seq[Expression]) => SigMatchRatioExpr(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_band"),
+      new ExpressionInfo(classOf[LshBandExpr].getName, "lsh_band"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec) => LshBandExpr(vec, 0, 16)
+        case Seq(vec, off, bits) =>
+          LshBandExpr(vec, intArg(off, "planeOffset"), intArg(bits, "nBits"))
+        case _ => throw new IllegalArgumentException(
+          "lsh_band(vec[, plane_offset, n_bits])")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("mql"),
       new ExpressionInfo(classOf[MqlPredicate].getName, "mql"),

@@ -148,6 +148,18 @@ object ScaleProbe {
         .agg(max("pack_id")).head()
     }
 
+    // --- connected components at 1M edges ----------------------------
+    // chains of length 5 + a few hubs: several rounds to converge, so
+    // the per-round fingerprint action (vs r3's two exceptAll shuffles)
+    // dominates the convergence-check cost being measured
+    val ccEdges = spark.range(1000000L).select(
+      col("id").as("id_a"),
+      when(pmod(col("id"), lit(5)) < 4, col("id") + 1)
+        .otherwise(pmod(col("id"), lit(1000)) * 5).as("id_b"))
+    timed("connectedComponents (1M edges)") {
+      functions.Dedup.connectedComponents(ccEdges).count()
+    }
+
     // --- deptree closure over a wide link graph ----------------------
     // 10-ary tree: the last hop's fringe is ~90% of the graph, so the
     // >DeptreeIsinMax broadcast-semi-join path carries 10^5 ids where

@@ -103,6 +103,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(0) == 4)
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("md5_lower64 / sig_match_ratio / lsh_band callable from spark.sql") {
+    new graft.GraftExtensions().register(spark)
+    import spark.implicits._
+    Seq(("abc", Array(1L, 2L, 3L, 4L), Array(1L, 2L, 9L, 4L), Array(0.5f, -0.25f)))
+      .toDF("s", "sa", "sb", "vec").createOrReplaceTempView("ext_fns")
+    val row = spark.sql(
+      """SELECT md5_lower64(s) AS h, sig_match_ratio(sa, sb) AS r,
+        |  lsh_band(vec, 0, 8) AS b FROM ext_fns""".stripMargin).head()
+    assert(row.getLong(0) == graft.functions.HashUtil.md5Lower64("abc"))
+    assert(math.abs(row.getDouble(1) - 0.75) < 1e-9)
+    // same band value as the Column API
+    val viaCol = Seq(Tuple1(Array(0.5f, -0.25f))).toDF("vec")
+      .select(graft.functions.DedupExpressions.lshBand(col("vec"), 0, 8).as("b"))
+      .head().getLong(0)
+    assert(row.getLong(2) == viaCol)
+  }
 }
 
 class IncrementalStoreSpec extends SparkSpec {
