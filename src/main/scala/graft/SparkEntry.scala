@@ -1265,6 +1265,168 @@ object SparkEntry {
         .orderBy(Meta.OID)
     }),
 
+    // ------------------------------------------- loaders / sources gates
+    // CSV load through the mapper layer: the query round-trips nation
+    // through a header CSV fixture, so schema inference, key
+    // normalization and the OidColumn mapper are value-verified by
+    // DuckDB's read_csv on the same files.
+    "q_csv_load" -> ((s, dir) => {
+      val fx = "/tmp/graft_fixtures/nation_csv"
+      tbl(s, dir, "nation").orderBy("n_nationkey").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(fx)
+      graft.etl.Loaders.loadCsv(s, fx, graft.etl.Loaders.OidColumn("n_nationkey"), AsOf)
+        .select(col(Meta.OID).cast("long").as(Meta.OID), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy(Meta.OID)
+    }),
+
+    // JSON (array-of-objects) load; fixture is a single JSON array file
+    // the oracle reads with read_json_auto.
+    "q_json_load" -> ((s, dir) => {
+      val fxDir = java.nio.file.Paths.get("/tmp/graft_fixtures/nation_json")
+      java.nio.file.Files.createDirectories(fxDir)
+      val rows = tbl(s, dir, "nation").orderBy("n_nationkey").toJSON.collect()
+      java.nio.file.Files.writeString(
+        fxDir.resolve("nation.json"), rows.mkString("[", ",\n", "]"))
+      graft.etl.Loaders.loadJson(s, fxDir.resolve("nation.json").toString,
+          graft.etl.Loaders.OidColumn("n_nationkey"), AsOf)
+        .select(col(Meta.OID).cast("long").as(Meta.OID), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy(Meta.OID)
+    }),
+
+    // orient=index JSON ({id: {fields}}): ids become _oid. The oracle
+    // re-derives rows from the same fixture via json_keys + dynamic
+    // json_extract paths.
+    "q_json_index" -> ((s, dir) => {
+      val fxDir = java.nio.file.Paths.get("/tmp/graft_fixtures")
+      java.nio.file.Files.createDirectories(fxDir)
+      val text = """{"alpha": {"size": 10, "color": "red"}, """ +
+        """"beta": {"size": 20, "color": "blue"}, """ +
+        """"gamma": {"size": 15, "color": "red"}}"""
+      java.nio.file.Files.writeString(fxDir.resolve("orient_index.json"), text)
+      graft.etl.Loaders.loadJsonIndex(s, "/tmp/graft_fixtures/orient_index.json", AsOf)
+        .select(col(Meta.OID), col("color"), col("size").cast("long").as("size"))
+        .orderBy(Meta.OID)
+    }),
+
+    // FULL JDBC extraction loop, live: supplier parquet → embedded
+    // Derby → striped partitioned spark.read.jdbc back out. The oracle
+    // reads the source parquet directly, so any loss/corruption in the
+    // write→extract round trip (types, CLOB mapping, stripe bounds)
+    // breaks the hash.
+    "q_jdbc_extract" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftverify;create=true"
+      val props = new java.util.Properties()
+      val sup = tbl(s, dir, "supplier")
+      sup.write.mode("overwrite").jdbc(url, "supplier_src", props)
+      val Array(lo, hi) = sup.agg(min("s_suppkey"), max("s_suppkey"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      graft.etl.JdbcSource.read(s, url, "supplier_src", "s_suppkey", lo, hi, 8, props)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Raw-SQL passthrough executor (container self-registers as a temp
+    // view; reference: sqlalchemy.py:528-547).
+    "q_execute_sql" -> ((s, dir) => {
+      lineitemContainer(s, dir).execute(
+        """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM lineitem GROUP BY l_returnflag ORDER BY flag""")
+    }),
+
+    // http-fetch wrapper over file:// (zero-egress env): retry → temp
+    // file → extension dispatch → cleanup, value-verified against the
+    // fetched bytes (reference: utils.py:1340-1359).
+    "q_http_fetch" -> ((s, dir) => {
+      val fx = "/tmp/graft_fixtures/fetch_csv"
+      tbl(s, dir, "region").orderBy("r_regionkey").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(fx)
+      val part = new java.io.File(fx).listFiles()
+        .filter(_.getName.endsWith(".csv")).head
+      graft.etl.Fetch.loadUrl(s, "file://" + part.getAbsolutePath,
+          graft.etl.Loaders.OidColumn("r_regionkey"), AsOf)
+        .select(col(Meta.OID).cast("long").as(Meta.OID), col("r_name"))
+        .orderBy(Meta.OID)
+    }),
+
+    // ------------------------------------------------ result-op gates
+    // groupby-apply per oid (flatMapGroups): keep only objects with
+    // >= 4 versions — an order-independent per-group predicate the
+    // oracle replays as a window count.
+    "q_object_apply" -> ((s, dir) => {
+      versionedEvents(s, dir)
+        .select(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
+        .objectApply(rows => if (rows.size >= 4) rows else Nil)
+        .orderBy(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
+    }),
+
+    "q_filter_oids" -> ((s, dir) => {
+      versionedEvents(s, dir).filterOids(1L to 40L)
+        .select(col(Meta.OID), col(Meta.START), col("event_type"))
+        .orderBy(col(Meta.OID), col(Meta.START), col("event_type"))
+    }),
+
+    // BoundedResult: the remembered-bounds wrapper delegating to onDate
+    // (out-of-bounds raising is spec-tested; the in-bounds path is the
+    // oracle-checkable part).
+    "q_bounds_ondate" -> ((s, dir) => {
+      TemporalOps.BoundedResult(versionedEvents(s, dir),
+          Some(ts("2024-01-05")), Some(ts("2024-01-20")))
+        .onDate(ts("2024-01-10"))
+        .select(col(Meta.OID), col(Meta.START), col("event_type"))
+        .orderBy(col(Meta.OID), col(Meta.START), col("event_type"))
+    }),
+
+    // Epoch-double → timestamp view. Spark's timestamp_seconds(double)
+    // TRUNCATES to micros (.toLong) where DuckDB's to_timestamp rounds;
+    // the oracle replicates the truncation with trunc(_start*1e6) +
+    // make_timestamp so the rendered strings are bit-identical.
+    "q_epoch_view" -> ((s, dir) => {
+      versionedEvents(s, dir).withTimestamps
+        .select(col(Meta.OID), col(Meta.START),
+          date_format(col("_start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_str"))
+        .orderBy(col(Meta.OID), col(Meta.START))
+    }),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark). WHICH row
+    // of a key survives within a micro-batch is partition-order
+    // dependent, so the gate projects the surviving KEY SET — exactly
+    // the deterministic contract of first-arrival dedup.
+    "q_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmpBase =
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-dedup-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("__evt", timestamp_micros(expr("ts DIV 1000")))
+      val deduped = graft.streaming.StreamIngest.streamingDedup(
+        stream, Seq("user_id", "event_type"), "__evt", "30 minutes")
+      val qname = "dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"))
+        .distinct()
+        .orderBy("user_id", "event_type")
+    }),
+
     // ------------------------------------------------------- multimodal
     "q_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(s, 120)
@@ -2204,6 +2366,75 @@ object SparkEntry {
            |  nullif(f[4], '(none)') AS arch,
            |  nullif(f[6], '(none)') AS license
            |FROM p ORDER BY _oid""".stripMargin,
+
+      "q_csv_load" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS _oid, n_name,
+          |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+          |FROM read_csv('/tmp/graft_fixtures/nation_csv/*.csv', header=true)
+          |ORDER BY _oid""".stripMargin,
+
+      "q_json_load" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS _oid, n_name,
+          |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+          |FROM read_json_auto('/tmp/graft_fixtures/nation_json/nation.json')
+          |ORDER BY _oid""".stripMargin,
+
+      "q_json_index" ->
+        """WITH j AS (SELECT content FROM read_text('/tmp/graft_fixtures/orient_index.json')),
+          |k AS (SELECT unnest(json_keys(content)) AS _oid, content FROM j)
+          |SELECT _oid, json_extract_string(content, '$.' || _oid || '.color') AS color,
+          |  CAST(json_extract(content, '$.' || _oid || '.size') AS BIGINT) AS size
+          |FROM k ORDER BY _oid""".stripMargin,
+
+      // The oracle reads the ORIGINAL parquet — equality proves the
+      // parquet → Derby → partitioned-JDBC-read loop is lossless.
+      "q_jdbc_extract" ->
+        """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+          |  CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+          |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+      "q_execute_sql" ->
+        """SELECT l_returnflag AS flag, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+
+      "q_http_fetch" ->
+        """SELECT CAST(r_regionkey AS BIGINT) AS _oid, r_name
+          |FROM read_csv('/tmp/graft_fixtures/fetch_csv/*.csv', header=true)
+          |ORDER BY _oid""".stripMargin,
+
+      "q_object_apply" ->
+        s"""$VEventsSql,
+           |c AS (SELECT _oid, _start, event_type, value,
+           |        count(*) OVER (PARTITION BY _oid) AS n FROM v)
+           |SELECT _oid, _start, event_type, value FROM c WHERE n >= 4
+           |ORDER BY _oid, _start, event_type, value""".stripMargin,
+
+      "q_filter_oids" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type FROM v
+           |WHERE _oid BETWEEN 1 AND 40
+           |ORDER BY _oid, _start, event_type""".stripMargin,
+
+      "q_bounds_ondate" -> {
+        val d = ts("2024-01-10")
+        s"""$VEventsSql
+           |SELECT _oid, _start, event_type FROM v
+           |WHERE _start <= $d AND (_end > $d OR _end IS NULL)
+           |ORDER BY _oid, _start, event_type""".stripMargin
+      },
+
+      // trunc (not round): replicates Spark timestamp_seconds' .toLong
+      "q_epoch_view" ->
+        s"""$VEventsSql
+           |SELECT _oid, _start,
+           |  strftime(make_timestamp(CAST(trunc(_start * 1e6) AS BIGINT)),
+           |           '%Y-%m-%d %H:%M:%S.%f') AS start_str
+           |FROM v ORDER BY _oid, _start""".stripMargin,
+
+      "q_stream_dedup" ->
+        """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+          |FROM events ORDER BY user_id, event_type""".stripMargin,
 
       // Replays trailer extraction + numstat totals from the raw-parse
       // fixture the Spark query dumped (the git shellout itself is the
