@@ -1427,6 +1427,34 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // ------------------------------------- corpus-curation scale ops
+    // SemDeDup-style semantic dedup: anchor coarse-quantize (md5
+    // bottom-k anchors — engine-replicable), within-cluster cosine
+    // edges at tau, component-min canonical. Oracle re-derives anchors,
+    // assignment argmax, edges, and components (recursive CTE).
+    "q_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 16, tau = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    // Cross-document duplicated 8-gram spans (substring-dedup signal):
+    // per-doc count/islands/longest-span of n-grams shared by >= 2 docs.
+    "q_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-frequency rarity profile (integer-exact TF-IDF-shaped
+    // quality signal). maxCount=100 sits inside this corpus's tiny
+    // 31-token vocabulary (counts 26..964) so the gate is non-trivial.
+    "q_corpus_rarity" -> ((s, dir) => {
+      TextFunctions.corpusRarity(tbl(s, dir, "documents"), "doc_id", "text",
+          maxCount = 100L)
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------------- multimodal
     "q_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(s, 120)
@@ -2435,6 +2463,59 @@ object SparkEntry {
       "q_stream_dedup" ->
         """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
           |FROM events ORDER BY user_id, event_type""".stripMargin,
+
+      // Anchor-quantized semantic dedup: bottom-16 md5 anchors,
+      // argmax-cosine assignment, tau-edges within cluster, recursive
+      // component closure — every stage bit-replicated.
+      "q_semantic_dedup" ->
+        s"""WITH RECURSIVE $EmbCte,
+           |anch AS (SELECT vec_id AS aid, v AS av FROM d
+           |  ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR) || ':anchor') % 2147483647, vec_id
+           |  LIMIT 16),
+           |sc AS (SELECT d.vec_id, d.v, a.aid, ${sqlCos("d.v", "a.av")} AS cs
+           |       FROM d CROSS JOIN anch a),
+           |asg AS (SELECT vec_id, v, aid AS cluster FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, aid) AS rn
+           |  FROM sc) WHERE rn = 1),
+           |edges AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM asg x JOIN asg y
+           |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           |  WHERE ${sqlCos("x.v", "y.v")} >= 0.35),
+           |sym AS (SELECT id_a AS u, id_b AS v2 FROM edges UNION SELECT id_b, id_a FROM edges),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT u, u FROM sym
+           |  UNION
+           |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v2 = reach.id),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+           |SELECT a.vec_id, a.cluster, coalesce(c.component, a.vec_id) AS canon,
+           |  (coalesce(c.component, a.vec_id) = a.vec_id) AS kept
+           |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id ORDER BY a.vec_id""".stripMargin,
+
+      // Positional 8-gram spans shared by >= 2 docs, collapsed to
+      // maximal islands per doc.
+      "q_dup_spans" ->
+        s"""WITH ${tokCte()},
+           |shp AS (SELECT doc_id, CASE WHEN len(ws) >= 8
+           |  THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+           |  ELSE [] END AS sh FROM toks),
+           |pos AS (SELECT doc_id, unnest(range(1, len(sh)+1)) AS pos,
+           |        unnest(list_transform(sh, s -> md5_number_lower(s))) AS h FROM shp),
+           |dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+           |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (h)),
+           |isl AS (SELECT doc_id, pos,
+           |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+           |sp AS (SELECT doc_id, grp, count(*) AS span_ngrams FROM isl GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(span_ngrams) AS BIGINT) AS n_dup_ngrams,
+           |  count(*) AS n_spans, CAST(max(span_ngrams) + 7 AS BIGINT) AS max_span_tokens
+           |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_corpus_rarity" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |tc AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok)
+           |SELECT e.doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN tc.c <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           |  round(CAST(sum(CASE WHEN tc.c <= 100 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_frac
+           |FROM ex e JOIN tc USING (tok) GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
 
       // Replays trailer extraction + numstat totals from the raw-parse
       // fixture the Spark query dumped (the git shellout itself is the

@@ -332,4 +332,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Cross-document duplicated-span detection: find word n-gram spans
+    * that occur in ≥ `minDocs` distinct documents and report, per
+    * document, how much of it is duplicated text — the
+    * "train-data substring dedup" signal (long shared spans mark
+    * boilerplate/mirrored content that repetition-sensitive training
+    * wants removed) at n-gram rather than suffix-array granularity.
+    *
+    * Pipeline: positional n-gram shingles (docs shorter than `n`
+    * words contribute none) → md5 hash per shingle → doc-frequency
+    * per hash (one shuffle, map-side combined) → join positions of
+    * duplicated hashes back (hash-key equi-join) → collapse
+    * consecutive duplicated positions into maximal spans
+    * (gaps-and-islands over one per-doc window).
+    *
+    * Scale: everything keys on the 8-byte hash or doc id — no
+    * all-pairs stage at any point, so cost is linear in corpus token
+    * count plus the (small) duplicated slice. Truly universal
+    * boilerplate shingles make the df table itself skewed; AQE's
+    * skew handling covers the join-back since each hash row is tiny.
+    *
+    * Returns `(idCol, n_dup_ngrams, n_spans, max_span_tokens)` for
+    * documents containing at least one duplicated n-gram.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val toks = filter(
+      split(TextFunctions.normalizeText(col(textCol)), " "),
+      w => length(w) > 0)
+    val shingles = when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val positioned = df
+      .select(col(idCol).as("id"), posexplode(shingles).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"), DedupExpressions.md5Lower64(col("sh")).as("h"))
+    val dup = positioned.groupBy("h")
+      .agg(countDistinct(col("id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("h")
+    val dupPos = positioned.join(dup, Seq("h"), "left_semi")
+    val islands = dupPos.withColumn(
+      "grp",
+      col("pos") - row_number().over(
+        Window.partitionBy("id").orderBy("pos")))
+    val spans = islands.groupBy("id", "grp")
+      .agg(count(lit(1)).as("span_ngrams"))
+    spans.groupBy("id")
+      .agg(
+        sum(col("span_ngrams")).as("n_dup_ngrams"),
+        count(lit(1)).as("n_spans"),
+        (max(col("span_ngrams")) + lit(n.toLong - 1)).as("max_span_tokens"))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`):
@@ -295,5 +296,75 @@ object Similarity {
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    * coarse-cluster the corpus, call vectors within a cluster whose
+    * cosine ≥ `tau` duplicates, and keep one representative (smallest
+    * id) per duplicate group.
+    *
+    * The coarse quantizer here is ANCHOR-based rather than iterative
+    * k-means: the `k` rows with the smallest md5-derived anchor hash
+    * (unsigned, mod 2^31-1 — [[HashUtil.shingleBase]] arithmetic, so
+    * the DuckDB oracle re-derives the same anchor set) serve as cell
+    * centers, and every vector joins the anchor it is most cosine-
+    * similar to (ties → smaller anchor id). That keeps the whole
+    * pipeline deterministic and engine-replicable end-to-end — the
+    * same role `ivfFit` plays for ANN, where recall (not identity) is
+    * the contract.
+    *
+    * Scale shape (100 TB): anchors are a bounded TakeOrdered (k rows
+    * on the driver, broadcast); assignment is one scan with a k-way
+    * broadcast cross-score (no shuffle); the candidate self-join is
+    * per-cluster (shuffle on cluster id) so cost is Σ|cell|², not
+    * |corpus|² — for heavily-skewed cells, pre-bucket the big cells
+    * with [[lshBuckets]] first. Components reuse
+    * [[Dedup.connectedComponents]] (O(log n) rounds, no driver state).
+    *
+    * Returns `(idCol, cluster, canon, kept)`: `canon` is the smallest
+    * id of the duplicate component (their own id for uniques), `kept`
+    * = id == canon.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      tau: Double = 0.35): DataFrame = {
+    val anchorHash = {
+      val h = DedupExpressions.md5Lower64(
+        concat(col(idCol).cast("string"), lit(":anchor")))
+      // unsigned-mod-P of the signed md5 long: 2^32 ≡ 2 (mod 2^31-1),
+      // so u mod P = (2*hi + lo) mod P — matches DuckDB's UBIGINT `%`
+      pmod(
+        shiftrightunsigned(h, 32) * lit(2L) + h.bitwiseAND(lit(0xFFFFFFFFL)),
+        lit(HashUtil.P))
+    }
+    val anchors = df
+      .select(col(idCol).as("aid"), col(vecCol).as("avec"), anchorHash.as("ah"))
+      .orderBy(col("ah"), col("aid")).limit(k)
+      .select("aid", "avec")
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("cos").desc, col("aid").asc)
+    val assigned = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(anchors))
+      .withColumn("cos", DedupExpressions.cosineSim(col(vecCol), col("avec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("aid").as("cluster"))
+    val edges = assigned
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cluster"))
+      .join(
+        assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(DedupExpressions.cosineSim(col("va"), col("vb")) >= tau)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+    assigned.select(col(idCol), col("cluster"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("component"), col(idCol)).as("canon"))
+      .withColumn("kept", col("canon") === col(idCol))
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -164,5 +164,42 @@ object TextFunctions {
       scored.foldRight(lit("und")) { (s, acc) =>
         when(s.getField("hits") === best.getField("hits"), s.getField("code")).otherwise(acc)
       })
+  }
+
+  /** Corpus-frequency rarity profile per document: a TF-IDF-shaped
+    * quality signal that needs no trained model — documents dominated
+    * by tokens the corpus has barely seen are OCR noise / mojibake /
+    * codes, while near-zero rarity flags boilerplate. Kept entirely in
+    * integer space (plus one final positive `round`) so the DuckDB
+    * oracle reproduces every value bit-for-bit; a float avg-log-prob
+    * variant would hash-diverge across engines.
+    *
+    * Two shuffles, both standard at 100 TB: corpus term counts
+    * (map-side combined groupBy on token) and the token→count
+    * join-back (equi-join on the token key, heavy hitters handled by
+    * AQE skew split). Per-doc re-agg keys on the doc id. Documents
+    * with zero tokens produce no row.
+    *
+    * Returns `(idCol, n_tokens, n_rare, rare_frac)` where `n_rare`
+    * counts token OCCURRENCES whose corpus-wide occurrence count is
+    * ≤ `maxCount`.
+    */
+  def corpusRarity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCount: Long = 2L): DataFrame = {
+    val toks = filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0)
+    val exploded = df.select(col(idCol).as("id"), explode(toks).as("tok"))
+    val counts = exploded.groupBy("tok").agg(count(lit(1)).as("_tc"))
+    exploded.join(counts, "tok")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_tc") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn(
+        "rare_frac",
+        round(col("n_rare").cast("double") / col("n_tokens"), 6))
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -28,6 +28,16 @@ class TextFunctionsSpec extends SparkSpec {
       "h llo world 42")
   }
 
+  test("corpusRarity counts occurrences of corpus-rare tokens") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "aa cc")).toDF("doc_id", "text")
+    val out = TextFunctions.corpusRarity(docs, "doc_id", "text", maxCount = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_rare"),
+         r.getAs[Double]("rare_frac"))).toMap
+    // aa occurs 3x (not rare at maxCount=2); bb, cc once each
+    assert(out == Map(1L -> (3L, 1L, 0.333333), 2L -> (2L, 1L, 0.5)))
+  }
+
   test("stopword / punct ratios") {
     assert(math.abs(one[Double](TextFunctions.stopwordRatio(col("text")), "the cat is here") - 0.5) < 1e-9)
     assert(math.abs(one[Double](TextFunctions.punctRatio(col("text")), "ab,.") - 0.5) < 1e-9)
@@ -89,6 +99,21 @@ class DedupSpec extends SparkSpec {
     assert(g.length == 1 && g(0).getAs[Long]("n_dups") == 2 && g(0).getAs[Long]("keep_id") == 0L)
   }
 
+  test("duplicatedSpans collapses shared 8-grams into maximal spans") {
+    val spanDocs = Seq(
+      (1L, "a b c d e f g h i j"),          // shingles at pos 0,1,2; 0,1 shared
+      (2L, "a b c d e f g h i q r s"),      // shares a..h and b..i with doc 1
+      (3L, "totally unrelated words only here nothing shared at all now"),
+      (4L, "short doc"))                    // < 8 words: no shingles
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_ngrams"), r.getAs[Long]("n_spans"),
+         r.getAs[Long]("max_span_tokens"))).toMap
+    // both docs: one island of 2 consecutive duplicated 8-grams = 9 tokens
+    assert(out == Map(1L -> (2L, 1L, 9L), 2L -> (2L, 1L, 9L)))
+  }
+
   test("minhashPairs finds planted near-dups, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -139,6 +164,24 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.bruteForceTopK(df, "id", "vec", Seq(1f, 0f, 0f), 2)
       .collect().map(_.getLong(0)).toSeq
     assert(top == Seq(1L, 2L))
+  }
+
+  test("semanticDedup merges identical vectors whatever the anchor draw") {
+    // two well-separated groups of IDENTICAL vectors: identical vectors
+    // have identical cosines to every anchor, so they always share a
+    // cluster, and tau=0.99 edges merge each group to its smallest id
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0f, 0f)), (3L, Seq(1f, 0f, 0f)),
+      (10L, Seq(0f, 1f, 0f)), (11L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", k = 2, tau = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("canon"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+    // tau above any cosine: nothing merges
+    val none = Similarity.semanticDedup(df, "vec_id", "embedding", k = 2, tau = 1.01)
+    assert(none.filter(!col("kept")).count() == 0)
   }
 
   test("cosinePairs finds the close pair only") {
