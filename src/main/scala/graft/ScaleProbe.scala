@@ -148,6 +148,23 @@ object ScaleProbe {
         .agg(max("pack_id")).head()
     }
 
+    // --- new curation ops over the synthetic corpora -----------------
+    timed(s"duplicatedSpans ($nDocs docs)") {
+      // 20-word vocab × 50-word docs: ~43 positional 8-grams/doc, most
+      // unique — measures the hash groupBy + join-back at ~20M shingles
+      functions.Dedup.duplicatedSpans(docs, "id", "text").count()
+    }
+    timed(s"corpusRarity ($nDocs docs)") {
+      functions.TextFunctions.corpusRarity(docs, "id", "text", maxCount = 1000L)
+        .agg(sum("n_rare")).head()
+    }
+    timed("semanticDedup (100k vecs, k=256)") {
+      // k scales with corpus size to bound Σ|cell|² — ~390-vector cells
+      functions.Similarity.semanticDedup(
+        vecs.filter(col("id") < 100000L), "id", "v", k = 256, tau = 0.35)
+        .filter(!col("kept")).count()
+    }
+
     // --- connected components at 1M edges ----------------------------
     // chains of length 5 + a few hubs: several rounds to converge, so
     // the per-round fingerprint action (vs r3's two exceptAll shuffles)

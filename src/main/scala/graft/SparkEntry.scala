@@ -1328,6 +1328,67 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // Extension-based file-type dispatch (reference load_file): the
+    // SAME rows loaded through the .csv and .parquet branches must
+    // agree — the join makes any dispatch/parse divergence a row loss
+    // the oracle sees.
+    "q_file_dispatch" -> ((s, dir) => {
+      val csvFx = "/tmp/graft_fixtures/dispatch_csv"
+      val pqFx = "/tmp/graft_fixtures/dispatch_parquet"
+      val nation = tbl(s, dir, "nation")
+      nation.orderBy("n_nationkey").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(csvFx)
+      nation.orderBy("n_nationkey").coalesce(1)
+        .write.mode("overwrite").parquet(pqFx)
+      def part(d: String, ext: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(ext)).head.getAbsolutePath
+      val viaCsv = graft.etl.Loaders.loadFile(
+          s, part(csvFx, ".csv"), graft.etl.Loaders.OidColumn("n_nationkey"), AsOf)
+        .select(col(Meta.OID).cast("long").as(Meta.OID), col("n_name").as("name_csv"))
+      val viaPq = graft.etl.Loaders.loadFile(
+          s, part(pqFx, ".parquet"), graft.etl.Loaders.OidColumn("n_nationkey"), AsOf)
+        .select(col(Meta.OID).cast("long").as(Meta.OID), col("n_name").as("name_parquet"))
+      viaCsv.join(viaPq, Seq(Meta.OID)).orderBy(Meta.OID)
+    }),
+
+    // Plain-append insert sink: two disjoint halves of lineitem loaded
+    // separately, one inserted into the other — aggregate over the
+    // union must equal the oracle's aggregate over the whole table.
+    "q_insert_sink" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val oidExpr = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+      val c = Container.fromRaw(
+        s, "li_ins", li.filter(col("l_orderkey") % 2 === 0), oidExpr, AsOf)
+      val rest = Container.fromRaw(
+        s, "li_rest", li.filter(col("l_orderkey") % 2 =!= 0), oidExpr, AsOf)
+      c.insert(rest.df).df
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy("flag")
+    }),
+
+    // IN-list batched extraction (the reference's 999/5000-oid batch
+    // shape): oidBatchPredicates → one partition per IN-list via
+    // readByPredicates, against live Derby.
+    "q_jdbc_batched" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graftbatch;create=true"
+      val props = new java.util.Properties()
+      val sup = tbl(s, dir, "supplier")
+      sup.write.mode("overwrite").jdbc(url, "supplier_b", props)
+      val oids = sup.select("s_suppkey").orderBy("s_suppkey")
+        .collect().map(_.getLong(0)).toSeq
+      // Spark's JDBC writer creates case-sensitive quoted columns in
+      // Derby, so the hand-built predicates must quote too
+      val preds = graft.etl.JdbcSource.oidBatchPredicates(
+        "\"s_suppkey\"", oids, batchSize = 17)
+      graft.etl.JdbcSource.readByPredicates(s, url, "supplier_b", preds, props)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // Raw-SQL passthrough executor (container self-registers as a temp
     // view; reference: sqlalchemy.py:528-547).
     "q_execute_sql" -> ((s, dir) => {
@@ -1446,12 +1507,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental ingest dedup: batch = doc_id >= 400 screened against
+    // the persisted signatures of the < 400 corpus; dup_of = smallest
+    // matching corpus id (NULL = novel). Signatures, bands, and match
+    // ratios all md5-replicated by the oracle.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpusSigs = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("id"),
+          graft.functions.DedupExpressions.minhashSig(col("text"), 64, 3).as("sig"))
+      Dedup.dedupAgainstCorpus(
+          docs.filter(col("doc_id") >= 400), "doc_id", "text", corpusSigs,
+          threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Corpus-frequency rarity profile (integer-exact TF-IDF-shaped
     // quality signal). maxCount=100 sits inside this corpus's tiny
     // 31-token vocabulary (counts 26..964) so the gate is non-trivial.
     "q_corpus_rarity" -> ((s, dir) => {
       TextFunctions.corpusRarity(tbl(s, dir, "documents"), "doc_id", "text",
           maxCount = 100L)
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end curation recipe COMPOSED from the gated stages:
+    // quality filter (one-pass TextStatsExpr) → exact dedup on text
+    // (keep smallest id) → deterministic md5 train/val/test split.
+    // One gate proving the stages compose without re-reading text
+    // between them — the "switch your pipeline to this library" query.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents")
+        .withColumn("quality",
+          graft.functions.TextStatsExpr(col("text")).getField("quality"))
+        .filter(col("quality") >= 0.5)
+      val deduped = Dedup.exact(scored, "doc_id", Seq("text"))
+      graft.functions.Curation.hashSplit(
+          deduped, col("doc_id"), Seq(0.9, 0.05, 0.05), basis = "md5")
+        .select(col("doc_id"), col("quality"), col("split"))
         .orderBy("doc_id")
     }),
 
@@ -2426,6 +2519,24 @@ object SparkEntry {
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
           |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
 
+      "q_file_dispatch" ->
+        """SELECT CAST(c.n_nationkey AS BIGINT) AS _oid,
+          |  c.n_name AS name_csv, p.n_name AS name_parquet
+          |FROM read_csv('/tmp/graft_fixtures/dispatch_csv/*.csv', header=true) c
+          |JOIN read_parquet('/tmp/graft_fixtures/dispatch_parquet/*.parquet') p
+          |  ON c.n_nationkey = p.n_nationkey
+          |ORDER BY _oid""".stripMargin,
+
+      "q_insert_sink" ->
+        """SELECT l_returnflag AS flag, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+
+      "q_jdbc_batched" ->
+        """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+          |  CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+          |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
       "q_http_fetch" ->
         """SELECT CAST(r_regionkey AS BIGINT) AS _oid, r_name
           |FROM read_csv('/tmp/graft_fixtures/fetch_csv/*.csv', header=true)
@@ -2507,6 +2618,38 @@ object SparkEntry {
            |SELECT doc_id, CAST(sum(span_ngrams) AS BIGINT) AS n_dup_ngrams,
            |  count(*) AS n_spans, CAST(max(span_ngrams) + 7 AS BIGINT) AS max_span_tokens
            |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_curation_pipeline" ->
+        s"""WITH $QualityCtes,
+           |f AS (SELECT d.doc_id, d.text, q.quality FROM documents d
+           |      JOIN q ON q.doc_id = d.doc_id WHERE q.quality >= 0.5),
+           |k AS (SELECT doc_id, quality,
+           |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f),
+           |dd AS (SELECT doc_id, quality FROM k WHERE rn = 1),
+           |b AS (SELECT doc_id, quality,
+           |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+           |        % 1000000 AS bucket FROM dd)
+           |SELECT doc_id, quality,
+           |  CASE WHEN bucket < 900000 THEN 0 WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      "q_dedup_incremental" ->
+        s"""WITH ${tokCte()}, $ShingleCtes, $SigCte,
+           |bandk AS (
+           |  SELECT doc_id, sig,
+           |    md5(CAST(b AS VARCHAR) || ':' ||
+           |        list_aggregate(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS band
+           |  FROM sig, range(0, 8) t(b)),
+           |cand AS (
+           |  SELECT DISTINCT n.doc_id AS nid, n.sig AS nsig, c.doc_id AS cid, c.sig AS csig
+           |  FROM bandk n JOIN bandk c ON n.band = c.band
+           |  WHERE n.doc_id >= 400 AND c.doc_id < 400),
+           |m AS (
+           |  SELECT nid, min(cid) AS dup_of FROM cand
+           |  WHERE CAST(len(list_filter(range(1, 65), i -> nsig[i] = csig[i])) AS DOUBLE) / 64.0 >= 0.5
+           |  GROUP BY nid)
+           |SELECT d.doc_id, m.dup_of FROM documents d LEFT JOIN m ON m.nid = d.doc_id
+           |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
 
       "q_corpus_rarity" ->
         s"""WITH ${tokCte()},

@@ -333,6 +333,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup dedup of a NEW batch against an existing
+    * signature corpus — the continuous-ingest shape: signatures for
+    * the whole history are persisted once (e.g. via
+    * [[DedupExpressions.minhashSig]] into a `(id, sig)` table) and
+    * each arriving batch is screened against them without ever
+    * re-reading corpus text.
+    *
+    * Join algebra: one-pass signatures for the batch → band keys on
+    * BOTH sides → band equi-join (batch bands × corpus bands — the
+    * corpus side shuffles ids+bands only, never text or vectors) →
+    * signature match ratio ≥ `threshold` confirms → min matching
+    * corpus id per batch doc. Corpus-side band rows can also be
+    * precomputed/persisted, making the incremental cost O(batch) —
+    * at 100 TB history + GB-scale batches that is the only shape that
+    * works. `maxBucketSize` caps degenerate corpus buckets exactly as
+    * in [[minhashPairsFromSigs]].
+    *
+    * Returns all batch rows as `(idCol, dup_of)` — `dup_of` = smallest
+    * matching corpus id, NULL for novel documents.
+    */
+  def dedupAgainstCorpus(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      k: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val rowsPerBand = k / bands
+    val newSigs = newDocs.select(
+      col(idCol).as("_nid"),
+      DedupExpressions.minhashSig(col(textCol), k, 3).as("_nsig"))
+    val newBands = newSigs.select(col("_nid"), col("_nsig"),
+      explode(lshBandKeys(col("_nsig"), bands, rowsPerBand)).as("band"))
+    val corpusBands = corpusSigs.select(
+        col("id").as("_cid"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val okBuckets = corpusBands.groupBy("band")
+      .agg(count(lit(1)).as("_bs"))
+      .filter(col("_bs") <= maxBucketSize)
+      .select("band")
+    val matches = newBands
+      .join(corpusBands.join(okBuckets, Seq("band"), "left_semi"), Seq("band"))
+      .select("_nid", "_nsig", "_cid").dropDuplicates("_nid", "_cid")
+      .join(corpusSigs.select(col("id").as("_cid"), col("sig").as("_csig")), "_cid")
+      .filter(DedupExpressions.sigMatchRatio(col("_nsig"), col("_csig")) >= threshold)
+      .groupBy("_nid").agg(min(col("_cid")).as("dup_of"))
+    newDocs.select(col(idCol))
+      .join(matches.withColumnRenamed("_nid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of"))
+  }
+
   /** Cross-document duplicated-span detection: find word n-gram spans
     * that occur in ≥ `minDocs` distinct documents and report, per
     * document, how much of it is duplicated text — the

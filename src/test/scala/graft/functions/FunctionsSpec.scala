@@ -99,6 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(g.length == 1 && g(0).getAs[Long]("n_dups") == 2 && g(0).getAs[Long]("keep_id") == 0L)
   }
 
+  test("dedupAgainstCorpus flags batch docs near-duplicate to persisted sigs") {
+    val corpus = Seq((0L, base),
+      (2L, "completely different content about spark catalyst optimizer rules and physical plans"))
+      .toDF("id", "text")
+    val sigs = corpus.select(col("id"),
+      DedupExpressions.minhashSig(col("text"), 64, 3).as("sig"))
+    val batch = Seq(
+      (10L, base + " extra tail words"), // near-dup of corpus doc 0
+      (11L, "novel doc about flink watermarks and state backends entirely"))
+      .toDF("id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, "id", "text", sigs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map(10L -> Some(0L), 11L -> None))
+  }
+
   test("duplicatedSpans collapses shared 8-grams into maximal spans") {
     val spanDocs = Seq(
       (1L, "a b c d e f g h i j"),          // shingles at pos 0,1,2; 0,1 shared
