@@ -1531,6 +1531,71 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quantized ANN serving path: int8 candidate scoring in the probed
+    // IVF cells, float rerank of the top 4k — recall gated against the
+    // full-precision brute force exactly like q_ann_ivf.
+    "q_ann_quantized" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings")
+      val cents = Similarity.ivfFit(emb, "vec_id", "embedding", k = 10)
+      val queries = emb.filter(col("vec_id") < 5).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val qdf = queries.toSeq.map { case (qid, qv) => (qid, qv.toArray) }
+        .toDF("query_id", "qvec")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      val brute = emb
+        .crossJoin(broadcast(qdf))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("score"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      val ann = queries.map { case (qid, qv) =>
+        Similarity.annTopKIvfQuantized(emb, "vec_id", "embedding", qv, 10, cents)
+          .select(lit(qid).as("query_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      ann.join(brute.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        .select(col("query_id"), (col("n_hits") >= 3).as("recall_ok"))
+        .orderBy("query_id")
+    }),
+
+    // Streaming content dedup: first-arrival dedup keyed on the md5
+    // content FINGERPRINT (not raw text — fixed-width state at any
+    // scale). Output is the surviving fingerprint set; signed-BIGINT
+    // recipe on the oracle side as in q_fingerprint.
+    "q_stream_fingerprint" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmpBase =
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-fp-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        srcDir.resolve("documents.parquet"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        // synthetic event time well above the watermark delay so no
+        // fixture row sits at the initial watermark boundary
+        .withColumn("__evt", timestamp_seconds(col("doc_id") + lit(7200L)))
+      val deduped = graft.streaming.StreamIngest.streamingDedup(
+        stream, Seq("fp"), "__evt", "30 minutes")
+      val qname = "fpdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(col("fp")).distinct().orderBy("fp")
+    }),
+
     // End-to-end curation recipe COMPOSED from the gated stages:
     // quality filter (one-pass TextStatsExpr) → exact dedup on text
     // (keep smallest id) → deterministic md5 train/val/test split.
@@ -2618,6 +2683,19 @@ object SparkEntry {
            |SELECT doc_id, CAST(sum(span_ngrams) AS BIGINT) AS n_dup_ngrams,
            |  count(*) AS n_spans, CAST(max(span_ngrams) + 7 AS BIGINT) AS max_span_tokens
            |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_ann_quantized" ->
+        """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+      "q_stream_fingerprint" ->
+        """WITH n AS (
+          |  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+          |  FROM documents),
+          |f AS (SELECT DISTINCT CAST(CASE WHEN md5_number_lower(norm) >= 9223372036854775808
+          |  THEN CAST(md5_number_lower(norm) AS HUGEINT) - 18446744073709551616
+          |  ELSE CAST(md5_number_lower(norm) AS HUGEINT) END AS BIGINT) AS fp FROM n)
+          |SELECT fp FROM f ORDER BY fp""".stripMargin,
 
       "q_curation_pipeline" ->
         s"""WITH $QualityCtes,

@@ -393,12 +393,20 @@ object Dedup {
     * boilerplate/mirrored content that repetition-sensitive training
     * wants removed) at n-gram rather than suffix-array granularity.
     *
-    * Pipeline: positional n-gram shingles (docs shorter than `n`
-    * words contribute none) → md5 hash per shingle → doc-frequency
-    * per hash (one shuffle, map-side combined) → join positions of
-    * duplicated hashes back (hash-key equi-join) → collapse
-    * consecutive duplicated positions into maximal spans
+    * Pipeline: one tokenize per document (posexplode — the generator
+    * input is evaluated once per row) → n-gram strings rebuilt from
+    * `n-1` window `lead`s over (doc, pos) → md5 hash per position →
+    * doc-frequency per hash (one shuffle, map-side combined) → join
+    * positions of duplicated hashes back (hash-key equi-join) →
+    * collapse consecutive duplicated positions into maximal spans
     * (gaps-and-islands over one per-doc window).
+    *
+    * The window-lead formulation is deliberate: building positional
+    * shingles as `transform(sequence(...), i -> array_join(slice(
+    * toks, i, n)))` re-evaluates the embedded normalize/split regex
+    * per POSITION in interpreted HOF eval (no CSE) — measured as a
+    * >20-minute stall at 500k×43 positions where this shape takes
+    * seconds. Docs shorter than `n` words contribute no positions.
     *
     * Scale: everything keys on the 8-byte hash or doc id — no
     * all-pairs stage at any point, so cost is linear in corpus token
@@ -418,14 +426,14 @@ object Dedup {
     val toks = filter(
       split(TextFunctions.normalizeText(col(textCol)), " "),
       w => length(w) > 0)
-    val shingles = when(size(toks) >= n,
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val positioned = df
-      .select(col(idCol).as("id"), posexplode(shingles).as(Seq("pos", "sh")))
-      .select(col("id"), col("pos"), DedupExpressions.md5Lower64(col("sh")).as("h"))
+    val tokPos = df.select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "tok")))
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(wOrd).as(s"_t$j"))
+    val gram = concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"_t$j")): _*)
+    val positioned = tokPos
+      .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
+      .filter(col(s"_t${n - 1}").isNotNull)
+      .select(col("id"), col("pos"), DedupExpressions.md5Lower64(gram).as("h"))
     val dup = positioned.groupBy("h")
       .agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") >= minDocs)

@@ -420,6 +420,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(ann.contains(13L)) // its own cell is always probed first
   }
+
+  test("annTopKIvfQuantized matches the float IVF top-k after rerank") {
+    val rng = new scala.util.Random(9)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.ivfFit(df, "id", "vec", k = 4, sampleN = 200)
+    val q = vecs(13)._2
+    val fl = Similarity.annTopKIvf(df, "id", "vec", q, k = 3, cents, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val qz = Similarity.annTopKIvfQuantized(df, "id", "vec", q, k = 3, cents, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    // same candidate cells + float rerank: int8 approximation must not
+    // change the final top-3
+    assert(qz == fl)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
