@@ -1596,6 +1596,30 @@ object SparkEntry {
       s.table(qname).select(col("fp")).distinct().orderBy("fp")
     }),
 
+    // Overlapping-window document chunking: every boundary is integer
+    // arithmetic, chunk text reassembled in token order; oracle
+    // replays it with zipped unnest + string_agg ORDER BY pos.
+    "q_chunk_docs" -> ((s, dir) => {
+      graft.functions.Curation.chunkDocuments(
+          tbl(s, dir, "documents"), "doc_id", "text", maxTokens = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"),
+          col("n_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Cluster-proportional downsampling (keep 1+floor(log2(size)) per
+    // group, md5-ranked): quota via length(bin(n)) — integer-exact on
+    // both engines, no float log2.
+    "q_downsample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("grp", concat_ws(":", col("lang"), col("source")))
+      graft.functions.Curation.downsampleGroups(docs, "doc_id", "grp")
+        .select(col("doc_id"), col("grp"), col("group_size"), col("rk").cast("long").as("rk"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation recipe COMPOSED from the gated stages:
     // quality filter (one-pass TextStatsExpr) → exact dedup on text
     // (keep smallest id) → deterministic md5 train/val/test split.
@@ -2696,6 +2720,29 @@ object SparkEntry {
           |  THEN CAST(md5_number_lower(norm) AS HUGEINT) - 18446744073709551616
           |  ELSE CAST(md5_number_lower(norm) AS HUGEINT) END AS BIGINT) AS fp FROM n)
           |SELECT fp FROM f ORDER BY fp""".stripMargin,
+
+      "q_chunk_docs" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, unnest(range(1, len(ws)+1)) - 1 AS pos, unnest(ws) AS tok FROM toks),
+           |nn AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+           |a AS (SELECT e.doc_id, e.pos, e.tok,
+           |  CAST(CASE WHEN nn.n <= 40 THEN 1 ELSE floor((nn.n - 41) / 32) + 2 END AS BIGINT) AS n_chunks,
+           |  CAST(CASE WHEN e.pos < 40 THEN 0 ELSE floor((e.pos - 40) / 32) + 1 END AS BIGINT) AS i_min,
+           |  CAST(floor(e.pos / 32) AS BIGINT) AS i_raw
+           |  FROM ex e JOIN nn ON nn.doc_id = e.doc_id),
+           |c AS (SELECT doc_id, pos, tok,
+           |        unnest(range(i_min, least(i_raw, n_chunks - 1) + 1)) AS chunk_idx FROM a)
+           |SELECT doc_id, chunk_idx, min(pos) AS start_tok, max(pos) + 1 AS end_tok,
+           |  count(*) AS n_tokens, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+           |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q_downsample" ->
+        """WITH g AS (SELECT doc_id, lang || ':' || source AS grp FROM documents),
+          |s AS (SELECT doc_id, grp, count(*) OVER (PARTITION BY grp) AS group_size,
+          |  row_number() OVER (PARTITION BY grp
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM g)
+          |SELECT doc_id, grp, group_size, CAST(rk AS BIGINT) AS rk FROM s
+          |WHERE rk <= length(bin(group_size)) ORDER BY doc_id""".stripMargin,
 
       "q_curation_pipeline" ->
         s"""WITH $QualityCtes,

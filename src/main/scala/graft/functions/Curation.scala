@@ -255,6 +255,79 @@ object Curation {
     finally { cached.unpersist(); () }
   }
 
+  /** Overlapping-window document chunking (the context-window prep
+    * step for training/RAG): word tokens per doc are cut into chunks
+    * of `maxTokens` with `overlap` tokens shared between consecutive
+    * chunks. Returns one row per chunk: `(idCol, chunk_idx,
+    * start_tok, end_tok, n_tokens, chunk_text)`.
+    *
+    * Shape: one tokenize per doc (posexplode), chunk membership as
+    * integer arithmetic per token (a token belongs to ≤
+    * ⌈maxTokens/stride⌉ chunks — exploded via a tiny sequence, never
+    * a per-position HOF over the full doc), then one shuffle on
+    * (doc, chunk) to reassemble chunk text in token order. Every
+    * boundary decision is integer-exact and engine-replicable; all
+    * divisions run on non-negative operands so truncating and
+    * flooring division agree.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = filter(
+      split(TextFunctions.normalizeText(col(textCol)), " "),
+      w => length(w) > 0)
+    val tokPos = df.select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "tok")))
+      // window result materialized as a plain column first: window
+      // expressions cannot appear inside a generator
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("id")))
+    val nChunks = when(col("_n") <= maxTokens, lit(1L))
+      .otherwise(floor((col("_n") - maxTokens - 1) / lit(stride)) + 2)
+    val iMin = when(col("pos") < maxTokens, lit(0L))
+      .otherwise(floor((col("pos") - maxTokens) / lit(stride)) + 1)
+    val iMax = least(floor(col("pos") / lit(stride)), nChunks - 1)
+    tokPos
+      .withColumn("chunk_idx", explode(sequence(iMin, iMax)))
+      .groupBy(col("id").as(idCol), col("chunk_idx"))
+      .agg(
+        min(col("pos")).as("start_tok"),
+        (max(col("pos")) + 1).as("end_tok"),
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("chunk_text"))
+  }
+
+  /** Cluster-proportional downsampling: given a duplicate-group (or
+    * cluster) assignment, keep `1 + floor(log2(group size))`
+    * representatives per group — the standard compromise between
+    * full dedup (keep 1) and no dedup (natural frequency still
+    * carries signal). Selection is deterministic: members ranked by
+    * md5 of their id (ties by id). The quota is computed
+    * INTEGER-exactly as `length(bin(size))` — no float log2 to
+    * diverge across engines. One shuffle on the group key.
+    *
+    * Returns the kept rows as `(idCol, groupCol, group_size, rk)`.
+    */
+  def downsampleGroups(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+    val order = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(order))
+      .filter(col("rk") <= length(bin(col("group_size"))))
+  }
+
   private def packSequencesInternal(
       df: DataFrame,
       tokens: Column,

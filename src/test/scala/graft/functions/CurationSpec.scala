@@ -43,6 +43,32 @@ class CurationContaminationSpec extends SparkSpec {
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkDocuments: overlapping windows with exact boundaries") {
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only two"))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0, 4, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3, 7, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6, 10, 4L, "t6 t7 t8 t9"),
+      (2L, 0L, 0, 2, 2L, "only two")))
+  }
+
+  test("downsampleGroups: 1+floor(log2(size)) deterministic reps per group") {
+    val df = (1L to 5L).map(i => (i, "a")).++(Seq((10L, "b"))).toDF("id", "grp")
+    val kept = Curation.downsampleGroups(df, "id", "grp").collect()
+    val byGrp = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byGrp == Map("a" -> 3, "b" -> 1)) // bin(5)='101' -> 3; bin(1)='1' -> 1
+    // deterministic across runs
+    val again = Curation.downsampleGroups(df, "id", "grp").collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("hashSplit: deterministic, disjoint, ~proportional, group-stable") {
     val df = spark.range(20000).toDF("id")
       .withColumn("grp", col("id") % 1000) // 20 rows per group
