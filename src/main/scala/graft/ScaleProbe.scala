@@ -164,6 +164,22 @@ object ScaleProbe {
         vecs.filter(col("id") < 100000L), "id", "v", k = 256, tau = 0.35)
         .filter(!col("kept")).count()
     }
+    timed(s"chunkDocuments ($nDocs docs)") {
+      functions.Curation.chunkDocuments(docs, "id", "text",
+        maxTokens = 32, overlap = 8).count()
+    }
+    timed(s"downsampleGroups ($nDocs docs, 1k groups)") {
+      functions.Curation.downsampleGroups(
+        docs.withColumn("grp", pmod(hash(col("id")), lit(1000))), "id", "grp")
+        .count()
+    }
+    timed(s"dedupAgainstCorpus (50k batch vs ${nDocs} corpus sigs)") {
+      val corpusSigs = docs.filter(col("id") % 10 =!= 0).select(col("id"),
+        functions.DedupExpressions.minhashSig(col("text"), 64).as("sig"))
+      functions.Dedup.dedupAgainstCorpus(
+        docs.filter(col("id") % 10 === 0).limit(50000), "id", "text", corpusSigs)
+        .filter(col("dup_of").isNotNull).count()
+    }
 
     // --- connected components at 1M edges ----------------------------
     // chains of length 5 + a few hubs: several rounds to converge, so

@@ -363,12 +363,21 @@ object Similarity {
     * id of the duplicate component (their own id for uniques), `kept`
     * = id == canon.
     */
+  /** @param maxCellSize clusters larger than this are EXCLUDED from
+    *   the pairwise edge join (their members all stay "kept") — the
+    *   same bounded-bucket policy as `minhashPairs`' maxBucketSize:
+    *   one degenerate cell of 10⁷ vectors would otherwise emit 5·10¹³
+    *   candidate pairs. Size `k` ~ N/targetCell so the cap never
+    *   fires on healthy data; when it fires, re-cluster the big cell
+    *   with a larger k or pre-bucket it with [[lshBuckets]].
+    */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int = 16,
-      tau: Double = 0.35): DataFrame = {
+      tau: Double = 0.35,
+      maxCellSize: Long = 100000L): DataFrame = {
     val anchorHash = {
       val h = DedupExpressions.md5Lower64(
         concat(col(idCol).cast("string"), lit(":anchor")))
@@ -390,10 +399,15 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col(vecCol), col("aid").as("cluster"))
-    val edges = assigned
+    val okCells = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("_cs"))
+      .filter(col("_cs") <= maxCellSize)
+      .select("cluster")
+    val bounded = assigned.join(okCells, Seq("cluster"), "left_semi")
+    val edges = bounded
       .select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cluster"))
       .join(
-        assigned.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cluster")),
+        bounded.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("cluster")),
         Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(DedupExpressions.cosineSim(col("va"), col("vb")) >= tau)
