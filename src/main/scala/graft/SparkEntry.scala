@@ -1516,8 +1516,17 @@ object SparkEntry {
       val corpusSigs = docs.filter(col("doc_id") < 400)
         .select(col("doc_id").as("id"),
           graft.functions.DedupExpressions.minhashSig(col("text"), 64, 3).as("sig"))
-      Dedup.dedupAgainstCorpus(
-          docs.filter(col("doc_id") >= 400), "doc_id", "text", corpusSigs,
+      // the rolling-ingest shape: the index (sigs + pruned band rows)
+      // is PERSISTED and read back — batch screening touches no corpus
+      // text and recomputes no bucket stats
+      val base = "/tmp/graft_fixtures/sig_index"
+      val idx = Dedup.buildSignatureIndex(corpusSigs)
+      idx.sigs.write.mode("overwrite").parquet(base + "/sigs")
+      idx.bands.write.mode("overwrite").parquet(base + "/bands")
+      val stored = Dedup.SignatureIndex(
+        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/bands"))
+      Dedup.dedupAgainstIndex(
+          docs.filter(col("doc_id") >= 400), "doc_id", "text", stored,
           threshold = 0.5)
         .orderBy("doc_id")
     }),

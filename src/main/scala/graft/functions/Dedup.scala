@@ -361,24 +361,66 @@ object Dedup {
       k: Int = 64,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000): DataFrame =
+    dedupAgainstIndex(
+      newDocs, idCol, textCol,
+      buildSignatureIndex(corpusSigs, bands, k / bands, maxBucketSize),
+      k, bands, threshold)
+
+  /** The persisted half of [[dedupAgainstCorpus]]: signatures plus
+    * pre-exploded band rows with oversized buckets already removed.
+    * Build ONCE per corpus snapshot and write both frames to storage
+    * (plain parquet; the band table is `(id, band)` — 8 rows × ~40 B
+    * per doc); every arriving batch then joins against the stored
+    * index without recomputing corpus bands or bucket stats. Append
+    * `buildSignatureIndex` output of each accepted batch to keep the
+    * index rolling forward.
+    */
+  final case class SignatureIndex(sigs: DataFrame, bands: DataFrame)
+
+  /** @param corpusSigs `(id, sig)` — e.g. persisted
+    *   [[DedupExpressions.minhashSig]] output.
+    */
+  def buildSignatureIndex(
+      corpusSigs: DataFrame,
+      bands: Int = 8,
+      rowsPerBand: Int = 8,
+      maxBucketSize: Int = 2000): SignatureIndex = {
+    val corpusBands = corpusSigs.select(
+      col("id"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val okBuckets = corpusBands.groupBy("band")
+      .agg(count(lit(1)).as("_bs"))
+      .filter(col("_bs") <= maxBucketSize)
+      .select("band")
+    SignatureIndex(
+      corpusSigs,
+      corpusBands.join(okBuckets, Seq("band"), "left_semi"))
+  }
+
+  /** Screen a batch against a prebuilt [[SignatureIndex]] — the
+    * incremental cost is O(batch): the batch side computes signatures
+    * and bands in one pass; the index side is a stored equi-join
+    * target (ids + band keys only, no text, no bucket-stat rescan).
+    */
+  def dedupAgainstIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: SignatureIndex,
+      k: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
     val newSigs = newDocs.select(
       col(idCol).as("_nid"),
       DedupExpressions.minhashSig(col(textCol), k, 3).as("_nsig"))
     val newBands = newSigs.select(col("_nid"), col("_nsig"),
       explode(lshBandKeys(col("_nsig"), bands, rowsPerBand)).as("band"))
-    val corpusBands = corpusSigs.select(
-        col("id").as("_cid"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val okBuckets = corpusBands.groupBy("band")
-      .agg(count(lit(1)).as("_bs"))
-      .filter(col("_bs") <= maxBucketSize)
-      .select("band")
     val matches = newBands
-      .join(corpusBands.join(okBuckets, Seq("band"), "left_semi"), Seq("band"))
+      .join(index.bands.select(col("id").as("_cid"), col("band")), Seq("band"))
       .select("_nid", "_nsig", "_cid").dropDuplicates("_nid", "_cid")
-      .join(corpusSigs.select(col("id").as("_cid"), col("sig").as("_csig")), "_cid")
+      .join(index.sigs.select(col("id").as("_cid"), col("sig").as("_csig")), "_cid")
       .filter(DedupExpressions.sigMatchRatio(col("_nsig"), col("_csig")) >= threshold)
       .groupBy("_nid").agg(min(col("_cid")).as("dup_of"))
     newDocs.select(col(idCol))

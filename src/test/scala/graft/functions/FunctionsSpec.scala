@@ -113,6 +113,12 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(out == Map(10L -> Some(0L), 11L -> None))
+    // prebuilt-index path produces the identical screening result
+    val viaIndex = Dedup.dedupAgainstIndex(
+        batch, "id", "text", Dedup.buildSignatureIndex(sigs), threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaIndex == out)
   }
 
   test("duplicatedSpans collapses shared 8-grams into maximal spans") {
