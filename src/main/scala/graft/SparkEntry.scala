@@ -1209,6 +1209,25 @@ object SparkEntry {
     // semi-join, not a full groupBy at scale) -> keep > support. The
     // oracle computes the exact answer directly, so the chain must
     // neither miss a hitter nor let a false positive through
+    // Count-min frequency estimates for the event types, gated within
+    // eps*N of the exact counts (oracle computes exact + pins
+    // within_tol) — the mergeable-sketch answer to point frequency.
+    "q_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val n = ev.count()
+      val est = graft.functions.Sketches.countMinEstimates(ev, "event_type", types)
+        .toDF("event_type", "cms_n")
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("cms_n") - col("n_exact")) <= lit(math.ceil(n * 0.001).toLong))
+            .as("within_tol"))
+        .orderBy("event_type")
+    }),
+
     "q_heavy_hitters" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val total = docs.count()
@@ -2838,6 +2857,10 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT doc_id, 'rest', 0 FROM b WHERE lang <> 'en' AND b42 < 500000)
           |ORDER BY doc_id, mix_source, mix_epoch""".stripMargin,
+
+      "q_count_min" ->
+        """SELECT event_type, count(*) AS n_exact, true AS within_tol
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q_heavy_hitters" ->
         """SELECT lang, count(*) AS n FROM documents GROUP BY lang

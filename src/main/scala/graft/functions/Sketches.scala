@@ -61,6 +61,26 @@ object Sketches {
   /** Approximate quantiles (deterministic Greenwald-Khanna summaries;
     * bounded memory per partition — the 100 TB path).
     */
+  /** Count-min frequency sketch over `col`, queried for `items`:
+    * returns (item, estimate) pairs. The sketch is built distributed
+    * (mergeable per-partition sketches, one pass — Spark's
+    * `stat.countMinSketch`); only the fixed-size sketch reaches the
+    * driver, so this answers "how often does each of these K values
+    * occur" over any corpus size with eps·N additive error — the
+    * sketch-sized answer to frequency questions where an exact
+    * groupBy would shuffle the full key set.
+    */
+  def countMinEstimates(
+      df: DataFrame,
+      column: String,
+      items: Seq[String],
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42): Seq[(String, Long)] = {
+    val cms = df.stat.countMinSketch(column, eps, confidence, seed)
+    items.map(i => i -> cms.estimateCount(i))
+  }
+
   def approxQuantilesByKey(
       df: DataFrame,
       keys: Seq[String],

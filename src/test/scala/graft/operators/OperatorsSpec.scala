@@ -69,6 +69,15 @@ class SketchesSpec extends graft.SparkSpec {
     assert(math.abs(qa.head - 51.0) <= 1.0)
   }
 
+  test("countMinEstimates within eps*N of exact point frequencies") {
+    val df = (1 to 10000).map(i => ("t" + (i % 4)).toString).toDF("v")
+    val est = Sketches.countMinEstimates(df, "v", Seq("t0", "t1", "t2", "t3")).toMap
+    // CMS overestimates by at most eps*N (w.h.p.); never underestimates
+    Seq("t0", "t1", "t2", "t3").foreach { t =>
+      assert(est(t) >= 2500 && est(t) <= 2500 + 10, s"$t -> ${est(t)}")
+    }
+  }
+
   test("frequentItems surfaces the planted heavy hitter") {
     // value 7 has 30% frequency; the rest are near-unique
     val df = (1 to 10000).map(i => if (i % 10 < 3) 7L else i.toLong).toDF("v")
