@@ -1543,7 +1543,8 @@ object SparkEntry {
       idx.sigs.write.mode("overwrite").parquet(base + "/sigs")
       idx.bands.write.mode("overwrite").parquet(base + "/bands")
       val stored = Dedup.SignatureIndex(
-        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/bands"))
+        s.read.parquet(base + "/sigs"), s.read.parquet(base + "/bands"),
+        idx.nBands, idx.rowsPerBand)
       Dedup.dedupAgainstIndex(
           docs.filter(col("doc_id") >= 400), "doc_id", "text", stored,
           threshold = 0.5)
@@ -1837,7 +1838,8 @@ object SparkEntry {
       |  SELECT i AS asset_id,
       |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
       |    (CASE i % 3 WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
-      |                WHEN 1 THEN 'ID3'::BLOB ELSE 'RIFF'::BLOB END) ||
+      |                WHEN 1 THEN 'ID3'::BLOB
+      |                ELSE 'RIFF\x00\x00\x00\x00AVI '::BLOB END) ||
       |    encode(repeat('asset-' || CAST(i % 39 AS VARCHAR) || '|', 1 + (i % 39) % 4)) AS content
       |  FROM range(0, 120) t(i))""".stripMargin
 
@@ -2152,13 +2154,13 @@ object SparkEntry {
 
       "q_token_counts" ->
         """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-          |  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+          |  ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) END AS n_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_token_pack" ->
         """WITH tok AS (
           |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-          |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+          |    ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) END AS n_tokens
           |  FROM documents),
           |c AS (SELECT doc_id, n_tokens,
           |        sum(n_tokens) OVER (ORDER BY doc_id
@@ -2173,7 +2175,7 @@ object SparkEntry {
       "q_token_pack_length" ->
         """WITH tok AS (
           |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-          |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+          |    ELSE CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) END AS n_tokens
           |  FROM documents),
           |c AS (SELECT doc_id, n_tokens,
           |        sum(n_tokens) OVER (ORDER BY n_tokens, doc_id
@@ -2833,7 +2835,7 @@ object SparkEntry {
       "q_stratified_sample" ->
         """WITH b AS (
           |  SELECT doc_id, lang,
-          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1042'), 1, 15))::BIGINT
           |    % 1000000 AS bucket
           |  FROM documents)
           |SELECT doc_id, lang FROM b
@@ -2845,9 +2847,9 @@ object SparkEntry {
       "q_mixture" ->
         """WITH b AS (
           |  SELECT doc_id, lang,
-          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2042'), 1, 15))::BIGINT
           |    % 1000000 AS b42,
-          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':43'), 1, 15))::BIGINT
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2043'), 1, 15))::BIGINT
           |    % 1000000 AS b43
           |  FROM documents)
           |SELECT doc_id, mix_source, mix_epoch FROM (

@@ -53,13 +53,21 @@ object Curation {
     * rerunnable version of `sampleBy` (no per-partition RNG, so the
     * sample is identical on 1 or 1000 executors and is itself
     * hash-splittable downstream).
+    *
+    * Default seeds are DOMAIN-SEPARATED across the curation operators
+    * (hashSplit 42, stratifiedSample 1042, mixture 2042): reusing one
+    * seed for sample-then-split would correlate the two decisions —
+    * every surviving row of a `fraction < min(split weight)` sample
+    * has a low bucket, so the downstream split's val/test sides come
+    * out EMPTY. Keep seeds distinct whenever composing hash-decided
+    * operators on the same key.
     */
   def stratifiedSample(
       df: DataFrame,
       stratum: Column,
       fractions: Map[String, Double],
       key: Column,
-      seed: Long = 42L,
+      seed: Long = 1042L,
       basis: String = "xxhash"): DataFrame = {
     val slots = 1000000L
     val bucket = bucketOf(key, seed, slots, basis)
@@ -151,7 +159,7 @@ object Curation {
   def mixture(
       sources: Seq[(String, DataFrame, Double)],
       key: Column,
-      seed: Long = 42L,
+      seed: Long = 2042L,
       basis: String = "xxhash"): DataFrame = {
     require(sources.nonEmpty && sources.forall(_._3 > 0), "rates must be positive")
     val slots = 1000000L

@@ -365,7 +365,7 @@ object Dedup {
     dedupAgainstIndex(
       newDocs, idCol, textCol,
       buildSignatureIndex(corpusSigs, bands, k / bands, maxBucketSize),
-      k, bands, threshold)
+      threshold)
 
   /** The persisted half of [[dedupAgainstCorpus]]: signatures plus
     * pre-exploded band rows with oversized buckets already removed.
@@ -376,7 +376,18 @@ object Dedup {
     * `buildSignatureIndex` output of each accepted batch to keep the
     * index rolling forward.
     */
-  final case class SignatureIndex(sigs: DataFrame, bands: DataFrame)
+  /** Carries its own banding parameters so a screening call can never
+    * silently use a different band layout than the index was built
+    * with (mismatched bands ⇒ keys never collide ⇒ every duplicate
+    * reported novel).
+    */
+  final case class SignatureIndex(
+      sigs: DataFrame,
+      bands: DataFrame,
+      nBands: Int,
+      rowsPerBand: Int) {
+    def k: Int = nBands * rowsPerBand
+  }
 
   /** @param corpusSigs `(id, sig)` — e.g. persisted
     *   [[DedupExpressions.minhashSig]] output.
@@ -395,28 +406,28 @@ object Dedup {
       .select("band")
     SignatureIndex(
       corpusSigs,
-      corpusBands.join(okBuckets, Seq("band"), "left_semi"))
+      corpusBands.join(okBuckets, Seq("band"), "left_semi"),
+      bands, rowsPerBand)
   }
 
   /** Screen a batch against a prebuilt [[SignatureIndex]] — the
     * incremental cost is O(batch): the batch side computes signatures
     * and bands in one pass; the index side is a stored equi-join
     * target (ids + band keys only, no text, no bucket-stat rescan).
+    * The batch's signature width and banding come FROM the index, so
+    * the two sides cannot silently diverge.
     */
   def dedupAgainstIndex(
       newDocs: DataFrame,
       idCol: String,
       textCol: String,
       index: SignatureIndex,
-      k: Int = 64,
-      bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = k / bands
     val newSigs = newDocs.select(
       col(idCol).as("_nid"),
-      DedupExpressions.minhashSig(col(textCol), k, 3).as("_nsig"))
+      DedupExpressions.minhashSig(col(textCol), index.k, 3).as("_nsig"))
     val newBands = newSigs.select(col("_nid"), col("_nsig"),
-      explode(lshBandKeys(col("_nsig"), bands, rowsPerBand)).as("band"))
+      explode(lshBandKeys(col("_nsig"), index.nBands, index.rowsPerBand)).as("band"))
     val matches = newBands
       .join(index.bands.select(col("id").as("_cid"), col("band")), Seq("band"))
       .select("_nid", "_nsig", "_cid").dropDuplicates("_nid", "_cid")
@@ -465,6 +476,7 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "span n-grams need n >= 2 (for unigram frequency use TextFunctions.corpusRarity)")
     val toks = filter(
       split(TextFunctions.normalizeText(col(textCol)), " "),
       w => length(w) > 0)

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -76,15 +77,33 @@ object HashUtil {
     */
   def shingleBase(s: String): Long = java.lang.Long.remainderUnsigned(md5Lower64(s), P)
 
+  /** True iff every char is < 0x80 — gate for the per-char lowercase
+    * fast path. Spark's `lower()` applies FULL-string lowercasing
+    * with one-to-many mappings (U+0130 'İ' → 'i' + combining U+0307)
+    * that per-char `Character.toLowerCase` cannot reproduce, so
+    * non-ASCII input must go through `String.toLowerCase` to keep the
+    * kernel bit-identical to its Column twin.
+    */
+  @inline private[functions] def isAllAscii(text: String): Boolean = {
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) >= 0x80) return false
+      i += 1
+    }
+    true
+  }
+
   /** Normalize + tokenize the way TextFunctions.normalizeText does:
     * lowercase, non-[a-z0-9] → separator, collapse runs.
     */
   def tokens(text: String): Array[String] = {
-    val sb = new java.lang.StringBuilder(text.length)
+    val t = if (isAllAscii(text)) text else text.toLowerCase
+    val sb = new java.lang.StringBuilder(t.length)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
-    while (i < text.length) {
-      val c = Character.toLowerCase(text.charAt(i))
+    while (i < t.length) {
+      val c0 = t.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
       else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
       i += 1
@@ -129,6 +148,10 @@ object HashUtil {
   */
 case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires a STRING column, got $t")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     MinHashSigExpr.compute(input.asInstanceOf[UTF8String], k, shingleN)
@@ -181,6 +204,10 @@ object MinHashSigExpr {
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 requires a STRING column, got $t")
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(SimHash64Expr.compute(input.asInstanceOf[UTF8String]))
@@ -221,6 +248,13 @@ object SimHash64Expr {
   */
 case class SigMatchRatioExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_match_ratio requires two ARRAY<BIGINT> signatures, got $l, $r")
+    }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Double.valueOf(
@@ -252,6 +286,10 @@ object SigMatchRatioExpr {
   * signed twin via `x - 2^64` when `x >= 2^63`).
   */
 case class Md5Lower64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_lower64 requires a STRING column, got $t")
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(HashUtil.md5Lower64(input.asInstanceOf[UTF8String].toString))
@@ -280,6 +318,10 @@ case class Md5Lower64Expr(child: Expression) extends UnaryExpression {
 case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
     extends UnaryExpression {
   require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_band requires ARRAY<FLOAT|DOUBLE>, got $t")
+  }
   override def dataType: DataType = LongType
 
   // (plane, block) -> 64 sign bits; tiny and deterministic, cached per
@@ -340,6 +382,10 @@ case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
 case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ivf_assign requires ARRAY<FLOAT|DOUBLE>, got $t")
+  }
   override def dataType: DataType = IntegerType
 
   @transient private lazy val isFloat =
@@ -386,6 +432,13 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
   */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two ARRAY<FLOAT|DOUBLE> columns, got $l, $r")
+    }
   override def dataType: DataType = DoubleType
 
   @transient private lazy val lt = left.dataType.asInstanceOf[ArrayType].elementType
@@ -439,6 +492,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
   */
 case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires an integral/string/binary column, got $t")
+  }
   override def dataType: DataType = BooleanType
   @transient private lazy val bloom =
     org.apache.spark.util.sketch.BloomFilter.readFrom(

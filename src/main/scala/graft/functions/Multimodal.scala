@@ -53,13 +53,22 @@ object Multimodal {
     * any ingest pipeline (route/validate payloads BEFORE decoding).
     * Pure `Column` ops over the binary payload, codegen'd.
     */
-  def sniffMime(content: Column): Column =
+  def sniffMime(content: Column): Column = {
+    // RIFF is a container: the FORM TYPE at bytes 9-12 distinguishes
+    // AVI video from WAV audio and WebP images — classifying every
+    // RIFF as video would misroute audio/image payloads
+    val riffForm = substring(content, 9, 4)
     when(substring(content, 1, 8) ===
       lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)), "image/png")
       .when(substring(content, 1, 3) === lit("ID3".getBytes("UTF-8")), "audio/mpeg")
-      .when(substring(content, 1, 4) === lit("RIFF".getBytes("UTF-8")), "video/x-msvideo")
+      .when(substring(content, 1, 4) === lit("RIFF".getBytes("UTF-8")),
+        when(riffForm === lit("AVI ".getBytes("UTF-8")), "video/x-msvideo")
+          .when(riffForm === lit("WAVE".getBytes("UTF-8")), "audio/x-wav")
+          .when(riffForm === lit("WEBP".getBytes("UTF-8")), "image/webp")
+          .otherwise(lit("application/x-riff")))
       .when(substring(content, 1, 3) === lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "image/jpeg")
       .otherwise(lit("application/octet-stream"))
+  }
 
   /** REAL kernel #2: exact binary dedup — sha256 over the (hex-encoded)
     * payload, one hash-shuffle, groups >1 with the smallest id as the
@@ -143,7 +152,10 @@ object Multimodal {
       val magic = modality match {
         case "image" => PngMagic
         case "audio" => "ID3".getBytes("UTF-8")
-        case _ => "RIFF".getBytes("UTF-8")
+        // full 12-byte RIFF header with the AVI form type, as a real
+        // .avi starts (size field zeroed — sniffing ignores it)
+        case _ => "RIFF".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 0) ++
+          "AVI ".getBytes("UTF-8")
       }
       val r = i % 39
       val payload = magic ++ (s"asset-$r|" * (1 + r % 4)).getBytes("UTF-8")

@@ -393,12 +393,19 @@ object Similarity {
       .select("aid", "avec")
     val w = Window.partitionBy(idCol)
       .orderBy(col("cos").desc, col("aid").asc)
-    val assigned = df.select(col(idCol), col(vecCol))
+    // pin: `assigned` feeds BOTH the edge join and the final component
+    // join — without it the full-corpus k-way cross-score and window
+    // run twice (reliable checkpoint when a dir is set, else local)
+    val assignedPlan = df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(anchors))
       .withColumn("cos", DedupExpressions.cosineSim(col(vecCol), col("avec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col(vecCol), col("aid").as("cluster"))
+    val assigned =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        assignedPlan.checkpoint(true)
+      else assignedPlan.localCheckpoint(true)
     val okCells = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("_cs"))
       .filter(col("_cs") <= maxCellSize)

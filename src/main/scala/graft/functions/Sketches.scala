@@ -58,9 +58,6 @@ object Sketches {
     df.groupBy(keys.map(col): _*)
       .agg(percentile(col(valueCol), array(qs.map(lit): _*)).as("quantiles"))
 
-  /** Approximate quantiles (deterministic Greenwald-Khanna summaries;
-    * bounded memory per partition — the 100 TB path).
-    */
   /** Count-min frequency sketch over `col`, queried for `items`:
     * returns (item, estimate) pairs. The sketch is built distributed
     * (mergeable per-partition sketches, one pass — Spark's
@@ -81,6 +78,9 @@ object Sketches {
     items.map(i => i -> cms.estimateCount(i))
   }
 
+  /** Approximate quantiles (deterministic Greenwald-Khanna summaries;
+    * bounded memory per partition — the 100 TB path).
+    */
   def approxQuantilesByKey(
       df: DataFrame,
       keys: Seq[String],

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace token count. Empty/blank text ⇒ 0. */
+  /** Whitespace token count (non-empty tokens). Empty/blank/NULL
+    * text ⇒ 0 — the raw `size(split(...))` would count the empty
+    * tokens Java regex split keeps for leading/trailing non-space
+    * whitespace, and return -1 for NULL.
+    */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(filter(split(trim(text), "\\s+"), w => length(w) > 0)))
 
   /** BPE-ish subword token count: words contribute ceil(len/4) tokens
     * (the classic ~4-chars-per-token heuristic), punctuation runs one

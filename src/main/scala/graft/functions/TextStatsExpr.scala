@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -27,6 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * punct_ratio double, stopword_ratio double, quality double.
   */
 case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"text_stats requires a STRING column, got $t")
+  }
 
   override def dataType: DataType = TextStatsExpr.schema
 
@@ -78,7 +83,6 @@ object TextStatsExpr {
     var nBpeWords = 0L
     var i = lo
     var runLen = 0
-    val leadingSep = !emptyTrimmed && isAsciiWs(text.charAt(lo))
     while (i <= hi) {
       val isWs = i == hi || isAsciiWs(text.charAt(i))
       if (isWs) {
@@ -91,7 +95,10 @@ object TextStatsExpr {
       } else runLen += 1
       i += 1
     }
-    val nTokens = if (emptyTrimmed) 0 else nRuns + (if (leadingSep) 1 else 0)
+    // NON-EMPTY whitespace runs — the Column twin filters out the
+    // empty tokens Java's split(-1) keeps for leading/trailing
+    // non-space whitespace, so both sides count the same thing
+    val nTokens = if (emptyTrimmed) 0 else nRuns
 
     // --- punctuation counts over the RAW text ------------------------
     var punctBpe = 0L // [.,;:!?] — bpeTokenCount's class
@@ -150,12 +157,15 @@ object TextFunctionsRuntime {
     * trim. (Character classes are the ASCII ones the regexes use.)
     */
   def normalize(text: String): String = {
-    val sb = new java.lang.StringBuilder(text.length)
+    // full-string lowercase off the ASCII fast path: Spark's lower()
+    // has one-to-many mappings (İ → i+U+0307) per-char folding misses
+    val t = if (HashUtil.isAllAscii(text)) text else text.toLowerCase
+    val sb = new java.lang.StringBuilder(t.length)
     var i = 0
     var pendingSpace = false
-    while (i < text.length) {
-      val c0 = text.charAt(i)
-      val c = Character.toLowerCase(c0)
+    while (i < t.length) {
+      val c0 = t.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
       val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       if (keep) {
         if (pendingSpace && sb.length > 0) sb.append(' ')

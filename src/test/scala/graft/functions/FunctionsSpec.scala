@@ -159,6 +159,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((0L, 4L)) - 1.0) < 1e-9)
   }
 
+  test("custom expressions reject wrong-typed input at ANALYSIS time") {
+    val df = Seq(Tuple1(1L)).toDF("id")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(DedupExpressions.minhashSig(col("id"), 64)).collect()
+    }
+    assert(e.getMessage.contains("STRING"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(DedupExpressions.cosineSim(col("id"), col("id"))).collect()
+    }
+    assert(e2.getMessage.contains("ARRAY"))
+  }
+
   test("minhashSignature expression is deterministic and k-wide") {
     val s1 = docs.select(DedupExpressions.minhashSig(col("text"), 32).as("s"))
       .head().getSeq[Long](0)
