@@ -1666,6 +1666,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style boilerplate line removal. The synthetic docs are
+    // single-line, so both engines first re-chunk them into aligned
+    // 8-token lines (deterministic, same slice algebra) — at sf0.01
+    // that yields 153 cross-doc repeated lines over 93 docs, a
+    // non-trivial removal set. Gate verifies per-doc line counts,
+    // removed counts, and the md5 of the reassembled clean text.
+    "q_boilerplate" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val nChunks =
+        greatest(ceil(size(ws).cast("double") / lit(8.0)).cast("long"), lit(1L))
+      val lined = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(
+          transform(sequence(lit(0L), nChunks - 1),
+            i => array_join(slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
+          "\n").as("line_text"))
+      graft.functions.Curation.removeBoilerplateLines(
+          lined, "doc_id", "line_text", minDocs = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style rule filter with reject reasons; thresholds sit
+    // inside this corpus's distributions so every rule fires on some
+    // docs (345/500 kept at sf0.01). All metrics are integer sums +
+    // one IEEE division — bit-replicated by the oracle.
+    "q_quality_filter" -> ((s, dir) => {
+      TextFunctions.qualityFilter(tbl(s, dir, "documents"), "doc_id", "text",
+          minTokens = 20, maxTokens = 90, minStopRatio = 0.03,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0, maxTopTokenFrac = 0.2)
+        .orderBy("doc_id")
+    }),
+
+    // Top-3 TF-IDF terms per doc; idf snapped to integer nano-nats
+    // before the tf multiply so rank and score are integer-exact
+    // across engines.
+    "q_tfidf_terms" -> ((s, dir) => {
+      TextFunctions.tfidfTopTerms(tbl(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Asymmetric containment pairs (quote/excerpt detection):
+    // |A∩B| / min(|A|,|B|) over distinct 3-gram shingles.
+    "q_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ------------------------------------------------------- multimodal
     "q_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(s, 120)
@@ -2787,6 +2840,83 @@ object SparkEntry {
            |SELECT doc_id, quality,
            |  CASE WHEN bucket < 900000 THEN 0 WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
            |FROM b ORDER BY doc_id""".stripMargin,
+
+      // Same 8-token re-chunk (DuckDB list slices are 1-based
+      // inclusive, matching Spark's slice(start,len)), then the full
+      // boilerplate algebra: count lines in >= 2 distinct docs,
+      // remove, reassemble in position order. string_agg skips the
+      // NULLs the CASE leaves for removed lines; coalesce('') covers
+      // fully-boilerplate docs exactly like Spark's concat over an
+      // empty array.
+      "q_boilerplate" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |nc AS (SELECT doc_id, ws,
+          |  greatest(CAST(ceil(len(ws)/8.0) AS BIGINT), 1) AS n FROM t),
+          |ln AS (SELECT doc_id,
+          |  unnest(range(0, n)) AS pos,
+          |  unnest(list_transform(range(0, n), i -> array_to_string(ws[i*8+1:i*8+8], ' '))) AS line
+          |  FROM nc),
+          |bp AS (SELECT trim(line) AS k FROM ln WHERE trim(line) <> ''
+          |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+          |m AS (SELECT l.doc_id, l.pos, l.line, (bp.k IS NOT NULL) AS hit
+          |      FROM ln l LEFT JOIN bp ON trim(l.line) = bp.k)
+          |SELECT doc_id, count(*) AS n_lines,
+          |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |  md5(coalesce(string_agg(CASE WHEN NOT hit THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5
+          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_quality_filter" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+           |st AS (SELECT doc_id, sum(c) AS n, max(c) AS top,
+           |  sum(CASE WHEN list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], tok) THEN c ELSE 0 END) AS stop,
+           |  sum(len(tok)*c) AS chars FROM tc GROUP BY doc_id),
+           |j AS (SELECT d.doc_id, coalesce(st.n, 0) AS n, st.top, st.stop, st.chars
+           |      FROM documents d LEFT JOIN st USING (doc_id)),
+           |m AS (SELECT doc_id, n,
+           |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(stop AS DOUBLE)/n END AS sr,
+           |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(chars AS DOUBLE)/n END AS mwl,
+           |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(top AS DOUBLE)/n END AS tf FROM j),
+           |r AS (SELECT doc_id, n, sr, mwl, tf,
+           |  (CASE WHEN sr < 0.03 THEN ['low_stopword'] ELSE [] END
+           |   || CASE WHEN tf > 0.2 THEN ['repetitive'] ELSE [] END
+           |   || CASE WHEN n > 90 THEN ['too_long'] ELSE [] END
+           |   || CASE WHEN n < 20 THEN ['too_short'] ELSE [] END
+           |   || CASE WHEN mwl < 3.0 OR mwl > 5.0 THEN ['word_length'] ELSE [] END) AS reasons
+           |  FROM m)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |  round(sr, 6) AS stop_ratio, round(mwl, 6) AS mean_word_len,
+           |  round(tf, 6) AS top_token_frac,
+           |  len(reasons) = 0 AS keep, reasons
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      "q_tfidf_terms" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+           |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+           |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.term_df,
+           |  tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/term_df) * 1e9) AS BIGINT) AS score_nano
+           |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+           |rnk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_nano DESC, term) AS rk FROM sc)
+           |SELECT doc_id, term, tf, term_df, score_nano, CAST(rk AS BIGINT) AS rk
+           |FROM rnk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+      "q_containment" ->
+        s"""WITH ${tokCte()}, $ShingleCtes,
+           |ds AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
+           |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM ds),
+           |ex2 AS (SELECT doc_id, unnest(shingles) AS s FROM ds),
+           |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
+           |       FROM ex2 x JOIN ex2 y ON x.s = y.s AND x.doc_id < y.doc_id
+           |       GROUP BY 1, 2),
+           |cr AS (SELECT id_a, id_b,
+           |  CAST(common AS DOUBLE)/least(na.n_sh, nb.n_sh) AS containment
+           |  FROM co JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b)
+           |SELECT id_a, id_b, round(containment, 6) AS containment
+           |FROM cr WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
       "q_dedup_incremental" ->
         s"""WITH ${tokCte()}, $ShingleCtes, $SigCte,

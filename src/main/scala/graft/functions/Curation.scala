@@ -336,6 +336,64 @@ object Curation {
       .filter(col("rk") <= length(bin(col("group_size"))))
   }
 
+  /** C4-style boilerplate line removal: a line (trimmed) that occurs
+    * in >= `minDocs` DISTINCT documents — within the same `groupCols`
+    * scope if given (the per-domain template case), else corpus-wide —
+    * is removed from every document that contains it. Blank lines are
+    * never counted as boilerplate (and are kept). Line order inside a
+    * document is preserved; a document whose every line is boilerplate
+    * survives with `clean_text = ""` so the caller decides whether to
+    * drop it.
+    *
+    * Scale shape: one explode over lines, one aggregation keyed on the
+    * line text (map-side combine collapses repeats before the
+    * shuffle), one join back, one per-doc reassembly — all linear. The
+    * boilerplate side of the join is tiny relative to the line table
+    * (only keys clearing `minDocs` survive), so AQE broadcasts it at
+    * runtime; nothing is collected to the driver.
+    *
+    * Returns `(idCol, n_lines, n_removed, clean_text)`.
+    */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would remove every non-blank line")
+    val gcols = groupCols.map(col)
+    val lines = df
+      .select(
+        (col(idCol).as("_bp_id") +: gcols) :+
+          posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+            .as(Seq("_bp_pos", "_bp_line")): _*)
+      .withColumn("_bp_key", trim(col("_bp_line")))
+    val joinKeys = groupCols :+ "_bp_key"
+    val boiler = lines
+      .filter(col("_bp_key") =!= "")
+      .groupBy(joinKeys.map(col): _*)
+      .agg(count_distinct(col("_bp_id")).as("_bp_docs"))
+      .filter(col("_bp_docs") >= minDocs)
+      .select(joinKeys.map(col): _*)
+      .withColumn("_bp_hit", lit(1))
+    lines
+      .join(boiler, joinKeys, "left")
+      .groupBy(col("_bp_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(col("_bp_hit")), lit(0)).cast("long").as("n_removed"),
+        // collect_list skips the nulls `when` yields for removed
+        // lines; array_sort on (pos, line) structs restores document
+        // order before the join
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("_bp_hit").isNull, struct(col("_bp_pos"), col("_bp_line"))))),
+            s => s.getField("_bp_line")),
+          "\n").as("clean_text"))
+  }
+
   private def packSequencesInternal(
       df: DataFrame,
       tokens: Column,

@@ -333,6 +333,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: containment of the SMALLER
+    * shingle set in the larger, `|A ∩ B| / min(|A|, |B|)`. Catches the
+    * quote/excerpt/wrapper case Jaccard misses — a 100-word document
+    * fully embedded in a 10k-word page has Jaccard ≈ 0.01 but
+    * containment 1.0. Same join algebra (and the same stop-shingle
+    * numerator cap) as [[ngramJaccardPairs]]; only the denominator
+    * differs, so the two share their scale story.
+    *
+    * Returns `(id_a, id_b, containment)` with `id_a < id_b` and
+    * containment >= `threshold`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleFreq: Int = 10000): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    val exploded = sh.select(col("id"), explode(col("shingles")).as("sh"))
+    val rare = exploded.groupBy("sh")
+      .agg(count(lit(1)).as("_f")).filter(col("_f") <= maxShingleFreq).select("sh")
+    val pruned = exploded.join(rare, Seq("sh"), "left_semi")
+    val inter = pruned.as("x")
+      .join(pruned.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn(
+        "containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Incremental near-dup dedup of a NEW batch against an existing
     * signature corpus — the continuous-ingest shape: signatures for
     * the whole history are persisted once (e.g. via

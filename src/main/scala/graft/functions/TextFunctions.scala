@@ -206,4 +206,124 @@ object TextFunctions {
         round(col("n_rare").cast("double") / col("n_tokens"), 6))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Gopher-style rule-based document filter with machine-readable
+    * reject reasons — the audit-friendly form of [[qualityScore]]:
+    * instead of one opaque score, each document carries the sorted
+    * list of rules it failed, so corpus reports can attribute removal
+    * mass per rule and thresholds can be tuned from data.
+    *
+    * Rules (names are the `reasons` vocabulary, emitted in
+    * alphabetical order):
+    *   - `too_short` / `too_long`: token count outside
+    *     `[minTokens, maxTokens]`
+    *   - `word_length`: mean word length outside
+    *     `[minMeanWordLen, maxMeanWordLen]` (OCR noise / char soup)
+    *   - `low_stopword`: stopword occurrence ratio `< minStopRatio`
+    *     (non-linguistic content)
+    *   - `repetitive`: most frequent token's share `> maxTopTokenFrac`
+    *     (degenerate loops)
+    *
+    * Every metric is derived from ONE token explode + two keyed
+    * aggregations (`(doc, token)` then `doc`, both map-side combined)
+    * — integer sums and one IEEE division each, so any md5-capable
+    * engine replicates the decisions bit-for-bit. Documents with zero
+    * tokens keep a row (metrics 0) and fail `too_short`,
+    * `low_stopword`, and `word_length`.
+    *
+    * Returns `(idCol, n_tokens, stop_ratio, mean_word_len,
+    * top_token_frac, keep, reasons)`.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minStopRatio: Double = 0.02,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxTopTokenFrac: Double = 0.2): DataFrame = {
+    val toks = filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0)
+    val perTok = df.select(col(idCol).as("_qf_id"), explode(toks).as("_qf_tok"))
+      .groupBy("_qf_id", "_qf_tok")
+      .agg(count(lit(1)).as("_qf_c"))
+    val stats = perTok.groupBy("_qf_id").agg(
+      sum(col("_qf_c")).as("_n"),
+      max(col("_qf_c")).as("_top"),
+      sum(when(col("_qf_tok").isin(EnglishStopwords: _*), col("_qf_c"))
+        .otherwise(lit(0L))).as("_stop"),
+      sum(length(col("_qf_tok")) * col("_qf_c")).as("_chars"))
+    val joined = df.select(col(idCol))
+      .join(stats, col(idCol) === col("_qf_id"), "left")
+    val n = coalesce(col("_n"), lit(0L))
+    val stopRatio = when(n === 0, lit(0.0))
+      .otherwise(col("_stop").cast("double") / n.cast("double"))
+    val mwl = when(n === 0, lit(0.0))
+      .otherwise(col("_chars").cast("double") / n.cast("double"))
+    val topFrac = when(n === 0, lit(0.0))
+      .otherwise(col("_top").cast("double") / n.cast("double"))
+    def rule(cond: Column, name: String): Column =
+      when(cond, array(lit(name))).otherwise(array().cast("array<string>"))
+    // concat order IS alphabetical order, so `reasons` needs no sort
+    val reasons = concat(
+      rule(stopRatio < minStopRatio, "low_stopword"),
+      rule(topFrac > maxTopTokenFrac, "repetitive"),
+      rule(n > maxTokens, "too_long"),
+      rule(n < minTokens, "too_short"),
+      rule(mwl < minMeanWordLen || mwl > maxMeanWordLen, "word_length"))
+    joined.select(
+      col(idCol),
+      n.as("n_tokens"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(mwl, 6).as("mean_word_len"),
+      round(topFrac, 6).as("top_token_frac"),
+      (size(reasons) === 0).as("keep"),
+      reasons.as("reasons"))
+  }
+
+  /** Top-`k` TF-IDF terms per document — corpus keyword extraction
+    * (search-index boosting, topic tagging, mixture diagnostics).
+    * `score_nano = tf * round(ln(nDocs/df) * 1e9)`: the idf is
+    * snapped to integer nano-nats BEFORE the tf multiply, so ranking
+    * and output are integer-exact across engines — two engines whose
+    * `ln` differs in the last ulp still agree after the 1e-9 snap
+    * (a raw double product could rank-diverge on near-ties).
+    *
+    * Shapes: token explode → `(doc, term)` counts (map-side combined)
+    * → term document frequencies (second small agg) → join-back on
+    * term → per-doc top-k window. The doc-count scalar rides a
+    * broadcast cross join, not a driver action. All linear; the
+    * window partitions on the doc id.
+    *
+    * Returns `(idCol, term, tf, term_df, score_nano, rk)` with
+    * `rk <= k`, ties broken by term ascending.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0)
+    val tf = df.select(col(idCol).as("_tt_id"), explode(toks).as("term"))
+      .groupBy("_tt_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("_n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score_nano",
+        (col("tf") *
+          round(log(col("_n_docs").cast("double") / col("term_df").cast("double")) * 1e9)
+            .cast("long")).as("score_nano"))
+    val w = Window.partitionBy("_tt_id").orderBy(col("score_nano").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(
+        col("_tt_id").as(idCol), col("term"), col("tf"),
+        col("term_df"), col("score_nano"), col("rk"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+/** Boilerplate removal, rule-based quality filtering, TF-IDF keyword
+  * extraction, and containment pairs — the corpus-cleaning operators.
+  */
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removeBoilerplateLines strips cross-doc lines, keeps order and blanks") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha beta\nFOOTER"),
+      (2L, "HEADER\ngamma delta\nFOOTER"),
+      (3L, "unique only\nHEADER"),
+      (4L, "HEADER\n\nkeep me"),
+      (5L, "HEADER\nFOOTER")) // fully boilerplate
+      .toDF("doc_id", "text")
+    val out = Curation.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "alpha beta"),
+      (2L, 3L, 2L, "gamma delta"),
+      (3L, 2L, 1L, "unique only"),
+      (4L, 3L, 1L, "\nkeep me"), // blank line is never boilerplate
+      (5L, 2L, 2L, "")))        // survives empty, caller decides
+  }
+
+  test("removeBoilerplateLines group scope: template only boils within its site") {
+    val docs = Seq(
+      (1L, "a", "TPL\nx"),
+      (2L, "a", "TPL\ny"),
+      (3L, "b", "TPL\nz")) // only occurrence within site b
+      .toDF("doc_id", "site", "text")
+    val out = Curation.removeBoilerplateLines(
+        docs, "doc_id", "text", minDocs = 2, groupCols = Seq("site"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, 1L, "x"), (2L, 1L, "y"), (3L, 0L, "TPL\nz")))
+  }
+
+  test("qualityFilter fires each rule with alphabetical reasons") {
+    val docs = Seq(
+      (1L, "the cat sat on mat"),                     // keep
+      (2L, "zzz qqq vvv"),                            // low_stopword
+      (3L, "a a a a"),                                // repetitive
+      (4L, "hi"),                                     // too_short + low_stopword
+      (5L, ""),                                       // zero tokens
+      (6L, "the " + (1 to 10).map(i => s"w$i").mkString(" "))) // too_long (11)
+      .toDF("doc_id", "text")
+    val out = TextFunctions.qualityFilter(docs, "doc_id", "text",
+        minTokens = 3, maxTokens = 10, minStopRatio = 0.1,
+        minMeanWordLen = 1.0, maxMeanWordLen = 8.0, maxTopTokenFrac = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(5),
+        r.getSeq[String](6).toList))
+    assert(out.toSeq == Seq(
+      (1L, 5L, true, Nil),
+      (2L, 3L, false, List("low_stopword")),
+      (3L, 4L, false, List("repetitive")),
+      (4L, 1L, false, List("low_stopword", "repetitive", "too_short")),
+      (5L, 0L, false, List("low_stopword", "too_short", "word_length")),
+      (6L, 11L, false, List("low_stopword", "too_long")))) // 1/11 < 0.1
+  }
+
+  test("tfidfTopTerms ranks by nano-snapped idf product, ties by term") {
+    val docs = Seq(
+      (1L, "apple apple banana the"),
+      (2L, "banana cherry the"),
+      (3L, "cherry cherry cherry the"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    val ln3 = math.round(math.log(3.0) * 1e9)       // df=1
+    val ln15 = math.round(math.log(1.5) * 1e9)      // df=2
+    assert(out.toSeq == Seq(
+      (1L, "apple", 2L, 1L, 2 * ln3, 1), (1L, "banana", 1L, 2L, ln15, 2),
+      (2L, "banana", 1L, 2L, ln15, 1), (2L, "cherry", 1L, 2L, ln15, 2),
+      (3L, "cherry", 3L, 2L, 3 * ln15, 1), (3L, "the", 1L, 3L, 0L, 2)))
+  }
+
+  test("containmentPairs finds full embedding where jaccard would miss it") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0))) // 3 of doc1's 3 shingles shared
+    // jaccard at the same threshold misses the excerpt: 3/5 = 0.6
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+    assert(jac.count() == 0)
+  }
+}
