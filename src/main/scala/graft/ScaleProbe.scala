@@ -173,6 +173,29 @@ object ScaleProbe {
         docs.withColumn("grp", pmod(hash(col("id")), lit(1000))), "id", "grp")
         .count()
     }
+    timed(s"removeBoilerplateLines ($nDocs docs)") {
+      // re-chunk the single-line docs into 10-token lines (the gate's
+      // trick); near-random lines mean few removals — this measures
+      // the explode + line-key agg + join-back machinery itself
+      val ws = split(col("text"), " ")
+      val lined = docs.select(col("id"),
+        array_join(transform(sequence(lit(0L), lit(4L)),
+          i => array_join(slice(ws, (i * 10 + 1).cast("int"), lit(10)), " ")),
+          "\n").as("text"))
+      functions.Curation.removeBoilerplateLines(lined, "id", "text")
+        .agg(sum("n_removed")).head()
+    }
+    timed(s"qualityFilter ($nDocs docs)") {
+      functions.TextFunctions.qualityFilter(docs, "id", "text")
+        .filter(!col("keep")).count()
+    }
+    timed(s"tfidfTopTerms ($nDocs docs)") {
+      functions.TextFunctions.tfidfTopTerms(docs, "id", "text", k = 3).count()
+    }
+    // containmentPairs is not probed standalone: it shares
+    // ngramJaccardPairs' intersection-join algebra and its stop-shingle
+    // cap, and this 20-word-vocabulary corpus makes EVERY shingle a
+    // stop shingle — the probe would measure an empty numerator.
     timed(s"dedupAgainstCorpus (50k batch vs ${nDocs} corpus sigs)") {
       val corpusSigs = docs.filter(col("id") % 10 =!= 0).select(col("id"),
         functions.DedupExpressions.minhashSig(col("text"), 64).as("sig"))

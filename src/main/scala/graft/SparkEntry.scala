@@ -1388,6 +1388,41 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // ORC interchange round trip: export documents to ORC, read back,
+    // and aggregate per-group xors of full-row md5 fingerprints. The
+    // oracle computes the same aggregate over the ORIGINAL parquet, so
+    // equality proves the typed columnar round trip is lossless at the
+    // content level, not just row counts.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val dest = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      graft.etl.Loaders.exportTable(docs, dest, "orc")
+      val h64 = graft.functions.DedupExpressions.md5Lower64(
+        concat_ws("\u0001",
+          col("doc_id").cast("string"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("string")))
+      s.read.orc(dest)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          bit_xor(h64).as("content_xor"))
+        .orderBy("lang", "source")
+    }),
+
+    // Exact one-pass table profile (the ANALYZE / data-quality
+    // report): row/null/distinct counts and min/max per column, over
+    // documents plus a derived nullable column so the null path is
+    // exercised.
+    "q_profile" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("lang") === "en", lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang_nn"))
+      graft.functions.Sketches.profileTable(d, exact = true)
+        .orderBy("column")
+    }),
+
     // IN-list batched extraction (the reference's 999/5000-oid batch
     // shape): oidBatchPredicates → one partition per IN-list via
     // readByPredicates, against live Derby.
@@ -2917,6 +2952,41 @@ object SparkEntry {
            |  FROM co JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b)
            |SELECT id_a, id_b, round(containment, 6) AS containment
            |FROM cr WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      // Aggregates the ORIGINAL parquet — matching the Spark result,
+      // which aggregated the ORC re-read, proves the round trip
+      // content-lossless. Signed-BIGINT md5 recipe as in
+      // q_fingerprint; chr(1) separates fields unambiguously.
+      "q_orc_roundtrip" ->
+        """WITH m AS (SELECT lang, source, n_chars,
+          |  md5_number_lower(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang
+          |    || chr(1) || source || chr(1) || CAST(n_chars AS VARCHAR)) AS u
+          |  FROM documents),
+          |h AS (SELECT lang, source, n_chars,
+          |  CAST(CASE WHEN u >= 9223372036854775808
+          |    THEN CAST(u AS HUGEINT) - 18446744073709551616
+          |    ELSE CAST(u AS HUGEINT) END AS BIGINT) AS h64 FROM m)
+          |SELECT lang, source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, bit_xor(h64) AS content_xor
+          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_profile" ->
+        """WITH d AS (SELECT doc_id, lang, source, n_chars,
+          |  CASE WHEN lang = 'en' THEN CAST(NULL AS VARCHAR) ELSE lang END AS lang_nn
+          |  FROM documents)
+          |SELECT * FROM (
+          |  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+          |    count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+          |    CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value FROM d
+          |  UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+          |    count(DISTINCT lang), min(lang), max(lang) FROM d
+          |  UNION ALL SELECT 'source', count(*), count(*) - count(source),
+          |    count(DISTINCT source), min(source), max(source) FROM d
+          |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+          |    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM d
+          |  UNION ALL SELECT 'lang_nn', count(*), count(*) - count(lang_nn),
+          |    count(DISTINCT lang_nn), min(lang_nn), max(lang_nn) FROM d
+          |) ORDER BY "column"""".stripMargin,
 
       "q_dedup_incremental" ->
         s"""WITH ${tokCte()}, $ShingleCtes, $SigCte,

@@ -140,7 +140,31 @@ object Loaders {
     else if (lower.endsWith(".json")) loadJson(spark, path, oid, asOf)
     else if (lower.endsWith(".parquet"))
       wrapLoaded(normalizeKeys(spark.read.parquet(path)), oid, asOf, None)
+    else if (lower.endsWith(".orc"))
+      wrapLoaded(normalizeKeys(spark.read.orc(path)), oid, asOf, None)
     else throw new IllegalArgumentException(s"unsupported file type: $path")
+  }
+
+  /** Interchange export: write `df` to `dest` in `format`. Parquet and
+    * ORC are the typed columnar formats (predicate pushdown and column
+    * pruning survive on re-read — both are first-class Spark
+    * datasources, so the write is a distributed job, one file per
+    * partition); csv/json are for small extracts consumed by external
+    * tools (csv stringifies types lossily).
+    */
+  def exportTable(
+      df: DataFrame,
+      dest: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode("overwrite").options(options)
+    format match {
+      case "parquet" => w.parquet(dest)
+      case "orc" => w.orc(dest)
+      case "csv" => w.option("header", "true").csv(dest)
+      case "json" => w.json(dest)
+      case other => throw new IllegalArgumentException(s"unsupported export format: $other")
+    }
   }
 
   /** Normalize all column names the reference way

@@ -78,6 +78,46 @@ object Sketches {
     items.map(i => i -> cms.estimateCount(i))
   }
 
+  /** One-pass table profile — the ANALYZE / data-quality report: per
+    * column, row count, null count, distinct count, and min/max
+    * (cast to string so the result schema is uniform across column
+    * types). `exact = false` (default) estimates distincts with HLL:
+    * a single aggregate whose shuffle carries sketches — the 100 TB
+    * shape. `exact = true` uses `count(DISTINCT …)`, which Spark plans
+    * as one Expand duplicating the scan per profiled column — exact
+    * and oracle-checkable, priced for diagnostics at test scale, not
+    * full-corpus runs.
+    *
+    * Returns one row per profiled column:
+    * `(column, n_rows, n_null, n_distinct, min_value, max_value)`.
+    */
+  def profileTable(
+      df: DataFrame,
+      cols: Seq[String] = Nil,
+      exact: Boolean = false): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(cs.nonEmpty, "nothing to profile")
+    val aggs = count(lit(1)).as("__n") +: cs.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cs.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    agged.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   /** Approximate quantiles (deterministic Greenwald-Khanna summaries;
     * bounded memory per partition — the 100 TB path).
     */

@@ -155,6 +155,25 @@ class LoadersSpec extends SparkSpec {
     assert(got.map(_._1) == Seq("a", "b"))
     assert(got(1)._2.contains("\"z\": 2"))
   }
+
+  test("exportTable ORC round trip is lossless and loadFile dispatches .orc") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha", 3.5), (2L, "beta", -1.25), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("graft-orc-test").toString
+    Loaders.exportTable(df.coalesce(1), dir, "orc")
+    val back = spark.read.orc(dir)
+    // file sources re-read everything as nullable; names+types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // extension dispatch wraps the ORC part file like any other source
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".orc")).head.getAbsolutePath
+    val loaded = Loaders.loadFile(spark, part, Loaders.OidColumn("id"))
+    assert(loaded.select(Meta.OID).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException](Loaders.exportTable(df, dir, "xml"))
+  }
 }
 
 class PrepSpec extends SparkSpec {

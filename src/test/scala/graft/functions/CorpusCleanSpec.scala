@@ -98,3 +98,31 @@ class CorpusCleanSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 }
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileTable exact: rows, nulls, distincts, min/max per column") {
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 10), (3L, None, 30), (4L, Some("a"), 20))
+      .toDF("id", "tag", "v")
+    val out = Sketches.profileTable(df, exact = true).orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      ("id", 4L, 0L, 4L, "1", "4"),
+      ("tag", 4L, 1L, 2L, "a", "b"),
+      ("v", 4L, 0L, 3L, "10", "30")))
+  }
+
+  test("profileTable approx agrees on rows/nulls and estimates distincts") {
+    val df = spark.range(0, 10000).select(
+      col("id"), (col("id") % 100).cast("string").as("bucket"))
+    val out = Sketches.profileTable(df).orderBy("column").collect()
+    assert(out.forall(_.getLong(1) == 10000L) && out.forall(_.getLong(2) == 0L))
+    val bucketNd = out.find(_.getString(0) == "bucket").get.getLong(3)
+    assert(bucketNd > 80 && bucketNd < 120) // HLL ~5% rsd
+    // column subset selection
+    assert(Sketches.profileTable(df, cols = Seq("id")).count() == 1)
+  }
+}
