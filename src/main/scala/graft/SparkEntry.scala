@@ -511,6 +511,26 @@ object SparkEntry {
     }),
 
     // gap-based sessionization over the events stream (30-min gaps)
+    // Trailing 5-minute rolling aggregates per user (RANGE frame over
+    // epoch micros — integer-exact frames; the summed quantity is
+    // floor(value*100) so window sums are BIGINT-exact in both
+    // engines regardless of their frame-summation order).
+    "q_rolling_window" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val base = ev.select(
+        col("user_id").cast("long").as("user_id"), col("event_id"),
+        eventMicros(ev).as("us"), col("value"))
+      graft.temporal.TemporalOps.rollingAgg(
+          base, Seq("user_id"), "us", 300000000L,
+          Map(
+            "n_5m" -> count(lit(1)),
+            "cents_5m" -> sum(floor(col("value") * 100)),
+            "max_5m" -> max(col("value"))))
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("n_5m"), col("cents_5m"), col("max_5m"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .select(
@@ -2225,6 +2245,19 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
           |        ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
           |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+      "q_rolling_window" ->
+        """WITH e AS (
+          |  SELECT CAST(user_id AS BIGINT) AS user_id, event_id, epoch_us(ts) AS us, value
+          |  FROM events)
+          |SELECT user_id, event_id, us,
+          |  count(*) OVER w AS n_5m,
+          |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_5m,
+          |  max(value) OVER w AS max_5m
+          |FROM e
+          |WINDOW w AS (PARTITION BY user_id ORDER BY us
+          |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY user_id, us, event_id""".stripMargin,
 
       "q_sessionize" ->
         """WITH e AS (

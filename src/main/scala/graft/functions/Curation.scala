@@ -346,8 +346,10 @@ object Curation {
     * drop it.
     *
     * Scale shape: one explode over lines, one aggregation keyed on the
-    * line text (map-side combine collapses repeats before the
-    * shuffle), one join back, one per-doc reassembly — all linear. The
+    * line's md5 (fixed 32-byte shuffle keys regardless of line length
+    * — partial aggregates and the join-back never carry line text;
+    * false merges need an md5 collision, ~2^-128 at any corpus size),
+    * one join back, one per-doc reassembly — all linear. The
     * boilerplate side of the join is tiny relative to the line table
     * (only keys clearing `minDocs` survive), so AQE broadcasts it at
     * runtime; nothing is collected to the driver.
@@ -367,10 +369,11 @@ object Curation {
         (col(idCol).as("_bp_id") +: gcols) :+
           posexplode(split(coalesce(col(textCol), lit("")), "\n"))
             .as(Seq("_bp_pos", "_bp_line")): _*)
-      .withColumn("_bp_key", trim(col("_bp_line")))
+      .withColumn("_bp_blank", trim(col("_bp_line")) === "")
+      .withColumn("_bp_key", md5(trim(col("_bp_line"))))
     val joinKeys = groupCols :+ "_bp_key"
     val boiler = lines
-      .filter(col("_bp_key") =!= "")
+      .filter(!col("_bp_blank"))
       .groupBy(joinKeys.map(col): _*)
       .agg(count_distinct(col("_bp_id")).as("_bp_docs"))
       .filter(col("_bp_docs") >= minDocs)

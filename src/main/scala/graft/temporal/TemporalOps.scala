@@ -281,4 +281,31 @@ object TemporalOps {
     val intercept = (sy - slope * su) / n
     futureXs.map(x => math.max(0.0, intercept + slope * (x - x0)))
   }
+
+  /** Trailing event-time rolling aggregates: every row gets each
+    * aggregate evaluated over its key's rows with
+    * `tsCol ∈ [row.ts − trailing, row.ts]` (a value-based RANGE frame,
+    * so simultaneous events are all in each other's frames — no
+    * row-number arbitrariness). The moving-metrics primitive (rate
+    * counters, trailing sums, rolling max) over an event table.
+    *
+    * `tsCol` must be numeric (epoch micros as BIGINT keeps frames and
+    * sums integer-exact; see the q_rolling_window gate). One shuffle
+    * on `keyCols`, then a single sorted pass per partition — linear at
+    * any scale, state bounded by the widest frame.
+    */
+  def rollingAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      trailing: Long,
+      aggs: Map[String, Column]): DataFrame = {
+    require(trailing >= 0, "trailing must be >= 0")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol))
+      .rangeBetween(-trailing, Window.currentRow)
+    aggs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, a)) =>
+      d.withColumn(name, a.over(w))
+    }
+  }
 }

@@ -166,4 +166,25 @@ class TemporalOpsSpec extends SparkSpec {
       TemporalOps.datesRange(0.0, 1.0, scale = "maximum")
     }
   }
+
+  test("rollingAgg: trailing RANGE frame includes simultaneous events") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 1.0), (1L, 50L, 2.0), (1L, 100L, 4.0),
+      (1L, 100L, 8.0),  // simultaneous with the previous event
+      (1L, 161L, 16.0), // frame [101, 161] starts after the burst at 100
+      (2L, 0L, 32.0))
+      .toDF("k", "ts", "v")
+    val out = TemporalOps.rollingAgg(ev, Seq("k"), "ts", trailing = 60L,
+        Map("n" -> count(lit(1)), "s" -> sum(col("v"))))
+      .orderBy("k", "ts", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 1.0),
+      (1L, 50L, 2L, 3.0),     // [−10, 50]: rows at 0, 50
+      (1L, 100L, 3L, 14.0),   // [40, 100]: 50 + both rows at 100
+      (1L, 100L, 3L, 14.0),   // simultaneous rows share the frame
+      (1L, 161L, 1L, 16.0),   // [101, 161]: nothing earlier qualifies
+      (2L, 0L, 1L, 32.0)))    // keys are independent
+  }
 }
