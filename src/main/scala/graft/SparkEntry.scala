@@ -510,7 +510,6 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
 
-    // gap-based sessionization over the events stream (30-min gaps)
     // Trailing 5-minute rolling aggregates per user (RANGE frame over
     // epoch micros — integer-exact frames; the summed quantity is
     // floor(value*100) so window sums are BIGINT-exact in both
@@ -531,6 +530,7 @@ object SparkEntry {
         .orderBy("user_id", "us", "event_id")
     }),
 
+    // gap-based sessionization over the events stream (30-min gaps)
     "q_sessionize" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
         .select(
@@ -1417,10 +1417,16 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val dest = java.nio.file.Files.createTempDirectory("graft-orc").toString
       graft.etl.Loaders.exportTable(docs, dest, "orc")
+      // coalesce each field to a sentinel BEFORE concat: concat_ws
+      // skips NULLs (making ("a",NULL,"b") hash like ("a","b",NULL))
+      // while DuckDB's || would NULL-poison the whole hash — either
+      // way the losslessness proof would break on nullable data
+      def nn(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit("<NULL>"))
       val h64 = graft.functions.DedupExpressions.md5Lower64(
         concat_ws("\u0001",
-          col("doc_id").cast("string"), col("text"), col("lang"),
-          col("source"), col("n_chars").cast("string")))
+          nn(col("doc_id")), nn(col("text")), nn(col("lang")),
+          nn(col("source")), nn(col("n_chars"))))
       s.read.orc(dest)
         .groupBy("lang", "source")
         .agg(
@@ -2992,8 +2998,12 @@ object SparkEntry {
       // q_fingerprint; chr(1) separates fields unambiguously.
       "q_orc_roundtrip" ->
         """WITH m AS (SELECT lang, source, n_chars,
-          |  md5_number_lower(CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang
-          |    || chr(1) || source || chr(1) || CAST(n_chars AS VARCHAR)) AS u
+          |  md5_number_lower(
+          |    coalesce(CAST(doc_id AS VARCHAR), '<NULL>') || chr(1) ||
+          |    coalesce(text, '<NULL>') || chr(1) ||
+          |    coalesce(lang, '<NULL>') || chr(1) ||
+          |    coalesce(source, '<NULL>') || chr(1) ||
+          |    coalesce(CAST(n_chars AS VARCHAR), '<NULL>')) AS u
           |  FROM documents),
           |h AS (SELECT lang, source, n_chars,
           |  CAST(CASE WHEN u >= 9223372036854775808

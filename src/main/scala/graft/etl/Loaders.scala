@@ -157,11 +157,16 @@ object Loaders {
       dest: String,
       format: String = "parquet",
       options: Map[String, String] = Map.empty): Unit = {
-    val w = df.write.mode("overwrite").options(options)
-    format match {
+    // case-insensitive like loadFile's extension dispatch; the csv
+    // header DEFAULT goes on before user options so a caller's
+    // header=false wins
+    val fmt = format.toLowerCase(java.util.Locale.ROOT)
+    val base = df.write.mode("overwrite")
+    val w = (if (fmt == "csv") base.option("header", "true") else base).options(options)
+    fmt match {
       case "parquet" => w.parquet(dest)
       case "orc" => w.orc(dest)
-      case "csv" => w.option("header", "true").csv(dest)
+      case "csv" => w.csv(dest)
       case "json" => w.json(dest)
       case other => throw new IllegalArgumentException(s"unsupported export format: $other")
     }

@@ -345,14 +345,17 @@ object Curation {
     * survives with `clean_text = ""` so the caller decides whether to
     * drop it.
     *
-    * Scale shape: one explode over lines, one aggregation keyed on the
+    * Scale shape: the line table (explode + md5) feeds both the
+    * boilerplate aggregation and the join-back probe side, so the
+    * source is scanned and exploded TWICE — persist the input upstream
+    * (or write the exploded lines once) if the scan dominates at your
+    * scale; both passes are linear. Aggregation and join key on the
     * line's md5 (fixed 32-byte shuffle keys regardless of line length
     * — partial aggregates and the join-back never carry line text;
-    * false merges need an md5 collision, ~2^-128 at any corpus size),
-    * one join back, one per-doc reassembly — all linear. The
-    * boilerplate side of the join is tiny relative to the line table
-    * (only keys clearing `minDocs` survive), so AQE broadcasts it at
-    * runtime; nothing is collected to the driver.
+    * false merges need an md5 collision, ~2^-128 at any corpus size).
+    * The boilerplate side of the join is tiny relative to the line
+    * table (only keys clearing `minDocs` survive), so AQE broadcasts
+    * it at runtime; nothing is collected to the driver.
     *
     * Returns `(idCol, n_lines, n_removed, clean_text)`.
     */

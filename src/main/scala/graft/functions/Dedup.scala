@@ -310,7 +310,28 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleFreq: Int = 10000): DataFrame = {
+      maxShingleFreq: Int = 10000): DataFrame =
+    shingleIntersections(df, idCol, textCol, n, maxShingleFreq)
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Shared candidate-pair machinery for the set-similarity measures:
+    * distinct word `n`-gram shingles per doc → stop-shingle prune
+    * (shingles in > `maxShingleFreq` docs leave the numerator join) →
+    * self-equi-join on shingle → `(id_a, id_b, common, n_a, n_b)` with
+    * `id_a < id_b`. `n_a`/`n_b` count ALL distinct shingles, so
+    * denominators stay exact and only the stop-shingles' numerator
+    * contribution is lost (estimates become lower bounds).
+    */
+  private def shingleIntersections(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleFreq: Int): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
@@ -326,11 +347,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn(
-        "jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Asymmetric containment near-dup pairs: containment of the SMALLER
@@ -350,28 +366,13 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleFreq: Int = 10000): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
-    val exploded = sh.select(col("id"), explode(col("shingles")).as("sh"))
-    val rare = exploded.groupBy("sh")
-      .agg(count(lit(1)).as("_f")).filter(col("_f") <= maxShingleFreq).select("sh")
-    val pruned = exploded.join(rare, Seq("sh"), "left_semi")
-    val inter = pruned.as("x")
-      .join(pruned.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      maxShingleFreq: Int = 10000): DataFrame =
+    shingleIntersections(df, idCol, textCol, n, maxShingleFreq)
       .withColumn(
         "containment",
         col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
-  }
 
   /** Incremental near-dup dedup of a NEW batch against an existing
     * signature corpus — the continuous-ingest shape: signatures for

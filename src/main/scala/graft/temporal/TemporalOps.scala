@@ -301,11 +301,15 @@ object TemporalOps {
       trailing: Long,
       aggs: Map[String, Column]): DataFrame = {
     require(trailing >= 0, "trailing must be >= 0")
+    // one select against the ORIGINAL frame: sequential withColumn
+    // would let an output named like tsCol/keyCols/an input column
+    // silently replace what later aggregates and the window order by
+    val clash = aggs.keySet.intersect(df.columns.toSet)
+    require(clash.isEmpty, s"agg output names collide with input columns: $clash")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol))
       .rangeBetween(-trailing, Window.currentRow)
-    aggs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, a)) =>
-      d.withColumn(name, a.over(w))
-    }
+    df.select(
+      col("*") +: aggs.toSeq.sortBy(_._1).map { case (name, a) => a.over(w).as(name) }: _*)
   }
 }

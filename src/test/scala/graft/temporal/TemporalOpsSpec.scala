@@ -186,5 +186,10 @@ class TemporalOpsSpec extends SparkSpec {
       (1L, 100L, 3L, 14.0),   // simultaneous rows share the frame
       (1L, 161L, 1L, 16.0),   // [101, 161]: nothing earlier qualifies
       (2L, 0L, 1L, 32.0)))    // keys are independent
+    // an output name shadowing an input column would silently corrupt
+    // later frames — rejected up front
+    intercept[IllegalArgumentException] {
+      TemporalOps.rollingAgg(ev, Seq("k"), "ts", 60L, Map("ts" -> count(lit(1))))
+    }
   }
 }
