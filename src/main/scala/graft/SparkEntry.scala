@@ -510,6 +510,27 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Fixed-bin histogram over [50, 500) in 9 bins; the corpus has
+    // values on both sides (min 48, max 553 at sf0.01) so the
+    // underflow/overflow rows are exercised. Bin math is one
+    // multiply+divide+floor — IEEE-identical across engines.
+    "q_histogram" -> ((s, dir) => {
+      graft.functions.Sketches.histogram(
+          tbl(s, dir, "documents"), "n_chars", lo = 50.0, hi = 500.0, bins = 9)
+        .orderBy("bin")
+    }),
+
+    // Key-skew diagnosis: top-10 heaviest user_ids with their share of
+    // all events + table totals (count ties broken by key — the
+    // uniform synthetic load is ALL ties, so the tiebreak is the gate).
+    "q_skew_report" -> ((s, dir) => {
+      graft.functions.Sketches.skewReport(
+          tbl(s, dir, "events"), Seq("user_id"), k = 10)
+        .select(col("user_id").cast("long").as("user_id"), col("n"),
+          col("frac"), col("rk"), col("n_total"), col("n_keys"))
+        .orderBy("rk")
+    }),
+
     // Trailing 5-minute rolling aggregates per user (RANGE frame over
     // epoch micros — integer-exact frames; the summed quantity is
     // floor(value*100) so window sums are BIGINT-exact in both
@@ -970,6 +991,47 @@ object SparkEntry {
 
     // streaming windowed aggregation (tumbling 1h + watermark) — the
     // stream result hash-matches DuckDB's time_bucket batch answer
+    // Stream-static enrichment join: the event stream joins a small
+    // broadcast dimension (user_id → segment, derived deterministically
+    // so the oracle can rebuild it), then 1-hour windowed counts per
+    // segment. The join is stateless; window state is
+    // watermark-bounded.
+    "q_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmpBase =
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-enr-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+        .withColumn("__et", timestamp_micros(expr("ts DIV 1000")))
+      val dim = tbl(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(3))))
+      val agg = graft.streaming.StreamIngest.enrichedWindowedCounts(
+        stream, "__et", dim, "user_id", "segment",
+        windowLen = "1 hour", watermark = "1 hour")
+      val qname = "enr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(
+          (unix_micros(col("window.start")) / lit(1e6)).as("w_start"),
+          col("segment"), col("n"))
+        .orderBy("w_start", "segment")
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val tmpBase =
@@ -2251,6 +2313,31 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
           |        ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
           |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+      "q_histogram" ->
+        """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+          |           WHERE n_chars IS NOT NULL),
+          |b AS (SELECT CASE WHEN v < 50.0 THEN -1
+          |             WHEN v >= 500.0 THEN 9
+          |             ELSE CAST(floor((v - 50.0) * 9 / 450.0) AS BIGINT) END AS bin FROM v)
+          |SELECT bin, count(*) AS n,
+          |  CASE WHEN bin >= 0 AND bin < 9 THEN round(50.0 + bin * 450.0 / 9, 6) END AS lo_edge,
+          |  CASE WHEN bin >= 0 AND bin < 9 THEN round(50.0 + (bin + 1) * 450.0 / 9, 6) END AS hi_edge
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+      "q_skew_report" ->
+        """WITH keyed AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS n_keys FROM keyed),
+          |top AS (SELECT *, row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM keyed)
+          |SELECT CAST(user_id AS BIGINT) AS user_id, n,
+          |  round(CAST(n AS DOUBLE) / n_total, 6) AS frac,
+          |  CAST(rk AS BIGINT) AS rk, n_total, n_keys
+          |FROM top CROSS JOIN tot WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+      "q_stream_enrich" ->
+        """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))/1e6 AS w_start,
+          |  'seg' || CAST(user_id % 3 AS VARCHAR) AS segment, count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY w_start, segment""".stripMargin,
 
       "q_rolling_window" ->
         """WITH e AS (

@@ -118,6 +118,69 @@ object Sketches {
     agged.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Fixed-bin histogram of a numeric column over `[lo, hi)`: `bins`
+    * equal-width buckets plus underflow (`bin = -1`) and overflow
+    * (`bin = bins`) rows when such values exist (NULLs are skipped).
+    * Bin index is `floor((v − lo) * bins / (hi − lo))` — one multiply,
+    * one divide, one floor, IEEE-identical in any engine, which is how
+    * the gate verifies it exactly. One map-side-combined aggregation;
+    * the result is at most `bins + 2` rows. Under/overflow rows carry
+    * NULL edges.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, "need hi > lo")
+    val v = col(valueCol).cast("double")
+    val idx = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(bins.toLong))
+      .otherwise(floor((v - lit(lo)) * lit(bins) / lit(hi - lo)))
+    val inRange = col("bin") >= 0 && col("bin") < bins
+    df.filter(v.isNotNull)
+      .groupBy(idx.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "lo_edge",
+        when(inRange, round(lit(lo) + col("bin") * lit(hi - lo) / lit(bins), 6)))
+      .withColumn(
+        "hi_edge",
+        when(inRange, round(lit(lo) + (col("bin") + 1) * lit(hi - lo) / lit(bins), 6)))
+  }
+
+  /** Key-skew report — the "which keys will blow up my shuffle"
+    * diagnosis: the `k` heaviest key tuples with their row counts and
+    * share of the table, alongside the table totals (rows, distinct
+    * keys). One map-side-combined groupBy, then a distributed
+    * TakeOrdered for the top-k (never a global single-task sort) and a
+    * broadcast of the 1-row totals — nothing key-shaped reaches the
+    * driver.
+    *
+    * Returns `k` rows: `(keyCols…, n, frac, rk, n_total, n_keys)`,
+    * ranked by count descending with key-ascending tiebreaks.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String], k: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val keyed = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val totals = keyed.agg(
+      sum(col("n")).as("n_total"), count(lit(1)).as("n_keys"))
+    val order = col("n").desc +: keyCols.map(col(_).asc)
+    val top = keyed.orderBy(order: _*).limit(k)
+    top
+      .crossJoin(broadcast(totals))
+      .withColumn("frac", round(col("n").cast("double") / col("n_total"), 6))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long"))
+      .select(
+        keyCols.map(col) ++
+          Seq(col("n"), col("frac"), col("rk"), col("n_total"), col("n_keys")): _*)
+  }
+
   /** Approximate quantiles (deterministic Greenwald-Khanna summaries;
     * bounded memory per partition — the 100 TB path).
     */

@@ -170,4 +170,28 @@ object StreamIngest {
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Stream-static enrichment, the canonical streaming join shape: a
+    * watermarked event stream joined to a (small) static dimension on
+    * `joinKey`, then windowed counts per dimension attribute `attr`.
+    * The static side is broadcast and re-resolved per micro-batch, so
+    * a dimension refresh (overwrite of its backing table) is picked up
+    * without restarting the query; streaming state stays bounded by
+    * the watermark exactly as in [[windowedCounts]] — the join itself
+    * is stateless.
+    */
+  def enrichedWindowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      dim: DataFrame,
+      joinKey: String,
+      attr: String,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", watermark)
+      .join(broadcast(dim.select(col(joinKey), col(attr))), Seq(joinKey))
+      .groupBy(window(col("__ts"), windowLen), col(attr))
+      .agg(count(lit(1)).as("n"))
 }

@@ -15,7 +15,8 @@ class PlanSpec extends SparkSpec {
   // streaming gates execute a full (if tiny) streaming job just to
   // BUILD the result frame; their plan properties are covered by the
   // dedicated streaming specs
-  private val skip = Set("q_stream_upsert", "q_stream_window", "q_stream_sessionize")
+  private val skip = Set(
+    "q_stream_upsert", "q_stream_window", "q_stream_sessionize", "q_stream_enrich")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.filterNot { case (n, _) => skip(n) }.map { case (n, fn) =>

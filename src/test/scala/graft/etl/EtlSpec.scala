@@ -355,6 +355,35 @@ class StreamIngestSpec extends SparkSpec {
     assert(c.df.filter(col("_end").isNotNull).count() == 1)
     assert(c.df.count() == 4)
   }
+
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    import graft.streaming.StreamIngest
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-enrich")
+    val src = dir.resolve("in"); Files.createDirectories(src)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("t", DoubleType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    Seq((1L, 10.0, "x", 1.0), (2L, 20.0, "x", 1.0), (1L, 3700.0, "y", 1.0))
+      .toDF("user_id", "t", "event_type", "value")
+      .write.mode("append").parquet(src.toString)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .withColumn("__et", timestamp_seconds(col("t")))
+    val agg = StreamIngest.enrichedWindowedCounts(
+      stream, "__et", dim, "user_id", "tier",
+      windowLen = "1 hour", watermark = "1 hour")
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_t")
+      .option("checkpointLocation", dir.resolve("chk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich_t")
+      .select(col("window.start").cast("long").as("w"), col("tier"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((0L, "gold", 1L), (0L, "basic", 1L), (3600L, "gold", 1L)))
+  }
 }
 
 class StreamingSessionizeSpec extends graft.SparkSpec {

@@ -85,6 +85,30 @@ class SketchesSpec extends graft.SparkSpec {
       .head().getSeq[Long](0)
     assert(hits.contains(7L), s"heavy hitter missing from $hits")
   }
+
+  test("histogram: equal bins, under/overflow rows, null skip") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(5.0), Some(9.9), Some(10.0),
+      Some(25.0), None).map(Tuple1(_)).toDF("v")
+    val out = Sketches.histogram(df, "v", lo = 0.0, hi = 10.0, bins = 2)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      (-1L, 1L, None, None),               // -5 underflows
+      (0L, 1L, Some(0.0), Some(5.0)),      // 0.0
+      (1L, 2L, Some(5.0), Some(10.0)),     // 5.0 and 9.9
+      (2L, 2L, None, None)))               // 10.0 (right-open) and 25
+  }
+
+  test("skewReport ranks heavy keys with exact shares and totals") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Sketches.skewReport(df, Seq("k"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 6L, 0.6, 1L, 10L, 3L),
+      ("b", 3L, 0.3, 2L, 10L, 3L)))
+  }
 }
 
 class AsOfJoinSpec extends graft.SparkSpec {
