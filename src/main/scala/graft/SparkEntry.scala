@@ -823,6 +823,16 @@ object SparkEntry {
       Similarity.annTopK(emb, "vec_id", "embedding", qv, k = 10)
     }),
 
+    // Corpus-wide batch kNN (top-5 LSH-candidate neighbors for EVERY
+    // vector in one plan). Bands, candidate set, cosines, and the
+    // rounded-cosine rank order are all replicated by the oracle, so
+    // the result is value-exact, not recall-gated.
+    "q_knn_join" -> ((s, dir) => {
+      Similarity.knnJoin(tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("vec_id", "rk")
+    }),
+
     // ------------------------------------------------- ETL / streaming
     // activity import: rebuild the full event history from (current doc
     // + change log) — oracle is the consecutive-distinct version chain
@@ -2647,6 +2657,21 @@ object SparkEntry {
            |sc AS (SELECT id_a, id_b, round(${sqlCos("da.v", "db.v")}, 6) AS cos
            |       FROM cand JOIN d da ON da.vec_id = id_a JOIN d db ON db.vec_id = id_b)
            |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+      // Same band family as q_embed_pairs, but candidates in BOTH
+      // directions and a per-id top-k on the rounded cosine.
+      "q_knn_join" ->
+        s"""WITH $EmbCte,
+           |bands AS (SELECT vec_id, v, b, ${sqlLshBand("v", "b * 4", 4)} AS bv
+           |          FROM d, range(0, 16) t(b)),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           |         FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id <> c.vec_id),
+           |sc AS (SELECT id_a, id_b, round(${sqlCos("da.v", "db.v")}, 6) AS cos
+           |       FROM cand JOIN d da ON da.vec_id = id_a JOIN d db ON db.vec_id = id_b),
+           |rnk AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+           |        FROM sc)
+           |SELECT id_a AS vec_id, id_b AS neighbor_id, cos, CAST(rk AS BIGINT) AS rk
+           |FROM rnk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
 
       "q_ann_lsh" ->
         s"""WITH $EmbCte,

@@ -135,6 +135,58 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Corpus-wide batch kNN join: for EVERY vector, its `k` most
+    * similar other vectors by cosine among LSH-band candidates — the
+    * batch shape for dedup clustering, diversity sampling, and
+    * similarity-graph building ([[annTopK]] answers one query; this
+    * answers all of them in one plan). Candidates come from shared
+    * `(band, value)` buckets exactly as in [[cosinePairsLsh]] — the
+    * band shuffle carries ids only, vectors attach after candidate
+    * dedup — then exact cosine + a per-id top-k window. `maxBucketSize`
+    * drops degenerate buckets (a bucket of B vectors emits B² candidate
+    * rows) just like the dedup path. Approximate by construction: a
+    * true neighbor sharing no band with its query is missed; more
+    * bands/fewer bits per band trade cost for recall.
+    *
+    * Returns `(idCol, neighbor_id, cos, rk)` with `rk <= k`, ranked by
+    * rounded cosine descending (ties by neighbor id — the rounding is
+    * what makes rank order engine-exact).
+    */
+  def knnJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBands: Int = 16,
+      bandBits: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val banded = df.select(
+        col(idCol).as("id"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            DedupExpressions.lshBand(col(vecCol), b * bandBits, bandBits).as("bv"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val small = banded.groupBy("band", "bv").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucketSize).select("band", "bv")
+    val capped = banded.join(small, Seq("band", "bv"), "left_semi")
+    val cand = capped.select(col("id").as("id_a"), col("band"), col("bv"))
+      .join(capped.select(col("id").as("id_b"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val scored = cand
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
+        col("cos"), col("rk"))
+  }
+
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits against the
     * deterministic md5-derived ±1 plane family (global plane indices
     * `0 until nPlanes`) — one imperative pass via [[LshBandExpr]].

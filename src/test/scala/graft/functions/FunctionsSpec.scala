@@ -227,6 +227,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("knnJoin: every id gets ranked neighbors; identical vectors rank first") {
+    // ids 1/2 identical (cos 1.0 — must be each other's rank 1);
+    // id 3 similar; id 4 orthogonal-ish but still a candidate when
+    // bands collide. Every returned rank must be <= k and start at 1.
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f, 0f)), (4L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("id", "vec")
+    val out = Similarity.knnJoin(df, "id", "vec", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byId = out.groupBy(_._1)
+    assert(byId(1L).find(_._4 == 1).get._2 == 2L) // identical twin first
+    assert(byId(2L).find(_._4 == 1).get._2 == 1L)
+    assert(out.forall(r => r._4 >= 1 && r._4 <= 2))
+    // symmetric candidate generation: both directions present
+    assert(byId.contains(1L) && byId.contains(2L) && byId.contains(3L))
+  }
+
   test("quantizeInt8 round-trips within quantization error; cosine preserved") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 20L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
