@@ -158,6 +158,13 @@ object ScaleProbe {
       functions.TextFunctions.corpusRarity(docs, "id", "text", maxCount = 1000L)
         .agg(sum("n_rare")).head()
     }
+    timed("knnJoin top-5 (100k vecs, 8 bands x 12 bits)") {
+      // bandBits sized per the scaladoc rule: 100k / 2^12 ≈ 24 per
+      // bucket — candidate volume stays quadratic-in-24, not in n
+      functions.Similarity.knnJoin(
+        vecs.filter(col("id") < 100000L), "id", "v", k = 5,
+        nBands = 8, bandBits = 12).count()
+    }
     timed("semanticDedup (100k vecs, k=256)") {
       // k scales with corpus size to bound Σ|cell|² — ~390-vector cells
       functions.Similarity.semanticDedup(

@@ -148,6 +148,13 @@ object Similarity {
     * true neighbor sharing no band with its query is missed; more
     * bands/fewer bits per band trade cost for recall.
     *
+    * SIZE `bandBits` WITH THE CORPUS: expected bucket population is
+    * `n / 2^bandBits`, and candidate volume grows with its square —
+    * the sf-scale default (4 bits) is degenerate at 1M vectors (62k
+    * per bucket, all capped away). Pick
+    * `bandBits ≈ log2(n / targetBucket)` for a target bucket of
+    * 30–200 vectors (e.g. 1M vectors → 13–15 bits).
+    *
     * Returns `(idCol, neighbor_id, cos, rk)` with `rk <= k`, ranked by
     * rounded cosine descending (ties by neighbor id — the rounding is
     * what makes rank order engine-exact).
