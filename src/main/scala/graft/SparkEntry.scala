@@ -62,6 +62,56 @@ object SparkEntry {
     * nanos, and integer `DIV 1000` keeps full precision where a double
     * divide would not).
     */
+  /** Shared harness for the streaming gates: copy `table`.parquet into
+    * a fresh tmpfs-backed source dir, open it as a schema'd file
+    * stream, run the caller's aggregation to completion (AvailableNow)
+    * into a uniquely-named memory sink with a tmpfs checkpoint, and
+    * return the sink table. tmpfs (when writable) keeps the
+    * micro-batch commit log's fsyncs out of bench timings — this state
+    * is throwaway; a real deployment checkpoints to durable storage.
+    */
+  private def runStreamGate(
+      s: SparkSession,
+      dir: String,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      prefix: String,
+      mode: String)(agg: DataFrame => DataFrame): DataFrame = {
+    val tmpBase =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft-$prefix-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/$table.parquet"),
+      srcDir.resolve(s"$table.parquet"))
+    val qname = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
+    val q = agg(s.readStream.schema(schema).parquet(srcDir.toString))
+      .writeStream.outputMode(mode).format("memory").queryName(qname)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+  }
+
+  private val EventsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  private val DocumentsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+
   private def eventMicros(ev: DataFrame): Column =
     ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
@@ -945,41 +995,24 @@ object SparkEntry {
     // margin — so ms-truncation at the exact timeout boundary can't
     // flap the row set.
     "q_stream_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
       import s.implicits._
-      val tmpBase =
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          java.nio.file.Paths.get("/dev/shm")
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ssess-src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        srcDir.resolve("events.parquet"))
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-        .select(
-          col("user_id").cast("long").as("user_id"),
-          (expr("ts DIV 1000") / lit(1e6)).as("t"),
-          col("event_id"), col("value"))
-        .as[graft.streaming.SessionEvent]
-      val qname = "ssess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ssess-ck").toString
-      val q = graft.streaming.StreamIngest.streamingSessionize(stream, gapSeconds = 1800.0)
-        .writeStream.outputMode("append").format("memory").queryName(qname)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val sessions = runStreamGate(
+          s, dir, "events", EventsStreamSchema, "ssess", "append") { st =>
+        graft.streaming.StreamIngest.streamingSessionize(
+          st.select(
+              col("user_id").cast("long").as("user_id"),
+              (expr("ts DIV 1000") / lit(1e6)).as("t"),
+              col("event_id"), col("value"))
+            .as[graft.streaming.SessionEvent],
+          gapSeconds = 1800.0).toDF()
+      }
       val ev = tbl(s, dir, "events")
       val base = ev.select(
         col("user_id").cast("long").as("user_id"),
         (eventMicros(ev) / lit(1e6)).as("t"))
       val mt = base.agg(max("t")).head().getDouble(0)
       val userMax = base.groupBy("user_id").agg(max("t").as("umax"))
-      s.table(qname)
+      sessions
         .join(userMax, "user_id")
         .filter(col("session_end") <= lit(mt - 3700.0) || col("session_end") < col("umax"))
         .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
@@ -999,82 +1032,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // streaming windowed aggregation (tumbling 1h + watermark) — the
-    // stream result hash-matches DuckDB's time_bucket batch answer
     // Stream-static enrichment join: the event stream joins a small
     // broadcast dimension (user_id → segment, derived deterministically
     // so the oracle can rebuild it), then 1-hour windowed counts per
     // segment. The join is stateless; window state is
     // watermark-bounded.
     "q_stream_enrich" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val tmpBase =
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          java.nio.file.Paths.get("/dev/shm")
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-enr-src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        srcDir.resolve("events.parquet"))
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-        .withColumn("__et", timestamp_micros(expr("ts DIV 1000")))
       val dim = tbl(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(3))))
-      val agg = graft.streaming.StreamIngest.enrichedWindowedCounts(
-        stream, "__et", dim, "user_id", "segment",
-        windowLen = "1 hour", watermark = "1 hour")
-      val qname = "enr_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname)
+      runStreamGate(s, dir, "events", EventsStreamSchema, "enr", "complete") { st =>
+        graft.streaming.StreamIngest.enrichedWindowedCounts(
+          st.withColumn("__et", timestamp_micros(expr("ts DIV 1000"))),
+          "__et", dim, "user_id", "segment",
+          windowLen = "1 hour", watermark = "1 hour")
+      }
         .select(
           (unix_micros(col("window.start")) / lit(1e6)).as("w_start"),
           col("segment"), col("n"))
         .orderBy("w_start", "segment")
     }),
 
+    // streaming windowed aggregation (tumbling 1h + watermark) — the
+    // stream result hash-matches DuckDB's time_bucket batch answer
     "q_stream_window" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val tmpBase =
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          java.nio.file.Paths.get("/dev/shm")
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-win-src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        srcDir.resolve("events.parquet"))
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-      val agg = stream
-        .withColumn("__ts", timestamp_micros(expr("ts DIV 1000")))
-        .withWatermark("__ts", "1 hour")
-        .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
-      val qname = "win_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // checkpoint to tmpfs when available: the micro-batch commit log
-      // is fsync-bound, and this query's state is throwaway (complete
-      // mode, memory sink). A real deployment checkpoints to object
-      // storage; locally tmpfs removes host-IO noise from the bench.
-      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname)
+      runStreamGate(s, dir, "events", EventsStreamSchema, "win", "complete") { st =>
+        st.withColumn("__ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("__ts", "1 hour")
+          .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      }
         .select(
           (unix_micros(col("window.start")) / lit(1e6)).as("w_start"),
           col("event_type"), col("n"), col("sv").cast("double").as("sum_value"))
@@ -1609,32 +1595,11 @@ object SparkEntry {
     // dependent, so the gate projects the surviving KEY SET — exactly
     // the deterministic contract of first-arrival dedup.
     "q_stream_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val tmpBase =
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          java.nio.file.Paths.get("/dev/shm")
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-dedup-src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        srcDir.resolve("events.parquet"))
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-        .withColumn("__evt", timestamp_micros(expr("ts DIV 1000")))
-      val deduped = graft.streaming.StreamIngest.streamingDedup(
-        stream, Seq("user_id", "event_type"), "__evt", "30 minutes")
-      val qname = "dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
-      val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname)
+      runStreamGate(s, dir, "events", EventsStreamSchema, "dedup", "append") { st =>
+        graft.streaming.StreamIngest.streamingDedup(
+          st.withColumn("__evt", timestamp_micros(expr("ts DIV 1000"))),
+          Seq("user_id", "event_type"), "__evt", "30 minutes")
+      }
         .select(col("user_id").cast("long").as("user_id"), col("event_type"))
         .distinct()
         .orderBy("user_id", "event_type")
@@ -1727,35 +1692,14 @@ object SparkEntry {
     // scale). Output is the surviving fingerprint set; signed-BIGINT
     // recipe on the oracle side as in q_fingerprint.
     "q_stream_fingerprint" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val tmpBase =
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          java.nio.file.Paths.get("/dev/shm")
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-fp-src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        srcDir.resolve("documents.parquet"))
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
-        // synthetic event time well above the watermark delay so no
-        // fixture row sits at the initial watermark boundary
-        .withColumn("__evt", timestamp_seconds(col("doc_id") + lit(7200L)))
-      val deduped = graft.streaming.StreamIngest.streamingDedup(
-        stream, Seq("fp"), "__evt", "30 minutes")
-      val qname = "fpdedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
-      val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname).select(col("fp")).distinct().orderBy("fp")
+      runStreamGate(s, dir, "documents", DocumentsStreamSchema, "fpdedup", "append") { st =>
+        graft.streaming.StreamIngest.streamingDedup(
+          st.withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+            // synthetic event time well above the watermark delay so no
+            // fixture row sits at the initial watermark boundary
+            .withColumn("__evt", timestamp_seconds(col("doc_id") + lit(7200L))),
+          Seq("fp"), "__evt", "30 minutes")
+      }.select(col("fp")).distinct().orderBy("fp")
     }),
 
     // Overlapping-window document chunking: every boundary is integer
@@ -2329,7 +2273,7 @@ object SparkEntry {
           |           WHERE n_chars IS NOT NULL),
           |b AS (SELECT CASE WHEN v < 50.0 THEN -1
           |             WHEN v >= 500.0 THEN 9
-          |             ELSE CAST(floor((v - 50.0) * 9 / 450.0) AS BIGINT) END AS bin FROM v)
+          |             ELSE least(CAST(floor((v - 50.0) * 9 / 450.0) AS BIGINT), 8) END AS bin FROM v)
           |SELECT bin, count(*) AS n,
           |  CASE WHEN bin >= 0 AND bin < 9 THEN round(50.0 + bin * 450.0 / 9, 6) END AS lo_edge,
           |  CASE WHEN bin >= 0 AND bin < 9 THEN round(50.0 + (bin + 1) * 450.0 / 9, 6) END AS hi_edge
@@ -2659,13 +2603,17 @@ object SparkEntry {
            |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
       // Same band family as q_embed_pairs, but candidates in BOTH
-      // directions and a per-id top-k on the rounded cosine.
+      // directions and a per-id top-k on the rounded cosine. The
+      // bucket cap (maxBucketSize=10000) is replicated so the gate
+      // stays value-exact even when the cap fires.
       "q_knn_join" ->
         s"""WITH $EmbCte,
            |bands AS (SELECT vec_id, v, b, ${sqlLshBand("v", "b * 4", 4)} AS bv
            |          FROM d, range(0, 16) t(b)),
+           |ok AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) <= 10000),
+           |bc AS (SELECT bands.* FROM bands JOIN ok USING (b, bv)),
            |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-           |         FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id <> c.vec_id),
+           |         FROM bc a JOIN bc c ON a.b = c.b AND a.bv = c.bv AND a.vec_id <> c.vec_id),
            |sc AS (SELECT id_a, id_b, round(${sqlCos("da.v", "db.v")}, 6) AS cos
            |       FROM cand JOIN d da ON da.vec_id = id_a JOIN d db ON db.vec_id = id_b),
            |rnk AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk

@@ -136,9 +136,13 @@ object Sketches {
     require(bins > 0, "bins must be positive")
     require(hi > lo, "need hi > lo")
     val v = col(valueCol).cast("double")
+    // the least() clamp guards the FP edge where (v-lo)*bins/(hi-lo)
+    // rounds up to exactly `bins` for a v just under hi — without it
+    // an in-range value would land in the overflow row
     val idx = when(v < lo, lit(-1L))
       .when(v >= hi, lit(bins.toLong))
-      .otherwise(floor((v - lit(lo)) * lit(bins) / lit(hi - lo)))
+      .otherwise(least(
+        floor((v - lit(lo)) * lit(bins) / lit(hi - lo)), lit((bins - 1).toLong)))
     val inRange = col("bin") >= 0 && col("bin") < bins
     df.filter(v.isNotNull)
       .groupBy(idx.as("bin"))
@@ -154,16 +158,22 @@ object Sketches {
   /** Key-skew report — the "which keys will blow up my shuffle"
     * diagnosis: the `k` heaviest key tuples with their row counts and
     * share of the table, alongside the table totals (rows, distinct
-    * keys). One map-side-combined groupBy, then a distributed
-    * TakeOrdered for the top-k (never a global single-task sort) and a
-    * broadcast of the 1-row totals — nothing key-shaped reaches the
-    * driver.
+    * keys). The totals and the top-k are two independent consumers of
+    * the keyed aggregation, so the input is scanned and aggregated
+    * TWICE — persist the input (or the keyed counts) upstream if the
+    * scan dominates at your scale. The top-k itself is a distributed
+    * TakeOrdered (never a global single-task sort) and the totals are
+    * a 1-row broadcast — nothing key-shaped reaches the driver.
     *
     * Returns `k` rows: `(keyCols…, n, frac, rk, n_total, n_keys)`,
     * ranked by count descending with key-ascending tiebreaks.
     */
   def skewReport(df: DataFrame, keyCols: Seq[String], k: Int = 10): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    val reserved = Set("n", "frac", "rk", "n_total", "n_keys")
+    val clash = keyCols.filter(reserved)
+    require(clash.isEmpty,
+      s"key columns collide with report output names: ${clash.mkString(", ")}")
     val keyed = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
     val totals = keyed.agg(
       sum(col("n")).as("n_total"), count(lit(1)).as("n_keys"))

@@ -172,13 +172,16 @@ object StreamIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
   /** Stream-static enrichment, the canonical streaming join shape: a
-    * watermarked event stream joined to a (small) static dimension on
-    * `joinKey`, then windowed counts per dimension attribute `attr`.
-    * The static side is broadcast and re-resolved per micro-batch, so
-    * a dimension refresh (overwrite of its backing table) is picked up
-    * without restarting the query; streaming state stays bounded by
-    * the watermark exactly as in [[windowedCounts]] — the join itself
-    * is stateless.
+    * watermarked event stream LEFT-joined to a (small) static
+    * dimension on `joinKey`, then windowed counts per dimension
+    * attribute `attr`. Events with a NULL key or a key absent from the
+    * dimension are NOT dropped — they count under `fallbackAttr`
+    * ("unknown"), so a late-arriving dimension undercounts visibly
+    * instead of silently. The static side is broadcast and re-resolved
+    * per micro-batch, so a dimension refresh (overwrite of its backing
+    * table) is picked up without restarting the query; streaming state
+    * stays bounded by the watermark exactly as in [[windowedCounts]] —
+    * the join itself is stateless.
     */
   def enrichedWindowedCounts(
       events: DataFrame,
@@ -187,11 +190,14 @@ object StreamIngest {
       joinKey: String,
       attr: String,
       windowLen: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      fallbackAttr: String = "unknown"): DataFrame =
     events
       .withColumn("__ts", col(tsCol).cast("timestamp"))
       .withWatermark("__ts", watermark)
-      .join(broadcast(dim.select(col(joinKey), col(attr))), Seq(joinKey))
-      .groupBy(window(col("__ts"), windowLen), col(attr))
+      .join(broadcast(dim.select(col(joinKey), col(attr))), Seq(joinKey), "left")
+      .groupBy(
+        window(col("__ts"), windowLen),
+        coalesce(col(attr), lit(fallbackAttr)).as(attr))
       .agg(count(lit(1)).as("n"))
 }
