@@ -456,6 +456,21 @@ class Container(
     this
   }
 
+  /** Interchange export of the container's full state (all versions,
+    * meta columns included) via [[graft.etl.Loaders.exportTable]] —
+    * parquet/orc keep types and pushdown on re-read; csv/json for
+    * small external extracts. Unlike [[save]] this does NOT become the
+    * container's backing path — it is a one-way copy for consumers
+    * outside the engine.
+    */
+  def export(
+      dest: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Container = {
+    graft.etl.Loaders.exportTable(state, dest, format, options)
+    this
+  }
+
   /** Drop persisted data (reference: sqlalchemy.py:723-747). */
   def drop(): Unit = {
     path.foreach { p =>

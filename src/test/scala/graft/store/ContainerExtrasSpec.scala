@@ -106,4 +106,16 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 0)
     assert(df.columns.contains("nvra"))
   }
+
+  test("export writes a one-way ORC copy without rebinding the container") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0, "a"), (2L, 0.0, "b")).toDF("_oid", "_start", "tag")
+      .withColumn("_end", org.apache.spark.sql.functions.lit(null).cast("double"))
+    val cont = new graft.store.Container(spark, "exp_t", df)
+    val dest = java.nio.file.Files.createTempDirectory("graft-export").toString
+    cont.export(dest, "orc")
+    val back = spark.read.orc(dest)
+    assert(back.count() == cont.df.count())
+    assert(back.columns.sorted.toSeq == cont.df.columns.sorted.toSeq)
+  }
 }
