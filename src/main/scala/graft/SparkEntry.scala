@@ -1743,6 +1743,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization: the corpus has no URL column, so both
+    // engines derive the same messy URL per doc (mixed case, :443,
+    // tracking params, fragment, sometimes a trailing slash) and the
+    // gate verifies the canonical form byte-for-byte.
+    "q_url_normalize" -> ((s, dir) => {
+      val raw = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.com:443/Docs/"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("&gclid=abc")).otherwise(lit("")),
+        lit("#frag"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.normalizeUrl(raw).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML → text: same synthetic page wrapper on both engines
+    // (script/style blocks, tags, entities); the gate checks the
+    // stripped text's md5 and token count.
+    "q_strip_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body class=\"x\"><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><script>var a = 1 &amp;&amp; 2;</script><p>"),
+        substring(col("text"), 1, 40),
+        lit(" &amp; more &lt;stuff&gt;</p><style>p{color:red}</style></body></html>"))
+      val clean = TextFunctions.stripHtml(html)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), md5(clean).as("clean_md5"),
+          TextFunctions.tokenCount(clean).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style boilerplate line removal. The synthetic docs are
     // single-line, so both engines first re-chunk them into aligned
     // 8-token lines (deterministic, same slice algebra) — at sf0.01
@@ -2974,6 +3007,55 @@ object SparkEntry {
            |SELECT doc_id, quality,
            |  CASE WHEN bucket < 900000 THEN 0 WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
            |FROM b ORDER BY doc_id""".stripMargin,
+
+      // DuckDB regexp_replace needs the explicit 'g' flag wherever
+      // Spark's replaces all occurrences (Spark is global by default).
+      "q_url_normalize" ->
+        """WITH u AS (SELECT doc_id,
+          |  'HTTPS://WWW.' || source || '.Example.com:443/Docs/' || CAST(doc_id AS VARCHAR)
+          |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+          |    || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+          |    || CASE WHEN doc_id % 2 = 0 THEN '&gclid=abc' ELSE '' END
+          |    || '#frag' AS url FROM documents),
+          |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+          |p AS (SELECT doc_id,
+          |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://.*', 1)) AS scheme,
+          |  regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)), ':(80|443)$', '') AS host,
+          |  regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+          |  FROM nf),
+          |q AS (SELECT doc_id, scheme, host,
+          |  regexp_replace(rest, '\?.*$', '') AS path,
+          |  CASE WHEN strpos(rest, '?') > 0 THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS qs
+          |  FROM p),
+          |k AS (SELECT doc_id, scheme, host,
+          |  CASE WHEN path = '/' THEN '' ELSE path END AS path,
+          |  array_to_string(list_filter(string_split(qs, '&'),
+          |    x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')), '&') AS cq
+          |  FROM q)
+          |SELECT doc_id, scheme || '://' || host || path ||
+          |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
+          |FROM k ORDER BY doc_id""".stripMargin,
+
+      "q_strip_html" ->
+        """WITH h AS (SELECT doc_id,
+          |  '<html><body class="x"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+          |  || '</h1><script>var a = 1 &amp;&amp; 2;</script><p>' || substr(text, 1, 40)
+          |  || ' &amp; more &lt;stuff&gt;</p><style>p{color:red}</style></body></html>' AS html
+          |  FROM documents),
+          |s1 AS (SELECT doc_id,
+          |  regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+          |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+          |s3 AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          |    t, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+          |    '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&amp;', '&', 'g') AS t FROM s2),
+          |c AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s3),
+          |tok AS (SELECT doc_id, clean,
+          |  CASE WHEN len(trim(clean)) = 0 THEN 0
+          |    ELSE len(list_filter(string_split_regex(trim(clean), '\s+'), x -> len(x) > 0)) END AS n_tokens
+          |  FROM c)
+          |SELECT doc_id, md5(clean) AS clean_md5, CAST(n_tokens AS BIGINT) AS n_tokens
+          |FROM tok ORDER BY doc_id""".stripMargin,
 
       // Same 8-token re-chunk (DuckDB list slices are 1-based
       // inclusive, matching Spark's slice(start,len)), then the full

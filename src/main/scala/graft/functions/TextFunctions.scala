@@ -207,6 +207,57 @@ object TextFunctions {
       .withColumnRenamed("id", idCol)
   }
 
+  /** URL canonicalization for web-corpus dedup: lowercase the scheme
+    * and host, strip the fragment, default ports (:80/:443), tracking
+    * parameters (`utm_*`, fbclid, gclid, ref), an empty leftover `?`,
+    * and a bare trailing slash. Two URLs that differ only in these
+    * details are the same document in practice — canonicalize BEFORE
+    * hashing/grouping by URL. Pure regex/array builtins (RE2-safe
+    * patterns), so any engine with the same primitives replicates the
+    * canonical form byte-for-byte. The per-URL param filter is an
+    * interpreted HOF over a handful of elements — bounded by URL
+    * length, not corpus size.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://.*", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val hostNoPort = regexp_replace(host, ":(80|443)$", "")
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val query = when(rest.contains("?"), regexp_replace(rest, "^[^?]*\\?", ""))
+      .otherwise(lit(""))
+    val keptParams = filter(
+      split(query, "&"),
+      p => length(p) > 0 &&
+        !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="))
+    val cleanQuery = array_join(keptParams, "&")
+    val cleanPath = when(path === "/", lit("")).otherwise(path)
+    when(scheme === "", url) // not a scheme://host URL: leave untouched
+      .otherwise(concat(
+        scheme, lit("://"), hostNoPort, cleanPath,
+        when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery))))
+  }
+
+  /** HTML → text for web-corpus ingestion: drop script/style blocks
+    * wholesale (their content is not prose), strip remaining tags,
+    * decode the handful of entities that dominate real pages, collapse
+    * whitespace. Deliberately regex-based — not a parser — so it is
+    * one codegen'd projection per row and byte-replicable in any
+    * RE2-capable engine; malformed HTML degrades to leftover text, not
+    * an error.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      html, "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Gopher-style rule-based document filter with machine-readable
     * reject reasons — the audit-friendly form of [[qualityScore]]:
     * instead of one opaque score, each document carries the sorted

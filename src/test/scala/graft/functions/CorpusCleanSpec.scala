@@ -99,6 +99,36 @@ class CorpusCleanSpec extends SparkSpec {
   }
 }
 
+class WebTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeUrl canonicalizes case/ports/tracking/fragment") {
+    val urls = Seq(
+      "HTTPS://Example.COM:443/Path/?utm_source=x&a=1#frag",
+      "http://host:80/",
+      "http://h/p?utm_campaign=z&fbclid=1&ref=nav",
+      "not a url")
+      .toDF("u")
+    val out = urls.select(TextFunctions.normalizeUrl(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "https://example.com/Path/?a=1", // path case preserved, non-root slash kept
+      "http://host",                   // default port + bare slash dropped
+      "http://h/p",                    // all params tracking -> no '?'
+      "not a url"))                    // non-URLs pass through
+  }
+
+  test("stripHtml drops script/style wholesale, tags, and entities") {
+    val html = Seq(
+      "<p>Hello &amp; <b>world</b></p><script>if(a<b){x()}</script><style>p{}</style>",
+      "plain text stays&nbsp;here")
+      .toDF("h")
+    val out = html.select(TextFunctions.stripHtml(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("Hello & world", "plain text stays here"))
+  }
+}
+
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
 
