@@ -1270,6 +1270,22 @@ object SparkEntry {
 
     // exact interpolated quantiles per group (sketch variants in
     // graft.functions.Sketches are the approximate 100 TB path)
+    // Tukey-fence outlier trim per event_type over a deliberately
+    // skewed value (value³ — uniform data would trim nothing at any
+    // sane k). k=0.5 trims the ~14% right tail. v³ is the same three
+    // IEEE multiplies on both engines; quartiles round at 4 like
+    // q_quantiles (the cross-engine interpolation parity limit).
+    "q_trim_outliers" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        (col("value") * col("value") * col("value")).as("v3"))
+      graft.functions.Sketches.trimOutliers(ev, Seq("event_type"), "v3", k = 0.5)
+        .select(col("event_type"), col("event_id"),
+          round(col("v3"), 6).as("v3"),
+          round(col("q1"), 4).as("q1"), round(col("q3"), 4).as("q3"))
+        .orderBy("event_type", "event_id")
+    }),
+
     "q_quantiles" -> ((s, dir) => {
       graft.functions.Sketches.quantilesByKey(
           tbl(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
@@ -2587,6 +2603,16 @@ object SparkEntry {
           |FROM errors e ASOF LEFT JOIN states s
           |  ON e.user_id = s.uid AND s.st <= e.t
           |ORDER BY e.event_id""".stripMargin,
+
+      "q_trim_outliers" ->
+        """WITH e AS (SELECT event_id, event_type, value*value*value AS v3 FROM events),
+          |f AS (SELECT event_type, quantile_cont(v3, 0.25) AS q1,
+          |             quantile_cont(v3, 0.75) AS q3 FROM e GROUP BY 1)
+          |SELECT e.event_type, e.event_id, round(e.v3, 6) AS v3,
+          |  round(f.q1, 4) AS q1, round(f.q3, 4) AS q3
+          |FROM e JOIN f USING (event_type)
+          |WHERE e.v3 >= f.q1 - 0.5*(f.q3 - f.q1) AND e.v3 <= f.q3 + 0.5*(f.q3 - f.q1)
+          |ORDER BY event_type, event_id""".stripMargin,
 
       "q_quantiles" ->
         """SELECT l_returnflag,

@@ -118,6 +118,39 @@ object Sketches {
     agged.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** IQR outlier trim per group — the standard numeric data-cleaning
+    * rule: keep rows whose value lies within
+    * `[q1 − k·(q3 − q1), q3 + k·(q3 − q1)]` of their group's exact
+    * interpolated quartiles (`k = 1.5` is Tukey's fence). Two passes:
+    * one grouped quantile aggregation (small result — one row per
+    * group), broadcast back onto the rows for a stateless filter.
+    * NULL values never pass. Exact quartiles are oracle-checkable;
+    * swap in [[approxQuantilesByKey]] upstream when groups are so
+    * large the sort-based exact percentile dominates. The fence side
+    * is one row per group — not force-broadcast, so a
+    * millions-of-groups fence table still joins safely (AQE broadcasts
+    * it whenever it fits).
+    *
+    * Returns the kept rows with `q1`/`q3` attached.
+    */
+  def trimOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(keys.nonEmpty, "need at least one group key")
+    val fences = df.groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), array(lit(0.25), lit(0.75))).as("_qs"))
+      .select(
+        keys.map(col) :+ element_at(col("_qs"), 1).as("q1")
+          :+ element_at(col("_qs"), 2).as("q3"): _*)
+    val iqr = col("q3") - col("q1")
+    df.join(fences, keys)
+      .filter(
+        col(valueCol) >= col("q1") - lit(k) * iqr &&
+        col(valueCol) <= col("q3") + lit(k) * iqr)
+  }
+
   /** Fixed-bin histogram of a numeric column over `[lo, hi)`: `bins`
     * equal-width buckets plus underflow (`bin = -1`) and overflow
     * (`bin = bins`) rows when such values exist (NULLs are skipped).

@@ -100,6 +100,16 @@ class SketchesSpec extends graft.SparkSpec {
       (2L, 2L, None, None)))               // 10.0 (right-open) and 25
   }
 
+  test("trimOutliers keeps the IQR band, drops the planted outlier, skips NULLs") {
+    val df = ((1 to 99).map(i => ("g", Some(i.toDouble))) ++
+      Seq(("g", Some(10000.0)), ("g", None: Option[Double])))
+      .toDF("k", "v")
+    val kept = Sketches.trimOutliers(df, Seq("k"), "v")
+      .select("v").collect().map(_.getDouble(0))
+    assert(!kept.contains(10000.0) && kept.length == 99) // outlier + NULL gone
+    assert(kept.min == 1.0 && kept.max == 99.0)          // the band survives intact
+  }
+
   test("skewReport ranks heavy keys with exact shares and totals") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val out = Sketches.skewReport(df, Seq("k"), k = 2)
