@@ -3043,14 +3043,18 @@ object SparkEntry {
           |    || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
           |    || CASE WHEN doc_id % 2 = 0 THEN '&gclid=abc' ELSE '' END
           |    || '#frag' AS url FROM documents),
-          |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
-          |p AS (SELECT doc_id,
+          |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+          |p0 AS (SELECT doc_id,
           |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://.*', 1)) AS scheme,
-          |  regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)), ':(80|443)$', '') AS host,
-          |  regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+          |  lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1)) AS rawhost,
+          |  regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
           |  FROM nf),
+          |p AS (SELECT doc_id, scheme, rest,
+          |  CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80\z', '')
+          |       WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443\z', '')
+          |       ELSE rawhost END AS host FROM p0),
           |q AS (SELECT doc_id, scheme, host,
-          |  regexp_replace(rest, '\?.*$', '') AS path,
+          |  regexp_replace(rest, '\?.*', '') AS path,
           |  CASE WHEN strpos(rest, '?') > 0 THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS qs
           |  FROM p),
           |k AS (SELECT doc_id, scheme, host,

@@ -124,7 +124,9 @@ object Sketches {
     * interpolated quartiles (`k = 1.5` is Tukey's fence). Two passes:
     * one grouped quantile aggregation (small result — one row per
     * group), broadcast back onto the rows for a stateless filter.
-    * NULL values never pass. Exact quartiles are oracle-checkable;
+    * NULL values never pass; NULL group KEYS form their own group
+    * (null-safe key match) rather than being silently dropped.
+    * Exact quartiles are oracle-checkable;
     * swap in [[approxQuantilesByKey]] upstream when groups are so
     * large the sort-based exact percentile dominates. The fence side
     * is one row per group — not force-broadcast, so a
@@ -139,16 +141,23 @@ object Sketches {
       valueCol: String,
       k: Double = 1.5): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")
-    val fences = df.groupBy(keys.map(col): _*)
-      .agg(percentile(col(valueCol), array(lit(0.25), lit(0.75))).as("_qs"))
+    val clash = Seq("q1", "q3").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has fence output columns: ${clash.mkString(", ")}")
+    val fences = quantilesByKey(df, keys, valueCol, Seq(0.25, 0.75))
       .select(
-        keys.map(col) :+ element_at(col("_qs"), 1).as("q1")
-          :+ element_at(col("_qs"), 2).as("q3"): _*)
+        keys.map(c => col(c).as(s"__f_$c")) :+
+          element_at(col("quantiles"), 1).as("q1") :+
+          element_at(col("quantiles"), 2).as("q3"): _*)
+    // null-SAFE key match: a NULL-key group gets fences too — an
+    // equi-join would silently drop every null-key row, outlier or not
+    val cond = keys.map(c => df(c) <=> fences(s"__f_$c")).reduce(_ && _)
     val iqr = col("q3") - col("q1")
-    df.join(fences, keys)
+    df.join(fences, cond)
       .filter(
         col(valueCol) >= col("q1") - lit(k) * iqr &&
         col(valueCol) <= col("q3") + lit(k) * iqr)
+      .drop(keys.map(c => s"__f_$c"): _*)
   }
 
   /** Fixed-bin histogram of a numeric column over `[lo, hi)`: `bins`

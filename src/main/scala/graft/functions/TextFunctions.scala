@@ -208,7 +208,8 @@ object TextFunctions {
   }
 
   /** URL canonicalization for web-corpus dedup: lowercase the scheme
-    * and host, strip the fragment, default ports (:80/:443), tracking
+    * and host, strip the fragment, the scheme's own default port
+    * (http :80 / https :443 — never the other way around), tracking
     * parameters (`utm_*`, fbclid, gclid, ref), an empty leftover `?`,
     * and a bare trailing slash. Two URLs that differ only in these
     * details are the same document in practice — canonicalize BEFORE
@@ -219,12 +220,21 @@ object TextFunctions {
     * length, not corpus size.
     */
   def normalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*$", "")
+    // patterns avoid `$` anchors: Java `$` matches before a trailing
+    // newline while RE2's does not, which would break cross-engine
+    // replication on sloppily-extracted URLs. `.` excludes newlines
+    // identically in both, so URLs are expected to be single-line
+    // tokens (pre-trim upstream if they are not).
+    val noFrag = regexp_replace(url, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://.*", 1))
     val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*", 1))
-    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    val hostNoPort = regexp_replace(host, ":(80|443)$", "")
-    val path = regexp_replace(rest, "\\?.*$", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
+    // only the scheme's own default port is redundant: http://h:443 is
+    // a DIFFERENT resource than https://h and must not conflate
+    val hostNoPort = when(scheme === "http", regexp_replace(host, ":80\\z", ""))
+      .when(scheme === "https", regexp_replace(host, ":443\\z", ""))
+      .otherwise(host)
+    val path = regexp_replace(rest, "\\?.*", "")
     val query = when(rest.contains("?"), regexp_replace(rest, "^[^?]*\\?", ""))
       .otherwise(lit(""))
     val keptParams = filter(

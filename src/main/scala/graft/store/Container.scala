@@ -467,7 +467,12 @@ class Container(
       dest: String,
       format: String = "parquet",
       options: Map[String, String] = Map.empty): Container = {
-    graft.etl.Loaders.exportTable(state, dest, format, options)
+    // after save() the reloaded state carries the is_current partition
+    // column — a storage artifact external consumers must not see, and
+    // whose presence would make the export schema depend on whether
+    // save() ran first
+    graft.etl.Loaders.exportTable(
+      state.drop(Container.PartCol), dest, format, options)
     this
   }
 

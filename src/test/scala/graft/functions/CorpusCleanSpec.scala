@@ -107,15 +107,19 @@ class WebTextSpec extends SparkSpec {
       "HTTPS://Example.COM:443/Path/?utm_source=x&a=1#frag",
       "http://host:80/",
       "http://h/p?utm_campaign=z&fbclid=1&ref=nav",
-      "not a url")
+      "not a url",
+      "http://h:443/x",   // NOT http's default port — a distinct resource
+      "https://h:80/x")   // NOT https' default port either
       .toDF("u")
     val out = urls.select(TextFunctions.normalizeUrl(col("u")))
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq(
       "https://example.com/Path/?a=1", // path case preserved, non-root slash kept
-      "http://host",                   // default port + bare slash dropped
+      "http://host",                   // scheme's own default port + bare slash dropped
       "http://h/p",                    // all params tracking -> no '?'
-      "not a url"))                    // non-URLs pass through
+      "not a url",                     // non-URLs pass through
+      "http://h:443/x",                // cross-scheme ports preserved
+      "https://h:80/x"))
   }
 
   test("stripHtml drops script/style wholesale, tags, and entities") {

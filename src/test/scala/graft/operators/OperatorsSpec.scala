@@ -108,6 +108,17 @@ class SketchesSpec extends graft.SparkSpec {
       .select("v").collect().map(_.getDouble(0))
     assert(!kept.contains(10000.0) && kept.length == 99) // outlier + NULL gone
     assert(kept.min == 1.0 && kept.max == 99.0)          // the band survives intact
+    // NULL group keys are a group, not silent data loss
+    val withNullKey = ((1 to 20).map(i => (Some("g"), i.toDouble)) ++
+      Seq((None: Option[String], 1.0), (None, 2.0), (None, 3.0)))
+      .toDF("k", "v")
+    val nullKept = Sketches.trimOutliers(withNullKey, Seq("k"), "v")
+      .filter(col("k").isNull).count()
+    assert(nullKept == 3)
+    // fence-name collision is rejected up front, not an analysis error
+    intercept[IllegalArgumentException] {
+      Sketches.trimOutliers(df.withColumn("q1", col("v")), Seq("k"), "v")
+    }
   }
 
   test("skewReport ranks heavy keys with exact shares and totals") {
