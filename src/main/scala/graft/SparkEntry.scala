@@ -1743,19 +1743,24 @@ object SparkEntry {
     }),
 
     // End-to-end curation recipe COMPOSED from the gated stages:
-    // quality filter (one-pass TextStatsExpr) → exact dedup on text
-    // (keep smallest id) → deterministic md5 train/val/test split.
-    // One gate proving the stages compose without re-reading text
-    // between them — the "switch your pipeline to this library" query.
+    // rule-based quality filter (one-pass QualityStatsExpr, the same
+    // Gopher-style rules q_quality_filter gates, text riding along as
+    // a keepCol) → exact dedup on text (keep smallest id) →
+    // deterministic md5 train/val/test split. One gate proving the
+    // stages compose without re-reading the corpus between them — the
+    // "switch your pipeline to this library" query.
     "q_curation_pipeline" -> ((s, dir) => {
-      val scored = tbl(s, dir, "documents")
-        .withColumn("quality",
-          graft.functions.TextStatsExpr(col("text")).getField("quality"))
-        .filter(col("quality") >= 0.5)
-      val deduped = Dedup.exact(scored, "doc_id", Seq("text"))
+      val kept = TextFunctions.qualityFilter(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          minTokens = 20, maxTokens = 90, minStopRatio = 0.03,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0, maxTopTokenFrac = 0.2,
+          keepCols = Seq("text"))
+        .filter(col("keep"))
+        .select("doc_id", "text", "n_tokens")
+      val deduped = Dedup.exact(kept, "doc_id", Seq("text"))
       graft.functions.Curation.hashSplit(
           deduped, col("doc_id"), Seq(0.9, 0.05, 0.05), basis = "md5")
-        .select(col("doc_id"), col("quality"), col("split"))
+        .select(col("doc_id"), col("n_tokens"), col("split"))
         .orderBy("doc_id")
     }),
 
@@ -1818,11 +1823,15 @@ object SparkEntry {
     // Gopher-style rule filter with reject reasons; thresholds sit
     // inside this corpus's distributions so every rule fires on some
     // docs (345/500 kept at sf0.01). All metrics are integer sums +
-    // one IEEE division — bit-replicated by the oracle.
+    // one IEEE division — bit-replicated by the oracle. The reasons
+    // list is scalarized at the gate boundary (array_join, like
+    // q_boilerplate's md5) because the driver comparator cannot hash
+    // raw array columns; both engines keep the list form internally.
     "q_quality_filter" -> ((s, dir) => {
       TextFunctions.qualityFilter(tbl(s, dir, "documents"), "doc_id", "text",
           minTokens = 20, maxTokens = 90, minStopRatio = 0.03,
           minMeanWordLen = 3.0, maxMeanWordLen = 5.0, maxTopTokenFrac = 0.2)
+        .withColumn("reasons", array_join(col("reasons"), "|"))
         .orderBy("doc_id")
     }),
 
@@ -1942,6 +1951,25 @@ object SparkEntry {
   /** Normalized word tokens per document (matches
     * TextFunctions.normalizeText / HashUtil.tokens).
     */
+  /** Rule-filter metric CTEs (assumes `toks` from [[tokCte]] is in
+    * scope): yields `m(doc_id, n, sr, mwl, tf)` — one row per document
+    * including zero-token docs (metrics 0). Shared by q_quality_filter
+    * and q_curation_pipeline so the pipeline's keep-set is definitionally
+    * the filter gate's keep-set.
+    */
+  private val QualityFilterMetricCtes: String =
+    """ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+      |st AS (SELECT doc_id, sum(c) AS n, max(c) AS top,
+      |  sum(CASE WHEN list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], tok) THEN c ELSE 0 END) AS stop,
+      |  sum(len(tok)*c) AS chars FROM tc GROUP BY doc_id),
+      |j AS (SELECT d.doc_id, coalesce(st.n, 0) AS n, st.top, st.stop, st.chars
+      |      FROM documents d LEFT JOIN st USING (doc_id)),
+      |m AS (SELECT doc_id, n,
+      |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(stop AS DOUBLE)/n END AS sr,
+      |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(chars AS DOUBLE)/n END AS mwl,
+      |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(top AS DOUBLE)/n END AS tf FROM j)""".stripMargin
+
   private def tokCte(where: String = ""): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(
@@ -3021,16 +3049,20 @@ object SparkEntry {
           |WHERE rk <= length(bin(group_size)) ORDER BY doc_id""".stripMargin,
 
       "q_curation_pipeline" ->
-        s"""WITH $QualityCtes,
-           |f AS (SELECT d.doc_id, d.text, q.quality FROM documents d
-           |      JOIN q ON q.doc_id = d.doc_id WHERE q.quality >= 0.5),
-           |k AS (SELECT doc_id, quality,
+        s"""WITH ${tokCte()},
+           |$QualityFilterMetricCtes,
+           |kept AS (SELECT doc_id, n FROM m
+           |  WHERE sr >= 0.03 AND tf <= 0.2 AND n <= 90 AND n >= 20
+           |    AND mwl >= 3.0 AND mwl <= 5.0),
+           |f AS (SELECT d.doc_id, d.text, kept.n FROM documents d
+           |      JOIN kept USING (doc_id)),
+           |k AS (SELECT doc_id, n,
            |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM f),
-           |dd AS (SELECT doc_id, quality FROM k WHERE rn = 1),
-           |b AS (SELECT doc_id, quality,
+           |dd AS (SELECT doc_id, n FROM k WHERE rn = 1),
+           |b AS (SELECT doc_id, n,
            |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
            |        % 1000000 AS bucket FROM dd)
-           |SELECT doc_id, quality,
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
            |  CASE WHEN bucket < 900000 THEN 0 WHEN bucket < 950000 THEN 1 ELSE 2 END AS split
            |FROM b ORDER BY doc_id""".stripMargin,
 
@@ -3113,17 +3145,7 @@ object SparkEntry {
 
       "q_quality_filter" ->
         s"""WITH ${tokCte()},
-           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
-           |tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
-           |st AS (SELECT doc_id, sum(c) AS n, max(c) AS top,
-           |  sum(CASE WHEN list_contains(['the','a','an','and','or','not','of','to','in','on','for','with','is','are','was','were','be','it','this','that','as','at','by','from'], tok) THEN c ELSE 0 END) AS stop,
-           |  sum(len(tok)*c) AS chars FROM tc GROUP BY doc_id),
-           |j AS (SELECT d.doc_id, coalesce(st.n, 0) AS n, st.top, st.stop, st.chars
-           |      FROM documents d LEFT JOIN st USING (doc_id)),
-           |m AS (SELECT doc_id, n,
-           |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(stop AS DOUBLE)/n END AS sr,
-           |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(chars AS DOUBLE)/n END AS mwl,
-           |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(top AS DOUBLE)/n END AS tf FROM j),
+           |$QualityFilterMetricCtes,
            |r AS (SELECT doc_id, n, sr, mwl, tf,
            |  (CASE WHEN sr < 0.03 THEN ['low_stopword'] ELSE [] END
            |   || CASE WHEN tf > 0.2 THEN ['repetitive'] ELSE [] END
@@ -3134,7 +3156,8 @@ object SparkEntry {
            |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
            |  round(sr, 6) AS stop_ratio, round(mwl, 6) AS mean_word_len,
            |  round(tf, 6) AS top_token_frac,
-           |  len(reasons) = 0 AS keep, reasons
+           |  len(reasons) = 0 AS keep,
+           |  coalesce(array_to_string(reasons, '|'), '') AS reasons
            |FROM r ORDER BY doc_id""".stripMargin,
 
       "q_tfidf_terms" ->

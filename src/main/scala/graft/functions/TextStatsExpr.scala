@@ -149,6 +149,86 @@ object TextStatsExpr {
   }
 }
 
+/** The four integer aggregates [[TextFunctions.qualityFilter]] needs,
+  * in ONE imperative pass per document — including the top-token count,
+  * which the Column formulation could only get via an explode +
+  * `(doc, token)` groupBy + doc groupBy (two shuffles over the whole
+  * corpus). Every statistic here is per-DOCUMENT, so a per-row local
+  * hash map replaces the corpus-wide shuffle: at 100 TB the filter
+  * becomes a pure scan-side projection that composes with pushdown
+  * instead of a three-stage job. Measured 51.6s → one-pass (~2s class)
+  * at 1M docs; ScaleProbe records the exact number.
+  *
+  * Bit-equal to the explode/groupBy formulation (asserted in
+  * CorpusCleanSpec): integer sums only; the ratio divisions stay in
+  * the Column layer unchanged.
+  *
+  * Output struct: n_tokens long (total normalized tokens), top_count
+  * long (max per-token frequency), stop_count long (total stopword
+  * occurrences), char_sum long (sum of token lengths).
+  */
+case class QualityStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quality_stats requires a STRING column, got $t")
+  }
+
+  override def dataType: DataType = QualityStatsExpr.schema
+
+  override def nullSafeEval(input: Any): Any =
+    QualityStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.QualityStatsExpr$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): QualityStatsExpr = copy(child = c)
+  override def prettyName: String = "quality_stats"
+}
+
+object QualityStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("stop_count", LongType, nullable = false),
+    StructField("char_sum", LongType, nullable = false)))
+
+  def apply(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new QualityStatsExpr(expression(text)))
+  }
+
+  def compute(input: UTF8String): InternalRow = {
+    val norm = TextFunctionsRuntime.normalize(input.toString)
+    var n = 0L
+    var stop = 0L
+    var chars = 0L
+    var top = 0L
+    // per-document token frequencies; normalized docs are small
+    // relative to a partition, so this map is bounded by the row, not
+    // the corpus — the shuffle the Column twin needed is gone
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    var start = 0
+    while (i <= norm.length) {
+      if (i == norm.length || norm.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = norm.substring(start, i)
+          n += 1
+          chars += tok.length
+          if (TextFunctionsRuntime.Stopwords.contains(tok)) stop += 1
+          val c = counts.getOrDefault(tok, 0L) + 1L
+          counts.put(tok, c)
+          if (c > top) top = c
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    InternalRow(n, top, stop, chars)
+  }
+}
+
 /** Shared runtime pieces matching TextFunctions' Column semantics. */
 object TextFunctionsRuntime {
   val Stopwords: Set[String] = TextFunctions.EnglishStopwords.toSet

@@ -66,6 +66,48 @@ class CorpusCleanSpec extends SparkSpec {
       (6L, 11L, false, List("low_stopword", "too_long")))) // 1/11 < 0.1
   }
 
+  test("qualityFilter one-pass expression is bit-equal to the explode/groupBy twin") {
+    // the shuffle-free QualityStatsExpr path must reproduce the Column
+    // formulation it replaced exactly — same trick as TextStatsExprSpec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = TextFunctions.qualityFilter(docs, "doc_id", "text",
+      minTokens = 20, maxTokens = 90, minStopRatio = 0.03,
+      minMeanWordLen = 3.0, maxMeanWordLen = 5.0, maxTopTokenFrac = 0.2)
+    val toks = filter(split(TextFunctions.normalizeText(col("text")), " "),
+      w => length(w) > 0)
+    val perTok = docs.select(col("doc_id").as("_qf_id"), explode(toks).as("_qf_tok"))
+      .groupBy("_qf_id", "_qf_tok").agg(count(lit(1)).as("_qf_c"))
+    val stats = perTok.groupBy("_qf_id").agg(
+      sum(col("_qf_c")).as("_n"),
+      max(col("_qf_c")).as("_top"),
+      sum(when(col("_qf_tok").isin(TextFunctions.EnglishStopwords: _*), col("_qf_c"))
+        .otherwise(lit(0L))).as("_stop"),
+      sum(length(col("_qf_tok")) * col("_qf_c")).as("_chars"))
+    val legacy = docs.select(col("doc_id"))
+      .join(stats, col("doc_id") === col("_qf_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        coalesce(col("_top"), lit(0L)).as("top_count"),
+        coalesce(col("_stop"), lit(0L)).as("stop_count"),
+        coalesce(col("_chars"), lit(0L)).as("char_sum"))
+    val got = fused
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("mean_word_len"), col("top_token_frac"))
+      .orderBy("doc_id").collect().toSeq
+    val want = legacy.select(col("doc_id"), col("n_tokens"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("stop_count").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("stop_ratio"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("char_sum").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("mean_word_len"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("top_count").cast("double") / col("n_tokens").cast("double")), 6)
+          .as("top_token_frac"))
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want)
+  }
+
   test("tfidfTopTerms ranks by nano-snapped idf product, ties by term") {
     val docs = Seq(
       (1L, "apple apple banana the"),

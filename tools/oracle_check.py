@@ -14,8 +14,21 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.reset_index(drop=True)
+    df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+    # Array/list columns (numpy arrays from parquet, python lists from
+    # duckdb) are unhashable -> sort_values crashes exactly like the
+    # driver's comparator does. Stringify them so the local stand-in
+    # REJECTS such gates loudly instead of passing on the ordered path
+    # and crashing on the retry path.
+    import numpy as np
+    is_arr = lambda v: isinstance(v, (list, tuple, np.ndarray))
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(is_arr).any():
+            print(f"  NOTE: column {c!r} is an array type — the driver "
+                  "comparator cannot hash this; scalarize at the gate "
+                  "boundary (array_join)", file=sys.stderr)
+            df[c] = df[c].map(lambda v: str(list(v)) if is_arr(v) else v)
+    return df
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -26,8 +39,12 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_warn = 0
     results = {}
+    # subset runs (Verify's optional name-filter arg) legitimately leave
+    # most result dirs absent; only a FULL run treats absence as failure
+    have = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    full_run = len(have) > len(oracles) // 2
     for name in oracles:
-        if not os.path.isdir(os.path.join(out_dir, name)):
+        if full_run and not os.path.isdir(os.path.join(out_dir, name)):
             results[name] = "MISSING RESULT DIR (query failed in Verify?)"
             n_bad += 1
     for name in sorted(os.listdir(out_dir)):
