@@ -158,12 +158,27 @@ object ScaleProbe {
       functions.TextFunctions.corpusRarity(docs, "id", "text", maxCount = 1000L)
         .agg(sum("n_rare")).head()
     }
-    timed("knnJoin top-5 (100k vecs, 8 bands x 12 bits)") {
-      // bandBits sized per the scaladoc rule: 100k / 2^12 ≈ 24 per
-      // bucket — candidate volume stays quadratic-in-24, not in n
+    timed("knnJoin top-5 (100k vecs, auto bands)") {
+      // no hand-tuning: bandBits=0 derives ceil(log2(100k/32)) = 12
+      // from the passed estimate — ~24 per bucket, candidate volume
+      // quadratic-in-24, not in n
       functions.Similarity.knnJoin(
         vecs.filter(col("id") < 100000L), "id", "v", k = 5,
-        nBands = 8, bandBits = 12).count()
+        nBands = 8, nRows = Some(100000L)).count()
+    }
+    timed("knnJoin banding bounded at 1M (auto bits, max bucket)") {
+      // the sizing rule at 1M: autoBandBits → 15, expected bucket
+      // ~30 — prove the max over ALL (band, bucket) cells stays
+      // hundreds, not the 62k/bucket a fixed 4-bit default gives
+      val bits = functions.Similarity.autoBandBits(1000000L)
+      val mx = vecs.select(explode(array((0 until 4).map(b =>
+          functions.DedupExpressions.lshBand(col("v"), b * bits, bits)): _*))
+          .as("bv"))
+        .groupBy("bv").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+      println(s"[probe]   autoBandBits(1M)=$bits maxBucket=$mx")
+      assert(mx < 10000L, s"degenerate bucket at auto sizing: $mx")
+      mx
     }
     timed("semanticDedup (100k vecs, k=256)") {
       // k scales with corpus size to bound Σ|cell|² — ~390-vector cells
@@ -199,10 +214,26 @@ object ScaleProbe {
     timed(s"tfidfTopTerms ($nDocs docs)") {
       functions.TextFunctions.tfidfTopTerms(docs, "id", "text", k = 3).count()
     }
-    // containmentPairs is not probed standalone: it shares
-    // ngramJaccardPairs' intersection-join algebra and its stop-shingle
-    // cap, and this 20-word-vocabulary corpus makes EVERY shingle a
-    // stop shingle — the probe would measure an empty numerator.
+    // containmentPairs standalone, on a NON-degenerate corpus: 50k-word
+    // vocabulary (shingles mostly unique → the rare-filter passes them,
+    // unlike the 20-word corpus above where every shingle is a stop
+    // shingle), with every 50th doc replaced by a 20-word excerpt of
+    // its successor — planted containment-1.0 pairs the join must find.
+    val exWord = (d: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      concat(lit("w"), pmod(hash(d, i), lit(50000)).cast("string"))
+    val rich = spark.range(nDocs).repartition(32).select(
+      col("id"),
+      when(col("id") % 50 === 0 && col("id") + 1 < nDocs,
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          i => exWord(col("id") + 1, i))))
+        .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          i => exWord(col("id"), i))))
+        .as("text"))
+    timed(s"containmentPairs ($nDocs docs, 50k vocab, planted excerpts)") {
+      val n = functions.Dedup.containmentPairs(rich, "id", "text").count()
+      println(s"[probe]   containment pairs found: $n (planted ~${nDocs / 50})")
+      n
+    }
     timed(s"dedupAgainstCorpus (50k batch vs ${nDocs} corpus sigs)") {
       val corpusSigs = docs.filter(col("id") % 10 =!= 0).select(col("id"),
         functions.DedupExpressions.minhashSig(col("text"), 64).as("sig"))

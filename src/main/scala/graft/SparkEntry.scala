@@ -876,7 +876,9 @@ object SparkEntry {
     // Corpus-wide batch kNN (top-5 LSH-candidate neighbors for EVERY
     // vector in one plan). Bands, candidate set, cosines, and the
     // rounded-cosine rank order are all replicated by the oracle, so
-    // the result is value-exact, not recall-gated.
+    // the result is value-exact, not recall-gated. bandBits is the
+    // auto derivation: ceil(log2(500/32)) = 4 at this corpus size —
+    // the oracle's 4-bit band SQL IS the auto-sized configuration.
     "q_knn_join" -> ((s, dir) => {
       Similarity.knnJoin(tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .withColumn("rk", col("rk").cast("long"))
@@ -1626,9 +1628,14 @@ object SparkEntry {
     // bottom-k anchors — engine-replicable), within-cluster cosine
     // edges at tau, component-min canonical. Oracle re-derives anchors,
     // assignment argmax, edges, and components (recursive CTE).
+    // maxCellSize=40 deliberately fires on this corpus's largest cell
+    // (48 members at sf0.01), so the over-cap exemption path — rows
+    // skipped by the edge join but flagged `exempted` — is itself
+    // value-gated, exactly like knnJoin's replicated bucket cap.
     "q_semantic_dedup" -> ((s, dir) => {
       Similarity.semanticDedup(
-          tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 16, tau = 0.35)
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 16,
+          tau = 0.35, maxCellSize = 40L)
         .orderBy("vec_id")
     }),
 
@@ -2981,7 +2988,9 @@ object SparkEntry {
            |asg AS (SELECT vec_id, v, aid AS cluster FROM (
            |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, aid) AS rn
            |  FROM sc) WHERE rn = 1),
-           |edges AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM asg x JOIN asg y
+           |cs2 AS (SELECT cluster, count(*) AS csize FROM asg GROUP BY cluster),
+           |bnd AS (SELECT a.* FROM asg a JOIN cs2 USING (cluster) WHERE csize <= 40),
+           |edges AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM bnd x JOIN bnd y
            |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
            |  WHERE ${sqlCos("x.v", "y.v")} >= 0.35),
            |sym AS (SELECT id_a AS u, id_b AS v2 FROM edges UNION SELECT id_b, id_a FROM edges),
@@ -2991,8 +3000,10 @@ object SparkEntry {
            |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v2 = reach.id),
            |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
            |SELECT a.vec_id, a.cluster, coalesce(c.component, a.vec_id) AS canon,
-           |  (coalesce(c.component, a.vec_id) = a.vec_id) AS kept
-           |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id ORDER BY a.vec_id""".stripMargin,
+           |  (coalesce(c.component, a.vec_id) = a.vec_id) AS kept,
+           |  (cs2.csize > 40) AS exempted
+           |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id
+           |JOIN cs2 ON cs2.cluster = a.cluster ORDER BY a.vec_id""".stripMargin,
 
       // Positional 8-gram spans shared by >= 2 docs, collapsed to
       // maximal islands per doc.

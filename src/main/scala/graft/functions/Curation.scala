@@ -196,34 +196,31 @@ object Curation {
     * scan-sum broadcast back as a literal map. Emits `pack_id`,
     * `pack_pos` (rank within pack), and `cum_tokens`.
     *
-    * @param materialize true (default) pins the finished result and
-    *   frees the internal cache before returning. `false` returns the
-    *   LAZY plan — cheaper when the caller immediately writes it out
-    *   exactly once, but the internal cache then outlives the call and
-    *   `spark.catalog.clearCache()` is the only recourse; prefer
-    *   [[packSequencesRun]], which scopes the cache to one action.
+    * Always returns a MATERIALIZED result with the internal phase-1/2
+    * cache already released — repeated packings in one session never
+    * accumulate cached RDDs, and no public path leaks a pinned
+    * full-corpus cache (a `materialize = false` escape hatch used to;
+    * it's gone). For write-through pipelines that want the lazy plan
+    * exactly once, use [[packSequencesRun]], which scopes the cache
+    * to one action.
     */
   def packSequences(
       df: DataFrame,
       tokens: Column,
       budget: Long,
       orderBy: Seq[Column],
-      numPartitions: Int = 0,
-      materialize: Boolean = true): DataFrame = {
+      numPartitions: Int = 0): DataFrame = {
     val (out, cached) = packSequencesInternal(df, tokens, budget, orderBy, numPartitions)
-    if (materialize) {
-      // pin the finished result, then release the phase-1/2 cache —
-      // repeated packings in one session no longer accumulate cached
-      // RDDs. With a checkpoint dir configured the pin is a RELIABLE
-      // checkpoint (survives executor loss/decommission — routine on
-      // large dynamically-allocated clusters); localCheckpoint is the
-      // single-JVM fallback, whose blocks die with their executor.
-      val pinned =
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(true)
-        else out.localCheckpoint(true)
-      cached.unpersist()
-      pinned
-    } else out
+    // pin the finished result, then release the phase-1/2 cache. With
+    // a checkpoint dir configured the pin is a RELIABLE checkpoint
+    // (survives executor loss/decommission — routine on large
+    // dynamically-allocated clusters); localCheckpoint is the
+    // single-JVM fallback, whose blocks die with their executor.
+    val pinned =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(true)
+      else out.localCheckpoint(true)
+    cached.unpersist()
+    pinned
   }
 
   /** Length-bucketed ("curriculum") packing: documents pack in
@@ -241,10 +238,9 @@ object Curation {
       tokens: Column,
       budget: Long,
       id: Column,
-      numPartitions: Int = 0,
-      materialize: Boolean = true): DataFrame =
+      numPartitions: Int = 0): DataFrame =
     packSequences(df, tokens, budget, orderBy = Seq(tokens, id),
-      numPartitions, materialize)
+      numPartitions)
 
   /** [[packSequences]] for write-through pipelines: runs `action` on
     * the LAZY packed plan and releases the internal phase-1/2 cache in
@@ -418,7 +414,7 @@ object Curation {
     // The cache is CORRECTNESS, not just perf: phase 2 must see the
     // exact partition boundaries phase 1 summed (range partitioning
     // re-samples on recompute). Ownership: freed by the public
-    // packSequences (materialize=true) or packSequencesRun wrappers.
+    // packSequences or packSequencesRun wrappers — every public path.
     parted.cache()
     // phase 1: per-partition totals (numPartitions rows to the driver)
     val partials = parted.groupBy(col("__pid")).agg(sum(col("__tok")).as("s"))

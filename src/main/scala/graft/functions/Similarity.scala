@@ -148,12 +148,16 @@ object Similarity {
     * true neighbor sharing no band with its query is missed; more
     * bands/fewer bits per band trade cost for recall.
     *
-    * SIZE `bandBits` WITH THE CORPUS: expected bucket population is
-    * `n / 2^bandBits`, and candidate volume grows with its square —
-    * the sf-scale default (4 bits) is degenerate at 1M vectors (62k
-    * per bucket, all capped away). Pick
-    * `bandBits ≈ log2(n / targetBucket)` for a target bucket of
-    * 30–200 vectors (e.g. 1M vectors → 13–15 bits).
+    * `bandBits` is SIZED WITH THE CORPUS by default (`bandBits = 0` =
+    * auto): expected bucket population is `n / 2^bandBits`, and
+    * candidate volume grows with its square, so a fixed default is
+    * degenerate at some scale (4 bits at 1M vectors = 62k per bucket,
+    * all capped away). Auto derives
+    * `bandBits = ceil(log2(n / 32))` (clamped to [1, 24], target
+    * bucket ~32) from `nRows` when given, else ONE `df.count()` —
+    * the only action in the operator, and callers at 100 TB who
+    * already know the corpus size pass `nRows` to skip it. An
+    * explicit `bandBits > 0` overrides everything.
     *
     * Returns `(idCol, neighbor_id, cos, rk)` with `rk <= k`, ranked by
     * rounded cosine descending (ties by neighbor id — the rounding is
@@ -165,13 +169,17 @@ object Similarity {
       vecCol: String,
       k: Int,
       nBands: Int = 16,
-      bandBits: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      bandBits: Int = 0,
+      maxBucketSize: Int = 10000,
+      nRows: Option[Long] = None): DataFrame = {
+    val bits =
+      if (bandBits > 0) bandBits
+      else autoBandBits(nRows.getOrElse(df.count()))
     val banded = df.select(
         col(idCol).as("id"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
-            DedupExpressions.lshBand(col(vecCol), b * bandBits, bandBits).as("bv"))): _*))
+            DedupExpressions.lshBand(col(vecCol), b * bits, bits).as("bv"))): _*))
           .as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
     val small = banded.groupBy("band", "bv").agg(count(lit(1)).as("_n"))
@@ -193,6 +201,17 @@ object Similarity {
       .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
         col("cos"), col("rk"))
   }
+
+  /** The band-width rule [[knnJoin]] applies when `bandBits = 0`:
+    * `ceil(log2(n / targetBucket))`, clamped to [1, 24]. Expected
+    * bucket population is then ~`targetBucket` regardless of corpus
+    * size — 500 vectors → 4 bits, 1M → 15, 10¹¹ → 24 (the clamp; at
+    * that scale raise `targetBucket` or add bands instead).
+    */
+  def autoBandBits(n: Long, targetBucket: Int = 32): Int =
+    math.min(24, math.max(1,
+      math.ceil(math.log(math.max(n, 1L).toDouble / targetBucket)
+        / math.log(2.0)).toInt))
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits against the
     * deterministic md5-derived ±1 plane family (global plane indices
@@ -418,17 +437,22 @@ object Similarity {
     * with [[lshBuckets]] first. Components reuse
     * [[Dedup.connectedComponents]] (O(log n) rounds, no driver state).
     *
-    * Returns `(idCol, cluster, canon, kept)`: `canon` is the smallest
-    * id of the duplicate component (their own id for uniques), `kept`
-    * = id == canon.
+    * Returns `(idCol, cluster, canon, kept, exempted)`: `canon` is the
+    * smallest id of the duplicate component (their own id for
+    * uniques), `kept` = id == canon, and `exempted` marks rows whose
+    * cell was over `maxCellSize` and therefore never entered the edge
+    * join — such rows are all `kept` but NOT certified unique, and a
+    * corpus report must surface them (no silent caps: the caller can
+    * `filter(col("exempted"))` and re-cluster those cells).
     */
   /** @param maxCellSize clusters larger than this are EXCLUDED from
-    *   the pairwise edge join (their members all stay "kept") — the
-    *   same bounded-bucket policy as `minhashPairs`' maxBucketSize:
-    *   one degenerate cell of 10⁷ vectors would otherwise emit 5·10¹³
-    *   candidate pairs. Size `k` ~ N/targetCell so the cap never
-    *   fires on healthy data; when it fires, re-cluster the big cell
-    *   with a larger k or pre-bucket it with [[lshBuckets]].
+    *   the pairwise edge join (their members all stay "kept" and are
+    *   flagged `exempted`) — the same bounded-bucket policy as
+    *   `minhashPairs`' maxBucketSize: one degenerate cell of 10⁷
+    *   vectors would otherwise emit 5·10¹³ candidate pairs. Size `k`
+    *   ~ N/targetCell so the cap never fires on healthy data; when it
+    *   fires, re-cluster the big cell with a larger k or pre-bucket
+    *   it with [[lshBuckets]].
     */
   def semanticDedup(
       df: DataFrame,
@@ -465,11 +489,12 @@ object Similarity {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         assignedPlan.checkpoint(true)
       else assignedPlan.localCheckpoint(true)
-    val okCells = assigned.groupBy("cluster")
+    // at most k rows (one per anchor cell) — broadcasts for free both
+    // as the edge-join prefilter and as the exempted flag at the end
+    val cellSizes = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("_cs"))
-      .filter(col("_cs") <= maxCellSize)
-      .select("cluster")
-    val bounded = assigned.join(okCells, Seq("cluster"), "left_semi")
+    val okCells = cellSizes.filter(col("_cs") <= maxCellSize).select("cluster")
+    val bounded = assigned.join(broadcast(okCells), Seq("cluster"), "left_semi")
     val edges = bounded
       .select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cluster"))
       .join(
@@ -481,8 +506,12 @@ object Similarity {
     val comps = Dedup.connectedComponents(edges)
     assigned.select(col(idCol), col("cluster"))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(broadcast(cellSizes), Seq("cluster"))
       .select(col(idCol), col("cluster"),
-        coalesce(col("component"), col(idCol)).as("canon"))
+        coalesce(col("component"), col(idCol)).as("canon"),
+        (col("_cs") > maxCellSize).as("exempted"))
       .withColumn("kept", col("canon") === col(idCol))
+      .select(col(idCol), col("cluster"), col("canon"), col("kept"),
+        col("exempted"))
   }
 }

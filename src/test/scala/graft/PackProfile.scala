@@ -39,12 +39,11 @@ object PackProfile {
     timed("phase-1 per-partition totals collect") {
       parted.groupBy(col("__pid")).agg(sum(col("__tok"))).collect()
     }
-    timed("full packSequences materialize=false + count") {
-      Curation.packSequences(docs, col("n_tokens"), 4096L,
-        Seq(col("doc_id")), numPartitions = 64, materialize = false).count()
-      spark.catalog.clearCache()
+    timed("full packSequencesRun (lazy, scoped cache) + count") {
+      Curation.packSequencesRun(docs, col("n_tokens"), 4096L,
+        Seq(col("doc_id")), numPartitions = 64)(_.count())
     }
-    timed("full packSequences materialize=true (pin)") {
+    timed("full packSequences (pin)") {
       Curation.packSequences(docs, col("n_tokens"), 4096L,
         Seq(col("doc_id")), numPartitions = 64).count()
     }
@@ -57,12 +56,11 @@ object PackProfile {
         graft.functions.TextStatsExpr(col("text"))
           .getField("n_tokens").cast("long").as("n_tokens"))
     for (i <- 1 to 3) {
-      timed(s"gate shape materialize=false (run $i)") {
-        Curation.packSequences(tok, col("n_tokens"), 2048L,
-          Seq(col("doc_id")), numPartitions = 8, materialize = false).count()
-        spark.catalog.clearCache()
+      timed(s"gate shape packSequencesRun (run $i)") {
+        Curation.packSequencesRun(tok, col("n_tokens"), 2048L,
+          Seq(col("doc_id")), numPartitions = 8)(_.count())
       }
-      timed(s"gate shape materialize=true  (run $i)") {
+      timed(s"gate shape packSequences pin (run $i)") {
         Curation.packSequences(tok, col("n_tokens"), 2048L,
           Seq(col("doc_id")), numPartitions = 8).count()
       }

@@ -150,6 +150,19 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_._4) == Seq(1L, 2L, 3L, 1L, 1L, 2L, 3L))
   }
 
+  test("packSequences leaves no cached plan behind on any public path") {
+    val docs = spark.range(500).toDF("doc_id").withColumn("n", lit(10L))
+    spark.sharedState.cacheManager.clearCache()
+    Curation.packSequences(docs, col("n"), 100L, Seq(col("doc_id")),
+      numPartitions = 4).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "packSequences leaked its internal phase-1/2 cache")
+    Curation.packSequencesRun(docs, col("n"), 100L, Seq(col("doc_id")),
+      numPartitions = 4)(_.count())
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "packSequencesRun leaked its internal phase-1/2 cache")
+  }
+
   test("packSequences plan never funnels through a single partition") {
     val docs = spark.range(1000).toDF("doc_id").withColumn("n", lit(10L))
     val plan = Curation.packSequences(

@@ -216,6 +216,22 @@ class SimilaritySpec extends SparkSpec {
     // tau above any cosine: nothing merges
     val none = Similarity.semanticDedup(df, "vec_id", "embedding", k = 2, tau = 1.01)
     assert(none.filter(!col("kept")).count() == 0)
+    assert(out.size == 5 &&
+      Similarity.semanticDedup(df, "vec_id", "embedding", k = 2, tau = 0.99)
+        .filter(col("exempted")).count() == 0)
+    // over-cap cell: every member survives but is flagged, not silent.
+    // 5 vectors in <= 2 cells means some cell exceeds cap=2 whatever
+    // the anchor draw; exempted must equal cell-size > cap, row by row
+    val capped = Similarity.semanticDedup(
+        df, "vec_id", "embedding", k = 2, tau = 0.99, maxCellSize = 2L)
+      .collect()
+    val cells = capped.groupBy(_.getAs[Long]("cluster"))
+    assert(cells.values.exists(_.length > 2))
+    cells.values.foreach { rows =>
+      val over = rows.length > 2
+      assert(rows.forall(_.getAs[Boolean]("exempted") == over))
+      if (over) assert(rows.forall(_.getAs[Boolean]("kept")))
+    }
   }
 
   test("cosinePairs finds the close pair only") {
