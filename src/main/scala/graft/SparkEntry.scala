@@ -2031,9 +2031,10 @@ object SparkEntry {
     * pruning fires at oracle scale).
     */
   private val JaccardCtes: String =
-    """ds AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
-      |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM ds),
-      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM ds),
+    """ds AS (SELECT doc_id,
+      |  list_distinct(list_transform(shingles, s -> md5_number_lower(s))) AS hs FROM sh),
+      |sz AS (SELECT doc_id, len(hs) AS n_sh FROM ds),
+      |ex AS (SELECT doc_id, unnest(hs) AS s FROM ds),
       |jac AS (
       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -3186,9 +3187,10 @@ object SparkEntry {
 
       "q_containment" ->
         s"""WITH ${tokCte()}, $ShingleCtes,
-           |ds AS (SELECT doc_id, list_distinct(shingles) AS shingles FROM sh),
-           |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM ds),
-           |ex2 AS (SELECT doc_id, unnest(shingles) AS s FROM ds),
+           |ds AS (SELECT doc_id,
+           |  list_distinct(list_transform(shingles, s -> md5_number_lower(s))) AS hs FROM sh),
+           |sz AS (SELECT doc_id, len(hs) AS n_sh FROM ds),
+           |ex2 AS (SELECT doc_id, unnest(hs) AS s FROM ds),
            |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
            |       FROM ex2 x JOIN ex2 y ON x.s = y.s AND x.doc_id < y.doc_id
            |       GROUP BY 1, 2),

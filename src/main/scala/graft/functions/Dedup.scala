@@ -319,12 +319,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
 
   /** Shared candidate-pair machinery for the set-similarity measures:
-    * distinct word `n`-gram shingles per doc → stop-shingle prune
-    * (shingles in > `maxShingleFreq` docs leave the numerator join) →
-    * self-equi-join on shingle → `(id_a, id_b, common, n_a, n_b)` with
+    * distinct word `n`-gram shingles per doc, keyed by their signed
+    * 64-bit md5 (8-byte shuffle keys — the n-gram TEXT never enters an
+    * exchange) → shared-shingle prune (`2 <= docs <= maxShingleFreq`:
+    * singletons can't contribute to an intersection, and at a random-
+    * text corpus they are nearly ALL shingles, so the bound cuts the
+    * pair stage's input to ~the true collision set; stop-shingles
+    * above the cap leave the numerator as before) → docs-per-shingle
+    * lists (bounded by `maxShingleFreq`, so the aggregation buffer
+    * can't blow up on a hot key — the count prefilter runs first) →
+    * map-side pair explode → `(id_a, id_b, common, n_a, n_b)` with
     * `id_a < id_b`. `n_a`/`n_b` count ALL distinct shingles, so
     * denominators stay exact and only the stop-shingles' numerator
     * contribution is lost (estimates become lower bounds).
+    *
+    * Measured: the previous string-keyed self-join formulation ran
+    * 35+ min on a 1M-doc / 50k-vocab probe corpus; this shape is the
+    * same two linear shuffles duplicatedSpans pays (~80 s class).
     */
   private def shingleIntersections(
       df: DataFrame,
@@ -334,15 +345,21 @@ object Dedup {
       maxShingleFreq: Int): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
-    val exploded = sh.select(col("id"), explode(col("shingles")).as("sh"))
-    val rare = exploded.groupBy("sh")
-      .agg(count(lit(1)).as("_f")).filter(col("_f") <= maxShingleFreq).select("sh")
-    val pruned = exploded.join(rare, Seq("sh"), "left_semi")
-    val inter = pruned.as("x")
-      .join(pruned.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      array_distinct(transform(TextFunctions.wordShingles(col(textCol), n),
+        s => DedupExpressions.md5Lower64(s))).as("hs"))
+    val sizes = sh.select(col("id"), size(col("hs")).as("n_sh"))
+    val exploded = sh.select(col("id"), explode(col("hs")).as("h"))
+    val shared = exploded.groupBy("h")
+      .agg(count(lit(1)).as("_f"))
+      .filter(col("_f") >= 2 && col("_f") <= maxShingleFreq)
+      .select("h")
+    val pruned = exploded.join(shared, Seq("h"), "left_semi")
+    val byShingle = pruned.groupBy("h").agg(collect_list(col("id")).as("ids"))
+    val inter = byShingle
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
