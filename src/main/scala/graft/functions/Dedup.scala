@@ -345,8 +345,7 @@ object Dedup {
       maxShingleFreq: Int): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"),
-      array_distinct(transform(TextFunctions.wordShingles(col(textCol), n),
-        s => DedupExpressions.md5Lower64(s))).as("hs"))
+      DedupExpressions.shingleSet(col(textCol), n).as("hs"))
     val sizes = sh.select(col("id"), size(col("hs")).as("n_sh"))
     val exploded = sh.select(col("id"), explode(col("hs")).as("h"))
     val shared = exploded.groupBy("h")

@@ -199,6 +199,63 @@ object MinHashSigExpr {
   }
 }
 
+/** DISTINCT word n-gram shingle hashes (signed md5-lower-64 of each
+  * shingle string) in one imperative pass — the scan-side kernel of
+  * the set-similarity pair operators ([[graft.functions.Dedup]]
+  * ngramJaccard/containment). The Column twin
+  * (`array_distinct(transform(wordShingles(...), md5Lower64))`) walks
+  * the text through interpreted regexp_replace + split + two HOFs per
+  * row, and every downstream consumer (frequency prefilter, pruned
+  * explode, per-doc sizes) re-evaluates it; this expression is one
+  * JIT-compiled call per row that stays inside whole-stage codegen.
+  * Distinct keeps first-occurrence order, matching `array_distinct`.
+  * 64-bit keys (not [[HashUtil.shingleBase]]'s mod-2^31 lanes): at
+  * ~10^8 corpus shingles a 2^31 space would produce ~10^6 accidental
+  * intersections; 2^64 keeps the expected collision count < 1.
+  */
+case class ShingleSetExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_set requires a STRING column, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleSetExpr.compute(input.asInstanceOf[UTF8String], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSetExpr$$.MODULE$$.compute($c, $shingleN)")
+  override protected def withNewChildInternal(c: Expression): ShingleSetExpr = copy(child = c)
+  override def prettyName: String = "shingle_set"
+}
+
+object ShingleSetExpr {
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val ws = HashUtil.tokens(input.toString)
+    if (ws.length <= n) {
+      new GenericArrayData(Array(HashUtil.md5Lower64(ws.mkString(" "))))
+    } else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[Long](ws.length - n + 1)
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + n <= ws.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        val h = HashUtil.md5Lower64(sb.toString)
+        if (seen.add(h)) out += h
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+}
+
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
   * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
@@ -547,6 +604,9 @@ object DedupExpressions {
 
   def md5Lower64(s: Column): Column =
     column(Md5Lower64Expr(expression(s)))
+
+  def shingleSet(text: Column, shingleN: Int = 3): Column =
+    column(ShingleSetExpr(expression(text), shingleN))
 
   def lshBand(vec: Column, planeOffset: Int, nBits: Int): Column =
     column(LshBandExpr(expression(vec), planeOffset, nBits))

@@ -180,6 +180,31 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ShingleSetExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one-pass distinct shingle hashes match the Column twin on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val got = docs.select(col("doc_id"),
+        DedupExpressions.shingleSet(col("text"), 3).as("hs"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toList)
+    val want = docs.select(col("doc_id"),
+        array_distinct(transform(TextFunctions.wordShingles(col("text"), 3),
+          s => DedupExpressions.md5Lower64(s))).as("hs"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toList)
+    assert(got.length == 500 && got.toSeq == want.toSeq)
+  }
+
+  test("short and empty texts yield the whole-text shingle") {
+    val out = Seq("one two", "").toDF("text")
+      .select(DedupExpressions.shingleSet(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(out(0) == List(HashUtil.md5Lower64("one two")))
+    assert(out(1) == List(HashUtil.md5Lower64("")))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
