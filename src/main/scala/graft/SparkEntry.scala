@@ -2779,7 +2779,9 @@ object SparkEntry {
            |    ELSE list_transform(range(1, len(ws) - 3),
            |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
            |  END AS shingles FROM toks),
-           |dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM sh5),
+           |dsh AS (SELECT doc_id,
+           |  unnest(list_distinct(list_transform(shingles, s -> md5_number_lower(s)))) AS sh
+           |  FROM sh5),
            |ev AS (SELECT doc_id AS eval_id, sh FROM dsh WHERE doc_id % 50 = 0),
            |co AS (SELECT doc_id AS corpus_id, sh FROM dsh WHERE doc_id % 50 <> 0)
            |SELECT corpus_id, eval_id, count(*) AS n_shared
@@ -3257,9 +3259,12 @@ object SparkEntry {
            |SELECT d.doc_id, m.dup_of FROM documents d LEFT JOIN m ON m.nid = d.doc_id
            |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
 
+      // token identity is md5-lower-64 on BOTH engines (Spark shuffles
+      // 8-byte keys; string equality and hash equality agree exactly
+      // when the oracle hashes the same way)
       "q_corpus_rarity" ->
         s"""WITH ${tokCte()},
-           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |ex AS (SELECT doc_id, md5_number_lower(unnest(ws)) AS tok FROM toks),
            |tc AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok)
            |SELECT e.doc_id, count(*) AS n_tokens,
            |  CAST(sum(CASE WHEN tc.c <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,

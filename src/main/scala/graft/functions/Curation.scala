@@ -107,12 +107,16 @@ object Curation {
       n: Int = 5,
       minOverlap: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    // shingle identity = signed-64 md5 (one-pass ShingleSetExpr on both
+    // sides): the corpus-side scan emits 8-byte keys straight into the
+    // broadcast join — no interpreted normalize/HOF chain, no shingle
+    // strings in flight
     val c = corpus.select(
       col(idCol).as("corpus_id"),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh"))
+      explode(DedupExpressions.shingleSet(col(textCol), n)).as("sh"))
     val e = eval.select(
       col(evalIdCol).as("eval_id"),
-      explode(array_distinct(TextFunctions.wordShingles(col(evalTextCol), n))).as("sh"))
+      explode(DedupExpressions.shingleSet(col(evalTextCol), n)).as("sh"))
     c.join(broadcast(e), "sh")
       .groupBy("corpus_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))

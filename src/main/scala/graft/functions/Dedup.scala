@@ -534,17 +534,15 @@ object Dedup {
       n: Int = 8,
       minDocs: Int = 2): DataFrame = {
     require(n >= 2, "span n-grams need n >= 2 (for unigram frequency use TextFunctions.corpusRarity)")
-    val toks = filter(
-      split(TextFunctions.normalizeText(col(textCol)), " "),
-      w => length(w) > 0)
-    val tokPos = df.select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "tok")))
-    val wOrd = Window.partitionBy("id").orderBy("pos")
-    val leads = (1 until n).map(j => lead(col("tok"), j).over(wOrd).as(s"_t$j"))
-    val gram = concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"_t$j")): _*)
-    val positioned = tokPos
-      .select(col("id") +: col("pos") +: col("tok") +: leads: _*)
-      .filter(col(s"_t${n - 1}").isNotNull)
-      .select(col("id"), col("pos"), DedupExpressions.md5Lower64(gram).as("h"))
+    // one-pass positional gram hashes (ShinglePosHashesExpr): the old
+    // posexplode + Window.partitionBy(id) with n-1 lead()s shuffled and
+    // sorted every token STRING just to reassemble adjacent grams —
+    // a per-row kernel needs no shuffle at all, and only 8-byte hashes
+    // enter the plan (80 s → window-free at 1M docs, see NOTES r5)
+    val positioned = df.select(
+      col(idCol).as("id"),
+      posexplode(DedupExpressions.shinglePosHashes(col(textCol), n))
+        .as(Seq("pos", "h")))
     val dup = positioned.groupBy("h")
       .agg(countDistinct(col("id")).as("_df"))
       .filter(col("_df") >= minDocs)

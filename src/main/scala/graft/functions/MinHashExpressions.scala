@@ -256,6 +256,59 @@ object ShingleSetExpr {
   }
 }
 
+/** POSITIONAL word n-gram hashes (signed md5-lower-64 per position,
+  * duplicates kept) in one imperative pass. `n = 1` degenerates to
+  * per-token hashes. Documents with fewer than `n` tokens yield an
+  * EMPTY array (no whole-text fallback — positional consumers skip
+  * short docs, matching the lead-window formulation's
+  * `_t{n-1} IS NOT NULL` filter).
+  *
+  * Replaces two shuffle-heavy scan formulations: duplicatedSpans'
+  * posexplode + `Window.partitionBy(id)` with n-1 `lead`s (a full
+  * shuffle+sort of every token string just to assemble grams), and
+  * corpusRarity's token-string explode. Consumers posexplode this
+  * array of longs instead — position = array index, gram text never
+  * leaves the row.
+  */
+case class ShinglePosHashesExpr(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_pos_hashes requires a STRING column, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShinglePosHashesExpr.compute(input.asInstanceOf[UTF8String], shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShinglePosHashesExpr$$.MODULE$$.compute($c, $shingleN)")
+  override protected def withNewChildInternal(c: Expression): ShinglePosHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "shingle_pos_hashes"
+}
+
+object ShinglePosHashesExpr {
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val ws = HashUtil.tokens(input.toString)
+    if (ws.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](ws.length - n + 1)
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i + n <= ws.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(i + j))
+        j += 1
+      }
+      out(i) = HashUtil.md5Lower64(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
   * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
@@ -607,6 +660,9 @@ object DedupExpressions {
 
   def shingleSet(text: Column, shingleN: Int = 3): Column =
     column(ShingleSetExpr(expression(text), shingleN))
+
+  def shinglePosHashes(text: Column, shingleN: Int): Column =
+    column(ShinglePosHashesExpr(expression(text), shingleN))
 
   def lshBand(vec: Column, planeOffset: Int, nBits: Int): Column =
     column(LshBandExpr(expression(vec), planeOffset, nBits))

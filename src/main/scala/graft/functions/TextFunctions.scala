@@ -193,8 +193,12 @@ object TextFunctions {
       idCol: String,
       textCol: String,
       maxCount: Long = 2L): DataFrame = {
-    val toks = filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0)
-    val exploded = df.select(col(idCol).as("id"), explode(toks).as("tok"))
+    // token identity = signed-64 md5 (ShinglePosHashesExpr n=1): the
+    // output is counts only, so the token STRING never needs to enter
+    // the corpus-wide frequency shuffle or the join back — 8-byte keys
+    // end to end, one codegen'd pass on the scan side
+    val exploded = df.select(col(idCol).as("id"),
+      explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("tok"))
     val counts = exploded.groupBy("tok").agg(count(lit(1)).as("_tc"))
     exploded.join(counts, "tok")
       .groupBy("id")

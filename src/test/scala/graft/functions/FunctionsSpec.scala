@@ -203,6 +203,27 @@ class ShingleSetExprSpec extends SparkSpec {
     assert(out(0) == List(HashUtil.md5Lower64("one two")))
     assert(out(1) == List(HashUtil.md5Lower64("")))
   }
+
+  test("positional gram hashes match the slice/array_join twin; short docs empty") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    for (n <- Seq(1, 3, 8)) {
+      val words = filter(split(TextFunctions.normalizeText(col("text")), " "),
+        w => length(w) > 0)
+      val twin = when(size(words) < n, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
+          i => DedupExpressions.md5Lower64(array_join(slice(words, i, lit(n)), " "))))
+      val got = docs.select(DedupExpressions.shinglePosHashes(col("text"), n).as("hs"))
+        .collect().map(_.getSeq[Long](0).toList)
+      val want = docs.select(twin.as("hs"))
+        .collect().map(_.getSeq[Long](0).toList)
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+    val short = Seq("a b c").toDF("text")
+      .select(DedupExpressions.shinglePosHashes(col("text"), 8))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
