@@ -3174,15 +3174,20 @@ object SparkEntry {
            |  coalesce(array_to_string(reasons, '|'), '') AS reasons
            |FROM r ORDER BY doc_id""".stripMargin,
 
+      // term identity = md5-lower-64 on BOTH engines (Spark's tf/df
+      // aggs shuffle 8-byte keys; term text comes from a min(term)
+      // dictionary — min, not first, so a hash collision would resolve
+      // identically here and in Spark)
       "q_tfidf_terms" ->
         s"""WITH ${tokCte()},
-           |ex AS (SELECT doc_id, unnest(ws) AS term FROM toks),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
-           |dfq AS (SELECT term, count(*) AS term_df FROM tf GROUP BY term),
+           |ex AS (SELECT doc_id, md5_number_lower(unnest(ws)) AS h, unnest(ws) AS tok FROM toks),
+           |tf AS (SELECT doc_id, h, count(*) AS tf FROM ex GROUP BY 1, 2),
+           |dfq AS (SELECT h, count(*) AS term_df FROM tf GROUP BY h),
+           |dict AS (SELECT h, min(tok) AS term FROM ex GROUP BY h),
            |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-           |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.term_df,
+           |sc AS (SELECT tf.doc_id, dict.term, tf.tf, dfq.term_df,
            |  tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/term_df) * 1e9) AS BIGINT) AS score_nano
-           |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+           |  FROM tf JOIN dfq USING (h) JOIN dict USING (h) CROSS JOIN nd),
            |rnk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_nano DESC, term) AS rk FROM sc)
            |SELECT doc_id, term, tf, term_df, score_nano, CAST(rk AS BIGINT) AS rk
            |FROM rnk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,

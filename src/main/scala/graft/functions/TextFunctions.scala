@@ -355,11 +355,17 @@ object TextFunctions {
     * `ln` differs in the last ulp still agree after the 1e-9 snap
     * (a raw double product could rank-diverge on near-ties).
     *
-    * Shapes: token explode → `(doc, term)` counts (map-side combined)
-    * → term document frequencies (second small agg) → join-back on
-    * term → per-doc top-k window. The doc-count scalar rides a
-    * broadcast cross join, not a driver action. All linear; the
-    * window partitions on the doc id.
+    * Shapes: one-pass token HASHES ([[ShinglePosHashesExpr]] n=1) →
+    * `(doc, h)` counts and per-hash document frequencies on 8-BYTE
+    * keys (the two corpus-wide aggregations never shuffle a term
+    * string) → term text recovered from a `min(term)`-reduced
+    * dictionary (map-side combine caps that string shuffle at ~vocab
+    * rows per partition; `min`, not `first`, so the mapping is
+    * deterministic even under an md5-64 collision) joined back BEFORE
+    * the ranking window, so the tie-break stays on the term text. The
+    * doc-count scalar rides a broadcast cross join, not a driver
+    * action. All linear; the window partitions on the doc id — the
+    * only exchange that still carries strings.
     *
     * Returns `(idCol, term, tf, term_df, score_nano, rk)` with
     * `rk <= k`, ties broken by term ascending.
@@ -370,13 +376,18 @@ object TextFunctions {
       textCol: String,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0)
-    val tf = df.select(col(idCol).as("_tt_id"), explode(toks).as("term"))
-      .groupBy("_tt_id", "term")
+    val tf = df.select(col(idCol).as("_tt_id"),
+        explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
+      .groupBy("_tt_id", "_h")
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("term_df"))
+    val dfreq = tf.groupBy("_h").agg(count(lit(1)).as("term_df"))
+    val toks = filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0)
+    val dict = df.select(explode(toks).as("term"))
+      .select(DedupExpressions.md5Lower64(col("term")).as("_h"), col("term"))
+      .groupBy("_h").agg(min(col("term")).as("term"))
     val nDocs = df.agg(count_distinct(col(idCol)).as("_n_docs"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf.join(dfreq, "_h")
+      .join(dict, "_h")
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "score_nano",

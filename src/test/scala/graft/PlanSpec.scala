@@ -105,4 +105,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "pair gen degenerated to NL join")
     assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
   }
+
+  test("qualityFilter is a pure projection: the only Exchange is the output sort") {
+    // the r5 QualityStatsExpr fusion removed the explode + two shuffled
+    // aggregations + join-back; a reappearing Exchange/Join/Generate is
+    // a regression to the corpus-shuffling formulation
+    val p = plans("q_quality_filter")
+    // count tree nodes ("+- Exchange (N)"), not their detail lines
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("- Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges == 1, s"expected only the ORDER BY exchange:\n$p")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"qualityFilter re-grew a corpus shuffle stage:\n$p")
+  }
+
+  test("shingle-pair operators shuffle md5 longs, never n-gram text") {
+    // ShingleSetExpr keys: the explode output entering the exchanges is
+    // array<long>-derived; a concat/slice of token strings in the plan
+    // means the interpreted string formulation came back
+    for (n <- Seq("q_ngram_jaccard", "q_containment")) {
+      val p = plans(n)
+      assert(p.contains("shingle_set"), s"$n no longer uses ShingleSetExpr:\n$p")
+      assert(!p.contains("array_join(slice("),
+        s"$n rebuilds shingle STRINGS in the plan:\n$p")
+    }
+    val sp = plans("q_dup_spans")
+    assert(sp.contains("shingle_pos_hashes"), s"dup_spans lost its kernel:\n$sp")
+    assert(!sp.contains("lead("), s"dup_spans re-grew the lead() window:\n$sp")
+  }
 }
