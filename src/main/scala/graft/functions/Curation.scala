@@ -285,31 +285,22 @@ object Curation {
       maxTokens: Int = 512,
       overlap: Int = 64): DataFrame = {
     require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
-    val stride = maxTokens - overlap
-    val toks = filter(
-      split(TextFunctions.normalizeText(col(textCol)), " "),
-      w => length(w) > 0)
-    val tokPos = df.select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "tok")))
-      // window result materialized as a plain column first: window
-      // expressions cannot appear inside a generator
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy("id")))
-    val nChunks = when(col("_n") <= maxTokens, lit(1L))
-      .otherwise(floor((col("_n") - maxTokens - 1) / lit(stride)) + 2)
-    val iMin = when(col("pos") < maxTokens, lit(0L))
-      .otherwise(floor((col("pos") - maxTokens) / lit(stride)) + 1)
-    val iMax = least(floor(col("pos") / lit(stride)), nChunks - 1)
-    tokPos
-      .withColumn("chunk_idx", explode(sequence(iMin, iMax)))
-      .groupBy(col("id").as(idCol), col("chunk_idx"))
-      .agg(
-        min(col("pos")).as("start_tok"),
-        (max(col("pos")) + 1).as("end_tok"),
-        count(lit(1)).as("n_tokens"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok")),
-          " ").as("chunk_text"))
+    // chunking is a per-DOCUMENT computation: the one-pass ChunkDocsExpr
+    // kernel replaces the posexplode + per-doc count window + chunk-
+    // membership explode + (doc, chunk) reassembly groupBy — TWO
+    // corpus-wide shuffles of every token string — with a scan-side
+    // projection + posexplode. Zero exchanges; composes with pushdown.
+    df.select(
+        col(idCol),
+        explode(DedupExpressions.chunkDocs(col(textCol), maxTokens, overlap))
+          .as("_c"))
+      .select(
+        col(idCol),
+        col("_c.chunk_idx").as("chunk_idx"),
+        col("_c.start_tok").as("start_tok"),
+        col("_c.end_tok").as("end_tok"),
+        col("_c.n_tokens").as("n_tokens"),
+        col("_c.chunk_text").as("chunk_text"))
   }
 
   /** Cluster-proportional downsampling: given a duplicate-group (or

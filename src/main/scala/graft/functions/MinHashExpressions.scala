@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -303,6 +304,74 @@ object ShinglePosHashesExpr {
         j += 1
       }
       out(i) = HashUtil.md5Lower64(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Overlapping-window document chunks in ONE pass per row — chunking
+  * is a per-DOCUMENT computation, so the posexplode + per-doc count
+  * window + membership explode + `(doc, chunk)` reassembly groupBy
+  * (two corpus-wide shuffles carrying every token string) collapse to
+  * a scan-side kernel followed by a posexplode of the result. Chunk
+  * `i` covers token positions `[i*stride, i*stride+maxTokens) ∩
+  * [0, n)`; `nChunks = 1` if `n <= maxTokens` else
+  * `floor((n-maxTokens-1)/stride) + 2`; zero-token docs yield an
+  * EMPTY array (the exploded formulation emitted no rows for them).
+  *
+  * Output: array of struct (chunk_idx long, start_tok long, end_tok
+  * long, n_tokens long, chunk_text string).
+  */
+case class ChunkDocsExpr(child: Expression, maxTokens: Int, overlap: Int)
+    extends UnaryExpression {
+  require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"chunk_docs requires a STRING column, got $t")
+  }
+  override def dataType: DataType = ArrayType(ChunkDocsExpr.chunkType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ChunkDocsExpr.compute(input.asInstanceOf[UTF8String], maxTokens, overlap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ChunkDocsExpr$$.MODULE$$.compute($c, $maxTokens, $overlap)")
+  override protected def withNewChildInternal(c: Expression): ChunkDocsExpr = copy(child = c)
+  override def prettyName: String = "chunk_docs"
+}
+
+object ChunkDocsExpr {
+  val chunkType: StructType = StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("start_tok", LongType, nullable = false),
+    StructField("end_tok", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false)))
+
+  def compute(input: UTF8String, maxTokens: Int, overlap: Int): ArrayData = {
+    val ws = HashUtil.tokens(input.toString)
+    val n = ws.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val stride = maxTokens - overlap
+    val nChunks =
+      if (n <= maxTokens) 1
+      else ((n - maxTokens - 1) / stride) + 2
+    val out = new Array[Any](nChunks)
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i < nChunks) {
+      val start = i * stride
+      val end = math.min(start + maxTokens, n)
+      sb.setLength(0)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(ws(j))
+        j += 1
+      }
+      out(i) = InternalRow(
+        i.toLong, start.toLong, end.toLong, (end - start).toLong,
+        UTF8String.fromString(sb.toString))
       i += 1
     }
     new GenericArrayData(out)
@@ -663,6 +732,9 @@ object DedupExpressions {
 
   def shinglePosHashes(text: Column, shingleN: Int): Column =
     column(ShinglePosHashesExpr(expression(text), shingleN))
+
+  def chunkDocs(text: Column, maxTokens: Int, overlap: Int): Column =
+    column(ChunkDocsExpr(expression(text), maxTokens, overlap))
 
   def lshBand(vec: Column, planeOffset: Int, nBits: Int): Column =
     column(LshBandExpr(expression(vec), planeOffset, nBits))

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Focused probe for the tfidfTopTerms hash-dictionary rewrite: the
-  * same 1M-doc synthetic corpus ScaleProbe uses, without paying for
-  * the rest of the suite. `sbt "Test/runMain graft.TfidfProbe [docs]"`.
+/** Focused probe for the round-5 text-op kernels (tfidf hash
+  * dictionary, one-pass chunking) on the same 1M-doc synthetic corpus
+  * ScaleProbe uses, without paying for the rest of the suite.
+  * `sbt "Test/runMain graft.TextOpsProbe [docs]"`.
   */
-object TfidfProbe {
+object TextOpsProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val spark = SparkSession.builder()
@@ -17,6 +18,12 @@ object TfidfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
     val words = Array("spark", "query", "row", "data", "join", "filter",
       "window", "stream", "table", "scan", "merge", "sort", "key", "hash",
       "plan", "code", "node", "task", "stage", "shuffle")
@@ -25,9 +32,13 @@ object TfidfProbe {
       col("id"),
       concat_ws(" ", transform(sequence(lit(0), lit(49)),
         i => element_at(wordsCol, pmod(hash(col("id"), i), lit(20)) + 1))).as("text"))
-    val t0 = System.nanoTime()
-    val n = functions.TextFunctions.tfidfTopTerms(docs, "id", "text", k = 3).count()
-    println(f"[probe] tfidfTopTerms ($nDocs docs) ${(System.nanoTime() - t0) / 1e9}%8.2f s ($n rows)")
+    timed(s"tfidfTopTerms ($nDocs docs)") {
+      functions.TextFunctions.tfidfTopTerms(docs, "id", "text", k = 3).count()
+    }
+    timed(s"chunkDocuments ($nDocs docs)") {
+      functions.Curation.chunkDocuments(docs, "id", "text",
+        maxTokens = 32, overlap = 8).count()
+    }
     spark.stop()
   }
 }

@@ -50,13 +50,13 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Curation.chunkDocuments(docs, "doc_id", "text", maxTokens = 4, overlap = 1)
       .orderBy("doc_id", "chunk_idx")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getString(5)))
     assert(out.toSeq == Seq(
-      (1L, 0L, 0, 4, 4L, "t0 t1 t2 t3"),
-      (1L, 1L, 3, 7, 4L, "t3 t4 t5 t6"),
-      (1L, 2L, 6, 10, 4L, "t6 t7 t8 t9"),
-      (2L, 0L, 0, 2, 2L, "only two")))
+      (1L, 0L, 0L, 4L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 7L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 10L, 4L, "t6 t7 t8 t9"),
+      (2L, 0L, 0L, 2L, 2L, "only two")))
   }
 
   test("downsampleGroups: 1+floor(log2(size)) deterministic reps per group") {
