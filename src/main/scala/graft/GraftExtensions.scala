@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr}
+import graft.functions.{ChunkDocsExpr, CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, QualityStatsExpr, ShinglePosHashesExpr, ShingleSetExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr}
 import graft.mql.{MqlPredicate, MqlSql, ResolveMqlPredicate, RewriteMqlPredicate}
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -63,6 +63,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("lsh_band(vec[, plane_offset, n_bits])")
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "quality_stats",
+      (args: Seq[Expression]) => new QualityStatsExpr(args.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_set",
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => ShingleSetExpr(text, 3)
+        case Seq(text, n) => ShingleSetExpr(text, intArg(n, "shingleN"))
+        case _ => throw new IllegalArgumentException("shingle_set(text[, n])")
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_pos_hashes",
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => ShinglePosHashesExpr(text, intArg(n, "shingleN"))
+        case _ => throw new IllegalArgumentException("shingle_pos_hashes(text, n)")
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "chunk_docs",
+      (args: Seq[Expression]) => args match {
+        case Seq(text, m, o) =>
+          ChunkDocsExpr(text, intArg(m, "maxTokens"), intArg(o, "overlap"))
+        case _ => throw new IllegalArgumentException("chunk_docs(text, max_tokens, overlap)")
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("mql", MqlSql.builder _, "built-in")
     // no analyzer-rule injection post-start: rewrite in the (mutable)
     // user-provided optimizer batch instead — see MqlSql scaladoc
@@ -120,6 +147,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           LshBandExpr(vec, intArg(off, "planeOffset"), intArg(bits, "nBits"))
         case _ => throw new IllegalArgumentException(
           "lsh_band(vec[, plane_offset, n_bits])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quality_stats"),
+      new ExpressionInfo(classOf[QualityStatsExpr].getName, "quality_stats"),
+      (args: Seq[Expression]) => new QualityStatsExpr(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => ShingleSetExpr(text, 3)
+        case Seq(text, n) => ShingleSetExpr(text, intArg(n, "shingleN"))
+        case _ => throw new IllegalArgumentException("shingle_set(text[, n])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_pos_hashes"),
+      new ExpressionInfo(classOf[ShinglePosHashesExpr].getName, "shingle_pos_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => ShinglePosHashesExpr(text, intArg(n, "shingleN"))
+        case _ => throw new IllegalArgumentException("shingle_pos_hashes(text, n)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("chunk_docs"),
+      new ExpressionInfo(classOf[ChunkDocsExpr].getName, "chunk_docs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, m, o) =>
+          ChunkDocsExpr(text, intArg(m, "maxTokens"), intArg(o, "overlap"))
+        case _ => throw new IllegalArgumentException("chunk_docs(text, max_tokens, overlap)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("mql"),

@@ -133,4 +133,13 @@ class PlanSpec extends SparkSpec {
     assert(sp.contains("shingle_pos_hashes"), s"dup_spans lost its kernel:\n$sp")
     assert(!sp.contains("lead("), s"dup_spans re-grew the lead() window:\n$sp")
   }
+
+  test("chunkDocuments is scan-side: the only Exchange is the output sort") {
+    val p = plans("q_chunk_docs")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("- Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges == 1, s"chunking re-grew a corpus shuffle:\n$p")
+    assert(p.contains("chunk_docs"), s"chunking lost its kernel:\n$p")
+    assert(!p.contains("Window"), s"chunking re-grew the per-doc count window:\n$p")
+  }
 }

@@ -32,6 +32,23 @@ class MqlSqlSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("round-5 kernels are SQL-callable after register()") {
+    new graft.GraftExtensions().register(spark)
+    import spark.implicits._
+    Seq((1L, "the cat sat on the mat and the dog sat too")).toDF("id", "text")
+      .createOrReplaceTempView("sqldocs")
+    val r = spark.sql(
+      """SELECT quality_stats(text).n_tokens AS n,
+        |  size(shingle_set(text, 3)) AS n_sh,
+        |  size(shingle_pos_hashes(text, 1)) AS n_tok,
+        |  size(chunk_docs(text, 4, 1)) AS n_chunks
+        |FROM sqldocs""".stripMargin).head()
+    assert(r.getLong(0) == 11L)   // 11 tokens
+    assert(r.getInt(1) == 9)      // 9 distinct 3-gram shingles
+    assert(r.getInt(2) == 11)     // positional token hashes
+    assert(r.getInt(3) == 4)      // chunks of 4 tokens, stride 3 over 11
+  }
+
   test("mql() rejects non-literal and malformed arguments") {
     new graft.GraftExtensions().register(spark)
     val e = intercept[Exception] {
