@@ -1681,6 +1681,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style unigram surprisal: per-token nll snapped to integer
+    // nano-nats before the per-doc sum, so nll_nano is integer-exact
+    // across engines (same recipe as q_tfidf_terms' score_nano).
+    "q_surprisal" -> ((s, dir) => {
+      TextFunctions.unigramSurprisal(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Quantized ANN serving path: int8 candidate scoring in the probed
     // IVF cells, float rerank of the top 4k — recall gated against the
     // full-precision brute force exactly like q_ann_ivf.
@@ -3263,6 +3271,19 @@ object SparkEntry {
            |  GROUP BY nid)
            |SELECT d.doc_id, m.dup_of FROM documents d LEFT JOIN m ON m.nid = d.doc_id
            |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
+
+      "q_surprisal" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, md5_number_lower(unnest(ws)) AS h FROM toks),
+           |tc AS (SELECT h, count(*) AS c FROM ex GROUP BY h),
+           |tot AS (SELECT count(*) AS t FROM ex),
+           |j AS (SELECT doc_id,
+           |  CAST(round(ln(CAST(t AS DOUBLE)/c) * 1e9) AS BIGINT) AS nll
+           |  FROM ex JOIN tc USING (h) CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(nll) AS BIGINT) AS nll_nano,
+           |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // token identity is md5-lower-64 on BOTH engines (Spark shuffles
       // 8-byte keys; string equality and hash equality agree exactly

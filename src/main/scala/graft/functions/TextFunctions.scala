@@ -211,6 +211,50 @@ object TextFunctions {
       .withColumnRenamed("id", idCol)
   }
 
+  /** CCNet-style unigram language-model surprisal — the standard
+    * corpus-quality proxy between rule filters and a real LM: score
+    * each document by the mean negative log-likelihood of its tokens
+    * under the corpus's own unigram distribution. Low = templated /
+    * repetitive common text, high = rare-token soup (OCR noise,
+    * codes); real pipelines keep a middle band or feed the score to a
+    * mixture sampler.
+    *
+    * Determinism recipe (same as tfidf's score_nano): per-token
+    * surprisal is snapped to integer nano-nats —
+    * `round(ln(total/count) * 1e9)` — BEFORE the per-doc sum, so the
+    * document statistic is an integer any md5-capable engine
+    * reproduces exactly; only the final display division is IEEE.
+    *
+    * Shapes (all 8-byte keys via the one-pass token-hash kernel):
+    * token-hash explode → corpus counts (map-side combined) → join
+    * back → per-doc sum. The corpus-total scalar rides a broadcast
+    * cross join. Zero-token documents are absent from the output
+    * (same contract as [[corpusRarity]]).
+    *
+    * Returns `(idCol, n_tokens, nll_nano, avg_nll)` — `nll_nano` the
+    * integer sum, `avg_nll` = nll_nano / n_tokens / 1e9 rounded to 6.
+    */
+  def unigramSurprisal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("_px_id"),
+      explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
+    val counts = ex.groupBy("_h").agg(count(lit(1)).as("_tc"))
+    val total = ex.agg(count(lit(1)).as("_tot"))
+    ex.join(counts, "_h")
+      .crossJoin(broadcast(total))
+      .withColumn("_nll",
+        round(log(col("_tot").cast("double") / col("_tc").cast("double")) * 1e9)
+          .cast("long"))
+      .groupBy(col("_px_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("_nll")).as("nll_nano"))
+      .withColumn("avg_nll",
+        round(col("nll_nano").cast("double") / col("n_tokens").cast("double") / 1e9, 6))
+  }
+
   /** URL canonicalization for web-corpus dedup: lowercase the scheme
     * and host, strip the fragment, the scheme's own default port
     * (http :80 / https :443 — never the other way around), tracking

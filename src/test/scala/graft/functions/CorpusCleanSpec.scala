@@ -108,6 +108,26 @@ class CorpusCleanSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("unigramSurprisal: rare tokens score higher, integer nll is exact") {
+    val docs = Seq(
+      (1L, "common common common"),   // 3x the most frequent token
+      (2L, "common rare"),            // one common + one singleton
+      (3L, ""))                       // zero tokens -> absent
+      .toDF("doc_id", "text")
+    val out = TextFunctions.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // corpus: 5 tokens, common=4, rare=1
+    val nllCommon = math.round(math.log(5.0 / 4.0) * 1e9)
+    val nllRare = math.round(math.log(5.0 / 1.0) * 1e9)
+    assert(out.length == 2)
+    assert(out(0) == ((1L, 3L, 3 * nllCommon,
+      BigDecimal(3.0 * nllCommon / 3 / 1e9).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1)._3 == nllCommon + nllRare)
+    assert(out(1)._4 > out(0)._4) // the rare-token doc is more surprising
+  }
+
   test("tfidfTopTerms ranks by nano-snapped idf product, ties by term") {
     val docs = Seq(
       (1L, "apple apple banana the"),
