@@ -214,6 +214,10 @@ object ScaleProbe {
     timed(s"tfidfTopTerms ($nDocs docs)") {
       functions.TextFunctions.tfidfTopTerms(docs, "id", "text", k = 3).count()
     }
+    timed(s"unigramSurprisal ($nDocs docs)") {
+      functions.TextFunctions.unigramSurprisal(docs, "id", "text")
+        .agg(sum("nll_nano")).head()
+    }
     // containmentPairs standalone, on a NON-degenerate corpus: 50k-word
     // vocabulary (shingles mostly unique → the rare-filter passes them,
     // unlike the 20-word corpus above where every shingle is a stop

@@ -39,6 +39,10 @@ object TextOpsProbe {
       functions.Curation.chunkDocuments(docs, "id", "text",
         maxTokens = 32, overlap = 8).count()
     }
+    timed(s"unigramSurprisal ($nDocs docs)") {
+      functions.TextFunctions.unigramSurprisal(docs, "id", "text")
+        .agg(sum("nll_nano")).head()
+    }
     spark.stop()
   }
 }
