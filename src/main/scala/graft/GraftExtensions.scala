@@ -65,7 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "built-in")
     reg.createOrReplaceTempFunction(
       "quality_stats",
-      (args: Seq[Expression]) => new QualityStatsExpr(args.head),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => new QualityStatsExpr(text)
+        case _ => throw new IllegalArgumentException("quality_stats(text)")
+      },
       "built-in")
     reg.createOrReplaceTempFunction(
       "shingle_set",
@@ -151,7 +154,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("quality_stats"),
       new ExpressionInfo(classOf[QualityStatsExpr].getName, "quality_stats"),
-      (args: Seq[Expression]) => new QualityStatsExpr(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => new QualityStatsExpr(text)
+        case _ => throw new IllegalArgumentException("quality_stats(text)")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),

@@ -876,11 +876,16 @@ object SparkEntry {
     // Corpus-wide batch kNN (top-5 LSH-candidate neighbors for EVERY
     // vector in one plan). Bands, candidate set, cosines, and the
     // rounded-cosine rank order are all replicated by the oracle, so
-    // the result is value-exact, not recall-gated. bandBits is the
-    // auto derivation: ceil(log2(500/32)) = 4 at this corpus size —
-    // the oracle's 4-bit band SQL IS the auto-sized configuration.
+    // the result is value-exact, not recall-gated. bandBits is PINNED
+    // to 4 because the oracle's static SQL bakes 4-bit bands — which
+    // IS autoBandBits(500) at the gate's sf0.01 corpus, but the gate
+    // must stay green at any SF the driver runs (auto would derive 6
+    // bits at sf0.1's 2000 vectors and diverge from the SQL). The
+    // auto-sizing path is exercised by FunctionsSpec (default args)
+    // and the ScaleProbe 1M-vector bucket-bound check.
     "q_knn_join" -> ((s, dir) => {
-      Similarity.knnJoin(tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      Similarity.knnJoin(tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+          bandBits = 4)
         .withColumn("rk", col("rk").cast("long"))
         .orderBy("vec_id", "rk")
     }),
@@ -1963,9 +1968,6 @@ object SparkEntry {
        |   $v[j+1] * ${sqlPlaneSign(s"($off + p)", "j")}), (x,y) -> x+y) >= 0
        | THEN 1 << p ELSE 0 END)) AS BIGINT)""".stripMargin.replace("\n", " ")
 
-  /** Normalized word tokens per document (matches
-    * TextFunctions.normalizeText / HashUtil.tokens).
-    */
   /** Rule-filter metric CTEs (assumes `toks` from [[tokCte]] is in
     * scope): yields `m(doc_id, n, sr, mwl, tf)` — one row per document
     * including zero-token docs (metrics 0). Shared by q_quality_filter
@@ -1985,6 +1987,9 @@ object SparkEntry {
       |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(chars AS DOUBLE)/n END AS mwl,
       |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(top AS DOUBLE)/n END AS tf FROM j)""".stripMargin
 
+  /** Normalized word tokens per document (matches
+    * TextFunctions.normalizeText / HashUtil.tokens).
+    */
   private def tokCte(where: String = ""): String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(

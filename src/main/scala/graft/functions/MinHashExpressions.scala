@@ -216,6 +216,7 @@ object MinHashSigExpr {
   */
 case class ShingleSetExpr(child: Expression, shingleN: Int)
     extends UnaryExpression {
+  require(shingleN >= 1, s"shingle_set needs n >= 1, got $shingleN")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"shingle_set requires a STRING column, got $t")
@@ -273,6 +274,7 @@ object ShingleSetExpr {
   */
 case class ShinglePosHashesExpr(child: Expression, shingleN: Int)
     extends UnaryExpression {
+  require(shingleN >= 1, s"shingle_pos_hashes needs n >= 1, got $shingleN")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"shingle_pos_hashes requires a STRING column, got $t")

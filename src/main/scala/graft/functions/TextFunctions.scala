@@ -241,7 +241,9 @@ object TextFunctions {
     val ex = df.select(col(idCol).as("_px_id"),
       explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
     val counts = ex.groupBy("_h").agg(count(lit(1)).as("_tc"))
-    val total = ex.agg(count(lit(1)).as("_tot"))
+    // corpus total from the vocab-sized counts, NOT a third scan of
+    // the uncached tokenize+explode subtree
+    val total = counts.agg(sum(col("_tc")).as("_tot"))
     ex.join(counts, "_h")
       .crossJoin(broadcast(total))
       .withColumn("_nll",

@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness check.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [only]
 
 Registers each parquet table as a DuckDB view, runs every oracle SQL from
 <verifyOutDir>/oracle_sql.json, and compares row-for-row (and as an
 order-insensitive multiset) against the Spark result parquet.
+
+`only` is the same comma-separated gate list passed to graft.Verify's
+third arg; when given, absent result dirs outside the list are skipped.
+Without it, EVERY missing result dir is a failure — a full run where
+half the gates died must read as broken, not as a subset run.
 """
 import sys, json, glob, os
 import duckdb
@@ -14,23 +19,23 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(df):
+    """Returns (normalized_df, array_columns). Array/list columns (numpy
+    arrays from parquet, python lists from duckdb) are unhashable — the
+    DRIVER's comparator crashes on them, so the caller must mark any
+    gate that emits one as FAILED, not merely note it. We stringify
+    them here only so our own sort/compare can run far enough to report
+    that failure with values attached."""
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
-    # Array/list columns (numpy arrays from parquet, python lists from
-    # duckdb) are unhashable -> sort_values crashes exactly like the
-    # driver's comparator does. Stringify them so the local stand-in
-    # REJECTS such gates loudly instead of passing on the ordered path
-    # and crashing on the retry path.
     import numpy as np
     is_arr = lambda v: isinstance(v, (list, tuple, np.ndarray))
+    arr_cols = []
     for c in df.columns:
         if df[c].dtype == object and df[c].map(is_arr).any():
-            print(f"  NOTE: column {c!r} is an array type — the driver "
-                  "comparator cannot hash this; scalarize at the gate "
-                  "boundary (array_join)", file=sys.stderr)
+            arr_cols.append(c)
             df[c] = df[c].map(lambda v: str(list(v)) if is_arr(v) else v)
-    return df
+    return df, arr_cols
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -39,12 +44,13 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_warn = 0
     results = {}
-    # subset runs (Verify's optional name-filter arg) legitimately leave
-    # most result dirs absent; only a FULL run treats absence as failure
-    have = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
-    full_run = len(have) > len(oracles) // 2
+    # absence of a result dir is ALWAYS a failure unless the caller
+    # explicitly declared a subset (same list passed to Verify) — never
+    # inferred from how many dirs exist, or a run where half the gates
+    # died would read as a clean subset
+    expected = set(only.split(",")) if only else set(oracles)
     for name in oracles:
-        if full_run and not os.path.isdir(os.path.join(out_dir, name)):
+        if name in expected and not os.path.isdir(os.path.join(out_dir, name)):
             results[name] = "MISSING RESULT DIR (query failed in Verify?)"
             n_bad += 1
     for name in sorted(os.listdir(out_dir)):
@@ -67,7 +73,16 @@ def main(sf_dir, out_dir):
             results[name] = f"ORACLE-SQL-ERROR: {e}"
             n_bad += 1
             continue
-        g, e = norm(got), norm(exp)
+        g, g_arr = norm(got)
+        e, _ = norm(exp)
+        if g_arr:
+            # the driver comparator cannot hash array columns — this
+            # gate WILL fail there; fail it here too
+            results[name] = (f"ARRAY-COLUMN {g_arr}: driver comparator "
+                             "cannot hash this; scalarize at the gate "
+                             "boundary (array_join)")
+            n_bad += 1
+            continue
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA: got {list(g.columns)} vs exp {list(e.columns)}"
             n_bad += 1
@@ -101,4 +116,5 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
