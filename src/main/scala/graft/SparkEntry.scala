@@ -1738,6 +1738,21 @@ object SparkEntry {
       }.select(col("fp")).distinct().orderBy("fp")
     }),
 
+    // The Gopher-style rule filter as a STREAMING stage: qualityFilter
+    // is a pure projection since the QualityStatsExpr fusion, so it
+    // drops into readStream→writeStream append mode with no watermark
+    // or state — the shape a continuous ingest pipeline actually runs.
+    // Same thresholds and oracle as the batch gate: the streamed
+    // result over the same rows IS the batch result.
+    "q_stream_quality" -> ((s, dir) => {
+      runStreamGate(s, dir, "documents", DocumentsStreamSchema, "quality", "append") { st =>
+        TextFunctions.qualityFilter(st, "doc_id", "text",
+            minTokens = 20, maxTokens = 90, minStopRatio = 0.03,
+            minMeanWordLen = 3.0, maxMeanWordLen = 5.0, maxTopTokenFrac = 0.2)
+          .withColumn("reasons", array_join(col("reasons"), "|"))
+      }.orderBy("doc_id")
+    }),
+
     // Overlapping-window document chunking: every boundary is integer
     // arithmetic, chunk text reassembled in token order; oracle
     // replays it with zipped unnest + string_agg ORDER BY pos.
@@ -1967,6 +1982,27 @@ object SparkEntry {
        | CASE WHEN list_reduce(list_transform(range(0, 64), j ->
        |   $v[j+1] * ${sqlPlaneSign(s"($off + p)", "j")}), (x,y) -> x+y) >= 0
        | THEN 1 << p ELSE 0 END)) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Full rule-filter oracle — shared verbatim by q_quality_filter and
+    * q_stream_quality (the filter is a stateless projection, so the
+    * streamed result over the same rows IS the batch result).
+    */
+  private lazy val QualityFilterOracleSql: String =
+    s"""WITH ${tokCte()},
+       |$QualityFilterMetricCtes,
+       |r AS (SELECT doc_id, n, sr, mwl, tf,
+       |  (CASE WHEN sr < 0.03 THEN ['low_stopword'] ELSE [] END
+       |   || CASE WHEN tf > 0.2 THEN ['repetitive'] ELSE [] END
+       |   || CASE WHEN n > 90 THEN ['too_long'] ELSE [] END
+       |   || CASE WHEN n < 20 THEN ['too_short'] ELSE [] END
+       |   || CASE WHEN mwl < 3.0 OR mwl > 5.0 THEN ['word_length'] ELSE [] END) AS reasons
+       |  FROM m)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  round(sr, 6) AS stop_ratio, round(mwl, 6) AS mean_word_len,
+       |  round(tf, 6) AS top_token_frac,
+       |  len(reasons) = 0 AS keep,
+       |  coalesce(array_to_string(reasons, '|'), '') AS reasons
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** Rule-filter metric CTEs (assumes `toks` from [[tokCte]] is in
     * scope): yields `m(doc_id, n, sr, mwl, tf)` — one row per document
@@ -3170,22 +3206,12 @@ object SparkEntry {
           |  md5(coalesce(string_agg(CASE WHEN NOT hit THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5
           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-      "q_quality_filter" ->
-        s"""WITH ${tokCte()},
-           |$QualityFilterMetricCtes,
-           |r AS (SELECT doc_id, n, sr, mwl, tf,
-           |  (CASE WHEN sr < 0.03 THEN ['low_stopword'] ELSE [] END
-           |   || CASE WHEN tf > 0.2 THEN ['repetitive'] ELSE [] END
-           |   || CASE WHEN n > 90 THEN ['too_long'] ELSE [] END
-           |   || CASE WHEN n < 20 THEN ['too_short'] ELSE [] END
-           |   || CASE WHEN mwl < 3.0 OR mwl > 5.0 THEN ['word_length'] ELSE [] END) AS reasons
-           |  FROM m)
-           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-           |  round(sr, 6) AS stop_ratio, round(mwl, 6) AS mean_word_len,
-           |  round(tf, 6) AS top_token_frac,
-           |  len(reasons) = 0 AS keep,
-           |  coalesce(array_to_string(reasons, '|'), '') AS reasons
-           |FROM r ORDER BY doc_id""".stripMargin,
+      "q_quality_filter" -> QualityFilterOracleSql,
+
+      // identical semantics to the batch gate: the filter is a
+      // stateless projection, so the streamed result over the same
+      // rows IS the batch result — one oracle serves both
+      "q_stream_quality" -> QualityFilterOracleSql,
 
       // term identity = md5-lower-64 on BOTH engines (Spark's tf/df
       // aggs shuffle 8-byte keys; term text comes from a min(term)

@@ -16,7 +16,8 @@ class PlanSpec extends SparkSpec {
   // BUILD the result frame; their plan properties are covered by the
   // dedicated streaming specs
   private val skip = Set(
-    "q_stream_upsert", "q_stream_window", "q_stream_sessionize", "q_stream_enrich")
+    "q_stream_upsert", "q_stream_window", "q_stream_sessionize", "q_stream_enrich",
+    "q_stream_quality")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.filterNot { case (n, _) => skip(n) }.map { case (n, fn) =>
