@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ChunkDocsExpr, CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, QualityStatsExpr, ShinglePosHashesExpr, ShingleSetExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr}
+import graft.functions.{ChunkDocsExpr, CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, QualityStatsExpr, ShinglePosHashesExpr, ShingleSetExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr, TokenDictExpr, TokenTfExpr}
 import graft.mql.{MqlPredicate, MqlSql, ResolveMqlPredicate, RewriteMqlPredicate}
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -93,6 +93,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("chunk_docs(text, max_tokens, overlap)")
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_tf",
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => new TokenTfExpr(text)
+        case _ => throw new IllegalArgumentException("token_tf(text)")
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_dict",
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => new TokenDictExpr(text)
+        case _ => throw new IllegalArgumentException("token_dict(text)")
+      },
+      "built-in")
     reg.createOrReplaceTempFunction("mql", MqlSql.builder _, "built-in")
     // no analyzer-rule injection post-start: rewrite in the (mutable)
     // user-provided optimizer batch instead — see MqlSql scaladoc
@@ -180,6 +194,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, m, o) =>
           ChunkDocsExpr(text, intArg(m, "maxTokens"), intArg(o, "overlap"))
         case _ => throw new IllegalArgumentException("chunk_docs(text, max_tokens, overlap)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_tf"),
+      new ExpressionInfo(classOf[TokenTfExpr].getName, "token_tf"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => new TokenTfExpr(text)
+        case _ => throw new IllegalArgumentException("token_tf(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_dict"),
+      new ExpressionInfo(classOf[TokenDictExpr].getName, "token_dict"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => new TokenDictExpr(text)
+        case _ => throw new IllegalArgumentException("token_dict(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("mql"),

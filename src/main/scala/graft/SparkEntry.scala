@@ -3214,22 +3214,29 @@ object SparkEntry {
       "q_stream_quality" -> QualityFilterOracleSql,
 
       // term identity = md5-lower-64 on BOTH engines (Spark's tf/df
-      // aggs shuffle 8-byte keys; term text comes from a min(term)
-      // dictionary — min, not first, so a hash collision would resolve
-      // identically here and in Spark)
+      // aggs AND the ranking window shuffle 8-byte keys; the rank
+      // tie-break is the SIGNED hash — DuckDB's UBIGINT is
+      // two's-complemented to BIGINT so it orders like Spark's Long —
+      // and term text joins on only the surviving top-k rows from a
+      // min(term) dictionary — min, not first, so a hash collision
+      // would resolve identically here and in Spark)
       "q_tfidf_terms" ->
         s"""WITH ${tokCte()},
-           |ex AS (SELECT doc_id, md5_number_lower(unnest(ws)) AS h, unnest(ws) AS tok FROM toks),
+           |ex0 AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |ex AS (SELECT doc_id, tok,
+           |  CAST(CASE WHEN md5_number_lower(tok) >= 9223372036854775808
+           |    THEN CAST(md5_number_lower(tok) AS HUGEINT) - 18446744073709551616
+           |    ELSE CAST(md5_number_lower(tok) AS HUGEINT) END AS BIGINT) AS h FROM ex0),
            |tf AS (SELECT doc_id, h, count(*) AS tf FROM ex GROUP BY 1, 2),
            |dfq AS (SELECT h, count(*) AS term_df FROM tf GROUP BY h),
            |dict AS (SELECT h, min(tok) AS term FROM ex GROUP BY h),
            |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-           |sc AS (SELECT tf.doc_id, dict.term, tf.tf, dfq.term_df,
+           |sc AS (SELECT tf.doc_id, tf.h, tf.tf, dfq.term_df,
            |  tf.tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/term_df) * 1e9) AS BIGINT) AS score_nano
-           |  FROM tf JOIN dfq USING (h) JOIN dict USING (h) CROSS JOIN nd),
-           |rnk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_nano DESC, term) AS rk FROM sc)
-           |SELECT doc_id, term, tf, term_df, score_nano, CAST(rk AS BIGINT) AS rk
-           |FROM rnk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+           |  FROM tf JOIN dfq USING (h) CROSS JOIN nd),
+           |rnk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_nano DESC, h) AS rk FROM sc)
+           |SELECT doc_id, dict.term, tf, term_df, score_nano, CAST(rk AS BIGINT) AS rk
+           |FROM rnk JOIN dict USING (h) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
       "q_containment" ->
         s"""WITH ${tokCte()}, $ShingleCtes,

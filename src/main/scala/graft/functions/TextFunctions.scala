@@ -401,20 +401,26 @@ object TextFunctions {
     * `ln` differs in the last ulp still agree after the 1e-9 snap
     * (a raw double product could rank-diverge on near-ties).
     *
-    * Shapes: one-pass token HASHES ([[ShinglePosHashesExpr]] n=1) →
-    * `(doc, h)` counts and per-hash document frequencies on 8-BYTE
-    * keys (the two corpus-wide aggregations never shuffle a term
-    * string) → term text recovered from a `min(term)`-reduced
-    * dictionary (map-side combine caps that string shuffle at ~vocab
-    * rows per partition; `min`, not `first`, so the mapping is
-    * deterministic even under an md5-64 collision) joined back BEFORE
-    * the ranking window, so the tie-break stays on the term text. The
-    * doc-count scalar rides a broadcast cross join, not a driver
-    * action. All linear; the window partitions on the doc id — the
-    * only exchange that still carries strings.
+    * Shapes: per-document term frequencies come from the scan-side
+    * one-pass [[TokenTfExpr]] kernel (`array<struct<h, tf>>` of signed
+    * md5-64 token hashes — the explode emits PRE-COUNTED (doc, h, tf)
+    * candidates, so the old per-occurrence explode→groupBy shuffle of
+    * every token is gone). Document frequencies reduce over the 8-byte
+    * hash with map-side combine (vocab-bounded exchange) and join back
+    * (AQE broadcasts the df side when it is small). The RANKING WINDOW
+    * runs on hashes too — the tie-break is `(score_nano desc, _h asc)`
+    * on the signed md5-64 value, so no exchange before the rank
+    * carries a term string. Term text is recovered AFTER the `rk <= k`
+    * filter from a `min(term)`-reduced dictionary (map-side combine
+    * caps the dict aggregation at ~vocab rows per partition; `min`,
+    * not `first`, so the mapping is deterministic even under an md5-64
+    * collision); that final join touches only k·docs candidate rows
+    * instead of every (doc, term) pair. The doc-count scalar rides a
+    * broadcast cross join, not a driver action. All linear.
     *
     * Returns `(idCol, term, tf, term_df, score_nano, rk)` with
-    * `rk <= k`, ties broken by term ascending.
+    * `rk <= k`, ties broken by signed term-hash ascending (DuckDB
+    * twin: `md5_number_lower` two's-complemented to BIGINT).
     */
   def tfidfTopTerms(
       df: DataFrame,
@@ -423,27 +429,25 @@ object TextFunctions {
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("_tt_id"),
-        explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
-      .groupBy("_tt_id", "_h")
-      .agg(count(lit(1)).as("tf"))
+        explode(TokenTfExpr(col(textCol))).as("_p"))
+      .select(col("_tt_id"), col("_p.h").as("_h"), col("_p.tf").as("tf"))
     val dfreq = tf.groupBy("_h").agg(count(lit(1)).as("term_df"))
-    val toks = filter(split(normalizeText(col(textCol)), " "), w => length(w) > 0)
-    val dict = df.select(explode(toks).as("term"))
-      .select(DedupExpressions.md5Lower64(col("term")).as("_h"), col("term"))
-      .groupBy("_h").agg(min(col("term")).as("term"))
     val nDocs = df.agg(count_distinct(col(idCol)).as("_n_docs"))
     val scored = tf.join(dfreq, "_h")
-      .join(dict, "_h")
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "score_nano",
         (col("tf") *
           round(log(col("_n_docs").cast("double") / col("term_df").cast("double")) * 1e9)
             .cast("long")).as("score_nano"))
-    val w = Window.partitionBy("_tt_id").orderBy(col("score_nano").desc, col("term"))
-    scored
+    val w = Window.partitionBy("_tt_id").orderBy(col("score_nano").desc, col("_h"))
+    val top = scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+    val dict = df.select(explode(TokenDictExpr(col(textCol))).as("_d"))
+      .select(col("_d.h").as("_h"), col("_d.term").as("term"))
+      .groupBy("_h").agg(min(col("term")).as("term"))
+    top.join(dict, "_h")
       .select(
         col("_tt_id").as(idCol), col("term"), col("tf"),
         col("term_df"), col("score_nano"), col("rk"))

@@ -135,6 +135,18 @@ class PlanSpec extends SparkSpec {
     assert(!sp.contains("lead("), s"dup_spans re-grew the lead() window:\n$sp")
   }
 
+  test("tfidfTopTerms ranks on hashes: no term string in the window sort order") {
+    // the r6 rewrite ranks candidates on (score_nano DESC, _h ASC) and
+    // joins term text onto only the surviving top-k rows; if `term`
+    // reappears in the windowspec the all-candidates string shuffle is
+    // back (70s/1M docs vs ~hash-keyed sibling ops)
+    val p = plans("q_tfidf_terms")
+    val winArgs = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(winArgs.nonEmpty, s"tfidf lost its ranking window:\n$p")
+    assert(winArgs.forall(l => l.contains("_h") && !l.contains("term")),
+      s"tfidf window ranks on term text again:\n${winArgs.mkString("\n")}")
+  }
+
   test("chunkDocuments is scan-side: the only Exchange is the output sort") {
     val p = plans("q_chunk_docs")
     val exchanges = p.linesIterator.count(l =>

@@ -128,7 +128,7 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out(1)._4 > out(0)._4) // the rare-token doc is more surprising
   }
 
-  test("tfidfTopTerms ranks by nano-snapped idf product, ties by term") {
+  test("tfidfTopTerms ranks by nano-snapped idf product, ties by signed term hash") {
     val docs = Seq(
       (1L, "apple apple banana the"),
       (2L, "banana cherry the"),
@@ -140,9 +140,15 @@ class CorpusCleanSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getInt(5)))
     val ln3 = math.round(math.log(3.0) * 1e9)       // df=1
     val ln15 = math.round(math.log(1.5) * 1e9)      // df=2
+    // doc 2's banana/cherry tie at ln15 breaks on the SIGNED md5-64
+    // hash — the same key the ranking exchange shuffles, so no term
+    // string rides the window (the oracle twin two's-complements
+    // DuckDB's md5_number_lower to BIGINT for the same order)
+    val Seq(tieFirst, tieSecond) =
+      Seq("banana", "cherry").sortBy(t => HashUtil.md5Lower64(t))
     assert(out.toSeq == Seq(
       (1L, "apple", 2L, 1L, 2 * ln3, 1), (1L, "banana", 1L, 2L, ln15, 2),
-      (2L, "banana", 1L, 2L, ln15, 1), (2L, "cherry", 1L, 2L, ln15, 2),
+      (2L, tieFirst, 1L, 2L, ln15, 1), (2L, tieSecond, 1L, 2L, ln15, 2),
       (3L, "cherry", 3L, 2L, 3 * ln15, 1), (3L, "the", 1L, 3L, 0L, 2)))
   }
 

@@ -62,4 +62,70 @@ class TextStatsExprSpec extends SparkSpec {
       .select(col("doc_id").as("id"), col("text"))
     assertEqualOn(docs)
   }
+
+  // --- TokenTfExpr / TokenDictExpr: tfidf's scan-side kernels -------
+
+  private val tfEdge = Seq(
+    (0L, "the quick brown the fox the"),
+    (1L, ""),
+    (2L, "   "),
+    (3L, "ONE one OnE"),
+    (4L, "a b c a b a"),
+    (5L, "punct,,,only!!!???"),
+    (6L, "numbers 123 and 123 numbers"))
+
+  test("TokenTfExpr matches the explode/groupBy tf formulation") {
+    val docs = tfEdge.toDF("id", "text")
+    val kernel = docs
+      .select(col("id"), explode(TokenTfExpr(col("text"))).as("_p"))
+      .select(col("id"), col("_p.h").as("h"), col("_p.tf").as("tf"))
+      .orderBy("id", "h").collect().map(_.toSeq)
+    val composed = docs
+      .select(col("id"),
+        explode(DedupExpressions.shinglePosHashes(col("text"), 1)).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("tf"))
+      .orderBy("id", "h").collect().map(_.toSeq)
+    assert(kernel.toSeq == composed.toSeq)
+  }
+
+  test("TokenDictExpr matches the explode/min token dictionary") {
+    val docs = (tfEdge ++ Seq((7L, "Zebra apple zebra APPLE"))).toDF("id", "text")
+    val kernel = docs
+      .select(explode(TokenDictExpr(col("text"))).as("_d"))
+      .select(col("_d.h").as("h"), col("_d.term").as("term"))
+      .groupBy("h").agg(min("term").as("term"))
+      .orderBy("h").collect().map(_.toSeq)
+    val toks = filter(split(TextFunctions.normalizeText(col("text")), " "),
+      t => length(t) > 0)
+    val composed = docs.select(explode(toks).as("term"))
+      .select(DedupExpressions.md5Lower64(col("term")).as("h"), col("term"))
+      .groupBy("h").agg(min("term").as("term"))
+      .orderBy("h").collect().map(_.toSeq)
+    assert(kernel.toSeq == composed.toSeq)
+  }
+
+  test("tf/dict kernels match the composed formulations on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val kTf = docs.select(col("id"), explode(TokenTfExpr(col("text"))).as("_p"))
+      .select(col("id"), col("_p.h").as("h"), col("_p.tf").as("tf"))
+      .orderBy("id", "h").collect().map(_.toSeq)
+    val cTf = docs
+      .select(col("id"),
+        explode(DedupExpressions.shinglePosHashes(col("text"), 1)).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("tf"))
+      .orderBy("id", "h").collect().map(_.toSeq)
+    assert(kTf.toSeq == cTf.toSeq)
+    val kDict = docs.select(explode(TokenDictExpr(col("text"))).as("_d"))
+      .select(col("_d.h").as("h"), col("_d.term").as("term"))
+      .groupBy("h").agg(min("term").as("term"))
+      .orderBy("h").collect().map(_.toSeq)
+    val toks = filter(split(TextFunctions.normalizeText(col("text")), " "),
+      t => length(t) > 0)
+    val cDict = docs.select(explode(toks).as("term"))
+      .select(DedupExpressions.md5Lower64(col("term")).as("h"), col("term"))
+      .groupBy("h").agg(min("term").as("term"))
+      .orderBy("h").collect().map(_.toSeq)
+    assert(kDict.toSeq == cDict.toSeq)
+  }
 }
