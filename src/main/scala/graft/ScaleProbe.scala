@@ -166,6 +166,12 @@ object ScaleProbe {
         vecs.filter(col("id") < 100000L), "id", "v", k = 5,
         nBands = 8, nRows = Some(100000L)).count()
     }
+    timed("knnJoin auto-count cost (1M vecs, bandBits=0, no nRows)") {
+      // the eager df.count() the bandBits=0 default runs when nRows is
+      // not supplied — the lineage-recompute cost the scaladoc tells
+      // pipelines to skip by passing the estimate
+      vecs.count()
+    }
     timed("knnJoin banding bounded at 1M (auto bits, max bucket)") {
       // the sizing rule at 1M: autoBandBits → 15, expected bucket
       // ~30 — prove the max over ALL (band, bucket) cells stays

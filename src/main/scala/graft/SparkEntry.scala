@@ -877,15 +877,22 @@ object SparkEntry {
     // vector in one plan). Bands, candidate set, cosines, and the
     // rounded-cosine rank order are all replicated by the oracle, so
     // the result is value-exact, not recall-gated. bandBits is PINNED
-    // to 4 because the oracle's static SQL bakes 4-bit bands — which
-    // IS autoBandBits(500) at the gate's sf0.01 corpus, but the gate
-    // must stay green at any SF the driver runs (auto would derive 6
-    // bits at sf0.1's 2000 vectors and diverge from the SQL). The
-    // auto-sizing path is exercised by FunctionsSpec (default args)
-    // and the ScaleProbe 1M-vector bucket-bound check.
+    // to 4 here (the fixed-width override path); the SHIPPED default
+    // (bandBits = 0 → autoBandBits) is gated by q_knn_join_auto below.
     "q_knn_join" -> ((s, dir) => {
       Similarity.knnJoin(tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
           bandBits = 4)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("vec_id", "rk")
+    }),
+
+    // The DEFAULT knnJoin path users actually hit: bandBits = 0 →
+    // autoBandBits(df.count()). The oracle re-derives the same width
+    // from count(*) (ceil(log2(n/32)) clamped to [1,24]) so the gate
+    // proves the auto formula end-to-end at WHATEVER scale factor the
+    // driver runs — no pinning (VERDICT r5 item 2).
+    "q_knn_join_auto" -> ((s, dir) => {
+      Similarity.knnJoin(tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
         .withColumn("rk", col("rk").cast("long"))
         .orderBy("vec_id", "rk")
     }),
@@ -1975,9 +1982,11 @@ object SparkEntry {
 
   /** LSH band value over `bits` planes starting at plane-index
     * expression `off`, for a double-list column `v` (ascending-j fold
-    * matching LshBandExpr).
+    * matching LshBandExpr). `bits` is a SQL expression — a literal for
+    * the pinned-width gates, a count(*)-derived column for
+    * q_knn_join_auto (DuckDB's scalar `range` takes expressions).
     */
-  private def sqlLshBand(v: String, off: String, bits: Int): String =
+  private def sqlLshBand(v: String, off: String, bits: String): String =
     s"""CAST(list_sum(list_transform(range(0, $bits), p ->
        | CASE WHEN list_reduce(list_transform(range(0, 64), j ->
        |   $v[j+1] * ${sqlPlaneSign(s"($off + p)", "j")}), (x,y) -> x+y) >= 0
@@ -2738,7 +2747,7 @@ object SparkEntry {
 
       "q_embed_pairs" ->
         s"""WITH $EmbCte,
-           |bands AS (SELECT vec_id, v, b, ${sqlLshBand("v", "b * 4", 4)} AS bv
+           |bands AS (SELECT vec_id, v, b, ${sqlLshBand("v", "b * 4", "4")} AS bv
            |          FROM d, range(0, 16) t(b)),
            |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
            |         FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.vec_id < c.vec_id),
@@ -2752,7 +2761,7 @@ object SparkEntry {
       // stays value-exact even when the cap fires.
       "q_knn_join" ->
         s"""WITH $EmbCte,
-           |bands AS (SELECT vec_id, v, b, ${sqlLshBand("v", "b * 4", 4)} AS bv
+           |bands AS (SELECT vec_id, v, b, ${sqlLshBand("v", "b * 4", "4")} AS bv
            |          FROM d, range(0, 16) t(b)),
            |ok AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) <= 10000),
            |bc AS (SELECT bands.* FROM bands JOIN ok USING (b, bv)),
@@ -2765,9 +2774,31 @@ object SparkEntry {
            |SELECT id_a AS vec_id, id_b AS neighbor_id, cos, CAST(rk AS BIGINT) AS rk
            |FROM rnk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
 
+      // The auto-width twin: band width re-derived from count(*) with
+      // the same ceil(log2(n/32)) clamp [1,24] knnJoin's autoBandBits
+      // applies, so this stays value-exact at any SF (the widths are
+      // never near an exact power-of-two boundary where double log
+      // rounding could diverge: 500→4, 2000→6).
+      "q_knn_join_auto" ->
+        s"""WITH $EmbCte,
+           |nb AS (SELECT least(24, greatest(1,
+           |         CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS bits FROM d),
+           |bands AS (SELECT vec_id, v, b, ${sqlLshBand("v", "b * bits", "bits")} AS bv
+           |          FROM d, nb, range(0, 16) t(b)),
+           |ok AS (SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) <= 10000),
+           |bc AS (SELECT bands.* FROM bands JOIN ok USING (b, bv)),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           |         FROM bc a JOIN bc c ON a.b = c.b AND a.bv = c.bv AND a.vec_id <> c.vec_id),
+           |sc AS (SELECT id_a, id_b, round(${sqlCos("da.v", "db.v")}, 6) AS cos
+           |       FROM cand JOIN d da ON da.vec_id = id_a JOIN d db ON db.vec_id = id_b),
+           |rnk AS (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk
+           |        FROM sc)
+           |SELECT id_a AS vec_id, id_b AS neighbor_id, cos, CAST(rk AS BIGINT) AS rk
+           |FROM rnk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
       "q_ann_lsh" ->
         s"""WITH $EmbCte,
-           |b AS (SELECT vec_id, v, ${sqlLshBand("v", "0", 16)} AS bucket FROM d),
+           |b AS (SELECT vec_id, v, ${sqlLshBand("v", "0", "16")} AS bucket FROM d),
            |qv AS (SELECT v AS q, bucket AS qb FROM b WHERE vec_id = 0),
            |probes AS (SELECT DISTINCT unnest([qb] ||
            |  list_transform(range(0, 16), i -> xor(qb, CAST(1 << i AS BIGINT)))) AS pb FROM qv),

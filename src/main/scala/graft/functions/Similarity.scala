@@ -155,9 +155,13 @@ object Similarity {
     * all capped away). Auto derives
     * `bandBits = ceil(log2(n / 32))` (clamped to [1, 24], target
     * bucket ~32) from `nRows` when given, else ONE `df.count()` —
-    * the only action in the operator, and callers at 100 TB who
-    * already know the corpus size pass `nRows` to skip it. An
-    * explicit `bandBits > 0` overrides everything.
+    * the only action in the operator. NOTE that the count is an EAGER
+    * job that computes `df`'s lineage once before the operator's own
+    * plan computes it again — pipelines that already know the corpus
+    * size should pass `nRows` (and ones that don't but reuse `df`
+    * should cache it themselves; this operator never caches on the
+    * caller's behalf). An explicit `bandBits > 0` overrides
+    * everything; negative values are rejected.
     *
     * Returns `(idCol, neighbor_id, cos, rk)` with `rk <= k`, ranked by
     * rounded cosine descending (ties by neighbor id — the rounding is
@@ -172,6 +176,7 @@ object Similarity {
       bandBits: Int = 0,
       maxBucketSize: Int = 10000,
       nRows: Option[Long] = None): DataFrame = {
+    require(bandBits >= 0, s"bandBits must be >= 0 (0 = auto-size), got $bandBits")
     val bits =
       if (bandBits > 0) bandBits
       else autoBandBits(nRows.getOrElse(df.count()))

@@ -307,6 +307,14 @@ class SimilaritySpec extends SparkSpec {
     assert(byId.contains(1L) && byId.contains(2L) && byId.contains(3L))
   }
 
+  test("knnJoin rejects negative bandBits; 0 means auto-size") {
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(df, "id", "vec", k = 1, bandBits = -3)
+    }
+    assert(e.getMessage.contains("bandBits"))
+  }
+
   test("quantizeInt8 round-trips within quantization error; cosine preserved") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 20L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
