@@ -226,16 +226,34 @@ object TemporalOps {
     * inside `[start, end]`, sorted. A history over this grid loses
     * nothing: counts can only change at version boundaries, so
     * sampling exactly there is the finest meaningful resolution.
-    * Distributed distinct+filter, then a driver collect bounded by the
-    * number of distinct boundaries in the window — pick windows (or
-    * fall back to fixed scales) accordingly at 100 TB.
+    *
+    * The contract is a DRIVER-SIDE grid (the reference's `maximum`
+    * scale), so the collect is data-dependent — GUARDED: the boundary
+    * count is aggregated FIRST (one distributed count, no rows moved)
+    * and the collect refuses above `maxPoints` (default 1,000,000 ≈
+    * 8 MB of doubles) with an error naming the fixed-scale fallback.
+    * At 100 TB with per-second versioning a caller hits the guard, not
+    * a driver OOM — narrow the window or use
+    * `datesRange(start, end, "daily"/"weekly"/...)` instead.
     */
-  def datesRangeMaximum(df: DataFrame, start: Double, end: Double): Seq[Double] = {
+  def datesRangeMaximum(
+      df: DataFrame,
+      start: Double,
+      end: Double,
+      maxPoints: Long = 1000000L): Seq[Double] = {
     require(end >= start, s"end $end < start $start")
-    df.select(col(Meta.START).as("b"))
+    require(maxPoints > 0, s"maxPoints must be positive, got $maxPoints")
+    val bounds = df.select(col(Meta.START).as("b"))
       .unionByName(df.filter(col(Meta.END).isNotNull).select(col(Meta.END).as("b")))
       .filter(col("b") >= start && col("b") <= end)
       .distinct()
+    val n = bounds.count()
+    require(n <= maxPoints,
+      s"datesRangeMaximum: $n distinct version boundaries in [$start, $end] " +
+        s"exceed maxPoints=$maxPoints — the maximum-scale grid is a driver-side " +
+        "collect by contract. Narrow the window, raise maxPoints deliberately, " +
+        "or fall back to a fixed scale: datesRange(start, end, \"daily\"|\"weekly\"|...)")
+    bounds
       .orderBy("b")
       .collect()
       .map(_.getDouble(0))

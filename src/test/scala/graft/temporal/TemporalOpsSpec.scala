@@ -167,6 +167,23 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("datesRangeMaximum refuses an over-cap collect and names the fallback") {
+    // the boundary count is checked BEFORE any row reaches the driver;
+    // the error must name the fixed-scale fallback so a 100 TB caller
+    // knows the recovery path
+    val e = intercept[IllegalArgumentException] {
+      TemporalOps.datesRangeMaximum(df, 0.0, 1e12, maxPoints = 3)
+    }
+    assert(e.getMessage.contains("maxPoints=3"))
+    assert(e.getMessage.contains("datesRange(start, end"))
+    // same window under a sufficient cap still returns the full grid
+    val grid = TemporalOps.datesRangeMaximum(df, 150.0, 400.0, maxPoints = 100000)
+    assert(grid.nonEmpty)
+    intercept[IllegalArgumentException] {
+      TemporalOps.datesRangeMaximum(df, 0.0, 1.0, maxPoints = 0)
+    }
+  }
+
   test("rollingAgg: trailing RANGE frame includes simultaneous events") {
     import spark.implicits._
     val ev = Seq(
