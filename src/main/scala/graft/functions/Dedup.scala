@@ -354,10 +354,15 @@ object Dedup {
       .select("h")
     val pruned = exploded.join(shared, Seq("h"), "left_semi")
     val byShingle = pruned.groupBy("h").agg(collect_list(col("id")).as("ids"))
+    // emit only position-ordered pairs (suffix slice per element), then
+    // orient by value — generates C(n,2) rows per shingle instead of
+    // exploding the full n² square and filtering half away
     val inter = byShingle
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pa", "ida")))
+      .select(col("ida"),
+        explode(slice(col("ids"), col("pa") + lit(2), size(col("ids")))).as("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
     inter

@@ -364,6 +364,12 @@ object TextFunctions {
       maxMeanWordLen: Double = 10.0,
       maxTopTokenFrac: Double = 0.2,
       keepCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set(idCol, "n_tokens", "stop_ratio", "mean_word_len",
+      "top_token_frac", "keep", "reasons")
+    val clash = keepCols.filter(reserved)
+    require(clash.isEmpty,
+      s"keepCols ${clash.mkString(", ")} collide with qualityFilter's fixed " +
+        s"output columns (${reserved.mkString(", ")}) — rename before filtering")
     val joined = df.select(
       col(idCol) +: keepCols.map(col) :+
         QualityStatsExpr(coalesce(col(textCol), lit(""))).as("_qs"): _*)

@@ -66,6 +66,19 @@ class CorpusCleanSpec extends SparkSpec {
       (6L, 11L, false, List("low_stopword", "too_long")))) // 1/11 < 0.1
   }
 
+  test("qualityFilter rejects keepCols that collide with its output names") {
+    val docs = Seq((1L, "some text", 7L)).toDF("doc_id", "text", "keep")
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.qualityFilter(docs, "doc_id", "text", keepCols = Seq("keep"))
+    }
+    assert(e.getMessage.contains("keepCols") && e.getMessage.contains("keep"))
+    // a non-colliding keepCol still rides along
+    val ok = TextFunctions.qualityFilter(
+      docs.withColumnRenamed("keep", "source"), "doc_id", "text",
+      keepCols = Seq("source"))
+    assert(ok.columns.contains("source"))
+  }
+
   test("qualityFilter one-pass expression is bit-equal to the explode/groupBy twin") {
     // the shuffle-free QualityStatsExpr path must reproduce the Column
     // formulation it replaced exactly — same trick as TextStatsExprSpec

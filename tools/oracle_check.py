@@ -49,13 +49,23 @@ def main(sf_dir, out_dir, only=None):
     # inferred from how many dirs exist, or a run where half the gates
     # died would read as a clean subset
     expected = set(only.split(",")) if only else set(oracles)
-    for name in oracles:
-        if name in expected and not os.path.isdir(os.path.join(out_dir, name)):
+    for name in sorted(expected):
+        if name not in oracles:
+            # typo'd (or oracle-less) gate in `only`: say so loudly
+            # instead of silently running a weaker rows-only check
+            print(f"WARN {name}: listed in 'only' but absent from oracle_sql.json "
+                  "(typo, or a rows-only gate)")
+        if not os.path.isdir(os.path.join(out_dir, name)):
             results[name] = "MISSING RESULT DIR (query failed in Verify?)"
             n_bad += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        if only and name not in expected:
+            # stale result dir from a previous full/other-subset run:
+            # comparing it against CURRENT oracle SQL yields false
+            # failures (or stale passes) — skip outside the declared set
             continue
         # sorted: part-00000..N must concatenate in write order or the
         # ordered comparison (and WARN-UNORDERED) is nondeterministic
