@@ -1651,6 +1651,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // The exempted-cell RECOVERY path: k=2 over the whole corpus plants
+    // cells far over the cap (≈n/2 each vs cap 150 at sf0.01), so
+    // every row would be exempted without recovery; one bounded
+    // recluster level (finer md5-:anchor2 sub-anchors) brings every
+    // sub-cell under the cap and the oracle replays the same two-level
+    // recipe, proving exempted drops to zero end-to-end.
+    "q_semantic_recluster" -> ((s, dir) => {
+      Similarity.semanticDedup(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", k = 2,
+          tau = 0.35, maxCellSize = 150L, reclusterExempted = true)
+        .orderBy("vec_id")
+    }),
+
     // Cross-document duplicated 8-gram spans (substring-dedup signal):
     // per-doc count/islands/longest-span of n-grams shared by >= 2 docs.
     "q_dup_spans" -> ((s, dir) => {
@@ -3087,6 +3100,58 @@ object SparkEntry {
            |  (cs2.csize > 40) AS exempted
            |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id
            |JOIN cs2 ON cs2.cluster = a.cluster ORDER BY a.vec_id""".stripMargin,
+
+      // Two-level twin of q_semantic_dedup: hot cells (csize > 150 at
+      // k=2) re-partitioned once with ceil(4*csize/150) ':anchor2'
+      // sub-anchors; ok level-1 and ok sub-cell edges union before the
+      // component closure; exempted only where a sub-cell is STILL
+      // over cap (zero here — the gate proves the recovery empties it).
+      "q_semantic_recluster" ->
+        s"""WITH RECURSIVE $EmbCte,
+           |anch AS (SELECT vec_id AS aid, v AS av FROM d
+           |  ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR) || ':anchor') % 2147483647, vec_id
+           |  LIMIT 2),
+           |sc AS (SELECT d.vec_id, d.v, a.aid, ${sqlCos("d.v", "a.av")} AS cs
+           |       FROM d CROSS JOIN anch a),
+           |asg AS (SELECT vec_id, v, aid AS cluster FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, aid) AS rn
+           |  FROM sc) WHERE rn = 1),
+           |cz AS (SELECT cluster, count(*) AS csize FROM asg GROUP BY cluster),
+           |bnd AS (SELECT a.* FROM asg a JOIN cz USING (cluster) WHERE csize <= 150),
+           |edges1 AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM bnd x JOIN bnd y
+           |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           |  WHERE ${sqlCos("x.v", "y.v")} >= 0.35),
+           |hot AS (SELECT a.*, cz.csize FROM asg a JOIN cz USING (cluster) WHERE csize > 150),
+           |sa AS (SELECT cluster, vec_id AS said, v AS sav FROM (
+           |  SELECT cluster, vec_id, v, csize,
+           |    row_number() OVER (PARTITION BY cluster
+           |      ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR) || ':anchor2') % 2147483647, vec_id) AS rn
+           |  FROM hot) WHERE rn <= CAST(ceil(4.0 * csize / 150) AS INT)),
+           |ssc AS (SELECT h.vec_id, h.v, h.cluster, s.said, ${sqlCos("h.v", "s.sav")} AS cs
+           |        FROM hot h JOIN sa s USING (cluster)),
+           |sasg AS (SELECT vec_id, v, cluster, said AS sub FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, said) AS rn
+           |  FROM ssc) WHERE rn = 1),
+           |scz AS (SELECT cluster, sub, count(*) AS ssize FROM sasg GROUP BY 1, 2),
+           |sbnd AS (SELECT a.* FROM sasg a JOIN scz USING (cluster, sub) WHERE ssize <= 150),
+           |edges2 AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM sbnd x JOIN sbnd y
+           |  ON x.cluster = y.cluster AND x.sub = y.sub AND x.vec_id < y.vec_id
+           |  WHERE ${sqlCos("x.v", "y.v")} >= 0.35),
+           |edges AS (SELECT * FROM edges1 UNION ALL SELECT * FROM edges2),
+           |sym AS (SELECT id_a AS u, id_b AS v2 FROM edges UNION SELECT id_b, id_a FROM edges),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT u, u FROM sym
+           |  UNION
+           |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v2 = reach.id),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+           |ex AS (SELECT g.vec_id, (scz.ssize > 150) AS ex2
+           |       FROM sasg g JOIN scz USING (cluster, sub))
+           |SELECT a.vec_id, a.cluster, coalesce(c.component, a.vec_id) AS canon,
+           |  (coalesce(c.component, a.vec_id) = a.vec_id) AS kept,
+           |  coalesce(ex.ex2, false) AS exempted
+           |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id
+           |LEFT JOIN ex ON ex.vec_id = a.vec_id
+           |ORDER BY a.vec_id""".stripMargin,
 
       // Positional 8-gram spans shared by >= 2 docs, collapsed to
       // maximal islands per doc.

@@ -448,7 +448,8 @@ object Similarity {
     * cell was over `maxCellSize` and therefore never entered the edge
     * join — such rows are all `kept` but NOT certified unique, and a
     * corpus report must surface them (no silent caps: the caller can
-    * `filter(col("exempted"))` and re-cluster those cells).
+    * `filter(col("exempted"))` and re-cluster those cells, or pass
+    * `reclusterExempted = true` for the built-in one-level recovery).
     */
   /** @param maxCellSize clusters larger than this are EXCLUDED from
     *   the pairwise edge join (their members all stay "kept" and are
@@ -458,6 +459,16 @@ object Similarity {
     *   ~ N/targetCell so the cap never fires on healthy data; when it
     *   fires, re-cluster the big cell with a larger k or pre-bucket
     *   it with [[lshBuckets]].
+    * @param reclusterExempted opt-in recovery for over-cap cells: each
+    *   hot cell is re-partitioned ONCE with `ceil(4·|cell|/maxCellSize)`
+    *   finer sub-anchors (picked by the same md5 order under a
+    *   domain-separated `:anchor2` salt, so the whole second level
+    *   stays engine-replicable), and sub-cells at or under the cap
+    *   enter the edge join normally. Depth is BOUNDED AT ONE level by
+    *   design — a sub-cell still over the cap stays `exempted` rather
+    *   than recursing unboundedly (expected sub-cell size is
+    *   ~maxCellSize/4, so a still-hot sub-cell means pathological
+    *   duplication the caller should see, not silently grind through).
     */
   def semanticDedup(
       df: DataFrame,
@@ -465,7 +476,8 @@ object Similarity {
       vecCol: String,
       k: Int = 16,
       tau: Double = 0.35,
-      maxCellSize: Long = 100000L): DataFrame = {
+      maxCellSize: Long = 100000L,
+      reclusterExempted: Boolean = false): DataFrame = {
     val anchorHash = {
       val h = DedupExpressions.md5Lower64(
         concat(col(idCol).cast("string"), lit(":anchor")))
@@ -508,13 +520,69 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(DedupExpressions.cosineSim(col("va"), col("vb")) >= tau)
       .select("id_a", "id_b")
-    val comps = Dedup.connectedComponents(edges)
-    assigned.select(col(idCol), col("cluster"))
+    // one bounded recluster level for hot cells (opt-in): finer
+    // sub-anchors within each over-cap cell, same deterministic md5
+    // pick under a domain-separated salt
+    val reclustered: Option[(DataFrame, DataFrame)] =
+      if (!reclusterExempted) None
+      else {
+        val hotCells = cellSizes.filter(col("_cs") > maxCellSize)
+        val hot = assigned.join(broadcast(hotCells), Seq("cluster"))
+        val ah2 = {
+          val h = DedupExpressions.md5Lower64(
+            concat(col(idCol).cast("string"), lit(":anchor2")))
+          pmod(
+            shiftrightunsigned(h, 32) * lit(2L) + h.bitwiseAND(lit(0xFFFFFFFFL)),
+            lit(HashUtil.P))
+        }
+        val wCell = Window.partitionBy("cluster").orderBy(col("_ah2"), col(idCol))
+        val subAnchors = hot
+          .withColumn("_ah2", ah2)
+          .withColumn("_rn2", row_number().over(wCell))
+          .filter(col("_rn2") <=
+            ceil(lit(4.0) * col("_cs").cast("double") / lit(maxCellSize.toDouble)).cast("int"))
+          .select(col("cluster"), col(idCol).as("said"), col(vecCol).as("savec"))
+        val wAsg2 = Window.partitionBy(idCol).orderBy(col("_cos2").desc, col("said").asc)
+        val sub = hot.select(col(idCol), col(vecCol), col("cluster"))
+          .join(subAnchors, Seq("cluster"))
+          .withColumn("_cos2", DedupExpressions.cosineSim(col(vecCol), col("savec")))
+          .withColumn("_rn", row_number().over(wAsg2))
+          .filter(col("_rn") === 1)
+          .select(col(idCol), col(vecCol), col("cluster"), col("said").as("sub"))
+        val subSizes = sub.groupBy("cluster", "sub").agg(count(lit(1)).as("_cs2"))
+        val okSub = subSizes.filter(col("_cs2") <= maxCellSize).select("cluster", "sub")
+        val bounded2 = sub.join(broadcast(okSub), Seq("cluster", "sub"), "left_semi")
+        val edges2 = bounded2
+          .select(col(idCol).as("id_a"), col(vecCol).as("va"), col("cluster"), col("sub"))
+          .join(
+            bounded2.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+              col("cluster"), col("sub")),
+            Seq("cluster", "sub"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(DedupExpressions.cosineSim(col("va"), col("vb")) >= tau)
+          .select("id_a", "id_b")
+        // exempted survives ONLY where a sub-cell is still over cap
+        val exempt = sub.join(broadcast(subSizes), Seq("cluster", "sub"))
+          .select(col(idCol), (col("_cs2") > maxCellSize).as("_ex2"))
+        Some((edges2, exempt))
+      }
+    val allEdges = reclustered.map { case (e2, _) => edges.unionByName(e2) }.getOrElse(edges)
+    val comps = Dedup.connectedComponents(allEdges)
+    val base = assigned.select(col(idCol), col("cluster"))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .join(broadcast(cellSizes), Seq("cluster"))
-      .select(col(idCol), col("cluster"),
-        coalesce(col("component"), col(idCol)).as("canon"),
-        (col("_cs") > maxCellSize).as("exempted"))
+    val flagged = reclustered match {
+      case None =>
+        base.select(col(idCol), col("cluster"),
+          coalesce(col("component"), col(idCol)).as("canon"),
+          (col("_cs") > maxCellSize).as("exempted"))
+      case Some((_, exempt)) =>
+        base.join(exempt, Seq(idCol), "left")
+          .select(col(idCol), col("cluster"),
+            coalesce(col("component"), col(idCol)).as("canon"),
+            coalesce(col("_ex2"), lit(false)).as("exempted"))
+    }
+    flagged
       .withColumn("kept", col("canon") === col(idCol))
       .select(col(idCol), col("cluster"), col("canon"), col("kept"),
         col("exempted"))

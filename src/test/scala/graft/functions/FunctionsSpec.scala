@@ -280,6 +280,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup reclusterExempted recovers planted hot cells") {
+    // a 40-vector angular fan with k=1 → ONE cell of 40, far over cap
+    // 10: without recovery every row is exempted; with it the :anchor2
+    // sub-split assigns by nearest sub-anchor over SPREAD vectors, so
+    // sub-cells land under the cap and exempted drops to 0. (Identical
+    // vectors would NOT split — same cosine to every sub-anchor — and
+    // correctly stay exempted; that is the documented pathological
+    // case, so the fixture uses distinct directions.)
+    val df = (1L to 40L).map { i =>
+      val th = (i - 1) * (math.Pi / 2) / 39.0
+      (i, Seq(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val plain = Similarity.semanticDedup(
+      df, "vec_id", "embedding", k = 1, tau = 0.999, maxCellSize = 10L)
+    assert(plain.filter(col("exempted")).count() == 40L)
+    val rec = Similarity.semanticDedup(
+        df, "vec_id", "embedding", k = 1, tau = 0.999, maxCellSize = 10L,
+        reclusterExempted = true)
+      .collect()
+    assert(rec.count(_.getAs[Boolean]("exempted")) == 0)
+    // structural invariants: one kept row per component, canon is the
+    // component minimum, non-kept rows point at a kept canon
+    val byCanon = rec.groupBy(_.getAs[Long]("canon"))
+    assert(rec.count(_.getAs[Boolean]("kept")) == byCanon.size)
+    byCanon.foreach { case (canon, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).min == canon)
+    }
+  }
+
   test("cosinePairs finds the close pair only") {
     val df = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.95f, 0.05f)), (3L, Seq(0f, 1f)))
