@@ -16,7 +16,12 @@ object Bench {
     "q_activity_import", "q_stream_window",
     "q_token_counts", "q_quality_score", "q_dedup_exact",
     "q_minhash_pairs", "q_simhash", "q_embed_topk",
-    "q_asof_join", "q_quantiles", "q_hll_distinct", "q_token_pack")
+    "q_asof_join", "q_quantiles", "q_hll_distinct", "q_token_pack",
+    // round-5/6 scan-side kernel operators: a kernel regression (a
+    // shuffle or interpreted HOF creeping back) must move the driver's
+    // round-over-round totals, not hide outside the headline set
+    "q_quality_filter", "q_containment", "q_chunk_docs",
+    "q_corpus_rarity", "q_dup_spans", "q_tfidf_terms", "q_surprisal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
