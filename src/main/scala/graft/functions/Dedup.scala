@@ -172,8 +172,16 @@ object Dedup {
       .repartition(par)
       .select(col(idCol).as("id"),
         DedupExpressions.minhashSig(col(textCol), k).as("sig"))
+    // the band shuffles carry (band, id) ONLY — 16-byte rows. The
+    // 64-lane signature (~520 B/doc) attaches AFTER candidate dedup:
+    // carrying it through the banded semi-join + self-join shuffled
+    // ~8× sig bytes per doc (measured 6.5 GB read/1M docs in the
+    // curation rehearsal once the bucket filter outgrew its broadcast
+    // and the joins went sort-merge; 0.6 GB after this shape).
+    // sigMatchRatio is band-independent, so distinct-before-score is
+    // value-identical to the old per-band score + groupBy max.
     val bandedAll = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     // drop pathological buckets before the quadratic self-join
     val okBuckets = bandedAll.groupBy("band")
@@ -181,15 +189,21 @@ object Dedup {
       .filter(col("_bs") <= maxBucketSize)
       .select("band")
     val banded = bandedAll.join(okBuckets, Seq("band"), "left_semi")
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"))
-    a.join(b, Seq("band"))
+    val cand = banded.select(col("id").as("id_a"), col("band"))
+      .join(banded.select(col("id").as("id_b"), col("band")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // candidate side is dup-rate-bounded (bucket cap) → AQE broadcasts
+    // it and the sig scans stream unshuffled; sigs recompute from the
+    // scan rather than pinning (one extra MinHashSigExpr pass beats
+    // checkpoint IO, and the operator stays lazy for plan inspection)
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(
         col("id_a"), col("id_b"),
         DedupExpressions.sigMatchRatio(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
