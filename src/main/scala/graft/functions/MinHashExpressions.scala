@@ -380,6 +380,72 @@ object ChunkDocsExpr {
   }
 }
 
+/** Rebuild a document minus a sorted list of line positions in ONE
+  * pass — the scan-side half of
+  * [[graft.functions.Curation.removeBoilerplateLines]]. The Column
+  * formulation (`size(split)` + indexed `filter(split)` +
+  * `array_join(split)`) re-splits the text once per consumer through
+  * interpreted HOF evaluation; this kernel splits once and emits
+  * `(n_lines, n_removed, clean_text)` together.
+  */
+case class DropLinesExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"drop_lines requires (STRING, ARRAY<INT>), got ($l, $r)")
+  }
+  override def dataType: DataType = DropLinesExpr.outType
+  override def nullSafeEval(t: Any, d: Any): Any =
+    DropLinesExpr.compute(t.asInstanceOf[UTF8String], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, d) => s"graft.functions.DropLinesExpr$$.MODULE$$.compute($t, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DropLinesExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "drop_lines"
+}
+
+object DropLinesExpr {
+  val outType: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+
+  /** `drop` holds 0-based positions into the `\n`-split of `text`
+    * (Spark split semantics: limit -1, so trailing empties are kept
+    * and "" is one empty line); out-of-range or duplicate entries are
+    * ignored, so `n_removed` counts lines actually dropped.
+    */
+  def compute(text: UTF8String, drop: ArrayData): InternalRow = {
+    val parts = text.toString.split("\n", -1)
+    val dropFlag = new Array[Boolean](parts.length)
+    var removed = 0
+    var i = 0
+    val nd = drop.numElements()
+    while (i < nd) {
+      val p = drop.getInt(i)
+      if (p >= 0 && p < parts.length && !dropFlag(p)) {
+        dropFlag(p) = true
+        removed += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var first = true
+    i = 0
+    while (i < parts.length) {
+      if (!dropFlag(i)) {
+        if (!first) sb.append('\n')
+        sb.append(parts(i))
+        first = false
+      }
+      i += 1
+    }
+    InternalRow(parts.length.toLong, removed.toLong, UTF8String.fromString(sb.toString))
+  }
+}
+
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
   * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
@@ -737,6 +803,9 @@ object DedupExpressions {
 
   def chunkDocs(text: Column, maxTokens: Int, overlap: Int): Column =
     column(ChunkDocsExpr(expression(text), maxTokens, overlap))
+
+  def dropLines(text: Column, dropPos: Column): Column =
+    column(DropLinesExpr(expression(text), expression(dropPos)))
 
   def lshBand(vec: Column, planeOffset: Int, nBits: Int): Column =
     column(LshBandExpr(expression(vec), planeOffset, nBits))

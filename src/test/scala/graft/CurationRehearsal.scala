@@ -98,8 +98,14 @@ object CurationRehearsal {
           lit("\nsubscribe to our newsletter for daily updates now"))
           .otherwise(lit(""))).as("text"))
 
+    // generation is its own stage: removeBoilerplateLines scans its
+    // input twice (occurrence pass + rebuild join), and an un-pinned
+    // synthetic lineage would bill the second generation pass to the
+    // clean stage — real pipelines re-read a parquet scan instead
+    val corpus = stage("corpus gen") { lined }
+
     val cleaned = stage("clean (boiler+strip+scrub)") {
-      Curation.removeBoilerplateLines(lined, "id", "text", minDocs = 3)
+      Curation.removeBoilerplateLines(corpus, "id", "text", minDocs = 3)
         .select(col("id"),
           TextFunctions.scrubPii(TextFunctions.stripHtml(col("clean_text"))).as("text"))
     }

@@ -155,4 +155,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("chunk_docs"), s"chunking lost its kernel:\n$p")
     assert(!p.contains("Window"), s"chunking re-grew the per-doc count window:\n$p")
   }
+
+  // walks the pre-AQE physical plan and returns the column names each
+  // shuffle exchange moves — string plans can't distinguish an
+  // exchange's payload from scan-side projections, the tree can.
+  // Broadcast joins are disabled while planning: at sf0.001 every join
+  // side fits the threshold and the join exchanges this test exists to
+  // inspect would not be planned at all (at scale they are SMJs).
+  private def shuffleOutputs(build: => org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    // AQE off as well: exchanges are inserted by EnsureRequirements
+    // (so sparkPlan has none), and under AQE they hide inside the
+    // adaptive wrapper executedPlan.collect cannot descend into
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    prev.foreach { case (k, _) => spark.conf.set(k, if (k.endsWith("enabled")) "false" else "-1") }
+    try {
+      build.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("minhashPairs band exchanges carry (band, id) only — no signature payload") {
+    // the r6 reshape: sigs (~520 B/doc) attach AFTER candidate dedup;
+    // a sig column inside any band-keyed exchange is the 6.5 GB/1M-doc
+    // shuffle coming back (curation-rehearsal finding)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val banded = shuffleOutputs(
+        functions.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+      .filter(_.contains("band"))
+    assert(banded.nonEmpty, "expected band-keyed exchanges in minhashPairs")
+    for (cols <- banded)
+      assert(!cols.exists(_.startsWith("sig")),
+        s"band exchange carries a signature column: $cols")
+  }
+
+  test("removeBoilerplateLines shuffles line keys and positions, never line text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shuffles = shuffleOutputs(
+      functions.Curation.removeBoilerplateLines(docs, "doc_id", "text"))
+    assert(shuffles.nonEmpty, "expected key/position exchanges in removeBoilerplateLines")
+    for (cols <- shuffles)
+      assert(!cols.contains("_bp_line"),
+        s"an exchange carries raw line text: $cols")
+    val p = functions.Curation.removeBoilerplateLines(docs, "doc_id", "text")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("drop_lines"), s"rebuild lost the DropLinesExpr kernel:\n$p")
+  }
 }
