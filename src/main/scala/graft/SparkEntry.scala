@@ -2080,13 +2080,14 @@ object SparkEntry {
       |  FROM bh)""".stripMargin
 
   /** minhash LSH band keys + candidate pairs + estimated jaccard
-    * (bands=8 of 8 lanes; md5 string band keys exactly as
-    * Dedup.lshBandKeys builds them).
+    * (bands=8 of 8 lanes; 8-byte md5-lower-64 band keys exactly as
+    * Dedup.lshBandKeys builds them — UBIGINT vs signed Long is
+    * immaterial because the band key is only ever an equi-join key).
     */
   private val MinhashPairCtes: String =
     """bandk AS (
       |  SELECT doc_id, sig,
-      |    md5(CAST(b AS VARCHAR) || ':' ||
+      |    md5_number_lower(CAST(b AS VARCHAR) || ':' ||
       |        list_aggregate(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS band
       |  FROM sig, range(0, 8) t(b)),
       |mh_cand AS (
@@ -3392,7 +3393,7 @@ object SparkEntry {
         s"""WITH ${tokCte()}, $ShingleCtes, $SigCte,
            |bandk AS (
            |  SELECT doc_id, sig,
-           |    md5(CAST(b AS VARCHAR) || ':' ||
+           |    md5_number_lower(CAST(b AS VARCHAR) || ':' ||
            |        list_aggregate(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS band
            |  FROM sig, range(0, 8) t(b)),
            |cand AS (

@@ -77,15 +77,20 @@ object Dedup {
         h => (lit(HashUtil.laneA(i)) * h + lit(HashUtil.laneB(i))) % lit(HashUtil.P)))
     }: _*)
 
-  /** LSH band keys from a minhash signature: `bands` keys, each an md5
-    * over `<band>:<comma-joined signature slice>`. Two docs share a
-    * band key iff that signature slice matches exactly; md5 (a codegen
-    * builtin on both engines) keeps the shuffle key at a fixed 32
-    * bytes AND lets the oracle SQL build the identical key.
+  /** LSH band keys from a minhash signature: `bands` keys, each the
+    * md5-lower-64 of `<band>:<comma-joined signature slice>`. Two docs
+    * share a band key iff that signature slice matches exactly (a
+    * 2^-64 cross-slice collision only adds a CANDIDATE, which the
+    * est_jaccard threshold then scores on the full signature — it
+    * cannot corrupt output, so the 8-byte long beats the 32-char md5
+    * hex string this used at first: band exchanges move ~3.5x fewer
+    * key bytes and the bucket-cap key set becomes broadcast-sized.
+    * The oracle replicates the key as `md5_number_lower(...)` of the
+    * same concat, like every other hash key in the repo.
     */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      md5(concat_ws(":", lit(b),
+      DedupExpressions.md5Lower64(concat_ws(":", lit(b),
         concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
     }: _*)
 
