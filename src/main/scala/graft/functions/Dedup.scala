@@ -94,17 +94,41 @@ object Dedup {
         concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand))))
     }: _*)
 
+  /** `(band, id)` rows → distinct candidate `(id_a, id_b)` pairs, in
+    * ONE shuffle. `groupBy(band)` gathers each bucket's ids with the
+    * buffer-capped [[BoundedCollectListExpr]] (a hot bucket can never
+    * grow a reducer buffer past cap+1 elements), keeps buckets with
+    * `2 <= size <= maxBucketSize` — kept buckets are complete because
+    * the cap ceiling is maxBucketSize+1 — and emits each in-bucket
+    * pair once via the suffix-slice explode (C(n,2) rows, never the
+    * n² square). The previous shape paid THREE band-keyed shuffles
+    * (count buckets → semi-join the keep-set back → self-join both
+    * sides); this pays one, and the per-bucket pair blowup bound is
+    * identical (cap² / 2).
+    */
+  private def bandCandidatePairs(bandedAll: DataFrame, maxBucketSize: Int): DataFrame =
+    bandedAll.groupBy("band")
+      .agg(DedupExpressions.boundedCollectList(col("id"), maxBucketSize).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucketSize))
+      .select(col("_ids"), posexplode(col("_ids")).as(Seq("pa", "ida")))
+      .select(col("ida"),
+        explode(slice(col("_ids"), col("pa") + lit(2), size(col("_ids")))).as("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .distinct()
+
   /** MinHash+LSH candidate pairs with estimated Jaccard.
     *
-    * Pipeline: signature per doc → explode band keys → self-join on
-    * (band, key) → dedupe pairs → estimate similarity as matching
-    * signature positions / k. At scale this is the standard
+    * Pipeline: signature per doc → explode band keys → one-shuffle
+    * bucket build + in-bucket pair explode ([[bandCandidatePairs]]) →
+    * dedupe pairs → estimate similarity as matching signature
+    * positions / k. At scale this is the standard
     * shingle→minhash→band→bucket-join: the only shuffle keys are band
     * hashes, and genuinely similar docs collide in ≥1 band with high
     * probability.
     */
   /** @param maxBucketSize band buckets larger than this are dropped
-    *   before the self-join. A bucket of b docs emits b²/2 candidate
+    *   before the pair explode. A bucket of b docs emits b²/2 candidate
     *   pairs — one boilerplate template shared by 100k docs would emit
     *   5e9 pairs from a single bucket. Dropping oversized buckets
     *   bounds the join quadratically per bucket while near-dup PAIRS
@@ -138,16 +162,7 @@ object Dedup {
     val rowsPerBand = k / bands
     val bandedAll = sigs.select(
       col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    val okBuckets = bandedAll.groupBy("band")
-      .agg(count(lit(1)).as("_bs"))
-      .filter(col("_bs") <= maxBucketSize)
-      .select("band")
-    val banded = bandedAll.join(okBuckets, Seq("band"), "left_semi")
-    val pairs = banded.select(col("id").as("id_a"), col("band"))
-      .join(banded.select(col("id").as("id_b"), col("band")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val pairs = bandCandidatePairs(bandedAll, maxBucketSize)
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -177,28 +192,18 @@ object Dedup {
       .repartition(par)
       .select(col(idCol).as("id"),
         DedupExpressions.minhashSig(col(textCol), k).as("sig"))
-    // the band shuffles carry (band, id) ONLY — 16-byte rows. The
+    // the band shuffle carries (band, id) ONLY — 16-byte rows. The
     // 64-lane signature (~520 B/doc) attaches AFTER candidate dedup:
-    // carrying it through the banded semi-join + self-join shuffled
-    // ~8× sig bytes per doc (measured 6.5 GB read/1M docs in the
-    // curation rehearsal once the bucket filter outgrew its broadcast
-    // and the joins went sort-merge; 0.6 GB after this shape).
+    // carrying it through the band stages shuffled ~8× sig bytes per
+    // doc (measured 6.5 GB read/1M docs in the curation rehearsal
+    // once the bucket filter outgrew its broadcast and the joins went
+    // sort-merge; 0.6 GB after the ids-only reshape).
     // sigMatchRatio is band-independent, so distinct-before-score is
     // value-identical to the old per-band score + groupBy max.
     val bandedAll = sigs.select(
       col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
-    // drop pathological buckets before the quadratic self-join
-    val okBuckets = bandedAll.groupBy("band")
-      .agg(count(lit(1)).as("_bs"))
-      .filter(col("_bs") <= maxBucketSize)
-      .select("band")
-    val banded = bandedAll.join(okBuckets, Seq("band"), "left_semi")
-    val cand = banded.select(col("id").as("id_a"), col("band"))
-      .join(banded.select(col("id").as("id_b"), col("band")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cand = bandCandidatePairs(bandedAll, maxBucketSize)
     // candidate side is dup-rate-bounded (bucket cap) → AQE broadcasts
     // it and the sig scans stream unshuffled; sigs recompute from the
     // scan rather than pinning (one extra MinHashSigExpr pass beats
@@ -340,13 +345,15 @@ object Dedup {
   /** Shared candidate-pair machinery for the set-similarity measures:
     * distinct word `n`-gram shingles per doc, keyed by their signed
     * 64-bit md5 (8-byte shuffle keys — the n-gram TEXT never enters an
-    * exchange) → shared-shingle prune (`2 <= docs <= maxShingleFreq`:
-    * singletons can't contribute to an intersection, and at a random-
-    * text corpus they are nearly ALL shingles, so the bound cuts the
-    * pair stage's input to ~the true collision set; stop-shingles
-    * above the cap leave the numerator as before) → docs-per-shingle
-    * lists (bounded by `maxShingleFreq`, so the aggregation buffer
-    * can't blow up on a hot key — the count prefilter runs first) →
+    * exchange) → docs-per-shingle lists in ONE shuffle (the
+    * buffer-capped `boundedCollectList` bounds a hot shingle's
+    * aggregation buffer at `maxShingleFreq + 1`, so no count
+    * prefilter pass is needed) → shared-shingle prune
+    * (`2 <= docs <= maxShingleFreq`: singletons can't contribute to
+    * an intersection, and at a random-text corpus they are nearly ALL
+    * shingles, so the bound cuts the pair stage's input to ~the true
+    * collision set; stop-shingles above the cap leave the numerator
+    * as before) →
     * map-side pair explode → `(id_a, id_b, common, n_a, n_b)` with
     * `id_a < id_b`. `n_a`/`n_b` count ALL distinct shingles, so
     * denominators stay exact and only the stop-shingles' numerator
@@ -367,12 +374,17 @@ object Dedup {
       DedupExpressions.shingleSet(col(textCol), n).as("hs"))
     val sizes = sh.select(col("id"), size(col("hs")).as("n_sh"))
     val exploded = sh.select(col("id"), explode(col("hs")).as("h"))
-    val shared = exploded.groupBy("h")
-      .agg(count(lit(1)).as("_f"))
-      .filter(col("_f") >= 2 && col("_f") <= maxShingleFreq)
-      .select("h")
-    val pruned = exploded.join(shared, Seq("h"), "left_semi")
-    val byShingle = pruned.groupBy("h").agg(collect_list(col("id")).as("ids"))
+    // ONE shuffle of the doc-shingle table: the buffer-capped collect
+    // replaces the count-prefilter + keep-set semi-join this used to
+    // pay (two extra shuffles of `exploded`, which existed only to
+    // keep a hot shingle from blowing up the aggregation buffer —
+    // BoundedCollectListExpr bounds the buffer at the source). Kept
+    // shingles (2 <= docs <= maxShingleFreq) are complete because the
+    // cap ceiling is maxShingleFreq+1; stop-shingles above the cap
+    // drop exactly as before.
+    val byShingle = exploded.groupBy("h")
+      .agg(DedupExpressions.boundedCollectList(col("id"), maxShingleFreq).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleFreq))
     // emit only position-ordered pairs (suffix slice per element), then
     // orient by value — generates C(n,2) rows per shingle instead of
     // exploding the full n² square and filtering half away

@@ -774,6 +774,68 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** `collect_list` with a hard element cap: appends stop once the
+  * buffer holds `cap + 1` elements, so a degenerate hot group (every
+  * doc sharing one LSH band key, a boilerplate shingle in a billion
+  * docs) can never grow an aggregation buffer — or its serialized
+  * shuffle row — past cap+1 elements. Callers that keep only groups
+  * with `size <= cap` lose nothing: kept groups are complete (their
+  * size never reaches the cap+1 ceiling) and over-cap groups stay
+  * DETECTABLE (size == cap+1) without being materialized. This is
+  * what makes a single-shuffle `groupBy(key).agg(collect(ids))`
+  * bucket build safe at 100 TB where the unbounded builtin would OOM
+  * the reducer that owns the hot key.
+  *
+  * Extends Spark's own [[Collect]] TypedImperativeAggregate base, so
+  * buffer serialization / ObjectHashAggregate integration are the
+  * builtin `collect_list` paths; only update/merge gain the cap.
+  */
+case class BoundedCollectListExpr(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.Collect[
+    scala.collection.mutable.ArrayBuffer[Any]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(cap >= 1, s"cap must be >= 1, got $cap")
+
+  private def maxKeep = cap + 1
+
+  override lazy val bufferElementType: DataType = child.dataType
+
+  override def convertToBufferElement(value: Any): Any = InternalRow.copyValue(value)
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  override def update(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Any] =
+    if (buffer.length >= maxKeep) buffer else super.update(buffer, input)
+
+  override def merge(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      other: scala.collection.mutable.ArrayBuffer[Any]): scala.collection.mutable.ArrayBuffer[Any] = {
+    val room = maxKeep - buffer.length
+    if (room <= 0) buffer
+    else if (other.length <= room) buffer ++= other
+    else buffer ++= other.take(room)
+  }
+
+  override def eval(buffer: scala.collection.mutable.ArrayBuffer[Any]): Any =
+    new GenericArrayData(buffer.toArray)
+
+  override def withNewMutableAggBufferOffset(n: Int): BoundedCollectListExpr =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BoundedCollectListExpr =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): BoundedCollectListExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bounded_collect_list"
+}
+
 /** Column-API entry points for the custom expressions (Spark 4's
   * Column↔Expression bridge lives in `sql.classic.ExpressionUtils`).
   */
@@ -815,4 +877,7 @@ object DedupExpressions {
 
   def bloomMightContain(c: Column, filterBytes: Array[Byte]): Column =
     column(BloomMightContainExpr(expression(c), filterBytes))
+
+  def boundedCollectList(c: Column, cap: Int): Column =
+    column(BoundedCollectListExpr(expression(c), cap).toAggregateExpression())
 }

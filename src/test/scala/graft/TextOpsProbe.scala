@@ -43,6 +43,24 @@ object TextOpsProbe {
       functions.TextFunctions.unigramSurprisal(docs, "id", "text")
         .agg(sum("nll_nano")).head()
     }
+    // containment / jaccard probe corpus: 50k vocab (the 20-word corpus
+    // above is pathologically self-similar — every shingle is shared),
+    // every 50th doc a truncated copy of its predecessor so exactly
+    // nDocs/50 planted containment pairs exist
+    val wide = spark.range(nDocs).repartition(32)
+      .withColumn("eff", when(col("id") % 50 === 49, col("id") - 1).otherwise(col("id")))
+      .withColumn("len", when(col("id") % 50 === 49, lit(24)).otherwise(lit(49)))
+      .select(col("id"), concat_ws(" ",
+        transform(sequence(lit(0), col("len")),
+          i => concat(lit("w"), pmod(hash(col("eff"), i), lit(50000))))).as("text"))
+      .localCheckpoint(true)
+    timed(s"containmentPairs ($nDocs docs, 50k vocab)") {
+      val n = functions.Dedup.containmentPairs(wide, "id", "text", threshold = 0.9).count()
+      println(s"        containment pairs = $n (planted ${nDocs / 50})")
+    }
+    timed(s"ngramJaccardPairs ($nDocs docs, 50k vocab)") {
+      functions.Dedup.ngramJaccardPairs(wide, "id", "text", threshold = 0.4).count()
+    }
     spark.stop()
   }
 }

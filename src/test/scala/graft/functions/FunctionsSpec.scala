@@ -144,6 +144,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("boundedCollectList: kept groups complete, hot groups capped at cap+1") {
+    val rows = (0 until 3).map(i => ("small", i.toLong)) ++
+      (0 until 10).map(i => ("hot", 100L + i))
+    val df = rows.toDF("k", "v").repartition(8) // force partial-buffer merges
+    val got = df.groupBy("k")
+      .agg(DedupExpressions.boundedCollectList(col("v"), 5).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // under-cap group: complete and exact (order-insensitive)
+    assert(got("small").sorted == Seq(0L, 1L, 2L))
+    // over-cap group: detectable (size == cap+1), never materialized in full
+    assert(got("hot").length == 6)
+    assert(got("hot").forall(v => v >= 100L && v < 110L))
+    intercept[IllegalArgumentException] {
+      DedupExpressions.boundedCollectList(col("v"), 0)
+    }
+  }
+
+  test("minhashPairs bucket cap: over-cap buckets drop, pairs survive rarer bands") {
+    // 60 docs sharing one template would, uncapped, emit C(60,2) pairs
+    // from every band; cap 50 drops those buckets entirely
+    val tpl = (0 until 40).map(i => s"w$i").mkString(" ")
+    val clones = (0L until 60L).map(i => (i, tpl))
+    val capped = Dedup.minhashPairs(clones.toDF("id", "text"), "id", "text",
+      threshold = 0.5, maxBucketSize = 50)
+    assert(capped.count() == 0L)
+    val uncapped = Dedup.minhashPairs(clones.toDF("id", "text"), "id", "text",
+      threshold = 0.5, maxBucketSize = 2000)
+    assert(uncapped.count() == 60L * 59L / 2L)
+  }
+
   test("simhash: near-dups have small hamming distance") {
     val hs = docs.select(col("id"),
         DedupExpressions.simhash64(col("text")).as("h"))
