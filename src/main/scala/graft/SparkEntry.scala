@@ -1524,6 +1524,28 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // Same losslessness proof through the avro writer/reader (row-major
+    // interchange; provider class dispatched by name — see
+    // Loaders.AvroProvider).
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val dest = java.nio.file.Files.createTempDirectory("graft-avro").toString
+      graft.etl.Loaders.exportTable(docs, dest, "avro")
+      def nn(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit("<NULL>"))
+      val h64 = graft.functions.DedupExpressions.md5Lower64(
+        concat_ws("\u0001",
+          nn(col("doc_id")), nn(col("text")), nn(col("lang")),
+          nn(col("source")), nn(col("n_chars"))))
+      s.read.format(graft.etl.Loaders.AvroProvider).load(dest)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          bit_xor(h64).as("content_xor"))
+        .orderBy("lang", "source")
+    }),
+
     // Exact one-pass table profile (the ANALYZE / data-quality
     // report): row/null/distinct counts and min/max per column, over
     // documents plus a derived nullable column so the null path is
@@ -3355,6 +3377,25 @@ object SparkEntry {
       // content-lossless. Signed-BIGINT md5 recipe as in
       // q_fingerprint; chr(1) separates fields unambiguously.
       "q_orc_roundtrip" ->
+        """WITH m AS (SELECT lang, source, n_chars,
+          |  md5_number_lower(
+          |    coalesce(CAST(doc_id AS VARCHAR), '<NULL>') || chr(1) ||
+          |    coalesce(text, '<NULL>') || chr(1) ||
+          |    coalesce(lang, '<NULL>') || chr(1) ||
+          |    coalesce(source, '<NULL>') || chr(1) ||
+          |    coalesce(CAST(n_chars AS VARCHAR), '<NULL>')) AS u
+          |  FROM documents),
+          |h AS (SELECT lang, source, n_chars,
+          |  CAST(CASE WHEN u >= 9223372036854775808
+          |    THEN CAST(u AS HUGEINT) - 18446744073709551616
+          |    ELSE CAST(u AS HUGEINT) END AS BIGINT) AS h64 FROM m)
+          |SELECT lang, source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, bit_xor(h64) AS content_xor
+          |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // identical oracle to q_orc_roundtrip: the claim is that the avro
+      // write/read cycle is lossless against the parquet source of truth
+      "q_avro_roundtrip" ->
         """WITH m AS (SELECT lang, source, n_chars,
           |  md5_number_lower(
           |    coalesce(CAST(doc_id AS VARCHAR), '<NULL>') || chr(1) ||

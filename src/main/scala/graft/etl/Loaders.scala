@@ -142,8 +142,19 @@ object Loaders {
       wrapLoaded(normalizeKeys(spark.read.parquet(path)), oid, asOf, None)
     else if (lower.endsWith(".orc"))
       wrapLoaded(normalizeKeys(spark.read.orc(path)), oid, asOf, None)
+    else if (lower.endsWith(".avro"))
+      wrapLoaded(normalizeKeys(
+        spark.read.format(AvroProvider).load(path)), oid, asOf, None)
     else throw new IllegalArgumentException(s"unsupported file type: $path")
   }
+
+  /** Avro is compiled into spark-sql since Spark 4, but this build's
+    * `DataSourceRegister` service file doesn't alias the `avro` short
+    * name (it lived in the separate spark-avro artifact's service
+    * entry), so `format("avro")` fails lookup while the provider class
+    * itself is present and fully functional — dispatch by class name.
+    */
+  val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
 
   /** Interchange export: write `df` to `dest` in `format`. Parquet and
     * ORC are the typed columnar formats (predicate pushdown and column
@@ -166,6 +177,7 @@ object Loaders {
     fmt match {
       case "parquet" => w.parquet(dest)
       case "orc" => w.orc(dest)
+      case "avro" => w.format(AvroProvider).save(dest)
       case "csv" => w.csv(dest)
       case "json" => w.json(dest)
       case other => throw new IllegalArgumentException(s"unsupported export format: $other")

@@ -174,6 +174,22 @@ class LoadersSpec extends SparkSpec {
     assert(loaded.select(Meta.OID).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     intercept[IllegalArgumentException](Loaders.exportTable(df, dir, "xml"))
   }
+
+  test("exportTable Avro round trip is lossless and loadFile dispatches .avro") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha", 3.5), (2L, "beta", -1.25), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("graft-avro-test").toString
+    Loaders.exportTable(df.coalesce(1), dir, "avro")
+    val back = spark.read.format(Loaders.AvroProvider).load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head.getAbsolutePath
+    val loaded = Loaders.loadFile(spark, part, Loaders.OidColumn("id"))
+    assert(loaded.select(Meta.OID).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
 
 class PrepSpec extends SparkSpec {
