@@ -1808,6 +1808,29 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // LMs over a target domain sample vs the raw corpus, add-1
+    // smoothed, log-ratio in integer nano-nats (the q_surprisal
+    // determinism recipe). Target = the three "curated" sources.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val target = docs.filter(col("lang") === "en" &&
+        col("source").isin("src1", "src2", "src3"))
+      graft.functions.Curation.dsirWeights(docs, "doc_id", "text", target, "text")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR resampling step: deterministic Gumbel-max top-k — an exact
+    // softmax(logw) sample without replacement, with the Gumbel noise
+    // derived from md5(id) so both engines draw identical "randomness".
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val target = docs.filter(col("lang") === "en" &&
+        col("source").isin("src1", "src2", "src3"))
+      graft.functions.Curation.dsirResample(
+        docs, "doc_id", "text", target, "text", k = 50)
+    }),
+
     // Cluster-proportional downsampling (keep 1+floor(log2(size)) per
     // group, md5-ranked): quota via length(bin(n)) — integer-exact on
     // both engines, no float log2.
@@ -2100,6 +2123,40 @@ object SparkEntry {
       |    list_min(list_transform(hs,
       |      h -> (((i * 2654435761) % 2147483647) * h + (i * 40503) % 2147483647) % 2147483647))) AS sig
       |  FROM bh)""".stripMargin
+
+  /** DSIR hashed-ngram importance-weight chain (matches
+    * Curation.dsirWeights with buckets = 65536 and the q_dsir target
+    * predicate): unigram+bigram md5 hashes masked to 16 bits, add-1
+    * smoothed target/raw log-ratio in nano-nats, summed per doc. The
+    * target's features come from re-joining the raw feature table
+    * against the predicate, which also proves both sides tokenize
+    * identically. Ends with `wts(doc_id, n_feats, logw_nano)`.
+    */
+  private val DsirCtes: String =
+    """rfe AS (
+      |  SELECT doc_id, md5_number_lower(unnest(ws)) & 65535 AS b FROM toks
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    md5_number_lower(unnest(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i+1]))) & 65535 FROM toks),
+      |tfe AS (
+      |  SELECT b FROM rfe JOIN documents USING (doc_id)
+      |  WHERE lang = 'en' AND source IN ('src1', 'src2', 'src3')),
+      |dcr AS (SELECT b, count(*) AS cr FROM rfe GROUP BY b),
+      |dct AS (SELECT b, count(*) AS ct FROM tfe GROUP BY b),
+      |dtot AS (SELECT (SELECT count(*) FROM rfe) AS tr,
+      |                (SELECT count(*) FROM tfe) AS tt),
+      |dlr AS (SELECT s.b,
+      |  CAST(round(ln(((coalesce(ct, 0) + 1) / (tt + 65536.0)) /
+      |                ((coalesce(cr, 0) + 1) / (tr + 65536.0))) * 1e9) AS BIGINT) AS lrn
+      |  FROM range(0, 65536) s(b)
+      |  LEFT JOIN dcr USING (b) LEFT JOIN dct USING (b) CROSS JOIN dtot),
+      |wts AS (
+      |  SELECT d.doc_id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+      |    CAST(coalesce(w.logw_nano, 0) AS BIGINT) AS logw_nano
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id, count(*) AS n_feats, CAST(sum(lrn) AS BIGINT) AS logw_nano
+      |    FROM rfe JOIN dlr USING (b) GROUP BY doc_id) w USING (doc_id))""".stripMargin
 
   /** minhash LSH band keys + candidate pairs + estimated jaccard
     * (bands=8 of 8 lanes; 8-byte md5-lower-64 band keys exactly as
@@ -3460,6 +3517,20 @@ object SparkEntry {
            |  CAST(sum(nll) AS BIGINT) AS nll_nano,
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_dsir_weights" ->
+        s"""WITH ${tokCte()}, $DsirCtes
+           |SELECT doc_id, n_feats, logw_nano FROM wts ORDER BY doc_id""".stripMargin,
+
+      "q_dsir_select" ->
+        s"""WITH ${tokCte()}, $DsirCtes,
+           |keyed AS (SELECT doc_id, n_feats, logw_nano,
+           |  logw_nano + CAST(round(-ln(-ln(
+           |    ((md5_number_lower('dsir:2042:' || CAST(doc_id AS VARCHAR)) >> 11) + 0.5)
+           |      / 9007199254740992.0)) * 1e9) AS BIGINT) AS key_nano
+           |  FROM wts)
+           |SELECT doc_id, n_feats, logw_nano, key_nano FROM keyed
+           |ORDER BY key_nano DESC, doc_id LIMIT 50""".stripMargin,
 
       // token identity is md5-lower-64 on BOTH engines (Spark shuffles
       // 8-byte keys; string equality and hash equality agree exactly

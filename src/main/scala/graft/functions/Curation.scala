@@ -452,4 +452,120 @@ object Curation {
       .drop("__pid", "__tok")
     (out, parted)
   }
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * per-document log importance weight `log p_target(x) - log p_raw(x)`
+    * under bag-of-hashed-ngram unigram+bigram language models. Every
+    * feature hashes into a power-of-two bucket space (`md5Lower64 &
+    * (buckets-1)` — a plain bit-mask, identical on signed Spark longs
+    * and unsigned DuckDB md5 numbers), so BOTH language models are
+    * bounded at `buckets` rows regardless of corpus size: the raw-LM
+    * aggregation is one map-side-combined groupBy with ≤ `buckets`
+    * output rows, the log-ratio table broadcasts, and scoring is a
+    * broadcast-join + per-doc sum — the whole operator shuffles
+    * nothing wider than `(doc id, partial sums)` at any corpus scale.
+    * Add-1 smoothing keeps buckets unseen in either side finite.
+    *
+    * Weights are integer NANO-nats (`round(ln(ratio) * 1e9)` per
+    * bucket, summed exactly as longs) — the same cross-engine
+    * determinism recipe as `unigramSurprisal`.
+    *
+    * Returns `(idCol, n_feats, logw_nano)` for every raw row
+    * (feature-less docs get `n_feats = 0, logw_nano = 0`).
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int = 65536): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    val mask = lit((buckets - 1).toLong)
+    // unigram + bigram occurrence hashes, bucketed; n-grams shorter
+    // than the doc yield their positional hashes, docs shorter than n
+    // contribute nothing at that n (ShinglePosHashesExpr semantics)
+    def bucketed(df: DataFrame, t: String, id: Option[String]): DataFrame = {
+      val h = explode(concat(
+        DedupExpressions.shinglePosHashes(col(t), 1),
+        DedupExpressions.shinglePosHashes(col(t), 2))).as("_h")
+      val base = id match {
+        case Some(i) => df.select(col(i).as("_id"), h)
+        case None => df.select(h)
+      }
+      base.withColumn("_b", col("_h").bitwiseAND(mask)).drop("_h")
+    }
+    val rawEx = bucketed(raw, textCol, Some(idCol))
+    val tgtEx = bucketed(target, targetTextCol, None)
+    val rawCounts = rawEx.groupBy("_b").agg(count(lit(1)).as("_cr"))
+    val tgtCounts = tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct"))
+    val totals = rawCounts.agg(sum("_cr").as("_tr"))
+      .crossJoin(tgtCounts.agg(sum("_ct").as("_tt")))
+    // full bucket spine so buckets unseen on either side still get a
+    // smoothed ratio; all tables here are <= `buckets` rows
+    val lr = raw.sparkSession.range(buckets).select(col("id").as("_b"))
+      .join(rawCounts, Seq("_b"), "left")
+      .join(tgtCounts, Seq("_b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("_b"),
+        round(log(
+          ((coalesce(col("_ct"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("_tt"), lit(0L)) + lit(buckets.toLong)).cast("double")) /
+          ((coalesce(col("_cr"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("_tr"), lit(0L)) + lit(buckets.toLong)).cast("double"))) * lit(1e9))
+          .cast("long").as("_lr_nano"))
+    val scored = rawEx.join(broadcast(lr), "_b")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("_lr_nano")).as("logw_nano"))
+    raw.select(col(idCol).as("_id")).distinct()
+      .join(scored, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_nano"), lit(0L)).as("logw_nano"))
+  }
+
+  /** DSIR selection: keep the `k` raw documents with the largest
+    * Gumbel-perturbed importance weight — the Gumbel-max trick makes
+    * top-k by `logw + Gumbel(0,1)` an exact sample WITHOUT replacement
+    * from `softmax(logw)`, which is the paper's resampling step, but
+    * with the noise derived deterministically from `md5Lower64("dsir:"
+    * <seed> ":" <id>)` instead of RNG state: the selection is a pure
+    * function of the data, rerunnable on any cluster size (same
+    * design rule as [[hashSplit]]/[[mixture]]). `gumbel = false`
+    * degrades to plain arg-top-k by weight (the paper's "top-k
+    * heuristic" baseline). Ties break on id. The sort is a
+    * `TakeOrderedAndProject` — per-partition top-k then a k-row
+    * driver merge, never a global sort.
+    *
+    * Returns `(idCol, n_feats, logw_nano, key_nano)`, `key_nano`
+    * descending.
+    */
+  def dsirResample(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      k: Int,
+      buckets: Int = 65536,
+      gumbel: Boolean = true,
+      seed: Long = 2042L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+    // u in (0,1): top 53 bits of the id hash, offset by 1/2 ulp so
+    // neither log is ever passed 0 — bit-identical in DuckDB as
+    // ((md5_number_lower(...) >> 11) + 0.5) / 9007199254740992.0
+    val u = (shiftrightunsigned(
+        graft.functions.DedupExpressions.md5Lower64(
+          concat_ws(":", lit("dsir"), lit(seed), col(idCol).cast("string"))), 11)
+        .cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val key =
+      if (gumbel) col("logw_nano") + round(-log(-log(u)) * lit(1e9)).cast("long")
+      else col("logw_nano")
+    w.withColumn("key_nano", key)
+      .orderBy(col("key_nano").desc, col(idCol))
+      .limit(k)
+  }
 }

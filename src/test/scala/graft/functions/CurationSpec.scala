@@ -206,4 +206,48 @@ class CurationSpec extends SparkSpec {
       .except(single.select("doc_id", "cum_tokens", "pack_id", "pack_pos"))
       .count() == 0)
   }
+
+  test("dsirWeights ranks target-domain docs above off-domain docs") {
+    // raw = 20 "science" docs + 20 "spam" docs; target = 10 held-out
+    // science docs. Science docs must score strictly higher.
+    def doc(vocab: Seq[String], salt: Int): String =
+      (0 until 30).map(i => vocab((i * 7 + salt * 13) % vocab.size)).mkString(" ")
+    val sci = Seq("atom", "cell", "energy", "quantum", "gene", "orbit", "enzyme", "field")
+    val spam = Seq("win", "free", "click", "now", "prize", "offer", "cash", "deal")
+    val raw = ((0 until 20).map(i => (i.toLong, doc(sci, i))) ++
+      (20 until 40).map(i => (i.toLong, doc(spam, i)))).toDF("id", "text")
+    val target = (100 until 110).map(i => (i.toLong, doc(sci, i))).toDF("id", "text")
+    val w = Curation.dsirWeights(raw, "id", "text", target, "text", buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val minSci = (0 until 20).map(i => w(i.toLong)).min
+    val maxSpam = (20 until 40).map(i => w(i.toLong)).max
+    assert(minSci > maxSpam,
+      s"science floor $minSci should exceed spam ceiling $maxSpam")
+    // every raw row present, even ones sharing no bucket with target
+    assert(w.size == 40)
+    intercept[IllegalArgumentException] {
+      Curation.dsirWeights(raw, "id", "text", target, "text", buckets = 1000)
+    }
+  }
+
+  test("dsirResample: deterministic Gumbel top-k, target-domain enriched") {
+    def doc(vocab: Seq[String], salt: Int): String =
+      (0 until 30).map(i => vocab((i * 7 + salt * 13) % vocab.size)).mkString(" ")
+    val sci = Seq("atom", "cell", "energy", "quantum", "gene", "orbit", "enzyme", "field")
+    val spam = Seq("win", "free", "click", "now", "prize", "offer", "cash", "deal")
+    val raw = ((0 until 20).map(i => (i.toLong, doc(sci, i))) ++
+      (20 until 40).map(i => (i.toLong, doc(spam, i)))).toDF("id", "text")
+    val target = (100 until 110).map(i => (i.toLong, doc(sci, i))).toDF("id", "text")
+    def run() = Curation.dsirResample(raw, "id", "text", target, "text", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val first = run()
+    assert(first == run(), "resample must be a pure function of the data")
+    assert(first.size == 10)
+    // with weights this separated the Gumbel noise cannot flip domains
+    assert(first.forall(_ < 20L), s"selected off-domain ids: $first")
+    // keys are sorted descending in the output
+    val keys = Curation.dsirResample(raw, "id", "text", target, "text", k = 10)
+      .collect().map(_.getLong(3)).toSeq
+    assert(keys == keys.sortBy(-_))
+  }
 }
