@@ -1808,6 +1808,15 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Okapi BM25 retrieval over the corpus: the lexical scorer for
+    // pulling topic-relevant slices during curation. Per-term scores
+    // snap to nano-units pre-sum; oracle replays the exact float
+    // expression (constants written as the same unfoldable sums).
+    "q_bm25" -> ((s, dir) => {
+      TextFunctions.bm25TopDocs(tbl(s, dir, "documents"), "doc_id", "text",
+        query = Seq("join", "window", "stream"), k = 25)
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // LMs over a target domain sample vs the raw corpus, add-1
     // smoothed, log-ratio in integer nano-nats (the q_surprisal
@@ -3517,6 +3526,22 @@ object SparkEntry {
            |  CAST(sum(nll) AS BIGINT) AS nll_nano,
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q_bm25" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS tok FROM toks),
+           |qtf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM ex
+           |  WHERE tok IN ('join', 'window', 'stream') GROUP BY 1, 2, 3),
+           |qdf AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+           |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+           |               (SELECT sum(len(ws)) FROM toks) AS sdl),
+           |sc AS (SELECT doc_id,
+           |  CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+           |    (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+           |      0.75 * dl / (sdl / CAST(n AS DOUBLE))))) * 1e9) AS BIGINT) AS s
+           |  FROM qtf JOIN qdf USING (tok) CROSS JOIN st)
+           |SELECT doc_id, count(*) AS n_hits, CAST(sum(s) AS BIGINT) AS score_nano
+           |FROM sc GROUP BY doc_id ORDER BY score_nano DESC, doc_id LIMIT 25""".stripMargin,
 
       "q_dsir_weights" ->
         s"""WITH ${tokCte()}, $DsirCtes

@@ -428,6 +428,64 @@ object TextFunctions {
     * `rk <= k`, ties broken by signed term-hash ascending (DuckDB
     * twin: `md5_number_lower` two's-complemented to BIGINT).
     */
+  /** BM25 (Okapi) ranking of documents against a bag-of-terms query —
+    * the retrieval scorer a curation pipeline uses to pull
+    * topic-relevant slices out of a web corpus (and the lexical half
+    * of hybrid lexical+embedding search next to
+    * `Similarity.annTopK`). Robertson idf with the +1 floor (never
+    * negative), `k1`/`b` saturation exactly as published.
+    *
+    * Scale shape: query terms normalize+hash DRIVER-side with the same
+    * md5 the [[TokenTfExpr]] kernel emits, so the per-doc tf explode
+    * filters to the tiny query-hash set right at the scan — nothing
+    * wider than `(id, h, tf, dl)` for MATCHING terms ever shuffles,
+    * the per-term df/N/avgdl aggregates are broadcast-sized, and the
+    * top-k is a `TakeOrderedAndProject`. One extra kernel pass over
+    * the scan computes corpus `N`/`avgdl` (no cache, no second
+    * shuffle). Per-term scores snap to integer nano-units before the
+    * per-doc sum (the repo's cross-engine float recipe).
+    *
+    * Returns the top `k` rows `(idCol, n_hits, score_nano)` by
+    * `score_nano` descending, ties on id.
+    */
+  def bm25TopDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must contain at least one term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qHashes = HashUtil.tokens(query.mkString(" ")).distinct
+      .map(HashUtil.md5Lower64).toSeq
+    require(qHashes.nonEmpty, "query normalized to zero tokens")
+    val tf = df.select(col(idCol).as("_id"),
+        tokenCount(col(textCol)).cast("long").as("_dl"),
+        explode(TokenTfExpr(col(textCol))).as("_p"))
+      .select(col("_id"), col("_dl"), col("_p.h").as("_h"), col("_p.tf").as("_tf"))
+      .filter(col("_h").isin(qHashes: _*))
+    val dfq = tf.groupBy("_h").agg(count(lit(1)).as("_df"))
+    val stats = df.agg(count(lit(1)).as("_n"),
+      sum(tokenCount(col(textCol)).cast("long")).as("_sum_dl"))
+    val nD = col("_n").cast("double")
+    val idf = log((nD - col("_df").cast("double") + lit(0.5)) /
+      (col("_df").cast("double") + lit(0.5)) + lit(1.0))
+    val avgdl = col("_sum_dl").cast("double") / nD
+    val denom = col("_tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl)
+    val termScore = idf * (col("_tf").cast("double") * (lit(k1) + lit(1.0)) / denom)
+    tf.join(broadcast(dfq), "_h")
+      .crossJoin(broadcast(stats))
+      .withColumn("_s_nano", round(termScore * lit(1e9)).cast("long"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("_s_nano")).as("score_nano"))
+      .select(col("_id").as(idCol), col("n_hits"), col("score_nano"))
+      .orderBy(col("score_nano").desc, col(idCol))
+      .limit(k)
+  }
+
   def tfidfTopTerms(
       df: DataFrame,
       idCol: String,

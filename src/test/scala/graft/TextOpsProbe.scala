@@ -54,6 +54,11 @@ object TextOpsProbe {
         transform(sequence(lit(0), col("len")),
           i => concat(lit("w"), pmod(hash(col("eff"), i), lit(50000))))).as("text"))
       .localCheckpoint(true)
+    timed(s"dsirResample ($nDocs docs, 10k target)") {
+      val target = wide.filter(col("id") % 100 === 0).select("id", "text")
+      functions.Curation.dsirResample(wide, "id", "text", target, "text",
+        k = 1000).count()
+    }
     timed(s"containmentPairs ($nDocs docs, 50k vocab)") {
       val n = functions.Dedup.containmentPairs(wide, "id", "text", threshold = 0.9).count()
       println(s"        containment pairs = $n (planted ${nDocs / 50})")

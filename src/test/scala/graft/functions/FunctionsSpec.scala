@@ -88,6 +88,30 @@ class DedupSpec extends SparkSpec {
     (4L, base)) // exact dup of 0
     .toDF("id", "text")
 
+  test("bm25TopDocs: query-term density ranks, idf discounts common terms") {
+    val docs = Seq(
+      (1L, "spark join window stream join window stream"), // all terms, dense
+      (2L, "spark join table scan filter merge sort data"), // one term
+      (3L, "table scan filter merge sort data row batch"), // no terms
+      (4L, "join window stream"), // all terms, short doc
+      (5L, "the the the the the the the the the the")
+    ).toDF("id", "text")
+    val got = TextFunctions.bm25TopDocs(docs, "id", "text",
+      Seq("join", "window", "stream"), k = 10).collect()
+    val ids = got.map(_.getLong(0)).toSeq
+    assert(!ids.contains(3L) && !ids.contains(5L))
+    assert(ids.take(2).toSet == Set(1L, 4L), s"dense docs must lead: $ids")
+    assert(ids.last == 2L)
+    val byId = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == 3L && byId(4L) == 3L && byId(2L) == 1L) // n_hits
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25TopDocs(docs, "id", "text", Seq(), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.bm25TopDocs(docs, "id", "text", Seq("!!"), k = 1)
+    }
+  }
+
   test("exact dedup keeps smallest id per key group") {
     val d = Dedup.exact(docs, "id", Seq("text"))
     assert(d.count() == 4)
