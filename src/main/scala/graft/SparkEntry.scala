@@ -1795,6 +1795,37 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // Streaming near-dup screen: the incremental-dedup operator as a
+    // stream-static foreachBatch stage — 3 micro-batches
+    // (maxFilesPerTrigger=1 over a 3-file source) screened against the
+    // static signature index built from the < 400 corpus; the appended
+    // union must equal the batch screen, verified by the SAME oracle
+    // as q_dedup_incremental.
+    "q_stream_neardedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpusSigs = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("id"),
+          graft.functions.DedupExpressions.minhashSig(col("text"), 64, 3).as("sig"))
+      val idx = Dedup.buildSignatureIndex(corpusSigs)
+      val tmpBase =
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm")
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-nd-src").toString
+      docs.filter(col("doc_id") >= 400).repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val outDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-nd-out").toString
+      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-nd-ck").toString
+      val q = graft.streaming.StreamIngest.screenStreamAgainstIndex(
+        s.readStream.schema(DocumentsStreamSchema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        "doc_id", "text", idx, threshold = 0.5, ck) { (res, _) =>
+        res.write.mode("append").parquet(outDir)
+      }
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("doc_id")
+    }),
+
     // Overlapping-window document chunking: every boundary is integer
     // arithmetic, chunk text reassembled in token order; oracle
     // replays it with zipped unnest + string_agg ORDER BY pos.
@@ -2132,6 +2163,30 @@ object SparkEntry {
       |    list_min(list_transform(hs,
       |      h -> (((i * 2654435761) % 2147483647) * h + (i * 40503) % 2147483647) % 2147483647))) AS sig
       |  FROM bh)""".stripMargin
+
+  /** Incremental near-dup screen oracle (new docs >= 400 vs the
+    * < 400 corpus index) — shared verbatim by q_dedup_incremental and
+    * q_stream_neardedup: the streaming screen runs the identical
+    * batch operator per micro-batch against a static index, so the
+    * streamed union over the same rows IS the batch result.
+    */
+  private lazy val IncrementalDedupOracleSql: String =
+    s"""WITH ${tokCte()}, $ShingleCtes, $SigCte,
+       |bandk AS (
+       |  SELECT doc_id, sig,
+       |    md5_number_lower(CAST(b AS VARCHAR) || ':' ||
+       |        list_aggregate(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS band
+       |  FROM sig, range(0, 8) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS nid, n.sig AS nsig, c.doc_id AS cid, c.sig AS csig
+       |  FROM bandk n JOIN bandk c ON n.band = c.band
+       |  WHERE n.doc_id >= 400 AND c.doc_id < 400),
+       |m AS (
+       |  SELECT nid, min(cid) AS dup_of FROM cand
+       |  WHERE CAST(len(list_filter(range(1, 65), i -> nsig[i] = csig[i])) AS DOUBLE) / 64.0 >= 0.5
+       |  GROUP BY nid)
+       |SELECT d.doc_id, m.dup_of FROM documents d LEFT JOIN m ON m.nid = d.doc_id
+       |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin
 
   /** DSIR hashed-ngram importance-weight chain (matches
     * Curation.dsirWeights with buckets = 65536 and the q_dsir target
@@ -3496,23 +3551,12 @@ object SparkEntry {
           |    count(DISTINCT lang_nn), min(lang_nn), max(lang_nn) FROM d
           |) ORDER BY "column"""".stripMargin,
 
-      "q_dedup_incremental" ->
-        s"""WITH ${tokCte()}, $ShingleCtes, $SigCte,
-           |bandk AS (
-           |  SELECT doc_id, sig,
-           |    md5_number_lower(CAST(b AS VARCHAR) || ':' ||
-           |        list_aggregate(list_transform(sig[b*8+1:b*8+8], x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS band
-           |  FROM sig, range(0, 8) t(b)),
-           |cand AS (
-           |  SELECT DISTINCT n.doc_id AS nid, n.sig AS nsig, c.doc_id AS cid, c.sig AS csig
-           |  FROM bandk n JOIN bandk c ON n.band = c.band
-           |  WHERE n.doc_id >= 400 AND c.doc_id < 400),
-           |m AS (
-           |  SELECT nid, min(cid) AS dup_of FROM cand
-           |  WHERE CAST(len(list_filter(range(1, 65), i -> nsig[i] = csig[i])) AS DOUBLE) / 64.0 >= 0.5
-           |  GROUP BY nid)
-           |SELECT d.doc_id, m.dup_of FROM documents d LEFT JOIN m ON m.nid = d.doc_id
-           |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin,
+      "q_dedup_incremental" -> IncrementalDedupOracleSql,
+
+      // the streaming screen IS the batch screen per micro-batch
+      // (stream-static, stateless), so the batch oracle verifies the
+      // streamed union verbatim — same sharing as q_stream_quality
+      "q_stream_neardedup" -> IncrementalDedupOracleSql,
 
       "q_surprisal" ->
         s"""WITH ${tokCte()},

@@ -66,6 +66,40 @@ object StreamIngest {
       .start()
   }
 
+  /** Screen a document stream against a STATIC near-dup signature
+    * index — the rolling-ingest front door of a training-data
+    * pipeline: every micro-batch runs the exact batch screen
+    * ([[graft.functions.Dedup.dedupAgainstIndex]]) against the
+    * persisted index, so each batch's output is definitionally the
+    * batch operator's result for those rows, delivered incrementally
+    * (`onBatch` receives `(screened, batchId)` — write accepted rows,
+    * and append their signatures to the index store for the next
+    * stream restart to pick up). The index is static for the stream's
+    * lifetime, so this is a stream-static composition with NO
+    * streaming state: no watermark to tune, and a crash-restart
+    * replays only unprocessed files (checkpoint tracks the file log).
+    * Screening cost per batch is O(batch) band rows against the
+    * pre-pruned index bands, same as the batch path.
+    */
+  def screenStreamAgainstIndex(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: graft.functions.Dedup.SignatureIndex,
+      threshold: Double,
+      checkpointDir: String)(onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.functions.Dedup.dedupAgainstIndex(
+            batch, idCol, textCol, index, threshold),
+          batchId)
+        ()
+      }
+      .start()
+
   /** Streaming gap-sessionization with CUSTOM state:
     * `flatMapGroupsWithState` keeps one open session per user; an
     * event beyond the gap closes and emits the finished session, and an

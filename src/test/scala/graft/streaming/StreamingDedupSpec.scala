@@ -56,4 +56,40 @@ class StreamingDedupSpec extends SparkSpec {
       .write.mode("append").parquet(src.toString)
     assert(runBatch() == Seq("A"))
   }
+
+  test("screenStreamAgainstIndex: multi-batch union equals the batch screen") {
+    import graft.functions.{Dedup, DedupExpressions}
+    def doc(salt: Int): String =
+      (0 until 25).map(i => s"tok${(i * 11 + salt * 7) % 400}").mkString(" ")
+    // corpus 0..19; new docs 100..111, of which the even ones clone a
+    // corpus doc (near-dup) and the odd ones are fresh
+    val corpus = (0 until 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    val newDocs = (0 until 12).map { i =>
+      (100L + i, if (i % 2 == 0) doc(i / 2) else doc(1000 + i))
+    }.toDF("id", "text")
+    val idx = Dedup.buildSignatureIndex(
+      corpus.select(col("id"),
+        DedupExpressions.minhashSig(col("text"), 64, 3).as("sig")))
+    val base = java.nio.file.Files.createTempDirectory("graft-scr")
+    val srcDir = base.resolve("src").toString
+    newDocs.repartitionByRange(4, col("id")).write.parquet(srcDir)
+    val outDir = base.resolve("out").toString
+    var batches = 0
+    val q = StreamIngest.screenStreamAgainstIndex(
+      spark.readStream.schema(StructType(Seq(
+          StructField("id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      "id", "text", idx, threshold = 0.5, base.resolve("ck").toString) { (res, _) =>
+      batches += 1
+      res.write.mode("append").parquet(outDir)
+    }
+    q.awaitTermination()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val batch = Dedup.dedupAgainstIndex(newDocs, "id", "text", idx, 0.5)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(streamed == batch)
+    assert((0 until 12).forall(i => streamed(100L + i).isDefined == (i % 2 == 0)))
+  }
 }
