@@ -70,6 +70,14 @@ object SparkEntry {
     * micro-batch commit log's fsyncs out of bench timings — this state
     * is throwaway; a real deployment checkpoints to durable storage.
     */
+  /** tmpfs scratch root for streaming gates (checkpoint fsync latency
+    * dominates micro-batch wall time on disk).
+    */
+  private def streamScratchBase: java.nio.file.Path =
+    if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      java.nio.file.Paths.get("/dev/shm")
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+
   private def runStreamGate(
       s: SparkSession,
       dir: String,
@@ -77,10 +85,7 @@ object SparkEntry {
       schema: org.apache.spark.sql.types.StructType,
       prefix: String,
       mode: String)(agg: DataFrame => DataFrame): DataFrame = {
-    val tmpBase =
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-        java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmpBase = streamScratchBase
     val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft-$prefix-src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/$table.parquet"),
@@ -1806,11 +1811,18 @@ object SparkEntry {
       val corpusSigs = docs.filter(col("doc_id") < 400)
         .select(col("doc_id").as("id"),
           graft.functions.DedupExpressions.minhashSig(col("text"), 64, 3).as("sig"))
-      val idx = Dedup.buildSignatureIndex(corpusSigs)
-      val tmpBase =
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          java.nio.file.Paths.get("/dev/shm")
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val tmpBase = streamScratchBase
+      // PERSIST the index (as q_dedup_incremental does) — passing the
+      // lazy frames into foreachBatch would recompute corpus
+      // signatures and bucket stats inside EVERY micro-batch, which is
+      // exactly what the stored-index contract exists to avoid
+      val idxBase = java.nio.file.Files.createTempDirectory(tmpBase, "graft-nd-idx").toString
+      val built = Dedup.buildSignatureIndex(corpusSigs)
+      built.sigs.write.mode("overwrite").parquet(idxBase + "/sigs")
+      built.bands.write.mode("overwrite").parquet(idxBase + "/bands")
+      val idx = Dedup.SignatureIndex(
+        s.read.parquet(idxBase + "/sigs"), s.read.parquet(idxBase + "/bands"),
+        built.nBands, built.rowsPerBand)
       val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-nd-src").toString
       docs.filter(col("doc_id") >= 400).repartitionByRange(3, col("doc_id"))
         .write.mode("overwrite").parquet(srcDir)

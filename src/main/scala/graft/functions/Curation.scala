@@ -471,6 +471,14 @@ object Curation {
     * bucket, summed exactly as longs) — the same cross-engine
     * determinism recipe as `unigramSurprisal`.
     *
+    * DELIBERATE recompute: the raw tokenize+hash explode runs twice
+    * (once for the bucket counts, once for scoring) and the id spine
+    * is a third scan — the same recompute-over-checkpoint call
+    * `minhashPairs` documents: the explode is a corpus-sized
+    * intermediate whose checkpoint IO costs more than a second
+    * one-pass kernel scan, and the spine's `distinct` keeps the
+    * contract correct even if a caller passes duplicate ids.
+    *
     * Returns `(idCol, n_feats, logw_nano)` for every raw row
     * (feature-less docs get `n_feats = 0, logw_nano = 0`).
     */

@@ -516,6 +516,15 @@ object Dedup {
       textCol: String,
       index: SignatureIndex,
       threshold: Double = 0.5): DataFrame = {
+    // refuse indexes persisted under the pre-r6 STRING (md5 hex) band
+    // keys: the equi-join against today's md5Lower64 LONG keys would
+    // cast-to-null, match nothing, and silently report every duplicate
+    // as novel — the exact failure mode the parameter-carrying
+    // SignatureIndex exists to prevent
+    val bandType = index.bands.schema("band").dataType
+    require(bandType == org.apache.spark.sql.types.LongType,
+      s"signature index has $bandType band keys; band keys are md5Lower64 " +
+        "longs since round 6 — rebuild the index with buildSignatureIndex")
     val newSigs = newDocs.select(
       col(idCol).as("_nid"),
       DedupExpressions.minhashSig(col(textCol), index.k, 3).as("_nsig"))

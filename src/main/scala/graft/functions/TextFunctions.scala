@@ -461,14 +461,22 @@ object TextFunctions {
     val qHashes = HashUtil.tokens(query.mkString(" ")).distinct
       .map(HashUtil.md5Lower64).toSeq
     require(qHashes.nonEmpty, "query normalized to zero tokens")
+    // dl = NORMALIZED token count (sum of the kernel's tfs), not the
+    // whitespace tokenCount — tf/df/dl must all come from the same
+    // tokenizer or the length normalization disagrees with the term
+    // statistics (and with the oracle's len(ws)) on punctuated text.
+    // The fold walks the per-doc distinct-term array once per row;
+    // its argument is the kernel output, evaluated once, so this is
+    // not the per-element HOF re-evaluation the kernels exist to avoid.
+    val dlExpr = aggregate(TokenTfExpr(col(textCol)), lit(0L),
+      (acc, p) => acc + p.getField("tf"))
     val tf = df.select(col(idCol).as("_id"),
-        tokenCount(col(textCol)).cast("long").as("_dl"),
+        dlExpr.as("_dl"),
         explode(TokenTfExpr(col(textCol))).as("_p"))
       .select(col("_id"), col("_dl"), col("_p.h").as("_h"), col("_p.tf").as("_tf"))
       .filter(col("_h").isin(qHashes: _*))
     val dfq = tf.groupBy("_h").agg(count(lit(1)).as("_df"))
-    val stats = df.agg(count(lit(1)).as("_n"),
-      sum(tokenCount(col(textCol)).cast("long")).as("_sum_dl"))
+    val stats = df.agg(count(lit(1)).as("_n"), sum(dlExpr).as("_sum_dl"))
     val nD = col("_n").cast("double")
     val idf = log((nD - col("_df").cast("double") + lit(0.5)) /
       (col("_df").cast("double") + lit(0.5)) + lit(1.0))

@@ -112,6 +112,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bm25 length normalization uses the same tokenizer as tf/df") {
+    // punctuation changes whitespace token counts but not normalized
+    // ones — scores must be identical doc-for-doc
+    val plain = Seq(
+      (1L, "join window stream table scan"),
+      (2L, "join join window data row batch merge sort")).toDF("id", "text")
+    val punct = Seq(
+      (1L, "Join, window; STREAM table scan!"),
+      (2L, "join... join (window) data row batch merge sort")).toDF("id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      TextFunctions.bm25TopDocs(df, "id", "text", Seq("join", "window"), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(scores(plain) == scores(punct))
+  }
+
+  test("dedupAgainstIndex refuses a pre-r6 string-banded index") {
+    val sigs = Seq((1L, Seq.fill(64)(7L))).toDF("id", "sig")
+    val strBands = Seq((1L, "a3f9")).toDF("id", "band")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(
+        Seq((2L, "some text")).toDF("id", "text"), "id", "text",
+        Dedup.SignatureIndex(sigs, strBands, 8, 8))
+    }
+    assert(e.getMessage.contains("rebuild the index"))
+  }
+
   test("exact dedup keeps smallest id per key group") {
     val d = Dedup.exact(docs, "id", Seq("text"))
     assert(d.count() == 4)
