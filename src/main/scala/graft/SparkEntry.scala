@@ -1851,6 +1851,23 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Distributed Lloyd's k-means over int8-quantized embeddings:
+    // integer-exact iterations (order-independent sums, round-half-up
+    // centroid division, ties to the lower cell), so the oracle
+    // replays BOTH iterations bit-for-bit — no float formulation
+    // survives cross-engine hashing.
+    "q_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val cents = Similarity.kmeansFitInt8(
+        emb, "vec_id", "embedding", k = 4, iters = 2, scale = scale)
+      emb.select(col("vec_id"),
+          graft.functions.DedupExpressions.kmeansAssign(
+            Similarity.kmeansQuantize(col("embedding"), scale), cents)
+            .cast("long").as("cell"))
+        .orderBy("vec_id")
+    }),
+
     // Okapi BM25 retrieval over the corpus: the lexical scorer for
     // pulling topic-relevant slices during curation. Per-term scores
     // snap to nano-units pre-sum; oracle replays the exact float
@@ -3582,6 +3599,64 @@ object SparkEntry {
            |  CAST(sum(nll) AS BIGINT) AS nll_nano,
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // two unrolled Lloyd's iterations; dN/aN = assignment round N,
+      // sN/cN = per-(cell,dim) integer sums -> rounded centroids
+      "q_kmeans" ->
+        """WITH sc AS (
+          |  SELECT max(list_max(list_transform(embedding,
+          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+          |qv AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings, sc),
+          |c0 AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q
+          |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
+          |d1 AS (
+          |  SELECT v.vec_id, v.q, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c0 c),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT vec_id, q, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d1) WHERE rk = 1),
+          |s1 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
+          |  FROM a1, range(1, 65) t(j) GROUP BY 1, 2),
+          |c1 AS (
+          |  SELECT c0.cell, coalesce(u.nq, c0.q) AS q FROM c0 LEFT JOIN (
+          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM s1 GROUP BY cell) u USING (cell)),
+          |d2 AS (
+          |  SELECT v.vec_id, v.q, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c1 c),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT vec_id, q, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d2) WHERE rk = 1),
+          |s2 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
+          |  FROM a2, range(1, 65) t(j) GROUP BY 1, 2),
+          |c2 AS (
+          |  SELECT c1.cell, coalesce(u.nq, c1.q) AS q FROM c1 LEFT JOIN (
+          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM s2 GROUP BY cell) u USING (cell)),
+          |d3 AS (
+          |  SELECT v.vec_id, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c2 c),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT vec_id, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d3) WHERE rk = 1)
+          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a3
+          |ORDER BY vec_id""".stripMargin,
 
       "q_bm25" ->
         s"""WITH ${tokCte()},

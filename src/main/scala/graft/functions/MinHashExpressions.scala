@@ -774,6 +774,61 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** Nearest-centroid assignment for integer-quantized k-means: argmin
+  * of squared L2 distance over an `ARRAY<BIGINT|INT>` vector against a
+  * broadcast integer centroid table, ties to the lower cell index.
+  * All-integer distances (int8-range components, 64 dims ⇒ ≤ 2^22 per
+  * vector) make the assignment bit-reproducible across engines —
+  * float dot products are not, because Spark's aggregation order is
+  * nondeterministic. Same `addReferenceObj` codegen pattern as
+  * [[IvfAssignExpr]].
+  */
+case class KMeansAssignExpr(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "need at least one centroid")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"kmeans_assign requires ARRAY<BIGINT|INT>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val isInt =
+    child.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeCell(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var d = 0L
+      var j = 0
+      while (j < m) {
+        val v = if (isInt) arr.getInt(j).toLong else arr.getLong(j)
+        val diff = v - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(computeCell(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmeansAssign", this, classOf[KMeansAssignExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeCell($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): KMeansAssignExpr =
+    copy(child = c)
+  override def prettyName: String = "kmeans_assign"
+}
+
 /** `collect_list` with a hard element cap: appends stop once the
   * buffer holds `cap + 1` elements, so a degenerate hot group (every
   * doc sharing one LSH band key, a boilerplate shingle in a billion
@@ -880,4 +935,7 @@ object DedupExpressions {
 
   def boundedCollectList(c: Column, cap: Int): Column =
     column(BoundedCollectListExpr(expression(c), cap).toAggregateExpression())
+
+  def kmeansAssign(q: Column, centroids: Array[Array[Long]]): Column =
+    column(KMeansAssignExpr(expression(q), centroids))
 }

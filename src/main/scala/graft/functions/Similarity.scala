@@ -587,4 +587,84 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("canon"), col("kept"),
         col("exempted"))
   }
+
+  /** Corpus-wide max |component| — the global scale for
+    * [[kmeansQuantize]]. `max` is order-independent, so unlike a float
+    * sum this is deterministic under Spark's arbitrary partition merge
+    * order (and exactly reproducible in the oracle).
+    */
+  def kmeansGlobalScale(df: DataFrame, vecCol: String): Double = {
+    val s = df.agg(max(aggregate(col(vecCol), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))).as("s"))
+      .head().getDouble(0)
+    require(s > 0.0, "corpus is all-zero vectors; no quantization scale")
+    s
+  }
+
+  /** `round(v * 127 / scale)` per component as an explicit
+    * `floor(x + 0.5)` — half-toward-+inf on BOTH engines regardless of
+    * their `round` tie conventions. Emits `ARRAY<BIGINT>` in
+    * [-127, 127] (plus the +0.5 edge), the integer domain the k-means
+    * iteration is exact over.
+    */
+  def kmeansQuantize(vec: Column, scale: Double): Column =
+    transform(vec, x => floor(x.cast("double") * lit(127.0) / lit(scale) + lit(0.5)))
+
+  /** Distributed Lloyd's k-means over integer-quantized vectors with
+    * integer-ROUNDED centroids — every iteration is bit-reproducible:
+    * integer sums are order-independent (a float Lloyd's is not under
+    * Spark's nondeterministic partition merge order), the centroid
+    * update is `floor((2·sum + n) / 2n)` (round-half-up in exact
+    * integer arithmetic), and ties in the assignment go to the lower
+    * cell. So the fit is a pure function of the data AND the DuckDB
+    * oracle can replay whole iterations, which no float formulation
+    * survives.
+    *
+    * Scale shape per iteration: assignment is scan-side against the
+    * broadcast centroid table ([[KMeansAssignExpr]], codegen'd); the
+    * only shuffle is the `(cell, dim)`-keyed integer-sum aggregation,
+    * map-side combined down to `k·dim` rows (kilobytes at any corpus
+    * size) and collected to the driver for the centroid update —
+    * `iters` corpus scans total, no iteration state on executors.
+    * Init = the quantized vectors of the `k` smallest ids
+    * (deterministic, same convention as [[ivfFit]]'s id-ordered
+    * seeds).
+    *
+    * Returns the final centroid table (`k` rows of `dim` longs);
+    * assign with `DedupExpressions.kmeansAssign(kmeansQuantize(vec,
+    * scale), centroids)`.
+    */
+  def kmeansFitInt8(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Double): Array[Array[Long]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val q = df.select(col(idCol).as("_id"),
+      kmeansQuantize(col(vecCol), scale).as("_q"))
+    var cents: Array[Array[Long]] = q.orderBy("_id").limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
+    var it = 0
+    while (it < iters) {
+      val stats = q
+        .select(DedupExpressions.kmeansAssign(col("_q"), cents).as("_cell"),
+          posexplode(col("_q")).as(Seq("_j", "_v")))
+        .groupBy("_cell", "_j")
+        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      stats.foreach { r =>
+        val (cell, j) = (r.getInt(0), r.getInt(1))
+        val (s, n) = (r.getLong(2), r.getLong(3))
+        next(cell)(j) = Math.floorDiv(2L * s + n, 2L * n)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
 }

@@ -309,6 +309,43 @@ class ShingleSetExprSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("kmeansFitInt8 recovers planted blobs, deterministically") {
+    // 4 well-separated blobs in 8 dims; id order interleaves blobs so
+    // the id-ordered init starts with one seed per blob
+    val centers = Seq(
+      Seq.fill(8)(0.9f), Seq.fill(8)(-0.9f),
+      (0 until 8).map(j => if (j < 4) 0.9f else -0.9f),
+      (0 until 8).map(j => if (j < 4) -0.9f else 0.9f))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      // deterministic +-0.05 jitter
+      (i.toLong, c.zipWithIndex.map { case (v, j) =>
+        v + (((i * 31 + j * 7) % 11) - 5) * 0.01f
+      })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    def fit() = Similarity.kmeansFitInt8(df, "vec_id", "embedding",
+      k = 4, iters = 3, scale = scale)
+    val cents = fit()
+    assert(cents.map(_.toSeq).toSeq == fit().map(_.toSeq).toSeq, "fit must be deterministic")
+    val cells = df.select(col("vec_id"),
+        DedupExpressions.kmeansAssign(
+          Similarity.kmeansQuantize(col("embedding"), scale), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    // every blob lands in exactly one cell, and blobs get distinct cells
+    val byBlob = cells.groupBy(_._1 % 4).map { case (b, xs) => b -> xs.map(_._2).toSet }
+    assert(byBlob.values.forall(_.size == 1), s"blob split across cells: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 4, s"blobs collapsed: $byBlob")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansFitInt8(df, "vec_id", "embedding", k = 0, iters = 1, scale = scale)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansGlobalScale(
+        Seq((1L, Seq(0f, 0f))).toDF("vec_id", "embedding"), "embedding")
+    }
+  }
+
   test("cosine on known vectors") {
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(2f, 0f))).toDF("a", "b", "c")
     assert(df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
