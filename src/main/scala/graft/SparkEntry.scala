@@ -1868,6 +1868,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Semantic-balance composition: k-means cells capped at a common
+    // budget by the md5 bottom-k sampler — the "no cluster dominates
+    // the mixture" step of a curation recipe, all existing operators.
+    "q_cluster_balance" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val cents = Similarity.kmeansFitInt8(
+        emb, "vec_id", "embedding", k = 4, iters = 2, scale = scale)
+      val cells = emb.select(col("vec_id"),
+        graft.functions.DedupExpressions.kmeansAssign(
+          Similarity.kmeansQuantize(col("embedding"), scale), cents)
+          .cast("long").as("cell"))
+      graft.functions.Curation.bottomKSample(
+          cells, col("vec_id"), k = 30, strata = Seq("cell"))
+        .select(col("vec_id"), col("cell"))
+        .orderBy("cell", "vec_id")
+    }),
+
     // Okapi BM25 retrieval over the corpus: the lexical scorer for
     // pulling topic-relevant slices during curation. Per-term scores
     // snap to nano-units pre-sum; oracle replays the exact float
@@ -2216,6 +2234,67 @@ object SparkEntry {
        |  GROUP BY nid)
        |SELECT d.doc_id, m.dup_of FROM documents d LEFT JOIN m ON m.nid = d.doc_id
        |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin
+
+  /** Two unrolled integer Lloyd's iterations over the quantized
+    * embeddings (matches Similarity.kmeansFitInt8 with k = 4,
+    * iters = 2, id-ordered init): dN/aN = assignment round N, sN/cN =
+    * per-(cell,dim) integer sums -> round-half-up centroids. Ends
+    * with `a3(vec_id, cell)`, the final assignment. Shared by
+    * q_kmeans and q_cluster_balance.
+    */
+  private val KMeansCtes: String =
+    """sc AS (
+          |  SELECT max(list_max(list_transform(embedding,
+          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+          |qv AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings, sc),
+          |c0 AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q
+          |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
+          |d1 AS (
+          |  SELECT v.vec_id, v.q, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c0 c),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT vec_id, q, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d1) WHERE rk = 1),
+          |s1 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
+          |  FROM a1, range(1, 65) t(j) GROUP BY 1, 2),
+          |c1 AS (
+          |  SELECT c0.cell, coalesce(u.nq, c0.q) AS q FROM c0 LEFT JOIN (
+          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM s1 GROUP BY cell) u USING (cell)),
+          |d2 AS (
+          |  SELECT v.vec_id, v.q, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c1 c),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT vec_id, q, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d2) WHERE rk = 1),
+          |s2 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
+          |  FROM a2, range(1, 65) t(j) GROUP BY 1, 2),
+          |c2 AS (
+          |  SELECT c1.cell, coalesce(u.nq, c1.q) AS q FROM c1 LEFT JOIN (
+          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM s2 GROUP BY cell) u USING (cell)),
+          |d3 AS (
+          |  SELECT v.vec_id, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c2 c),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT vec_id, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d3) WHERE rk = 1)""".stripMargin
 
   /** DSIR hashed-ngram importance-weight chain (matches
     * Curation.dsirWeights with buckets = 65536 and the q_dsir target
@@ -3603,60 +3682,21 @@ object SparkEntry {
       // two unrolled Lloyd's iterations; dN/aN = assignment round N,
       // sN/cN = per-(cell,dim) integer sums -> rounded centroids
       "q_kmeans" ->
-        """WITH sc AS (
-          |  SELECT max(list_max(list_transform(embedding,
-          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
-          |qv AS (
-          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
-          |  FROM embeddings, sc),
-          |c0 AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q
-          |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
-          |d1 AS (
-          |  SELECT v.vec_id, v.q, c.cell,
-          |    list_sum(list_transform(range(1, 65),
-          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
-          |  FROM qv v CROSS JOIN c0 c),
-          |a1 AS (SELECT vec_id, q, cell FROM (
-          |  SELECT vec_id, q, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-          |  FROM d1) WHERE rk = 1),
-          |s1 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
-          |  FROM a1, range(1, 65) t(j) GROUP BY 1, 2),
-          |c1 AS (
-          |  SELECT c0.cell, coalesce(u.nq, c0.q) AS q FROM c0 LEFT JOIN (
-          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
-          |      ORDER BY j) AS nq
-          |    FROM s1 GROUP BY cell) u USING (cell)),
-          |d2 AS (
-          |  SELECT v.vec_id, v.q, c.cell,
-          |    list_sum(list_transform(range(1, 65),
-          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
-          |  FROM qv v CROSS JOIN c1 c),
-          |a2 AS (SELECT vec_id, q, cell FROM (
-          |  SELECT vec_id, q, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-          |  FROM d2) WHERE rk = 1),
-          |s2 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
-          |  FROM a2, range(1, 65) t(j) GROUP BY 1, 2),
-          |c2 AS (
-          |  SELECT c1.cell, coalesce(u.nq, c1.q) AS q FROM c1 LEFT JOIN (
-          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
-          |      ORDER BY j) AS nq
-          |    FROM s2 GROUP BY cell) u USING (cell)),
-          |d3 AS (
-          |  SELECT v.vec_id, c.cell,
-          |    list_sum(list_transform(range(1, 65),
-          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
-          |  FROM qv v CROSS JOIN c2 c),
-          |a3 AS (SELECT vec_id, cell FROM (
-          |  SELECT vec_id, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-          |  FROM d3) WHERE rk = 1)
-          |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a3
-          |ORDER BY vec_id""".stripMargin,
+        s"""WITH $KMeansCtes
+           |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a3
+           |ORDER BY vec_id""".stripMargin,
+
+      // k-means cells composed with the md5 bottom-k sampler: the
+      // semantic-balance step of a mixture recipe (cap every embedding
+      // cluster at the same budget)
+      "q_cluster_balance" ->
+        s"""WITH $KMeansCtes,
+           |b AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY
+           |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 15))::BIGINT, vec_id) AS rn
+           |  FROM a3)
+           |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM b WHERE rn <= 30
+           |ORDER BY cell, vec_id""".stripMargin,
+
 
       "q_bm25" ->
         s"""WITH ${tokCte()},
