@@ -105,28 +105,25 @@ object Similarity {
     * e.g. 16×8 — to keep random-pair collisions, and thus the scored
     * candidate count, sub-quadratic).
     */
+  /** @param maxBucketSize degenerate `(band, bv)` buckets above this
+    *   are dropped before the pair explode (same contract and default
+    *   as [[knnJoin]]; a bucket of B vectors emits B²/2 pairs, so an
+    *   uncapped hot bucket is quadratic — high-similarity pairs still
+    *   collide in their other, narrower buckets).
+    */
   def cosinePairsLsh(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       nBands: Int = 16,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
     // band exploding carries ONLY (id, band, bv) — never the vector,
     // which would otherwise be duplicated nBands× through the shuffle;
     // vectors are attached to the (deduped) candidate pairs afterwards
-    val banded = df.select(
-        col(idCol).as("id"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"),
-            DedupExpressions.lshBand(col(vecCol), b * bandBits, bandBits).as("bv"))): _*))
-          .as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val pairs = banded.select(col("id").as("id_a"), col("band"), col("bv"))
-      .join(banded.select(col("id").as("id_b"), col("band"), col("bv")), Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val banded = bandedBuckets(df, idCol, vecCol, nBands, bandBits)
+    val pairs = bucketCandidatePairs(banded, maxBucketSize)
     pairs
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
@@ -180,21 +177,11 @@ object Similarity {
     val bits =
       if (bandBits > 0) bandBits
       else autoBandBits(nRows.getOrElse(df.count()))
-    val banded = df.select(
-        col(idCol).as("id"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"),
-            DedupExpressions.lshBand(col(vecCol), b * bits, bits).as("bv"))): _*))
-          .as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    val small = banded.groupBy("band", "bv").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxBucketSize).select("band", "bv")
-    val capped = banded.join(small, Seq("band", "bv"), "left_semi")
-    val cand = capped.select(col("id").as("id_a"), col("band"), col("bv"))
-      .join(capped.select(col("id").as("id_b"), col("band"), col("bv")), Seq("band", "bv"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val banded = bandedBuckets(df, idCol, vecCol, nBands, bits)
+    // every unordered bucket pair once, then both orientations — each
+    // id needs its own neighbor list
+    val und = bucketCandidatePairs(banded, maxBucketSize)
+    val cand = und.union(und.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val scored = cand
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
@@ -206,6 +193,44 @@ object Similarity {
       .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
         col("cos"), col("rk"))
   }
+
+  /** `(id, band, bv)` rows for `nBands` hyperplane-LSH buckets — the
+    * shared band explode of [[cosinePairsLsh]] and [[knnJoin]].
+    */
+  private def bandedBuckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBands: Int,
+      bits: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            DedupExpressions.lshBand(col(vecCol), b * bits, bits).as("bv"))): _*))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+
+  /** `(id, band, bv)` rows → distinct unordered candidate pairs
+    * (`id_a < id_b`) in ONE shuffle — the embedding-side twin of the
+    * minhash path's band fusion: bucket gather via the buffer-capped
+    * [[BoundedCollectListExpr]] (a degenerate hot bucket can never
+    * grow a reducer buffer past cap+1), keep `2 <= size <= cap`
+    * buckets (complete by construction), suffix-slice pair explode
+    * (C(n,2) rows, never the n² square). Replaces the bucket-count →
+    * keep-set semi-join → self-join chain, which paid three
+    * bucket-keyed shuffles to bound the same quadratic blowup.
+    */
+  private def bucketCandidatePairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded.groupBy("band", "bv")
+      .agg(DedupExpressions.boundedCollectList(col("id"), maxBucketSize).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucketSize))
+      .select(col("_ids"), posexplode(col("_ids")).as(Seq("pa", "ida")))
+      .select(col("ida"),
+        explode(slice(col("_ids"), col("pa") + lit(2), size(col("_ids")))).as("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .distinct()
 
   /** The band-width rule [[knnJoin]] applies when `bandBits = 0`:
     * `ceil(log2(n / targetBucket))`, clamped to [1, 24]. Expected
