@@ -1895,6 +1895,20 @@ object SparkEntry {
         query = Seq("join", "window", "stream"), k = 25)
     }),
 
+    // Hybrid lexical+semantic retrieval: reciprocal-rank fusion of
+    // the BM25 top-100 and cosine top-100 arms (query vector = row 0's
+    // embedding). Rank fusion keeps the oracle exact where raw-score
+    // fusion could not be calibrated.
+    "q_hybrid_search" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      TextFunctions.hybridTopDocs(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        query = Seq("join", "window", "stream"), queryVec = qv, k = 20)
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // LMs over a target domain sample vs the raw corpus, add-1
     // smoothed, log-ratio in integer nano-nats (the q_surprisal
@@ -2295,6 +2309,28 @@ object SparkEntry {
           |  SELECT vec_id, cell,
           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
           |  FROM d3) WHERE rk = 1)""".stripMargin
+
+  /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
+    * terms join/window/stream, k1=1.2, b=0.75; constants written as
+    * the same unfolded sums the Spark side constant-folds, e.g.
+    * `(1.2 + 1.0)` not 2.2). Assumes `toks` in scope; ends with
+    * `bm(doc_id, n_hits, score_nano)` PRE-limit. Shared by q_bm25 and
+    * q_hybrid_search.
+    */
+  private val Bm25Ctes: String =
+    """bex AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS tok FROM toks),
+      |qtf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM bex
+      |  WHERE tok IN ('join', 'window', 'stream') GROUP BY 1, 2, 3),
+      |qdf AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+      |bst AS (SELECT (SELECT count(*) FROM documents) AS n,
+      |               (SELECT sum(len(ws)) FROM toks) AS sdl),
+      |bsc AS (SELECT doc_id,
+      |  CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |    (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+      |      0.75 * dl / (sdl / CAST(n AS DOUBLE))))) * 1e9) AS BIGINT) AS s
+      |  FROM qtf JOIN qdf USING (tok) CROSS JOIN bst),
+      |bm AS (SELECT doc_id, count(*) AS n_hits, CAST(sum(s) AS BIGINT) AS score_nano
+      |  FROM bsc GROUP BY doc_id)""".stripMargin
 
   /** DSIR hashed-ngram importance-weight chain (matches
     * Curation.dsirWeights with buckets = 65536 and the q_dsir target
@@ -3699,20 +3735,29 @@ object SparkEntry {
 
 
       "q_bm25" ->
-        s"""WITH ${tokCte()},
-           |ex AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS tok FROM toks),
-           |qtf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM ex
-           |  WHERE tok IN ('join', 'window', 'stream') GROUP BY 1, 2, 3),
-           |qdf AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
-           |st AS (SELECT (SELECT count(*) FROM documents) AS n,
-           |               (SELECT sum(len(ws)) FROM toks) AS sdl),
-           |sc AS (SELECT doc_id,
-           |  CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-           |    (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
-           |      0.75 * dl / (sdl / CAST(n AS DOUBLE))))) * 1e9) AS BIGINT) AS s
-           |  FROM qtf JOIN qdf USING (tok) CROSS JOIN st)
-           |SELECT doc_id, count(*) AS n_hits, CAST(sum(s) AS BIGINT) AS score_nano
-           |FROM sc GROUP BY doc_id ORDER BY score_nano DESC, doc_id LIMIT 25""".stripMargin,
+        s"""WITH ${tokCte()}, $Bm25Ctes
+           |SELECT doc_id, n_hits, score_nano FROM bm
+           |ORDER BY score_nano DESC, doc_id LIMIT 25""".stripMargin,
+
+      // reciprocal-rank fusion of the BM25 and cosine top-100 lists;
+      // 1.0 is CAST to DOUBLE (DuckDB would otherwise do DECIMAL
+      // division), the two-term sum order matches the Spark column
+      "q_hybrid_search" ->
+        s"""WITH ${tokCte()}, $Bm25Ctes, $EmbCte,
+           |hqv AS (SELECT v AS qv FROM d WHERE vec_id = 0),
+           |vv AS (SELECT vec_id, round(${sqlCos("d.v", "q.qv")}, 6) AS score
+           |  FROM d CROSS JOIN hqv q),
+           |vr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY score DESC, vec_id) AS rv
+           |  FROM (SELECT * FROM vv ORDER BY score DESC, vec_id LIMIT 100)),
+           |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score_nano DESC, doc_id) AS rl
+           |  FROM (SELECT * FROM bm ORDER BY score_nano DESC, doc_id LIMIT 100)),
+           |f AS (SELECT coalesce(lr.id, vr.id) AS doc_id,
+           |  CAST(rl AS BIGINT) AS lex_rank, CAST(rv AS BIGINT) AS vec_rank,
+           |  CAST(round((coalesce(CAST(1.0 AS DOUBLE) / (60 + rl), 0.0) +
+           |              coalesce(CAST(1.0 AS DOUBLE) / (60 + rv), 0.0)) * 1e9) AS BIGINT) AS rrf_nano
+           |  FROM lr FULL OUTER JOIN vr ON lr.id = vr.id)
+           |SELECT doc_id, lex_rank, vec_rank, rrf_nano FROM f
+           |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
 
       "q_dsir_weights" ->
         s"""WITH ${tokCte()}, $DsirCtes

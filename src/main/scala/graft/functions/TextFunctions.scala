@@ -494,6 +494,55 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    * (Cormack/Clarke/Buettcher, SIGIR'09): `rrf(d) = Σ_arm 1/(kRrf +
+    * rank_arm(d))` over the BM25 top-`poolN` and cosine top-`poolN`
+    * lists. Rank fusion needs no cross-scorer calibration, and since
+    * ranks are small integers the fused score is a fixed-order
+    * two-term double sum — deterministic and oracle-replicable where
+    * raw-score fusion wouldn't be. Scale shape: each arm is already a
+    * top-`poolN` TakeOrdered result, so the fusion full-outer-joins
+    * two poolN-row frames — trivial regardless of corpus size; the
+    * corpus-scale work happens inside the arms.
+    *
+    * Returns top `k` rows `(docs' idCol, lex_rank, vec_rank,
+    * rrf_nano)` — ranks are null for a doc present in only one arm.
+    */
+  def hybridTopDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      emb: DataFrame,
+      embIdCol: String,
+      vecCol: String,
+      query: Seq[String],
+      queryVec: Seq[Float],
+      k: Int,
+      poolN: Int = 100,
+      kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && poolN >= k, s"need poolN >= k >= 1, got k=$k poolN=$poolN")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    import org.apache.spark.sql.expressions.Window
+    // single-partition windows over already-top-poolN rows: fine
+    val lex = bm25TopDocs(docs, idCol, textCol, query, poolN)
+      .select(col(idCol).as("_id"),
+        row_number().over(
+          Window.orderBy(col("score_nano").desc, col(idCol))).as("_rl"))
+    val vec = Similarity.bruteForceTopK(emb, embIdCol, vecCol, queryVec, poolN)
+      .select(col(embIdCol).as("_id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col(embIdCol))).as("_rv"))
+    lex.join(vec, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        col("_rl").cast("long").as("lex_rank"),
+        col("_rv").cast("long").as("vec_rank"),
+        round((coalesce(lit(1.0) / (lit(kRrf) + col("_rl")), lit(0.0)) +
+               coalesce(lit(1.0) / (lit(kRrf) + col("_rv")), lit(0.0))) * lit(1e9))
+          .cast("long").as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col(idCol))
+      .limit(k)
+  }
+
   def tfidfTopTerms(
       df: DataFrame,
       idCol: String,

@@ -112,6 +112,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hybridTopDocs fuses BM25 and cosine ranks reciprocally") {
+    val docs = Seq(
+      (0L, "join window stream join window"), // lex-strong
+      (1L, "table scan filter merge sort"), // lex-zero, vec-strong
+      (2L, "join window table scan data"), // lex-mid
+      (3L, "row batch data column value")).toDF("id", "text")
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), // query vector source
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)), // nearest to query
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0.9f, 0.4f, 0f))).toDF("vec_id", "embedding")
+    val out = TextFunctions.hybridTopDocs(
+      docs, "id", "text", emb, "vec_id", "embedding",
+      Seq("join", "window"), Seq(1f, 0f, 0f, 0f), k = 4)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toSeq
+    // doc 0: lex rank 1 AND vec rank 1 (it IS the query vector) -> top
+    assert(rows.head._1 == 0L)
+    // doc 1 has no query terms: lex_rank null, still present via vec arm
+    val d1 = rows.find(_._1 == 1L).get
+    assert(d1._2.isEmpty && d1._3.isDefined)
+    // doc 3: no lex hits, vec rank exists -> present with null lex
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    // fused score descends
+    assert(rows.map(_._4) == rows.map(_._4).sortBy(-_))
+    intercept[IllegalArgumentException] {
+      TextFunctions.hybridTopDocs(docs, "id", "text", emb, "vec_id", "embedding",
+        Seq("join"), Seq(1f, 0f, 0f, 0f), k = 10, poolN = 5)
+    }
+  }
+
   test("bm25 length normalization uses the same tokenizer as tf/df") {
     // punctuation changes whitespace token counts but not normalized
     // ones — scores must be identical doc-for-doc
