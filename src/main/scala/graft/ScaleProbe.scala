@@ -186,6 +186,18 @@ object ScaleProbe {
       assert(mx < 10000L, s"degenerate bucket at auto sizing: $mx")
       mx
     }
+    timed("kmeansFitInt8 (1M vecs, k=16, 2 iters)") {
+      // two full integer Lloyd's iterations over 1M 64-d vectors: per
+      // iteration one scan + a (cell,dim)-keyed shuffle of k*64 rows
+      val scale = functions.Similarity.kmeansGlobalScale(vecs, "v")
+      val cents = functions.Similarity.kmeansFitInt8(
+        vecs, "id", "v", k = 16, iters = 2, scale = scale)
+      val cells = vecs.select(functions.DedupExpressions.kmeansAssign(
+          functions.Similarity.kmeansQuantize(col("v"), scale), cents).as("c"))
+        .groupBy("c").count().count()
+      println(s"[probe]   kmeans non-empty cells: $cells / 16")
+      cells
+    }
     timed("semanticDedup (100k vecs, k=256)") {
       // k scales with corpus size to bound Σ|cell|² — ~390-vector cells
       functions.Similarity.semanticDedup(
