@@ -115,6 +115,10 @@ object Dedup {
         explode(slice(col("_ids"), col("pa") + lit(2), size(col("_ids")))).as("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"))
+      // least==greatest only if the caller passed duplicate ids (two
+      // bucket slots, same id) — the old self-join's `id_a < id_b`
+      // dropped those self-pairs; keep that contract
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
 
   /** MinHash+LSH candidate pairs with estimated Jaccard.

@@ -230,6 +230,10 @@ object Similarity {
         explode(slice(col("_ids"), col("pa") + lit(2), size(col("_ids")))).as("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"))
+      // least==greatest only if the caller passed duplicate ids (two
+      // bucket slots, same id) — the old self-join's `id_a < id_b`
+      // dropped those self-pairs; keep that contract
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
 
   /** The band-width rule [[knnJoin]] applies when `bandBits = 0`:
