@@ -196,6 +196,7 @@ object ScaleProbe {
           functions.Similarity.kmeansQuantize(col("v"), scale), cents).as("c"))
         .groupBy("c").count().count()
       println(s"[probe]   kmeans non-empty cells: $cells / 16")
+      assert(cells == 16L, s"degenerate fit: only $cells/16 cells populated")
       cells
     }
     timed("semanticDedup (100k vecs, k=256)") {

@@ -70,6 +70,22 @@ object SparkEntry {
     * micro-batch commit log's fsyncs out of bench timings — this state
     * is throwaway; a real deployment checkpoints to durable storage.
     */
+  /** `(vec_id, cell)` for the k-means gates — ONE Spark-side
+    * definition of the fit (k = 4, iters = 2, id-ordered init)
+    * mirroring the oracle side's single shared `KMeansCtes`, so the
+    * two gates can never drift apart.
+    */
+  private def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+    val cents = Similarity.kmeansFitInt8(
+      emb, "vec_id", "embedding", k = 4, iters = 2, scale = scale)
+    emb.select(col("vec_id"),
+      graft.functions.DedupExpressions.kmeansAssign(
+        Similarity.kmeansQuantize(col("embedding"), scale), cents)
+        .cast("long").as("cell"))
+  }
+
   /** tmpfs scratch root for streaming gates (checkpoint fsync latency
     * dominates micro-batch wall time on disk).
     */
@@ -1856,32 +1872,14 @@ object SparkEntry {
     // centroid division, ties to the lower cell), so the oracle
     // replays BOTH iterations bit-for-bit — no float formulation
     // survives cross-engine hashing.
-    "q_kmeans" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val cents = Similarity.kmeansFitInt8(
-        emb, "vec_id", "embedding", k = 4, iters = 2, scale = scale)
-      emb.select(col("vec_id"),
-          graft.functions.DedupExpressions.kmeansAssign(
-            Similarity.kmeansQuantize(col("embedding"), scale), cents)
-            .cast("long").as("cell"))
-        .orderBy("vec_id")
-    }),
+    "q_kmeans" -> ((s, dir) => kmeansCells(s, dir).orderBy("vec_id")),
 
     // Semantic-balance composition: k-means cells capped at a common
     // budget by the md5 bottom-k sampler — the "no cluster dominates
     // the mixture" step of a curation recipe, all existing operators.
     "q_cluster_balance" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val cents = Similarity.kmeansFitInt8(
-        emb, "vec_id", "embedding", k = 4, iters = 2, scale = scale)
-      val cells = emb.select(col("vec_id"),
-        graft.functions.DedupExpressions.kmeansAssign(
-          Similarity.kmeansQuantize(col("embedding"), scale), cents)
-          .cast("long").as("cell"))
       graft.functions.Curation.bottomKSample(
-          cells, col("vec_id"), k = 30, strata = Seq("cell"))
+          kmeansCells(s, dir), col("vec_id"), k = 30, strata = Seq("cell"))
         .select(col("vec_id"), col("cell"))
         .orderBy("cell", "vec_id")
     }),

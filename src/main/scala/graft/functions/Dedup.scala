@@ -107,7 +107,18 @@ object Dedup {
     * identical (cap² / 2).
     */
   private def bandCandidatePairs(bandedAll: DataFrame, maxBucketSize: Int): DataFrame =
-    bandedAll.groupBy("band")
+    candidatePairsByKey(bandedAll, Seq("band"), maxBucketSize)
+
+  /** The shared kernel behind [[bandCandidatePairs]] and the
+    * embedding path's `(band, bv)` variant — one definition so a fix
+    * to the cap/self-pair/explode semantics can never apply to one
+    * LSH family and not the other.
+    */
+  private[functions] def candidatePairsByKey(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      maxBucketSize: Int): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
       .agg(DedupExpressions.boundedCollectList(col("id"), maxBucketSize).as("_ids"))
       .filter(size(col("_ids")).between(2, maxBucketSize))
       .select(col("_ids"), posexplode(col("_ids")).as(Seq("pa", "ida")))

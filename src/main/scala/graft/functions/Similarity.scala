@@ -212,29 +212,14 @@ object Similarity {
       .select(col("id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
 
   /** `(id, band, bv)` rows → distinct unordered candidate pairs
-    * (`id_a < id_b`) in ONE shuffle — the embedding-side twin of the
-    * minhash path's band fusion: bucket gather via the buffer-capped
-    * [[BoundedCollectListExpr]] (a degenerate hot bucket can never
-    * grow a reducer buffer past cap+1), keep `2 <= size <= cap`
-    * buckets (complete by construction), suffix-slice pair explode
-    * (C(n,2) rows, never the n² square). Replaces the bucket-count →
-    * keep-set semi-join → self-join chain, which paid three
-    * bucket-keyed shuffles to bound the same quadratic blowup.
+    * (`id_a < id_b`) in ONE shuffle — the embedding-side instantiation
+    * of [[Dedup.candidatePairsByKey]] (bucket gather via the
+    * buffer-capped collect, suffix-slice pair explode; one shared
+    * kernel so cap/self-pair semantics can never diverge between the
+    * minhash and embedding LSH families).
     */
   private def bucketCandidatePairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
-    banded.groupBy("band", "bv")
-      .agg(DedupExpressions.boundedCollectList(col("id"), maxBucketSize).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucketSize))
-      .select(col("_ids"), posexplode(col("_ids")).as(Seq("pa", "ida")))
-      .select(col("ida"),
-        explode(slice(col("_ids"), col("pa") + lit(2), size(col("_ids")))).as("idb"))
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"))
-      // least==greatest only if the caller passed duplicate ids (two
-      // bucket slots, same id) — the old self-join's `id_a < id_b`
-      // dropped those self-pairs; keep that contract
-      .filter(col("id_a") =!= col("id_b"))
-      .distinct()
+    Dedup.candidatePairsByKey(banded, Seq("band", "bv"), maxBucketSize)
 
   /** The band-width rule [[knnJoin]] applies when `bandBits = 0`:
     * `ceil(log2(n / targetBucket))`, clamped to [1, 24]. Expected
@@ -623,9 +608,12 @@ object Similarity {
     * order (and exactly reproducible in the oracle).
     */
   def kmeansGlobalScale(df: DataFrame, vecCol: String): Double = {
-    val s = df.agg(max(aggregate(col(vecCol), lit(0.0),
+    val row = df.agg(max(aggregate(col(vecCol), lit(0.0),
       (a, x) => greatest(a, abs(x.cast("double"))))).as("s"))
-      .head().getDouble(0)
+      .head()
+    require(!row.isNullAt(0),
+      "empty corpus (or all-null vectors); no quantization scale")
+    val s = row.getDouble(0)
     require(s > 0.0, "corpus is all-zero vectors; no quantization scale")
     s
   }
@@ -672,11 +660,16 @@ object Similarity {
       scale: Double): Array[Array[Long]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // null vectors are EXCLUDED from the fit (they would NPE the init
+    // collect and silently vanish from the iteration stats anyway);
+    // downstream they assign to a null cell via kmeansAssign's
+    // null-propagation — callers filter or impute as policy dictates
     val q = df.select(col(idCol).as("_id"),
-      kmeansQuantize(col(vecCol), scale).as("_q"))
+        kmeansQuantize(col(vecCol), scale).as("_q"))
+      .filter(col("_q").isNotNull)
     var cents: Array[Array[Long]] = q.orderBy("_id").limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
-    require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
+    require(cents.length == k, s"need >= $k non-null vectors, got ${cents.length}")
     var it = 0
     while (it < iters) {
       val stats = q
