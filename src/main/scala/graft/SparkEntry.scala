@@ -55,12 +55,13 @@ object SparkEntry {
     * per (user, event), valid until the user's next event. `_start` is
     * `epoch_us/1e6` so the DuckDB oracle computes bit-identical values.
     */
-  /** Event time in epoch MICROSECONDS as a long — exact on both the
-    * TimestampType and the nanos-as-long parquet reading (Spark cannot
-    * read TIMESTAMP(NANOS) natively; with
-    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as long
-    * nanos, and integer `DIV 1000` keeps full precision where a double
-    * divide would not).
+  /** Event time in epoch MICROSECONDS as a long — exact across every
+    * encoding the driver's generator has used: TIMESTAMP(MICROS)
+    * (current — isAdjustedToUTC=false, read as session-UTC
+    * TimestampType with `inferTimestampNTZ.enabled=false`, or cast
+    * NTZ→LTZ identically under the UTC session), TIMESTAMP(NANOS)
+    * read as long nanos under `nanosAsLong` (integer `DIV 1000`
+    * keeps full precision where a double divide would not).
     */
   /** Shared harness for the streaming gates: copy `table`.parquet into
     * a fresh tmpfs-backed source dir, open it as a schema'd file
@@ -120,7 +121,7 @@ object SparkEntry {
   private val EventsStreamSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
@@ -136,7 +137,7 @@ object SparkEntry {
   private def eventMicros(ev: DataFrame): Column =
     ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts"))
+      case _ => unix_micros(col("ts").cast("timestamp"))
     }
 
   private def versionedEvents(s: SparkSession, dir: String): DataFrame = {
@@ -998,7 +999,7 @@ object SparkEntry {
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         srcDir.resolve("events.parquet"))
       val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       val empty = s.createDataFrame(
@@ -1014,7 +1015,7 @@ object SparkEntry {
       val q = graft.streaming.StreamIngest.upsertStream(
         s, srcDir.toString, schema, c, "user_id", "ts",
         Seq("event_type", "value"), chk.toString,
-        startExpr = Some(df => expr("ts DIV 1000") / lit(1e6)))
+        startExpr = Some(df => unix_micros(col("ts")) / lit(1e6)))
       q.awaitTermination()
       c.df
         .select(col(Meta.OID), col(Meta.START), col("event_type"), col("value"))
@@ -1036,7 +1037,7 @@ object SparkEntry {
         graft.streaming.StreamIngest.streamingSessionize(
           st.select(
               col("user_id").cast("long").as("user_id"),
-              (expr("ts DIV 1000") / lit(1e6)).as("t"),
+              (unix_micros(col("ts")) / lit(1e6)).as("t"),
               col("event_id"), col("value"))
             .as[graft.streaming.SessionEvent],
           gapSeconds = 1800.0).toDF()
@@ -1077,7 +1078,7 @@ object SparkEntry {
         .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(3))))
       runStreamGate(s, dir, "events", EventsStreamSchema, "enr", "complete") { st =>
         graft.streaming.StreamIngest.enrichedWindowedCounts(
-          st.withColumn("__et", timestamp_micros(expr("ts DIV 1000"))),
+          st.withColumn("__et", col("ts")),
           "__et", dim, "user_id", "segment",
           windowLen = "1 hour", watermark = "1 hour")
       }
@@ -1091,7 +1092,7 @@ object SparkEntry {
     // stream result hash-matches DuckDB's time_bucket batch answer
     "q_stream_window" -> ((s, dir) => {
       runStreamGate(s, dir, "events", EventsStreamSchema, "win", "complete") { st =>
-        st.withColumn("__ts", timestamp_micros(expr("ts DIV 1000")))
+        st.withColumn("__ts", col("ts"))
           .withWatermark("__ts", "1 hour")
           .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
@@ -1670,7 +1671,7 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => {
       runStreamGate(s, dir, "events", EventsStreamSchema, "dedup", "append") { st =>
         graft.streaming.StreamIngest.streamingDedup(
-          st.withColumn("__evt", timestamp_micros(expr("ts DIV 1000"))),
+          st.withColumn("__evt", col("ts")),
           Seq("user_id", "event_type"), "__evt", "30 minutes")
       }
         .select(col("user_id").cast("long").as("user_id"), col("event_type"))
@@ -2019,6 +2020,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RefinedWeb-style global line dedup over the same 8-word-chunk
+    // lining as q_boilerplate: every repeated line keeps exactly its
+    // first (doc_id, pos) occurrence corpus-wide — including
+    // intra-document repeats, which the >=minDocs boilerplate rule
+    // never touches.
+    "q_line_dedup" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val nChunks =
+        greatest(ceil(size(ws).cast("double") / lit(8.0)).cast("long"), lit(1L))
+      val lined = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(
+          transform(sequence(lit(0L), nChunks - 1),
+            i => array_join(slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
+          "\n").as("line_text"))
+      graft.functions.Curation.dedupLines(lined, "doc_id", "line_text")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style rule filter with reject reasons; thresholds sit
     // inside this corpus's distributions so every rule fires on some
     // docs (345/500 kept at sf0.01). All metrics are integer sums +
@@ -2032,6 +2054,26 @@ object SparkEntry {
           minMeanWordLen = 3.0, maxMeanWordLen = 5.0, maxTopTokenFrac = 0.2)
         .withColumn("reasons", array_join(col("reasons"), "|"))
         .orderBy("doc_id")
+    }),
+
+    // Rejection-funnel audit over the same rule filter: one row of
+    // per-rule failure counts — the "why did my corpus shrink" report
+    // a curation run reads before tuning thresholds. Counts only, so
+    // at 100 TB it is one map-side-combined aggregation.
+    "q_quality_funnel" -> ((s, dir) => {
+      def hits(r: String) =
+        sum(when(array_contains(col("reasons"), r), 1L).otherwise(0L))
+      TextFunctions.qualityFilter(tbl(s, dir, "documents"), "doc_id", "text",
+          minTokens = 20, maxTokens = 90, minStopRatio = 0.03,
+          minMeanWordLen = 3.0, maxMeanWordLen = 5.0, maxTopTokenFrac = 0.2)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          hits("low_stopword").as("n_low_stopword"),
+          hits("repetitive").as("n_repetitive"),
+          hits("too_long").as("n_too_long"),
+          hits("too_short").as("n_too_short"),
+          hits("word_length").as("n_word_length"))
     }),
 
     // Top-3 TF-IDF terms per doc; idf snapped to integer nano-nats
@@ -2153,7 +2195,11 @@ object SparkEntry {
     * q_stream_quality (the filter is a stateless projection, so the
     * streamed result over the same rows IS the batch result).
     */
-  private lazy val QualityFilterOracleSql: String =
+  /** Shared `WITH ... r(doc_id, n, sr, mwl, tf, reasons)` prefix of the
+    * rule-filter oracles — q_quality_filter / q_stream_quality project
+    * per-doc rows from it, q_quality_funnel aggregates it.
+    */
+  private lazy val QualityFilterReasonCtes: String =
     s"""WITH ${tokCte()},
        |$QualityFilterMetricCtes,
        |r AS (SELECT doc_id, n, sr, mwl, tf,
@@ -2162,13 +2208,19 @@ object SparkEntry {
        |   || CASE WHEN n > 90 THEN ['too_long'] ELSE [] END
        |   || CASE WHEN n < 20 THEN ['too_short'] ELSE [] END
        |   || CASE WHEN mwl < 3.0 OR mwl > 5.0 THEN ['word_length'] ELSE [] END) AS reasons
-       |  FROM m)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |  round(sr, 6) AS stop_ratio, round(mwl, 6) AS mean_word_len,
-       |  round(tf, 6) AS top_token_frac,
-       |  len(reasons) = 0 AS keep,
-       |  coalesce(array_to_string(reasons, '|'), '') AS reasons
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  FROM m)""".stripMargin
+
+  // NB: composed by CONCAT, not an outer interpolated stripMargin —
+  // the CTE text contains `|| CASE` lines that an outer stripMargin
+  // would eat a pipe from (NOTES round-3 gotcha)
+  private lazy val QualityFilterOracleSql: String =
+    QualityFilterReasonCtes + "\n" +
+      """SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(sr, 6) AS stop_ratio, round(mwl, 6) AS mean_word_len,
+        |  round(tf, 6) AS top_token_frac,
+        |  len(reasons) = 0 AS keep,
+        |  coalesce(array_to_string(reasons, '|'), '') AS reasons
+        |FROM r ORDER BY doc_id""".stripMargin
 
   /** Rule-filter metric CTEs (assumes `toks` from [[tokCte]] is in
     * scope): yields `m(doc_id, n, sr, mwl, tf)` — one row per document
@@ -3588,12 +3640,44 @@ object SparkEntry {
           |  md5(coalesce(string_agg(CASE WHEN NOT hit THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5
           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      // global first-occurrence line dedup: keeper = min (doc_id, pos)
+      // per trimmed line, exactly Spark's min(struct(id, pos)); blank
+      // lines are pinned rn=1 so they are never deduped
+      "q_line_dedup" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |nc AS (SELECT doc_id, ws,
+          |  greatest(CAST(ceil(len(ws)/8.0) AS BIGINT), 1) AS n FROM t),
+          |ln AS (SELECT doc_id,
+          |  unnest(range(0, n)) AS pos,
+          |  unnest(list_transform(range(0, n), i -> array_to_string(ws[i*8+1:i*8+8], ' '))) AS line
+          |  FROM nc),
+          |rk AS (SELECT doc_id, pos, line,
+          |  CASE WHEN trim(line) = '' THEN 1
+          |       ELSE row_number() OVER (PARTITION BY trim(line) ORDER BY doc_id, pos)
+          |  END AS rn FROM ln)
+          |SELECT doc_id, count(*) AS n_lines,
+          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5
+          |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
       "q_quality_filter" -> QualityFilterOracleSql,
 
       // identical semantics to the batch gate: the filter is a
       // stateless projection, so the streamed result over the same
       // rows IS the batch result — one oracle serves both
       "q_stream_quality" -> QualityFilterOracleSql,
+
+      // concat-composed, same stripMargin-pipe caveat as
+      // QualityFilterOracleSql
+      "q_quality_funnel" -> (QualityFilterReasonCtes + "\n" +
+        """SELECT count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN list_contains(reasons, 'low_stopword') THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+          |  CAST(sum(CASE WHEN list_contains(reasons, 'repetitive') THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+          |  CAST(sum(CASE WHEN list_contains(reasons, 'too_long') THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+          |  CAST(sum(CASE WHEN list_contains(reasons, 'too_short') THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+          |  CAST(sum(CASE WHEN list_contains(reasons, 'word_length') THEN 1 ELSE 0 END) AS BIGINT) AS n_word_length
+          |FROM r""".stripMargin),
 
       // term identity = md5-lower-64 on BOTH engines (Spark's tf/df
       // aggs AND the ranking window shuffle 8-byte keys; the rank

@@ -400,6 +400,63 @@ object Curation {
         col("_bp_r.n_lines"), col("_bp_r.n_removed"), col("_bp_r.clean_text"))
   }
 
+  /** RefinedWeb-style global line dedup: every repeated (trimmed,
+    * non-blank) line keeps ONE occurrence corpus-wide — the one with
+    * the smallest `(idCol, position)` — and every later occurrence is
+    * removed from its document. Complements
+    * [[removeBoilerplateLines]]: that operator removes ALL occurrences
+    * of lines frequent across >= minDocs documents (template
+    * boilerplate); this one keeps the first copy of ANY repeat,
+    * including repeats inside a single document (copy-paste runs,
+    * mirrored articles). Blank lines are never deduped; line order is
+    * preserved.
+    *
+    * Scale shape mirrors [[removeBoilerplateLines]]: no shuffle
+    * carries line text. Occurrences project to `(line-md5, id, pos)`
+    * before anything wide; the global keeper per line key is a
+    * map-side-combined `min(struct(id, pos))` — deliberately NOT a
+    * `row_number` window, whose per-key sort would hand a
+    * universally-shared line (every doc's footer) to one reducer as a
+    * single hot partition. The keeper table (one 40-byte row per
+    * distinct line) joins back on the 16-byte key, so hot keys fan
+    * out against exactly one row; drop lists aggregate per DOC
+    * (bounded by a doc's own line count); `clean_text` is rebuilt
+    * scan-side by the one-pass [[DropLinesExpr]] kernel.
+    *
+    * Returns `(idCol, n_lines, n_removed, clean_text)`.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = df
+      .select(col(idCol).as("_ld_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("_ld_pos", "_ld_line")))
+      .filter(trim(col("_ld_line")) =!= "")
+      .select(col("_ld_id"), col("_ld_pos"),
+        unhex(md5(trim(col("_ld_line")))).as("_ld_key"))
+    // singleton lines have nothing to drop; pruning them in the same
+    // aggregation keeps the join-back side proportional to the
+    // REPEATED slice of the corpus
+    val keeper = occ
+      .groupBy(col("_ld_key"))
+      .agg(min(struct(col("_ld_id"), col("_ld_pos"))).as("_ld_keep"),
+        count(lit(1)).as("_ld_n"))
+      .filter(col("_ld_n") > 1)
+      .select("_ld_key", "_ld_keep")
+    val dropPos = occ
+      .join(keeper, Seq("_ld_key"), "inner")
+      .filter(col("_ld_id") =!= col("_ld_keep._ld_id") ||
+        col("_ld_pos") =!= col("_ld_keep._ld_pos"))
+      .groupBy(col("_ld_id"))
+      .agg(sort_array(collect_list(col("_ld_pos"))).as("_ld_drop"))
+    df.select(col(idCol), col(textCol))
+      .join(dropPos.withColumnRenamed("_ld_id", idCol), Seq(idCol), "left")
+      .withColumn("_ld_r", DedupExpressions.dropLines(
+        coalesce(col(textCol), lit("")),
+        coalesce(col("_ld_drop"), array().cast("array<int>"))))
+      .select(col(idCol),
+        col("_ld_r.n_lines"), col("_ld_r.n_removed"), col("_ld_r.clean_text"))
+  }
+
   private def packSequencesInternal(
       df: DataFrame,
       tokens: Column,

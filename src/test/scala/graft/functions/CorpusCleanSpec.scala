@@ -29,6 +29,23 @@ class CorpusCleanSpec extends SparkSpec {
       (5L, 2L, 2L, "")))        // survives empty, caller decides
   }
 
+  test("dedupLines keeps the global first occurrence, including intra-doc repeats") {
+    val docs = Seq(
+      (1L, "shared line\nalpha\nshared line"), // intra-doc repeat: pos 2 dropped
+      (2L, "shared line\nbeta"),               // later doc: dropped
+      (3L, "beta\n\nbeta"),                    // 'beta' first seen in doc 2
+      (4L, "unique here"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "shared line\nalpha"),
+      (2L, 2L, 1L, "beta"),
+      (3L, 3L, 2L, ""), // both 'beta's lose to doc 2; the blank survives
+      (4L, 1L, 0L, "unique here")))
+  }
+
   test("removeBoilerplateLines group scope: template only boils within its site") {
     val docs = Seq(
       (1L, "a", "TPL\nx"),
