@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ChunkDocsExpr, CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, QualityStatsExpr, ShinglePosHashesExpr, ShingleSetExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr, TokenDictExpr, TokenTfExpr}
+import graft.functions.{ChunkDocsExpr, CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, NormalizeUnicodeExpr, QualityStatsExpr, ShinglePosHashesExpr, ShingleSetExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr, TokenDictExpr, TokenTfExpr}
 import graft.mql.{MqlPredicate, MqlSql, ResolveMqlPredicate, RewriteMqlPredicate}
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -37,6 +37,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg.createOrReplaceTempFunction(
       "simhash64",
       (args: Seq[Expression]) => SimHash64Expr(args.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "normalize_unicode",
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NormalizeUnicodeExpr(text, "NFC")
+        case Seq(text, f) => NormalizeUnicodeExpr(text, stringArg(f, "form"))
+        case _ => throw new IllegalArgumentException(
+          "normalize_unicode(text[, 'NFC'|'NFD'|'NFKC'|'NFKD'])")
+      },
       "built-in")
     reg.createOrReplaceTempFunction(
       "text_stats",
@@ -121,6 +130,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
@@ -138,6 +153,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text) => SimHash64Expr(text)
         case _ => throw new IllegalArgumentException("simhash64(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_unicode"),
+      new ExpressionInfo(classOf[NormalizeUnicodeExpr].getName, "normalize_unicode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NormalizeUnicodeExpr(text, "NFC")
+        case Seq(text, f) => NormalizeUnicodeExpr(text, stringArg(f, "form"))
+        case _ => throw new IllegalArgumentException(
+          "normalize_unicode(text[, 'NFC'|'NFD'|'NFKC'|'NFKD'])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("text_stats"),

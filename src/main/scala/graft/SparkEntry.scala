@@ -1981,6 +1981,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC normalization: both engines append the same
+    // decomposed suffix (combining acute U+0301; the Angstrom-sign
+    // singleton U+212B) to every doc, normalize, and hash — proving
+    // the kernel against DuckDB's nfc_normalize end-to-end. Lengths
+    // are codepoint counts in both engines, so the composed form is
+    // visibly shorter.
+    "q_unicode_nfc" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" cafe\u0301 \u212B"))
+      tbl(s, dir, "documents").select(
+          col("doc_id"),
+          length(raw).cast("long").as("raw_chars"),
+          length(TextFunctions.normalizeUnicode(raw)).cast("long").as("nfc_chars"),
+          md5(TextFunctions.normalizeUnicode(raw)).as("nfc_md5"))
+        .orderBy("doc_id")
+    }),
+
     // HTML → text: same synthetic page wrapper on both engines
     // (script/style blocks, tags, entities); the gate checks the
     // stripped text's md5 and token count.
@@ -3594,6 +3610,14 @@ object SparkEntry {
           |SELECT doc_id, scheme || '://' || host || path ||
           |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
           |FROM k ORDER BY doc_id""".stripMargin,
+
+      "q_unicode_nfc" ->
+        """WITH u AS (SELECT doc_id,
+          |  text || ' cafe' || chr(769) || ' ' || chr(8491) AS raw FROM documents)
+          |SELECT doc_id, length(raw) AS raw_chars,
+          |  length(nfc_normalize(raw)) AS nfc_chars,
+          |  md5(nfc_normalize(raw)) AS nfc_md5
+          |FROM u ORDER BY doc_id""".stripMargin,
 
       "q_strip_html" ->
         """WITH h AS (SELECT doc_id,

@@ -446,6 +446,54 @@ object DropLinesExpr {
   }
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd scalar —
+  * the first step of any multilingual curation pipeline (byte-level
+  * dedup keys, fingerprints, and tokenizers all diverge on
+  * composed-vs-decomposed encodings of the SAME visible text). Spark
+  * ships no built-in for this; a Scala UDF would pay per-row
+  * serialization. NFC is the oracle-checkable form (DuckDB
+  * `nfc_normalize`); the K forms additionally fold compatibility
+  * characters (ligatures, full-width digits) and are spec-tested.
+  */
+case class NormalizeUnicodeExpr(child: Expression, form: String)
+    extends UnaryExpression {
+  NormalizeUnicodeExpr.formOf(form) // reject bad forms at construction
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"normalize_unicode requires a STRING column, got $t")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    NormalizeUnicodeExpr.compute(input.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.NormalizeUnicodeExpr$$.MODULE$$.compute($c, "$form")""")
+  override protected def withNewChildInternal(c: Expression): NormalizeUnicodeExpr =
+    copy(child = c)
+  override def prettyName: String = "normalize_unicode"
+}
+
+object NormalizeUnicodeExpr {
+  private[functions] def formOf(form: String): java.text.Normalizer.Form =
+    form match {
+      case "NFC" => java.text.Normalizer.Form.NFC
+      case "NFD" => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case "NFKD" => java.text.Normalizer.Form.NFKD
+      case other => throw new IllegalArgumentException(
+        s"normalize_unicode form must be NFC|NFD|NFKC|NFKD, got $other")
+    }
+
+  def compute(input: UTF8String, form: String): UTF8String = {
+    val s = input.toString
+    // the common case — already normalized ASCII/NFC text — is a
+    // linear check with zero allocation
+    if (java.text.Normalizer.isNormalized(s, formOf(form))) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, formOf(form)))
+  }
+}
+
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
   * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
@@ -902,6 +950,9 @@ object DedupExpressions {
 
   def simhash64(text: Column): Column =
     column(SimHash64Expr(expression(text)))
+
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    column(NormalizeUnicodeExpr(expression(text), form))
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))

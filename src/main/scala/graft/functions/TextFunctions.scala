@@ -39,6 +39,16 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Unicode normalization (NFC by default; NFD/NFKC/NFKD accepted) as
+    * a one-pass codegen'd scalar — run BEFORE any byte-level dedup
+    * key, fingerprint, or tokenizer on multilingual corpora, where
+    * composed and decomposed encodings of identical visible text
+    * otherwise split dedup groups. Already-normalized text (the
+    * overwhelming case) is a zero-allocation linear check.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    DedupExpressions.normalizeUnicode(text, form)
+
   /** 64-bit content fingerprint of the normalized text: md5-lower-64
     * (one pass over the normalized string), oracle-replicable as
     * `md5_number_lower(norm)`.

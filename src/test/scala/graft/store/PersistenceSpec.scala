@@ -93,6 +93,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(1) != 0L)
   }
 
+  test("normalize_unicode callable from spark.sql; literal form validated") {
+    new graft.GraftExtensions().register(spark)
+    import spark.implicits._
+    // decomposed e + combining acute (U+0301), and the fi ligature
+    Seq(("cafe\u0301 \uFB01n", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("uni_docs")
+    val row = spark.sql(
+      """SELECT normalize_unicode(text) AS nfc,
+        |       normalize_unicode(text, 'NFKC') AS nfkc FROM uni_docs""".stripMargin).head()
+    assert(row.getString(0) == "caf\u00e9 \uFB01n") // composed; ligature kept
+    assert(row.getString(1) == "caf\u00e9 fin")      // NFKC also folds the ligature
+    val err = intercept[Exception] {
+      spark.sql("SELECT normalize_unicode(text, 'NFX') FROM uni_docs").head()
+    }
+    assert(err.getMessage.contains("NFC|NFD|NFKC|NFKD") ||
+      err.getCause != null && err.getCause.getMessage.contains("NFC|NFD|NFKC|NFKD"))
+  }
+
   test("text_stats / cosine_sim callable from spark.sql") {
     new graft.GraftExtensions().register(spark)
     import spark.implicits._
