@@ -1716,6 +1716,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring REMOVAL (Lee et al.-style) — every token covered
+    // by a cross-doc duplicated 8-gram is cut from the normalized
+    // token stream; gate checks per-doc token counts and the md5 of
+    // the rebuilt text.
+    "q_remove_spans" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed_tokens"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental ingest dedup: batch = doc_id >= 400 screened against
     // the persisted signatures of the < 400 corpus; dup_of = smallest
     // matching corpus id (NULL = novel). Signatures, bands, and match
@@ -3524,6 +3536,31 @@ object SparkEntry {
            |SELECT doc_id, CAST(sum(span_ngrams) AS BIGINT) AS n_dup_ngrams,
            |  count(*) AS n_spans, CAST(max(span_ngrams) + 7 AS BIGINT) AS max_span_tokens
            |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // token t (1-based) is covered by duplicated gram i iff
+      // i <= t <= i+7; rebuild = kept tokens in position order
+      "q_remove_spans" ->
+        s"""WITH ${tokCte()},
+           |shp AS (SELECT doc_id, CASE WHEN len(ws) >= 8
+           |  THEN list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+           |  ELSE [] END AS sh FROM toks),
+           |pos AS (SELECT doc_id, unnest(range(1, len(sh)+1)) AS pos,
+           |        unnest(list_transform(sh, s -> md5_number_lower(s))) AS h FROM shp),
+           |dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+           |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (h)),
+           |tp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS t FROM dp),
+           |ex AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS t, unnest(ws) AS tok FROM toks),
+           |kt AS (SELECT e.doc_id, e.t, e.tok, (tp.t IS NOT NULL) AS dropped
+           |       FROM ex e LEFT JOIN tp ON e.doc_id = tp.doc_id AND e.t = tp.t),
+           |agg AS (SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+           |  coalesce(string_agg(CASE WHEN NOT dropped THEN tok END, ' ' ORDER BY t), '') AS clean
+           |  FROM kt GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           |  coalesce(a.n_removed_tokens, 0) AS n_removed_tokens,
+           |  md5(coalesce(a.clean, '')) AS clean_md5
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q_ann_quantized" ->
         """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok

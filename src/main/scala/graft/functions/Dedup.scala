@@ -621,4 +621,67 @@ object Dedup {
         (max(col("span_ngrams")) + lit(n.toLong - 1)).as("max_span_tokens"))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Exact-substring dedup at n-gram granularity (the REMOVAL
+    * complement of [[duplicatedSpans]], in the spirit of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): every token covered by an n-gram occurring in >=
+    * `minDocs` distinct documents is cut from the NORMALIZED token
+    * stream of every document (all occurrences — span identity across
+    * documents makes a "keep one copy" choice ill-defined once spans
+    * overlap; callers wanting first-copy semantics at line granularity
+    * use [[Curation.dedupLines]]).
+    *
+    * Scale shape: the gram→doc-frequency aggregation and the
+    * duplicated-position semi-join shuffle 8-byte hashes (one
+    * [[ShinglePosHashesExpr]] scan pass, no gram text anywhere); the
+    * covered-token explode is bounded by n × duplicated-gram
+    * positions — proportional to the duplicated slice, not the
+    * corpus. Per-doc drop lists are bounded by the doc's own token
+    * count; duplicate drop positions are collapsed by the rebuild
+    * kernel itself ([[DropLinesExpr]] ignores repeats), so no
+    * wide `distinct` is needed. The rebuild runs scan-side over the
+    * space→newline translated normalized text.
+    *
+    * Returns one row per input row:
+    * `(idCol, n_tokens, n_removed_tokens, clean_text)` where
+    * `clean_text` is normalized-token text (lowercased, punctuation
+    * stripped) minus the duplicated spans.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, "span n-grams need n >= 2")
+    require(minDocs >= 2, "minDocs < 2 would remove every position")
+    val positioned = df.select(
+      col(idCol).as("_rs_id"),
+      posexplode(DedupExpressions.shinglePosHashes(col(textCol), n))
+        .as(Seq("_rs_pos", "_rs_h")))
+    val dup = positioned.groupBy("_rs_h")
+      .agg(countDistinct(col("_rs_id")).as("_rs_df"))
+      .filter(col("_rs_df") >= minDocs)
+      .select("_rs_h")
+    val dropTok = positioned
+      .join(dup, Seq("_rs_h"), "left_semi")
+      .select(col("_rs_id"),
+        explode(sequence(col("_rs_pos"), col("_rs_pos") + lit(n - 1))).as("_rs_tp"))
+      .groupBy(col("_rs_id"))
+      .agg(array_distinct(sort_array(collect_list(col("_rs_tp").cast("int"))))
+        .as("_rs_drop"))
+    val norm = TextFunctions.normalizeText(col(textCol))
+    df.select(col(idCol), col(textCol))
+      .join(dropTok.withColumnRenamed("_rs_id", idCol), Seq(idCol), "left")
+      .withColumn("_rs_r", DedupExpressions.dropLines(
+        translate(norm, " ", "\n"),
+        coalesce(col("_rs_drop"), array().cast("array<int>"))))
+      .select(col(idCol),
+        // an empty normalized text is 0 tokens, not DropLinesExpr's
+        // one empty line
+        when(norm === "", lit(0L)).otherwise(col("_rs_r.n_lines")).as("n_tokens"),
+        col("_rs_r.n_removed").as("n_removed_tokens"),
+        translate(col("_rs_r.clean_text"), "\n", " ").as("clean_text"))
+  }
 }

@@ -217,6 +217,27 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> (2L, 1L, 9L), 2L -> (2L, 1L, 9L)))
   }
 
+  test("removeDuplicatedSpans cuts every covered token, keeps unique text") {
+    val spanDocs = Seq(
+      (1L, "a b c d e f g h i j"),          // dup grams at pos 0,1 -> tokens 0..8
+      (2L, "a b c d e f g h i q r s"),      // shares a..h and b..i with doc 1
+      (3L, "totally unrelated words only here nothing shared at all now"),
+      (4L, "short doc"),                    // < 8 words: untouched
+      (5L, ""))                             // empty: 0 tokens
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(spanDocs, "doc_id", "text",
+        n = 8, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed_tokens"),
+         r.getAs[String]("clean_text"))).toMap
+    assert(out == Map(
+      1L -> (10L, 9L, "j"),
+      2L -> (12L, 9L, "q r s"),
+      3L -> (10L, 0L, "totally unrelated words only here nothing shared at all now"),
+      4L -> (2L, 0L, "short doc"),
+      5L -> (0L, 0L, "")))
+  }
+
   test("minhashPairs finds planted near-dups, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
