@@ -23,7 +23,9 @@ object Bench {
     "q_quality_filter", "q_containment", "q_chunk_docs",
     "q_corpus_rarity", "q_dup_spans", "q_tfidf_terms", "q_surprisal",
     // round-6 selection/retrieval/clustering operators
-    "q_bm25", "q_dsir_select", "q_kmeans", "q_hybrid_search")
+    "q_bm25", "q_dsir_select", "q_kmeans", "q_hybrid_search",
+    // round-6 (cont.): global line dedup + exact-substring removal
+    "q_line_dedup", "q_remove_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

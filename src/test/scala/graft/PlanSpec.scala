@@ -162,7 +162,11 @@ class PlanSpec extends SparkSpec {
   // Broadcast joins are disabled while planning: at sf0.001 every join
   // side fits the threshold and the join exchanges this test exists to
   // inspect would not be planned at all (at scale they are SMJs).
-  private def shuffleOutputs(build: => org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+  private def shuffleOutputs(build: => org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    shuffleOutputsTyped(build).map(_.map(_._1))
+
+  private def shuffleOutputsTyped(
+      build: => org.apache.spark.sql.DataFrame): Seq[Seq[(String, org.apache.spark.sql.types.DataType)]] = {
     // AQE off as well: exchanges are inserted by EnsureRequirements
     // (so sparkPlan has none), and under AQE they hide inside the
     // adaptive wrapper executedPlan.collect cannot descend into
@@ -172,7 +176,7 @@ class PlanSpec extends SparkSpec {
     try {
       build.queryExecution.executedPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          e.child.output.map(_.name)
+          e.child.output.map(a => a.name -> a.dataType)
       }
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
@@ -202,5 +206,36 @@ class PlanSpec extends SparkSpec {
     val p = functions.Curation.removeBoilerplateLines(docs, "doc_id", "text")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("drop_lines"), s"rebuild lost the DropLinesExpr kernel:\n$p")
+  }
+
+  test("dedupLines shuffles line keys and positions, never line text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = functions.Curation.dedupLines(docs, "doc_id", "text")
+    val shuffles = shuffleOutputs(out)
+    assert(shuffles.nonEmpty, "expected key/position exchanges in dedupLines")
+    for (cols <- shuffles)
+      assert(!cols.contains("_ld_line"),
+        s"an exchange carries raw line text: $cols")
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("drop_lines"), s"rebuild lost the DropLinesExpr kernel:\n$p")
+  }
+
+  test("removeDuplicatedSpans shuffles gram hashes and positions, never gram text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = functions.Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+    val shuffles = shuffleOutputsTyped(out)
+    assert(shuffles.nonEmpty, "expected hash/position exchanges in removeDuplicatedSpans")
+    // the _rs_* stages (gram df, covered-token aggregation) must move
+    // ints/longs only — a StringType there is gram/token text coming
+    // back; the final doc-granularity join may carry doc text once
+    // (same contract as removeBoilerplateLines)
+    for (cols <- shuffles if cols.exists(_._1.startsWith("_rs_")); (c, t) <- cols)
+      assert(!t.isInstanceOf[org.apache.spark.sql.types.StringType],
+        s"gram-keyed exchange carries a string column $c: $cols")
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("drop_lines") && p.contains("shingle_pos_hashes"),
+      s"rebuild lost a kernel:\n$p")
   }
 }

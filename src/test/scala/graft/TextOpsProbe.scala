@@ -66,6 +66,31 @@ object TextOpsProbe {
     timed(s"ngramJaccardPairs ($nDocs docs, 50k vocab)") {
       functions.Dedup.ngramJaccardPairs(wide, "id", "text", threshold = 0.4).count()
     }
+    // span removal on the wide corpus: each planted truncated copy
+    // shares its full 25-token prefix with its predecessor, so the
+    // duplicated slice is ~2/50 of all docs
+    timed(s"removeDuplicatedSpans ($nDocs docs, 50k vocab)") {
+      val r = functions.Dedup.removeDuplicatedSpans(wide, "id", "text")
+        .agg(sum("n_removed_tokens")).head().getLong(0)
+      println(s"        tokens removed = $r")
+    }
+    // line dedup over multi-line docs: re-chunk each 50-token doc into
+    // 8-word lines (the gate's construction); planted copies repeat
+    // their predecessor's lines
+    timed(s"dedupLines ($nDocs docs, 8-word lines)") {
+      val ws = split(col("text"), " ")
+      val lined = wide.select(col("id"), array_join(
+        transform(sequence(lit(0L), greatest(ceil(size(ws) / lit(8.0)).cast("long"), lit(1L)) - 1),
+          i => array_join(slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
+        "\n").as("text"))
+      val r = functions.Curation.dedupLines(lined, "id", "text")
+        .agg(sum("n_removed")).head().getLong(0)
+      println(s"        lines removed = $r")
+    }
+    timed(s"normalizeUnicode NFC scan ($nDocs docs)") {
+      docs.select(sum(length(
+        functions.TextFunctions.normalizeUnicode(col("text"))))).head()
+    }
     spark.stop()
   }
 }
