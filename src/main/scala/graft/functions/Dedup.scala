@@ -660,8 +660,15 @@ object Dedup {
       col(idCol).as("_rs_id"),
       posexplode(DedupExpressions.shinglePosHashes(col(textCol), n))
         .as(Seq("_rs_pos", "_rs_h")))
-    val dup = positioned.groupBy("_rs_h")
-      .agg(countDistinct(col("_rs_id")).as("_rs_df"))
+    // doc frequency from per-doc DISTINCT hashes (ShingleSetExpr), so
+    // the plain count is map-side combinable — a countDistinct over
+    // the positional explode plans the two-shuffle distinct-aggregate
+    // and tripled this operator's wall time at 1M docs
+    val dup = df
+      .select(col(idCol).as("_rs_id"),
+        explode(DedupExpressions.shingleSet(col(textCol), n)).as("_rs_h"))
+      .groupBy("_rs_h")
+      .agg(count(lit(1)).as("_rs_df"))
       .filter(col("_rs_df") >= minDocs)
       .select("_rs_h")
     val dropTok = positioned
@@ -671,16 +678,24 @@ object Dedup {
       .groupBy(col("_rs_id"))
       .agg(array_distinct(sort_array(collect_list(col("_rs_tp").cast("int"))))
         .as("_rs_drop"))
-    val norm = TextFunctions.normalizeText(col(textCol))
-    df.select(col(idCol), col(textCol))
+    // the normalize-regex chain and the rebuild kernel are each
+    // materialized in their OWN projection before fan-out: referencing
+    // the struct fields straight off a single select re-evaluates the
+    // whole regex+kernel chain once per referenced field
+    // (CollapseProject duplicates them) — measured 83 s of the
+    // operator's 1M-doc wall in exactly that shape
+    val withNorm = df.select(col(idCol),
+      translate(TextFunctions.normalizeText(col(textCol)), " ", "\n").as("_rs_norm"))
+    withNorm
       .join(dropTok.withColumnRenamed("_rs_id", idCol), Seq(idCol), "left")
-      .withColumn("_rs_r", DedupExpressions.dropLines(
-        translate(norm, " ", "\n"),
-        coalesce(col("_rs_drop"), array().cast("array<int>"))))
+      .select(col(idCol), col("_rs_norm"),
+        DedupExpressions.dropLines(col("_rs_norm"),
+          coalesce(col("_rs_drop"), array().cast("array<int>"))).as("_rs_r"))
       .select(col(idCol),
         // an empty normalized text is 0 tokens, not DropLinesExpr's
         // one empty line
-        when(norm === "", lit(0L)).otherwise(col("_rs_r.n_lines")).as("n_tokens"),
+        when(col("_rs_norm") === "", lit(0L))
+          .otherwise(col("_rs_r.n_lines")).as("n_tokens"),
         col("_rs_r.n_removed").as("n_removed_tokens"),
         translate(col("_rs_r.clean_text"), "\n", " ").as("clean_text"))
   }

@@ -954,6 +954,9 @@ object DedupExpressions {
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     column(NormalizeUnicodeExpr(expression(text), form))
 
+  def normalizeText(text: Column): Column =
+    column(NormalizeTextExpr(expression(text)))
+
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 

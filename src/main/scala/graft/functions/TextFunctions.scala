@@ -34,10 +34,14 @@ object TextFunctions {
   }
 
   /** Alphanumeric-normalized form used by fingerprints/dedup:
-    * lowercase, strip non [a-z0-9 ], collapse whitespace.
+    * lowercase, strip non [a-z0-9 ], collapse whitespace. Contract =
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]",
+    * " "), "\\s+", " "))` — the form every oracle CTE replicates —
+    * evaluated by the one-pass [[NormalizeTextExpr]] kernel
+    * (value-identical; the regex chain alone measured 57 s/1M docs).
     */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    DedupExpressions.normalizeText(text)
 
   /** Unicode normalization (NFC by default; NFD/NFKC/NFKD accepted) as
     * a one-pass codegen'd scalar — run BEFORE any byte-level dedup

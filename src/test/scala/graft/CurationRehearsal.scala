@@ -167,6 +167,18 @@ object CurationRehearsal {
     val nPacks = packed.agg(count_distinct(col("pack_id"))).head().getLong(0)
     println(f"[stage] ${"TOTAL"}%-28s ${results.map(_._2).sum}%7.2f s  " +
       f"read ${mb(results.map(_._3).sum)}  write ${mb(results.map(_._4).sum)}  packs $nPacks%d")
+
+    // solo stages, EXCLUDED from the chained TOTAL above: the global
+    // line dedup and exact-substring removal operators measured over
+    // the same lined corpus (shared footers + clone pairs give both
+    // real work), so the bytes table covers them without changing the
+    // recipe the round-over-round comparison pins
+    stage("dedupLines (solo)") {
+      Curation.dedupLines(corpus, "id", "text")
+    }
+    stage("removeDuplicatedSpans (solo)") {
+      Dedup.removeDuplicatedSpans(corpus, "id", "text", n = 8, minDocs = 2)
+    }
     spark.stop()
   }
 }

@@ -226,11 +226,14 @@ class PlanSpec extends SparkSpec {
     val out = functions.Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
     val shuffles = shuffleOutputsTyped(out)
     assert(shuffles.nonEmpty, "expected hash/position exchanges in removeDuplicatedSpans")
-    // the _rs_* stages (gram df, covered-token aggregation) must move
-    // ints/longs only — a StringType there is gram/token text coming
-    // back; the final doc-granularity join may carry doc text once
-    // (same contract as removeBoilerplateLines)
-    for (cols <- shuffles if cols.exists(_._1.startsWith("_rs_")); (c, t) <- cols)
+    // the gram-keyed stages (df aggregation, covered-token semi-join)
+    // must move ints/longs only — a StringType there is gram/token
+    // text coming back; the final doc-granularity join legitimately
+    // carries the normalized doc text once (same contract as
+    // removeBoilerplateLines)
+    val gramKeyed = shuffles.filter(_.exists(_._1 == "_rs_h"))
+    assert(gramKeyed.nonEmpty, "expected gram-hash-keyed exchanges")
+    for (cols <- gramKeyed; (c, t) <- cols)
       assert(!t.isInstanceOf[org.apache.spark.sql.types.StringType],
         s"gram-keyed exchange carries a string column $c: $cols")
     val p = out.queryExecution.explainString(
