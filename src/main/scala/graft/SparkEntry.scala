@@ -2104,6 +2104,13 @@ object SparkEntry {
           hits("word_length").as("n_word_length"))
     }),
 
+    // Vocabulary induction: top-40 tokens by corpus occurrence count,
+    // hash tie-break, term text from the min-term dictionary.
+    "q_vocab" -> ((s, dir) => {
+      TextFunctions.buildVocab(tbl(s, dir, "documents"), "text", size = 40)
+        .orderBy("rank")
+    }),
+
     // Top-3 TF-IDF terms per doc; idf snapped to integer nano-nats
     // before the tf multiply so rank and score are integer-exact
     // across engines.
@@ -3739,6 +3746,21 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN list_contains(reasons, 'too_short') THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
           |  CAST(sum(CASE WHEN list_contains(reasons, 'word_length') THEN 1 ELSE 0 END) AS BIGINT) AS n_word_length
           |FROM r""".stripMargin),
+
+      // same signed-hash tie-break family as q_tfidf_terms
+      "q_vocab" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+           |ag AS (SELECT tok, CAST(sum(c) AS BIGINT) AS n_occurrences,
+           |  count(*) AS n_docs,
+           |  CAST(CASE WHEN md5_number_lower(tok) >= 9223372036854775808
+           |    THEN CAST(md5_number_lower(tok) AS HUGEINT) - 18446744073709551616
+           |    ELSE CAST(md5_number_lower(tok) AS HUGEINT) END AS BIGINT) AS h
+           |  FROM tc GROUP BY tok)
+           |SELECT row_number() OVER (ORDER BY n_occurrences DESC, h ASC) AS rank,
+           |  tok AS term, n_docs, n_occurrences
+           |FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40""".stripMargin,
 
       // term identity = md5-lower-64 on BOTH engines (Spark's tf/df
       // aggs AND the ranking window shuffle 8-byte keys; the rank

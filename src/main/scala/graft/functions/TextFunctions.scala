@@ -587,4 +587,45 @@ object TextFunctions {
         col("_tt_id").as(idCol), col("term"), col("tf"),
         col("term_df"), col("score_nano"), col("rk"))
   }
+
+  /** Corpus vocabulary induction: the top-`size` normalized tokens by
+    * total occurrence count — the word-level vocab (or BPE seed list)
+    * a tokenizer-training step starts from, and the frequency table
+    * mixture/rarity diagnostics read. Ties break on the signed
+    * md5-64 token hash ascending (the repo-standard cross-engine
+    * tie-break); term text is recovered from the `min(term)`
+    * dictionary so an md5-64 collision (2^-64; colliding terms would
+    * also merge counts) still resolves deterministically.
+    *
+    * Scale shape: per-doc `(hash, tf)` pairs from the one-pass
+    * [[TokenTfExpr]] kernel; the count aggregation reduces over
+    * 8-byte hashes with map-side combine (vocab-bounded exchange);
+    * the top-`size` cut is a distributed `TakeOrderedAndProject`; the
+    * rank window and dictionary join touch only `size` surviving
+    * rows. No token string ever enters a corpus-wide exchange.
+    *
+    * Returns `(rank, term, n_docs, n_occurrences)`, rank 1-based in
+    * `(n_occurrences desc, hash asc)` order.
+    */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(size >= 1, "size must be >= 1")
+    val counts = df
+      .select(explode(TokenTfExpr(col(textCol))).as("_p"))
+      .select(col("_p.h").as("_h"), col("_p.tf").as("_tf"))
+      .groupBy("_h")
+      .agg(sum(col("_tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("_h").asc)
+      .limit(size)
+      // rank over `size` rows only — a single tiny partition
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("_h").asc))
+          .cast("long"))
+    val dict = df.select(explode(TokenDictExpr(col(textCol))).as("_d"))
+      .select(col("_d.h").as("_h"), col("_d.term").as("term"))
+      .groupBy("_h").agg(min(col("term")).as("term"))
+    top.join(dict, "_h")
+      .select(col("rank"), col("term"), col("n_docs"), col("n_occurrences"))
+  }
 }

@@ -182,6 +182,25 @@ class CorpusCleanSpec extends SparkSpec {
       (3L, "cherry", 3L, 2L, 3 * ln15, 1), (3L, "the", 1L, 3L, 0L, 2)))
   }
 
+  test("buildVocab ranks by total count, hash tie-break, exact size cut") {
+    val docs = Seq(
+      (1L, "apple apple banana the"),
+      (2L, "banana cherry the"),
+      (3L, "cherry cherry cherry the"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.buildVocab(docs, "text", size = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // counts: cherry 4 (2 docs), the 3 (3 docs), apple 2, banana 2;
+    // apple/banana tie at 2 breaks on signed md5-64 ascending
+    val third = Seq("apple", "banana").minBy(t => HashUtil.md5Lower64(t))
+    val thirdDocs = if (third == "banana") 2L else 1L
+    assert(out.toSeq == Seq(
+      (1L, "cherry", 2L, 4L),
+      (2L, "the", 3L, 3L),
+      (3L, third, thirdDocs, 2L)))
+  }
+
   test("containmentPairs finds full embedding where jaccard would miss it") {
     val docs = Seq(
       (1L, "one two three four five"),
