@@ -2111,6 +2111,15 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Tokenizer-coverage report: per-doc OOV rate against the induced
+    // top-40 vocab — buildVocab composed end-to-end.
+    "q_oov" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = TextFunctions.buildVocab(docs, "text", size = 40)
+      TextFunctions.oovRate(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     // Top-3 TF-IDF terms per doc; idf snapped to integer nano-nats
     // before the tf multiply so rank and score are integer-exact
     // across engines.
@@ -3761,6 +3770,27 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY n_occurrences DESC, h ASC) AS rank,
            |  tok AS term, n_docs, n_occurrences
            |FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40""".stripMargin,
+
+      // vocab = q_vocab's top-40; OOV = tokens outside it
+      "q_oov" ->
+        s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+           |ag AS (SELECT tok, sum(c) AS n_occurrences,
+           |  CAST(CASE WHEN md5_number_lower(tok) >= 9223372036854775808
+           |    THEN CAST(md5_number_lower(tok) AS HUGEINT) - 18446744073709551616
+           |    ELSE CAST(md5_number_lower(tok) AS HUGEINT) END AS BIGINT) AS h
+           |  FROM tc GROUP BY tok),
+           |v AS (SELECT tok FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40),
+           |cnt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov
+           |  FROM tc LEFT JOIN v ON tc.tok = v.tok GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           |  coalesce(n_oov, 0) AS n_oov,
+           |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+           |       ELSE round(CAST(n_oov AS DOUBLE) / n_tokens, 6) END AS oov_ratio
+           |FROM documents d LEFT JOIN cnt USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
 
       // term identity = md5-lower-64 on BOTH engines (Spark's tf/df
       // aggs AND the ranking window shuffle 8-byte keys; the rank

@@ -628,4 +628,44 @@ object TextFunctions {
     top.join(dict, "_h")
       .select(col("rank"), col("term"), col("n_docs"), col("n_occurrences"))
   }
+
+  /** Per-document out-of-vocabulary rate against a vocab table (e.g.
+    * [[buildVocab]]'s output, or any table with a `term` string
+    * column) — the coverage report that decides whether a tokenizer
+    * vocab is big enough for a corpus slice. Matching is on the
+    * md5-64 token hash (a collision can only UNDER-count OOV, at
+    * 2^-64). The vocab side reduces to distinct 8-byte hashes and
+    * broadcasts when small (the normal case — vocabs are bounded);
+    * per-doc sums ride the TokenTfExpr scan, so nothing wider than
+    * `(id, hash, tf)` ever shuffles.
+    *
+    * Returns `(idCol, n_tokens, n_oov, oov_ratio)` for every input
+    * row; zero-token docs report ratio 0.0.
+    */
+  def oovRate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      termCol: String = "term"): DataFrame = {
+    val vh = vocab.select(
+      DedupExpressions.md5Lower64(col(termCol)).as("_ov_h")).distinct()
+    val tf = df.select(col(idCol),
+        explode(TokenTfExpr(col(textCol))).as("_p"))
+      .select(col(idCol), col("_p.h").as("_ov_h"), col("_p.tf").as("_ov_tf"))
+    val perDoc = tf
+      .join(vh.withColumn("_ov_in", lit(1)), Seq("_ov_h"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("_ov_tf")).cast("long").as("n_tokens"),
+        sum(when(col("_ov_in").isNull, col("_ov_tf")).otherwise(lit(0)))
+          .cast("long").as("n_oov"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)))
+  }
 }

@@ -201,6 +201,20 @@ class CorpusCleanSpec extends SparkSpec {
       (3L, third, thirdDocs, 2L)))
   }
 
+  test("oovRate counts occurrences outside the vocab; empty docs report 0") {
+    val docs = Seq(
+      (1L, "apple apple banana zap"), // 4 tokens, zap OOV -> 1
+      (2L, "zap zap qux"),            // all 3 OOV
+      (3L, ""))                        // zero tokens
+      .toDF("doc_id", "text")
+    val vocab = Seq("apple", "banana").toDF("term")
+    val out = TextFunctions.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 0.25), (2L, 3L, 3L, 1.0), (3L, 0L, 0L, 0.0)))
+  }
+
   test("containmentPairs finds full embedding where jaccard would miss it") {
     val docs = Seq(
       (1L, "one two three four five"),
