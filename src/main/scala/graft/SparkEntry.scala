@@ -177,6 +177,23 @@ object SparkEntry {
 
   private def ts(d: String): Double = TimeUtils.dt2ts(d)
 
+  /** Documents re-chunked into aligned 8-token lines — the shared
+    * input of the line-granularity gates (q_boilerplate,
+    * q_line_dedup); their oracles replicate the same slice algebra in
+    * one shared CTE shape.
+    */
+  private def linedDocuments(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nChunks =
+      greatest(ceil(size(ws).cast("double") / lit(8.0)).cast("long"), lit(1L))
+    tbl(s, dir, "documents").select(
+      col("doc_id"),
+      array_join(
+        transform(sequence(lit(0L), nChunks - 1),
+          i => array_join(slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
+        "\n").as("line_text"))
+  }
+
   /** Decimal-exact money expression: both engines compute
     * `DECIMAL(18,2) × DECIMAL(18,2)` exactly, so the final
     * cast-to-double is bit-identical.
@@ -2032,17 +2049,8 @@ object SparkEntry {
     // non-trivial removal set. Gate verifies per-doc line counts,
     // removed counts, and the md5 of the reassembled clean text.
     "q_boilerplate" -> ((s, dir) => {
-      val ws = split(col("text"), " ")
-      val nChunks =
-        greatest(ceil(size(ws).cast("double") / lit(8.0)).cast("long"), lit(1L))
-      val lined = tbl(s, dir, "documents").select(
-        col("doc_id"),
-        array_join(
-          transform(sequence(lit(0L), nChunks - 1),
-            i => array_join(slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
-          "\n").as("line_text"))
       graft.functions.Curation.removeBoilerplateLines(
-          lined, "doc_id", "line_text", minDocs = 2)
+          linedDocuments(s, dir), "doc_id", "line_text", minDocs = 2)
         .select(col("doc_id"), col("n_lines"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
@@ -2054,16 +2062,8 @@ object SparkEntry {
     // intra-document repeats, which the >=minDocs boilerplate rule
     // never touches.
     "q_line_dedup" -> ((s, dir) => {
-      val ws = split(col("text"), " ")
-      val nChunks =
-        greatest(ceil(size(ws).cast("double") / lit(8.0)).cast("long"), lit(1L))
-      val lined = tbl(s, dir, "documents").select(
-        col("doc_id"),
-        array_join(
-          transform(sequence(lit(0L), nChunks - 1),
-            i => array_join(slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
-          "\n").as("line_text"))
-      graft.functions.Curation.dedupLines(lined, "doc_id", "line_text")
+      graft.functions.Curation.dedupLines(
+          linedDocuments(s, dir), "doc_id", "line_text")
         .select(col("doc_id"), col("n_lines"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")

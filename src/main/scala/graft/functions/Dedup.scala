@@ -660,15 +660,19 @@ object Dedup {
       col(idCol).as("_rs_id"),
       posexplode(DedupExpressions.shinglePosHashes(col(textCol), n))
         .as(Seq("_rs_pos", "_rs_h")))
-    // doc frequency from per-doc DISTINCT hashes (ShingleSetExpr), so
-    // the plain count is map-side combinable — a countDistinct over
-    // the positional explode plans the two-shuffle distinct-aggregate
-    // and tripled this operator's wall time at 1M docs
+    // doc frequency over per-doc DISTINCT positional hashes:
+    // array_distinct stays scan-side (no ShingleSetExpr whole-text
+    // fallback rows for sub-n docs — those can never match a
+    // positional gram), and countDistinct keeps the >= minDocs
+    // contract exact even when the same id appears on several input
+    // rows (a plain count would reach minDocs from one duplicated
+    // doc and wipe its entire text)
     val dup = df
       .select(col(idCol).as("_rs_id"),
-        explode(DedupExpressions.shingleSet(col(textCol), n)).as("_rs_h"))
+        explode(array_distinct(
+          DedupExpressions.shinglePosHashes(col(textCol), n))).as("_rs_h"))
       .groupBy("_rs_h")
-      .agg(count(lit(1)).as("_rs_df"))
+      .agg(countDistinct(col("_rs_id")).as("_rs_df"))
       .filter(col("_rs_df") >= minDocs)
       .select("_rs_h")
     val dropTok = positioned
@@ -685,7 +689,8 @@ object Dedup {
     // (CollapseProject duplicates them) — measured 83 s of the
     // operator's 1M-doc wall in exactly that shape
     val withNorm = df.select(col(idCol),
-      translate(TextFunctions.normalizeText(col(textCol)), " ", "\n").as("_rs_norm"))
+      translate(TextFunctions.normalizeText(coalesce(col(textCol), lit(""))),
+        " ", "\n").as("_rs_norm"))
     withNorm
       .join(dropTok.withColumnRenamed("_rs_id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("_rs_norm"),

@@ -486,11 +486,12 @@ object NormalizeUnicodeExpr {
     }
 
   def compute(input: UTF8String, form: String): UTF8String = {
+    val f = formOf(form) // one string match per row, shared by both calls
     val s = input.toString
     // the common case — already normalized ASCII/NFC text — is a
     // linear check with zero allocation
-    if (java.text.Normalizer.isNormalized(s, formOf(form))) input
-    else UTF8String.fromString(java.text.Normalizer.normalize(s, formOf(form)))
+    if (java.text.Normalizer.isNormalized(s, f)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
   }
 }
 

@@ -238,6 +238,21 @@ class DedupSpec extends SparkSpec {
       5L -> (0L, 0L, "")))
   }
 
+  test("removeDuplicatedSpans: duplicate input ids never self-duplicate; null text is 0 tokens") {
+    val txt = "p q r s t u v w x y"
+    val docs = Seq(
+      (7L, txt), (7L, txt), // same id twice: countDistinct sees ONE doc
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text",
+        n = 8, minDocs = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed_tokens"),
+        r.getAs[String]("clean_text"))).toSeq.sorted
+    assert(out == Seq(
+      (7L, 10L, 0L, txt), (7L, 10L, 0L, txt), (8L, 0L, 0L, "")))
+  }
+
   test("minhashPairs finds planted near-dups, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
