@@ -647,6 +647,11 @@ object Dedup {
     * `(idCol, n_tokens, n_removed_tokens, clean_text)` where
     * `clean_text` is normalized-token text (lowercased, punctuation
     * stripped) minus the duplicated spans.
+    *
+    * NB: runs one small EAGER job up front (id-column-pruned
+    * uniqueness probe) to pick the one-shuffle doc-frequency plan when
+    * ids are unique — the same documented trade as knnJoin's auto band
+    * sizing; duplicated ids fall back to the exact countDistinct.
     */
   def removeDuplicatedSpans(
       df: DataFrame,
@@ -663,16 +668,26 @@ object Dedup {
     // doc frequency over per-doc DISTINCT positional hashes:
     // array_distinct stays scan-side (no ShingleSetExpr whole-text
     // fallback rows for sub-n docs — those can never match a
-    // positional gram), and countDistinct keeps the >= minDocs
-    // contract exact even when the same id appears on several input
-    // rows (a plain count would reach minDocs from one duplicated
-    // doc and wipe its entire text)
-    val dup = df
+    // positional gram). The >= minDocs contract needs DISTINCT ids
+    // per hash — a plain count would reach minDocs from ONE
+    // duplicated input id and wipe that doc's text — but the exact
+    // countDistinct pays a second (hash, id) shuffle (~2x this
+    // stage). So probe id uniqueness first (an id-column-pruned scan
+    // + tiny aggregation, the same documented eager-action trade as
+    // knnJoin's auto band sizing): unique ids (the normal case) take
+    // the one-shuffle map-side-combined count, duplicated ids fall
+    // back to the exact distinct aggregation.
+    val perDocDistinct = df
       .select(col(idCol).as("_rs_id"),
         explode(array_distinct(
           DedupExpressions.shinglePosHashes(col(textCol), n))).as("_rs_h"))
-      .groupBy("_rs_h")
-      .agg(countDistinct(col("_rs_id")).as("_rs_df"))
+    val idsUnique = df.groupBy(col(idCol)).agg(count(lit(1)).as("_rs_c"))
+      .filter(col("_rs_c") > 1).isEmpty
+    val dup = (if (idsUnique)
+        perDocDistinct.groupBy("_rs_h").agg(count(lit(1)).as("_rs_df"))
+      else
+        perDocDistinct.groupBy("_rs_h")
+          .agg(countDistinct(col("_rs_id")).as("_rs_df")))
       .filter(col("_rs_df") >= minDocs)
       .select("_rs_h")
     val dropTok = positioned
