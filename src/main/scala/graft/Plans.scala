@@ -27,7 +27,8 @@ object Plans {
         "q3_top_orders", "q5_nation_revenue", "q_date_asof",
         "q_upsert_scd2", "q_minhash_pairs", "q_embed_topk", "q_token_counts",
         "q_zorder_scan", "q_token_pack", "q_keep_best",
-        "q_rolling_window", "q_boilerplate", "q_knn_join", "q_skew_report")
+        "q_rolling_window", "q_boilerplate", "q_knn_join", "q_skew_report",
+        "q_line_dedup", "q_remove_spans", "q_vocab")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)
