@@ -1846,6 +1846,20 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // Streaming OOV screen: the scan-side OovStatsExpr kernel as a
+    // stateless stream stage — the vocab (batch-induced top-40,
+    // collected driver-side exactly as a cluster job would broadcast
+    // it) rides the task closure, so the streamed result over the
+    // same rows IS the batch q_oov result and shares its oracle.
+    "q_stream_oov" -> ((s, dir) => {
+      val vocabTerms = TextFunctions
+        .buildVocab(tbl(s, dir, "documents"), "text", size = 40)
+        .select("term").collect().map(_.getString(0)).toSeq
+      runStreamGate(s, dir, "documents", DocumentsStreamSchema, "oov", "append") { st =>
+        TextFunctions.oovRateScan(st, "doc_id", "text", vocabTerms)
+      }.orderBy("doc_id")
+    }),
+
     // Streaming near-dup screen: the incremental-dedup operator as a
     // stream-static foreachBatch stage — 3 micro-batches
     // (maxFilesPerTrigger=1 over a 3-file source) screened against the
@@ -2257,6 +2271,26 @@ object SparkEntry {
   // NB: composed by CONCAT, not an outer interpolated stripMargin —
   // the CTE text contains `|| CASE` lines that an outer stripMargin
   // would eat a pipe from (NOTES round-3 gotcha)
+  private lazy val OovOracleSql: String =
+    s"""WITH ${tokCte()},
+           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+           |tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+           |ag AS (SELECT tok, sum(c) AS n_occurrences,
+           |  CAST(CASE WHEN md5_number_lower(tok) >= 9223372036854775808
+           |    THEN CAST(md5_number_lower(tok) AS HUGEINT) - 18446744073709551616
+           |    ELSE CAST(md5_number_lower(tok) AS HUGEINT) END AS BIGINT) AS h
+           |  FROM tc GROUP BY tok),
+           |v AS (SELECT tok FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40),
+           |cnt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov
+           |  FROM tc LEFT JOIN v ON tc.tok = v.tok GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           |  coalesce(n_oov, 0) AS n_oov,
+           |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+           |       ELSE round(CAST(n_oov AS DOUBLE) / n_tokens, 6) END AS oov_ratio
+           |FROM documents d LEFT JOIN cnt USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+
   private lazy val QualityFilterOracleSql: String =
     QualityFilterReasonCtes + "\n" +
       """SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
@@ -3772,25 +3806,10 @@ object SparkEntry {
            |FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40""".stripMargin,
 
       // vocab = q_vocab's top-40; OOV = tokens outside it
-      "q_oov" ->
-        s"""WITH ${tokCte()},
-           |ex AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
-           |tc AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
-           |ag AS (SELECT tok, sum(c) AS n_occurrences,
-           |  CAST(CASE WHEN md5_number_lower(tok) >= 9223372036854775808
-           |    THEN CAST(md5_number_lower(tok) AS HUGEINT) - 18446744073709551616
-           |    ELSE CAST(md5_number_lower(tok) AS HUGEINT) END AS BIGINT) AS h
-           |  FROM tc GROUP BY tok),
-           |v AS (SELECT tok FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40),
-           |cnt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-           |  CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov
-           |  FROM tc LEFT JOIN v ON tc.tok = v.tok GROUP BY doc_id)
-           |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-           |  coalesce(n_oov, 0) AS n_oov,
-           |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
-           |       ELSE round(CAST(n_oov AS DOUBLE) / n_tokens, 6) END AS oov_ratio
-           |FROM documents d LEFT JOIN cnt USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin,
+      "q_oov" -> OovOracleSql,
+
+      // stateless projection: the streamed rows ARE the batch rows
+      "q_stream_oov" -> OovOracleSql,
 
       // term identity = md5-lower-64 on BOTH engines (Spark's tf/df
       // aggs AND the ranking window shuffle 8-byte keys; the rank

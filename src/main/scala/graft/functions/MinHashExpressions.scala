@@ -495,6 +495,54 @@ object NormalizeUnicodeExpr {
   }
 }
 
+/** Scan-side OOV statistics against a FIXED vocabulary of signed
+  * md5-64 token hashes: one tokenize+hash pass emits
+  * `struct<n_tokens: bigint, n_oov: bigint>` per document, with a
+  * binary search per token over the sorted vocab array. The
+  * join-free twin of [[graft.functions.TextFunctions.oovRate]] for
+  * when the vocab fits in memory (the normal case — it ships with
+  * the task closure exactly like a broadcast), which also makes it a
+  * STATELESS streaming stage.
+  */
+case class OovStatsExpr(child: Expression, vocabSorted: Array[Long])
+    extends UnaryExpression {
+  require(vocabSorted.nonEmpty, "vocab must not be empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"oov_stats requires a STRING column, got $t")
+  }
+  override def dataType: DataType = OovStatsExpr.outType
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeStats(input: UTF8String): InternalRow = {
+    val ws = HashUtil.tokens(input.toString)
+    var oov = 0L
+    var i = 0
+    while (i < ws.length) {
+      if (java.util.Arrays.binarySearch(vocabSorted, HashUtil.md5Lower64(ws(i))) < 0)
+        oov += 1L
+      i += 1
+    }
+    InternalRow(ws.length.toLong, oov)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("oovStats", this, classOf[OovStatsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeStats($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): OovStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "oov_stats"
+}
+
+object OovStatsExpr {
+  val outType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false)))
+}
+
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
   * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
@@ -957,6 +1005,9 @@ object DedupExpressions {
 
   def normalizeText(text: Column): Column =
     column(NormalizeTextExpr(expression(text)))
+
+  def oovStats(text: Column, vocabSorted: Array[Long]): Column =
+    column(OovStatsExpr(expression(text), vocabSorted))
 
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))

@@ -642,6 +642,30 @@ object TextFunctions {
     * Returns `(idCol, n_tokens, n_oov, oov_ratio)` for every input
     * row; zero-token docs report ratio 0.0.
     */
+  /** Join-free [[oovRate]] twin for a DRIVER-HELD vocabulary: the
+    * sorted hash array ships with the task closure (like a broadcast)
+    * and one [[OovStatsExpr]] scan pass emits the counts — a pure
+    * projection, so it runs unchanged as a STATELESS streaming stage
+    * (q_stream_oov). Use [[oovRate]] when the vocab itself is a
+    * distributed table too large to collect.
+    */
+  def oovRateScan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabTerms: Seq[String]): DataFrame = {
+    require(vocabTerms.nonEmpty, "vocabTerms must not be empty")
+    val hashes = vocabTerms.map(HashUtil.md5Lower64).distinct.sorted.toArray
+    df.select(col(idCol),
+        DedupExpressions.oovStats(coalesce(col(textCol), lit("")), hashes).as("_ov"))
+      .select(col(idCol),
+        col("_ov.n_tokens").as("n_tokens"),
+        col("_ov.n_oov").as("n_oov"))
+      .withColumn("oov_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)))
+  }
+
   def oovRate(
       df: DataFrame,
       idCol: String,

@@ -215,6 +215,21 @@ class CorpusCleanSpec extends SparkSpec {
       (1L, 4L, 1L, 0.25), (2L, 3L, 3L, 1.0), (3L, 0L, 0L, 0.0)))
   }
 
+  test("oovRateScan (kernel) equals the join-based oovRate") {
+    val docs = Seq(
+      (1L, "apple apple banana zap"),
+      (2L, "zap zap qux"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val terms = Seq("apple", "banana")
+    val viaJoin = TextFunctions.oovRate(docs, "doc_id", "text", terms.toDF("term"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaScan = TextFunctions.oovRateScan(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaScan == viaJoin)
+  }
+
   test("containmentPairs finds full embedding where jaccard would miss it") {
     val docs = Seq(
       (1L, "one two three four five"),
