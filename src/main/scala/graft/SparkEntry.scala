@@ -896,6 +896,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Deterministic ±1/√k random projection (plane family offset 128,
+    // independent of the ANN gates' planes): IEEE-exact on both
+    // engines via the ascending-index fold + division-by-sqrt recipe,
+    // so raw doubles hash-match — no rounding in the gate.
+    "q_random_project" -> ((s, dir) => {
+      val proj = Similarity.randomProject(col("embedding"), k = 4, planeOffset = 128)
+      tbl(s, dir, "embeddings").select(
+          col("vec_id"),
+          element_at(proj, 1).as("p0"), element_at(proj, 2).as("p1"),
+          element_at(proj, 3).as("p2"), element_at(proj, 4).as("p3"))
+        .orderBy("vec_id")
+    }),
+
     // near-dup pairs through the LSH band prefilter — the 100 TB chain
     // (banded equi-join, NO CartesianProduct); the oracle replicates
     // the identical md5-derived planes, so the result hash-matches
@@ -3224,6 +3237,15 @@ object SparkEntry {
            |        FROM sc)
            |SELECT id_a AS vec_id, id_b AS neighbor_id, cos, CAST(rk AS BIGINT) AS rk
            |FROM rnk WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
+      "q_random_project" -> {
+        def dim(plane: Int): String =
+          s"""list_reduce(list_transform(range(0, 64), j -> v[j+1] * ${sqlPlaneSign(plane.toString, "j")}), (x, y) -> x + y) / sqrt(4.0)"""
+        s"""WITH $EmbCte
+           |SELECT vec_id, ${dim(128)} AS p0, ${dim(129)} AS p1,
+           |  ${dim(130)} AS p2, ${dim(131)} AS p3
+           |FROM d ORDER BY vec_id""".stripMargin
+      },
 
       "q_ann_lsh" ->
         s"""WITH $EmbCte,

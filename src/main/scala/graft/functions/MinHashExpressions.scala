@@ -659,6 +659,72 @@ case class Md5Lower64Expr(child: Expression) extends UnaryExpression {
   * Accumulation is ascending-j in doubles, matching the oracle's
   * `list_reduce` fold, so the `>= 0` sign decision is bit-identical.
   */
+/** Deterministic ±1 random projection to `k` dimensions (Achlioptas
+  * sign matrix drawn from the same md5 plane family as
+  * [[LshBandExpr]], scaled by 1/√k): the cheap, data-independent
+  * dimensionality reduction an embedding pipeline runs before
+  * coarse clustering or visualization. Output dimension `p` is the
+  * ascending-index fold `Σ_j v[j]·sign(planeOffset+p, j) / √k` —
+  * bit-identical in DuckDB via `list_reduce(list_transform(...))`
+  * (the repo's exact-order-fold recipe), so projections are
+  * value-gated, not tolerance-gated.
+  */
+case class RandomProjectExpr(child: Expression, planeOffset: Int, k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
+  require(planeOffset >= 0, "planeOffset must be >= 0")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"random_project requires ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val planeBlocks =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  private def signBits(plane: Int, blk: Int): Long =
+    planeBlocks.computeIfAbsent(
+      (plane.toLong << 32) | blk,
+      key => HashUtil.md5Lower64(s"lshplane_${plane}_$blk"))
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Kernel; public for the codegen `addReferenceObj` handle. NB: the
+    * scale is a DIVISION by √k (not a multiply by a precomputed
+    * reciprocal) — the oracle's `/ sqrt(k)` must round identically.
+    */
+  def computeProj(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Double](k)
+    var p = 0
+    while (p < k) {
+      val plane = planeOffset + p
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val v = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        val sign =
+          if (((signBits(plane, j >>> 6) >>> (j & 63)) & 1L) == 1L) 1.0 else -1.0
+        acc += v * sign
+        j += 1
+      }
+      out(p) = acc / math.sqrt(k.toDouble)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeProj(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("randomProject", this, classOf[RandomProjectExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeProj($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): RandomProjectExpr =
+    copy(child = c)
+  override def prettyName: String = "random_project"
+}
+
 case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
     extends UnaryExpression {
   require(nBits >= 1 && nBits <= 63, "nBits must be in [1, 63]")
@@ -1032,6 +1098,9 @@ object DedupExpressions {
 
   def lshBand(vec: Column, planeOffset: Int, nBits: Int): Column =
     column(LshBandExpr(expression(vec), planeOffset, nBits))
+
+  def randomProject(vec: Column, k: Int, planeOffset: Int = 0): Column =
+    column(RandomProjectExpr(expression(vec), planeOffset, k))
 
   def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
     column(IvfAssignExpr(expression(vec), centroids))

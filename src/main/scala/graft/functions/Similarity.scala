@@ -34,6 +34,17 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = DedupExpressions.cosineSim(a, b)
 
+  /** Deterministic ±1/√k random projection of an embedding column to
+    * `k` dimensions ([[RandomProjectExpr]] — Achlioptas sign matrix
+    * from the md5 plane family, data-independent, one scan pass, no
+    * fit step or driver state). Distance-preserving in expectation
+    * (Johnson-Lindenstrauss); pair with [[kmeansFitInt8]] or
+    * [[cosinePairsLsh]] when the raw dimensionality dominates
+    * shuffle width. `planeOffset` selects an independent matrix.
+    */
+  def randomProject(vec: Column, k: Int, planeOffset: Int = 0): Column =
+    DedupExpressions.randomProject(vec, k, planeOffset)
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x|/127, elements → round(x/scale) in [-127, 127].
     * At 100 TB of vectors this is the difference between shuffling/

@@ -574,6 +574,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomProject: deterministic, exact power-of-2 linearity, independent offsets") {
+    val rng = new scala.util.Random(23)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val df = vecs.toDF("id", "vec")
+    def proj(c: org.apache.spark.sql.Column, off: Int) =
+      Similarity.randomProject(c, k = 4, planeOffset = off)
+    val a = df.select(col("id"), proj(col("vec"), 0).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = df.select(col("id"), proj(col("vec"), 0).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b) // deterministic
+    assert(a.values.forall(_.length == 4))
+    // scaling by 2 is exact in IEEE, so projection commutes with it
+    val doubled = df.select(col("id"),
+        proj(transform(col("vec"), x => x * lit(2.0f)), 0).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (i, _) =>
+      assert(doubled(i) == a(i).map(_ * 2.0), s"vec $i") }
+    // a different plane offset draws an independent sign matrix
+    val other = df.select(col("id"), proj(col("vec"), 500).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs.exists { case (i, _) => other(i) != a(i) })
+  }
+
   test("MinHashSigExpr / SimHash64Expr match their Column-composed twins (oracle invariant)") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
