@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ChunkDocsExpr, CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, NormalizeUnicodeExpr, QualityStatsExpr, ShinglePosHashesExpr, ShingleSetExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr, TokenDictExpr, TokenTfExpr}
+import graft.functions.{ChunkDocsExpr, CosineSimExpr, LshBandExpr, Md5Lower64Expr, MinHashSigExpr, NormalizeTextExpr, NormalizeUnicodeExpr, QualityStatsExpr, ShinglePosHashesExpr, ShingleSetExpr, SigMatchRatioExpr, SimHash64Expr, TextStatsExpr, TokenDictExpr, TokenTfExpr}
 import graft.mql.{MqlPredicate, MqlSql, ResolveMqlPredicate, RewriteMqlPredicate}
 
 import org.apache.spark.sql.SparkSessionExtensions
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg.createOrReplaceTempFunction(
       "simhash64",
       (args: Seq[Expression]) => SimHash64Expr(args.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "normalize_text",
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NormalizeTextExpr(text)
+        case _ => throw new IllegalArgumentException("normalize_text(text)")
+      },
       "built-in")
     reg.createOrReplaceTempFunction(
       "normalize_unicode",
@@ -153,6 +160,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text) => SimHash64Expr(text)
         case _ => throw new IllegalArgumentException("simhash64(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NormalizeTextExpr(text)
+        case _ => throw new IllegalArgumentException("normalize_text(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("normalize_unicode"),

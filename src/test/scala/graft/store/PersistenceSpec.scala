@@ -102,6 +102,7 @@ class ExtensionsSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT normalize_unicode(text) AS nfc,
         |       normalize_unicode(text, 'NFKC') AS nfkc FROM uni_docs""".stripMargin).head()
+    assert(spark.sql("SELECT normalize_text('A,b  C!') AS n").head().getString(0) == "a b c")
     assert(row.getString(0) == "caf\u00e9 \uFB01n") // composed; ligature kept
     assert(row.getString(1) == "caf\u00e9 fin")      // NFKC also folds the ligature
     val err = intercept[Exception] {
