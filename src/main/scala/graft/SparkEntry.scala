@@ -1987,6 +1987,19 @@ object SparkEntry {
         docs, "doc_id", "text", target, "text", k = 50)
     }),
 
+    // FastText-style hashed quality classifier: closed-form log-odds
+    // weights trained on labeled slices (en=pos, zh=neg), every doc
+    // scored and the keep DECISION verified — weights, logits, and
+    // threshold all integer-exact across engines.
+    "q_classifier_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val w = graft.functions.Curation.trainTokenClassifier(
+        docs.filter(col("lang") === "en"), "text",
+        docs.filter(col("lang") === "zh"), "text")
+      graft.functions.Curation.classifierScore(docs, "doc_id", "text", w)
+        .orderBy("doc_id")
+    }),
+
     // Cluster-proportional downsampling (keep 1+floor(log2(size)) per
     // group, md5-ranked): quota via length(bin(n)) — integer-exact on
     // both engines, no float log2.
@@ -2034,6 +2047,49 @@ object SparkEntry {
         lit("#frag"))
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.normalizeUrl(raw).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // Host + registrable-domain extraction from messy URLs (userinfo,
+    // ports, mixed case, multi-label public suffixes) — the grouping
+    // key every per-site curation step hangs off.
+    "q_host_extract" -> ((s, dir) => {
+      val raw = when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/p/"),
+            col("doc_id").cast("string"), lit("#f")))
+        .otherwise(concat(lit("http://user:pa@"), col("source"),
+          lit(".Example.CO.UK:8080/p?x=1")))
+      val host = TextFunctions.hostOf(raw)
+      tbl(s, dir, "documents").select(
+          col("doc_id"), host.as("host"),
+          TextFunctions.registeredDomain(host).as("reg_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Common-Crawl-style per-domain cap: every kept row verified (the
+    // bounded bottom-k aggregate against the oracle's row_number over
+    // the identical two-lane md5 sort key). cap=10 binds on all 20
+    // domains (25 docs each), so the keep set is a real cut, not a
+    // pass-through.
+    "q_domain_cap" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("domain", col("source"))
+      graft.functions.Curation.capPerDomain(docs, "doc_id", "domain", cap = 10)
+        .select(col("domain"), col("doc_id"))
+        .orderBy("domain", "doc_id")
+    }),
+
+    // UT1-style domain blocklist with public-suffix semantics: a
+    // listed domain blocks itself and every subdomain; string-suffix
+    // lookalikes survive.
+    "q_domain_filter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("host",
+        concat(when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 3 === 0, lit(".example.org"))
+            .otherwise(lit(".example.com"))))
+      graft.functions.Curation.filterByDomains(
+          docs, "host", Seq("src1.example.com", "example.org"))
+        .select(col("doc_id"), col("host"))
         .orderBy("doc_id")
     }),
 
@@ -3720,6 +3776,46 @@ object SparkEntry {
           |  CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
           |FROM k ORDER BY doc_id""".stripMargin,
 
+      // the suffix alternation is interpolated from the SAME Scala
+      // value the Spark-side regex compiles — one source of truth
+      "q_host_extract" ->
+        s"""WITH u AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+           |  THEN 'HTTPS://WWW.' || source || '.Example.COM/p/' || CAST(doc_id AS VARCHAR) || '#f'
+           |  ELSE 'http://user:pa@' || source || '.Example.CO.UK:8080/p?x=1' END AS url FROM documents),
+           |h AS (SELECT doc_id, lower(regexp_replace(regexp_replace(
+           |    regexp_extract(regexp_replace(url, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*', 1),
+           |    '^.*@', ''), ':[0-9]*\\z', '')) AS host FROM u),
+           |r AS (SELECT doc_id, host, regexp_extract(host,
+           |  '([^.]+\\.(?:${TextFunctions.publicSuffixAlternation()}))\\z', 1) AS m FROM h)
+           |SELECT doc_id, host, CASE WHEN m <> '' THEN m ELSE host END AS reg_domain
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      // two-lane md5 sort key: priority = bottomKSample's 60-bit md5
+      // lane, tie = signed md5-64 of (id || ':tie') — both replicated
+      "q_domain_cap" ->
+        """WITH d AS (SELECT doc_id, source AS domain FROM documents),
+          |k AS (SELECT domain, doc_id,
+          |  row_number() OVER (PARTITION BY domain ORDER BY
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT,
+          |    CAST(CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':tie') >= 9223372036854775808
+          |      THEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':tie') AS HUGEINT) - 18446744073709551616
+          |      ELSE CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':tie') AS HUGEINT) END AS BIGINT)) AS rn
+          |  FROM d)
+          |SELECT domain, doc_id FROM k WHERE rn <= 10 ORDER BY domain, doc_id""".stripMargin,
+
+      // dot-suffix chain membership — same semantics as the Spark
+      // arrays_overlap over the transform-built chain
+      "q_domain_filter" ->
+        """WITH h AS (SELECT doc_id,
+          |  (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source ||
+          |  (CASE WHEN doc_id % 3 = 0 THEN '.example.org' ELSE '.example.com' END) AS host FROM documents),
+          |c AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
+          |m AS (SELECT doc_id, host,
+          |  len(list_filter(list_transform(range(1, len(parts) + 1),
+          |    i -> array_to_string(list_slice(parts, i, len(parts)), '.')),
+          |    s -> s IN ('src1.example.com', 'example.org'))) > 0 AS matched FROM c)
+          |SELECT doc_id, host FROM m WHERE NOT matched ORDER BY doc_id""".stripMargin,
+
       "q_unicode_nfc" ->
         """WITH u AS (SELECT doc_id,
           |  text || ' cafe' || chr(769) || ' ' || chr(8491) AS raw FROM documents)
@@ -4008,6 +4104,35 @@ object SparkEntry {
            |  FROM wts)
            |SELECT doc_id, n_feats, logw_nano, key_nano FROM keyed
            |ORDER BY key_nano DESC, doc_id LIMIT 50""".stripMargin,
+
+      // classifier = the DSIR log-ratio algebra with explicit labeled
+      // classes (en=pos, zh=neg) and an integer-exact keep decision
+      "q_classifier_score" ->
+        s"""WITH ${tokCte()},
+           |fe AS (
+           |  SELECT doc_id, md5_number_lower(unnest(ws)) & 65535 AS b FROM toks
+           |  UNION ALL
+           |  SELECT doc_id,
+           |    md5_number_lower(unnest(list_transform(range(1, len(ws)),
+           |      i -> ws[i] || ' ' || ws[i+1]))) & 65535 FROM toks),
+           |pfe AS (SELECT b FROM fe JOIN documents USING (doc_id) WHERE lang = 'en'),
+           |nfe AS (SELECT b FROM fe JOIN documents USING (doc_id) WHERE lang = 'zh'),
+           |dcp AS (SELECT b, count(*) AS cp FROM pfe GROUP BY b),
+           |dcn AS (SELECT b, count(*) AS cn FROM nfe GROUP BY b),
+           |dtot AS (SELECT (SELECT count(*) FROM pfe) AS tp,
+           |                (SELECT count(*) FROM nfe) AS tn),
+           |wt AS (SELECT s.b,
+           |  CAST(round(ln(((coalesce(cp, 0) + 1) / (tp + 65536.0)) /
+           |                ((coalesce(cn, 0) + 1) / (tn + 65536.0))) * 1e9) AS BIGINT) AS wn
+           |  FROM range(0, 65536) s(b)
+           |  LEFT JOIN dcp USING (b) LEFT JOIN dcn USING (b) CROSS JOIN dtot),
+           |sc AS (SELECT doc_id, count(*) AS n_feats,
+           |  CAST(sum(wn) AS BIGINT) AS logit_nano
+           |  FROM fe JOIN wt USING (b) GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+           |  CAST(coalesce(logit_nano, 0) AS BIGINT) AS logit_nano,
+           |  coalesce(n_feats, 0) > 0 AND coalesce(logit_nano, 0) >= 0 AS keep
+           |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
       // token identity is md5-lower-64 on BOTH engines (Spark shuffles
       // 8-byte keys; string equality and hash equality agree exactly

@@ -153,6 +153,82 @@ object Curation {
     }
   }
 
+  /** Per-domain document cap — the Common-Crawl-style anti-spam /
+    * anti-SEO measure: no single site may contribute more than `cap`
+    * documents to the corpus. Kept rows are the `cap` smallest md5
+    * priorities per domain (same RNG-free reservoir semantics as
+    * [[bottomKSample]]), so the survivors are a uniform deterministic
+    * sample of the site, reproducible on any cluster size.
+    *
+    * Scale shape: the selection is `groupBy(domain).agg(bottom_k_by)`
+    * — [[graft.functions.BottomKByExpr]] keeps at most `2·cap`
+    * elements per aggregation buffer with map-side partial
+    * aggregation, so a mega-domain (a billion-page site) costs each
+    * map partition at most `2·cap` shuffle rows and can never OOM its
+    * reducer, where the naive `row_number()` window would sort the
+    * whole domain on one task. Kept ids then semi-join back (the keep
+    * set is ≤ `cap·|domains|` rows of ids — AQE broadcasts it when
+    * small). Two md5-64 lanes make the per-element sort key unique to
+    * 2^-128; the priority lane is byte-replicable in the oracle as
+    * `('0x' || substr(md5(id || ':seed'), 1, 15))::BIGINT`.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      cap: Int,
+      seed: Long = 42L): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val idStr = col(idCol).cast("string")
+    val pri = conv(
+      substring(md5(concat(idStr, lit(s":$seed"))), 1, 15), 16, 10).cast("long")
+    val tie = DedupExpressions.md5Lower64(concat(idStr, lit(":tie")))
+    val kept = df
+      .select(col(domainCol).as("_cd_dom"),
+        struct(pri.as("p"), tie.as("t"), col(idCol).as("id")).as("_cd_e"))
+      .groupBy(col("_cd_dom"))
+      .agg(DedupExpressions.bottomKBy(col("_cd_e"), cap).as("_cd_keep"))
+      .select(col("_cd_dom"), explode(col("_cd_keep.id")).as("_cd_id"))
+    df.join(kept,
+      col(domainCol) === col("_cd_dom") && col(idCol) === col("_cd_id"),
+      "left_semi")
+  }
+
+  /** Domain allow/block filter with public-suffix semantics — the
+    * UT1-blocklist-style screen: a listed domain matches itself AND
+    * every subdomain (`example.org` blocks `a.b.example.org`), which
+    * plain `isin` gets wrong and `endswith` gets wrong differently
+    * (`notexample.org` must NOT match `example.org`). Each host
+    * expands to its dot-suffix chain (`a.b.c` → `[a.b.c, b.c, c]` —
+    * bounded by label count, not corpus size) and matches via
+    * `arrays_overlap` against the literal list: a pure projection,
+    * zero shuffles, composable with scan pushdown. The list ships in
+    * the task closure — fine to ~100k entries; for a list that is
+    * itself a distributed table, explode the same chain and
+    * anti/semi-join on equality instead (the chain explode keeps it
+    * an equi-join — never a regex/LIKE join).
+    *
+    * `block = true` (default) keeps NON-matching rows; `block =
+    * false` inverts to an allowlist. Null/empty hosts match nothing:
+    * they are kept under block mode and dropped under allow mode.
+    */
+  def filterByDomains(
+      df: DataFrame,
+      domainCol: String,
+      domains: Seq[String],
+      block: Boolean = true): DataFrame = {
+    require(domains.nonEmpty, "domains must not be empty")
+    val host = coalesce(col(domainCol), lit(""))
+    val parts = split(host, "\\.")
+    // bounded HOF: the lambda re-evaluates `split` per element, but a
+    // host has ~2-6 labels — corpus-size-independent, not a kernel case
+    val chain = transform(
+      sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+    val matched = arrays_overlap(chain, lit(domains.toArray))
+    if (block) df.filter(!matched) else df.filter(matched)
+  }
+
   /** Deterministic corpus mixture: build a training mix from several
     * sources at given sampling rates (e.g. web 0.6 @ 30%, code 1.0,
     * wiki 2 epochs ⇒ rate 2.0 = keep + duplicate). Rates > 1 emit
@@ -539,6 +615,27 @@ object Curation {
     * Returns `(idCol, n_feats, logw_nano)` for every raw row
     * (feature-less docs get `n_feats = 0, logw_nano = 0`).
     */
+  /** Unigram + bigram occurrence hashes, bucketed to `buckets` slots
+    * (`& mask` of the signed md5-64 keeps the low bits — identical to
+    * the oracle's unsigned `& mask`); n-grams shorter than the doc
+    * yield their positional hashes, docs shorter than n contribute
+    * nothing at that n (ShinglePosHashesExpr semantics). Shared
+    * feature map of [[dsirWeights]] and [[trainTokenClassifier]] /
+    * [[classifierScore]] — train and apply MUST hash identically.
+    */
+  private def ngramBuckets(
+      df: DataFrame, t: String, id: Option[String], buckets: Int): DataFrame = {
+    val mask = lit((buckets - 1).toLong)
+    val h = explode(concat(
+      DedupExpressions.shinglePosHashes(col(t), 1),
+      DedupExpressions.shinglePosHashes(col(t), 2))).as("_h")
+    val base = id match {
+      case Some(i) => df.select(col(i).as("_id"), h)
+      case None => df.select(h)
+    }
+    base.withColumn("_b", col("_h").bitwiseAND(mask)).drop("_h")
+  }
+
   def dsirWeights(
       raw: DataFrame,
       idCol: String,
@@ -548,22 +645,8 @@ object Curation {
       buckets: Int = 65536): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two >= 2, got $buckets")
-    val mask = lit((buckets - 1).toLong)
-    // unigram + bigram occurrence hashes, bucketed; n-grams shorter
-    // than the doc yield their positional hashes, docs shorter than n
-    // contribute nothing at that n (ShinglePosHashesExpr semantics)
-    def bucketed(df: DataFrame, t: String, id: Option[String]): DataFrame = {
-      val h = explode(concat(
-        DedupExpressions.shinglePosHashes(col(t), 1),
-        DedupExpressions.shinglePosHashes(col(t), 2))).as("_h")
-      val base = id match {
-        case Some(i) => df.select(col(i).as("_id"), h)
-        case None => df.select(h)
-      }
-      base.withColumn("_b", col("_h").bitwiseAND(mask)).drop("_h")
-    }
-    val rawEx = bucketed(raw, textCol, Some(idCol))
-    val tgtEx = bucketed(target, targetTextCol, None)
+    val rawEx = ngramBuckets(raw, textCol, Some(idCol), buckets)
+    val tgtEx = ngramBuckets(target, targetTextCol, None, buckets)
     val rawCounts = rawEx.groupBy("_b").agg(count(lit(1)).as("_cr"))
     val tgtCounts = tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct"))
     val totals = rawCounts.agg(sum("_cr").as("_tr"))
@@ -632,5 +715,92 @@ object Curation {
     w.withColumn("key_nano", key)
       .orderBy(col("key_nano").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Train a fastText-style hashed linear quality classifier from
+    * LABELED positive/negative corpora: per feature bucket, the
+    * add-1-smoothed log-odds `ln(P(b|pos) / P(b|neg))` in integer
+    * nano-nats — the exact Naive-Bayes weights a bag-of-ngrams
+    * logistic model converges toward under class-balanced sampling,
+    * computed in closed form (no SGD state, no iteration order, so
+    * the "training" is deterministic on any cluster and replicable by
+    * the oracle). This is the FineWeb-Edu / GPT-3-quality-filter
+    * shape: label a small seed set (reference corpus vs crawl), train
+    * token weights, score everything.
+    *
+    * Same algebra as [[dsirWeights]] with the two corpora made
+    * explicit (target→pos, raw→neg) and the output decoupled from
+    * scoring: the returned `(bucket, w_nano)` table is bounded at
+    * `buckets` rows regardless of corpus size — persist it once,
+    * apply it to any number of batches via [[classifierScore]]
+    * (including as a stateless streaming stage: scoring is a
+    * broadcast join + per-doc sum).
+    */
+  def trainTokenClassifier(
+      pos: DataFrame,
+      posTextCol: String,
+      neg: DataFrame,
+      negTextCol: String,
+      buckets: Int = 65536): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    val pC = ngramBuckets(pos, posTextCol, None, buckets)
+      .groupBy("_b").agg(count(lit(1)).as("_cp"))
+    val nC = ngramBuckets(neg, negTextCol, None, buckets)
+      .groupBy("_b").agg(count(lit(1)).as("_cn"))
+    val totals = pC.agg(sum("_cp").as("_tp"))
+      .crossJoin(nC.agg(sum("_cn").as("_tn")))
+    pos.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(pC.withColumnRenamed("_b", "bucket"), Seq("bucket"), "left")
+      .join(nC.withColumnRenamed("_b", "bucket"), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("_cp"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("_tp"), lit(0L)) + lit(buckets.toLong)).cast("double")) /
+          ((coalesce(col("_cn"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("_tn"), lit(0L)) + lit(buckets.toLong)).cast("double"))) * lit(1e9))
+          .cast("long").as("w_nano"))
+  }
+
+  /** Score a corpus under a [[trainTokenClassifier]] weight table and
+    * flag keeps: per doc, `logit_nano = Σ w_nano(bucket(feature))`
+    * summed exactly as longs, and `keep = n_feats > 0 &&
+    * logit_nano >= thresholdNano · n_feats` — i.e. the MEAN per-
+    * feature logit clears the threshold, compared in integers so the
+    * decision (not just the score) is bit-replicable cross-engine.
+    * Feature-less docs never pass (nothing to judge them on — the
+    * rule filter owns empty-doc policy).
+    *
+    * Scale shape: one [[graft.functions.ShinglePosHashesExpr]] kernel
+    * scan; the weight table broadcasts (≤ `buckets` rows); nothing
+    * wider than `(id, partial sums)` shuffles; the input spine
+    * left-joins scores back so every input row gets a verdict. The
+    * weights argument is any `(bucket, w_nano)` table — reuse one
+    * training run across batches/streams; `buckets` must match the
+    * training call (checked against the weight table's row bound is
+    * impossible lazily, so it is the caller's contract, stated here).
+    */
+  def classifierScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      thresholdNano: Long = 0L,
+      buckets: Int = 65536): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    val scored = ngramBuckets(df, textCol, Some(idCol), buckets)
+      .join(broadcast(weights.select(col("bucket").as("_b"), col("w_nano"))), "_b")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_nano")).as("logit_nano"))
+    df.select(col(idCol).as("_id")).distinct()
+      .join(scored, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logit_nano"), lit(0L)).as("logit_nano"))
+      .withColumn("keep",
+        col("n_feats") > 0 &&
+          col("logit_nano") >= lit(thresholdNano) * col("n_feats"))
   }
 }

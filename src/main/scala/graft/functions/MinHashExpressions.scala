@@ -1054,6 +1054,89 @@ case class BoundedCollectListExpr(
   override def prettyName: String = "bounded_collect_list"
 }
 
+/** Mergeable bottom-`k` aggregate over `struct(priority: long,
+  * tie: long, ...payload)` rows: keeps the `k` smallest elements by
+  * `(priority, tie)` — a distributed top-k sketch with a HARD buffer
+  * bound (at most `2k` elements per aggregation buffer; append-then-
+  * trim keeps inserts amortized O(log k) without a heap object in the
+  * serialized buffer). This is what makes a per-group "keep the best
+  * k" safe on a hot group at 100 TB: a domain with a billion pages
+  * contributes at most `2k` rows per map partition to the shuffle
+  * (partial aggregation) and can never grow a reducer buffer past
+  * `2k`, where the `row_number()` window formulation would sort the
+  * entire group on one reducer.
+  *
+  * Determinism: the comparison key is exactly `(priority, tie)` —
+  * callers must make that pair (astronomically) unique per element,
+  * e.g. two independent md5-64 lanes of the element id; elements
+  * whose FULL key collides may be kept in either order (2^-128 with
+  * two md5 lanes — the repo-standard collision posture).
+  */
+case class BottomKByExpr(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.Collect[
+    scala.collection.mutable.ArrayBuffer[Any]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if s.length >= 2 &&
+        s(0).dataType == LongType && s(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bottom_k_by needs struct(priority: bigint, tie: bigint, ...), got ${other.simpleString(3)}")
+  }
+
+  private def keyOf(e: Any): (Long, Long) = {
+    val r = e.asInstanceOf[InternalRow]
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Sort ascending by (priority, tie) and drop everything past k. */
+  private def trim(buffer: scala.collection.mutable.ArrayBuffer[Any])
+      : scala.collection.mutable.ArrayBuffer[Any] = {
+    val sorted = buffer.sortInPlaceBy(keyOf)(
+      Ordering.Tuple2(Ordering.Long, Ordering.Long))
+    if (sorted.length > k) sorted.takeInPlace(k) else sorted
+  }
+
+  override lazy val bufferElementType: DataType = child.dataType
+
+  override def convertToBufferElement(value: Any): Any = InternalRow.copyValue(value)
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  override def update(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Any] = {
+    val b = super.update(buffer, input)
+    if (b.length >= 2 * k) trim(b) else b
+  }
+
+  override def merge(
+      buffer: scala.collection.mutable.ArrayBuffer[Any],
+      other: scala.collection.mutable.ArrayBuffer[Any]): scala.collection.mutable.ArrayBuffer[Any] = {
+    buffer ++= other
+    if (buffer.length >= 2 * k) trim(buffer) else buffer
+  }
+
+  override def eval(buffer: scala.collection.mutable.ArrayBuffer[Any]): Any =
+    new GenericArrayData(trim(buffer).toArray)
+
+  override def withNewMutableAggBufferOffset(n: Int): BottomKByExpr =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BottomKByExpr =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): BottomKByExpr =
+    copy(child = newChild)
+  override def prettyName: String = "bottom_k_by"
+}
+
 /** Column-API entry points for the custom expressions (Spark 4's
   * Column↔Expression bridge lives in `sql.classic.ExpressionUtils`).
   */
@@ -1110,6 +1193,9 @@ object DedupExpressions {
 
   def boundedCollectList(c: Column, cap: Int): Column =
     column(BoundedCollectListExpr(expression(c), cap).toAggregateExpression())
+
+  def bottomKBy(c: Column, k: Int): Column =
+    column(BottomKByExpr(expression(c), k).toAggregateExpression())
 
   def kmeansAssign(q: Column, centroids: Array[Array[Long]]): Column =
     column(KMeansAssignExpr(expression(q), centroids))

@@ -313,6 +313,73 @@ object TextFunctions {
         when(cleanQuery === "", lit("")).otherwise(concat(lit("?"), cleanQuery))))
   }
 
+  /** Lowercased host of a `scheme://[user[:pass]@]host[:port]/...`
+    * URL — the grouping key for per-domain curation (caps,
+    * blocklists, boilerplate scoping). Userinfo and the port are
+    * stripped unconditionally (unlike [[normalizeUrl]], which keeps
+    * non-default ports because they address DIFFERENT resources —
+    * here the unit is the SITE). Non-URL input (no `scheme://`)
+    * yields `''`. Pure regex builtins: one codegen'd projection,
+    * byte-replicable in any RE2-capable engine.
+    */
+  def hostOf(url: Column): Column = {
+    val auth = regexp_extract(
+      regexp_replace(url, "#.*", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*", 1)
+    lower(regexp_replace(regexp_replace(auth, "^.*@", ""), ":[0-9]*\\z", ""))
+  }
+
+  /** Registrable domain of a host under a caller-supplied public-
+    * suffix list: the last label before the LONGEST matching suffix,
+    * e.g. `a.b.example.co.uk` → `example.co.uk`. This is the key
+    * per-site curation actually wants — grouping by raw host splits
+    * one site across `www.`/`m.`/language subdomains. The default
+    * list covers the common generic + two-level country suffixes;
+    * pass the full public-suffix list for production crawls (the
+    * pattern is one alternation — RE2-linear, length bounded by the
+    * list, evaluated once per row inside codegen). Hosts matching no
+    * listed suffix (internal hostnames, IPs) pass through unchanged,
+    * so grouping degrades to per-host, never to a merged bucket.
+    *
+    * Both engines' regexes are leftmost-first, so ordering the
+    * alternation multi-label-first makes `co.uk` win over `uk`
+    * identically everywhere — the DuckDB twin is the same
+    * `regexp_extract` over the same pattern.
+    */
+  def registeredDomain(
+      host: Column,
+      suffixes: Seq[String] = defaultPublicSuffixes): Column = {
+    val m = regexp_extract(
+      host, s"([^.]+\\.(?:${publicSuffixAlternation(suffixes)}))\\z", 1)
+    when(m =!= "", m).otherwise(host)
+  }
+
+  /** The regex alternation [[registeredDomain]] compiles (multi-label
+    * suffixes first so leftmost-first engines pick the longest match)
+    * — exposed so an external replication (the DuckDB oracle) can
+    * interpolate the byte-identical pattern.
+    */
+  def publicSuffixAlternation(
+      suffixes: Seq[String] = defaultPublicSuffixes): String = {
+    require(suffixes.nonEmpty, "suffixes must not be empty")
+    suffixes
+      .sortBy(s => (-s.count(_ == '.'), -s.length, s))
+      .map(_.replace(".", "\\."))
+      .mkString("|")
+  }
+
+  /** Common generic TLDs + frequent two-level country suffixes — a
+    * deliberately small default so the codegen'd pattern stays short;
+    * production crawls should pass the real public-suffix list.
+    */
+  val defaultPublicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai",
+    "dev", "app", "info", "biz", "xyz", "de", "fr", "jp", "uk", "us",
+    "ca", "au", "in", "cn", "ru", "br", "nl", "se", "it", "es", "pl",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "co.in",
+    "co.kr", "com.mx", "com.tr", "co.za")
+
   /** HTML → text for web-corpus ingestion: drop script/style blocks
     * wholesale (their content is not prose), strip remaining tags,
     * decode the handful of entities that dominate real pages, collapse

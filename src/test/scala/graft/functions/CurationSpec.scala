@@ -251,3 +251,133 @@ class CurationSpec extends SparkSpec {
     assert(keys == keys.sortBy(-_))
   }
 }
+
+class DomainCurationSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("capPerDomain keeps exactly cap per hot domain, all of small ones, " +
+      "and matches the row_number formulation under any partitioning") {
+    // one mega-domain (500 rows), one at the cap, one under it
+    val df = (0 until 500).map(i => (i.toLong, "hot.example.com")) ++
+      (500 until 510).map(i => (i.toLong, "atcap.example.com")) ++
+      (510 until 513).map(i => (i.toLong, "small.example.com"))
+    val docs = df.toDF("id", "domain")
+    val out = Curation.capPerDomain(docs, "id", "domain", cap = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    assert(out.count(_._1 == "hot.example.com") == 10)
+    assert(out.count(_._1 == "atcap.example.com") == 10)
+    assert(out.count(_._1 == "small.example.com") == 3)
+    // reference semantics: row_number over the identical priority
+    val pri = conv(substring(md5(concat(col("id").cast("string"), lit(":42"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(pri, col("id"))
+    val ref = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    assert(out == ref)
+    // partitioning-independent (partial-agg merge path exercised)
+    val out13 = Curation.capPerDomain(docs.repartition(13), "id", "domain", cap = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted.toSeq
+    assert(out13 == out)
+  }
+
+  test("capPerDomain plan: bounded aggregate, no window") {
+    val docs = spark.range(100).select(col("id"), lit("d").as("domain"))
+    val plan = Curation.capPerDomain(docs, "id", "domain", cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bottom_k_by"), plan)
+    assert(!plan.contains("Window"), "cap must not sort whole domains on one task")
+  }
+
+  test("filterByDomains: suffix semantics, block and allow modes, null-safe") {
+    val hosts = Seq(
+      (1L, "a.b.example.org"),   // subdomain of listed -> match
+      (2L, "example.org"),       // exact -> match
+      (3L, "notexample.org"),    // suffix-of-string but not of DOMAIN -> no match
+      (4L, "org"),               // bare public suffix, not listed -> no match
+      (5L, "example.com"),       // unrelated
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "host")
+    val list = Seq("example.org", "blocked.test")
+    val blocked = Curation.filterByDomains(hosts, "host", list)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(blocked == Seq(3L, 4L, 5L, 6L))
+    val allowed = Curation.filterByDomains(hosts, "host", list, block = false)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(allowed == Seq(1L, 2L))
+  }
+
+  test("bottomKBy aggregate: merge path equals global sort under skew") {
+    val df = spark.range(0, 1000).repartition(17)
+      .select((col("id") % 3).as("g"),
+        struct(
+          DedupExpressions.md5Lower64(col("id").cast("string")).as("p"),
+          col("id").as("t"), col("id").as("id")).as("e"))
+    val got = df.groupBy("g").agg(DedupExpressions.bottomKBy(col("e"), 4).as("keep"))
+      .select(col("g"), explode(col("keep.id")).as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ref = spark.range(0, 1000)
+      .select((col("id") % 3).as("g"), col("id"),
+        DedupExpressions.md5Lower64(col("id").cast("string")).as("p"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("p"), col("id"))))
+      .filter(col("rn") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref)
+  }
+}
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def doc(vocab: Seq[String], salt: Int): String =
+    (0 until 30).map(i => vocab((i * 7 + salt * 13) % vocab.size)).mkString(" ")
+  private val sci = Seq("atom", "cell", "energy", "quantum", "gene", "orbit", "enzyme", "field")
+  private val spam = Seq("win", "free", "click", "now", "prize", "offer", "cash", "deal")
+
+  test("trainTokenClassifier + classifierScore separate held-out domains; " +
+      "empty docs never keep; deterministic under repartitioning") {
+    val pos = (0 until 20).map(i => (i.toLong, doc(sci, i))).toDF("id", "text")
+    val neg = (0 until 20).map(i => (i.toLong, doc(spam, i))).toDF("id", "text")
+    val w = Curation.trainTokenClassifier(pos, "text", neg, "text", buckets = 4096)
+    assert(w.count() == 4096)
+    // held-out docs (salts the training never saw)
+    val apply = ((100 until 110).map(i => (i.toLong, doc(sci, i))) ++
+      (200 until 210).map(i => (i.toLong, doc(spam, i))) :+
+      (300L, "")).toDF("id", "text")
+    val out = Curation.classifierScore(apply, "id", "text", w, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val (sciRows, rest) = out.partition(_._1 < 200)
+    val (spamRows, empty) = rest.partition(_._1 < 300)
+    assert(sciRows.forall(_._4), s"science docs must keep: ${sciRows.toSeq}")
+    assert(spamRows.forall(!_._4), s"spam docs must not keep: ${spamRows.toSeq}")
+    assert(empty.head._2 == 0 && !empty.head._4, "empty doc: no feats, never kept")
+    // pure function of the data
+    val again = Curation.classifierScore(apply.repartition(13), "id", "text", w, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("classifierScore threshold: raising it strictly shrinks the keep set") {
+    val pos = (0 until 10).map(i => (i.toLong, doc(sci, i))).toDF("id", "text")
+    val neg = (0 until 10).map(i => (i.toLong, doc(spam, i))).toDF("id", "text")
+    val w = Curation.trainTokenClassifier(pos, "text", neg, "text", buckets = 4096)
+    val mixed = (0 until 10).map { i =>
+      // blend: i science tokens out of 10
+      val words = (0 until 10).map(j => if (j < i) sci(j % sci.size) else spam(j % spam.size))
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    def keeps(t: Long) = Curation.classifierScore(mixed, "id", "text", w,
+      thresholdNano = t, buckets = 4096).filter(col("keep")).count()
+    val loose = keeps(-2000000000L)
+    val mid = keeps(0L)
+    val tight = keeps(2000000000L)
+    assert(loose >= mid && mid >= tight)
+    assert(loose > tight, s"thresholds must bite: $loose / $mid / $tight")
+  }
+}
