@@ -752,6 +752,18 @@ object SparkEntry {
         .orderBy("doc_id", "mix_source", "mix_epoch")
     }),
 
+    // Temperature-flattened mixture (output lang share ∝ n^0.5):
+    // every kept row and epoch copy verified — thresholds come from
+    // IEEE-exact sqrt + an ordered fold, so both engines compute the
+    // same integers.
+    "q_mixture_temp" -> ((s, dir) => {
+      graft.functions.Curation.mixtureByTemperature(
+          tbl(s, dir, "documents"), "lang", col("doc_id"),
+          targetRows = 300, basis = "md5")
+        .select(col("doc_id"), col("lang"), col("mix_epoch"))
+        .orderBy("doc_id", "mix_epoch")
+    }),
+
     "q_bpe_token_counts" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -4190,6 +4202,27 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT doc_id, 'rest', 0 FROM b WHERE lang <> 'en' AND b42 < 500000)
           |ORDER BY doc_id, mix_source, mix_epoch""".stripMargin,
+
+      // temperature mixture: per-domain thresholds from IEEE-exact
+      // sqrt and a domain-name-ordered fold (list_reduce == Scala's
+      // foldLeft), then the same md5 slot decision as q_mixture
+      "q_mixture_temp" ->
+        """WITH counts AS (SELECT lang AS dom, count(*) AS n FROM documents GROUP BY lang),
+          |den AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY dom),
+          |  (a, b) -> a + b) AS den FROM counts),
+          |rates AS (SELECT dom,
+          |  300 * sqrt(CAST(n AS DOUBLE)) / den / n AS rate
+          |  FROM counts CROSS JOIN den),
+          |r2 AS (SELECT dom, CAST(trunc(rate) AS BIGINT) AS epochs,
+          |  CAST(trunc((rate - trunc(rate)) * 1000000) AS BIGINT) AS thr FROM rates),
+          |b AS (SELECT doc_id, lang,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':2042'), 1, 15))::BIGINT
+          |  % 1000000 AS bk FROM documents),
+          |tot AS (SELECT doc_id, lang,
+          |  epochs + CASE WHEN bk < thr THEN 1 ELSE 0 END AS total
+          |  FROM b JOIN r2 ON lang = dom)
+          |SELECT doc_id, lang, CAST(unnest(range(0, total)) AS BIGINT) AS mix_epoch
+          |FROM tot WHERE total > 0 ORDER BY doc_id, mix_epoch""".stripMargin,
 
       "q_count_min" ->
         """SELECT event_type, count(*) AS n_exact, true AS within_tol

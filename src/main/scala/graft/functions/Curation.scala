@@ -260,6 +260,75 @@ object Curation {
     parts.reduce(_ unionByName _)
   }
 
+  /** Temperature-flattened mixture over ONE corpus with a domain
+    * column (the multilingual/source-balancing sampler: output domain
+    * share ∝ `n_d^alpha`, so `alpha = 1` preserves the natural
+    * distribution, `alpha → 0` flattens toward uniform, and the
+    * usual `alpha = 0.5` sits between). Per-domain sampling rate
+    * `rate_d = targetRows · n_d^alpha / Σ_e n_e^alpha / n_d`,
+    * executed with [[mixture]]'s semantics inline: `floor(rate)` full
+    * epochs plus a hash-thresholded fractional slice — RNG-free,
+    * rerunnable, row-for-row identical on any cluster.
+    *
+    * Determinism across ENGINES (the oracle): `alpha` 1, 0.5, 0.25
+    * use only IEEE-exact ops (identity / correctly-rounded `sqrt`),
+    * and the weight sum folds in domain-name order (binary order —
+    * agrees with Scala's for ASCII domain names), so the thresholds
+    * replicate bit-for-bit; other `alpha` values go through
+    * `math.pow`, which is deterministic per run but only
+    * approximately replicable elsewhere.
+    *
+    * Scale shape: per-domain counts are ONE map-side-combined
+    * aggregate collected to the driver — bounded by the DOMAIN count,
+    * not rows (guarded by `maxDomains`); the rate table broadcasts
+    * back and everything else is a projection + explode. Adds
+    * `mix_epoch` (0-based copy index).
+    */
+  def mixtureByTemperature(
+      df: DataFrame,
+      domainCol: String,
+      key: Column,
+      targetRows: Long,
+      alpha: Double = 0.5,
+      seed: Long = 2042L,
+      basis: String = "xxhash",
+      maxDomains: Int = 1000000): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val slots = 1000000L
+    val counts = df
+      .groupBy(col(domainCol).cast("string").as("_mt_dom"))
+      .agg(count(lit(1)).as("_mt_n"))
+      .collect()
+    require(counts.length <= maxDomains,
+      s"${counts.length} domains exceed maxDomains=$maxDomains: coarsen the " +
+        "domain key (e.g. registeredDomain) or raise the cap")
+    val sorted = counts.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def w(n: Long): Double = alpha match {
+      case 1.0 => n.toDouble
+      case 0.5 => math.sqrt(n.toDouble)
+      case 0.25 => math.sqrt(math.sqrt(n.toDouble))
+      case a => math.pow(n.toDouble, a)
+    }
+    val den = sorted.foldLeft(0.0)((acc, d) => acc + w(d._2))
+    val rates = sorted.map { case (dom, n) =>
+      val rate = targetRows.toDouble * w(n) / den / n.toDouble
+      val epochs = rate.toLong
+      (dom, epochs, ((rate - epochs) * slots).toLong)
+    }.toSeq
+    val ratesDf = df.sparkSession.createDataFrame(rates)
+      .toDF("_mt_dom", "_mt_epochs", "_mt_thr")
+    val bucket = bucketOf(key, seed, slots, basis)
+    val total = col("_mt_epochs") +
+      when(bucket < col("_mt_thr"), lit(1L)).otherwise(lit(0L))
+    df.join(broadcast(ratesDf), col(domainCol).cast("string") === col("_mt_dom"))
+      .withColumn("_mt_total", total)
+      // null sequence when total == 0 — explode drops the row
+      .withColumn("mix_epoch",
+        explode(when(col("_mt_total") > 0, sequence(lit(0L), col("_mt_total") - 1))))
+      .drop("_mt_dom", "_mt_epochs", "_mt_thr", "_mt_total")
+  }
+
   /** Token-budget sequence packing (LLM pretraining "sample packing"):
     * assign documents, in `orderBy` order, to consecutive packs of
     * ~`budget` tokens. `pack_id = floor(exclusive-prefix-sum / budget)`

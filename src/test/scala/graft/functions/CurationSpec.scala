@@ -381,3 +381,53 @@ class ClassifierSpec extends SparkSpec {
     assert(loose > tight, s"thresholds must bite: $loose / $mid / $tight")
   }
 }
+
+class TemperatureMixtureSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("alpha=1 with targetRows=|df| reproduces the corpus exactly") {
+    val df = (0 until 300).map(i => (i.toLong, if (i < 240) "big" else "small"))
+      .toDF("id", "dom")
+    val out = Curation.mixtureByTemperature(df, "dom", col("id"), targetRows = 300, alpha = 1.0)
+    assert(out.count() == 300)
+    assert(out.select("mix_epoch").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("alpha=0.5 flattens a skewed corpus toward the small domain") {
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))).toDF("id", "dom")
+    val out = Curation.mixtureByTemperature(df, "dom", col("id"), targetRows = 500)
+      .groupBy("dom").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = out.values.sum
+    assert(math.abs(total - 500L) < 50, s"total $total should approximate targetRows")
+    // input share of small = 10%; sqrt-flattened target share = sqrt(100)/(sqrt(900)+sqrt(100)) = 25%
+    val smallShare = out("small").toDouble / total
+    assert(smallShare > 0.18 && smallShare < 0.32, s"small share $smallShare")
+    // deterministic under repartitioning
+    val again = Curation.mixtureByTemperature(
+        df.repartition(13), "dom", col("id"), targetRows = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val first = Curation.mixtureByTemperature(df, "dom", col("id"), targetRows = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(again == first)
+  }
+
+  test("rates above 1 emit whole epochs; rate 2.0 duplicates exactly") {
+    // two equal domains, alpha=1, targetRows = 2x corpus -> rate exactly 2.0
+    val df = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "dom")
+    val out = Curation.mixtureByTemperature(df, "dom", col("id"), targetRows = 200, alpha = 1.0)
+    assert(out.count() == 200)
+    val epochs = out.groupBy("mix_epoch").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(epochs == Map(0L -> 100L, 1L -> 100L))
+  }
+
+  test("domain-cardinality guard") {
+    val df = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("id", "dom")
+    intercept[IllegalArgumentException] {
+      Curation.mixtureByTemperature(df, "dom", col("id"), targetRows = 10, maxDomains = 10)
+    }
+  }
+}
