@@ -1885,6 +1885,23 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // Streaming quality-classifier screen: weights batch-trained then
+    // collected driver-side (512 KiB — exactly what a cluster job
+    // would broadcast), scoring is the one-pass ClassifierScoreExpr
+    // kernel — a stateless projection, so the streamed verdicts over
+    // the same rows ARE the batch q_classifier_score result and share
+    // its oracle.
+    "q_stream_classifier" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val w = graft.functions.Curation.collectClassifierWeights(
+        graft.functions.Curation.trainTokenClassifier(
+          docs.filter(col("lang") === "en"), "text",
+          docs.filter(col("lang") === "zh"), "text"))
+      runStreamGate(s, dir, "documents", DocumentsStreamSchema, "classifier", "append") { st =>
+        graft.functions.Curation.classifierScoreScan(st, "doc_id", "text", w)
+      }.orderBy("doc_id")
+    }),
+
     // Streaming near-dup screen: the incremental-dedup operator as a
     // stream-static foreachBatch stage — 3 micro-batches
     // (maxFilesPerTrigger=1 over a 3-file source) screened against the
@@ -2549,6 +2566,40 @@ object SparkEntry {
     * against the predicate, which also proves both sides tokenize
     * identically. Ends with `wts(doc_id, n_feats, logw_nano)`.
     */
+  /** Hashed-classifier oracle (en=pos, zh=neg, buckets=65536): the
+    * DSIR log-ratio algebra with labeled classes; weights, per-doc
+    * logit sums, and the `>= 0` mean-threshold keep decision all
+    * integer-exact. Serves q_classifier_score AND q_stream_classifier
+    * (the scan kernel is a pure projection — streamed rows score
+    * identically).
+    */
+  private lazy val ClassifierScoreOracleSql: String =
+    s"""WITH ${tokCte()},
+       |fe AS (
+       |  SELECT doc_id, md5_number_lower(unnest(ws)) & 65535 AS b FROM toks
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    md5_number_lower(unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1]))) & 65535 FROM toks),
+       |pfe AS (SELECT b FROM fe JOIN documents USING (doc_id) WHERE lang = 'en'),
+       |nfe AS (SELECT b FROM fe JOIN documents USING (doc_id) WHERE lang = 'zh'),
+       |dcp AS (SELECT b, count(*) AS cp FROM pfe GROUP BY b),
+       |dcn AS (SELECT b, count(*) AS cn FROM nfe GROUP BY b),
+       |dtot AS (SELECT (SELECT count(*) FROM pfe) AS tp,
+       |                (SELECT count(*) FROM nfe) AS tn),
+       |wt AS (SELECT s.b,
+       |  CAST(round(ln(((coalesce(cp, 0) + 1) / (tp + 65536.0)) /
+       |                ((coalesce(cn, 0) + 1) / (tn + 65536.0))) * 1e9) AS BIGINT) AS wn
+       |  FROM range(0, 65536) s(b)
+       |  LEFT JOIN dcp USING (b) LEFT JOIN dcn USING (b) CROSS JOIN dtot),
+       |sc AS (SELECT doc_id, count(*) AS n_feats,
+       |  CAST(sum(wn) AS BIGINT) AS logit_nano
+       |  FROM fe JOIN wt USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+       |  CAST(coalesce(logit_nano, 0) AS BIGINT) AS logit_nano,
+       |  coalesce(n_feats, 0) > 0 AND coalesce(logit_nano, 0) >= 0 AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   private val DsirCtes: String =
     """rfe AS (
       |  SELECT doc_id, md5_number_lower(unnest(ws)) & 65535 AS b FROM toks
@@ -4119,32 +4170,11 @@ object SparkEntry {
 
       // classifier = the DSIR log-ratio algebra with explicit labeled
       // classes (en=pos, zh=neg) and an integer-exact keep decision
-      "q_classifier_score" ->
-        s"""WITH ${tokCte()},
-           |fe AS (
-           |  SELECT doc_id, md5_number_lower(unnest(ws)) & 65535 AS b FROM toks
-           |  UNION ALL
-           |  SELECT doc_id,
-           |    md5_number_lower(unnest(list_transform(range(1, len(ws)),
-           |      i -> ws[i] || ' ' || ws[i+1]))) & 65535 FROM toks),
-           |pfe AS (SELECT b FROM fe JOIN documents USING (doc_id) WHERE lang = 'en'),
-           |nfe AS (SELECT b FROM fe JOIN documents USING (doc_id) WHERE lang = 'zh'),
-           |dcp AS (SELECT b, count(*) AS cp FROM pfe GROUP BY b),
-           |dcn AS (SELECT b, count(*) AS cn FROM nfe GROUP BY b),
-           |dtot AS (SELECT (SELECT count(*) FROM pfe) AS tp,
-           |                (SELECT count(*) FROM nfe) AS tn),
-           |wt AS (SELECT s.b,
-           |  CAST(round(ln(((coalesce(cp, 0) + 1) / (tp + 65536.0)) /
-           |                ((coalesce(cn, 0) + 1) / (tn + 65536.0))) * 1e9) AS BIGINT) AS wn
-           |  FROM range(0, 65536) s(b)
-           |  LEFT JOIN dcp USING (b) LEFT JOIN dcn USING (b) CROSS JOIN dtot),
-           |sc AS (SELECT doc_id, count(*) AS n_feats,
-           |  CAST(sum(wn) AS BIGINT) AS logit_nano
-           |  FROM fe JOIN wt USING (b) GROUP BY doc_id)
-           |SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
-           |  CAST(coalesce(logit_nano, 0) AS BIGINT) AS logit_nano,
-           |  coalesce(n_feats, 0) > 0 AND coalesce(logit_nano, 0) >= 0 AS keep
-           |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+      "q_classifier_score" -> ClassifierScoreOracleSql,
+
+      // stateless scan twin over the same rows IS the batch result —
+      // one oracle serves both (same pattern as q_stream_quality)
+      "q_stream_classifier" -> ClassifierScoreOracleSql,
 
       // token identity is md5-lower-64 on BOTH engines (Spark shuffles
       // 8-byte keys; string equality and hash equality agree exactly

@@ -872,4 +872,40 @@ object Curation {
         col("n_feats") > 0 &&
           col("logit_nano") >= lit(thresholdNano) * col("n_feats"))
   }
+
+  /** Collect a [[trainTokenClassifier]] weight table into the dense
+    * bucket-indexed array [[classifierScoreScan]] ships with the task
+    * closure (512 KiB at the default 65536 buckets — broadcast-sized
+    * by construction, never corpus-sized).
+    */
+  def collectClassifierWeights(weights: DataFrame): Array[Long] = {
+    val w = weights.orderBy("bucket").select("w_nano")
+      .collect().map(_.getLong(0))
+    require(w.length >= 2 && (w.length & (w.length - 1)) == 0,
+      s"expected a full power-of-two bucket spine, got ${w.length} rows — " +
+        "pass trainTokenClassifier's output unfiltered")
+    w
+  }
+
+  /** Join-free [[classifierScore]] twin for a DRIVER-HELD weight
+    * array: one [[graft.functions.ClassifierScoreExpr]] scan pass —
+    * a pure projection, so it runs unchanged as a STATELESS streaming
+    * stage (q_stream_classifier shares the batch gate's oracle).
+    * Same verdict contract as [[classifierScore]].
+    */
+  def classifierScoreScan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Array[Long],
+      thresholdNano: Long = 0L): DataFrame =
+    df.select(col(idCol),
+        DedupExpressions.classifierScoreScan(
+          coalesce(col(textCol), lit("")), weights).as("_cs"))
+      .select(col(idCol),
+        col("_cs.n_feats").as("n_feats"),
+        col("_cs.logit_nano").as("logit_nano"))
+      .withColumn("keep",
+        col("n_feats") > 0 &&
+          col("logit_nano") >= lit(thresholdNano) * col("n_feats"))
 }

@@ -543,6 +543,68 @@ object OovStatsExpr {
     StructField("n_oov", LongType, nullable = false)))
 }
 
+/** One-pass hashed-linear-classifier scorer: unigram + bigram md5-64
+  * feature hashes (exactly [[ShinglePosHashesExpr]] at n=1 and n=2 —
+  * train and apply MUST agree) bucketed by `& (weights.length - 1)`,
+  * each feature's nano-nat weight summed as longs →
+  * `struct<n_feats, logit_nano>`. The weight table ships with the
+  * task closure like a broadcast (`buckets` longs — 512 KiB at the
+  * default 65536), which makes scoring a pure projection: no explode,
+  * no join, no aggregation — so it runs unchanged as a STATELESS
+  * streaming stage. Join-free twin of
+  * [[graft.functions.Curation.classifierScore]].
+  */
+case class ClassifierScoreExpr(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+  require(weights.length >= 2 && (weights.length & (weights.length - 1)) == 0,
+    s"weights length must be a power of two >= 2, got ${weights.length}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"classifier_score requires a STRING column, got $t")
+  }
+  override def dataType: DataType = ClassifierScoreExpr.outType
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeScore(input: UTF8String): InternalRow = {
+    val mask = (weights.length - 1).toLong
+    val ws = HashUtil.tokens(input.toString)
+    var feats = 0L
+    var logit = 0L
+    var i = 0
+    while (i < ws.length) {
+      logit += weights((HashUtil.md5Lower64(ws(i)) & mask).toInt)
+      feats += 1L
+      i += 1
+    }
+    i = 0
+    val sb = new java.lang.StringBuilder
+    while (i + 2 <= ws.length) {
+      sb.setLength(0)
+      sb.append(ws(i)).append(' ').append(ws(i + 1))
+      logit += weights((HashUtil.md5Lower64(sb.toString) & mask).toInt)
+      feats += 1L
+      i += 1
+    }
+    InternalRow(feats, logit)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clsScore", this, classOf[ClassifierScoreExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeScore($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ClassifierScoreExpr =
+    copy(child = c)
+  override def prettyName: String = "classifier_score"
+}
+
+object ClassifierScoreExpr {
+  val outType: StructType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("logit_nano", LongType, nullable = false)))
+}
+
 /** 64-bit SimHash of the word tokens in one pass: per bit, +1/-1 votes
   * over md5-lower-64 token hashes; sign → bit. The emitted Long's bit
   * pattern is reproducible in SQL from `md5_number_lower(token)`.
@@ -1196,6 +1258,9 @@ object DedupExpressions {
 
   def bottomKBy(c: Column, k: Int): Column =
     column(BottomKByExpr(expression(c), k).toAggregateExpression())
+
+  def classifierScoreScan(text: Column, weights: Array[Long]): Column =
+    column(ClassifierScoreExpr(expression(text), weights))
 
   def kmeansAssign(q: Column, centroids: Array[Array[Long]]): Column =
     column(KMeansAssignExpr(expression(q), centroids))

@@ -431,3 +431,40 @@ class TemperatureMixtureSpec extends SparkSpec {
     }
   }
 }
+
+class ClassifierScanSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("classifierScoreScan == classifierScore on every row, incl. null/empty text") {
+    val pos = (0 until 15).map(i => (i.toLong, s"atom cell energy doc $i")).toDF("id", "text")
+    val neg = (0 until 15).map(i => (i.toLong, s"win free click doc $i")).toDF("id", "text")
+    val wDf = Curation.trainTokenClassifier(pos, "text", neg, "text", buckets = 4096)
+    val w = Curation.collectClassifierWeights(wDf)
+    assert(w.length == 4096)
+    val apply = Seq(
+      (1L, "atom cell energy quantum"), (2L, "win free click now"),
+      (3L, "mixed atom win text"), (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val batch = Curation.classifierScore(apply, "id", "text", wDf, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val scan = Curation.classifierScoreScan(apply, "id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(scan == batch)
+    // the scan is a pure projection: no exchange in its plan
+    val plan = Curation.classifierScoreScan(apply, "id", "text", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("collectClassifierWeights rejects a filtered (non-spine) table") {
+    val pos = Seq((1L, "a b")).toDF("id", "text")
+    val neg = Seq((1L, "c d")).toDF("id", "text")
+    val wDf = Curation.trainTokenClassifier(pos, "text", neg, "text", buckets = 1024)
+    intercept[IllegalArgumentException] {
+      Curation.collectClassifierWeights(wDf.filter(col("w_nano") > 0))
+    }
+  }
+}
