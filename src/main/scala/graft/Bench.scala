@@ -25,7 +25,9 @@ object Bench {
     // round-6 selection/retrieval/clustering operators
     "q_bm25", "q_dsir_select", "q_kmeans", "q_hybrid_search",
     // round-6 (cont.): global line dedup + exact-substring removal
-    "q_line_dedup", "q_remove_spans")
+    "q_line_dedup", "q_remove_spans",
+    // round-6 (cont.): domain curation + hashed quality classifier
+    "q_domain_cap", "q_classifier_score", "q_mixture_temp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -241,4 +241,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("drop_lines") && p.contains("shingle_pos_hashes"),
       s"rebuild lost a kernel:\n$p")
   }
+
+  test("classifier train+score shuffles carry hashed buckets and sums, never text") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = functions.Curation.trainTokenClassifier(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") === "zh"), "text", buckets = 4096)
+    val shuffles = shuffleOutputsTyped(
+      functions.Curation.classifierScore(docs, "doc_id", "text", w, buckets = 4096))
+    assert(shuffles.nonEmpty, "expected bucket/sum exchanges in classifierScore")
+    for (cols <- shuffles; (c, t) <- cols)
+      assert(!t.isInstanceOf[org.apache.spark.sql.types.StringType],
+        s"classifier exchange carries a string column $c: $cols")
+  }
+
+  test("capPerDomain aggregates with the bounded bottom-k — no Window, no id window sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("domain", col("source"))
+    val out = functions.Curation.capPerDomain(docs, "doc_id", "domain", cap = 5)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("bottom_k_by"), s"cap lost its bounded aggregate:\n$p")
+    assert(!p.contains("Window"), s"cap re-grew a per-domain window sort:\n$p")
+  }
 }

@@ -91,6 +91,46 @@ object TextOpsProbe {
       docs.select(sum(length(
         functions.TextFunctions.normalizeUnicode(col("text"))))).head()
     }
+    // hashed classifier: train on two disjoint halves (cost probe, not
+    // a separation probe), then score the whole corpus both ways
+    val wTbl = timed(s"trainTokenClassifier ($nDocs docs)") {
+      functions.Curation.trainTokenClassifier(
+        wide.filter(col("id") % 2 === 0), "text",
+        wide.filter(col("id") % 2 === 1), "text").localCheckpoint(true)
+    }
+    timed(s"classifierScore join path ($nDocs docs)") {
+      functions.Curation.classifierScore(wide, "id", "text", wTbl)
+        .agg(sum("logit_nano")).head()
+    }
+    val wArr = functions.Curation.collectClassifierWeights(wTbl)
+    timed(s"classifierScoreScan kernel ($nDocs docs)") {
+      functions.Curation.classifierScoreScan(wide, "id", "text", wArr)
+        .agg(sum("logit_nano")).head()
+    }
+    // per-domain cap under pathological skew: 80% of the corpus in ONE
+    // domain — the shape that melts a row_number window (800k-row
+    // single-task sort); the bounded bottom-k never buffers > 2*cap
+    val domained = wide.withColumn("domain",
+      when(col("id") % 10 < 8, lit("hot.example.com"))
+        .otherwise(concat(lit("d"), pmod(col("id"), lit(1000)), lit(".example.com"))))
+    timed(s"capPerDomain ($nDocs docs, 80% one domain, cap=100)") {
+      val n = functions.Curation.capPerDomain(domained, "id", "domain", cap = 100).count()
+      println(s"        kept = $n")
+    }
+    timed(s"mixtureByTemperature ($nDocs docs, alpha=0.5)") {
+      functions.Curation.mixtureByTemperature(
+        domained, "domain", col("id"), targetRows = nDocs / 2).count()
+    }
+    timed(s"filterByDomains suffix chain ($nDocs docs)") {
+      functions.Curation.filterByDomains(domained, "domain",
+        Seq("hot.example.com", "d7.example.com")).count()
+    }
+    timed(s"hostOf + registeredDomain scan ($nDocs docs)") {
+      val url = concat(lit("https://user@"), col("domain"), lit(":8443/p/"), col("id"))
+      domained.select(functions.TextFunctions.registeredDomain(
+        functions.TextFunctions.hostOf(url)).as("rd"))
+        .groupBy("rd").count().count()
+    }
     spark.stop()
   }
 }
