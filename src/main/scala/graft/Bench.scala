@@ -27,7 +27,9 @@ object Bench {
     // round-6 (cont.): global line dedup + exact-substring removal
     "q_line_dedup", "q_remove_spans",
     // round-6 (cont.): domain curation + hashed quality classifier
-    "q_domain_cap", "q_classifier_score", "q_mixture_temp")
+    "q_domain_cap", "q_classifier_score", "q_mixture_temp",
+    // round-6 (cont.): block-permutation simhash near-dup join
+    "q_simhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

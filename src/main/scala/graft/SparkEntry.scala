@@ -871,6 +871,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // simhash near-dedup end-to-end: block-LSH pairs -> connected
+    // components -> keep each cluster's min-id representative
+    "q_simhash_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val comp = Dedup.connectedComponents(pairs)
+      docs.join(
+          comp.filter(col("id") =!= col("component")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
           tbl(s, dir, "documents").filter(col("doc_id") < 500),
@@ -2451,6 +2468,73 @@ object SparkEntry {
       |      h -> (((i * 2654435761) % 2147483647) * h + (i * 40503) % 2147483647) % 2147483647))) AS sig
       |  FROM bh)""".stripMargin
 
+  /** 64-bit SimHash per doc (bit-replicates
+    * `DedupExpressions.simhash64`: per bit, sign of +1/-1 votes over
+    * md5Lower64 token hashes; sign bit assembled via the two-halves
+    * BIGINT trick) — ends with `shs(doc_id, simhash)`. Requires
+    * `toks` in scope. Shared by q_simhash and q_simhash_pairs.
+    */
+  private val SimhashCtes: String =
+    """shh AS (SELECT doc_id, list_transform(ws, t -> md5_number_lower(t)) AS hs FROM toks),
+      |shb AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    CASE WHEN len(hs) > 0 AND list_sum(list_transform(hs,
+      |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bv
+      |  FROM shh),
+      |shp AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32), b ->
+      |      CASE WHEN bv[b+1] = 1 THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(32, 63), b ->
+      |      CASE WHEN bv[b+1] = 1 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END)) AS BIGINT) AS hi,
+      |    bv[64] AS sb
+      |  FROM shb),
+      |shs AS (SELECT doc_id,
+      |    lo + hi * 4294967296 + CASE WHEN sb = 1 THEN -9223372036854775807 - 1 ELSE 0 END AS simhash
+      |  FROM shp)""".stripMargin
+
+  /** Block-combination simhash candidate pairs + exact-hamming rescore
+    * (6 blocks, C(6,3) = 20 tables keyed on 3-block concatenations,
+    * bucket cap 2000, hamming ≤ 3 — mirrors `Dedup.simhashPairs`
+    * defaults; block values reconstruct from the signed simhash via
+    * the unsigned HUGEINT divide/mod == shiftrightunsigned + mask,
+    * keys pack multiply-add == shift-or, and `bit_count(xor)` has
+    * identical two's-complement semantics in both engines) — ends with
+    * `shpairs(id_a, id_b, hamming)`. Requires [[SimhashCtes]] in
+    * scope. Shared by q_simhash_pairs and q_simhash_dedup.
+    */
+  private lazy val SimhashPairCtes: String = {
+    val b = 6
+    val widths = graft.functions.Dedup.simhashBlockWidths(b)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val tables = graft.functions.Dedup.simhashTables(b, 3)
+    val bvCols = widths.indices.map { i =>
+      s"CAST((us // ${(BigInt(1) << offsets(i)).toString}) % ${1L << widths(i)} AS BIGINT) AS bv$i"
+    }.mkString(",\n    ")
+    // per-table key: selected blocks packed high-to-low (multiply-add
+    // over disjoint bit ranges == Spark's shiftleft+or fold)
+    val keyExprs = tables.map { sel =>
+      sel.tail.foldLeft(s"bv${sel.head}") { (acc, bi) =>
+        s"($acc * ${1L << widths(bi)} + bv$bi)"
+      }
+    }.mkString("[", ", ", "]")
+    s"""shu AS (SELECT doc_id, CASE WHEN simhash < 0
+       |    THEN CAST(simhash AS HUGEINT) + 18446744073709551616
+       |    ELSE CAST(simhash AS HUGEINT) END AS us FROM shs),
+       |shbv AS (SELECT doc_id,
+       |    $bvCols
+       |  FROM shu),
+       |shk AS (SELECT doc_id, tbl, list_extract($keyExprs, tbl + 1) AS key
+       |  FROM shbv, range(0, ${tables.size}) t(tbl)),
+       |okb AS (SELECT tbl, key FROM shk GROUP BY tbl, key HAVING count(*) <= 2000),
+       |bcs AS (SELECT shk.* FROM shk JOIN okb USING (tbl, key)),
+       |cand AS (SELECT DISTINCT least(a.doc_id, c.doc_id) AS id_a,
+       |    greatest(a.doc_id, c.doc_id) AS id_b
+       |  FROM bcs a JOIN bcs c ON a.tbl = c.tbl AND a.key = c.key AND a.doc_id <> c.doc_id),
+       |shpairs AS (SELECT id_a, id_b,
+       |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |  FROM cand JOIN shs sa ON sa.doc_id = id_a JOIN shs sb ON sb.doc_id = id_b
+       |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)""".stripMargin
+  }
+
   /** Incremental near-dup screen oracle (new docs >= 400 vs the
     * < 400 corpus index) — shared verbatim by q_dedup_incremental and
     * q_stream_neardedup: the streaming screen runs the identical
@@ -3390,22 +3474,29 @@ object SparkEntry {
            |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
       "q_simhash" ->
-        s"""WITH ${tokCte()},
-           |th AS (SELECT doc_id, list_transform(ws, t -> md5_number_lower(t)) AS hs FROM toks),
-           |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
-           |    CASE WHEN len(hs) > 0 AND list_sum(list_transform(hs,
-           |      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS bv
-           |  FROM th),
-           |parts AS (SELECT doc_id,
-           |    CAST(list_sum(list_transform(range(0, 32), b ->
-           |      CASE WHEN bv[b+1] = 1 THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS lo,
-           |    CAST(list_sum(list_transform(range(32, 63), b ->
-           |      CASE WHEN bv[b+1] = 1 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END)) AS BIGINT) AS hi,
-           |    bv[64] AS sb
-           |  FROM bits)
-           |SELECT doc_id,
-           |  lo + hi * 4294967296 + CASE WHEN sb = 1 THEN -9223372036854775807 - 1 ELSE 0 END AS simhash
-           |FROM parts ORDER BY doc_id""".stripMargin,
+        s"""WITH ${tokCte()}, $SimhashCtes
+           |SELECT doc_id, simhash FROM shs ORDER BY doc_id""".stripMargin,
+
+      "q_simhash_pairs" ->
+        s"""WITH ${tokCte()}, $SimhashCtes, $SimhashPairCtes
+           |SELECT id_a, id_b, hamming FROM shpairs
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // pairs -> transitive closure -> min-label representative per
+      // cluster; survivors = docs that are their own representative
+      "q_simhash_dedup" ->
+        s"""WITH RECURSIVE ${tokCte()}, $SimhashCtes, $SimhashPairCtes,
+           |sedges AS (SELECT id_a AS u, id_b AS v FROM shpairs),
+           |ssym AS (SELECT u, v FROM sedges UNION SELECT v, u FROM sedges),
+           |sreach(id, r) AS (
+           |  SELECT DISTINCT u, u FROM ssym
+           |  UNION
+           |  SELECT s.u, sreach.r FROM ssym s JOIN sreach ON s.v = sreach.id)
+           |SELECT d.doc_id FROM documents d
+           |WHERE d.doc_id NOT IN (
+           |  SELECT id FROM (SELECT id, min(r) AS component FROM sreach GROUP BY id)
+           |  WHERE id <> component)
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q_fingerprint" ->
         s"""WITH n AS (

@@ -330,6 +330,114 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Contiguous block widths that cut 64 bits into `blocks` runs as
+    * evenly as possible (the first `64 % blocks` runs get the extra
+    * bit). Shared by [[simhashPairs]] and its oracle-SQL builder so
+    * both engines derive identical block boundaries.
+    */
+  private[graft] def simhashBlockWidths(blocks: Int): Seq[Int] = {
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
+  }
+
+  /** The LSH table key-sets for [[simhashPairs]]: every
+    * `(blocks - maxHamming)`-subset of block indices, lexicographic.
+    * Pigeonhole: `maxHamming` flips land in at most `maxHamming`
+    * blocks, so SOME subset of this size is entirely unflipped — a
+    * pair within budget matches exactly on that table's key. Shared
+    * with the oracle-SQL builder.
+    */
+  private[graft] def simhashTables(blocks: Int, maxHamming: Int): Seq[Seq[Int]] =
+    (0 until blocks).combinations(blocks - maxHamming).toSeq.map(_.toSeq)
+
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips.
+    *
+    * Block-combination LSH (Manku, Jain & Sarma, WWW'07, §3 — the
+    * web-crawl near-dup design): the 64-bit fingerprint is cut into
+    * `blocks` contiguous runs, and one LSH table is built per
+    * `(blocks - maxHamming)`-subset of runs, keyed on the
+    * concatenation of that subset's bits ([[simhashTables]] — by
+    * pigeonhole the candidate generator is recall-lossless within the
+    * budget). `blocks` trades table count `C(blocks, maxHamming)`
+    * against key width `64·(blocks-maxHamming)/blocks`: the naive
+    * `maxHamming + 1` blocks gives few tables but 16-bit keys whose
+    * FALSE candidates grow as `n²/2^16` — measured 106 s on 1M random
+    * docs (27M false candidates); the default `2·maxHamming` gives
+    * 32-bit keys (20 tables at the h=3 operating point), collapsing
+    * false candidates by 2^16 while the table rows stay `20 × 20 B/doc`.
+    * At larger corpora, raise `blocks` further (e.g. 12 → 48-bit keys,
+    * 220 tables): false candidates shrink another 2^16 per step while
+    * table rows grow linearly — the knob is explicitly the Manku
+    * table/key tradeoff.
+    *
+    * Candidates build in ONE shuffle of `(tbl, key, id)` rows — 20
+    * bytes, never text — via [[candidatePairsByKey]] (bucket-capped: a
+    * mega-cluster key emits no quadratic pair blowup; those clusters
+    * are exact-dedup's job). Pairs then re-score EXACT hamming via
+    * `bit_count(xor)` on fingerprints joined back from the scan
+    * (8-byte sims; the candidate side is the smaller relation, AQE
+    * broadcasts it), so precision is exact and recall within budget is
+    * 1 by construction (minus capped buckets).
+    *
+    * @param maxHamming pairs with hamming distance ≤ this survive.
+    *   3 is the Manku et al. operating point for 64-bit fingerprints.
+    * @param blocks fingerprint runs; must exceed `maxHamming`.
+    *   Default `max(maxHamming·2, maxHamming+1)` (= Manku's 6 blocks
+    *   at h=3). `C(blocks, maxHamming)` tables are built — capped at
+    *   1024 to keep the fan-out explicit.
+    * @param maxBucketSize table-key buckets larger than this are
+    *   dropped before the pair explode (see [[minhashPairs]] — same
+    *   contract). Near-identical mega-clusters (e.g. empty docs, all
+    *   hamming 0) lose recall here by design.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 0,
+      maxBucketSize: Int = 2000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    require(blocks >= 0, s"blocks must be >= 0 (0 = default), got $blocks")
+    val b = if (blocks == 0) math.max(maxHamming * 2, maxHamming + 1) else blocks
+    require(b > maxHamming && b <= 64,
+      s"blocks must be in (maxHamming, 64], got $b for maxHamming=$maxHamming")
+    val tables = simhashTables(b, maxHamming)
+    require(tables.size <= 1024,
+      s"C($b, $maxHamming) = ${tables.size} LSH tables — lower blocks or maxHamming")
+    val widths = simhashBlockWidths(b)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val sims = df.select(col(idCol).as("id"),
+      DedupExpressions.simhash64(col(textCol)).as("sim"))
+    // per-table key: selected block values packed high-to-low by
+    // shift+or. Logical right-shift then mask keeps every block value
+    // non-negative; selected widths sum to <= 64, so packing never
+    // truncates — and the oracle's unsigned HUGEINT divide/mod
+    // reconstruction lands on identical values.
+    def blockVal(i: Int): Column = {
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
+      shiftrightunsigned(col("sim"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    val keyArr = array(tables.map { sel =>
+      sel.foldLeft(lit(0L)) { (acc, bi) =>
+        shiftleft(acc, widths(bi)).bitwiseOR(blockVal(bi))
+      }
+    }: _*)
+    val keyed = sims
+      .select(col("id"), posexplode(keyArr).as(Seq("tbl", "key")))
+      .select(col("tbl"), col("key"), col("id"))
+    val pairs = candidatePairsByKey(keyed, Seq("tbl", "key"), maxBucketSize)
+    pairs
+      .join(sims.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs: explode
     * distinct shingles, self-join on shingle, |∩| / (|A|+|B|-|∩|).
     * The shingle join is the scalable formulation — common shingles are

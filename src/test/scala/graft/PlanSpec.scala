@@ -181,6 +181,25 @@ class PlanSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("simhashPairs table exchanges carry (tbl, key, id) only — never text or sims") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shuffles = shuffleOutputsTyped(
+      functions.Dedup.simhashPairs(docs, "doc_id", "text"))
+    assert(shuffles.nonEmpty, "expected table-keyed exchanges in simhashPairs")
+    val blockEx = shuffles.filter(_.exists(_._1 == "tbl"))
+    assert(blockEx.nonEmpty, "expected a (tbl, key)-keyed exchange")
+    // the candidate stage shuffles the two narrow keys plus the
+    // bounded-collect PARTIAL buffer (map-side combine of ids) — the
+    // 8-byte fingerprint attaches AFTER pair dedup, and document text
+    // must never enter any exchange
+    for (cols <- blockEx)
+      assert(cols.map(_._1).toSet.subsetOf(Set("tbl", "key", "id", "buf")),
+        s"table exchange payload grew: $cols")
+    for (cols <- shuffles; (n, t) <- cols)
+      assert(t != org.apache.spark.sql.types.StringType,
+        s"an exchange carries a string column: $n")
+  }
+
   test("minhashPairs band exchanges carry (band, id) only — no signature payload") {
     // the r6 reshape: sigs (~520 B/doc) attach AFTER candidate dedup;
     // a sig column inside any band-keyed exchange is the 6.5 GB/1M-doc

@@ -66,6 +66,16 @@ object TextOpsProbe {
     timed(s"ngramJaccardPairs ($nDocs docs, 50k vocab)") {
       functions.Dedup.ngramJaccardPairs(wide, "id", "text", threshold = 0.4).count()
     }
+    // block-combination simhash join: the planted truncated copies are
+    // ~half-overlap (hamming >> 3), so TRUE pairs stay near zero and
+    // the probe measures the candidate machinery on the adversarial
+    // (uniform random fingerprints) corpus — 20 tables x 32-bit keys;
+    // recall is spec'd in FunctionsSpec. The naive 4x16-bit split
+    // measured 106 s here (27M false candidates, n²/2^16).
+    timed(s"simhashPairs ($nDocs docs, 50k vocab, ham<=3)") {
+      val n = functions.Dedup.simhashPairs(wide, "id", "text").count()
+      println(s"        simhash pairs = $n")
+    }
     // span removal on the wide corpus: each planted truncated copy
     // shares its full 25-token prefix with its predecessor, so the
     // duplicated slice is ~2/50 of all docs

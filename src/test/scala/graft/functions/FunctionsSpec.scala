@@ -300,6 +300,42 @@ class DedupSpec extends SparkSpec {
     assert(ham(hs(0L), hs(1L)) < ham(hs(0L), hs(2L)))
   }
 
+  test("simhashPairs == brute-force hamming pairs (recall-lossless within budget)") {
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val corpus = (0L until 40L).map { i =>
+      if (i < 10L) (i, base) // exact clones: hamming 0
+      else if (i < 20L) (i, base.replace(s"tok${i - 10}", s"edit$i")) // one-word edits
+      else (i, (0 until 30).map(j => s"r${i}x$j").mkString(" ")) // unrelated
+    }.toDF("id", "text")
+    val got = Dedup.simhashPairs(corpus, "id", "text", maxHamming = 3, maxBucketSize = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hs = corpus.select(col("id"), DedupExpressions.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pigeonhole guarantee: EVERY pair within the budget must surface —
+    // the blocked candidate stage is recall-lossless at <= maxHamming,
+    // and the bit_count(xor) rescore makes precision exact
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      h = java.lang.Long.bitCount(hs(a) ^ hs(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("simhashPairs bucket cap drops mega-cluster blocks; bad args rejected") {
+    val tpl = (0 until 40).map(i => s"w$i").mkString(" ")
+    val clones = (0L until 60L).map(i => (i, tpl)).toDF("id", "text")
+    // 60 identical fingerprints: every block bucket holds all 60 ids,
+    // so cap 50 drops them all (exact dedup's job, not LSH's)
+    assert(Dedup.simhashPairs(clones, "id", "text", maxBucketSize = 50).count() == 0L)
+    assert(Dedup.simhashPairs(clones, "id", "text", maxBucketSize = 2000).count() ==
+      60L * 59L / 2L)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(clones, "id", "text", maxHamming = 32))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(clones, "id", "text", maxBucketSize = 1))
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.9)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
