@@ -29,7 +29,9 @@ object Bench {
     // round-6 (cont.): domain curation + hashed quality classifier
     "q_domain_cap", "q_classifier_score", "q_mixture_temp",
     // round-6 (cont.): block-permutation simhash near-dup join
-    "q_simhash_pairs")
+    "q_simhash_pairs",
+    // round-6 (cont.): bigram stupid-backoff LM + n-gram diversity
+    "q_bigram_lm", "q_ngram_diversity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

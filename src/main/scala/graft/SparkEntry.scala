@@ -1829,6 +1829,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bigram stupid-backoff LM: train on even doc_ids, score the odd
+    // ones — the two-corpus split is what makes the backoff branch
+    // (the whole point of the operator) actually fire at the gate.
+    "q_bigram_lm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextFunctions.bigramLmScore(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Word-bigram type/token diversity per language bucket (exact
+    // form; the HLL twin approxNgramDiversity is probe-only surface)
+    "q_ngram_diversity" -> ((s, dir) => {
+      TextFunctions.ngramDiversity(tbl(s, dir, "documents"), "lang", "text", n = 2)
+        .orderBy("lang")
+    }),
+
     // Quantized ANN serving path: int8 candidate scoring in the probed
     // IVF cells, float rerank of the top 4k — recall gated against the
     // full-precision brute force exactly like q_ann_ivf.
@@ -4200,6 +4219,61 @@ object SparkEntry {
            |  CAST(sum(nll) AS BIGINT) AS nll_nano,
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // bigram stupid-backoff LM: counts from even doc_ids, scoring
+      // the odd ones. Parallel unnests zip the position-aligned
+      // (prev, cur, bigram) hash lists; every ln argument is a ratio
+      // of exact integers (alpha = 2/5), so per-token nano-nats are
+      // engine-exact like q_surprisal's.
+      "q_bigram_lm" ->
+        s"""WITH ${tokCte()},
+           |tr AS (SELECT ws FROM toks WHERE doc_id % 2 = 0),
+           |sc AS (SELECT doc_id, ws FROM toks WHERE doc_id % 2 = 1),
+           |u1 AS (SELECT md5_number_lower(unnest(ws)) AS h FROM tr),
+           |c1 AS (SELECT h, count(*) AS c FROM u1 GROUP BY h),
+           |tot AS (SELECT count(*) AS t FROM u1),
+           |b2 AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1]))) AS h2 FROM tr),
+           |c2 AS (SELECT h2, count(*) AS c FROM b2 GROUP BY h2),
+           |srows AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> CASE WHEN i = 1 THEN NULL ELSE md5_number_lower(ws[i-1]) END)) AS hp,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> md5_number_lower(ws[i]))) AS hc,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> CASE WHEN i = 1 THEN NULL ELSE md5_number_lower(ws[i-1] || ' ' || ws[i]) END)) AS hb
+           |  FROM sc),
+           |j AS (SELECT doc_id, hp,
+           |    cb.c AS c2, cp.c AS c1p, greatest(coalesce(cu.c, 1), 1) AS mc
+           |  FROM srows
+           |  LEFT JOIN c2 cb ON srows.hb = cb.h2
+           |  LEFT JOIN c1 cp ON srows.hp = cp.h
+           |  LEFT JOIN c1 cu ON srows.hc = cu.h),
+           |n AS (SELECT doc_id,
+           |    CASE WHEN hp IS NULL
+           |      THEN CAST(round(ln(CAST(t AS DOUBLE)/mc) * 1e9) AS BIGINT)
+           |    WHEN c2 IS NOT NULL
+           |      THEN CAST(round(ln(CAST(c1p AS DOUBLE)/c2) * 1e9) AS BIGINT)
+           |    ELSE CAST(round(ln(CAST(5*t AS DOUBLE)/(2*mc)) * 1e9) AS BIGINT)
+           |    END AS nll,
+           |    CASE WHEN hp IS NOT NULL AND c2 IS NULL THEN 1 ELSE 0 END AS bo
+           |  FROM j CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(bo) AS BIGINT) AS n_backoff,
+           |  CAST(sum(nll) AS BIGINT) AS nll_nano,
+           |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
+           |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // word-bigram type/token ratio per language bucket
+      "q_ngram_diversity" ->
+        s"""WITH ${tokCte()},
+           |g AS (SELECT lang, unnest(list_transform(range(1, len(ws)),
+           |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1]))) AS h
+           |  FROM toks JOIN documents USING (doc_id))
+           |SELECT lang, count(*) AS n_grams,
+           |  count(DISTINCT h) AS n_distinct,
+           |  round(CAST(count(DISTINCT h) AS DOUBLE)/count(*), 6) AS distinct_ratio
+           |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
       // two unrolled Lloyd's iterations; dN/aN = assignment round N,
       // sN/cN = per-(cell,dim) integer sums -> rounded centroids

@@ -271,6 +271,154 @@ object TextFunctions {
         round(col("nll_nano").cast("double") / col("n_tokens").cast("double") / 1e9, 6))
   }
 
+  /** Bigram stupid-backoff language-model scoring — the CCNet-shaped
+    * perplexity filter (Wenzek et al. 2020 score crawl text with a
+    * KenLM trained on Wikipedia; Brants et al. 2007 define stupid
+    * backoff: use the raw bigram frequency ratio, back off to
+    * `alpha ·` the unigram score when the bigram is unseen). This is
+    * the two-corpus formulation [[unigramSurprisal]] deliberately is
+    * not: the LM trains on `train` (the trusted corpus) and scores
+    * `score` (the candidate corpus), so unseen-bigram backoff — the
+    * entire signal — actually fires.
+    *
+    * Per token at position i of a scored doc (nano-nats, integer):
+    *  - i = 1: `ln(T / max(c1(w1), 1))` — unigram, unseen floor 1.
+    *  - bigram seen: `ln(c1(w_{i-1}) / c2(w_{i-1}, w_i))`.
+    *  - else: `ln(alphaDen·T / (alphaNum·max(c1(w_i), 1)))` — the
+    *    backoff constant is a RATIONAL (default 2/5 = Brants's 0.4) so
+    *    every ln argument stays a ratio of exact integers and the
+    *    per-token value is engine-exact (same recipe as
+    *    [[unigramSurprisal]]).
+    *
+    * Shapes: train-side unigram/bigram count tables reduce over
+    * 8-byte md5 hashes with map-side combine (vocab-bounded). The
+    * scored side builds `(prev, cur, bigram)` hash triples SCAN-SIDE
+    * by zipping the two one-pass kernel arrays — no self-join on
+    * (doc, pos) — then three left equi-joins on 8-byte keys (AQE
+    * broadcasts the count tables when the train vocab is small) and
+    * one per-doc sum. No token string enters any exchange.
+    *
+    * Returns `(idCol, n_tokens, n_backoff, nll_nano, avg_nll)`;
+    * `n_backoff` counts backed-off positions (a useful OOD diagnostic
+    * on its own). Zero-token documents are absent (contract of the
+    * sibling scorers).
+    */
+  def bigramLmScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      alphaNum: Int = 2,
+      alphaDen: Int = 5): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"backoff alpha must be a rational in (0, 1): got $alphaNum/$alphaDen")
+    val uni = train.select(
+      explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
+    val c1 = uni.groupBy("_h").agg(count(lit(1)).as("_c1"))
+    // corpus total from the vocab-sized table, not a rescan
+    val total = c1.agg(sum(col("_c1")).as("_t"))
+    val c2 = train.select(
+        explode(DedupExpressions.shinglePosHashes(col(textCol), 2)).as("_h2"))
+      .groupBy("_h2").agg(count(lit(1)).as("_c2"))
+    val staged = score.select(
+        col(idCol).as("_lm_id"),
+        DedupExpressions.shinglePosHashes(col(textCol), 1).as("_u"),
+        DedupExpressions.shinglePosHashes(col(textCol), 2).as("_b"))
+      .where(size(col("_u")) > 0)
+    // position-aligned triples: element i is (u[i-1] | null, u[i],
+    // bigram[i-1] | null) — the null marks "no left context"
+    val nullLong = array(lit(null).cast("long"))
+    val rows = staged.select(
+        col("_lm_id"),
+        explode(arrays_zip(
+          concat(nullLong, slice(col("_u"), lit(1), size(col("_u")) - 1)).as("hp"),
+          col("_u").as("hc"),
+          concat(nullLong, col("_b")).as("hb"))).as("_z"))
+      .select(col("_lm_id"),
+        col("_z.hp").as("_hp"), col("_z.hc").as("_hc"), col("_z.hb").as("_hb"))
+    val joined = rows
+      .join(c2, col("_hb") === col("_h2"), "left")
+      .join(c1.toDF("_hpk", "_c1p"), col("_hp") === col("_hpk"), "left")
+      .join(c1.toDF("_hck", "_c1c"), col("_hc") === col("_hck"), "left")
+      .crossJoin(broadcast(total))
+    val mc = greatest(coalesce(col("_c1c"), lit(1L)), lit(1L))
+    val nll = when(col("_hp").isNull,
+        round(log(col("_t").cast("double") / mc.cast("double")) * 1e9))
+      .when(col("_c2").isNotNull,
+        round(log(col("_c1p").cast("double") / col("_c2").cast("double")) * 1e9))
+      .otherwise(
+        round(log((col("_t") * alphaDen).cast("double") /
+          (mc * alphaNum).cast("double")) * 1e9))
+      .cast("long")
+    val backoff = when(col("_hp").isNotNull && col("_c2").isNull, 1L).otherwise(0L)
+    joined
+      .select(col("_lm_id"), nll.as("_nll"), backoff.as("_bo"))
+      .groupBy(col("_lm_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("_bo")).as("n_backoff"),
+        sum(col("_nll")).as("nll_nano"))
+      .withColumn("avg_nll",
+        round(col("nll_nano").cast("double") / col("n_tokens").cast("double") / 1e9, 6))
+  }
+
+  /** Per-group n-gram diversity — the type/token ratio over word
+    * n-grams, the standard corpus-health metric for mode collapse /
+    * template saturation (a domain whose crawl is one boilerplate page
+    * repeated has near-zero distinct-gram ratio long before any dedup
+    * pass runs). Exact distinct via the 8-byte gram-hash kernel:
+    * `(group, hash)` pre-aggregation then per-group counts, all
+    * map-side combinable — no gram text in any exchange. For the
+    * 100 TB sweep where exact per-group distincts are still too hot,
+    * [[approxNgramDiversity]] is the HLL twin (this exact form is its
+    * oracle).
+    *
+    * Returns `(groupCol, n_grams, n_distinct, distinct_ratio)`;
+    * groups whose documents have no grams (all shorter than n) are
+    * absent.
+    */
+  def ngramDiversity(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    val ex = df.select(col(groupCol),
+      explode(DedupExpressions.shinglePosHashes(col(textCol), n)).as("_h"))
+    // two-level aggregate: (group, hash) partial counts collapse the
+    // duplicate-heavy stream before the per-group reduction
+    ex.groupBy(col(groupCol), col("_h"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("_cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
+  /** HLL twin of [[ngramDiversity]] for the full-corpus sweep: one
+    * pass, `approx_count_distinct` over the same gram hashes —
+    * mergeable sketch state, no exact-distinct shuffle of the
+    * (group, hash) universe. `n_distinct` is approximate (±~2.3% at
+    * the default rsd) and NOT engine-replicable, so this variant is
+    * probe/production surface only; the exact form is its gate.
+    */
+  def approxNgramDiversity(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 2,
+      rsd: Double = 0.023): DataFrame = {
+    val ex = df.select(col(groupCol),
+      explode(DedupExpressions.shinglePosHashes(col(textCol), n)).as("_h"))
+    ex.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        approx_count_distinct(col("_h"), rsd).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** URL canonicalization for web-corpus dedup: lowercase the scheme
     * and host, strip the fragment, the scheme's own default port
     * (http :80 / https :443 — never the other way around), tracking

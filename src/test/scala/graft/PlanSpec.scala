@@ -181,6 +181,31 @@ class PlanSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("bigramLmScore shuffles hash keys and counts only — no token text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shuffles = shuffleOutputsTyped(
+      functions.TextFunctions.bigramLmScore(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        "doc_id", "text"))
+    assert(shuffles.nonEmpty)
+    for (cols <- shuffles; (n, t) <- cols)
+      assert(t != org.apache.spark.sql.types.StringType,
+        s"bigramLmScore exchange carries a string column: $n")
+  }
+
+  test("ngramDiversity pre-aggregates (group, hash) — no gram text in any exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shuffles = shuffleOutputsTyped(
+      functions.TextFunctions.ngramDiversity(docs, "lang", "text", n = 2))
+    assert(shuffles.nonEmpty)
+    // the only strings allowed through are the GROUP column values —
+    // gram text must stay scan-side (hash-keyed kernel)
+    for (cols <- shuffles; (n, t) <- cols
+         if t == org.apache.spark.sql.types.StringType)
+      assert(n == "lang", s"unexpected string column in exchange: $n")
+  }
+
   test("simhashPairs table exchanges carry (tbl, key, id) only — never text or sims") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val shuffles = shuffleOutputsTyped(

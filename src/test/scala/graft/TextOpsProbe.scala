@@ -43,6 +43,17 @@ object TextOpsProbe {
       functions.TextFunctions.unigramSurprisal(docs, "id", "text")
         .agg(sum("nll_nano")).head()
     }
+    timed(s"bigramLmScore ($nDocs docs, train=even score=odd)") {
+      functions.TextFunctions.bigramLmScore(
+          docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),
+          "id", "text")
+        .agg(sum("nll_nano"), sum("n_backoff")).head()
+    }
+    timed(s"approxNgramDiversity ($nDocs docs, 32 domains)") {
+      functions.TextFunctions.approxNgramDiversity(
+          docs.withColumn("dom", pmod(col("id"), lit(32))), "dom", "text")
+        .count()
+    }
     // containment / jaccard probe corpus: 50k vocab (the 20-word corpus
     // above is pathologically self-similar — every shingle is shared),
     // every 50th doc a truncated copy of its predecessor so exactly

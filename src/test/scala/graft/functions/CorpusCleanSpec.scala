@@ -158,6 +158,52 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out(1)._4 > out(0)._4) // the rare-token doc is more surprising
   }
 
+  test("bigramLmScore: seen bigram, backoff, and unseen-unigram floor are exact") {
+    val train = Seq((10L, "a b c"), (11L, "a b")).toDF("doc_id", "text")
+    // train stats: T=5, c1(a)=2 c1(b)=2 c1(c)=1; c2(a b)=2, c2(b c)=1
+    val score = Seq(
+      (1L, "a b c"), // first-token + two seen bigrams, no backoff
+      (2L, "c a"),   // unseen bigram, seen unigram: alpha backoff
+      (3L, "z z"),   // unseen everything: unigram floor max(c,1)=1
+      (4L, ""))      // zero tokens -> absent
+      .toDF("doc_id", "text")
+    val out = TextFunctions.bigramLmScore(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def nano(num: Double, den: Double) = math.round(math.log(num / den) * 1e9)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, nano(5, 2) + nano(2, 2) + nano(2, 1)),
+      // "c a": ln(5/1) then backoff ln(5*5 / (2*2)) with alpha = 2/5
+      (2L, 2L, 1L, nano(5, 1) + nano(25, 4)),
+      // "z z": unseen first token ln(5/1); unseen-unigram backoff ln(25/2)
+      (3L, 2L, 1L, nano(5, 1) + nano(25, 2))))
+    intercept[IllegalArgumentException](
+      TextFunctions.bigramLmScore(train, score, "doc_id", "text", alphaNum = 5, alphaDen = 5))
+    intercept[IllegalArgumentException](
+      TextFunctions.bigramLmScore(train, score, "doc_id", "text", alphaNum = 0))
+  }
+
+  test("ngramDiversity exact per-group type/token ratio; approx twin tracks it") {
+    val docs = Seq(
+      (1L, "g1", "a b a b"), // bigrams: ab, ba, ab
+      (2L, "g1", "a b"),     // ab
+      (3L, "g2", "x y z"),   // xy, yz
+      (4L, "g2", ""))        // no grams
+      .toDF("doc_id", "grp", "text")
+    val exact = TextFunctions.ngramDiversity(docs, "grp", "text", n = 2)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(exact.toSeq == Seq(("g1", 4L, 2L, 0.5), ("g2", 2L, 2L, 1.0)))
+    val approx = TextFunctions.approxNgramDiversity(docs, "grp", "text", n = 2)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tiny cardinalities: HLL is exact here; the real contract is the
+    // shared n_grams and a distinct estimate in the rsd band
+    assert(approx.map(t => (t._1, t._2)).toSeq == Seq(("g1", 4L), ("g2", 2L)))
+    for (((_, _, ad), (_, _, ed, _)) <- approx.zip(exact))
+      assert(math.abs(ad - ed).toDouble <= math.max(1.0, 0.1 * ed))
+  }
+
   test("tfidfTopTerms ranks by nano-snapped idf product, ties by signed term hash") {
     val docs = Seq(
       (1L, "apple apple banana the"),
