@@ -4224,7 +4224,17 @@ object SparkEntry {
       // the odd ones. Parallel unnests zip the position-aligned
       // (prev, cur, bigram) hash lists; every ln argument is a ratio
       // of exact integers (alpha = 2/5), so per-token nano-nats are
-      // engine-exact like q_surprisal's.
+      // engine-exact like q_surprisal's. ULP-BOUNDARY ASSUMPTION
+      // (accepted risk, shared with q_surprisal, here on THREE ln
+      // branches): CAST(round(ln(r)*1e9)) matches across engines only
+      // because JVM Math.log and DuckDB's libm log agree to the last
+      // ulp on these integer-ratio arguments; a 1-ulp divergence
+      // landing exactly on a .5 nano-nat boundary would flip one
+      // token's nll by 1 and flake the hash gate. If this gate ever
+      // flakes on regenerated data with a ±1 nll_nano diff on a
+      // handful of docs, suspect this boundary before suspecting the
+      // LM logic — the fix would be snapping ln inputs to a coarser
+      // grid, not changing counts.
       "q_bigram_lm" ->
         s"""WITH ${tokCte()},
            |tr AS (SELECT ws FROM toks WHERE doc_id % 2 = 0),

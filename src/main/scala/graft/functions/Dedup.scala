@@ -348,8 +348,19 @@ object Dedup {
     * pair within budget matches exactly on that table's key. Shared
     * with the oracle-SQL builder.
     */
-  private[graft] def simhashTables(blocks: Int, maxHamming: Int): Seq[Seq[Int]] =
-    (0 until blocks).combinations(blocks - maxHamming).toSeq.map(_.toSeq)
+  private[graft] def simhashTables(blocks: Int, maxHamming: Int): Seq[Seq[Int]] = {
+    // fail fast BEFORE materializing: `combinations` is a lazy
+    // iterator, so bounding it at cap+1 detects an over-budget
+    // C(blocks, maxHamming) in O(cap) work — the old eager `.toSeq`
+    // tried to build the full list first, so argument combos that
+    // passed the earlier range requires (e.g. blocks=40, maxHamming=20
+    // -> C(40,20) ~ 1.4e11 subsets) hung/OOMed instead of erroring.
+    val capped = (0 until blocks).combinations(blocks - maxHamming)
+      .take(1025).map(_.toSeq).toSeq
+    require(capped.size <= 1024,
+      s"C($blocks, $maxHamming) exceeds 1024 LSH tables — lower blocks or maxHamming")
+    capped
+  }
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips.
     *
@@ -405,9 +416,7 @@ object Dedup {
     val b = if (blocks == 0) math.max(maxHamming * 2, maxHamming + 1) else blocks
     require(b > maxHamming && b <= 64,
       s"blocks must be in (maxHamming, 64], got $b for maxHamming=$maxHamming")
-    val tables = simhashTables(b, maxHamming)
-    require(tables.size <= 1024,
-      s"C($b, $maxHamming) = ${tables.size} LSH tables — lower blocks or maxHamming")
+    val tables = simhashTables(b, maxHamming) // fast-fails above 1024 tables
     val widths = simhashBlockWidths(b)
     val offsets = widths.scanLeft(0)(_ + _).init
     val sims = df.select(col(idCol).as("id"),

@@ -168,7 +168,14 @@ object Similarity {
     * plan computes it again — pipelines that already know the corpus
     * size should pass `nRows` (and ones that don't but reuse `df`
     * should cache it themselves; this operator never caches on the
-    * caller's behalf). An explicit `bandBits > 0` overrides
+    * caller's behalf, because its result is lazy and a pinned cache
+    * it cannot unpersist would leak past the call). For a bare
+    * parquet scan the count is column-pruned to footer metadata, so
+    * only DERIVED inputs pay a real recompute. `nRows = Some(_)` is
+    * the zero-extra-job path (spec-asserted). HISTORY: the default
+    * was a fixed `bandBits = 4` through round 5 — degenerate above
+    * ~1M rows (62k-vector buckets all capped away) — and became
+    * auto-from-n in round 6. An explicit `bandBits > 0` overrides
     * everything; negative values are rejected.
     *
     * Returns `(idCol, neighbor_id, cos, rk)` with `rk <= k`, ranked by
@@ -652,8 +659,10 @@ object Similarity {
     * broadcast centroid table ([[KMeansAssignExpr]], codegen'd); the
     * only shuffle is the `(cell, dim)`-keyed integer-sum aggregation,
     * map-side combined down to `k·dim` rows (kilobytes at any corpus
-    * size) and collected to the driver for the centroid update —
-    * `iters` corpus scans total, no iteration state on executors.
+    * size) and collected to the driver for the centroid update — no
+    * iteration state on executors. The quantized vectors are pinned
+    * (MEMORY_AND_DISK) for the loop and dropped in `finally`, so the
+    * source text/parquet is scanned ONCE, not once per iteration.
     * Init = the quantized vectors of the `k` smallest ids
     * (deterministic, same convention as [[ivfFit]]'s id-ordered
     * seeds).
@@ -675,29 +684,40 @@ object Similarity {
     // collect and silently vanish from the iteration stats anyway);
     // downstream they assign to a null cell via kmeansAssign's
     // null-propagation — callers filter or impute as policy dictates
+    // the quantized frame is the input of EVERY Lloyd iteration (the
+    // init collect + `iters` stats scans): pin it so each scan reads
+    // int8-scale longs from cache instead of re-reading the source and
+    // re-running the quantize projection per iteration (r6 bench:
+    // 24.9 s with recompute). The fit is eager, so the cache lives
+    // only inside this call — unpersisted in finally, no leak.
     val q = df.select(col(idCol).as("_id"),
         kmeansQuantize(col(vecCol), scale).as("_q"))
       .filter(col("_q").isNotNull)
-    var cents: Array[Array[Long]] = q.orderBy("_id").limit(k)
-      .collect().map(_.getSeq[Long](1).toArray)
-    require(cents.length == k, s"need >= $k non-null vectors, got ${cents.length}")
-    var it = 0
-    while (it < iters) {
-      val stats = q
-        .select(DedupExpressions.kmeansAssign(col("_q"), cents).as("_cell"),
-          posexplode(col("_q")).as(Seq("_j", "_v")))
-        .groupBy("_cell", "_j")
-        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
-        .collect()
-      val next = cents.map(_.clone()) // empty cells keep their centroid
-      stats.foreach { r =>
-        val (cell, j) = (r.getInt(0), r.getInt(1))
-        val (s, n) = (r.getLong(2), r.getLong(3))
-        next(cell)(j) = Math.floorDiv(2L * s + n, 2L * n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Long]] = q.orderBy("_id").limit(k)
+        .collect().map(_.getSeq[Long](1).toArray)
+      require(cents.length == k, s"need >= $k non-null vectors, got ${cents.length}")
+      var it = 0
+      while (it < iters) {
+        val stats = q
+          .select(DedupExpressions.kmeansAssign(col("_q"), cents).as("_cell"),
+            posexplode(col("_q")).as(Seq("_j", "_v")))
+          .groupBy("_cell", "_j")
+          .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cells keep their centroid
+        stats.foreach { r =>
+          val (cell, j) = (r.getInt(0), r.getInt(1))
+          val (s, n) = (r.getLong(2), r.getLong(3))
+          next(cell)(j) = Math.floorDiv(2L * s + n, 2L * n)
+        }
+        cents = next
+        it += 1
       }
-      cents = next
-      it += 1
+      cents
+    } finally {
+      q.unpersist(blocking = false)
     }
-    cents
   }
 }

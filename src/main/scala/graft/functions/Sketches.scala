@@ -221,13 +221,20 @@ object Sketches {
       sum(col("n")).as("n_total"), count(lit(1)).as("n_keys"))
     val order = col("n").desc +: keyCols.map(col(_).asc)
     val top = keyed.orderBy(order: _*).limit(k)
-    top
+    // rank over k already-top rows WITHOUT a window (an empty or
+    // foldable partition spec trips the WindowExec single-partition
+    // warning): sorted-array posexplode over the bounded row set —
+    // struct(-n, keys...) asc = n desc, keys asc, the `order` above
+    val ranked = top
+      .agg(sort_array(collect_list(struct(
+        ((-col("n")).as("_k") +: keyCols.map(col) :+ col("n")): _*))).as("_a"))
+      .select(posexplode(col("_a")).as(Seq("_r", "_x")))
+      .select(keyCols.map(kc => col("_x").getField(kc).as(kc)) ++ Seq(
+        col("_x").getField("n").as("n"),
+        (col("_r") + 1).cast("long").as("rk")): _*)
+    ranked
       .crossJoin(broadcast(totals))
       .withColumn("frac", round(col("n").cast("double") / col("n_total"), 6))
-      .withColumn(
-        "rk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long"))
       .select(
         keyCols.map(col) ++
           Seq(col("n"), col("frac"), col("rk"), col("n_total"), col("n_keys")): _*)

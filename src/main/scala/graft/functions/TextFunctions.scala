@@ -342,12 +342,21 @@ object TextFunctions {
       .join(c1.toDF("_hck", "_c1c"), col("_hc") === col("_hck"), "left")
       .crossJoin(broadcast(total))
     val mc = greatest(coalesce(col("_c1c"), lit(1L)), lit(1L))
+    // an empty (or all-empty-text) train corpus makes sum(_c1) NULL;
+    // without this guard the null silently propagates into nll_nano
+    // for EVERY scored doc — raise in-plan instead (no eager count on
+    // the train corpus just to validate it)
+    val t = when(col("_t").isNull,
+        raise_error(lit(
+          "bigramLmScore: train corpus has no tokens — cannot estimate an LM"))
+          .cast("long"))
+      .otherwise(col("_t"))
     val nll = when(col("_hp").isNull,
-        round(log(col("_t").cast("double") / mc.cast("double")) * 1e9))
+        round(log(t.cast("double") / mc.cast("double")) * 1e9))
       .when(col("_c2").isNotNull,
         round(log(col("_c1p").cast("double") / col("_c2").cast("double")) * 1e9))
       .otherwise(
-        round(log((col("_t") * alphaDen).cast("double") /
+        round(log((t * alphaDen).cast("double") /
           (mc * alphaNum).cast("double")) * 1e9))
       .cast("long")
     val backoff = when(col("_hp").isNotNull && col("_c2").isNull, 1L).otherwise(0L)
@@ -665,14 +674,22 @@ object TextFunctions {
     * negative), `k1`/`b` saturation exactly as published.
     *
     * Scale shape: query terms normalize+hash DRIVER-side with the same
-    * md5 the [[TokenTfExpr]] kernel emits, so the per-doc tf explode
-    * filters to the tiny query-hash set right at the scan — nothing
-    * wider than `(id, h, tf, dl)` for MATCHING terms ever shuffles,
-    * the per-term df/N/avgdl aggregates are broadcast-sized, and the
-    * top-k is a `TakeOrderedAndProject`. One extra kernel pass over
-    * the scan computes corpus `N`/`avgdl` (no cache, no second
-    * shuffle). Per-term scores snap to integer nano-units before the
-    * per-doc sum (the repo's cross-engine float recipe).
+    * md5 the [[TokenTfExpr]] kernel emits, and the [[QueryTfExpr]]
+    * kernel filters each document's term stats to that hash set AT THE
+    * SCAN (binary search in the task closure — no explode of
+    * non-matching terms ever exists), so the expensive tokenizer runs
+    * exactly ONCE and everything that shuffles is O(matched terms).
+    * Per-term document frequency is a window count over the matched
+    * rows (the same `_h` exchange scoring rides), not a second kernel
+    * branch — r6 ran the full tokenizer over the corpus twice; the
+    * only remaining second pass is the corpus `N`/`avgdl` scalar
+    * aggregate, which by construction cannot ride the scoring scan
+    * (a global value consumed per-row) and is therefore stripped to
+    * the count-only [[NormTokenCountExpr]] kernel (normalize+count,
+    * no hashing, no term map — plan-asserted in PlanSpec). The top-k
+    * is a `TakeOrderedAndProject`. Per-term scores snap to integer
+    * nano-units before the per-doc sum (the repo's cross-engine float
+    * recipe).
     *
     * Returns the top `k` rows `(idCol, n_hits, score_nano)` by
     * `score_nano` descending, ties on id.
@@ -690,22 +707,39 @@ object TextFunctions {
     val qHashes = HashUtil.tokens(query.mkString(" ")).distinct
       .map(HashUtil.md5Lower64).toSeq
     require(qHashes.nonEmpty, "query normalized to zero tokens")
-    // dl = NORMALIZED token count (sum of the kernel's tfs), not the
-    // whitespace tokenCount — tf/df/dl must all come from the same
-    // tokenizer or the length normalization disagrees with the term
-    // statistics (and with the oracle's len(ws)) on punctuated text.
-    // The fold walks the per-doc distinct-term array once per row;
-    // its argument is the kernel output, evaluated once, so this is
-    // not the per-element HOF re-evaluation the kernels exist to avoid.
-    val dlExpr = aggregate(TokenTfExpr(col(textCol)), lit(0L),
-      (acc, p) => acc + p.getField("tf"))
+    // Tokenizer pass (the expensive one, ONCE): per-doc (dl,
+    // query-matched tfs) from the QueryTfExpr kernel — dl is the
+    // NORMALIZED token count (sum of the kernel tfs), same tokenizer
+    // as the term statistics, so length normalization agrees with
+    // df/tf (and with the oracle's len(ws)) on punctuated text. Only
+    // matching terms ever leave the scan, so everything downstream is
+    // O(matches), not O(corpus terms).
+    import org.apache.spark.sql.expressions.Window
+    // explode_OUTER + post-generate null filter, NOT a plain explode:
+    // the inner explode makes the optimizer infer `size(terms) > 0`
+    // and evaluate the kernel AGAIN in a scan-side filter (filter and
+    // projection are separate codegen operators — no cross-operator
+    // CSE), doubling the tokenizer work this rewrite exists to remove.
     val tf = df.select(col(idCol).as("_id"),
-        dlExpr.as("_dl"),
-        explode(TokenTfExpr(col(textCol))).as("_p"))
+        QueryTfExpr(col(textCol), qHashes.sorted.toArray).as("_k"))
+      .select(col("_id"), col("_k").getField("dl").as("_dl"),
+        explode_outer(col("_k").getField("terms")).as("_p"))
       .select(col("_id"), col("_dl"), col("_p.h").as("_h"), col("_p.tf").as("_tf"))
-      .filter(col("_h").isin(qHashes: _*))
-    val dfq = tf.groupBy("_h").agg(count(lit(1)).as("_df"))
-    val stats = df.agg(count(lit(1)).as("_n"), sum(dlExpr).as("_sum_dl"))
+      .filter(col("_h").isNotNull)
+    // per-term document frequency as a window count over the matched
+    // rows — same exchange the scoring needs anyway, and one consumer
+    // of the tokenizer scan instead of r6's separate groupBy branch
+    // (a second full kernel pass; per-consumer nested-field pruning
+    // makes ReuseExchange-style sharing non-robust — see NOTES r7)
+    val withDf = tf.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("_h"))))
+    // Corpus stats pass: N and sum(dl) are corpus-GLOBAL scalars that
+    // must exist before any per-row score, so a second pass over the
+    // source is unavoidable without pinning a cache past this (lazy)
+    // call. It is stripped to the count-only kernel: normalize+count,
+    // no md5, no term map — the cheap fraction of the tokenizer.
+    val stats = df.agg(count(lit(1)).as("_n"),
+      sum(NormTokenCountExpr(col(textCol))).as("_sum_dl"))
     val nD = col("_n").cast("double")
     val idf = log((nD - col("_df").cast("double") + lit(0.5)) /
       (col("_df").cast("double") + lit(0.5)) + lit(1.0))
@@ -713,7 +747,7 @@ object TextFunctions {
     val denom = col("_tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("_dl").cast("double") / avgdl)
     val termScore = idf * (col("_tf").cast("double") * (lit(k1) + lit(1.0)) / denom)
-    tf.join(broadcast(dfq), "_h")
+    withDf
       .crossJoin(broadcast(stats))
       .withColumn("_s_nano", round(termScore * lit(1e9)).cast("long"))
       .groupBy(col("_id"))
@@ -751,16 +785,24 @@ object TextFunctions {
       kRrf: Int = 60): DataFrame = {
     require(k >= 1 && poolN >= k, s"need poolN >= k >= 1, got k=$k poolN=$poolN")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
-    import org.apache.spark.sql.expressions.Window
-    // single-partition windows over already-top-poolN rows: fine
+    // rank WITHOUT a window: each arm is already top-poolN-bounded
+    // (TakeOrdered), so collapse it to one sorted array and posexplode
+    // — same single tiny partition a rank window would use, but no
+    // WindowExec, so the "No Partition Defined" warning stays reserved
+    // for real unbounded hazards (a foldable partitionBy(lit) is
+    // stripped by the optimizer and still warns). Sort key: struct
+    // (-score, id) ascending = score desc, ties by id asc — exactly
+    // the row_number order the oracle replays.
     val lex = bm25TopDocs(docs, idCol, textCol, query, poolN)
-      .select(col(idCol).as("_id"),
-        row_number().over(
-          Window.orderBy(col("score_nano").desc, col(idCol))).as("_rl"))
+      .agg(sort_array(collect_list(
+        struct((-col("score_nano")).as("_k"), col(idCol).as("_i")))).as("_a"))
+      .select(posexplode(col("_a")).as(Seq("_r", "_x")))
+      .select(col("_x").getField("_i").as("_id"), (col("_r") + 1).as("_rl"))
     val vec = Similarity.bruteForceTopK(emb, embIdCol, vecCol, queryVec, poolN)
-      .select(col(embIdCol).as("_id"),
-        row_number().over(
-          Window.orderBy(col("score").desc, col(embIdCol))).as("_rv"))
+      .agg(sort_array(collect_list(
+        struct((-col("score")).as("_k"), col(embIdCol).as("_i")))).as("_a"))
+      .select(posexplode(col("_a")).as(Seq("_r", "_x")))
+      .select(col("_x").getField("_i").as("_id"), (col("_r") + 1).as("_rv"))
     lex.join(vec, Seq("_id"), "full_outer")
       .select(col("_id").as(idCol),
         col("_rl").cast("long").as("lex_rank"),
@@ -830,13 +872,21 @@ object TextFunctions {
       .select(col("_p.h").as("_h"), col("_p.tf").as("_tf"))
       .groupBy("_h")
       .agg(sum(col("_tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+    // rank over `size` already-top rows WITHOUT a window (a window
+    // here would need an empty/foldable partition spec and trip the
+    // WindowExec single-partition warning): sorted-array posexplode
+    // over the bounded row set — struct(-n, h) asc = n desc, h asc
     val top = counts
       .orderBy(col("n_occurrences").desc, col("_h").asc)
       .limit(size)
-      // rank over `size` rows only — a single tiny partition
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n_occurrences").desc, col("_h").asc))
-          .cast("long"))
+      .agg(sort_array(collect_list(struct(
+        (-col("n_occurrences")).as("_k"), col("_h"),
+        col("n_occurrences"), col("n_docs")))).as("_a"))
+      .select(posexplode(col("_a")).as(Seq("_r", "_x")))
+      .select((col("_r") + 1).cast("long").as("rank"),
+        col("_x").getField("_h").as("_h"),
+        col("_x").getField("n_occurrences").as("n_occurrences"),
+        col("_x").getField("n_docs").as("n_docs"))
     val dict = df.select(explode(TokenDictExpr(col(textCol))).as("_d"))
       .select(col("_d.h").as("_h"), col("_d.term").as("term"))
       .groupBy("_h").agg(min(col("term")).as("term"))

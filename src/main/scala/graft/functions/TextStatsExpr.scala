@@ -423,3 +423,132 @@ object TextFunctionsRuntime {
     sb.toString
   }
 }
+
+/** BM25's scan-side kernel: per-document normalized token count plus
+  * term frequencies for ONLY the query's hash set, in one imperative
+  * pass — `struct<dl: bigint, terms: array<struct<h, tf>>>`.
+  *
+  * The full [[TokenTfExpr]] → explode → `isin` formulation walks every
+  * distinct term of every document into the explode just to discard
+  * all but the handful of query terms; here the binary search against
+  * the sorted query hashes (ships with the task closure, like
+  * [[OovStatsExpr]]'s vocab) filters at the source, so the projection
+  * output is O(|query|) per row no matter how wide the document is —
+  * which is what makes the downstream per-id repartition exchange
+  * (the one [[TextFunctions.bm25TopDocs]] reuses for stats, df and
+  * scoring) a narrow shuffle at any corpus size. `dl` is the TOTAL
+  * normalized token count (= sum of [[TokenTfExpr]] tfs — same
+  * tokenizer, same length normalization as the term statistics).
+  */
+case class QueryTfExpr(child: Expression, qHashesSorted: Array[Long])
+    extends UnaryExpression {
+  require(qHashesSorted.nonEmpty, "query hash set must not be empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"query_tf requires a STRING column, got $t")
+  }
+  override def dataType: DataType = QueryTfExpr.outType
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeQueryTf(input: UTF8String): InternalRow = {
+    val ws = HashUtil.tokens(input.toString)
+    val counts = new Array[Long](qHashesSorted.length)
+    var i = 0
+    while (i < ws.length) {
+      val j = java.util.Arrays.binarySearch(
+        qHashesSorted, HashUtil.md5Lower64(ws(i)))
+      if (j >= 0) counts(j) += 1L
+      i += 1
+    }
+    var nHit = 0
+    var k = 0
+    while (k < counts.length) { if (counts(k) > 0L) nHit += 1; k += 1 }
+    val out = new Array[Any](nHit)
+    var m = 0
+    k = 0
+    while (k < counts.length) {
+      if (counts(k) > 0L) {
+        out(m) = InternalRow(qHashesSorted(k), counts(k))
+        m += 1
+      }
+      k += 1
+    }
+    InternalRow(ws.length.toLong,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeQueryTf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("queryTf", this, classOf[QueryTfExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeQueryTf($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): QueryTfExpr =
+    copy(child = c)
+  override def prettyName: String = "query_tf"
+}
+
+object QueryTfExpr {
+  val outType: StructType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("terms", ArrayType(StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  def apply(text: Column, qHashesSorted: Array[Long]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new QueryTfExpr(expression(text), qHashesSorted))
+  }
+}
+
+/** Normalized token COUNT only — `bigint`, equal by construction to
+  * `size(HashUtil.tokens(text))` = the sum of [[TokenTfExpr]] tfs —
+  * in one pass with zero allocation (no token strings, no hashes, no
+  * per-doc map). This is the corpus-stats (`N`, `sum(dl)`) pass of
+  * [[TextFunctions.bm25TopDocs]]: those are corpus-GLOBAL scalars that
+  * must exist before any per-row score, so they cannot ride the
+  * scoring scan without pinning a cache past the (lazy) call — instead
+  * the second pass is stripped to the cheapest kernel that yields the
+  * same `dl` the tokenizer would.
+  */
+case class NormTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"norm_token_count requires a STRING column, got $t")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    NormTokenCountExpr.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NormTokenCountExpr$$.MODULE$$.compute($c)")
+  override protected def withNewChildInternal(c: Expression): NormTokenCountExpr =
+    copy(child = c)
+  override def prettyName: String = "norm_token_count"
+}
+
+object NormTokenCountExpr {
+  def apply(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new NormTokenCountExpr(expression(text)))
+  }
+
+  def compute(input: UTF8String): Long = {
+    val text = input.toString
+    val t = if (HashUtil.isAllAscii(text)) text else text.toLowerCase
+    var n = 0L
+    var inTok = false
+    var i = 0
+    while (i < t.length) {
+      val c0 = t.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (keep) { if (!inTok) { n += 1L; inTok = true } }
+      else inTok = false
+      i += 1
+    }
+    n
+  }
+}

@@ -181,6 +181,33 @@ class PlanSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("bm25TopDocs runs the tokenizer kernel ONCE; stats pass is count-only") {
+    // r6 ran the full TokenTfExpr kernel over the corpus twice (the
+    // second time just for N/sum(dl)). Now: exactly two scans — the
+    // scoring scan carrying query_tf, and the corpus-stats scan
+    // carrying only the count kernel (normalize+count, no hashing).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = functions.TextFunctions.bm25TopDocs(
+        docs, "doc_id", "text", Seq("join", "window", "stream"), k = 5)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.toString
+      }
+      assert(scans.size == 2, s"expected two documents scans, got ${scans.size}")
+      val full = plan.toString
+      assert("query_tf\\(".r.findAllIn(full).size == 1,
+        "the query_tf tokenizer kernel must be evaluated at exactly one site " +
+          "(a second site = an inferred filter re-running it per row)")
+      assert(full.contains("norm_token_count("),
+        "the corpus-stats pass must ride the count-only kernel")
+      assert(!full.contains(" token_tf("),
+        "the full TokenTfExpr kernel must not appear in the bm25 plan at all")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bigramLmScore shuffles hash keys and counts only — no token text") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val shuffles = shuffleOutputsTyped(

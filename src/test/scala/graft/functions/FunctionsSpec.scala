@@ -556,6 +556,31 @@ class SimilaritySpec extends SparkSpec {
     assert(byId.contains(1L) && byId.contains(2L) && byId.contains(3L))
   }
 
+  test("knnJoin auto-size with nRows runs zero jobs at build time") {
+    // the carried-ADVICE no-recompute contract: passing nRows skips
+    // the eager df.count() entirely — building the (lazy) result plan
+    // must launch no Spark job at all.
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("id", "vec")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Similarity.knnJoin(df, "id", "vec", k = 1, nRows = Some(3L))
+      // listener events are async; a job-start for an (incorrect)
+      // eager count would land well within this window
+      Thread.sleep(500)
+      assert(jobs.get() == 0, s"nRows path launched ${jobs.get()} job(s)")
+      assert(out.columns.toSeq ==
+        Seq("id", "neighbor_id", "cos", "rk")) // plan built, still lazy
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("knnJoin rejects negative bandBits; 0 means auto-size") {
     val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "vec")
     val e = intercept[IllegalArgumentException] {
