@@ -673,13 +673,20 @@ object Curation {
     * bucket, summed exactly as longs) — the same cross-engine
     * determinism recipe as `unigramSurprisal`.
     *
-    * DELIBERATE recompute: the raw tokenize+hash explode runs twice
-    * (once for the bucket counts, once for scoring) and the id spine
-    * is a third scan — the same recompute-over-checkpoint call
-    * `minhashPairs` documents: the explode is a corpus-sized
-    * intermediate whose checkpoint IO costs more than a second
-    * one-pass kernel scan, and the spine's `distinct` keeps the
-    * contract correct even if a caller passes duplicate ids.
+    * PINNED intermediates (r7, reversing r6's recompute call after the
+    * 82.8 s sf0.1 measurement): the exploded `(id, bucket)` frame is
+    * hashes-not-text (16 B/feature) and is consumed by the bucket
+    * counts, the corpus total AND per-doc scoring — left lazy, each
+    * of those (plus the totals broadcast branch) re-ran the full
+    * tokenize+hash kernel over the corpus, 3 raw + 2 target text
+    * passes in all. Now the explode and the two ≤`buckets`-row count
+    * tables are checkpointed (reliable when a checkpoint dir is set,
+    * local otherwise — the `semanticDedup` pin pattern), so the raw
+    * text is scanned ONCE for features plus once column-pruned for
+    * the id spine, and the target once. This makes the call EAGER
+    * (the pins materialize at call time); the spine's `distinct`
+    * keeps the contract correct even if a caller passes duplicate
+    * ids.
     *
     * Returns `(idCol, n_feats, logw_nano)` for every raw row
     * (feature-less docs get `n_feats = 0, logw_nano = 0`).
@@ -714,10 +721,16 @@ object Curation {
       buckets: Int = 65536): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two >= 2, got $buckets")
-    val rawEx = ngramBuckets(raw, textCol, Some(idCol), buckets)
+    def pin(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // one tokenize+hash pass over each corpus; everything downstream
+    // reads the pinned hash frames / count tables
+    val rawEx = pin(ngramBuckets(raw, textCol, Some(idCol), buckets))
     val tgtEx = ngramBuckets(target, targetTextCol, None, buckets)
-    val rawCounts = rawEx.groupBy("_b").agg(count(lit(1)).as("_cr"))
-    val tgtCounts = tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct"))
+    val rawCounts = pin(rawEx.groupBy("_b").agg(count(lit(1)).as("_cr")))
+    val tgtCounts = pin(tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct")))
     val totals = rawCounts.agg(sum("_cr").as("_tr"))
       .crossJoin(tgtCounts.agg(sum("_ct").as("_tt")))
     // full bucket spine so buckets unseen on either side still get a
