@@ -768,6 +768,18 @@ object TextFunctions {
     * two poolN-row frames — trivial regardless of corpus size; the
     * corpus-scale work happens inside the arms.
     *
+    * `vecArm` is the semantic-arm STRATEGY `(emb, idCol, vecCol,
+    * queryVec, poolN) => (idCol, score)`: the default
+    * [[Similarity.bruteForceTopK]] is exact and oracle-replicable but
+    * a full corpus scan per query — at 100 TB the default for
+    * PRODUCTION is an index-backed arm, e.g. `(e, i, v, q, n) =>
+    * Similarity.annTopKIvf(e, i, v, q, n, centroids, nProbe)` over a
+    * pre-fit IVF (partition-pruned scan of `nProbe` cells instead of
+    * the whole table; recall-gated in q_hybrid_ann the same way
+    * q_ann_ivf gates the raw ANN). Any arm must return one row per
+    * candidate with `score` descending-rankable and ties meaningful
+    * on the id.
+    *
     * Returns top `k` rows `(docs' idCol, lex_rank, vec_rank,
     * rrf_nano)` — ranks are null for a doc present in only one arm.
     */
@@ -782,7 +794,9 @@ object TextFunctions {
       queryVec: Seq[Float],
       k: Int,
       poolN: Int = 100,
-      kRrf: Int = 60): DataFrame = {
+      kRrf: Int = 60,
+      vecArm: (DataFrame, String, String, Seq[Float], Int) => DataFrame =
+        Similarity.bruteForceTopK): DataFrame = {
     require(k >= 1 && poolN >= k, s"need poolN >= k >= 1, got k=$k poolN=$poolN")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
     // rank WITHOUT a window: each arm is already top-poolN-bounded
@@ -798,7 +812,7 @@ object TextFunctions {
         struct((-col("score_nano")).as("_k"), col(idCol).as("_i")))).as("_a"))
       .select(posexplode(col("_a")).as(Seq("_r", "_x")))
       .select(col("_x").getField("_i").as("_id"), (col("_r") + 1).as("_rl"))
-    val vec = Similarity.bruteForceTopK(emb, embIdCol, vecCol, queryVec, poolN)
+    val vec = vecArm(emb, embIdCol, vecCol, queryVec, poolN)
       .agg(sort_array(collect_list(
         struct((-col("score")).as("_k"), col(embIdCol).as("_i")))).as("_a"))
       .select(posexplode(col("_a")).as(Seq("_r", "_x")))
