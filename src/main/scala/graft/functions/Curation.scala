@@ -292,7 +292,7 @@ object Curation {
       alpha: Double = 0.5,
       seed: Long = 2042L,
       basis: String = "xxhash",
-      maxDomains: Int = 1000000): DataFrame = {
+      maxDomains: Int = 100000): DataFrame = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val slots = 1000000L
@@ -301,8 +301,10 @@ object Curation {
       .agg(count(lit(1)).as("_mt_n"))
       .collect()
     require(counts.length <= maxDomains,
-      s"${counts.length} domains exceed maxDomains=$maxDomains: coarsen the " +
-        "domain key (e.g. registeredDomain) or raise the cap")
+      s"${counts.length} domains exceed maxDomains=$maxDomains (default 100k " +
+        "— the driver collects + broadcasts one rate row per domain, so the " +
+        "cap bounds driver heap): coarsen the domain key (e.g. " +
+        "registeredDomain) or raise the cap if the driver is sized for it")
     val sorted = counts.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     def w(n: Long): Double = alpha match {
       case 1.0 => n.toDouble

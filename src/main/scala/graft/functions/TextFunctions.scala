@@ -778,7 +778,13 @@ object TextFunctions {
     * the whole table; recall-gated in q_hybrid_ann the same way
     * q_ann_ivf gates the raw ANN). Any arm must return one row per
     * candidate with `score` descending-rankable and ties meaningful
-    * on the id.
+    * on the id. Null scores are DISCARDED before ranking: a null
+    * embedding null-propagates through cosine (so an arm over a
+    * corpus with null vectors yields null-score rows), and a null
+    * rank key would otherwise sort FIRST in the ascending struct
+    * sort, handing ranks 1..m to null-vector docs and shifting every
+    * real candidate's rank — custom `vecArm` strategies may rely on
+    * this filter rather than pre-filtering themselves.
     *
     * Returns top `k` rows `(docs' idCol, lex_rank, vec_rank,
     * rrf_nano)` — ranks are null for a doc present in only one arm.
@@ -813,6 +819,7 @@ object TextFunctions {
       .select(posexplode(col("_a")).as(Seq("_r", "_x")))
       .select(col("_x").getField("_i").as("_id"), (col("_r") + 1).as("_rl"))
     val vec = vecArm(emb, embIdCol, vecCol, queryVec, poolN)
+      .filter(col("score").isNotNull)
       .agg(sort_array(collect_list(
         struct((-col("score")).as("_k"), col(embIdCol).as("_i")))).as("_a"))
       .select(posexplode(col("_a")).as(Seq("_r", "_x")))

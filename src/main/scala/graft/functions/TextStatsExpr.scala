@@ -443,6 +443,17 @@ object TextFunctionsRuntime {
 case class QueryTfExpr(child: Expression, qHashesSorted: Array[Long])
     extends UnaryExpression {
   require(qHashesSorted.nonEmpty, "query hash set must not be empty")
+  // case-class equality on an Array param is reference-based, which
+  // would make semantically identical instances never compare equal
+  // and defeat semanticEquals/CSE/ReuseExchange — compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case q: QueryTfExpr =>
+      child == q.child &&
+        java.util.Arrays.equals(qHashesSorted, q.qHashesSorted)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(qHashesSorted)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"query_tf requires a STRING column, got $t")

@@ -143,6 +143,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hybridTopDocs discards null vec scores instead of ranking them first") {
+    // carried-ADVICE regression: cosine null-propagates on a null
+    // embedding, and a null key sorts FIRST in the ascending struct
+    // sort — without the isNotNull filter the null-vector docs would
+    // take vec ranks 1..m and shift every real candidate's rank.
+    val docs = Seq(
+      (0L, "join window stream"),
+      (1L, "join window"),
+      (2L, "table scan")).toDF("id", "text")
+    val emb = Seq(
+      (0L, Some(Seq(1f, 0f))),
+      (1L, None), // null embedding -> null cosine
+      (2L, Some(Seq(0.9f, 0.1f)))).toDF("vec_id", "embedding")
+    val rows = TextFunctions.hybridTopDocs(
+      docs, "id", "text", emb, "vec_id", "embedding",
+      Seq("join"), Seq(1f, 0f), k = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    // doc 0 IS the query vector: vec rank 1; doc 2 next; doc 1 (null
+    // vec) must have NO vec rank, not rank 1
+    assert(rows(0L).contains(1L), s"doc 0 must hold vec rank 1: $rows")
+    assert(rows(2L).contains(2L), s"doc 2 must hold vec rank 2: $rows")
+    assert(rows(1L).isEmpty, s"null-vec doc must have null vec_rank: $rows")
+  }
+
+  test("hybridTopDocs composes with an IVF vec arm (q_hybrid_ann shape)") {
+    // the production path: semantic arm = pre-fit IVF with an nProbe
+    // cell scan. With nProbe = k (all cells probed) the IVF arm is
+    // exhaustive, so the fusion must equal the brute-force-armed run
+    // row for row; a real deployment lowers nProbe and accepts the
+    // recall gate's floor instead of equality.
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) s"join window stream doc$i" else s"table scan doc$i"))
+      .toDF("id", "text")
+    val emb = (0L until 30L).map { i =>
+      val a = (i % 7).toFloat / 7f
+      (i, Seq(math.cos(a).toFloat, math.sin(a).toFloat, (i % 5) / 5f, 0.1f))
+    }.toDF("vec_id", "embedding")
+    val qv = Seq(1f, 0f, 0.2f, 0.1f)
+    val cents = Similarity.ivfFit(emb, "vec_id", "embedding", k = 4, sampleN = 30)
+    val ivfArm: (org.apache.spark.sql.DataFrame, String, String, Seq[Float], Int) =>
+        org.apache.spark.sql.DataFrame =
+      (e, i, v, q, n) => Similarity.annTopKIvf(e, i, v, q, n, cents, nProbe = 4)
+    val got = TextFunctions.hybridTopDocs(docs, "id", "text", emb, "vec_id",
+      "embedding", Seq("join", "window"), qv, k = 10, vecArm = ivfArm)
+      .collect().map(_.toSeq).toSeq
+    val want = TextFunctions.hybridTopDocs(docs, "id", "text", emb, "vec_id",
+      "embedding", Seq("join", "window"), qv, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"all-cells IVF arm must match brute force:\n$got\n$want")
+  }
+
   test("bm25 length normalization uses the same tokenizer as tf/df") {
     // punctuation changes whitespace token counts but not normalized
     // ones — scores must be identical doc-for-doc
@@ -563,19 +614,33 @@ class SimilaritySpec extends SparkSpec {
     val df = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
       .toDF("id", "vec")
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val otherJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinelSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (grp.contains("knn-zero-jobs-sentinel")) sentinelSeen.incrementAndGet()
+        else otherJobs.incrementAndGet()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       val out = Similarity.knnJoin(df, "id", "vec", k = 1, nRows = Some(3L))
-      // listener events are async; a job-start for an (incorrect)
-      // eager count would land well within this window
-      Thread.sleep(500)
-      assert(jobs.get() == 0, s"nRows path launched ${jobs.get()} job(s)")
+      // listener delivery is async but FIFO: run a sentinel job and
+      // wait until ITS start event lands — any (incorrect) eager job
+      // from the knnJoin build was posted earlier, so it must already
+      // have been counted by then. No fixed sleep, no false pass.
+      spark.sparkContext.setJobGroup("knn-zero-jobs-sentinel", "sentinel")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sentinelSeen.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(sentinelSeen.get() >= 1, "sentinel job-start event never delivered")
+      assert(otherJobs.get() == 0,
+        s"nRows path launched ${otherJobs.get()} job(s)")
       assert(out.columns.toSeq ==
         Seq("id", "neighbor_id", "cos", "rk")) // plan built, still lazy
     } finally spark.sparkContext.removeSparkListener(listener)
