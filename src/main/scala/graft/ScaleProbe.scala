@@ -237,6 +237,24 @@ object ScaleProbe {
       functions.TextFunctions.unigramSurprisal(docs, "id", "text")
         .agg(sum("nll_nano")).head()
     }
+    timed(s"bm25TopDocs ($nDocs docs, 3-term query)") {
+      // the r7 one-tokenizer-pass QueryTfExpr path: only query-matched
+      // terms leave the scan, so this measures kernel + narrow shuffle
+      functions.TextFunctions.bm25TopDocs(
+        docs, "id", "text", Seq("spark", "join", "shuffle"), k = 25).count()
+    }
+    timed(s"hybridTopDocs brute arm ($nDocs docs)") {
+      functions.TextFunctions.hybridTopDocs(
+        docs, "id", "text",
+        vecs.filter(col("id") < 100000L), "id", "v",
+        Seq("spark", "join"), (0 until dim).map(_ => 0.1f), k = 20).count()
+    }
+    timed(s"dsirResample ($nDocs docs, r7 pinned-hash path)") {
+      // one raw text pass + one target pass; pins released inside
+      val target = docs.filter(pmod(col("id"), lit(10)) === 0)
+      functions.Curation.dsirResample(
+        docs, "id", "text", target, "text", k = 1000).count()
+    }
     // containmentPairs standalone, on a NON-degenerate corpus: 50k-word
     // vocabulary (shingles mostly unique → the rare-filter passes them,
     // unlike the 20-word corpus above where every shingle is a stop
@@ -278,22 +296,27 @@ object ScaleProbe {
     }
 
     // --- deptree closure over a wide link graph ----------------------
-    // 10-ary tree: the last hop's fringe is ~90% of the graph, so the
-    // >DeptreeIsinMax broadcast-semi-join path carries 10^5 ids where
-    // the In-literal plan would bloat
-    val nNodes = 200000L
-    val links = spark.range(nNodes).select(
-      col("id").as(Meta.OID),
-      filter(transform(sequence(lit(1L), lit(10L)), j => col("id") * 10 + j),
-        c => c < nNodes).as("children"))
-      .withColumn(Meta.START, lit(0.0))
-      .withColumn(Meta.END, lit(null).cast("double"))
-    val linkC = new Container(spark, "links", links)
-    timed(s"deptree closure ($nNodes nodes, semi-join fringe)") {
-      linkC.deptree("children", Seq(0L), date = "~").size
+    // 10-ary tree: the last hops' fringes are ~90% of the graph, so
+    // past DeptreeIsinMax the loop switches to the r8 distributed
+    // fringe (DataFrame fringe/seen, per-hop localCheckpoint, no
+    // driver round-trip until the final collect). 1M oids ≈ the
+    // verdict's bounded-driver-memory bar.
+    def linkContainer(n: Long): Container = new Container(spark, s"links$n",
+      spark.range(n).select(
+        col("id").as(Meta.OID),
+        filter(transform(sequence(lit(1L), lit(10L)), j => col("id") * 10 + j),
+          c => c < n).as("children"))
+        .withColumn(Meta.START, lit(0.0))
+        .withColumn(Meta.END, lit(null).cast("double")))
+    timed("deptree closure (1M nodes, distributed fringe)") {
+      val size = linkContainer(1000000L).deptree("children", Seq(0L), date = "~").size
+      println(s"[probe]   closure size: $size (expect 1000000)")
+      assert(size == 1000000, s"incomplete closure: $size")
+      size
     }
-    timed(s"deptree closure ($nNodes nodes, isin-literal fringe)") {
-      linkC.deptree("children", Seq(0L), date = "~", isinMax = Int.MaxValue).size
+    timed("deptree closure (200k nodes, isin-literal fringe)") {
+      linkContainer(200000L)
+        .deptree("children", Seq(0L), date = "~", isinMax = Int.MaxValue).size
     }
 
     // --- bloom-pruned full-resync anti-join --------------------------

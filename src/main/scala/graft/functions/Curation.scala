@@ -675,20 +675,23 @@ object Curation {
     * bucket, summed exactly as longs) — the same cross-engine
     * determinism recipe as `unigramSurprisal`.
     *
-    * PINNED intermediates (r7, reversing r6's recompute call after the
-    * 82.8 s sf0.1 measurement): the exploded `(id, bucket)` frame is
-    * hashes-not-text (16 B/feature) and is consumed by the bucket
-    * counts, the corpus total AND per-doc scoring — left lazy, each
-    * of those (plus the totals broadcast branch) re-ran the full
-    * tokenize+hash kernel over the corpus, 3 raw + 2 target text
-    * passes in all. Now the explode and the two ≤`buckets`-row count
-    * tables are checkpointed (reliable when a checkpoint dir is set,
-    * local otherwise — the `semanticDedup` pin pattern), so the raw
-    * text is scanned ONCE for features plus once column-pruned for
-    * the id spine, and the target once. This makes the call EAGER
-    * (the pins materialize at call time); the spine's `distinct`
-    * keeps the contract correct even if a caller passes duplicate
-    * ids.
+    * PINNED result (r8, tightening r7's intermediate pins after the
+    * 82.8 s sf0.1 recompute measurement): the exploded `(id, bucket)`
+    * frame — hashes-not-text, but still the corpus-sized ~16 B/feature
+    * intermediate — and the two ≤`buckets`-row count tables are
+    * checkpointed only for the DURATION of the call (reliable when a
+    * checkpoint dir is set, local otherwise); the returned weights
+    * frame itself is then pinned (3 longs per doc — 50-200× smaller
+    * than the feature explode) and every intermediate block is
+    * RELEASED before returning. The call is EAGER (pins materialize
+    * at call time), the raw text is scanned once for features plus
+    * once column-pruned for the id spine, and the target once. The
+    * one surviving pin is the result; callers that are done with it
+    * can release it with [[Curation.unpin]]. With no checkpoint dir
+    * the pins are localCheckpoints: executor-memory-resident and lost
+    * on executor failure — set a checkpoint dir for large corpora.
+    * The spine's `distinct` keeps the contract correct even if a
+    * caller passes duplicate ids.
     *
     * Returns `(idCol, n_feats, logw_nano)` for every raw row
     * (feature-less docs get `n_feats = 0, logw_nano = 0`).
@@ -723,16 +726,22 @@ object Curation {
       buckets: Int = 65536): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two >= 2, got $buckets")
-    def pin(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    val sc = raw.sparkSession.sparkContext
+    def pin(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out =
+        if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+        else df.localCheckpoint(eager = true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     // one tokenize+hash pass over each corpus; everything downstream
     // reads the pinned hash frames / count tables
-    val rawEx = pin(ngramBuckets(raw, textCol, Some(idCol), buckets))
+    val (rawEx, rawExPins) = pin(ngramBuckets(raw, textCol, Some(idCol), buckets))
     val tgtEx = ngramBuckets(target, targetTextCol, None, buckets)
-    val rawCounts = pin(rawEx.groupBy("_b").agg(count(lit(1)).as("_cr")))
-    val tgtCounts = pin(tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct")))
+    val (rawCounts, rcPins) = pin(rawEx.groupBy("_b").agg(count(lit(1)).as("_cr")))
+    val (tgtCounts, tcPins) = pin(tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct")))
     val totals = rawCounts.agg(sum("_cr").as("_tr"))
       .crossJoin(tgtCounts.agg(sum("_ct").as("_tt")))
     // full bucket spine so buckets unseen on either side still get a
@@ -751,11 +760,43 @@ object Curation {
     val scored = rawEx.join(broadcast(lr), "_b")
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("_lr_nano")).as("logw_nano"))
-    raw.select(col(idCol).as("_id")).distinct()
+    val weights = raw.select(col(idCol).as("_id")).distinct()
       .join(scored, Seq("_id"), "left")
       .select(col("_id").as(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("logw_nano"), lit(0L)).as("logw_nano"))
+    // pin the compact result, then release the corpus-sized feature
+    // explode and the count tables — the only blocks that survive the
+    // call are 3 longs per doc, releasable via Curation.unpin
+    val (out, outPins) = pin(weights)
+    release(rawExPins); release(rcPins); release(tcPins)
+    registerPins(out, outPins)
+    out
+  }
+
+  // result-pin registry for [[dsirWeights]]: weakly keyed by the
+  // returned frame's logical plan so an unreferenced result can be
+  // GC'd (its blocks then linger only until session end, exactly the
+  // pre-r8 behavior — but 50-200x smaller)
+  private val pinRegistry =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Set[Int]]())
+
+  private def registerPins(df: DataFrame, pins: Set[Int]): Unit =
+    pinRegistry.put(df.queryExecution.logical, pins)
+
+  /** Release the cached blocks behind a frame returned by a pinning
+    * operator ([[dsirWeights]]); no-op for any other frame. Call once
+    * the weights (or anything derived from them, e.g.
+    * [[dsirResample]]'s selection) have been materialized/persisted.
+    */
+  def unpin(df: DataFrame): Unit = {
+    val pins = pinRegistry.remove(df.queryExecution.logical)
+    if (pins != null) {
+      val sc = df.sparkSession.sparkContext
+      pins.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
   }
 
   /** DSIR selection: keep the `k` raw documents with the largest

@@ -467,7 +467,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleFreq: Int = 10000): DataFrame =
-    shingleIntersections(df, idCol, textCol, n, maxShingleFreq)
+    shingleIntersections(df, idCol, textCol, n, maxShingleFreq,
+      sizePrune = Some(threshold))
       .withColumn(
         "jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
@@ -495,17 +496,34 @@ object Dedup {
     * 35+ min on a 1M-doc / 50k-vocab probe corpus; this shape is the
     * same two linear shuffles duplicatedSpans pays (~80 s class).
     */
+  /** @param sizePrune when set to the caller's similarity threshold
+    *   `t`, pair rows are pruned BEFORE the pair-count shuffle using
+    *   the Jaccard size bound: `common <= min(|A|,|B|)`, so
+    *   `J >= t` implies `min/(|A|+|B|-min) >= t` — evaluated with the
+    *   EXACT same double arithmetic as the final Jaccard filter
+    *   (IEEE division is monotone in the numerator and antitone in
+    *   the denominator, so no boundary pair that would pass the final
+    *   filter can be dropped). Valid for Jaccard only — containment's
+    *   denominator is min(|A|,|B|), for which the bound is vacuous
+    *   (a tiny doc fully inside a huge one is exactly the case it
+    *   exists to catch), so [[containmentPairs]] must pass None.
+    */
   private def shingleIntersections(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      maxShingleFreq: Int): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("id"),
-      DedupExpressions.shingleSet(col(textCol), n).as("hs"))
-    val sizes = sh.select(col("id"), size(col("hs")).as("n_sh"))
-    val exploded = sh.select(col("id"), explode(col("hs")).as("h"))
+      maxShingleFreq: Int,
+      sizePrune: Option[Double] = None): DataFrame = {
+    // ONE kernel pass: the shingle set is materialized as an attribute
+    // below the Generate, so the per-doc size rides each exploded row
+    // and into the collect as a (id, n_sh) struct — the old shape
+    // derived sizes from a SECOND kernel pass over the corpus and
+    // joined them back onto the pairs (two more corpus-keyed shuffles).
+    val exploded = df
+      .select(col(idCol).as("id"),
+        DedupExpressions.shingleSet(col(textCol), n).as("hs"))
+      .select(col("id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
     // ONE shuffle of the doc-shingle table: the buffer-capped collect
     // replaces the count-prefilter + keep-set semi-join this used to
     // pay (two extra shuffles of `exploded`, which existed only to
@@ -515,22 +533,33 @@ object Dedup {
     // cap ceiling is maxShingleFreq+1; stop-shingles above the cap
     // drop exactly as before.
     val byShingle = exploded.groupBy("h")
-      .agg(DedupExpressions.boundedCollectList(col("id"), maxShingleFreq).as("ids"))
+      .agg(DedupExpressions.boundedCollectList(
+        struct(col("id"), col("n_sh")), maxShingleFreq).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleFreq))
     // emit only position-ordered pairs (suffix slice per element), then
     // orient by value — generates C(n,2) rows per shingle instead of
     // exploding the full n² square and filtering half away
-    val inter = byShingle
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pa", "ida")))
-      .select(col("ida"),
-        explode(slice(col("ids"), col("pa") + lit(2), size(col("ids")))).as("idb"))
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"))
+    val oriented = byShingle
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pa", "da")))
+      .select(col("da"),
+        explode(slice(col("ids"), col("pa") + lit(2), size(col("ids")))).as("db"))
+      .select(
+        when(col("da.id") < col("db.id"), col("da")).otherwise(col("db")).as("a"),
+        when(col("da.id") < col("db.id"), col("db")).otherwise(col("da")).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    val pruned = sizePrune match {
+      case Some(t) =>
+        val mn = least(col("n_a"), col("n_b")).cast("double")
+        oriented.filter(mn / (col("n_a") + col("n_b") - mn) >= t)
+      case None => oriented
+    }
+    // n_a/n_b are functionally determined by the group key; max() just
+    // carries them through the (map-side combined) pair count
+    pruned
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .agg(count(lit(1)).as("common"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
   }
 
   /** Asymmetric containment near-dup pairs: containment of the SMALLER
@@ -551,7 +580,7 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleFreq: Int = 10000): DataFrame =
-    shingleIntersections(df, idCol, textCol, n, maxShingleFreq)
+    shingleIntersections(df, idCol, textCol, n, maxShingleFreq, sizePrune = None)
       .withColumn(
         "containment",
         col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))

@@ -117,32 +117,86 @@ class Container(
     val snap = find(date = date)
     val isArray = snap.schema(field).dataType.isInstanceOf[ArrayType]
     val oidType = snap.schema(Meta.OID).dataType
+    def kidsOf(hop: DataFrame): DataFrame = hop
+      .select(if (isArray) explode(col(field)).as("k") else col(field).as("k"))
+      .filter(col("k").isNotNull)
+      .distinct()
+    def toOidDf(vals: Seq[Any]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vals.map(Row(_)), math.max(1, vals.size / 500000)),
+      StructType(Seq(StructField("k", oidType))))
+    // eager localCheckpoint that TRACKS the RDD blocks it pins, so each
+    // hop can release the previous hop's frames — without the cut, the
+    // plan lineage (and with it, planning time) grows per hop; without
+    // the release, a long closure would pin every fringe generation in
+    // executor memory for the life of the session
+    def pin(plan: DataFrame): (DataFrame, Set[Int]) = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = plan.localCheckpoint(eager = true)
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      (df, (after -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach { id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false))
+    }
+
+    // Small fringes (the reference-scale common case) ride a driver
+    // set + an isin literal pushed to the scan as an In filter. The
+    // switch test is a limit-collect (isinMax+1 rows max), so the
+    // driver NEVER materializes an oversized fringe: the first hop
+    // whose child set exceeds isinMax switches PERMANENTLY to the
+    // distributed loop below, where fringe/seen stay DataFrames and
+    // only the final closure is collected.
     var seen = oids.toSet
     var fringe = oids.toSet
     var depth = 0
-    while (fringe.nonEmpty && depth < level) {
-      val hop =
-        if (fringe.size <= isinMax)
-          snap.filter(col(Meta.OID).isin(fringe.toSeq: _*))
-        else {
-          val fdf = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              fringe.toSeq.map(Row(_)), math.max(1, fringe.size / 500000)),
-            StructType(Seq(StructField("__fringe_oid", oidType))))
-          snap.join(broadcast(fdf), col(Meta.OID) === col("__fringe_oid"), "left_semi")
-        }
-      val kids = hop
-        .select(if (isArray) explode(col(field)).as("k") else col(field).as("k"))
-        .filter(col("k").isNotNull)
-        .distinct()
-        .collect()
-        .map(_.get(0))
-        .toSet
-      fringe = kids -- seen
-      seen ++= kids
+    var big: Option[(DataFrame, Set[Int], DataFrame, Set[Int])] = None // seen, fringe + pins
+    while (big.isEmpty && fringe.nonEmpty && depth < level) {
+      val kids = kidsOf(snap.filter(col(Meta.OID).isin(fringe.toSeq: _*)))
+      val probeN = math.min(isinMax.toLong + 1L, Int.MaxValue.toLong).toInt
+      val sample = kids.limit(probeN).collect().map(_.get(0))
+      if (sample.length <= isinMax) {
+        val ks = sample.toSet
+        fringe = ks -- seen
+        seen ++= ks
+      } else {
+        val (seenBase, basePins) = pin(toOidDf(seen.toSeq))
+        val (fringeDf, fringePins) =
+          pin(kids.join(seenBase, Seq("k"), "left_anti"))
+        // seen must absorb the oversized fringe too (the driver loop's
+        // `seen ++= kids`), or the next hop re-admits its parents
+        val (seenDf, seenPins) = pin(seenBase.union(fringeDf))
+        release(basePins)
+        big = Some((seenDf, seenPins, fringeDf, fringePins))
+      }
       depth += 1
     }
-    seen.toSeq.sortBy(_.toString)
+
+    big match {
+      case None => seen.toSeq.sortBy(_.toString)
+      case Some(s0) =>
+        var (seenDf, seenPins, fringeDf, fringePins) = s0
+        var fringeCount = fringeDf.count()
+        while (fringeCount > 0 && depth < level) {
+          val hop = snap.join(
+            broadcast(fringeDf.withColumnRenamed("k", "__fringe_oid")),
+            col(Meta.OID) === col("__fringe_oid"), "left_semi")
+          // newFringe is distinct and disjoint from seen (anti-join),
+          // so the union below stays duplicate-free with no extra
+          // distinct shuffle
+          val (newFringe, nfPins) =
+            pin(kidsOf(hop).join(seenDf, Seq("k"), "left_anti"))
+          val (newSeen, nsPins) = pin(seenDf.union(newFringe))
+          release(seenPins); release(fringePins)
+          seenDf = newSeen; seenPins = nsPins
+          fringeDf = newFringe; fringePins = nfPins
+          fringeCount = fringeDf.count()
+          depth += 1
+        }
+        val out = seenDf.collect().map(_.get(0)).toSeq.sortBy(_.toString)
+        release(seenPins); release(fringePins)
+        out
+    }
   }
 
   /** Version-to-version field diffs per `_oid` ordered by `_start`
