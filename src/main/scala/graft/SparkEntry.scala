@@ -4468,16 +4468,19 @@ object SparkEntry {
           |  SELECT doc_id, 'rest', 0 FROM b WHERE lang <> 'en' AND b42 < 500000)
           |ORDER BY doc_id, mix_source, mix_epoch""".stripMargin,
 
-      // temperature mixture: per-domain thresholds from IEEE-exact
-      // sqrt and a domain-name-ordered fold (list_reduce == Scala's
-      // foldLeft), then the same md5 slot decision as q_mixture
+      // temperature mixture: per-domain weights snap to integer
+      // micro-units (round(sqrt(n)*1e6) — IEEE-exact on both engines),
+      // the denominator is an order-independent exact integer sum
+      // (HUGEINT here, DECIMAL(38,0) in Spark) converted to double
+      // once, then the same md5 slot decision as q_mixture
       "q_mixture_temp" ->
         """WITH counts AS (SELECT lang AS dom, count(*) AS n FROM documents GROUP BY lang),
-          |den AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY dom),
-          |  (a, b) -> a + b) AS den FROM counts),
+          |cw AS (SELECT dom, n,
+          |  CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wn FROM counts),
+          |den AS (SELECT CAST(SUM(wn) AS DOUBLE) AS den FROM cw),
           |rates AS (SELECT dom,
-          |  300 * sqrt(CAST(n AS DOUBLE)) / den / n AS rate
-          |  FROM counts CROSS JOIN den),
+          |  CAST(wn * 300 AS DOUBLE) / den / CAST(n AS DOUBLE) AS rate
+          |  FROM cw CROSS JOIN den),
           |r2 AS (SELECT dom, CAST(trunc(rate) AS BIGINT) AS epochs,
           |  CAST(trunc((rate - trunc(rate)) * 1000000) AS BIGINT) AS thr FROM rates),
           |b AS (SELECT doc_id, lang,

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data curation operators: deterministic splits, stratified
   * sampling, and token-budget sequence packing. Not in the reference
@@ -271,18 +272,22 @@ object Curation {
     * rerunnable, row-for-row identical on any cluster.
     *
     * Determinism across ENGINES (the oracle): `alpha` 1, 0.5, 0.25
-    * use only IEEE-exact ops (identity / correctly-rounded `sqrt`),
-    * and the weight sum folds in domain-name order (binary order —
-    * agrees with Scala's for ASCII domain names), so the thresholds
-    * replicate bit-for-bit; other `alpha` values go through
-    * `math.pow`, which is deterministic per run but only
-    * approximately replicable elsewhere.
+    * use only IEEE-exact ops (identity / correctly-rounded `sqrt`);
+    * each domain weight snaps to integer MICRO-units
+    * (`round(w(n) * 1e6)` — exact on both engines for those alphas),
+    * so the denominator is an ORDER-INDEPENDENT integer sum (exact in
+    * DECIMAL(38,0) / HUGEINT, converted to double once), and every
+    * per-domain rate is a fixed expression tree over per-domain
+    * values — bit-identical on any partitioning and in the oracle.
+    * Other `alpha` values go through `math.pow`, deterministic per
+    * run but only approximately replicable elsewhere.
     *
-    * Scale shape: per-domain counts are ONE map-side-combined
-    * aggregate collected to the driver — bounded by the DOMAIN count,
-    * not rows (guarded by `maxDomains`); the rate table broadcasts
-    * back and everything else is a projection + explode. Adds
-    * `mix_epoch` (0-based copy index).
+    * Scale shape (r8, fully distributive — no driver collect at ANY
+    * domain cardinality): per-domain counts are one map-side-combined
+    * aggregate, the integer denominator is a 1-row broadcast, the
+    * per-domain rate table joins back on the domain key (AQE
+    * broadcasts it when small), and everything else is a projection +
+    * explode. Adds `mix_epoch` (0-based copy index).
     */
   def mixtureByTemperature(
       df: DataFrame,
@@ -291,39 +296,37 @@ object Curation {
       targetRows: Long,
       alpha: Double = 0.5,
       seed: Long = 2042L,
-      basis: String = "xxhash",
-      maxDomains: Int = 100000): DataFrame = {
+      basis: String = "xxhash"): DataFrame = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val slots = 1000000L
+    def w(n: Column): Column = alpha match {
+      case 1.0 => n.cast("double")
+      case 0.5 => sqrt(n.cast("double"))
+      case 0.25 => sqrt(sqrt(n.cast("double")))
+      case a => pow(n.cast("double"), lit(a))
+    }
     val counts = df
       .groupBy(col(domainCol).cast("string").as("_mt_dom"))
       .agg(count(lit(1)).as("_mt_n"))
-      .collect()
-    require(counts.length <= maxDomains,
-      s"${counts.length} domains exceed maxDomains=$maxDomains (default 100k " +
-        "— the driver collects + broadcasts one rate row per domain, so the " +
-        "cap bounds driver heap): coarsen the domain key (e.g. " +
-        "registeredDomain) or raise the cap if the driver is sized for it")
-    val sorted = counts.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    def w(n: Long): Double = alpha match {
-      case 1.0 => n.toDouble
-      case 0.5 => math.sqrt(n.toDouble)
-      case 0.25 => math.sqrt(math.sqrt(n.toDouble))
-      case a => math.pow(n.toDouble, a)
-    }
-    val den = sorted.foldLeft(0.0)((acc, d) => acc + w(d._2))
-    val rates = sorted.map { case (dom, n) =>
-      val rate = targetRows.toDouble * w(n) / den / n.toDouble
-      val epochs = rate.toLong
-      (dom, epochs, ((rate - epochs) * slots).toLong)
-    }.toSeq
-    val ratesDf = df.sparkSession.createDataFrame(rates)
-      .toDF("_mt_dom", "_mt_epochs", "_mt_thr")
+      // integer micro-unit weight: exact, order-independent summation
+      .withColumn("_mt_wn", round(w(col("_mt_n")) * lit(1e6)).cast("long"))
+    val den = counts.agg(
+      sum(col("_mt_wn").cast(DecimalType(38, 0))).cast("double").as("_mt_den"))
+    // rate tree mirrors the oracle op for op: targetRows*wn is an
+    // EXACT long product (both <= 2^53 in any sane mixture), one
+    // double conversion, two divisions
+    val rate = (col("_mt_wn") * lit(targetRows)).cast("double") /
+      col("_mt_den") / col("_mt_n").cast("double")
+    val ratesDf = counts.crossJoin(broadcast(den))
+      .select(col("_mt_dom"),
+        rate.cast("long").as("_mt_epochs"),
+        ((rate - rate.cast("long").cast("double")) * lit(slots))
+          .cast("long").as("_mt_thr"))
     val bucket = bucketOf(key, seed, slots, basis)
     val total = col("_mt_epochs") +
       when(bucket < col("_mt_thr"), lit(1L)).otherwise(lit(0L))
-    df.join(broadcast(ratesDf), col(domainCol).cast("string") === col("_mt_dom"))
+    df.join(ratesDf, col(domainCol).cast("string") === col("_mt_dom"))
       .withColumn("_mt_total", total)
       // null sequence when total == 0 — explode drops the row
       .withColumn("mix_epoch",

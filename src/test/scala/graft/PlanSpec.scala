@@ -129,6 +129,13 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("shingle_set"), s"$n no longer uses ShingleSetExpr:\n$p")
       assert(!p.contains("array_join(slice("),
         s"$n rebuilds shingle STRINGS in the plan:\n$p")
+      // r8 single-pass shape: doc sizes ride the explode as struct
+      // fields, so the kernel appears in exactly ONE scan-side project
+      // — a second occurrence means the per-doc size join (two extra
+      // corpus-keyed shuffles + a full re-tokenize) came back
+      val kernelSites = "shingle_set\\(".r.findAllIn(p).size
+      assert(kernelSites == 1,
+        s"$n evaluates ShingleSetExpr $kernelSites times (want 1):\n$p")
     }
     val sp = plans("q_dup_spans")
     assert(sp.contains("shingle_pos_hashes"), s"dup_spans lost its kernel:\n$sp")

@@ -445,11 +445,16 @@ class TemperatureMixtureSpec extends SparkSpec {
     assert(epochs == Map(0L -> 100L, 1L -> 100L))
   }
 
-  test("domain-cardinality guard") {
-    val df = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("id", "dom")
-    intercept[IllegalArgumentException] {
-      Curation.mixtureByTemperature(df, "dom", col("id"), targetRows = 10, maxDomains = 10)
-    }
+  test("high-cardinality domains run distributively (no driver collect, no cap)") {
+    // r8: the rate table stays a DataFrame end to end, so a 2000-domain
+    // mixture needs no maxDomains guard — alpha=1 with targetRows=|df|
+    // must reproduce the corpus exactly regardless of cardinality
+    val df = (0 until 4000).map(i => (i.toLong, s"d${i % 2000}")).toDF("id", "dom")
+    val out = Curation.mixtureByTemperature(df, "dom", col("id"),
+      targetRows = 4000, alpha = 1.0)
+    assert(out.count() == 4000)
+    assert(out.select("mix_epoch").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
   }
 }
 

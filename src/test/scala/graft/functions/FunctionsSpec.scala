@@ -393,6 +393,27 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((0L, 4L)) - 1.0) < 1e-9)
   }
 
+  test("jaccard size-ratio prune keeps exact-boundary pairs; containment unpruned") {
+    // A = 6 words -> 4 trigram shingles, B = A + one word -> 5 shingles
+    // containing all of A's: J = 4/(4+5-4) = 0.8 EXACTLY. The r8
+    // pre-shuffle size prune (min/(na+nb-min) >= t) must not drop the
+    // boundary pair the final filter keeps.
+    val a = "w1 w2 w3 w4 w5 w6"
+    val docs = Seq((1L, a), (2L, s"$a w7")).toDF("id", "text")
+    val j = Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(j == Seq((1L, 2L, 0.8)), s"boundary pair lost: $j")
+    // above the boundary the pair must vanish...
+    assert(Dedup.ngramJaccardPairs(docs, "id", "text", threshold = 0.81).count() == 0)
+    // ...while containment (A fully inside B) stays 1.0 at any size
+    // ratio — the measure the prune must NOT apply to
+    val bigDoc = (1 to 200).map(i => s"x$i").mkString(" ")
+    val wrap = Seq((1L, a), (2L, s"$bigDoc $a")).toDF("id", "text")
+    val c = Dedup.containmentPairs(wrap, "id", "text", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(c == Seq((1L, 2L, 1.0)), s"small-inside-big containment lost: $c")
+  }
+
   test("custom expressions reject wrong-typed input at ANALYSIS time") {
     val df = Seq(Tuple1(1L)).toDF("id")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
