@@ -520,10 +520,17 @@ object Dedup {
     // and into the collect as a (id, n_sh) struct — the old shape
     // derived sizes from a SECOND kernel pass over the corpus and
     // joined them back onto the pairs (two more corpus-keyed shuffles).
+    // explode_OUTER + null filter, not plain explode: the inner
+    // explode would make the optimizer infer `size(hs) > 0` and
+    // re-evaluate the kernel in a scan-side Filter (separate codegen
+    // operator — no cross-operator CSE), doubling the tokenize+hash
+    // work (the bm25TopDocs lesson; PlanSpec pins ONE kernel site)
     val exploded = df
       .select(col(idCol).as("id"),
         DedupExpressions.shingleSet(col(textCol), n).as("hs"))
-      .select(col("id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
+      .select(col("id"), size(col("hs")).as("n_sh"),
+        explode_outer(col("hs")).as("h"))
+      .filter(col("h").isNotNull)
     // ONE shuffle of the doc-shingle table: the buffer-capped collect
     // replaces the count-prefilter + keep-set semi-join this used to
     // pay (two extra shuffles of `exploded`, which existed only to
