@@ -729,22 +729,12 @@ object Curation {
       buckets: Int = 65536): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two >= 2, got $buckets")
-    val sc = raw.sparkSession.sparkContext
-    def pin(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out =
-        if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-        else df.localCheckpoint(eager = true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     // one tokenize+hash pass over each corpus; everything downstream
     // reads the pinned hash frames / count tables
-    val (rawEx, rawExPins) = pin(ngramBuckets(raw, textCol, Some(idCol), buckets))
+    val (rawEx, rawExPins) = Pins.pin(ngramBuckets(raw, textCol, Some(idCol), buckets))
     val tgtEx = ngramBuckets(target, targetTextCol, None, buckets)
-    val (rawCounts, rcPins) = pin(rawEx.groupBy("_b").agg(count(lit(1)).as("_cr")))
-    val (tgtCounts, tcPins) = pin(tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct")))
+    val (rawCounts, rcPins) = Pins.pin(rawEx.groupBy("_b").agg(count(lit(1)).as("_cr")))
+    val (tgtCounts, tcPins) = Pins.pin(tgtEx.groupBy("_b").agg(count(lit(1)).as("_ct")))
     val totals = rawCounts.agg(sum("_cr").as("_tr"))
       .crossJoin(tgtCounts.agg(sum("_ct").as("_tt")))
     // full bucket spine so buckets unseen on either side still get a
@@ -771,36 +761,19 @@ object Curation {
     // pin the compact result, then release the corpus-sized feature
     // explode and the count tables — the only blocks that survive the
     // call are 3 longs per doc, releasable via Curation.unpin
-    val (out, outPins) = pin(weights)
-    release(rawExPins); release(rcPins); release(tcPins)
-    registerPins(out, outPins)
+    val (out, outPins) = Pins.pin(weights)
+    Pins.release(out, rawExPins ++ rcPins ++ tcPins)
+    Pins.register(out, outPins)
     out
   }
 
-  // result-pin registry for [[dsirWeights]]: weakly keyed by the
-  // returned frame's logical plan so an unreferenced result can be
-  // GC'd (its blocks then linger only until session end, exactly the
-  // pre-r8 behavior — but 50-200x smaller)
-  private val pinRegistry =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Set[Int]]())
-
-  private def registerPins(df: DataFrame, pins: Set[Int]): Unit =
-    pinRegistry.put(df.queryExecution.logical, pins)
-
   /** Release the cached blocks behind a frame returned by a pinning
-    * operator ([[dsirWeights]]); no-op for any other frame. Call once
-    * the weights (or anything derived from them, e.g.
-    * [[dsirResample]]'s selection) have been materialized/persisted.
+    * operator ([[dsirWeights]], and the pinned variants in
+    * TextFunctions/Dedup); no-op for any other frame. Call once the
+    * result (or anything derived from it, e.g. [[dsirResample]]'s
+    * selection) has been materialized/persisted.
     */
-  def unpin(df: DataFrame): Unit = {
-    val pins = pinRegistry.remove(df.queryExecution.logical)
-    if (pins != null) {
-      val sc = df.sparkSession.sparkContext
-      pins.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    }
-  }
+  def unpin(df: DataFrame): Unit = Pins.unpin(df)
 
   /** DSIR selection: keep the `k` raw documents with the largest
     * Gumbel-perturbed importance weight — the Gumbel-max trick makes

@@ -186,6 +186,20 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** @param pinSigs when true, the signature table is eagerly
+    *   checkpointed so MinHashSigExpr — the most expensive kernel in
+    *   the library (tokenize + k minhash lanes over every shingle) —
+    *   runs EXACTLY ONCE instead of once per consumer branch (the lazy
+    *   plan has three: the band explode and the two sig-attach joins).
+    *   Measured r8 quiet-host at 1M docs: 42.9 s lazy vs 18.8 s with
+    *   sigs materialized (the r5-era note that recompute beat pinning
+    *   no longer holds on the current kernel). Costs: the call becomes
+    *   eager, and the ~520 B/doc sig blocks stay cached until
+    *   [[graft.functions.Curation.unpin]] is called on the result (or
+    *   session end). Default false keeps the operator lazy for plan
+    *   inspection and tiny corpora; at scale prefer persisted
+    *   signatures + [[minhashPairsFromSigs]] anyway.
+    */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -193,7 +207,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      pinSigs: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands // r=8 at defaults: collision p = s^8 per
     // band — random pairs (s≈0.4) almost never collide, real near-dups
     // (s≥0.8) hit ≥1 of the 8 bands w.p. ≈1.
@@ -203,10 +218,12 @@ object Dedup {
     // shingle array k times. Repartition first: a small parquet file
     // arrives as ONE split, which would serialize the signature pass.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sigs = df
+    val sigsLazy = df
       .repartition(par)
       .select(col(idCol).as("id"),
         DedupExpressions.minhashSig(col(textCol), k).as("sig"))
+    val (sigs, sigPins) =
+      if (pinSigs) Pins.pin(sigsLazy) else (sigsLazy, Set.empty[Int])
     // the band shuffle carries (band, id) ONLY — 16-byte rows. The
     // 64-lane signature (~520 B/doc) attaches AFTER candidate dedup:
     // carrying it through the band stages shuffled ~8× sig bytes per
@@ -220,16 +237,16 @@ object Dedup {
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
     val cand = bandCandidatePairs(bandedAll, maxBucketSize)
     // candidate side is dup-rate-bounded (bucket cap) → AQE broadcasts
-    // it and the sig scans stream unshuffled; sigs recompute from the
-    // scan rather than pinning (one extra MinHashSigExpr pass beats
-    // checkpoint IO, and the operator stays lazy for plan inspection)
-    cand
+    // it and the sig scans stream unshuffled
+    val out = cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(
         col("id_a"), col("id_b"),
         DedupExpressions.sigMatchRatio(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    if (pinSigs) Pins.register(out, sigPins)
+    out
   }
 
   /** Connected components over an undirected near-dup edge list —

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+
+/** Tracked eager checkpoints ("pins") for operators that must
+  * materialize an intermediate to avoid re-running an expensive scan
+  * kernel for every downstream consumer (Spark re-executes a lazy
+  * subtree once PER consumer branch — a count table referenced by a
+  * join AND a totals aggregate re-tokenizes the corpus twice).
+  *
+  * `pin` checkpoints eagerly (reliable when a checkpoint dir is set,
+  * local otherwise — localCheckpoint blocks are executor-resident and
+  * lost on executor failure, so set a checkpoint dir on real
+  * clusters) and returns the RDD block ids it created; `register`
+  * associates surviving pins with the operator's RESULT frame so a
+  * caller can release them with [[unpin]] once the result has been
+  * materialized or persisted. The registry is weakly keyed by the
+  * result's logical plan: an unreferenced result can be GC'd and its
+  * blocks then linger only until session end.
+  */
+private[graft] object Pins {
+
+  def pin(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  def release(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
+
+  private val registry =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Set[Int]]())
+
+  /** Associate `pins` with `result` for a later [[unpin]]; merges with
+    * any pins already registered for the same plan.
+    */
+  def register(result: DataFrame, pins: Set[Int]): Unit = {
+    val key = result.queryExecution.logical
+    val prior = registry.get(key)
+    registry.put(key, if (prior == null) pins else prior ++ pins)
+  }
+
+  /** Release the cached blocks behind a frame returned by a pinning
+    * operator; no-op (and idempotent) for any other frame.
+    */
+  def unpin(df: DataFrame): Unit = {
+    val pins = registry.remove(df.queryExecution.logical)
+    if (pins != null) release(df, pins)
+  }
+}

@@ -240,10 +240,13 @@ object TextFunctions {
     * reproduces exactly; only the final display division is IEEE.
     *
     * Shapes (all 8-byte keys via the one-pass token-hash kernel):
-    * token-hash explode → corpus counts (map-side combined) → join
-    * back → per-doc sum. The corpus-total scalar rides a broadcast
-    * cross join. Zero-token documents are absent from the output
-    * (same contract as [[corpusRarity]]).
+    * token-hash explode → corpus counts (map-side combined, PINNED —
+    * the call is eager and the corpus is tokenized exactly twice:
+    * counts build + join back; release the vocab-sized blocks with
+    * [[Curation.unpin]] on the result) → join back → per-doc sum. The
+    * corpus-total scalar rides a broadcast cross join. Zero-token
+    * documents are absent from the output (same contract as
+    * [[corpusRarity]]).
     *
     * Returns `(idCol, n_tokens, nll_nano, avg_nll)` — `nll_nano` the
     * integer sum, `avg_nll` = nll_nano / n_tokens / 1e9 rounded to 6.
@@ -254,11 +257,18 @@ object TextFunctions {
       textCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("_px_id"),
       explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
-    val counts = ex.groupBy("_h").agg(count(lit(1)).as("_tc"))
-    // corpus total from the vocab-sized counts, NOT a third scan of
-    // the uncached tokenize+explode subtree
+    // PINNED vocab-sized count table (r8): `counts` is lazily consumed
+    // by BOTH the totals aggregate and the join back — unpinned, each
+    // consumer re-ran the tokenize+explode subtree, so the corpus was
+    // scanned THREE times (plan-verified). Pinning the ≤vocab-row
+    // table cuts that to the two inherent passes (counts build +
+    // join back); blocks are registered for Curation.unpin(result).
+    val (counts, countPins) =
+      Pins.pin(ex.groupBy("_h").agg(count(lit(1)).as("_tc")))
+    // corpus total from the pinned vocab-sized counts, NOT a third
+    // scan of the uncached tokenize+explode subtree
     val total = counts.agg(sum(col("_tc")).as("_tot"))
-    ex.join(counts, "_h")
+    val out = ex.join(counts, "_h")
       .crossJoin(broadcast(total))
       .withColumn("_nll",
         round(log(col("_tot").cast("double") / col("_tc").cast("double")) * 1e9)
@@ -269,6 +279,8 @@ object TextFunctions {
         sum(col("_nll")).as("nll_nano"))
       .withColumn("avg_nll",
         round(col("nll_nano").cast("double") / col("n_tokens").cast("double") / 1e9, 6))
+    Pins.register(out, countPins)
+    out
   }
 
   /** Bigram stupid-backoff language-model scoring — the CCNet-shaped
@@ -291,12 +303,16 @@ object TextFunctions {
     *    [[unigramSurprisal]]).
     *
     * Shapes: train-side unigram/bigram count tables reduce over
-    * 8-byte md5 hashes with map-side combine (vocab-bounded). The
-    * scored side builds `(prev, cur, bigram)` hash triples SCAN-SIDE
-    * by zipping the two one-pass kernel arrays — no self-join on
-    * (doc, pos) — then three left equi-joins on 8-byte keys (AQE
-    * broadcasts the count tables when the train vocab is small) and
-    * one per-doc sum. No token string enters any exchange.
+    * 8-byte md5 hashes with map-side combine (vocab-bounded) and are
+    * PINNED — the call is eager, and the train corpus is tokenized
+    * exactly twice (one unigram + one bigram pass) no matter how many
+    * joins consume the tables; release the vocab-sized blocks with
+    * [[Curation.unpin]] on the result. The scored side builds
+    * `(prev, cur, bigram)` hash triples SCAN-SIDE by zipping the two
+    * one-pass kernel arrays — no self-join on (doc, pos) — then three
+    * left equi-joins on 8-byte keys (AQE broadcasts the count tables
+    * when the train vocab is small) and one per-doc sum. No token
+    * string enters any exchange.
     *
     * Returns `(idCol, n_tokens, n_backoff, nll_nano, avg_nll)`;
     * `n_backoff` counts backed-off positions (a useful OOD diagnostic
@@ -314,28 +330,43 @@ object TextFunctions {
       s"backoff alpha must be a rational in (0, 1): got $alphaNum/$alphaDen")
     val uni = train.select(
       explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
-    val c1 = uni.groupBy("_h").agg(count(lit(1)).as("_c1"))
-    // corpus total from the vocab-sized table, not a rescan
+    // PINNED vocab-sized count tables (r8): c1 is lazily consumed by
+    // THREE branches (totals, prev-token join, cur-token join) and c2
+    // by one — unpinned, every consumer re-tokenized the train corpus
+    // (plan-verified: 4 train scans + a filter duplicate = 7 kernel
+    // sites). Pinned: exactly one uni pass + one bi pass over train.
+    val (c1, c1Pins) =
+      Pins.pin(uni.groupBy("_h").agg(count(lit(1)).as("_c1")))
+    // corpus total from the pinned vocab-sized table, not a rescan
     val total = c1.agg(sum(col("_c1")).as("_t"))
-    val c2 = train.select(
+    val (c2, c2Pins) = Pins.pin(train.select(
         explode(DedupExpressions.shinglePosHashes(col(textCol), 2)).as("_h2"))
-      .groupBy("_h2").agg(count(lit(1)).as("_c2"))
+      .groupBy("_h2").agg(count(lit(1)).as("_c2")))
+    // NO size(_u)>0 prefilter: predicate pushdown would substitute the
+    // alias and re-run the unigram kernel in a scan-side Filter (no
+    // cross-operator CSE — plan-verified). A zero-token doc zips to
+    // exactly one null-padded row (hp=[null] vs hc=[] — arrays_zip
+    // pads to the longest), dropped by the cheap attribute filter on
+    // _hc below: real token positions always carry a non-null hash.
+    // The slice length clamps at 0 so the empty-array slice the old
+    // prefilter guarded cannot throw.
     val staged = score.select(
         col(idCol).as("_lm_id"),
         DedupExpressions.shinglePosHashes(col(textCol), 1).as("_u"),
         DedupExpressions.shinglePosHashes(col(textCol), 2).as("_b"))
-      .where(size(col("_u")) > 0)
     // position-aligned triples: element i is (u[i-1] | null, u[i],
     // bigram[i-1] | null) — the null marks "no left context"
     val nullLong = array(lit(null).cast("long"))
     val rows = staged.select(
         col("_lm_id"),
         explode(arrays_zip(
-          concat(nullLong, slice(col("_u"), lit(1), size(col("_u")) - 1)).as("hp"),
+          concat(nullLong,
+            slice(col("_u"), lit(1), greatest(size(col("_u")) - 1, lit(0)))).as("hp"),
           col("_u").as("hc"),
           concat(nullLong, col("_b")).as("hb"))).as("_z"))
       .select(col("_lm_id"),
         col("_z.hp").as("_hp"), col("_z.hc").as("_hc"), col("_z.hb").as("_hb"))
+      .filter(col("_hc").isNotNull)
     val joined = rows
       .join(c2, col("_hb") === col("_h2"), "left")
       .join(c1.toDF("_hpk", "_c1p"), col("_hp") === col("_hpk"), "left")
@@ -360,7 +391,7 @@ object TextFunctions {
           (mc * alphaNum).cast("double")) * 1e9))
       .cast("long")
     val backoff = when(col("_hp").isNotNull && col("_c2").isNull, 1L).otherwise(0L)
-    joined
+    val out = joined
       .select(col("_lm_id"), nll.as("_nll"), backoff.as("_bo"))
       .groupBy(col("_lm_id").as(idCol))
       .agg(
@@ -369,6 +400,8 @@ object TextFunctions {
         sum(col("_nll")).as("nll_nano"))
       .withColumn("avg_nll",
         round(col("nll_nano").cast("double") / col("n_tokens").cast("double") / 1e9, 6))
+    Pins.register(out, c1Pins ++ c2Pins)
+    out
   }
 
   /** Per-group n-gram diversity — the type/token ratio over word
