@@ -142,6 +142,20 @@ class PlanSpec extends SparkSpec {
     assert(!sp.contains("lead("), s"dup_spans re-grew the lead() window:\n$sp")
   }
 
+  test("LM scorers tokenize the corpus the minimum number of times (r8 pins)") {
+    // unigramSurprisal: counts table pinned -> the visible plan holds
+    // ONE kernel site (the join-back scan); a second means the pinned
+    // counts re-grew a lazy branch (the 3-scans-of-the-corpus bug)
+    val su = "shingle_pos_hashes\\(".r.findAllIn(plans("q_surprisal")).size
+    assert(su == 1, s"q_surprisal re-tokenizes: $su kernel sites (want 1)")
+    // bigramLmScore: c1/c2 pinned -> exactly the scored side's two
+    // kernels (uni + bi arrays in one scan project); more means a
+    // count-table consumer re-tokenized train, or the old size(_u)>0
+    // prefilter duplicate came back
+    val bi = "shingle_pos_hashes\\(".r.findAllIn(plans("q_bigram_lm")).size
+    assert(bi == 2, s"q_bigram_lm re-tokenizes: $bi kernel sites (want 2)")
+  }
+
   test("tfidfTopTerms ranks on hashes: no term string in the window sort order") {
     // the r6 rewrite ranks candidates on (score_nano DESC, _h ASC) and
     // joins term text onto only the surviving top-k rows; if `term`
