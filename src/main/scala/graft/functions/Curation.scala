@@ -678,23 +678,21 @@ object Curation {
     * bucket, summed exactly as longs) — the same cross-engine
     * determinism recipe as `unigramSurprisal`.
     *
-    * PINNED result (r8, tightening r7's intermediate pins after the
-    * 82.8 s sf0.1 recompute measurement): the exploded `(id, bucket)`
-    * frame — hashes-not-text, but still the corpus-sized ~16 B/feature
-    * intermediate — and the two ≤`buckets`-row count tables are
-    * checkpointed only for the DURATION of the call (reliable when a
-    * checkpoint dir is set, local otherwise); the returned weights
-    * frame itself is then pinned (3 longs per doc — 50-200× smaller
-    * than the feature explode) and every intermediate block is
-    * RELEASED before returning. The call is EAGER (pins materialize
-    * at call time), the raw text is scanned once for features plus
-    * once column-pruned for the id spine, and the target once. The
-    * one surviving pin is the result; callers that are done with it
-    * can release it with [[Curation.unpin]]. With no checkpoint dir
-    * the pins are localCheckpoints: executor-memory-resident and lost
-    * on executor failure — set a checkpoint dir for large corpora.
-    * The spine's `distinct` keeps the contract correct even if a
-    * caller passes duplicate ids.
+    * Execution (r8.2, superseding r7's pinned-explode shape and the
+    * r8.1 pinned-result tightening): at the default 65536 buckets
+    * both LMs fit a driver array by CONSTRUCTION (the whole point of
+    * the bucket hash), so the scan path collects the two
+    * vocab-bounded count tables, builds the dense log-ratio array
+    * (8 B × buckets), and scores the corpus in ONE
+    * [[graft.functions.ClassifierScoreExpr]] projection — two count
+    * passes + one scoring pass total, no feature explode, no cached
+    * blocks, no joins, and the per-doc aggregation shuffles exactly
+    * `(id, n_feats, logw)` partial sums. The count collects make the
+    * call eager on the LM side; the scoring frame stays lazy. Bucket
+    * spaces above `scanMaxBuckets` use the distributed join path
+    * (pinned feature explode + broadcast ratio table; the surviving
+    * result pin is released with [[Curation.unpin]]). Duplicate ids
+    * merge their features on both paths.
     *
     * Returns `(idCol, n_feats, logw_nano)` for every raw row
     * (feature-less docs get `n_feats = 0, logw_nano = 0`).
@@ -720,15 +718,85 @@ object Curation {
     base.withColumn("_b", col("_h").bitwiseAND(mask)).drop("_h")
   }
 
+  /** @param scanMaxBuckets bucket-space bound for the SCAN path: when
+    *   `buckets <= scanMaxBuckets` (default 2^20 — an 8 MiB log-ratio
+    *   array, same ship-with-the-plan contract as the classifier's
+    *   512 KiB weights), both language models are collected to the
+    *   driver as dense arrays and scoring is ONE
+    *   [[graft.functions.ClassifierScoreExpr]] projection over the
+    *   corpus (its kernel hashes exactly the `ngramBuckets`
+    *   unigram+bigram features): two count passes + one scoring pass,
+    *   no feature explode, no pinned blocks, no joins. Larger bucket
+    *   spaces fall back to the distributed join path (pinned feature
+    *   explode + broadcast ratio table — release with [[unpin]]).
+    */
   def dsirWeights(
       raw: DataFrame,
       idCol: String,
       textCol: String,
       target: DataFrame,
       targetTextCol: String,
-      buckets: Int = 65536): DataFrame = {
+      buckets: Int = 65536,
+      scanMaxBuckets: Int = 1 << 20): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two >= 2, got $buckets")
+    if (buckets <= scanMaxBuckets) dsirWeightsScan(raw, idCol, textCol, target, targetTextCol, buckets)
+    else dsirWeightsJoin(raw, idCol, textCol, target, targetTextCol, buckets)
+  }
+
+  /** Scan path: driver-held dense LMs + one kernel pass (see
+    * [[dsirWeights]]'s scanMaxBuckets doc). The log-ratio arithmetic
+    * replicates the join path's Catalyst expression op for op
+    * (divisions in the same tree order, `java.lang.Math.log`,
+    * HALF_UP rounding — Spark's `round` on doubles), so both paths
+    * and the DuckDB oracle agree bit for bit.
+    */
+  private def dsirWeightsScan(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int): DataFrame = {
+    def bucketCounts(df: DataFrame, t: String): Array[Long] = {
+      val out = new Array[Long](buckets)
+      ngramBuckets(df, t, None, buckets)
+        .groupBy("_b").agg(count(lit(1)).as("_c"))
+        .collect()
+        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    val cr = bucketCounts(raw, textCol)
+    val ct = bucketCounts(target, targetTextCol)
+    val tr = cr.sum
+    val tt = ct.sum
+    val lr = Array.tabulate(buckets) { b =>
+      val ratio = ((ct(b) + 1L).toDouble / (tt + buckets.toLong).toDouble) /
+        ((cr(b) + 1L).toDouble / (tr + buckets.toLong).toDouble)
+      BigDecimal(math.log(ratio) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // one kernel projection; duplicate ids merge their features via
+    // the sum — identical to the join path's explode + groupBy(_id)
+    raw.select(col(idCol).as("_id"),
+        DedupExpressions.classifierScoreScan(
+          coalesce(col(textCol), lit("")), lr).as("_s"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_s.n_feats")).as("n_feats"),
+        sum(col("_s.logit_nano")).as("logw_nano"))
+      .select(col("_id").as(idCol), col("n_feats"), col("logw_nano"))
+  }
+
+  /** Distributed join path for bucket spaces too large to hold as a
+    * driver array (see [[dsirWeights]]).
+    */
+  private def dsirWeightsJoin(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int): DataFrame = {
     // one tokenize+hash pass over each corpus; everything downstream
     // reads the pinned hash frames / count tables
     val (rawEx, rawExPins) = Pins.pin(ngramBuckets(raw, textCol, Some(idCol), buckets))

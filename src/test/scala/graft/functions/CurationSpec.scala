@@ -230,25 +230,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("dsirWeights releases intermediate pins; unpin releases the result") {
-    // carried-ADVICE: the corpus-sized feature-explode localCheckpoint
-    // used to stay pinned for the session. Now only the compact result
-    // frame may survive the call, and unpin releases that too.
+  test("dsirWeights scan path pins nothing and matches the join path bit for bit") {
     def doc(vocab: Seq[String], salt: Int): String =
       (0 until 30).map(i => vocab((i * 7 + salt * 13) % vocab.size)).mkString(" ")
     val sci = Seq("atom", "cell", "energy", "quantum", "gene", "orbit")
     val raw = (0 until 10).map(i => (i.toLong, doc(sci, i))).toDF("id", "text")
     val target = (100 until 105).map(i => (i.toLong, doc(sci, i))).toDF("id", "text")
     val before = spark.sparkContext.getPersistentRDDs.keySet
+    // default = scan path: driver-held LMs, one kernel projection, no
+    // cached blocks at all
     val w = Curation.dsirWeights(raw, "id", "text", target, "text", buckets = 4096)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "scan path must not leave cached blocks")
+    val scanRows = w.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(scanRows.size == 10)
+    // forced join path (scanMaxBuckets below buckets): carried-ADVICE
+    // contract — exactly the compact result pin survives, unpin frees it
+    val wj = Curation.dsirWeights(raw, "id", "text", target, "text",
+      buckets = 4096, scanMaxBuckets = 2)
     val during = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(during.size == 1,
-      s"exactly the result pin may survive dsirWeights, got ${during.size}")
-    assert(w.count() == 10) // result is readable off its pin
-    Curation.unpin(w)
+      s"exactly the result pin may survive the join path, got ${during.size}")
+    // the two paths must agree bit for bit (same divisions, same log,
+    // same HALF_UP rounding)
+    assert(wj.orderBy("id").collect().map(_.toSeq).toSeq == scanRows)
+    Curation.unpin(wj)
     val after = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(after.isEmpty, s"unpin must release the result blocks: $after")
-    Curation.unpin(w) // idempotent no-op
+    Curation.unpin(wj) // idempotent no-op
   }
 
   test("dsirResample: deterministic Gumbel top-k, target-domain enriched") {
