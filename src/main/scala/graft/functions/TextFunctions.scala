@@ -873,7 +873,6 @@ object TextFunctions {
       idCol: String,
       textCol: String,
       k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("_tt_id"),
         explode(TokenTfExpr(col(textCol))).as("_p"))
       .select(col("_tt_id"), col("_p.h").as("_h"), col("_p.tf").as("tf"))
@@ -886,10 +885,24 @@ object TextFunctions {
         (col("tf") *
           round(log(col("_n_docs").cast("double") / col("term_df").cast("double")) * 1e9)
             .cast("long")).as("score_nano"))
-    val w = Window.partitionBy("_tt_id").orderBy(col("score_nano").desc, col("_h"))
+    // per-doc top-k via the bounded bottom-k aggregate, NOT a
+    // row_number window (r8): the rank order (score_nano desc, _h asc)
+    // maps onto the (priority, tie) = (-score_nano, _h) ascending key,
+    // and BottomKByExpr trims every aggregation buffer at 2k — the
+    // window formulation re-sorted each ~50-term/doc partition's FULL
+    // row set after the by-hash dfreq join scattered it, and a
+    // degenerate doc (millions of distinct terms) would sort on one
+    // reducer where the agg is capped by construction.
     val top = scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+      .select(col("_tt_id"),
+        struct((-col("score_nano")).as("p"), col("_h").as("t"),
+          col("tf"), col("term_df"), col("score_nano")).as("_e"))
+      .groupBy(col("_tt_id"))
+      .agg(DedupExpressions.bottomKBy(col("_e"), k).as("_ks"))
+      .select(col("_tt_id"), posexplode(col("_ks")).as(Seq("_r", "_e")))
+      .select(col("_tt_id"), col("_e.t").as("_h"), col("_e.tf").as("tf"),
+        col("_e.term_df").as("term_df"), col("_e.score_nano").as("score_nano"),
+        (col("_r") + 1).cast("int").as("rk"))
     val dict = df.select(explode(TokenDictExpr(col(textCol))).as("_d"))
       .select(col("_d.h").as("_h"), col("_d.term").as("term"))
       .groupBy("_h").agg(min(col("term")).as("term"))

@@ -156,16 +156,19 @@ class PlanSpec extends SparkSpec {
     assert(bi == 2, s"q_bigram_lm re-tokenizes: $bi kernel sites (want 2)")
   }
 
-  test("tfidfTopTerms ranks on hashes: no term string in the window sort order") {
-    // the r6 rewrite ranks candidates on (score_nano DESC, _h ASC) and
-    // joins term text onto only the surviving top-k rows; if `term`
-    // reappears in the windowspec the all-candidates string shuffle is
-    // back (70s/1M docs vs ~hash-keyed sibling ops)
+  test("tfidfTopTerms ranks via the bounded bottom-k agg: no window, no term strings") {
+    // r6 moved term text out of the rank order (70s/1M docs when the
+    // windowspec shuffled strings); r8 removed the window entirely —
+    // the per-doc top-k is the buffer-capped bottom_k_by aggregate on
+    // (-score_nano, _h), so a degenerate doc can never sort a whole
+    // partition on one reducer. Term text still joins on only the
+    // surviving top-k rows.
     val p = plans("q_tfidf_terms")
-    val winArgs = p.linesIterator.filter(_.contains("row_number()")).toSeq
-    assert(winArgs.nonEmpty, s"tfidf lost its ranking window:\n$p")
-    assert(winArgs.forall(l => l.contains("_h") && !l.contains("term")),
-      s"tfidf window ranks on term text again:\n${winArgs.mkString("\n")}")
+    assert(p.contains("bottom_k_by"), s"tfidf lost its bounded top-k agg:\n$p")
+    assert(!p.contains("Window"), s"tfidf re-grew the row_number window:\n$p")
+    val aggArgs = p.linesIterator.filter(_.contains("bottom_k_by")).toSeq
+    assert(aggArgs.forall(l => !l.contains("term")),
+      s"tfidf ranks on term text again:\n${aggArgs.mkString("\n")}")
   }
 
   test("chunkDocuments is scan-side: the only Exchange is the output sort") {
