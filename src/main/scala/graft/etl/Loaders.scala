@@ -202,11 +202,28 @@ object Loaders {
     case OidColumn(name) => Meta.wrap(df, col(name), asOf, start)
     case OidExpr(e) => Meta.wrap(df, e, asOf, start)
     case OidRowNumber =>
-      // 1-based row counter in file order. A global row_number is a
-      // single-partition sort — correct for the reference's small-file
-      // CSV semantics; use an explicit OidColumn for big data.
-      val w = Window.orderBy(monotonically_increasing_id())
-      val withRn = df.withColumn("__rn", row_number().over(w).cast(LongType))
+      // 1-based row counter in file order, TWO-PHASE (the
+      // packSequences prefix-sum recipe): within-partition rank plus
+      // per-partition offsets from a numPartitions-row collect. The
+      // old global `Window.orderBy(monotonically_increasing_id())`
+      // funneled the whole load through ONE task; this keeps the exact
+      // same numbering (ascending mid ⇔ ascending (partition id,
+      // position) — Spark documents the pid-in-upper-bits layout the
+      // global sort itself relied on) at full parallelism.
+      val withPid = df
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", spark_partition_id())
+      val counts = withPid.groupBy("__pid")
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft(0L)(_ + _._2).init
+      val offDf = df.sparkSession.createDataFrame(
+        counts.map(_._1).zip(offsets).toSeq).toDF("__pid", "__off")
+      val wIn = Window.partitionBy("__pid").orderBy("__mid")
+      val withRn = withPid
+        .join(broadcast(offDf), Seq("__pid"))
+        .withColumn("__rn", row_number().over(wIn).cast(LongType) + col("__off"))
+        .drop("__mid", "__pid", "__off")
       Meta.wrap(withRn, col("__rn"), asOf, start, dataCols = Some(df.columns.toSeq))
         .drop("__rn")
   }
