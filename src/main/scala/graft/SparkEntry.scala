@@ -109,22 +109,38 @@ object SparkEntry {
       srcDir.resolve(s"$table.parquet"))
     val qname = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
-    val q = agg(s.readStream.schema(schema).parquet(srcDir.toString))
-      .writeStream.outputMode(mode).format("memory").queryName(qname)
-      .option("checkpointLocation", ck)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // steady-state telemetry for Bench: the summed per-micro-batch
-    // triggerExecution time is the PROCESSING cost of the stream; the
-    // gap to the gate's wall clock is one-time query startup
-    // (checkpoint init, source listing, plan compile), which amortizes
-    // away in a long-running deployment. Exposing it lets the bench
-    // report q_stream_window_steady alongside the startup-dominated
-    // total so a real per-row streaming regression is visible.
-    lastStreamBatchMs = q.recentProgress.toSeq
-      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-      .sum
+    // State-partition sizing: a streaming aggregation freezes its
+    // state partition count from spark.sql.shuffle.partitions at FIRST
+    // start (it lives in the checkpoint), and every micro-batch then
+    // pays a fixed state-store commit per partition. The session's 32
+    // BATCH partitions are the wrong size for these gates' KB-scale
+    // state: measured on the sf0.1 window gate, summed commit time
+    // 24.6 s at 32 partitions vs 1.2 s at 8 for the same 3600 state
+    // rows. Real deployments size this to state volume per the same
+    // rule; SPARK_GRAFT_STREAM_PARTITIONS overrides (conf is restored
+    // after the run — gates execute sequentially, so the temporary
+    // session-conf swap cannot leak into a concurrent plan).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = agg(s.readStream.schema(schema).parquet(srcDir.toString))
+        .writeStream.outputMode(mode).format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // steady-state telemetry for Bench: the summed per-micro-batch
+      // triggerExecution time is the PROCESSING cost of the stream; the
+      // gap to the gate's wall clock is one-time query startup
+      // (checkpoint init, source listing, plan compile), which amortizes
+      // away in a long-running deployment. Exposing it lets the bench
+      // report q_stream_window_steady alongside the startup-dominated
+      // total so a real per-row streaming regression is visible.
+      lastStreamBatchMs = q.recentProgress.toSeq
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sum
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(qname)
   }
 
