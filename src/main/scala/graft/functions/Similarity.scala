@@ -204,12 +204,41 @@ object Similarity {
       .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
       .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
       .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
-    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
-        col("cos"), col("rk"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (idIsIntegral) {
+      // per-query top-k via the buffer-capped bottom-k aggregate: the
+      // (cos desc, id asc) rank order maps exactly onto the ascending
+      // (-cos·1e6, id) long pair (cos is already 6dp-rounded, so the
+      // scaling is lossless and adjacent ranks stay separated). A hot
+      // vector colliding in nBands full buckets gathers up to
+      // nBands·maxBucketSize candidate rows — the window formulation
+      // sorted all of them on one reducer; the agg buffer never holds
+      // more than 2k.
+      val p = -round(col("cos") * lit(1e6)).cast("long")
+      scored
+        .select(col("id_a"),
+          struct(p.as("p"), col("id_b").cast("long").as("t"),
+            col("id_b"), col("cos")).as("_e"))
+        .groupBy(col("id_a"))
+        .agg(DedupExpressions.bottomKBy(col("_e"), k).as("_ks"))
+        .select(col("id_a"), posexplode(col("_ks")).as(Seq("_r", "_e")))
+        .select(col("id_a").as(idCol), col("_e.id_b").as("neighbor_id"),
+          col("_e.cos").as("cos"), (col("_r") + 1).cast("int").as("rk"))
+    } else {
+      // non-integral ids: the bounded agg's tie key must be a long, so
+      // string-keyed corpora keep the window path (rank ties are on the
+      // RAW id, which a hash tie-key could not reproduce)
+      val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("id_a").as(idCol), col("id_b").as("neighbor_id"),
+          col("cos"), col("rk"))
+    }
   }
 
   /** `(id, band, bv)` rows for `nBands` hyperplane-LSH buckets — the
