@@ -129,6 +129,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RewriteMqlPredicate]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new RewriteMqlPredicate(spark)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.StripRedundantKernelFilters]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          new graft.plans.StripRedundantKernelFilters
   }
 
   private def intArg(e: Expression, what: String): Int = e match {
@@ -252,5 +257,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MqlPredicate].getName, "mql"),
       MqlSql.builder _))
     ext.injectResolutionRule(_ => new ResolveMqlPredicate)
+    // pre-CBO slot = once, AFTER the operator-optimization fixpoint
+    // (where InferFiltersFromGenerate lives) — the strip rule cannot
+    // oscillate with the rule whose output it removes
+    ext.injectPreCBORule(_ => new graft.plans.StripRedundantKernelFilters)
   }
 }
