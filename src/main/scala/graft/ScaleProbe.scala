@@ -91,6 +91,15 @@ object ScaleProbe {
     timed("minhash LSH pairs") {
       functions.Dedup.minhashPairs(docs, "id", "text", threshold = 0.9).count()
     }
+    timed("minhash LSH pairs (pinSigs=true)") {
+      // r8: the one-shot API's pinned variant — MinHashSigExpr runs
+      // once instead of once per consumer branch
+      val out = functions.Dedup.minhashPairs(
+        docs, "id", "text", threshold = 0.9, pinSigs = true)
+      val n = out.count()
+      functions.Curation.unpin(out)
+      n
+    }
     timed("minhash LSH pairs (persisted sigs)") {
       // the 100 TB shape: signatures materialized once, ids-only bands
       val sigs = docs.select(col("id"),
