@@ -69,4 +69,24 @@ class StripRedundantKernelFiltersSpec extends SparkSpec {
     assert(standalone.queryExecution.optimizedPlan.toString.contains("shingle_set"),
       "standalone filter lost its predicate")
   }
+
+  test("posexplode gets the same treatment; aggregates stop the walk") {
+    // posexplode is an ExplodeBase too — the inferred conjuncts must go
+    val pos = docs(registered)
+      .select(col("id"), DedupExpressions.shingleSet(col("text"), 3).as("hs"))
+      .select(col("id"), posexplode(col("hs")).as(Seq("p", "h")))
+    assert(kernelSites(pos) == 1, pos.queryExecution.optimizedPlan.toString)
+    assert(pos.count() == twoStepExplode(spark.newSession()).count(),
+      "posexplode output changed")
+    // an aggregate between the explode and a kernel filter OBSERVES the
+    // filtered rows — the walk must stop at the aggregate and leave the
+    // filter alone (rows with > 1 shingle, aggregated, then exploded)
+    val barrier = registered.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(size(DedupExpressions.shingleSet(col("text"), 3)) > lit(1))
+      .groupBy(col("lang")).agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("lang"), explode(col("ids")).as("id"))
+    assert(barrier.queryExecution.optimizedPlan.toString.contains("shingle_set"),
+      "kernel filter beyond an aggregate was stripped")
+  }
 }

@@ -137,6 +137,33 @@ class ContainerSpec extends SparkSpec {
     assert(c.deptree("child", Seq(1L), date = "~", level = 1, isinMax = 0).map(_.toString.toLong).sorted == Seq(1L, 2L))
   }
 
+  test("deptree: mid-BFS switch from driver fringe to distributed fringe") {
+    // binary-ish fan-out: 0 -> {1,2}, i -> {2i+1, 2i+2} up to 30.
+    // isinMax = 2 keeps hop 1 (fringe {1,2}) on the driver path, then
+    // hop 2's 4 kids trip the limit-probe and flip to the DataFrame
+    // loop mid-traversal — the closure, the level semantics, and the
+    // seen-set handoff (the oversized fringe must enter seen, r8
+    // regression) all have to match the pure driver run.
+    val links = (0L to 30L).map(i => Row(i, Seq(2 * i + 1, 2 * i + 2).filter(_ <= 30L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(links),
+      StructType(Seq(StructField("_oid", LongType),
+        StructField("kids", ArrayType(LongType)))))
+    val c = new Container(spark, "t",
+      df.withColumn(Meta.START, lit(0.0)).withColumn(Meta.END, lit(null).cast(DoubleType)))
+    val full = c.deptree("kids", Seq(0L), date = "~", isinMax = Int.MaxValue - 1)
+      .map(_.toString.toLong).sorted
+    assert(full == (0L to 30L), s"driver-path closure wrong: $full")
+    val switched = c.deptree("kids", Seq(0L), date = "~", isinMax = 2)
+      .map(_.toString.toLong).sorted
+    assert(switched == full, s"switched closure diverged: $switched")
+    // depth limit spanning the switch: level=3 reaches 0..14 on both paths
+    val lvl = c.deptree("kids", Seq(0L), date = "~", level = 3, isinMax = 2)
+      .map(_.toString.toLong).sorted
+    assert(lvl == (0L to 14L), s"level-limited switched closure wrong: $lvl")
+    assert(c.deptree("kids", Seq(0L), date = "~", level = 3).map(_.toString.toLong).sorted == lvl)
+  }
+
   test("insert + union dedup by _id") {
     val c = new Container(spark, "t", objs((1L, 10L, 100.0)))
     c.insert(objs((2L, 20L, 100.0)))
