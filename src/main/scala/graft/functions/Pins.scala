@@ -12,6 +12,11 @@ import org.apache.spark.sql.DataFrame
   * local otherwise — localCheckpoint blocks are executor-resident and
   * lost on executor failure, so set a checkpoint dir on real
   * clusters) and returns the RDD block ids it created; `register`
+  * — NB: a RELIABLE checkpoint materializes to files, not cached
+  * blocks, so in that mode the returned id set is empty and
+  * [[unpin]] is a no-op; the files live until application end unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled
+  * (checkpoint-dir deployments should plan directory hygiene) —
   * associates surviving pins with the operator's RESULT frame so a
   * caller can release them with [[unpin]] once the result has been
   * materialized or persisted. The registry is weakly keyed by the

@@ -183,6 +183,20 @@ class CorpusCleanSpec extends SparkSpec {
       TextFunctions.bigramLmScore(train, score, "doc_id", "text", alphaNum = 0))
   }
 
+  test("bigramLmScore raises in-plan on a token-less train corpus (pinned c1 path)") {
+    // the sum(_c1)-is-null guard must survive the r8 count-table pins:
+    // an empty/all-empty train LM cannot silently null every score
+    val train = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val score = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextFunctions.bigramLmScore(train, score, "doc_id", "text").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("train corpus has no tokens")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("ngramDiversity exact per-group type/token ratio; approx twin tracks it") {
     val docs = Seq(
       (1L, "g1", "a b a b"), // bigrams: ab, ba, ab
