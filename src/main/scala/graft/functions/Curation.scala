@@ -306,11 +306,16 @@ object Curation {
       case 0.25 => sqrt(sqrt(n.cast("double")))
       case a => pow(n.cast("double"), lit(a))
     }
-    val counts = df
+    // PINNED domain-bounded count table: it feeds BOTH the denominator
+    // aggregate and the rate projection — lazy, each consumer would
+    // re-run the corpus-wide groupBy (one extra full scan); pinned,
+    // the corpus is counted once. Blocks are released via
+    // Curation.unpin on the result (or linger vocab-sized).
+    val (counts, countPins) = Pins.pin(df
       .groupBy(col(domainCol).cast("string").as("_mt_dom"))
       .agg(count(lit(1)).as("_mt_n"))
       // integer micro-unit weight: exact, order-independent summation
-      .withColumn("_mt_wn", round(w(col("_mt_n")) * lit(1e6)).cast("long"))
+      .withColumn("_mt_wn", round(w(col("_mt_n")) * lit(1e6)).cast("long")))
     val den = counts.agg(
       sum(col("_mt_wn").cast(DecimalType(38, 0))).cast("double").as("_mt_den"))
     // rate tree mirrors the oracle op for op: targetRows*wn is an
@@ -326,12 +331,14 @@ object Curation {
     val bucket = bucketOf(key, seed, slots, basis)
     val total = col("_mt_epochs") +
       when(bucket < col("_mt_thr"), lit(1L)).otherwise(lit(0L))
-    df.join(ratesDf, col(domainCol).cast("string") === col("_mt_dom"))
+    val out = df.join(ratesDf, col(domainCol).cast("string") === col("_mt_dom"))
       .withColumn("_mt_total", total)
       // null sequence when total == 0 — explode drops the row
       .withColumn("mix_epoch",
         explode(when(col("_mt_total") > 0, sequence(lit(0L), col("_mt_total") - 1))))
       .drop("_mt_dom", "_mt_epochs", "_mt_thr", "_mt_total")
+    Pins.register(out, countPins)
+    out
   }
 
   /** Token-budget sequence packing (LLM pretraining "sample packing"):
