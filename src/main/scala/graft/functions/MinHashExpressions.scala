@@ -507,6 +507,17 @@ object NormalizeUnicodeExpr {
 case class OovStatsExpr(child: Expression, vocabSorted: Array[Long])
     extends UnaryExpression {
   require(vocabSorted.nonEmpty, "vocab must not be empty")
+  // case-class equality on an Array param is reference-based — compare
+  // contents so semantically identical instances stay semanticEquals/
+  // CSE/ReuseExchange-compatible (the QueryTfExpr lesson, r8)
+  override def equals(other: Any): Boolean = other match {
+    case e: OovStatsExpr =>
+      child == e.child &&
+        java.util.Arrays.equals(vocabSorted, e.vocabSorted)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(vocabSorted)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"oov_stats requires a STRING column, got $t")
@@ -558,6 +569,17 @@ case class ClassifierScoreExpr(child: Expression, weights: Array[Long])
     extends UnaryExpression {
   require(weights.length >= 2 && (weights.length & (weights.length - 1)) == 0,
     s"weights length must be a power of two >= 2, got ${weights.length}")
+  // case-class equality on an Array param is reference-based — compare
+  // contents so semantically identical instances stay semanticEquals/
+  // CSE/ReuseExchange-compatible (the QueryTfExpr lesson, r8)
+  override def equals(other: Any): Boolean = other match {
+    case e: ClassifierScoreExpr =>
+      child == e.child &&
+        java.util.Arrays.equals(weights, e.weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"classifier_score requires a STRING column, got $t")
@@ -854,6 +876,17 @@ case class LshBandExpr(child: Expression, planeOffset: Int, nBits: Int)
 case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
+  // case-class equality on an Array param is reference-based — compare
+  // contents so semantically identical instances stay semanticEquals/
+  // CSE/ReuseExchange-compatible (the QueryTfExpr lesson, r8)
+  override def equals(other: Any): Boolean = other match {
+    case e: IvfAssignExpr =>
+      child == e.child &&
+        java.util.Arrays.deepEquals(centroids.asInstanceOf[Array[Object]], e.centroids.asInstanceOf[Array[Object]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[Object]])
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"ivf_assign requires ARRAY<FLOAT|DOUBLE>, got $t")
@@ -964,6 +997,17 @@ case class CosineSimExpr(left: Expression, right: Expression)
   */
 case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
     extends UnaryExpression {
+  // case-class equality on an Array param is reference-based — compare
+  // contents so semantically identical instances stay semanticEquals/
+  // CSE/ReuseExchange-compatible (the QueryTfExpr lesson, r8)
+  override def equals(other: Any): Boolean = other match {
+    case e: BloomMightContainExpr =>
+      child == e.child &&
+        java.util.Arrays.equals(filterBytes, e.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType =>
       TypeCheckResult.TypeCheckSuccess
@@ -1011,6 +1055,17 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
 case class KMeansAssignExpr(child: Expression, centroids: Array[Array[Long]])
     extends UnaryExpression {
   require(centroids.nonEmpty, "need at least one centroid")
+  // case-class equality on an Array param is reference-based — compare
+  // contents so semantically identical instances stay semanticEquals/
+  // CSE/ReuseExchange-compatible (the QueryTfExpr lesson, r8)
+  override def equals(other: Any): Boolean = other match {
+    case e: KMeansAssignExpr =>
+      child == e.child &&
+        java.util.Arrays.deepEquals(centroids.asInstanceOf[Array[Object]], e.centroids.asInstanceOf[Array[Object]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[Object]])
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"kmeans_assign requires ARRAY<BIGINT|INT>, got $t")

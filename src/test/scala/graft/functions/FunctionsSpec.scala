@@ -414,6 +414,32 @@ class DedupSpec extends SparkSpec {
     assert(c == Seq((1L, 2L, 1.0)), s"small-inside-big containment lost: $c")
   }
 
+  test("Array-param expressions compare by content (semanticEquals/CSE contract)") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+    val s = BoundReference(0, StringType, nullable = true)
+    val v = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val l = BoundReference(0, ArrayType(LongType), nullable = true)
+    val i = BoundReference(0, LongType, nullable = true)
+    def twice(mk: => Expression): Unit = {
+      val (a, b) = (mk, mk) // identical args, distinct array instances
+      assert(a == b && a.hashCode == b.hashCode && a.semanticEquals(b),
+        s"${a.getClass.getSimpleName} compares by reference")
+    }
+    twice(QueryTfExpr(s, Array(1L, 2L)))
+    twice(OovStatsExpr(s, Array(1L, 2L)))
+    twice(ClassifierScoreExpr(s, Array(1L, 2L, 3L, 4L)))
+    twice(IvfAssignExpr(v, Array(Array(1.0, 0.0), Array(0.0, 1.0))))
+    twice(KMeansAssignExpr(l, Array(Array(1L, 2L), Array(3L, 4L))))
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    bloom.putLong(7L)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+    twice(BloomMightContainExpr(i, bytes.clone()))
+    // and distinct contents must NOT compare equal
+    assert(QueryTfExpr(s, Array(1L, 2L)) != QueryTfExpr(s, Array(1L, 3L)))
+    assert(IvfAssignExpr(v, Array(Array(1.0))) != IvfAssignExpr(v, Array(Array(2.0))))
+  }
+
   test("custom expressions reject wrong-typed input at ANALYSIS time") {
     val df = Seq(Tuple1(1L)).toDF("id")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
