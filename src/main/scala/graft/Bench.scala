@@ -112,6 +112,10 @@ object Bench {
       case Some(o) => Headline.filter(o.contains)
       case None => Headline
     }
+    // a Headline name with no queries entry must be VISIBLE, not
+    // silently skipped — a typo'd or renamed gate would otherwise
+    // vanish from the artifact and read as "nothing regressed"
+    val missing = set.filterNot(queries.contains)
     val wall0 = System.nanoTime()
     val loadStart = loadavg1()
 
@@ -190,9 +194,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(r => math.max(r.median, 0.0)).sum
     val nErr = results.count(_.errs.nonEmpty)
+    val missingField =
+      if (missing.isEmpty) "[]" else missing.map(jstr).mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,""" +
       f""""queries":$qs,"detail":$detail,"n_err":$nErr,""" +
+      f""""missing":$missingField,""" +
       f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
       f""""wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
