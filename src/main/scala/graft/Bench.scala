@@ -45,7 +45,10 @@ object Bench {
     // round-6 (cont.): bigram stupid-backoff LM + n-gram diversity
     "q_bigram_lm", "q_ngram_diversity",
     // round-8: IVF-armed hybrid retrieval (the production vecArm path)
-    "q_hybrid_ann")
+    "q_hybrid_ann",
+    // round-8: BPE tokenizer — train (1 word-count scan + driver merge
+    // loop) and encode (1 codegen'd count-only kernel scan)
+    "q_bpe_train", "q_bpe_encode")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

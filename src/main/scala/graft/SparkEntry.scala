@@ -2329,6 +2329,26 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // BPE tokenizer training (Sennrich word-count formulation): ONE
+    // distributed word-count scan, driver merge loop over the bounded
+    // vocab. Oracle = 16 chained (non-recursive) CTE stages whose
+    // merge application is a plain string replace over two-separator
+    // symbol strings — exactly the greedy scan (see Bpe scaladoc).
+    "q_bpe_train" -> ((s, dir) => {
+      TextFunctions.bpeTrain(tbl(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy("rank")
+    }),
+
+    // Encode under the trained merges: one codegen'd BpeEncodeExpr
+    // count-only scan pass (token strings never materialize).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = TextFunctions.collectMerges(
+        TextFunctions.bpeTrain(docs, "text", numMerges = 16))
+      TextFunctions.bpeTokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // Tokenizer-coverage report: per-doc OOV rate against the induced
     // top-40 vocab — buildVocab composed end-to-end.
     "q_oov" -> ((s, dir) => {
@@ -2532,6 +2552,62 @@ object SparkEntry {
        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')),
        |    ' '), x -> len(x) > 0) AS ws
        |  FROM documents $where)""".stripMargin
+
+  /** BPE training as `k` chained (NON-recursive) CTE stages over the
+    * word-count vocabulary. Each stage: adjacent-pair counts → argmax
+    * (count desc, pair asc — DuckDB's binary collation = the
+    * code-point order `Bpe.cpCompare` uses) → merge application as ONE
+    * plain `replace` over symbol strings where every symbol is wrapped
+    * in two distinct separators `chr(2)…chr(31)`. Two separators, not
+    * one: a single trailing separator lets `ab·b·` suffix-match inside
+    * `[cab, b]` and merge a symbol SUFFIX; the leading separator
+    * anchors matches at symbol boundaries, and adjacent matches then
+    * share no characters, so left-to-right non-overlapping `replace`
+    * IS the greedy merge scan (`a a a → (aa) a`). Separator safety is
+    * by construction: symbols only ever contain `[a-z]`.
+    * All stages MATERIALIZED — without it DuckDB inlines each stage
+    * into its 2-3 consumers and the 16-deep chain blows up
+    * exponentially (measured: unbounded vs 0.2 s).
+    */
+  private def bpeCtes(k: Int): String = {
+    val s1 = "chr(2)"
+    val s2 = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""bpe_words0 AS MATERIALIZED (
+         |  SELECT word, regexp_replace(word, '(.)', $s1 || '\\1' || $s2, 'g') AS sym, cnt FROM (
+         |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+         |    ) GROUP BY 1
+         |  )
+         |)""".stripMargin)
+    (0 until k).foreach { i =>
+      sb.append(",\n").append(
+        s"""bpe_best$i AS MATERIALIZED (
+           |  SELECT a, b, $s1 || a || $s2 || $s1 || b || $s2 AS pat, $s1 || a || b || $s2 AS rep FROM (
+           |    SELECT p[1] AS a, p[2] AS b, sum(cnt) AS c FROM (
+           |      SELECT unnest(list_zip(list_slice(syms, 1, length(syms)-1), list_slice(syms, 2, length(syms)))) AS p, cnt FROM (
+           |        SELECT list_slice(string_split(replace(sym, $s1, ''), $s2), 1,
+           |                          length(sym) - length(replace(sym, $s2, ''))) AS syms, cnt FROM bpe_words$i
+           |      ) WHERE length(syms) >= 2
+           |    ) GROUP BY 1, 2
+           |  ) ORDER BY c DESC, a ASC, b ASC LIMIT 1
+           |),
+           |bpe_words${i + 1} AS MATERIALIZED (
+           |  SELECT word, CASE WHEN pat IS NULL THEN sym ELSE replace(sym, pat, rep) END AS sym, cnt
+           |  FROM bpe_words$i LEFT JOIN bpe_best$i ON TRUE
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** `(rank, a, b)` rows from the `k` argmax stages of [[bpeCtes]]. */
+  private def bpeMergeRows(k: Int): String =
+    (0 until k)
+      .map(i => s"SELECT $i AS r, a, b FROM bpe_best$i")
+      .mkString(" UNION ALL ")
+
+  private val BpeK = 16
 
   /** Word 3-gram shingles + md5-mod-P base hashes (matches
     * HashUtil.shingleHashes with n=3): texts of <= 3 words yield one
@@ -4165,6 +4241,27 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY n_occurrences DESC, h ASC) AS rank,
            |  tok AS term, n_docs, n_occurrences
            |FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40""".stripMargin,
+
+      // k chained merge stages; rank column from the stage index.
+      // Composed by concatenation, NOT an outer stripMargin — the
+      // fragment contains `||` concat operators and a re-strip would
+      // eat the leading pipe of any line starting with one.
+      "q_bpe_train" ->
+        (s"WITH ${bpeCtes(BpeK)} " +
+          s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
+          s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
+
+      // encode = join doc words to the stage-k vocabulary; token count
+      // per word = its remaining chr(31) separator count. LEFT JOIN +
+      // coalesce so a doc with no [a-z]+ word still reports 0 (the
+      // kernel emits a row for every doc).
+      "q_bpe_encode" ->
+        (s"WITH ${bpeCtes(BpeK)}, " +
+          "docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+          s"perdoc AS (SELECT d.doc_id, CAST(sum(length(w.sym) - length(replace(w.sym, chr(31), ''))) AS BIGINT) AS n " +
+          s"FROM docw d JOIN bpe_words$BpeK w USING (word) GROUP BY 1) " +
+          "SELECT documents.doc_id, coalesce(perdoc.n, 0) AS n_bpe_tokens " +
+          "FROM documents LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"),
 
       // vocab = q_vocab's top-40; OOV = tokens outside it
       "q_oov" -> OovOracleSql,

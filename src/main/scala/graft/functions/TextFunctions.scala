@@ -1024,4 +1024,73 @@ object TextFunctions {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)))
   }
+
+  /** Train a BPE merge table over the corpus (Sennrich word-count
+    * formulation — see [[Bpe]] for the exact semantics shared with the
+    * encode kernel and the chained-`replace` SQL oracle). Words are
+    * `tokenPattern` matches over `lower(textCol)`.
+    *
+    * The distributed part is ONE word-count scan; the merge loop runs
+    * on the driver over the `(word, count)` vocabulary, which must fit
+    * by contract: `minCount` is the scale lever (a floor of 2-5 drops
+    * the hapax tail that dominates distinct-word counts at 100 TB) and
+    * `maxWords` fails loud rather than silently truncating — a
+    * truncated vocab would train DIFFERENT merges, not slower ones.
+    *
+    * Returns `(rank bigint, a, b, merged)` ordered by rank; fewer than
+    * `numMerges` rows when the pair supply exhausts first.
+    */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      maxWords: Int = 4 << 20): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val counts = df
+      .select(explode(regexp_extract_all(
+        lower(col(textCol)), lit(tokenPattern), lit(0))).as("_w"))
+      .groupBy("_w")
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .collect()
+    require(counts.length <= maxWords,
+      s"bpeTrain: ${counts.length} distinct words exceed maxWords=$maxWords — " +
+        "raise minCount (preferred) or maxWords; silent truncation would change the merges")
+    val merges = Bpe.train(
+      counts.toIndexedSeq.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    val spark = df.sparkSession
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
+      .toDF("rank", "a", "b", "merged")
+  }
+
+  /** Driver-side `(a, b)` merge list from a [[bpeTrain]] output frame
+    * (or any frame with `rank`, `a`, `b` columns) — the shape
+    * [[BpeEncodeExpr]] ships in the task closure.
+    */
+  def collectMerges(mergesDf: DataFrame): IndexedSeq[(String, String)] =
+    mergesDf.select(col("rank"), col("a"), col("b"))
+      .orderBy(col("rank"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getString(1), r.getString(2)))
+
+  /** Per-document BPE token counts under a trained merge list: one
+    * codegen'd [[BpeEncodeExpr]] scan pass, count-only (no token
+    * strings materialize — the 100 TB shape). Docs whose text has no
+    * `tokenPattern` match report 0.
+    */
+  def bpeTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      tokenPattern: String = "[a-z]+"): DataFrame =
+    df.select(col(idCol),
+      BpeEncodeExpr.count(
+        lower(coalesce(col(textCol), lit(""))), merges, tokenPattern)
+        .as("n_bpe_tokens"))
 }

@@ -90,6 +90,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BpeEncodeExpr stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_bpe_encode")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.filter(_.contains("bpe_encode")).toSeq
+    assert(lines.nonEmpty && lines.forall(_.contains("*(")), p)
+  }
+
   test("MinHashSigExpr stays inside whole-stage codegen") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(org.apache.spark.sql.functions.col("doc_id"),

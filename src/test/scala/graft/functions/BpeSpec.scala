@@ -1,0 +1,141 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training + encode: golden merges (independently verified
+  * against a DuckDB chained-replace run AND a from-scratch Python
+  * reference during oracle design), greedy-overlap semantics,
+  * tie-breaks, early exhaustion, and kernel == chained-replace
+  * equality on randomized words (the exact contract the q_bpe_*
+  * oracles rely on).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val foxDocs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "pack my box with five dozen liquor jugs",
+    "the jugs of liquor belong to the lazy fox")
+
+  // verified cross-engine golden (DuckDB chained-CTE == Python ref)
+  private val foxGolden = Seq(
+    (0L, "t", "h", "th"), (1L, "th", "e", "the"), (2L, "o", "x", "ox"),
+    (3L, "q", "u", "qu"), (4L, "a", "z", "az"), (5L, "az", "y", "azy"),
+    (6L, "c", "k", "ck"), (7L, "d", "o", "do"))
+
+  test("bpeTrain matches the cross-engine golden merges") {
+    val df = foxDocs.toDF("text")
+    val got = TextFunctions.bpeTrain(df, "text", numMerges = 8)
+      .orderBy("rank").as[(Long, String, String, String)].collect().toSeq
+    assert(got == foxGolden)
+  }
+
+  test("greedy left-to-right non-overlap: aaa merges once per pass") {
+    // [a,a,a] -> merge (a,a) -> [aa, a]; next best pair is (aa, a)
+    val m = Bpe.train(Seq(("aaa", 10L)), 3)
+    assert(m == Seq(("a", "a"), ("aa", "a")))
+    assert(Bpe.encodeWord("aaa", m.toIndexedSeq).toSeq == Seq("aaa"))
+    // [a,a,a,a] under merge (a,a) -> [aa, aa], then (aa,aa) -> [aaaa]
+    val m4 = Bpe.train(Seq(("aaaa", 10L)), 2)
+    assert(m4 == Seq(("a", "a"), ("aa", "aa")))
+  }
+
+  test("tie-break is (count desc, a asc, b asc) in code-point order") {
+    // pairs (b,c) and (a,b) both appear once; (a,b) wins the tie
+    val m = Bpe.train(Seq(("abc", 1L)), 1)
+    assert(m == Seq(("a", "b")))
+    // count dominates: (x,y) twice beats (a,b) once
+    val m2 = Bpe.train(Seq(("xy", 2L), ("ab", 1L)), 1)
+    assert(m2 == Seq(("x", "y")))
+  }
+
+  test("pair supply exhaustion stops early with fewer rows") {
+    val m = Bpe.train(Seq(("ab", 5L)), 10)
+    assert(m == Seq(("a", "b"))) // after the merge no adjacent pair remains
+    val df = Seq("ab ab ab").toDF("text")
+    assert(TextFunctions.bpeTrain(df, "text", numMerges = 10).count() == 1L)
+  }
+
+  test("minCount floors the vocab; maxWords fails loud") {
+    val df = Seq("aa aa aa zz").toDF("text")
+    // zz appears once -> dropped by minCount=2; only (a,a) trainable
+    val m = TextFunctions.bpeTrain(df, "text", 5, minCount = 2L)
+      .select("a", "b").as[(String, String)].collect().toSeq
+    assert(m == Seq(("a", "a")))
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.bpeTrain(df, "text", 2, maxWords = 1)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
+  /** Naive chained-replace reference — the oracle's algebra verbatim:
+    * each symbol wrapped in TWO distinct separators, one plain string
+    * replace per merge. Two separators, not one: with only a trailing
+    * separator the pattern `ab·b·` suffix-matches inside `[cab, b]`
+    * and merges a symbol SUFFIX — the leading separator anchors the
+    * match at a symbol boundary, and because adjacent matches share
+    * no characters, left-to-right non-overlapping replace = the
+    * greedy merge scan exactly.
+    */
+  private def chainedReplace(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val s1 = '\u0002'
+    val s2 = '\u001f'
+    var s = word.map(c => s"$s1$c$s2").mkString
+    merges.foreach { case (a, b) =>
+      s = s.replace(s"$s1$a$s2$s1$b$s2", s"$s1$a$b$s2")
+    }
+    s.split(s2).toSeq.map(_.stripPrefix(s1.toString)).filter(_.nonEmpty)
+  }
+
+  test("encodeWord == chained separator-replace on randomized words") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(12))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val corpus = words.mkString(" ")
+    val merges = Bpe.train(
+      words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq, 20)
+    assert(merges.size == 20, "corpus must support 20 merges for this test")
+    words.distinct.foreach { w =>
+      val kernel = Bpe.encodeWord(w, merges).toSeq
+      val ref = chainedReplace(w, merges)
+      assert(kernel == ref, s"word $w: kernel $kernel vs chained-replace $ref")
+      assert(kernel.mkString == w, "token concatenation must reproduce the word")
+    }
+    // and the Column kernel agrees end-to-end (codegen path)
+    val got = Seq(corpus).toDF("text")
+      .select(BpeEncodeExpr.count(col("text"), merges, "[a-z]+").as("n"))
+      .as[Long].head()
+    val want = words.map(w => chainedReplace(w, merges).size.toLong).sum
+    assert(got == want)
+  }
+
+  test("bpeTokenCounts: nulls and no-match text count 0; cache repeats agree") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val df = Seq(
+      (1L, "the the the"), (2L, null.asInstanceOf[String]),
+      (3L, "123 !!!"), (4L, "THE the")).toDF("doc_id", "text")
+    val got = TextFunctions.bpeTokenCounts(df, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // "the" -> [the] = 1 token; doc4 lowercased -> 2 words x 1 token
+    assert(got == Seq((1L, 3L), (2L, 0L), (3L, 0L), (4L, 2L)))
+  }
+
+  test("BpeEncodeExpr.tokens emits the flat in-order token stream") {
+    val merges = Seq(("a", "b"))
+    val got = Seq("ab cab abab").toDF("text")
+      .select(BpeEncodeExpr.tokens(col("text"), merges, "[a-z]+").as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("ab", "c", "ab", "ab", "ab"))
+  }
+
+  test("code-point compare orders like UTF-8 bytes (supplementary plane)") {
+    // U+10000 (surrogate pair, starts 0xD800) vs U+FFFD: UTF-16 code
+    // units would order U+10000 FIRST; code points order it LAST.
+    val lo = "\ufffd"
+    val hi = new String(Character.toChars(0x10000))
+    assert(Bpe.cpCompare(lo, hi) < 0 && lo.compareTo(hi) > 0)
+  }
+}
