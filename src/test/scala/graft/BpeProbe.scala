@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the BPE tokenizer: driver-loop cost on a large
+  * synthetic vocabulary (the gate corpus has 31 distinct words — it
+  * exercises correctness, not scale) and the end-to-end train+encode
+  * passes over a 1M-doc frame.
+  * `sbt "Test/runMain graft.BpeProbe [nWords] [nMerges] [nDocs]"`.
+  */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val nWords = args.lift(0).map(_.toInt).getOrElse(200000)
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(1000)
+    val nDocs = args.lift(2).map(_.toLong).getOrElse(1000000L)
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // deterministic synthetic vocab: 3-12 lowercase chars, Zipf-ish
+    // counts (rank r gets ~N/r) — the shape a minCount-floored 100 TB
+    // vocabulary actually has
+    val rnd = new scala.util.Random(7)
+    val vocab: IndexedSeq[(String, Long)] = (0 until nWords).map { r =>
+      val len = 3 + rnd.nextInt(10)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (w, math.max(1L, (nWords.toLong * 10) / (r + 1)))
+    }.distinct
+
+    println(s"[probe] vocab=${vocab.length} distinct words, merges=$nMerges")
+    val merges = timed(s"Bpe.train driver loop (${vocab.length} words, $nMerges merges)") {
+      functions.Bpe.train(vocab, nMerges)
+    }
+    println(s"[probe] learned ${merges.length} merges")
+
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1M docs of 50 words drawn Zipf-ish from the synthetic vocab
+    val wArr = vocab.map(_._1).toArray
+    val bc = spark.sparkContext.broadcast(wArr)
+    import spark.implicits._
+    val docs = spark.range(nDocs).repartition(32).mapPartitions { it =>
+      val words = bc.value
+      it.map { r =>
+        val id: Long = r
+        var h = id * 0x9e3779b97f4a7c15L
+        val sb = new StringBuilder
+        var i = 0
+        while (i < 50) {
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          // Zipf-ish: square the uniform draw to bias to low ranks
+          val u = ((h >>> 11).toDouble / (1L << 53).toDouble)
+          val idx = math.min(words.length - 1, (u * u * words.length).toInt)
+          if (i > 0) sb.append(' ')
+          sb.append(words(idx))
+          i += 1
+        }
+        (id, sb.toString)
+      }
+    }.toDF("id", "text")
+
+    docs.write.mode("overwrite").parquet("/tmp/bpe_probe_docs")
+    val saved = spark.read.parquet("/tmp/bpe_probe_docs")
+
+    timed(s"bpeTrain end-to-end ($nDocs docs, $nMerges merges)") {
+      functions.TextFunctions.bpeTrain(saved, "text", nMerges).count()
+    }
+    timed(s"bpeTokenCounts encode scan ($nDocs docs, ${merges.length} merges)") {
+      functions.TextFunctions
+        .bpeTokenCounts(saved, "id", "text", merges)
+        .agg(sum("n_bpe_tokens")).head()
+    }
+    spark.stop()
+  }
+}

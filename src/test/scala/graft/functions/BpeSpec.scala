@@ -112,6 +112,68 @@ class BpeSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** From-scratch reference trainer: recount ALL pairs every
+    * iteration (the oracle's algebra) — guards the incremental
+    * pair-stat + lazy-deletion-heap machinery in Bpe.train.
+    */
+  private def naiveTrain(wc: Seq[(String, Long)], k: Int): Seq[(String, String)] = {
+    var vocab = wc.filter(_._1.nonEmpty).map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, c) =>
+        s.sliding(2).filter(_.length == 2).foreach(p =>
+          pc.updateWith((p(0), p(1)))(cur => Some(cur.getOrElse(0L) + c)))
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.keys.minBy(identity)(Ordering.fromLessThan[(String, String)] { (x, y) =>
+          val cx = pc(x); val cy = pc(y)
+          if (cx != cy) cx > cy
+          else {
+            val d = Bpe.cpCompare(x._1, y._1)
+            d < 0 || (d == 0 && Bpe.cpCompare(x._2, y._2) < 0)
+          }
+        })
+        out += best
+        vocab = vocab.map { case (s, c) => (Bpe.applyMerge(s, best._1, best._2), c) }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("incremental heap trainer == from-scratch recount trainer (randomized)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = if (seed % 2 == 0) "ab" else "abc" // tiny alphabets stress re-formed tokens
+      val words = (1 to 120).map(_ =>
+        (1 to (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val wc = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong * (1 + rnd.nextInt(5))) }.toSeq
+      val fast = Bpe.train(wc, 30)
+      val slow = naiveTrain(wc, 30)
+      assert(fast == slow, s"seed $seed: heap trainer diverged from recount trainer")
+    }
+  }
+
+  test("MergeIndex.encode == reference encodeWord == chained-replace (binary alphabet)") {
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 400).map(_ =>
+      (1 to (1 + rnd.nextInt(14))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    val wc = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val merges = Bpe.train(wc, 40)
+    val idx = new Bpe.MergeIndex(merges)
+    words.distinct.foreach { w =>
+      val viaIndex = idx.encode(w).toSeq
+      val viaScan = Bpe.encodeWord(w, merges).toSeq
+      val viaReplace = chainedReplace(w, merges)
+      assert(viaIndex == viaScan, s"$w: index $viaIndex vs scan $viaScan")
+      assert(viaScan == viaReplace, s"$w: scan $viaScan vs replace $viaReplace")
+    }
+  }
+
   test("bpeTokenCounts: nulls and no-match text count 0; cache repeats agree") {
     val merges = Seq(("t", "h"), ("th", "e"))
     val df = Seq(
