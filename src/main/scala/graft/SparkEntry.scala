@@ -1952,6 +1952,19 @@ object SparkEntry {
       }.orderBy("doc_id")
     }),
 
+    // Streaming BPE token-budget screen: merges batch-trained (the
+    // merge table is exactly what a cluster job would broadcast),
+    // counting is the one-pass BpeEncodeExpr kernel — a stateless
+    // projection, so the streamed counts over the same rows ARE the
+    // batch q_bpe_encode result and share its oracle.
+    "q_stream_bpe" -> ((s, dir) => {
+      val merges = TextFunctions.collectMerges(
+        TextFunctions.bpeTrain(tbl(s, dir, "documents"), "text", numMerges = 16))
+      runStreamGate(s, dir, "documents", DocumentsStreamSchema, "bpe", "append") { st =>
+        TextFunctions.bpeTokenCounts(st, "doc_id", "text", merges)
+      }.orderBy("doc_id")
+    }),
+
     // Streaming quality-classifier screen: weights batch-trained then
     // collected driver-side (512 KiB — exactly what a cluster job
     // would broadcast), scoring is the one-pass ClassifierScoreExpr
@@ -2608,6 +2621,18 @@ object SparkEntry {
       .mkString(" UNION ALL ")
 
   private val BpeK = 16
+
+  /** Shared by q_bpe_encode and its stateless streaming twin
+    * q_stream_bpe (composed by concatenation, not an outer
+    * stripMargin — the fragment contains `||` operators).
+    */
+  private lazy val BpeEncodeOracleSql: String =
+    s"WITH ${bpeCtes(BpeK)}, " +
+      "docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+      s"perdoc AS (SELECT d.doc_id, CAST(sum(length(w.sym) - length(replace(w.sym, chr(31), ''))) AS BIGINT) AS n " +
+      s"FROM docw d JOIN bpe_words$BpeK w USING (word) GROUP BY 1) " +
+      "SELECT documents.doc_id, coalesce(perdoc.n, 0) AS n_bpe_tokens " +
+      "FROM documents LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"
 
   /** Word 3-gram shingles + md5-mod-P base hashes (matches
     * HashUtil.shingleHashes with n=3): texts of <= 3 words yield one
@@ -4255,13 +4280,10 @@ object SparkEntry {
       // per word = its remaining chr(31) separator count. LEFT JOIN +
       // coalesce so a doc with no [a-z]+ word still reports 0 (the
       // kernel emits a row for every doc).
-      "q_bpe_encode" ->
-        (s"WITH ${bpeCtes(BpeK)}, " +
-          "docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
-          s"perdoc AS (SELECT d.doc_id, CAST(sum(length(w.sym) - length(replace(w.sym, chr(31), ''))) AS BIGINT) AS n " +
-          s"FROM docw d JOIN bpe_words$BpeK w USING (word) GROUP BY 1) " +
-          "SELECT documents.doc_id, coalesce(perdoc.n, 0) AS n_bpe_tokens " +
-          "FROM documents LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"),
+      "q_bpe_encode" -> BpeEncodeOracleSql,
+
+      // stateless projection: the streamed rows ARE the batch rows
+      "q_stream_bpe" -> BpeEncodeOracleSql,
 
       // vocab = q_vocab's top-40; OOV = tokens outside it
       "q_oov" -> OovOracleSql,
