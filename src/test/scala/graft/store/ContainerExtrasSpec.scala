@@ -20,6 +20,31 @@ class ContainerExtrasSpec extends SparkSpec {
     new Container(spark, "extras", df)
   }
 
+  test("drop deletes the persisted path and empties state; schema survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drop").toString
+    val path = s"$dir/tbl"
+    val df = Seq((1L, 100.0, "a")).toDF("_oid", "_start", "tag")
+      .withColumn(Meta.END, lit(null).cast(DoubleType))
+    val cc = new Container(spark, "droptest", df, Some(path)).save()
+    assert(new java.io.File(path).exists())
+    assert(Container.load(spark, "droptest", path).count() == 1L)
+    cc.drop()
+    assert(!new java.io.File(path).exists(), "drop must delete the path")
+    assert(cc.count() == 0L, "state must be empty after drop")
+    // schema preserved: inserts after drop still line up
+    assert(cc.df.schema.fieldNames.contains("tag"))
+    // idempotent: dropping an already-dropped container is a no-op
+    cc.drop()
+    assert(!new java.io.File(path).exists())
+  }
+
+  test("ls lists catalog tables (reference: cube listing)") {
+    c.df.createOrReplaceTempView("extras_ls_probe")
+    assert(c.ls().contains("extras_ls_probe"))
+    spark.catalog.dropTempView("extras_ls_probe")
+    assert(!c.ls().contains("extras_ls_probe"))
+  }
+
   test("findOne returns a row map; scalar a value") {
     val one = c.findOne("tag == 'b'")
     assert(one.exists(_("n") == 20L))
