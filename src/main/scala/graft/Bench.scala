@@ -48,7 +48,9 @@ object Bench {
     "q_hybrid_ann",
     // round-8: BPE tokenizer — train (1 word-count scan + driver merge
     // loop) and encode (1 codegen'd count-only kernel scan)
-    "q_bpe_train", "q_bpe_encode")
+    "q_bpe_train", "q_bpe_encode",
+    // round-8: link-graph centrality (8 co-partitioned join rounds)
+    "q_pagerank")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

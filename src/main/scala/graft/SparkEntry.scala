@@ -1310,6 +1310,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Link-graph centrality: fixed-iteration integer-nano PageRank
+    // over the supplier<->customer transaction graph (customer keys
+    // offset by 1e6 so the two id spaces can't collide). Both
+    // truncating integer divisions (contrib r div deg, damping
+    // div 1000) are on non-negative BIGINTs, where Spark `div` ==
+    // DuckDB `//` — the oracle replays all 8 rounds bit-for-bit.
+    "q_pagerank" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey").cast("long") + lit(1000000L)).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.functions.Graphs.pageRank(edges, "src", "dst", iterations = 8)
+        .orderBy("node")
+    }),
+
     // IncrementalStore lifecycle IN the gate: flush the first event per
     // user as the initial snapshot, flush the last event (rotating
     // changed users into append-only history), compact history, read
@@ -2633,6 +2651,40 @@ object SparkEntry {
       s"FROM docw d JOIN bpe_words$BpeK w USING (word) GROUP BY 1) " +
       "SELECT documents.doc_id, coalesce(perdoc.n, 0) AS n_bpe_tokens " +
       "FROM documents LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"
+
+  /** PageRank as `k` chained MATERIALIZED CTE stages (same
+    * non-recursive-iteration trick as [[bpeCtes]]). Integer nano-unit
+    * arithmetic throughout; `//` is DuckDB's truncating-for-positives
+    * integer division = Spark's `div` on the same non-negative
+    * BIGINTs. Damping fixed at 850/1000 (base 150,000,000) to match
+    * `Graphs.pageRank`'s default.
+    */
+  private def pageRankCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """pr_fwd AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |),
+        |pr_edges AS MATERIALIZED (
+        |  SELECT src, dst FROM pr_fwd UNION SELECT dst AS src, src AS dst FROM pr_fwd
+        |),
+        |pr_deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1),
+        |pr_nodes AS MATERIALIZED (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
+        |pr_r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM pr_nodes)""".stripMargin)
+    (0 until k).foreach { i =>
+      sb.append(",\n").append(
+        s"""pr_r${i + 1} AS MATERIALIZED (
+           |  SELECT n.node, CAST(150000000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           |  FROM pr_nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r.r // d.deg) AS c
+           |    FROM pr_edges e JOIN pr_r$i r ON e.src = r.node JOIN pr_deg d ON e.src = d.src
+           |    GROUP BY 1
+           |  ) s ON n.node = s.node
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** Word 3-gram shingles + md5-mod-P base hashes (matches
     * HashUtil.shingleHashes with n=3): texts of <= 3 words yield one
@@ -4266,6 +4318,11 @@ object SparkEntry {
            |SELECT row_number() OVER (ORDER BY n_occurrences DESC, h ASC) AS rank,
            |  tok AS term, n_docs, n_occurrences
            |FROM ag ORDER BY n_occurrences DESC, h ASC LIMIT 40""".stripMargin,
+
+      // 8 chained damped-walk stages; see pageRankCtes
+      "q_pagerank" ->
+        (s"WITH ${pageRankCtes(8)} " +
+          "SELECT node, r AS rank_nano FROM pr_r8 ORDER BY node"),
 
       // k chained merge stages; rank column from the stage index.
       // Composed by concatenation, NOT an outer stripMargin — the

@@ -60,4 +60,14 @@ private[graft] object Pins {
     val pins = registry.remove(df.queryExecution.logical)
     if (pins != null) release(df, pins)
   }
+
+  /** Pin ids registered for `df` (test hook: lets a spec assert on
+    * exactly the ids an operator created, immune to pins other
+    * concurrently-running suites add — a global persistent-RDD
+    * set-diff races under parallel test execution).
+    */
+  private[graft] def registered(df: DataFrame): Set[Int] = {
+    val pins = registry.get(df.queryExecution.logical)
+    if (pins == null) Set.empty else pins
+  }
 }
