@@ -40,11 +40,12 @@ object Graphs {
     * pre-partitioned ON THE JOIN KEY `src` and pinned, so each of the
     * `iterations` rounds is one co-partitioned join (ranks shuffle 16
     * bytes/row onto the same hash partitioning every round — AQE
-    * reuses it) + one `dst` aggregation; ranks pin per round through
-    * [[graft.functions]]' checkpoint-or-localCheckpoint pattern (same
-    * as `Dedup.connectedComponents`) so lineage stays O(1) deep, and
-    * the previous round unpersists. No driver-side state beyond the
-    * loop counter.
+    * reuses it) + one `dst` aggregation; ranks pin every `pinEvery`
+    * rounds through the shared [[Pins]] tracker (eager checkpoint —
+    * reliable when a checkpoint dir is set) so lineage stays bounded
+    * while the walk is not serialized on a materialization barrier
+    * per round, and the previously pinned round releases. No
+    * driver-side state beyond the loop counter.
     *
     * @return `(node bigint, rank_nano bigint)` — one row per distinct
     *         endpoint of `edges`.
@@ -54,10 +55,12 @@ object Graphs {
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      dampingPerMille: Int = 850): DataFrame = {
+      dampingPerMille: Int = 850,
+      pinEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
+    require(pinEvery >= 1, "pinEvery must be >= 1")
 
     val (e, ePins) = Pins.pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -77,23 +80,41 @@ object Graphs {
         "use a coarser unit (micro) variant for graphs beyond ~10M nodes")
 
     val base = lit((1000L - dampingPerMille) * 1000000L)
-    var (ranks, rankPins) = Pins.pin(nodes.withColumn("r", lit(1000000000L)))
+    // rounds chain lazily between pins; every `pinEvery`-th (plus the
+    // final) round pins eagerly. Default 1 — A/B'd at the gate graph
+    // (8 rounds, sf0.1, 5-10 run sets): per-round pins floor at
+    // 4.4-5.3 s; pinEvery=3 and pinEvery=8 both sit ~7 s (the deeper
+    // multi-join AQE plans lose more than the saved barriers gain).
+    // The residual cost is scheduler/bookkeeping per round — an
+    // iterative distributed walk's floor, not data volume (the same
+    // 8 rounds dominate at any graph size that actually needs Spark).
+    var ranks = nodes.withColumn("r", lit(1000000000L))
+    var rankPins = Set.empty[Int]
     var i = 0
     while (i < iterations) {
+      // one join + ONE aggregation per round: instead of aggregating
+      // contributions and left-joining the node set back (a second
+      // join), every node contributes a zero row to the same agg — the
+      // integer sum is unchanged and no-in-edge nodes still surface
       val contrib = eDeg
         .join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
+      val next = contrib
+        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
         .groupBy("node")
         .agg(sum(col("c")).as("c"))
-      val (next, nextPins) = Pins.pin(nodes
-        .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (base + expr(s"($dampingPerMille * coalesce(c, 0L)) div 1000"))
-            .cast("long").as("r")))
-      Pins.release(ranks, rankPins)
-      ranks = next
-      rankPins = nextPins
+          (base + expr(s"($dampingPerMille * c) div 1000"))
+            .cast("long").as("r"))
       i += 1
+      if (i % pinEvery == 0 || i == iterations) {
+        val (pinned, nextPins) = Pins.pin(next)
+        Pins.release(ranks, rankPins)
+        ranks = pinned
+        rankPins = nextPins
+      } else {
+        ranks = next
+      }
     }
     // every pin is EAGER, so the final ranks no longer read the graph
     // pins — release them here rather than leaking session-lifetime
