@@ -2370,6 +2370,14 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Tokenizer vocabulary export: base code-point tokens in
+    // code-point order, then surviving merged tokens (first formation
+    // wins) densely id'd in rank order.
+    "q_bpe_vocab" -> ((s, dir) => {
+      TextFunctions.bpeVocab(tbl(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy("token_id")
+    }),
+
     // Encode under the trained merges: one codegen'd BpeEncodeExpr
     // count-only scan pass (token strings never materialize).
     "q_bpe_encode" -> ((s, dir) => {
@@ -4332,6 +4340,19 @@ object SparkEntry {
         (s"WITH ${bpeCtes(BpeK)} " +
           s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
           s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
+
+      // vocab export: base chars of the stage-0 vocabulary (strip the
+      // chr(2) prefix separators, split on chr(31)) ordered by binary
+      // collation (= code-point order), then merged tokens deduped
+      // keep-first-rank and NOT IN base, ids dense after the base block
+      "q_bpe_vocab" ->
+        (s"WITH ${bpeCtes(BpeK)}, " +
+          "bpe_base AS (SELECT DISTINCT c AS token FROM (SELECT unnest(string_split(replace(sym, chr(2), ''), chr(31))) AS c FROM bpe_words0) WHERE c <> ''), " +
+          "bpe_bn AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token, 'base' AS kind FROM bpe_base), " +
+          s"bpe_m AS (SELECT r, a || b AS token FROM (${bpeMergeRows(BpeK)})), " +
+          "bpe_mf AS (SELECT token, min(r) AS r0 FROM bpe_m WHERE token NOT IN (SELECT token FROM bpe_base) GROUP BY token), " +
+          "bpe_mn AS (SELECT CAST((SELECT count(*) FROM bpe_base) + row_number() OVER (ORDER BY r0) - 1 AS BIGINT) AS token_id, token, 'merged' AS kind FROM bpe_mf) " +
+          "SELECT token_id, token, kind FROM bpe_bn UNION ALL SELECT token_id, token, kind FROM bpe_mn ORDER BY token_id"),
 
       // encode = join doc words to the stage-k vocabulary; token count
       // per word = its remaining chr(31) separator count. LEFT JOIN +

@@ -1067,6 +1067,53 @@ object TextFunctions {
       .toDF("rank", "a", "b", "merged")
   }
 
+  /** Tokenizer vocabulary export for a [[bpeTrain]] run: base tokens
+    * (every single code-point symbol occurring in the minCount-floored
+    * word vocabulary, id'd in code-point order) followed by the
+    * surviving merged tokens (first formation wins when two merge
+    * paths produce the same string — HF-style string-keyed vocab),
+    * id'd densely in merge-rank order after the base block.
+    *
+    * Returns `(token_id bigint, token string, kind 'base'|'merged')`.
+    */
+  def bpeVocab(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      maxWords: Int = 4 << 20): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val counts = df
+      .select(explode(regexp_extract_all(
+        lower(col(textCol)), lit(tokenPattern), lit(0))).as("_w"))
+      .groupBy("_w")
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .collect()
+    require(counts.length <= maxWords,
+      s"bpeVocab: ${counts.length} distinct words exceed maxWords=$maxWords — " +
+        "raise minCount (preferred) or maxWords")
+    val wc = counts.toIndexedSeq.map(r => (r.getString(0), r.getLong(1)))
+    val merges = Bpe.train(wc, numMerges)
+    val base = wc.iterator.flatMap(w => Bpe.codePointSymbols(w._1))
+      .toSet.toIndexedSeq
+      .sortWith((a, b) => Bpe.cpCompare(a, b) < 0)
+    val baseSet = base.toSet
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    merges.foreach { case (a, b) =>
+      val t = a + b
+      if (!baseSet.contains(t)) seen += t // first formation wins
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    (base.zipWithIndex.map { case (t, i) => (i.toLong, t, "base") } ++
+      seen.iterator.zipWithIndex.map { case (t, i) =>
+        ((base.length + i).toLong, t, "merged")
+      })
+      .toDF("token_id", "token", "kind")
+  }
+
   /** Driver-side `(a, b)` merge list from a [[bpeTrain]] output frame
     * (or any frame with `rank`, `a`, `b` columns) — the shape
     * [[BpeEncodeExpr]] ships in the task closure.

@@ -193,6 +193,24 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("ab", "c", "ab", "ab", "ab"))
   }
 
+  test("bpeVocab: base block in code-point order, merged block dense by rank") {
+    val df = foxDocs.toDF("text")
+    val v = TextFunctions.bpeVocab(df, "text", numMerges = 8)
+      .orderBy("token_id")
+      .as[(Long, String, String)].collect().toSeq
+    val (base, merged) = v.partition(_._3 == "base")
+    // ids: 0..B-1 base then B.. merged, no gaps
+    assert(v.map(_._1) == v.indices.map(_.toLong))
+    assert(base.map(_._2) == base.map(_._2).sorted) // ascii => plain sort ok
+    assert(merged.map(_._2) == foxGolden.map(_._4), "merged block follows rank order")
+    // minCount floor shrinks the base alphabet too (symbols come from
+    // the floored vocab, not the raw corpus)
+    val v2 = TextFunctions.bpeVocab(
+      Seq("aa aa aa zq").toDF("text"), "text", 2, minCount = 2L)
+      .as[(Long, String, String)].collect().toSeq
+    assert(v2 == Seq((0L, "a", "base"), (1L, "aa", "merged")))
+  }
+
   test("code-point compare orders like UTF-8 bytes (supplementary plane)") {
     // U+10000 (surrogate pair, starts 0xD800) vs U+FFFD: UTF-16 code
     // units would order U+10000 FIRST; code points order it LAST.
