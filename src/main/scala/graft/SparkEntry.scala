@@ -2378,6 +2378,28 @@ object SparkEntry {
         .orderBy("token_id")
     }),
 
+    // Token-ID encoding: the tokens kernel output joined to the
+    // bpeVocab id table (a broadcast — the vocab is driver-bounded by
+    // construction). Scalarized per doc (count + id sum) because the
+    // driver comparator cannot hash raw array columns; every token an
+    // encode emits is in the vocab by string identity (multi-char
+    // symbols ARE merged-token strings, base chars come from the same
+    // floored vocab), so the left join only goes null for empty docs.
+    "q_bpe_ids" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = TextFunctions.collectMerges(
+        TextFunctions.bpeTrain(docs, "text", numMerges = 16))
+      val vocab = TextFunctions.bpeVocab(docs, "text", numMerges = 16)
+      val toks = docs.select(col("doc_id"),
+        explode_outer(graft.functions.BpeEncodeExpr.tokens(
+          lower(coalesce(col("text"), lit(""))), merges, "[a-z]+")).as("token"))
+      toks.join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("token_id")).as("n_tokens"),
+          coalesce(sum(col("token_id")), lit(0L)).as("sum_token_id"))
+        .orderBy("doc_id")
+    }),
+
     // Encode under the trained merges: one codegen'd BpeEncodeExpr
     // count-only scan pass (token strings never materialize).
     "q_bpe_encode" -> ((s, dir) => {
@@ -2647,6 +2669,20 @@ object SparkEntry {
       .mkString(" UNION ALL ")
 
   private val BpeK = 16
+
+  /** Vocabulary CTEs over [[bpeCtes]]' stages: base chars of the
+    * stage-0 vocabulary (strip the chr(2) prefix separators, split on
+    * chr(31)) ordered by binary collation (= code-point order), then
+    * merged tokens deduped keep-first-rank and NOT IN base, ids dense
+    * after the base block. Shared by q_bpe_vocab and q_bpe_ids.
+    */
+  private lazy val BpeVocabCtes: String =
+    "bpe_base AS (SELECT DISTINCT c AS token FROM (SELECT unnest(string_split(replace(sym, chr(2), ''), chr(31))) AS c FROM bpe_words0) WHERE c <> ''), " +
+      "bpe_bn AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token, 'base' AS kind FROM bpe_base), " +
+      s"bpe_m AS (SELECT r, a || b AS token FROM (${bpeMergeRows(BpeK)})), " +
+      "bpe_mf AS (SELECT token, min(r) AS r0 FROM bpe_m WHERE token NOT IN (SELECT token FROM bpe_base) GROUP BY token), " +
+      "bpe_mn AS (SELECT CAST((SELECT count(*) FROM bpe_base) + row_number() OVER (ORDER BY r0) - 1 AS BIGINT) AS token_id, token, 'merged' AS kind FROM bpe_mf), " +
+      "bpe_voc AS (SELECT token_id, token, kind FROM bpe_bn UNION ALL SELECT token_id, token, kind FROM bpe_mn)"
 
   /** Shared by q_bpe_encode and its stateless streaming twin
     * q_stream_bpe (composed by concatenation, not an outer
@@ -4341,18 +4377,23 @@ object SparkEntry {
           s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
           s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
 
-      // vocab export: base chars of the stage-0 vocabulary (strip the
-      // chr(2) prefix separators, split on chr(31)) ordered by binary
-      // collation (= code-point order), then merged tokens deduped
-      // keep-first-rank and NOT IN base, ids dense after the base block
+      // see BpeVocabCtes
       "q_bpe_vocab" ->
-        (s"WITH ${bpeCtes(BpeK)}, " +
-          "bpe_base AS (SELECT DISTINCT c AS token FROM (SELECT unnest(string_split(replace(sym, chr(2), ''), chr(31))) AS c FROM bpe_words0) WHERE c <> ''), " +
-          "bpe_bn AS (SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id, token, 'base' AS kind FROM bpe_base), " +
-          s"bpe_m AS (SELECT r, a || b AS token FROM (${bpeMergeRows(BpeK)})), " +
-          "bpe_mf AS (SELECT token, min(r) AS r0 FROM bpe_m WHERE token NOT IN (SELECT token FROM bpe_base) GROUP BY token), " +
-          "bpe_mn AS (SELECT CAST((SELECT count(*) FROM bpe_base) + row_number() OVER (ORDER BY r0) - 1 AS BIGINT) AS token_id, token, 'merged' AS kind FROM bpe_mf) " +
-          "SELECT token_id, token, kind FROM bpe_bn UNION ALL SELECT token_id, token, kind FROM bpe_mn ORDER BY token_id"),
+        (s"WITH ${bpeCtes(BpeK)}, $BpeVocabCtes " +
+          "SELECT token_id, token, kind FROM bpe_voc ORDER BY token_id"),
+
+      // token-id encoding: stage-k symbol lists per distinct word,
+      // exploded to tokens, id'd via the vocab, aggregated per doc;
+      // LEFT JOIN from documents keeps wordless docs at (0, 0)
+      "q_bpe_ids" ->
+        (s"WITH ${bpeCtes(BpeK)}, $BpeVocabCtes, " +
+          "bpe_docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+          "bpe_wtok AS (SELECT word, unnest(list_filter(string_split(replace(sym, chr(2), ''), chr(31)), x -> x <> '')) AS token " +
+          s"FROM bpe_words$BpeK), " +
+          "bpe_j AS (SELECT d.doc_id, v.token_id FROM bpe_docw d JOIN bpe_wtok w USING (word) JOIN bpe_voc v USING (token)), " +
+          "bpe_per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(token_id) AS BIGINT) AS s FROM bpe_j GROUP BY 1) " +
+          "SELECT documents.doc_id, coalesce(bpe_per.n, 0) AS n_tokens, coalesce(bpe_per.s, 0) AS sum_token_id " +
+          "FROM documents LEFT JOIN bpe_per USING (doc_id) ORDER BY doc_id"),
 
       // encode = join doc words to the stage-k vocabulary; token count
       // per word = its remaining chr(31) separator count. LEFT JOIN +

@@ -211,6 +211,27 @@ class BpeSpec extends SparkSpec {
     assert(v2 == Seq((0L, "a", "base"), (1L, "aa", "merged")))
   }
 
+  test("tokens kernel + vocab join: every emitted token has a vocab id") {
+    // multi-char symbols ARE merged-token strings and base chars come
+    // from the same floored vocab — the id lookup can only miss on
+    // text outside the training corpus
+    val df = foxDocs.toDF("text")
+    val merges = TextFunctions.collectMerges(
+      TextFunctions.bpeTrain(df, "text", 8))
+    val vocab = TextFunctions.bpeVocab(df, "text", 8)
+      .select("token", "token_id")
+    val toks = df.select(
+      explode(BpeEncodeExpr.tokens(lower(col("text")), merges, "[a-z]+")).as("token"))
+    val missing = toks.join(vocab, Seq("token"), "left_anti").count()
+    assert(missing == 0L, s"$missing emitted tokens lack a vocab id")
+    // and the token count via ids equals the count-only kernel
+    val viaJoin = toks.count()
+    val viaKernel = df.select(
+      BpeEncodeExpr.count(lower(col("text")), merges, "[a-z]+").as("n"))
+      .agg(sum("n")).as[Long].head()
+    assert(viaJoin == viaKernel)
+  }
+
   test("code-point compare orders like UTF-8 bytes (supplementary plane)") {
     // U+10000 (surrogate pair, starts 0xD800) vs U+FFFD: UTF-16 code
     // units would order U+10000 FIRST; code points order it LAST.
