@@ -1312,19 +1312,26 @@ object SparkEntry {
 
     // Link-graph centrality: fixed-iteration integer-nano PageRank
     // over the supplier<->customer transaction graph (customer keys
-    // offset by 1e6 so the two id spaces can't collide). Both
+    // offset by 1e12 — far above any TPC-H key at any SF, so the two
+    // id spaces can't collide; a 1e6 offset would alias suppliers and
+    // customers at SF>=100 where s_suppkey reaches 1M). Both
     // truncating integer divisions (contrib r div deg, damping
     // div 1000) are on non-negative BIGINTs, where Spark `div` ==
     // DuckDB `//` — the oracle replays all 8 rounds bit-for-bit.
     "q_pagerank" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(col("l_suppkey").cast("long").as("src"),
-          (col("o_custkey").cast("long") + lit(1000000L)).as("dst"))
-      val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      graft.functions.Graphs.pageRank(edges, "src", "dst", iterations = 8)
+      graft.functions.Graphs.pageRank(
+          pageRankEdges(s, dir), "src", "dst", iterations = 8)
+        .orderBy("node")
+    }),
+
+    // Same walk forced onto the micro unit (the scale path auto-select
+    // takes past ~10.6M node·damping/1e3): base 150_000 / r0 1e6, the
+    // final rank rescaled x1000 back to nano — the oracle replays the
+    // micro arithmetic and rescales identically, so this gate pins the
+    // coarse-unit engine bit-for-bit, not just approximately.
+    "q_pagerank_micro" -> ((s, dir) => {
+      graft.functions.Graphs.pageRank(
+          pageRankEdges(s, dir), "src", "dst", iterations = 8, unit = "micro")
         .orderBy("node")
     }),
 
@@ -2696,18 +2703,36 @@ object SparkEntry {
       "SELECT documents.doc_id, coalesce(perdoc.n, 0) AS n_bpe_tokens " +
       "FROM documents LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"
 
+  /** Shared supplier<->customer transaction graph for the PageRank
+    * gates (customer ids offset by 1e12 — above every TPC-H key space
+    * at any SF).
+    */
+  private def pageRankEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("src"),
+        (col("o_custkey").cast("long") + lit(1000000000000L)).as("dst"))
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** PageRank as `k` chained MATERIALIZED CTE stages (same
-    * non-recursive-iteration trick as [[bpeCtes]]). Integer nano-unit
-    * arithmetic throughout; `//` is DuckDB's truncating-for-positives
-    * integer division = Spark's `div` on the same non-negative
-    * BIGINTs. Damping fixed at 850/1000 (base 150,000,000) to match
+    * non-recursive-iteration trick as [[bpeCtes]]). Integer fixed-point
+    * arithmetic in a unit of 10^`digits` per 1.0 (9 = nano, 6 = micro —
+    * mirrors `Graphs.pageRank`'s unit ladder, final rank rescaled back
+    * to nano exactly as the engine does); `//` is DuckDB's
+    * truncating-for-positives integer division = Spark's `div` on the
+    * same non-negative BIGINTs. Damping fixed at 850/1000 to match
     * `Graphs.pageRank`'s default.
     */
-  private def pageRankCtes(k: Int): String = {
+  private def pageRankCtes(k: Int, digits: Int = 9): String = {
+    val u = math.pow(10, digits).toLong
+    val base = 150L * (u / 1000L)
     val sb = new StringBuilder
     sb.append(
-      """pr_fwd AS MATERIALIZED (
-        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      s"""pr_fwd AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey + 1000000000000 AS BIGINT) AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |),
         |pr_edges AS MATERIALIZED (
@@ -2715,11 +2740,11 @@ object SparkEntry {
         |),
         |pr_deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1),
         |pr_nodes AS MATERIALIZED (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
-        |pr_r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM pr_nodes)""".stripMargin)
+        |pr_r0 AS MATERIALIZED (SELECT node, CAST($u AS BIGINT) AS r FROM pr_nodes)""".stripMargin)
     (0 until k).foreach { i =>
       sb.append(",\n").append(
         s"""pr_r${i + 1} AS MATERIALIZED (
-           |  SELECT n.node, CAST(150000000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           |  SELECT n.node, CAST($base + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
            |  FROM pr_nodes n LEFT JOIN (
            |    SELECT e.dst AS node, SUM(r.r // d.deg) AS c
            |    FROM pr_edges e JOIN pr_r$i r ON e.src = r.node JOIN pr_deg d ON e.src = d.src
@@ -4367,6 +4392,11 @@ object SparkEntry {
       "q_pagerank" ->
         (s"WITH ${pageRankCtes(8)} " +
           "SELECT node, r AS rank_nano FROM pr_r8 ORDER BY node"),
+
+      // the same walk in micro units, rescaled x1000 to nano at the end
+      "q_pagerank_micro" ->
+        (s"WITH ${pageRankCtes(8, digits = 6)} " +
+          "SELECT node, CAST(r * 1000 AS BIGINT) AS rank_nano FROM pr_r8 ORDER BY node"),
 
       // k chained merge stages; rank column from the stage index.
       // Composed by concatenation, NOT an outer stripMargin — the

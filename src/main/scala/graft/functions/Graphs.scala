@@ -15,13 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Fixed-iteration PageRank in integer nano-units — bit-identical
-    * across engines, so the gate oracle replays it exactly.
+  /** Unit ladder for [[pageRank]]'s fixed-point arithmetic: the rank
+    * unit is `10^digits` per 1.0 of walk mass. Two overflow bounds
+    * govern, both derived from `Σ r ≤ nNodes · 10^digits` (total mass
+    * never grows — see the pageRank scaladoc):
     *
-    * Formulation: the classic non-normalized damped walk,
-    * `r₀ = 1e9` (1.0 nano-scaled) for every node and
+    *  - the damping multiply `d · Σr < 2^63` holds while
+    *    `nNodes · d < 9e18 / 10^digits` (9e18 keeps a ~2% margin under
+    *    Long.MaxValue ≈ 9.223e18 — the old `1e10` nano guard admitted
+    *    an ~8% window where near-total mass concentration could wrap
+    *    the multiply in non-ANSI mode);
+    *  - the nano-rescaled OUTPUT `r · 10^(9-digits) ≤ nNodes · 1e9`
+    *    must stay under 2^63 — a unit-INDEPENDENT `nNodes < 9e9` cap,
+    *    which is why the ladder stops at micro: micro's damping bound
+    *    (9e12 node·damping ≥ 9e9 nodes at d ≤ 1000) already covers
+    *    every graph that can emit `rank_nano` safely, and a coarser
+    *    unit could never lift the output cap.
+    */
+  private val Units: Seq[(String, Int)] =
+    Seq(("nano", 9), ("micro", 6))
+
+  /** Largest safe `nNodes * dampingPerMille` for the damping multiply
+    * at a unit of `10^digits`.
+    */
+  private def unitBound(digits: Int): Long =
+    9000000000000000000L / math.pow(10, digits).toLong
+
+  /** Unit-independent node cap from the nano-rescaled output bound. */
+  private val MaxNodes: Long = 9000000000L
+
+  /** Fixed-iteration PageRank in integer fixed-point units —
+    * bit-identical across engines, so the gate oracle replays it
+    * exactly.
     *
-    * {{{ rᵢ₊₁(v) = (1000 - d)·1e6  +  (d · Σ_{(u,v)∈E} rᵢ(u) div deg(u)) div 1000 }}}
+    * Formulation: the classic non-normalized damped walk in a unit of
+    * `U = 10^digits` per 1.0 — `r₀ = U` for every node and
+    *
+    * {{{ rᵢ₊₁(v) = (1000 - d)·(U div 1000)  +  (d · Σ_{(u,v)∈E} rᵢ(u) div deg(u)) div 1000 }}}
     *
     * with `d = dampingPerMille` (default 850 = 0.85). Every term is a
     * non-negative BIGINT and both divisions are truncating integer
@@ -29,12 +59,22 @@ object Graphs {
     * operands (truncation == floor there), which is what makes the
     * chained-CTE oracle exact. Dangling nodes (no out-edges) simply
     * leak their mass, the standard simple-variant behavior; nodes with
-    * no in-edges settle at `(1000-d)·1e6`.
+    * no in-edges settle at `(1000-d)·(U div 1000)`.
     *
-    * Overflow bound: `Σ r` stays ≤ `nNodes · 1e9` and the damping
-    * multiply stays below 2^63 while `nNodes · d < 1e10` — millions of
-    * nodes at default damping, `require`d loud rather than silently
-    * wrapped (ANSI mode would throw mid-job instead).
+    * '''Unit selection''' (`unit` param): `"auto"` picks the finest
+    * unit whose damping multiply provably cannot overflow —
+    * `Σ r ≤ nNodes·U` (total mass is non-increasing: the damped sum
+    * redistributes ≤ Σr and the base term re-injects exactly what
+    * damping removed, minus truncation), so `d·Σr < 2^63` holds while
+    * `nNodes·d < 9e18/U`. That is ~10.6M nodes at nano (d=850) and
+    * ~9B at micro (where the unit-independent `rank_nano` output
+    * bound, not damping, caps the ladder — see [[Units]]); web-scale
+    * host graphs (~1e8-1e9 nodes) land in micro. The result column is
+    * ALWAYS `rank_nano` (the unit result rescaled by `10^(9-digits)`,
+    * exact in integers), so downstream code is unit-agnostic and only
+    * the least-significant digits of precision vary. A forced
+    * `"nano"|"micro"` is validated against the same bounds and fails
+    * loud.
     *
     * Scale shape: the edge table (+ out-degree) is computed once,
     * pre-partitioned ON THE JOIN KEY `src` and pinned, so each of the
@@ -56,11 +96,14 @@ object Graphs {
       dstCol: String,
       iterations: Int,
       dampingPerMille: Int = 850,
-      pinEvery: Int = 1): DataFrame = {
+      pinEvery: Int = 1,
+      unit: String = "auto"): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
     require(pinEvery >= 1, "pinEvery must be >= 1")
+    require(unit == "auto" || Units.exists(_._1 == unit),
+      s"unit must be one of auto|${Units.map(_._1).mkString("|")}, got $unit")
 
     val (e, ePins) = Pins.pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -75,11 +118,24 @@ object Graphs {
       .distinct())
 
     val nNodes = nodes.count()
-    require(nNodes * math.max(dampingPerMille, 1).toLong < 10000000000L,
-      s"pageRank: $nNodes nodes would overflow the nano-unit damping multiply — " +
-        "use a coarser unit (micro) variant for graphs beyond ~10M nodes")
-
-    val base = lit((1000L - dampingPerMille) * 1000000L)
+    require(nNodes < MaxNodes,
+      s"pageRank: $nNodes nodes exceed the ~9e9 cap from the rank_nano " +
+        "output bound (rank * 1e9 must stay under 2^63)")
+    val load = nNodes * math.max(dampingPerMille, 1).toLong
+    val digits = unit match {
+      case "auto" =>
+        // the micro damping bound (9e12 node·damping) is implied by the
+        // MaxNodes cap at d <= 1000, so auto always finds a unit here
+        Units.collectFirst { case (_, dg) if load < unitBound(dg) => dg }.get
+      case name =>
+        val dg = Units.find(_._1 == name).get._2
+        require(load < unitBound(dg),
+          s"pageRank: $nNodes nodes would overflow the $name-unit damping " +
+            s"multiply (bound ${unitBound(dg)} node·damping) — use unit=\"auto\"")
+        dg
+    }
+    val u = math.pow(10, digits).toLong
+    val base = lit((1000L - dampingPerMille) * (u / 1000L))
     // rounds chain lazily between pins; every `pinEvery`-th (plus the
     // final) round pins eagerly. Default 1 — A/B'd at the gate graph
     // (8 rounds, sf0.1, 5-10 run sets): per-round pins floor at
@@ -88,7 +144,7 @@ object Graphs {
     // The residual cost is scheduler/bookkeeping per round — an
     // iterative distributed walk's floor, not data volume (the same
     // 8 rounds dominate at any graph size that actually needs Spark).
-    var ranks = nodes.withColumn("r", lit(1000000000L))
+    var ranks = nodes.withColumn("r", lit(u))
     var rankPins = Set.empty[Int]
     var i = 0
     while (i < iterations) {
@@ -123,7 +179,11 @@ object Graphs {
     Pins.release(e, ePins)
     Pins.release(eDeg, eDegPins)
     Pins.release(nodes, nodePins)
-    val out = ranks.select(col("node"), col("r").as("rank_nano"))
+    // rescale the selected unit back to nano (exact: integer multiply
+    // by 10^(9-digits)) so the output schema is unit-agnostic
+    val toNano = math.pow(10, 9 - digits).toLong
+    val out = ranks.select(col("node"),
+      (col("r") * lit(toNano)).cast("long").as("rank_nano"))
     Pins.register(out, rankPins)
     out
   }

@@ -10,19 +10,24 @@ import org.apache.spark.sql.functions._
 class GraphsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Naive replay of the exact integer recurrence. */
+  /** Naive replay of the exact integer recurrence at a unit of
+    * `10^digits`, rescaled to nano like the engine output.
+    */
   private def naivePr(
-      edges: Seq[(Long, Long)], iters: Int, d: Long = 850L): Map[Long, Long] = {
+      edges: Seq[(Long, Long)], iters: Int, d: Long = 850L,
+      digits: Int = 9): Map[Long, Long] = {
+    val u = math.pow(10, digits).toLong
     val e = edges.distinct
     val deg = e.groupBy(_._1).map { case (s, g) => (s, g.size.toLong) }
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
-    var r = nodes.map(n => (n, 1000000000L)).toMap
+    var r = nodes.map(n => (n, u)).toMap
     (1 to iters).foreach { _ =>
       val c = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
       e.foreach { case (s, t) => c(t) += r(s) / deg(s) }
-      r = nodes.map(n => (n, (1000L - d) * 1000000L + (d * c(n)) / 1000L)).toMap
+      r = nodes.map(n => (n, (1000L - d) * (u / 1000L) + (d * c(n)) / 1000L)).toMap
     }
-    r
+    val toNano = math.pow(10, 9 - digits).toLong
+    r.map { case (n, v) => (n, v * toNano) }
   }
 
   test("regular cycle is a fixpoint at exactly 1e9") {
@@ -53,6 +58,33 @@ class GraphsSpec extends SparkSpec {
     val got = Graphs.pageRank(e, "src", "dst", iterations = 1)
       .as[(Long, Long)].collect().toMap
     assert(got == naivePr(Seq((1L, 2L)), 1))
+  }
+
+  test("forced micro unit matches the micro naive replay, rescaled x1000") {
+    // the truncating hub division (1e6/3 at micro vs 1e9/3 at nano)
+    // makes micro ranks differ from nano beyond the trailing zeros —
+    // this asserts the engine really computed at micro precision
+    val e = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 20L))
+    val got = Graphs.pageRank(
+        e.toDF("src", "dst"), "src", "dst", iterations = 6, unit = "micro")
+      .as[(Long, Long)].collect().toMap
+    assert(got == naivePr(e, 6, digits = 6))
+    assert(got.values.forall(_ % 1000L == 0L), "micro output rescales x1000")
+    assert(got != naivePr(e, 6), "micro truncation must differ from nano here")
+  }
+
+  test("auto picks nano on small graphs; bad unit names fail loud") {
+    val e = Seq((1L, 10L), (10L, 1L), (10L, 20L))
+    val auto = Graphs.pageRank(
+        e.toDF("src", "dst"), "src", "dst", iterations = 3, unit = "auto")
+      .as[(Long, Long)].collect().toMap
+    assert(auto == naivePr(e, 3), "auto == nano below the nano bound")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.pageRank(e.toDF("src", "dst"), "src", "dst", 3, unit = "femto")
+    }
+    assert(ex.getMessage.contains("unit must be one of"))
   }
 
   test("only the result's pins survive and unpin releases exactly them") {
