@@ -2377,6 +2377,34 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // The distributed trainer (no driver vocab cap — word table stays
+    // a DataFrame, one pair-count aggregation per merge round) must
+    // learn the IDENTICAL merge table: same chained-CTE oracle as
+    // q_bpe_train.
+    "q_bpe_train_dist" -> ((s, dir) => {
+      TextFunctions.bpeTrainDistributed(
+          tbl(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy("rank")
+    }),
+
+    // Byte-level (GPT-2-shape) training: symbols are UTF-8 bytes as
+    // hex pairs; the oracle reuses the SAME chained-replace stages
+    // over lower(hex(encode(word))) chunked in twos.
+    "q_bpe_bytes" -> ((s, dir) => {
+      TextFunctions.bpeTrainBytes(tbl(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy("rank")
+    }),
+
+    // Byte-level encode: one codegen'd kernel pass in byteLevel mode
+    // (word -> hex -> chunk-2 symbols -> in-order merges), count-only.
+    "q_bpe_bytes_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = TextFunctions.collectMerges(
+        TextFunctions.bpeTrainBytes(docs, "text", numMerges = 16))
+      TextFunctions.bpeTokenCountsBytes(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // Tokenizer vocabulary export: base code-point tokens in
     // code-point order, then surviving merged tokens (first formation
     // wins) densely id'd in rank order.
@@ -2387,23 +2415,33 @@ object SparkEntry {
 
     // Token-ID encoding: the tokens kernel output joined to the
     // bpeVocab id table (a broadcast — the vocab is driver-bounded by
-    // construction). Scalarized per doc (count + id sum) because the
-    // driver comparator cannot hash raw array columns; every token an
-    // encode emits is in the vocab by string identity (multi-char
-    // symbols ARE merged-token strings, base chars come from the same
-    // floored vocab), so the left join only goes null for empty docs.
+    // construction); ONE bpeTrainWithVocab call feeds both the merge
+    // list and the id table (train once, not twice). Scalarized per
+    // doc because the driver comparator cannot hash raw array columns:
+    // count + id sum + a POSITION-WEIGHTED checksum
+    // (sum(token_id * (pos+1)) mod 1e9+7) so a token transposition
+    // within a doc cannot pass — posexplode's pos is the global
+    // in-doc token position and the oracle reconstructs the same
+    // ordinal via row_number over (word position, intra-word position).
+    // Every token an encode emits is in the vocab by string identity
+    // (multi-char symbols ARE merged-token strings, base chars come
+    // from the same floored vocab), so the left join only goes null
+    // for empty docs.
     "q_bpe_ids" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val merges = TextFunctions.collectMerges(
-        TextFunctions.bpeTrain(docs, "text", numMerges = 16))
-      val vocab = TextFunctions.bpeVocab(docs, "text", numMerges = 16)
+      val (mergesDf, vocab) =
+        TextFunctions.bpeTrainWithVocab(docs, "text", numMerges = 16)
+      val merges = TextFunctions.collectMerges(mergesDf)
       val toks = docs.select(col("doc_id"),
-        explode_outer(graft.functions.BpeEncodeExpr.tokens(
-          lower(coalesce(col("text"), lit(""))), merges, "[a-z]+")).as("token"))
+        posexplode_outer(graft.functions.BpeEncodeExpr.tokens(
+          lower(coalesce(col("text"), lit(""))), merges, "[a-z]+"))
+          .as(Seq("pos", "token")))
       toks.join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
         .groupBy("doc_id")
         .agg(count(col("token_id")).as("n_tokens"),
-          coalesce(sum(col("token_id")), lit(0L)).as("sum_token_id"))
+          coalesce(sum(col("token_id")), lit(0L)).as("sum_token_id"),
+          coalesce(sum(col("token_id") * (col("pos") + lit(1L))), lit(0L))
+            .mod(lit(1000000007L)).as("pos_checksum"))
         .orderBy("doc_id")
     }),
 
@@ -2637,13 +2675,19 @@ object SparkEntry {
     * into its 2-3 consumers and the 16-deep chain blows up
     * exponentially (measured: unbounded vs 0.2 s).
     */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, bytes: Boolean = false): String = {
     val s1 = "chr(2)"
     val s2 = "chr(31)"
+    // byte-level stage 0: UTF-8 bytes as lowercase hex pairs (DuckDB
+    // encode() -> BLOB, hex() -> uppercase), wrapped per TWO chars —
+    // same separator algebra, symbols stay [0-9a-f]+
+    val sym0 =
+      if (bytes) s"regexp_replace(lower(hex(encode(word))), '(..)', $s1 || '\\1' || $s2, 'g')"
+      else s"regexp_replace(word, '(.)', $s1 || '\\1' || $s2, 'g')"
     val sb = new StringBuilder
     sb.append(
       s"""bpe_words0 AS MATERIALIZED (
-         |  SELECT word, regexp_replace(word, '(.)', $s1 || '\\1' || $s2, 'g') AS sym, cnt FROM (
+         |  SELECT word, $sym0 AS sym, cnt FROM (
          |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
          |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
          |    ) GROUP BY 1
@@ -4407,22 +4451,55 @@ object SparkEntry {
           s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
           s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
 
+      // the distributed trainer must reproduce the same merge table
+      "q_bpe_train_dist" ->
+        (s"WITH ${bpeCtes(BpeK)} " +
+          s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
+          s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
+
+      // byte-level: same merge stages over hex-pair stage-0 symbols
+      "q_bpe_bytes" ->
+        (s"WITH ${bpeCtes(BpeK, bytes = true)} " +
+          s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
+          s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
+
+      // byte-level encode: token count per word = remaining separator
+      // count of the stage-k hex symbol string (same formula as
+      // q_bpe_encode, byte CTEs)
+      "q_bpe_bytes_encode" ->
+        (s"WITH ${bpeCtes(BpeK, bytes = true)}, " +
+          "docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+          s"perdoc AS (SELECT d.doc_id, CAST(sum(length(w.sym) - length(replace(w.sym, chr(31), ''))) AS BIGINT) AS n " +
+          s"FROM docw d JOIN bpe_words$BpeK w USING (word) GROUP BY 1) " +
+          "SELECT documents.doc_id, coalesce(perdoc.n, 0) AS n_bpe_tokens " +
+          "FROM documents LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id"),
+
       // see BpeVocabCtes
       "q_bpe_vocab" ->
         (s"WITH ${bpeCtes(BpeK)}, $BpeVocabCtes " +
           "SELECT token_id, token, kind FROM bpe_voc ORDER BY token_id"),
 
       // token-id encoding: stage-k symbol lists per distinct word,
-      // exploded to tokens, id'd via the vocab, aggregated per doc;
-      // LEFT JOIN from documents keeps wordless docs at (0, 0)
+      // exploded to tokens WITH positions (word ordinal via zipped
+      // unnest, intra-word ordinal via zipped range), the global
+      // in-doc token position reconstructed as row_number over
+      // (wpos, ipos) — exactly posexplode's pos+1 on the Spark side —
+      // feeding the order-sensitive sum(token_id * gpos) % 1e9+7
+      // checksum; LEFT JOIN from documents keeps wordless docs at 0s
       "q_bpe_ids" ->
         (s"WITH ${bpeCtes(BpeK)}, $BpeVocabCtes, " +
-          "bpe_docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
-          "bpe_wtok AS (SELECT word, unnest(list_filter(string_split(replace(sym, chr(2), ''), chr(31)), x -> x <> '')) AS token " +
+          "bpe_docw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word, " +
+          "unnest(range(1, len(regexp_extract_all(lower(text), '[a-z]+')) + 1)) AS wpos FROM documents), " +
+          "bpe_wtokl AS (SELECT word, list_filter(string_split(replace(sym, chr(2), ''), chr(31)), x -> x <> '') AS toks " +
           s"FROM bpe_words$BpeK), " +
-          "bpe_j AS (SELECT d.doc_id, v.token_id FROM bpe_docw d JOIN bpe_wtok w USING (word) JOIN bpe_voc v USING (token)), " +
-          "bpe_per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(token_id) AS BIGINT) AS s FROM bpe_j GROUP BY 1) " +
-          "SELECT documents.doc_id, coalesce(bpe_per.n, 0) AS n_tokens, coalesce(bpe_per.s, 0) AS sum_token_id " +
+          "bpe_dtok AS (SELECT d.doc_id, d.wpos, unnest(w.toks) AS token, unnest(range(1, len(w.toks) + 1)) AS ipos " +
+          "FROM bpe_docw d JOIN bpe_wtokl w USING (word)), " +
+          "bpe_gtok AS (SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY wpos, ipos) AS gpos FROM bpe_dtok), " +
+          "bpe_j AS (SELECT g.doc_id, v.token_id, g.gpos FROM bpe_gtok g JOIN bpe_voc v USING (token)), " +
+          "bpe_per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(token_id) AS BIGINT) AS s, " +
+          "CAST(sum(token_id * gpos) % 1000000007 AS BIGINT) AS ck FROM bpe_j GROUP BY 1) " +
+          "SELECT documents.doc_id, coalesce(bpe_per.n, 0) AS n_tokens, coalesce(bpe_per.s, 0) AS sum_token_id, " +
+          "coalesce(bpe_per.ck, 0) AS pos_checksum " +
           "FROM documents LEFT JOIN bpe_per USING (doc_id) ORDER BY doc_id"),
 
       // encode = join doc words to the stage-k vocabulary; token count

@@ -70,6 +70,56 @@ object Bpe {
     Integer.compare(x.length - i, y.length - j)
   }
 
+  /** UTF-8 bytes rendered as 2-char lowercase hex pairs — the
+    * byte-level (GPT-2-shape) symbol alphabet. Rendering bytes as hex
+    * keeps every symbol a plain `[0-9a-f]+` string, so the SAME merge
+    * loop, encode kernel, and chained-`replace` DuckDB oracle apply
+    * unchanged (`lower(hex(encode(word)))` chunked in twos on the SQL
+    * side); single-byte hex order == unsigned byte order, so the
+    * tie-break total order is the byte-sequence order a raw-bytes
+    * implementation would use.
+    */
+  private[functions] def byteHexSymbols(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.format("%02x", Byte.box(bytes(i)))
+      i += 1
+    }
+    out
+  }
+
+  /** Lowercase hex of `word`'s UTF-8 bytes (the byte-level "word"
+    * string the encode kernel and [[MergeIndex]] operate on).
+    */
+  private[functions] def toHex(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(Character.forDigit(b >> 4, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Fixed-width chunk symbols (stage-0 of a byte-level encode over
+    * the hex string; width 2 = one byte per symbol).
+    */
+  private[functions] def chunkSymbols(s: String, width: Int): Array[String] = {
+    val n = (s.length + width - 1) / width
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      out(i) = s.substring(i * width, math.min((i + 1) * width, s.length))
+      i += 1
+    }
+    out
+  }
+
   /** Split into code-point symbols. */
   private[functions] def codePointSymbols(word: String): Array[String] = {
     val n = word.codePointCount(0, word.length)
@@ -258,7 +308,8 @@ object Bpe {
     */
   def train(
       wordCounts: Seq[(String, Long)],
-      numMerges: Int): IndexedSeq[(String, String)] = {
+      numMerges: Int,
+      symbolize: String => Array[String] = codePointSymbols): IndexedSeq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
     val entries = wordCounts.iterator.filter(_._1.nonEmpty).toArray
     val symIds = new java.util.HashMap[String, Integer]()
@@ -273,7 +324,7 @@ object Bpe {
       id.intValue()
     }
     val syms: Array[Array[Int]] = entries.map { case (w, _) =>
-      codePointSymbols(w).map(idOf)
+      symbolize(w).map(idOf)
     }
     val cnts = entries.map(_._2)
 
@@ -373,8 +424,9 @@ object Bpe {
     * constant).
     */
   private[functions] def encodeWord(
-      word: String, merges: IndexedSeq[(String, String)]): Array[String] = {
-    var s = codePointSymbols(word)
+      word: String, merges: IndexedSeq[(String, String)],
+      symbolize: String => Array[String] = codePointSymbols): Array[String] = {
+    var s = symbolize(word)
     var r = 0
     while (r < merges.length && s.length > 1) {
       val (a, b) = merges(r)
@@ -397,7 +449,9 @@ object Bpe {
     * filter exactly like the indexOf pre-check; `applyMerge` no-ops
     * when the pair is not adjacent).
     */
-  final class MergeIndex(val merges: IndexedSeq[(String, String)]) extends Serializable {
+  final class MergeIndex(
+      val merges: IndexedSeq[(String, String)],
+      val symbolWidth: Int = 1) extends Serializable {
     private val mergedStr: Array[String] = merges.iterator.map { case (a, b) => a + b }.toArray
     private val aChars: Array[Int] = merges.iterator.map(_._1.length).toArray
     private val buckets: java.util.HashMap[Int, Array[Int]] = {
@@ -416,8 +470,12 @@ object Bpe {
       out
     }
 
+    private def baseSymbols(word: String): Array[String] =
+      if (symbolWidth == 1) codePointSymbols(word)
+      else chunkSymbols(word, symbolWidth)
+
     def encode(word: String): Array[String] = {
-      if (word.length < 2) return codePointSymbols(word)
+      if (word.length < 2) return baseSymbols(word)
       var ranks: Array[Int] = null
       var nRanks = 0
       var seen: java.util.BitSet = null
@@ -446,7 +504,7 @@ object Bpe {
         }
         i += 1
       }
-      var s = codePointSymbols(word)
+      var s = baseSymbols(word)
       if (nRanks > 0) {
         java.util.Arrays.sort(ranks, 0, nRanks)
         var j = 0
@@ -477,7 +535,8 @@ case class BpeEncodeExpr(
     child: Expression,
     merges: Seq[(String, String)],
     tokenPattern: String,
-    emitTokens: Boolean)
+    emitTokens: Boolean,
+    byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -488,13 +547,16 @@ case class BpeEncodeExpr(
   override def dataType: DataType =
     if (emitTokens) ArrayType(StringType, containsNull = false) else LongType
 
-  @transient private lazy val mergeIndex = new Bpe.MergeIndex(merges.toIndexedSeq)
+  @transient private lazy val mergeIndex =
+    new Bpe.MergeIndex(merges.toIndexedSeq, symbolWidth = if (byteLevel) 2 else 1)
   @transient private lazy val pattern = java.util.regex.Pattern.compile(tokenPattern)
-  @transient private lazy val cache: ThreadLocal[java.util.HashMap[String, Array[String]]] =
-    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[String]]())
 
-  private def tokensOf(word: String): Array[String] = {
-    val m = cache.get()
+  // byte level: the merge table speaks hex-pair symbols, so the word
+  // handed to the index (and memoized on) is the hex rendering; the
+  // emitted tokens are hex strings — id-joinable against bpeVocabBytes
+  private def tokensOf(
+      m: java.util.HashMap[String, Array[String]], rawWord: String): Array[String] = {
+    val word = if (byteLevel) Bpe.toHex(rawWord) else rawWord
     var t = m.get(word)
     if (t == null) {
       t = mergeIndex.encode(word)
@@ -506,18 +568,19 @@ case class BpeEncodeExpr(
 
   /** Kernel; public for the codegen `addReferenceObj` call. */
   def computeBpe(input: UTF8String): Any = {
+    val cache = BpeEncodeExpr.cacheFor(mergeIndex)
     val m = pattern.matcher(input.toString)
     if (emitTokens) {
       val out = mutable.ArrayBuffer.empty[Any]
       while (m.find()) {
-        val t = tokensOf(m.group())
+        val t = tokensOf(cache, m.group())
         var i = 0
         while (i < t.length) { out += UTF8String.fromString(t(i)); i += 1 }
       }
       new GenericArrayData(out.toArray)
     } else {
       var n = 0L
-      while (m.find()) n += tokensOf(m.group()).length
+      while (m.find()) n += tokensOf(cache, m.group()).length
       java.lang.Long.valueOf(n)
     }
   }
@@ -537,15 +600,49 @@ case class BpeEncodeExpr(
 }
 
 object BpeEncodeExpr {
+
+  /** Word→tokens memo, STATIC and keyed by [[Bpe.MergeIndex]]
+    * IDENTITY (each expression instance deserializes exactly one
+    * index per executor, and identical identity implies identical
+    * merges — no fingerprint collision risk and the outer lookup is
+    * an identity-hash get, not a merges-list hash). Thread-confined
+    * via ThreadLocal (no locking across the executor-core pool) but
+    * shared across expression INSTANCES: long-lived executor threads
+    * no longer retain one map per defunct instance (the r8 advice) —
+    * retention is bounded at `MaxIndexes` live indexes × 64k words
+    * per thread, cleared wholesale on overflow.
+    */
+  private val MaxIndexes = 8
+  private val caches: ThreadLocal[
+      java.util.IdentityHashMap[Bpe.MergeIndex, java.util.HashMap[String, Array[String]]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.IdentityHashMap[Bpe.MergeIndex, java.util.HashMap[String, Array[String]]]())
+
+  private[functions] def cacheFor(
+      idx: Bpe.MergeIndex): java.util.HashMap[String, Array[String]] = {
+    val outer = caches.get()
+    var inner = outer.get(idx)
+    if (inner == null) {
+      if (outer.size() >= MaxIndexes) outer.clear()
+      inner = new java.util.HashMap[String, Array[String]]()
+      outer.put(idx, inner)
+    }
+    inner
+  }
+
   /** Flat BPE token array for `text`. */
-  def tokens(text: Column, merges: Seq[(String, String)], tokenPattern: String): Column = {
+  def tokens(text: Column, merges: Seq[(String, String)], tokenPattern: String,
+      byteLevel: Boolean = false): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
-    column(new BpeEncodeExpr(expression(text), merges, tokenPattern, emitTokens = true))
+    column(new BpeEncodeExpr(expression(text), merges, tokenPattern,
+      emitTokens = true, byteLevel = byteLevel))
   }
 
   /** BPE token COUNT for `text` — no token strings materialize. */
-  def count(text: Column, merges: Seq[(String, String)], tokenPattern: String): Column = {
+  def count(text: Column, merges: Seq[(String, String)], tokenPattern: String,
+      byteLevel: Boolean = false): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
-    column(new BpeEncodeExpr(expression(text), merges, tokenPattern, emitTokens = false))
+    column(new BpeEncodeExpr(expression(text), merges, tokenPattern,
+      emitTokens = false, byteLevel = byteLevel))
   }
 }

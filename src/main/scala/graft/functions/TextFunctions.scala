@@ -1040,6 +1040,42 @@ object TextFunctions {
     * Returns `(rank bigint, a, b, merged)` ordered by rank; fewer than
     * `numMerges` rows when the pair supply exhausts first.
     */
+  /** The minCount-floored `(word, count)` vocabulary as a (lazy)
+    * DataFrame — the ONE distributed corpus pass every BPE entry
+    * point shares.
+    */
+  private def bpeWordCountDf(
+      df: DataFrame, textCol: String, tokenPattern: String,
+      minCount: Long): DataFrame =
+    df.select(explode(regexp_extract_all(
+        lower(col(textCol)), lit(tokenPattern), lit(0))).as("_w"))
+      .groupBy("_w")
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+
+  /** Driver-collected word counts with the loud `maxWords` contract
+    * (silent truncation would change the learned merges).
+    */
+  private def bpeWordCounts(
+      df: DataFrame, textCol: String, tokenPattern: String,
+      minCount: Long, maxWords: Int, caller: String): IndexedSeq[(String, Long)] = {
+    val counts = bpeWordCountDf(df, textCol, tokenPattern, minCount).collect()
+    require(counts.length <= maxWords,
+      s"$caller: ${counts.length} distinct words exceed maxWords=$maxWords — " +
+        "raise minCount (preferred) or maxWords, or use bpeTrainDistributed " +
+        "(no driver vocab cap); silent truncation would change the merges")
+    counts.toIndexedSeq.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  private def mergesToDf(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: IndexedSeq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
+      .toDF("rank", "a", "b", "merged")
+  }
+
   def bpeTrain(
       df: DataFrame,
       textCol: String,
@@ -1048,23 +1084,119 @@ object TextFunctions {
       minCount: Long = 1L,
       maxWords: Int = 4 << 20): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val counts = df
-      .select(explode(regexp_extract_all(
-        lower(col(textCol)), lit(tokenPattern), lit(0))).as("_w"))
-      .groupBy("_w")
-      .agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minCount)
-      .collect()
-    require(counts.length <= maxWords,
-      s"bpeTrain: ${counts.length} distinct words exceed maxWords=$maxWords — " +
-        "raise minCount (preferred) or maxWords; silent truncation would change the merges")
-    val merges = Bpe.train(
-      counts.toIndexedSeq.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    val wc = bpeWordCounts(df, textCol, tokenPattern, minCount, maxWords, "bpeTrain")
+    mergesToDf(df.sparkSession, Bpe.train(wc, numMerges))
+  }
+
+  /** Byte-level BPE training (the GPT-2 shape): symbols start as
+    * UTF-8 BYTES of each word, rendered as 2-char lowercase hex pairs
+    * so the whole family — driver merge loop, codegen'd encode kernel
+    * (`byteLevel = true`), and the chained-`replace` DuckDB oracle
+    * over `lower(hex(encode(word)))` — reuses the char-level machinery
+    * verbatim (see [[Bpe.byteHexSymbols]]). On pure-ASCII corpora the
+    * learned merges are the char-level merges mapped through hex
+    * (spec-gated); on multilingual text this is the variant that never
+    * hits an out-of-alphabet symbol.
+    *
+    * Returns `(rank bigint, a, b, merged)` — `a`/`b`/`merged` are hex
+    * strings (e.g. `74 || 68 -> 7468` for `t+h`).
+    */
+  def bpeTrainBytes(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      maxWords: Int = 4 << 20): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val wc = bpeWordCounts(df, textCol, tokenPattern, minCount, maxWords, "bpeTrainBytes")
+    mergesToDf(df.sparkSession, Bpe.train(wc, numMerges, Bpe.byteHexSymbols))
+  }
+
+  /** Per-document token counts under a byte-level merge table — the
+    * [[bpeTokenCounts]] twin with the kernel in `byteLevel` mode.
+    */
+  def bpeTokenCountsBytes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      tokenPattern: String = "[a-z]+"): DataFrame =
+    df.select(col(idCol),
+      BpeEncodeExpr.count(
+        lower(coalesce(col(textCol), lit(""))), merges, tokenPattern,
+        byteLevel = true)
+        .as("n_bpe_tokens"))
+
+  /** Fully distributed BPE training — the scale path past
+    * [[bpeTrain]]'s driver vocabulary cap: the `(symbols, count)` word
+    * table stays a DataFrame for the whole merge loop, and the driver
+    * holds ONLY the merge list (16 bytes of pair strings per round).
+    * A 100 TB multilingual corpus whose minCount-floored vocabulary
+    * exceeds ~4M distinct words trains here without raising minCount.
+    *
+    * Per merge round: one adjacent-pair aggregation (map-side combined
+    * — symbols are the only shuffled payload) → arg-max collect of ONE
+    * row (count desc, then `(a, b)` asc; Spark's UTF8String binary
+    * ordering == DuckDB binary collation == `Bpe.cpCompare`, the
+    * invariant the whole family rests on) → one greedy-merge map over
+    * the word table. Lineage pins every `pinEvery` rounds through
+    * [[Pins]] (eager local/reliable checkpoint), releasing the prior
+    * pin — bounded memory across thousands of rounds. The trade: a
+    * Spark job per merge (scheduler floor ~0.1-0.5 s/round locally),
+    * which amortizes exactly when the vocab is too big for the driver
+    * — the same economics as `Graphs.pageRank`. Merges are
+    * bit-identical to [[bpeTrain]] (spec-gated equivalence on
+    * randomized corpora; q_bpe_train_dist replays the same DuckDB
+    * chained-CTE oracle).
+    */
+  def bpeTrainDistributed(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      pinEvery: Int = 8): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(pinEvery >= 1, "pinEvery must be >= 1")
     val spark = df.sparkSession
-    import spark.implicits._
-    merges.zipWithIndex
-      .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
-      .toDF("rank", "a", "b", "merged")
+    val symbolize = udf((w: String) => Bpe.codePointSymbols(w).toSeq)
+    var (words, wordPins) = Pins.pin(
+      bpeWordCountDf(df, textCol, tokenPattern, minCount)
+        .select(symbolize(col("_w")).as("syms"), col("_c").as("cnt")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val multi = words.filter(size(col("syms")) >= 2)
+      val best = multi
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val apply = udf((s: Seq[String]) => Bpe.applyMerge(s.toArray, a, b).toSeq)
+        val next = words.select(apply(col("syms")).as("syms"), col("cnt"))
+        round += 1
+        if (round % pinEvery == 0 || round == numMerges) {
+          val (pinned, nextPins) = Pins.pin(next)
+          Pins.release(words, wordPins)
+          words = pinned
+          wordPins = nextPins
+        } else {
+          words = next
+        }
+      }
+    }
+    Pins.release(words, wordPins)
+    mergesToDf(spark, merges.toIndexedSeq)
   }
 
   /** Tokenizer vocabulary export for a [[bpeTrain]] run: base tokens
@@ -1082,19 +1214,24 @@ object TextFunctions {
       numMerges: Int,
       tokenPattern: String = "[a-z]+",
       minCount: Long = 1L,
-      maxWords: Int = 4 << 20): DataFrame = {
+      maxWords: Int = 4 << 20): DataFrame =
+    bpeTrainWithVocab(df, textCol, numMerges, tokenPattern, minCount, maxWords)._2
+
+  /** One corpus scan + ONE driver merge loop feeding both exports:
+    * `(mergesDf, vocabDf)` with the exact [[bpeTrain]] / [[bpeVocab]]
+    * schemas. Callers that need the merge list AND the id table (the
+    * token-ID encode shape) call this instead of bpeTrain + bpeVocab,
+    * which would scan and train twice.
+    */
+  def bpeTrainWithVocab(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      maxWords: Int = 4 << 20): (DataFrame, DataFrame) = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val counts = df
-      .select(explode(regexp_extract_all(
-        lower(col(textCol)), lit(tokenPattern), lit(0))).as("_w"))
-      .groupBy("_w")
-      .agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minCount)
-      .collect()
-    require(counts.length <= maxWords,
-      s"bpeVocab: ${counts.length} distinct words exceed maxWords=$maxWords — " +
-        "raise minCount (preferred) or maxWords")
-    val wc = counts.toIndexedSeq.map(r => (r.getString(0), r.getLong(1)))
+    val wc = bpeWordCounts(df, textCol, tokenPattern, minCount, maxWords, "bpeVocab")
     val merges = Bpe.train(wc, numMerges)
     val base = wc.iterator.flatMap(w => Bpe.codePointSymbols(w._1))
       .toSet.toIndexedSeq
@@ -1107,11 +1244,13 @@ object TextFunctions {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    (base.zipWithIndex.map { case (t, i) => (i.toLong, t, "base") } ++
-      seen.iterator.zipWithIndex.map { case (t, i) =>
-        ((base.length + i).toLong, t, "merged")
-      })
-      .toDF("token_id", "token", "kind")
+    val vocab =
+      (base.zipWithIndex.map { case (t, i) => (i.toLong, t, "base") } ++
+        seen.iterator.zipWithIndex.map { case (t, i) =>
+          ((base.length + i).toLong, t, "merged")
+        })
+        .toDF("token_id", "token", "kind")
+    (mergesToDf(spark, merges), vocab)
   }
 
   /** Driver-side `(a, b)` merge list from a [[bpeTrain]] output frame

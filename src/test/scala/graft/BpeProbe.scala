@@ -81,6 +81,31 @@ object BpeProbe {
         .bpeTokenCounts(saved, "id", "text", merges)
         .agg(sum("n_bpe_tokens")).head()
     }
+
+    // --- distributed trainer PAST the driver cap -------------------
+    // 4.5M distinct words (> bpeTrain's 4M maxWords default): the
+    // driver path must refuse loud; bpeTrainDistributed must train.
+    val nBig = args.lift(3).map(_.toLong).getOrElse(4500000L)
+    val big = spark.range(nBig).mapPartitions { it =>
+      it.map { id =>
+        // distinct by construction: base-26 rendering of the id,
+        // 'a'-padded to 6+ chars, prefixed to keep Zipf-free uniformity
+        var x: Long = id
+        val sb = new StringBuilder
+        while (sb.length < 10) { sb.append(('a' + (x % 26)).toChar); x /= 26 }
+        (id, sb.toString)
+      }
+    }.toDF("id", "text")
+    big.write.mode("overwrite").parquet("/tmp/bpe_probe_big")
+    val bigSaved = spark.read.parquet("/tmp/bpe_probe_big")
+    val refused = timed(s"bpeTrain refuses loud at $nBig words") {
+      try { functions.TextFunctions.bpeTrain(bigSaved, "text", 4).count(); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("maxWords") }
+    }
+    println(s"[probe] driver-path loud refusal: $refused")
+    timed(s"bpeTrainDistributed ($nBig distinct words, 4 merges)") {
+      functions.TextFunctions.bpeTrainDistributed(bigSaved, "text", 4).count()
+    }
     spark.stop()
   }
 }

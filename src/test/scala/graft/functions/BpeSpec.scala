@@ -158,6 +158,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrainDistributed == driver bpeTrain: identical merge tables (randomized)") {
+    // tiny alphabets force count ties and re-formed tokens — the cases
+    // where a tie-break or collation divergence between the driver
+    // heap loop and the distributed argmax would surface; pinEvery=3
+    // exercises both the pinned and the lazily-chained round paths
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val alpha = if (seed % 2 == 0) "ab" else "abcd"
+      val docs = (1 to 60).map { i =>
+        (i.toLong, (1 to (3 + rnd.nextInt(8))).map(_ =>
+          (1 to (1 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+      val drv = rows(TextFunctions.bpeTrain(docs, "text", numMerges = 25))
+      val dist = rows(TextFunctions.bpeTrainDistributed(
+        docs, "text", numMerges = 25, pinEvery = 3))
+      assert(dist == drv, s"seed $seed: distributed trainer diverged from driver loop")
+    }
+  }
+
+  test("bpeTrainDistributed stops early on pair exhaustion like the driver loop") {
+    val docs = Seq((1L, "ab a b"), (2L, "ab")).toDF("doc_id", "text")
+    val drv = TextFunctions.bpeTrain(docs, "text", numMerges = 5).collect()
+    val dist = TextFunctions.bpeTrainDistributed(docs, "text", numMerges = 5).collect()
+    assert(drv.length == 1 && dist.length == 1, "one merge (a,b) then exhaustion")
+    assert(dist.map(_.toSeq).toSeq == drv.map(_.toSeq).toSeq)
+  }
+
   test("MergeIndex.encode == reference encodeWord == chained-replace (binary alphabet)") {
     val rnd = new scala.util.Random(7)
     val words = (1 to 400).map(_ =>
@@ -230,6 +261,46 @@ class BpeSpec extends SparkSpec {
       BpeEncodeExpr.count(lower(col("text")), merges, "[a-z]+").as("n"))
       .agg(sum("n")).as[Long].head()
     assert(viaJoin == viaKernel)
+  }
+
+  test("byte-level train on pure ASCII == char-level merges mapped through hex") {
+    // on single-byte text the byte walk sees the same pair counts and
+    // the hex tie-break order equals the code-point order, so the
+    // merge tables must be bijective images of each other
+    def hexOf(s: String) = Bpe.toHex(s)
+    val df = foxDocs.toDF("text")
+    val chars = TextFunctions.bpeTrain(df, "text", numMerges = 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    val bytes = TextFunctions.bpeTrainBytes(df, "text", numMerges = 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(bytes.toSeq == chars.toSeq.map { case (a, b) => (hexOf(a), hexOf(b)) })
+  }
+
+  test("byte-level splits multi-byte code points; token concat == word hex") {
+    // é = c3 a9 (two symbols at stage 0, mergeable); the kernel must
+    // emit hex tokens whose concatenation is exactly the word's hex
+    val docs = Seq((1L, "café café café né"), (2L, "cafe ne café")).toDF("doc_id", "text")
+    val mergesDf = TextFunctions.bpeTrainBytes(docs, "text", numMerges = 6,
+      tokenPattern = "[a-zé]+")
+    val merges = TextFunctions.collectMerges(mergesDf)
+    assert(merges.exists { case (a, b) => a == "c3" && b == "a9" },
+      s"frequent é must learn the (c3, a9) merge, got $merges")
+    val idx = new Bpe.MergeIndex(merges, symbolWidth = 2)
+    for (w <- Seq("café", "cafe", "né", "éé")) {
+      val toks = idx.encode(Bpe.toHex(w))
+      assert(toks.mkString == Bpe.toHex(w), s"$w: tokens must concat to the hex")
+      assert(toks.toSeq == Bpe.encodeWord(
+        Bpe.toHex(w), merges, Bpe.chunkSymbols(_, 2)).toSeq,
+        s"$w: index encode must equal the reference scan")
+    }
+    // kernel parity: counts from the codegen'd byteLevel kernel equal
+    // a driver-side re-encode of every word
+    val got = TextFunctions.bpeTokenCountsBytes(
+      docs, "doc_id", "text", merges, tokenPattern = "[a-zé]+")
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    def countDoc(t: String) =
+      "[a-zé]+".r.findAllIn(t.toLowerCase).map(w => idx.encode(Bpe.toHex(w)).length.toLong).sum
+    assert(got == Seq(countDoc("café café café né"), countDoc("cafe ne café")))
   }
 
   test("code-point compare orders like UTF-8 bytes (supplementary plane)") {
