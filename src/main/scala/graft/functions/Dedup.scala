@@ -590,9 +590,41 @@ object Dedup {
     * shingle set in the larger, `|A ∩ B| / min(|A|, |B|)`. Catches the
     * quote/excerpt/wrapper case Jaccard misses — a 100-word document
     * fully embedded in a 10k-word page has Jaccard ≈ 0.01 but
-    * containment 1.0. Same join algebra (and the same stop-shingle
-    * numerator cap) as [[ngramJaccardPairs]]; only the denominator
-    * differs, so the two share their scale story.
+    * containment 1.0. The Jaccard size-bound prune is vacuous for this
+    * denominator (a tiny doc inside a huge one is exactly the target
+    * case), so this path uses PPJoin-style PREFIX FILTERING instead
+    * (Xiao, Wang, Lin & Yu 2008, "Efficient Similarity Joins for Near
+    * Duplicate Detection" — public WWW'08 formulation):
+    *
+    *  1. ONE kernel pass → `(id, sorted shingle hashes, n_sh)`, pinned
+    *     (three consumers; the pin is registered on the result for
+    *     [[DedupExpressions]]-style `Pins.unpin`).
+    *  2. A passing pair needs `common/min >= t`, and the overlap is a
+    *     subset of the SMALLER doc — so under any global token order
+    *     (ascending hash here) the overlap must touch the smaller
+    *     doc's first `L` tokens, where `L` is the smallest prefix
+    *     whose complement is too small to carry a passing overlap:
+    *     position `p` (0-based) is flagged iff
+    *     `(n_sh - p) / n_sh >= t` under the EXACT double arithmetic of
+    *     the final filter (IEEE division is monotone in the numerator,
+    *     so nothing the final filter would keep can be lost). Pairs
+    *     are emitted per shingle only when at least one side holds the
+    *     shingle in its prefix (the larger side contributes its FULL
+    *     set — the asymmetric half of the containment join) — cutting
+    *     the per-shingle pair explode from C(n,2) to ~(1-t)·n·n.
+    *  3. Candidates dedupe, then verify EXACTLY:
+    *     `common = |array_intersect(hs_a, hs_b minus stop-shingles)|`
+    *     via two joins against the pinned doc-shingle table (small
+    *     candidate side — AQE broadcasts it, the corpus table never
+    *     shuffles). Stop shingles (> `maxShingleFreq` docs) leave the
+    *     numerator exactly as in [[ngramJaccardPairs]]; their set comes
+    *     from a count-only 16-byte-row aggregation over the pin (NOT
+    *     from the collect_list output — that would re-run the heavy
+    *     shuffle per consumer), is bounded by
+    *     `total shingle rows / maxShingleFreq` by pigeonhole, and is
+    *     loudly driver-collected. `n_a`/`n_b` still count ALL
+    *     shingles, so the denominator is exact and the estimate stays
+    *     the same lower bound as before.
     *
     * Returns `(id_a, id_b, containment)` with `id_a < id_b` and
     * containment >= `threshold`.
@@ -603,13 +635,79 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxShingleFreq: Int = 10000): DataFrame =
-    shingleIntersections(df, idCol, textCol, n, maxShingleFreq, sizePrune = None)
-      .withColumn(
-        "containment",
-        col("common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      maxShingleFreq: Int = 10000): DataFrame = {
+    val (docSh, docShPins) = Pins.pin(df
+      .select(col(idCol).as("id"),
+        array_sort(DedupExpressions.shingleSet(col(textCol), n)).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("n_sh")))
+    // prefix flag per (doc, position): the suffix strictly after p can
+    // carry at most n_sh - p - 1 shared shingles; p is in the prefix
+    // while a suffix-only overlap of n_sh - p could still pass
+    // stop-shingle set FIRST, as a count-only aggregation over the pin
+    // (16-byte shuffle rows, no list buffers) so the heavy collect_list
+    // shuffle below executes exactly ONCE — deriving stops from the
+    // collect output would re-run it per consumer. The set is bounded
+    // by total shingle rows / maxShingleFreq by pigeonhole; require
+    // loud anyway before the driver collect.
+    val stopHs: Array[Long] = {
+      val arr = docSh
+        .select(explode(col("hs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxShingleFreq)
+        .select(col("h"))
+        .limit(1000001).collect().map(_.getLong(0))
+      require(arr.length <= 1000000,
+        "containmentPairs: over 1M stop shingles — raise maxShingleFreq " +
+          "or pre-clean boilerplate; the exclusion set must stay driver-bounded")
+      arr
+    }
+    val exploded = docSh
+      .select(col("id"), col("n_sh"), posexplode_outer(col("hs")).as(Seq("p", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("h"), struct(col("id"), col("n_sh"),
+        ((col("n_sh") - col("p")).cast("double") / col("n_sh").cast("double")
+          >= threshold).as("pref")).as("d"))
+    val byShingle = exploded.groupBy("h")
+      .agg(DedupExpressions.boundedCollectList(col("d"), maxShingleFreq).as("ids"))
+    // pair emission, flagged sides only: each unordered pair emits at
+    // most once per shingle (flagged x, skip when y is flagged with a
+    // smaller id — that orientation emits it)
+    val kept = byShingle.filter(size(col("ids")).between(2, maxShingleFreq))
+    val cand = kept
+      .select(col("ids"), explode(col("ids")).as("x"))
+      .filter(col("x.pref"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x.id") =!= col("y.id") &&
+        (!col("y.pref") || col("x.id") < col("y.id")))
+      .select(
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_nsh_hits"))
+      .drop("_nsh_hits")
+    // exact verification on the candidate set: intersect the full
+    // sorted shingle arrays (minus stop shingles), denominators from
+    // the FULL sizes
+    val cleanHs =
+      if (stopHs.isEmpty) col("hs")
+      else array_except(col("hs"), typedLit(stopHs.toSeq))
+    val out = cand
+      .join(docSh.select(col("id").as("id_a"), cleanHs.as("_hs_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(docSh.select(col("id").as("id_b"), col("hs").as("_hs_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_hs_a"), col("_hs_b"))).cast("double")
+          ./(least(col("n_a"), col("n_b")).cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+    Pins.register(out, docShPins)
+    out
+  }
+
+  /** Release the pinned doc-shingle table behind a [[containmentPairs]]
+    * result; no-op for any other frame.
+    */
+  def unpinContainment(df: DataFrame): Unit = Pins.unpin(df)
 
   /** Incremental near-dup dedup of a NEW batch against an existing
     * signature corpus — the continuous-ingest shape: signatures for

@@ -132,18 +132,33 @@ class PlanSpec extends SparkSpec {
     // ShingleSetExpr keys: the explode output entering the exchanges is
     // array<long>-derived; a concat/slice of token strings in the plan
     // means the interpreted string formulation came back
-    for (n <- Seq("q_ngram_jaccard", "q_containment")) {
-      val p = plans(n)
-      assert(p.contains("shingle_set"), s"$n no longer uses ShingleSetExpr:\n$p")
+    locally {
+      val p = plans("q_ngram_jaccard")
+      assert(p.contains("shingle_set"), s"jaccard no longer uses ShingleSetExpr:\n$p")
       assert(!p.contains("array_join(slice("),
-        s"$n rebuilds shingle STRINGS in the plan:\n$p")
+        s"jaccard rebuilds shingle STRINGS in the plan:\n$p")
       // r8 single-pass shape: doc sizes ride the explode as struct
       // fields, so the kernel appears in exactly ONE scan-side project
       // — a second occurrence means the per-doc size join (two extra
       // corpus-keyed shuffles + a full re-tokenize) came back
       val kernelSites = "shingle_set\\(".r.findAllIn(p).size
       assert(kernelSites == 1,
-        s"$n evaluates ShingleSetExpr $kernelSites times (want 1):\n$p")
+        s"jaccard evaluates ShingleSetExpr $kernelSites times (want 1):\n$p")
+    }
+    locally {
+      // r9 PPJoin shape: the kernel runs ONCE inside the eager
+      // doc-shingle pin, so the visible plan must hold ZERO kernel
+      // sites (a reappearing one means a consumer re-grew a lazy
+      // kernel branch) and read the pinned table via scans
+      val p = plans("q_containment")
+      assert(!p.contains("shingle_set("),
+        s"containment re-evaluates the kernel outside the pin:\n$p")
+      assert(!p.contains("array_join(slice("),
+        s"containment rebuilds shingle STRINGS in the plan:\n$p")
+      assert(p.contains("array_intersect"),
+        s"containment lost its exact verification stage:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"containment candidate join degenerated:\n$p")
     }
     val sp = plans("q_dup_spans")
     assert(sp.contains("shingle_pos_hashes"), s"dup_spans lost its kernel:\n$sp")
