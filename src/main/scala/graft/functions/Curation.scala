@@ -850,6 +850,17 @@ object Curation {
     */
   def unpin(df: DataFrame): Unit = Pins.unpin(df)
 
+  /** Release EVERY registered pin from any graft operator — the
+    * session-hygiene backstop when per-result [[unpin]] calls were
+    * skipped (e.g. a long-lived notebook session that ran many
+    * dsirWeights/pageRank/containmentPairs calls). Only call between
+    * pipelines: results whose pins are released must already be
+    * materialized. Returns the number of cached RDDs released. See
+    * [[Pins.releaseAll]] for the reliable-checkpoint caveat.
+    */
+  def releaseAllPins(spark: org.apache.spark.sql.SparkSession): Int =
+    Pins.releaseAll(spark)
+
   /** DSIR selection: keep the `k` raw documents with the largest
     * Gumbel-perturbed importance weight — the Gumbel-max trick makes
     * top-k by `logw + Gumbel(0,1)` an exact sample WITHOUT replacement

@@ -186,19 +186,22 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** @param pinSigs when true, the signature table is eagerly
-    *   checkpointed so MinHashSigExpr — the most expensive kernel in
-    *   the library (tokenize + k minhash lanes over every shingle) —
-    *   runs EXACTLY ONCE instead of once per consumer branch (the lazy
-    *   plan has three: the band explode and the two sig-attach joins).
-    *   Measured r8 quiet-host at 1M docs: 42.9 s lazy vs 18.8 s with
-    *   sigs materialized (the r5-era note that recompute beat pinning
-    *   no longer holds on the current kernel). Costs: the call becomes
-    *   eager, and the ~520 B/doc sig blocks stay cached until
-    *   [[graft.functions.Curation.unpin]] is called on the result (or
-    *   session end). Default false keeps the operator lazy for plan
-    *   inspection and tiny corpora; at scale prefer persisted
-    *   signatures + [[minhashPairsFromSigs]] anyway.
+  /** @param pinSigs when true (the DEFAULT since r9), the signature
+    *   table is eagerly checkpointed so MinHashSigExpr — the most
+    *   expensive kernel in the library (tokenize + k minhash lanes
+    *   over every shingle) — runs EXACTLY ONCE instead of once per
+    *   consumer branch (the lazy plan has three: the band explode and
+    *   the two sig-attach joins). Measured r8 quiet-host at 1M docs:
+    *   42.9 s lazy vs 18.8 s with sigs materialized — a 2.3× win that
+    *   only grows with corpus size, which is why it is now the
+    *   default. Costs: the CALL becomes eager (it runs a job before
+    *   the result is consumed — pass `pinSigs = false` for pure-lazy
+    *   plan inspection or trivially small corpora), and the
+    *   ~520 B/doc sig blocks stay cached until
+    *   [[graft.functions.Curation.unpin]] on the result,
+    *   [[graft.functions.Curation.releaseAllPins]], or session end.
+    *   At persistent-index scale prefer stored signatures +
+    *   [[minhashPairsFromSigs]] anyway.
     */
   def minhashPairs(
       df: DataFrame,
@@ -208,7 +211,7 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucketSize: Int = 2000,
-      pinSigs: Boolean = false): DataFrame = {
+      pinSigs: Boolean = true): DataFrame = {
     val rowsPerBand = k / bands // r=8 at defaults: collision p = s^8 per
     // band — random pairs (s≈0.4) almost never collide, real near-dups
     // (s≥0.8) hit ≥1 of the 8 bands w.p. ≈1.

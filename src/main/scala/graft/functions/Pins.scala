@@ -61,6 +61,31 @@ private[graft] object Pins {
     if (pins != null) release(df, pins)
   }
 
+  /** Release EVERY pin currently registered — the hygiene backstop
+    * for long-lived (cluster) sessions whose callers skipped per-result
+    * [[unpin]] calls: pinned blocks otherwise live until the result
+    * frame is GC'd AND the session ends. Safe at any point where no
+    * registered result is still awaiting materialization (a released
+    * pin behind an un-materialized localCheckpoint result cannot be
+    * recomputed — its lineage was truncated). Returns the number of
+    * RDDs actually unpersisted.
+    *
+    * Reliable-checkpoint deployments (checkpoint dir set): pins are
+    * FILES there, not blocks — this cannot remove them. Enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` or clean the
+    * checkpoint directory between pipeline runs.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Int = {
+    val ids = registry.synchronized {
+      val all = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(registry.values()).asScala.toSet.flatten
+      registry.clear()
+      all
+    }
+    val sc = spark.sparkContext
+    ids.count(id => sc.getPersistentRDDs.get(id).exists { r => r.unpersist(false); true })
+  }
+
   /** Pin ids registered for `df` (test hook: lets a spec assert on
     * exactly the ids an operator created, immune to pins other
     * concurrently-running suites add — a global persistent-RDD

@@ -103,4 +103,19 @@ class GraphsSpec extends SparkSpec {
       "unpin must release the result's blocks")
     Graphs.unpin(r) // idempotent no-op
   }
+
+  test("Pins.releaseAll reclaims pins leaked by callers that skip unpin") {
+    // a "leaked" pin: materialized result, unpin never called
+    val r = Graphs.pageRank(
+      Seq((5L, 6L), (6L, 5L)).toDF("src", "dst"), "src", "dst", iterations = 2)
+    r.count()
+    val leaked = Pins.registered(r)
+    assert(leaked.nonEmpty &&
+      leaked.forall(spark.sparkContext.getPersistentRDDs.contains))
+    val n = Curation.releaseAllPins(spark)
+    assert(n >= leaked.size, s"releaseAll freed $n, leaked ${leaked.size}")
+    assert(leaked.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)),
+      "releaseAll must unpersist the leaked blocks")
+    assert(Pins.registered(r).isEmpty, "registry must be cleared")
+  }
 }
