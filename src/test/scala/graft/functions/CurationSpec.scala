@@ -481,13 +481,36 @@ class ClassifierScanSpec extends SparkSpec {
       (1L, "atom cell energy quantum"), (2L, "win free click now"),
       (3L, "mixed atom win text"), (4L, ""), (5L, null.asInstanceOf[String]))
       .toDF("id", "text")
-    val batch = Curation.classifierScore(apply, "id", "text", wDf, buckets = 4096)
+    // scanMaxBuckets = 2 forces the JOIN path — otherwise this would
+    // compare the r9 auto-selected scan path against itself
+    val batch = Curation.classifierScore(apply, "id", "text", wDf, buckets = 4096,
+        scanMaxBuckets = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .sortBy(_._1).toSeq
     val scan = Curation.classifierScoreScan(apply, "id", "text", w)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       .sortBy(_._1).toSeq
     assert(scan == batch)
+    // the r9 auto-selected scan path must equal both, including on
+    // DUPLICATE ids (merged features) and a null-text row
+    val withDups = apply.unionByName(Seq((3L, "atom atom")).toDF("id", "text"))
+    val viaJoin = Curation.classifierScore(withDups, "id", "text", wDf,
+        buckets = 4096, scanMaxBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val viaAuto = Curation.classifierScore(withDups, "id", "text", wDf, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(viaAuto == viaJoin, "auto scan path diverged from the join path")
+    // a PARTIAL weight table must fall back to the join path's
+    // inner-join filter semantics (not the dense array)
+    val partial = wDf.filter(col("bucket") % 2 === 0)
+    val viaPartial = Curation.classifierScore(apply, "id", "text", partial, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaPartialJoin = Curation.classifierScore(apply, "id", "text", partial,
+        buckets = 4096, scanMaxBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaPartial == viaPartialJoin, "partial spine must keep join semantics")
     // the scan is a pure projection: no exchange in its plan
     val plan = Curation.classifierScoreScan(apply, "id", "text", w)
       .queryExecution.executedPlan.toString
