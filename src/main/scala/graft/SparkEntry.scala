@@ -149,6 +149,43 @@ object SparkEntry {
     */
   @volatile var lastStreamBatchMs: Long = -1L
 
+  /** [[runStreamGate]] twin for TWO-stream operators (stream-stream
+    * join): both streams read the same copied source — each gets its
+    * own file-source instance, as two independent feeds would.
+    */
+  private def runStreamGate2(
+      s: SparkSession,
+      dir: String,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      prefix: String,
+      mode: String)(agg: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val tmpBase = streamScratchBase
+    val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, s"graft-$prefix-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/$table.parquet"),
+      srcDir.resolve(s"$table.parquet"))
+    val qname = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = agg(
+          s.readStream.schema(schema).parquet(srcDir.toString),
+          s.readStream.schema(schema).parquet(srcDir.toString))
+        .writeStream.outputMode(mode).format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastStreamBatchMs = q.recentProgress.toSeq
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+        .sum
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(qname)
+  }
+
   private val EventsStreamSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
@@ -1180,6 +1217,30 @@ object SparkEntry {
 
     // streaming windowed aggregation (tumbling 1h + watermark) — the
     // stream result hash-matches DuckDB's time_bucket batch answer
+    // STREAM-STREAM interval join (funnel/attribution): purchases
+    // within 6 hours after a click by the same user, two independent
+    // watermarked feeds. The time-range bound in the join condition is
+    // what lets Spark EXPIRE join state (equi-join alone would hold
+    // state forever); all rows arrive in one AvailableNow batch, so no
+    // row is late and the append-mode output equals the batch join —
+    // exactly what the oracle states. gap_us in integer microseconds.
+    "q_stream_join" -> ((s, dir) => {
+      runStreamGate2(s, dir, "events", EventsStreamSchema, "sjoin", "append") { (la, rb) =>
+        val clicks = la.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("ts_c"))
+        val buys = rb.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+            col("ts").as("ts_b"))
+        graft.streaming.StreamIngest.intervalJoinStreams(
+          clicks, buys, "c_user", "b_user", "ts_c", "ts_b",
+          maxGap = "6 hours", watermark = "12 hours")
+      }
+        .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
+          (unix_micros(col("ts_b")) - unix_micros(col("ts_c"))).as("gap_us"))
+        .orderBy("user_id", "click_id", "buy_id")
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       runStreamGate(s, dir, "events", EventsStreamSchema, "win", "complete") { st =>
         st.withColumn("__ts", col("ts"))
@@ -3605,6 +3666,19 @@ object SparkEntry {
           |  event_type, count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+      // single-batch AvailableNow => no late rows => the stream-stream
+      // interval join equals the batch interval join
+      "q_stream_join" ->
+        """SELECT CAST(a.user_id AS BIGINT) AS user_id,
+          |  CAST(a.event_id AS BIGINT) AS click_id,
+          |  CAST(b.event_id AS BIGINT) AS buy_id,
+          |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id
+          | AND a.event_type = 'click' AND b.event_type = 'purchase'
+          | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+          |ORDER BY user_id, click_id, buy_id""".stripMargin,
 
       "q_stream_sessionize" ->
         """WITH e AS (

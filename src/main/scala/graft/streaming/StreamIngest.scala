@@ -234,4 +234,44 @@ object StreamIngest {
         window(col("__ts"), windowLen),
         coalesce(col(attr), lit(fallbackAttr)).as(attr))
       .agg(count(lit(1)).as("n"))
+
+  /** STREAM-STREAM interval inner join — the stateful two-stream
+    * primitive (funnel/attribution shape: "purchase within `maxGap`
+    * after click"). Both sides get an event-time watermark and the
+    * join condition carries the time-range bound
+    * `left time <= right time <= left time + maxGap`, which is what
+    * lets Spark expire join state: a left row can be dropped once the
+    * RIGHT watermark passes `leftTime + maxGap`, a right row once the
+    * LEFT watermark passes its time (the engine derives both bounds
+    * from this exact conjunction — an equi-join without the range
+    * would keep state forever and Spark rejects it in append mode
+    * without a watermark). Inner join: matches emit as soon as both
+    * rows have arrived; the watermark bounds STATE, not result
+    * completeness, so with bounded late data the output equals the
+    * batch join — which is the q_stream_join oracle's statement.
+    *
+    * Column contract: `left`/`right` must already be projected to
+    * DISTINCT column names (Spark cannot disambiguate same-name
+    * columns across two streams); `leftKey`/`rightKey` are the
+    * equi-join keys, `leftTime`/`rightTime` the event-time columns the
+    * watermarks ride on.
+    */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      maxGap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withColumn(leftTime, col(leftTime).cast("timestamp"))
+      .withWatermark(leftTime, watermark)
+    val r = right.withColumn(rightTime, col(rightTime).cast("timestamp"))
+      .withWatermark(rightTime, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $maxGap"))
+  }
 }

@@ -57,6 +57,61 @@ class StreamingDedupSpec extends SparkSpec {
     assert(runBatch() == Seq("A"))
   }
 
+  test("intervalJoinStreams: multi-batch stream-stream join equals the batch interval join") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ssj")
+    val src = base.resolve("src").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("typ", StringType), StructField("t", DoubleType)))
+    // user 1: click 10 -> buys at 50 (in), 200 (out of 100s gap), 5 (before)
+    // user 2: click 100 -> buy 150 (in); buy arrives in an EARLIER file
+    //   than its click (right-before-left order — the join must buffer)
+    // user 3: buy only; user 4: click only
+    val rows = Seq(
+      (1L, 1L, "c", 10.0), (2L, 1L, "p", 50.0), (3L, 1L, "p", 200.0),
+      (4L, 1L, "p", 5.0), (5L, 2L, "p", 150.0), (6L, 2L, "c", 100.0),
+      (7L, 3L, "p", 30.0), (8L, 4L, "c", 40.0))
+    // three files -> three micro-batches per side (maxFilesPerTrigger=1)
+    rows.grouped(3).foreach { g =>
+      g.toDF("id", "k", "typ", "t").coalesce(1).write.mode("append").parquet(src)
+    }
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("typ") === "c")
+        .select(col("k").as("ck"), col("id").as("click_id"), col("t").as("ct")),
+      df.filter(col("typ") === "p")
+        .select(col("k").as("pk"), col("id").as("buy_id"), col("t").as("pt")))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val (lc, rp) = (
+      sides(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)),
+      sides(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)))
+    val q = StreamIngest.intervalJoinStreams(
+        lc._1, rp._2, "ck", "pk", "ct", "pt",
+        maxGap = "100 seconds", watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("click_id", "buy_id").collect()
+          .foreach(r => out.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(out).asScala.toSet
+    // batch expectation: same interval condition, plain join
+    val batch = rows.toDF("id", "k", "typ", "t")
+    val (bc, bp) = (sides(batch)._1, sides(batch)._2)
+    val expected = bc.join(bp,
+        col("ck") === col("pk") &&
+          col("pt") >= col("ct") && col("pt") <= col("ct") + lit(100.0))
+      .select("click_id", "buy_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected == Set((1L, 2L), (6L, 5L)), s"fixture drifted: $expected")
+    assert(streamed == expected,
+      s"stream-stream join diverged: streamed=$streamed expected=$expected")
+  }
+
   test("screenStreamAgainstIndex: multi-batch union equals the batch screen") {
     import graft.functions.{Dedup, DedupExpressions}
     def doc(salt: Int): String =
