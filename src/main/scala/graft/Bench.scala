@@ -50,7 +50,10 @@ object Bench {
     // loop) and encode (1 codegen'd count-only kernel scan)
     "q_bpe_train", "q_bpe_encode",
     // round-8: link-graph centrality (8 co-partitioned join rounds)
-    "q_pagerank")
+    "q_pagerank",
+    // round-9: byte-level BPE encode (codegen kernel, hex-pair
+    // symbols) + the stream-stream interval join
+    "q_bpe_bytes_encode", "q_stream_join")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

@@ -639,10 +639,14 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxShingleFreq: Int = 10000): DataFrame = {
+    // LAZY pin: the stop-count collect below is the first action and
+    // covers every partition, so the kernel+sort+checkpoint fuses into
+    // that job instead of paying a separate eager one
     val (docSh, docShPins) = Pins.pin(df
       .select(col(idCol).as("id"),
         array_sort(DedupExpressions.shingleSet(col(textCol), n)).as("hs"))
-      .select(col("id"), col("hs"), size(col("hs")).as("n_sh")))
+      .select(col("id"), col("hs"), size(col("hs")).as("n_sh")),
+      eager = false)
     // prefix flag per (doc, position): the suffix strictly after p can
     // carry at most n_sh - p - 1 shared shingles; p is in the prefix
     // while a suffix-only overlap of n_sh - p could still pass

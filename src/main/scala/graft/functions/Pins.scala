@@ -25,12 +25,22 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Pins {
 
-  def pin(df: DataFrame): (DataFrame, Set[Int]) = {
+  def pin(df: DataFrame): (DataFrame, Set[Int]) = pin(df, eager = true)
+
+  /** `eager = false` defers materialization to the FIRST action that
+    * touches the pinned frame — an operator whose very next step is a
+    * full-coverage action (a count/collect over every partition) fuses
+    * the pin into that job instead of paying a separate one. Only safe
+    * when that first action covers ALL partitions (a `limit`-style
+    * partial action would checkpoint a partial subset lazily — Spark
+    * handles it, but the pin's cost then resurfaces later).
+    */
+  def pin(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = eager)
+      else df.localCheckpoint(eager = eager)
     (out, (sc.getPersistentRDDs.keySet -- before).toSet)
   }
 
