@@ -88,17 +88,17 @@ object ScaleProbe {
       docs.select(functions.DedupExpressions.minhashSig(col("text"), 64).as("s"))
         .select(avg(element_at(col("s"), 1))).head()
     }
-    timed("minhash LSH pairs") {
-      functions.Dedup.minhashPairs(docs, "id", "text", threshold = 0.9).count()
-    }
-    timed("minhash LSH pairs (pinSigs=true)") {
-      // r8: the one-shot API's pinned variant — MinHashSigExpr runs
-      // once instead of once per consumer branch
-      val out = functions.Dedup.minhashPairs(
-        docs, "id", "text", threshold = 0.9, pinSigs = true)
+    timed("minhash LSH pairs (default: pinSigs=true since r9)") {
+      // r8/r9: the default pins signatures — MinHashSigExpr runs once
+      // instead of once per consumer branch
+      val out = functions.Dedup.minhashPairs(docs, "id", "text", threshold = 0.9)
       val n = out.count()
       functions.Curation.unpin(out)
       n
+    }
+    timed("minhash LSH pairs (pinSigs=false, lazy)") {
+      functions.Dedup.minhashPairs(
+        docs, "id", "text", threshold = 0.9, pinSigs = false).count()
     }
     timed("minhash LSH pairs (persisted sigs)") {
       // the 100 TB shape: signatures materialized once, ids-only bands

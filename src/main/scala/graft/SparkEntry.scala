@@ -1298,6 +1298,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Embedding PCA, fit side: the quantized Gram matrix is EXACT
+    // integers (floor(x*2^14 + 0.5) per float, BIGINT sums), so the
+    // one number distributed float statistics usually can't be gated
+    // on — the full second-moment matrix — hash-matches DuckDB
+    // bit for bit, on any partitioning.
+    "q_pca_gram" -> ((s, dir) => {
+      Similarity.gramMatrix(tbl(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j")
+    }),
+
+    // Whitening, apply side: project onto top-8 eigenvectors of the
+    // quantized covariance (driver Jacobi) and scale to unit variance;
+    // the gate pins the DEFINING invariants — each whitened component
+    // has mean ~0 and population variance ~1 (quality-gate shape, like
+    // q_ann_ivf's recall_ok: the oracle pins the booleans TRUE).
+    "q_pca_whiten" -> ((s, dir) => {
+      val w = Similarity.whitenVectors(
+        tbl(s, dir, "embeddings"), "embedding", k = 8)
+      w.select(posexplode(col("white")).as(Seq("component", "y")))
+        .groupBy("component")
+        .agg(avg(col("y")).as("m"), avg(col("y") * col("y")).as("m2"))
+        .select(col("component").cast("long").as("component"),
+          (abs(col("m")) < 0.01).as("mean_ok"),
+          (abs(col("m2") - col("m") * col("m") - 1.0) < 0.02).as("var_ok"))
+        .orderBy("component")
+    }),
+
     // exact + approx distinct (the approx is the 100 TB path; exact is
     // the oracle-checked one)
     "q_distinct_count" -> ((s, dir) => {
@@ -4524,6 +4551,20 @@ object SparkEntry {
         (s"WITH ${bpeCtes(BpeK)} " +
           s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
           s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
+
+      // integer-exact quantized Gram matrix (see q_pca_gram comment);
+      // zipped-unnest-free: plain range cross products over the dim
+      "q_pca_gram" ->
+        ("WITH qv AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), " +
+          "x -> CAST(floor(x * 16384 + 0.5) AS BIGINT)) AS q FROM embeddings) " +
+          "SELECT i, j, CAST(sum(q[i+1] * q[j+1]) AS BIGINT) AS gram " +
+          "FROM qv, range(64) t1(i), range(64) t2(j) WHERE i <= j " +
+          "GROUP BY i, j ORDER BY i, j"),
+
+      // whitening invariants pinned TRUE (quality-gate shape)
+      "q_pca_whiten" ->
+        ("SELECT CAST(i AS BIGINT) AS component, true AS mean_ok, true AS var_ok " +
+          "FROM range(8) t(i) ORDER BY component"),
 
       // the distributed trainer must reproduce the same merge table
       "q_bpe_train_dist" ->

@@ -935,6 +935,74 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
   * formulation is an interpreted HOF chain that allocates per element.
   * Null arrays or zero norms → 0.0 (matches Similarity.cosine).
   */
+/** Centered linear projection of a float/double array column through a
+  * driver-held matrix (the PCA/whitening apply step):
+  * `out(c) = Σ_i (x(i) - means(i)) · mat(c)(i)` — one imperative pass,
+  * no per-element HOF allocation. `mat` rows are the (possibly
+  * variance-scaled) component vectors; size ships with the plan
+  * (k·d doubles — 4 KiB at d=64, k=8). Null arrays → null (unary
+  * null-intercept); vectors shorter than d treat missing entries as 0.
+  */
+case class ProjectVecExpr(
+    child: Expression,
+    means: Array[Double],
+    mat: Array[Array[Double]])
+    extends UnaryExpression {
+  require(mat.nonEmpty, "need at least one projection row")
+  // content equality for CSE/ReuseExchange (the QueryTfExpr lesson)
+  override def equals(other: Any): Boolean = other match {
+    case e: ProjectVecExpr =>
+      child == e.child &&
+        java.util.Arrays.equals(means, e.means) &&
+        java.util.Arrays.deepEquals(
+          mat.asInstanceOf[Array[Object]], e.mat.asInstanceOf[Array[Object]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(means)) +
+      java.util.Arrays.deepHashCode(mat.asInstanceOf[Array[Object]])
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"project_vec requires ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeProject(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val row = mat(c)
+      val m = math.min(n, row.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += (v - means(i)) * row(i)
+        i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeProject(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("projectVec", this, classOf[ProjectVecExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeProject($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): ProjectVecExpr =
+    copy(child = c)
+  override def prettyName: String = "project_vec"
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -1319,4 +1387,7 @@ object DedupExpressions {
 
   def kmeansAssign(q: Column, centroids: Array[Array[Long]]): Column =
     column(KMeansAssignExpr(expression(q), centroids))
+
+  def projectVec(vec: Column, means: Array[Double], mat: Array[Array[Double]]): Column =
+    column(ProjectVecExpr(expression(vec), means, mat))
 }

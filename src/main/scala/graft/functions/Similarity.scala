@@ -749,4 +749,228 @@ object Similarity {
       q.unpersist(blocking = false)
     }
   }
+
+  // ------------------------------------------------------------------
+  // Embedding PCA / whitening (SemDeDup / ANN preprocessing)
+  // ------------------------------------------------------------------
+
+  /** Integer statistics of an embedding column in ONE distributed
+    * pass: each float quantizes to `floor(x·2^scaleBits + 0.5)` (floor
+    * — not round — because both engines floor identically for every
+    * sign), and the pass accumulates the exact Gram matrix
+    * `G_ij = Σ q_i·q_j` (upper triangle), the coordinate sums
+    * `S_i = Σ q_i`, and the row count as BIGINTs. Sums of integers are
+    * order-independent, so the result is bit-identical on any cluster
+    * AND in the DuckDB oracle — the float-nondeterminism problem that
+    * makes naive covariance un-gateable is gone by construction.
+    * Accumulation uses `Math.addExact`: past ~2^63 the pass fails LOUD
+    * (lower `scaleBits` — each bit halves headroom twice; default 14
+    * holds ~1e9 unit-scale rows).
+    *
+    * Implementation: one `treeAggregate` over the columnar rows (no
+    * boxing — reads `ArrayData` directly), buffer = d(d+1)/2 + d + 1
+    * longs (≈ 17 KiB at d = 64). Null vectors are skipped.
+    */
+  private[functions] def gramStats(
+      df: DataFrame, vecCol: String, scaleBits: Int): (Array[Long], Array[Long], Long, Int) = {
+    require(scaleBits >= 1 && scaleBits <= 24, s"scaleBits in [1,24], got $scaleBits")
+    val sel = df.select(col(vecCol).cast("array<double>"))
+    val s = (1L << scaleBits).toDouble
+    val rdd = sel.queryExecution.toRdd
+    val (gram, sums, cnt, dim) = rdd.treeAggregate(
+      (null: Array[Long], null: Array[Long], 0L, 0))(
+      seqOp = { case ((g0, s0, n0, d0), row) =>
+        if (row.isNullAt(0)) (g0, s0, n0, d0)
+        else {
+          val arr = row.getArray(0)
+          val d = arr.numElements()
+          val g = if (g0 == null) new Array[Long](d * (d + 1) / 2) else g0
+          val su = if (s0 == null) new Array[Long](d) else s0
+          require(d0 == 0 || d == d0,
+            s"gramStats: mixed embedding dims ($d0 vs $d)")
+          val q = new Array[Long](d)
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(arr.getDouble(i) * s + 0.5).toLong
+            su(i) = Math.addExact(su(i), q(i))
+            i += 1
+          }
+          var idx = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              g(idx) = Math.addExact(g(idx), q(i) * q(j))
+              idx += 1
+              j += 1
+            }
+            i += 1
+          }
+          (g, su, n0 + 1, d)
+        }
+      },
+      combOp = { case ((g1, s1, n1, d1), (g2, s2, n2, d2)) =>
+        if (g1 == null) (g2, s2, n2, d2)
+        else if (g2 == null) (g1, s1, n1, d1)
+        else {
+          require(d1 == d2, s"gramStats: mixed embedding dims ($d1 vs $d2)")
+          var i = 0
+          while (i < g1.length) { g1(i) = Math.addExact(g1(i), g2(i)); i += 1 }
+          i = 0
+          while (i < s1.length) { s1(i) = Math.addExact(s1(i), s2(i)); i += 1 }
+          (g1, s1, n1 + n2, d1)
+        }
+      })
+    require(cnt > 0, "gramStats: no non-null vectors")
+    (gram, sums, cnt, dim)
+  }
+
+  /** The exact quantized Gram matrix as `(i, j, gram)` rows
+    * (`0 <= i <= j < d`, BIGINT) — the oracle-gateable face of
+    * [[gramStats]] (gate q_pca_gram).
+    */
+  def gramMatrix(df: DataFrame, vecCol: String, scaleBits: Int = 14): DataFrame = {
+    val (gram, _, _, d) = gramStats(df, vecCol, scaleBits)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield (i.toLong, j.toLong, gram(i * d - i * (i - 1) / 2 + (j - i)))
+    rows.toDF("i", "j", "gram")
+  }
+
+  /** PCA over the quantized covariance: top-`k` eigenpairs of
+    * `C_ij = (n·G_ij − S_i·S_j) / (n²·s²)` (exact BigInt numerator —
+    * centering never loses integer precision), extracted by a
+    * deterministic cyclic Jacobi sweep on the driver (d×d, d ≈ 64-1024;
+    * the DATA pass is the distributed [[gramStats]] scan, the
+    * eigensolve is O(d³) driver math — the standard split for tall
+    * skinny PCA). Deterministic: fixed sweep order, fixed sweep count,
+    * sign convention = largest-|entry| coordinate positive (first on
+    * tie). Returns (means, eigenvalues desc, components) —
+    * `components(c)` is the c-th eigenvector over ORIGINAL (unscaled)
+    * coordinates.
+    */
+  def pcaComponents(
+      df: DataFrame, vecCol: String, k: Int, scaleBits: Int = 14)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (gram, sums, n, d) = gramStats(df, vecCol, scaleBits)
+    require(k <= d, s"k=$k exceeds embedding dim $d")
+    val s = (1L << scaleBits).toDouble
+    val means = sums.map(_.toDouble / (n.toDouble * s))
+    // exact centered numerator, then ONE rounding into double
+    val c = Array.ofDim[Double](d, d)
+    val den = n.toDouble * n.toDouble * s * s
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val num = BigInt(n) * BigInt(gram(idx)) - BigInt(sums(i)) * BigInt(sums(j))
+        val v = num.toDouble / den
+        c(i)(j) = v
+        c(j)(i) = v
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEigen(c)
+    (means, evals.take(k), evecs.take(k))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: 30 fixed sweeps
+    * over (p < q) in row order (converges to machine precision well
+    * before that at d ≤ 1024; fixed count keeps the op deterministic).
+    * Returns eigenpairs sorted by eigenvalue DESC (index asc on exact
+    * ties), each vector sign-normalized (largest-|entry| coordinate
+    * positive, first index on tie).
+    */
+  private[functions] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 30) {
+      var off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (a(p)(q) != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // theta == 0 (equal diagonal) still needs the full 45°
+            // rotation — signum(0) = 0 would silently skip it
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val cos = 1.0 / math.sqrt(t * t + 1.0)
+            val sin = t * cos
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = cos * arp - sin * arq
+              a(r)(q) = sin * arp + cos * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = cos * apr - sin * aqr
+              a(q)(r) = sin * apr + cos * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = cos * vrp - sin * vrq
+              v(r)(q) = sin * vrp + cos * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+      if (off < 1e-24) sweep = 30 // converged — remaining sweeps no-op anyway
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val vec = Array.tabulate(d)(r => v(r)(i))
+      var best = 0
+      var r = 1
+      while (r < d) { if (math.abs(vec(r)) > math.abs(vec(best))) best = r; r += 1 }
+      if (vec(best) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Whiten an embedding column: project onto the top-`k` principal
+    * components and scale each to unit variance —
+    * `y_c = Σ_i (x_i − mean_i)·V_ci / sqrt(λ_c)` — appended as
+    * `outCol` (array<double>, length k). One [[gramStats]] fit pass +
+    * one codegen'd [[ProjectVecExpr]] apply scan; the k·d projection
+    * matrix ships with the plan. Components with eigenvalue ≤ `minVar`
+    * are dropped (whitening would divide by ~0 and amplify noise), so
+    * the output may be shorter than `k` on degenerate inputs.
+    */
+  def whitenVectors(
+      df: DataFrame,
+      vecCol: String,
+      k: Int,
+      outCol: String = "white",
+      scaleBits: Int = 14,
+      minVar: Double = 1e-12): DataFrame = {
+    val (means, evals, evecs) = pcaComponents(df, vecCol, k, scaleBits)
+    val keep = evals.zip(evecs).filter(_._1 > minVar)
+    require(keep.nonEmpty, "whitenVectors: no component above minVar")
+    val mat = keep.map { case (ev, vec) =>
+      val inv = 1.0 / math.sqrt(ev)
+      vec.map(_ * inv)
+    }
+    df.withColumn(outCol,
+      DedupExpressions.projectVec(col(vecCol), means, mat))
+  }
 }

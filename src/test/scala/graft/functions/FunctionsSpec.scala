@@ -510,6 +510,72 @@ class ShingleSetExprSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("jacobiEigen solves a known symmetric system exactly enough") {
+    // [[2,1],[1,2]] -> eigenvalues 3, 1; vectors (1,1)/sqrt2, (1,-1)/sqrt2
+    val (evals, evecs) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(evals(0) - 3.0) < 1e-12 && math.abs(evals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(math.abs(math.abs(evecs(1)(0)) - r) < 1e-12 &&
+      evecs(1)(0) * evecs(1)(1) < 0)
+  }
+
+  test("pcaComponents recovers a planted dominant direction; whitening normalizes") {
+    // data = t * u + small noise, u = (1,1,0,0)/sqrt2: top component
+    // must align with u and carry almost all variance
+    val u = Array(0.7071f, 0.7071f, 0f, 0f)
+    val rows = (0 until 400).map { i =>
+      val t = ((i % 41) - 20) * 0.1f
+      val noise = Array(0f, 0f, (((i * 13) % 7) - 3) * 0.004f, (((i * 29) % 5) - 2) * 0.004f)
+      (i.toLong, u.map(_ * t).zip(noise).map { case (a, b) => a + b }.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (means, evals, evecs) = Similarity.pcaComponents(df, "embedding", k = 2)
+    assert(evals(0) > 50 * evals(1), s"dominant direction not dominant: ${evals.toSeq}")
+    val cosTop = evecs(0).zip(u).map { case (a, b) => a * b }.sum
+    assert(math.abs(cosTop) > 0.999, s"top component misaligned: ${evecs(0).toSeq}")
+    assert(means.forall(m => math.abs(m) < 0.05))
+    // whitened: both kept components mean ~0 / var ~1, and the
+    // projection kernel equals a driver-side replay on every row
+    val w = Similarity.whitenVectors(df, "embedding", k = 2)
+    val ys = w.select(col("vec_id"), col("white")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val kDim = ys.head._2.length
+    for (c <- 0 until kDim) {
+      val col = ys.map(_._2(c))
+      val m = col.sum / col.length
+      val v = col.map(y => (y - m) * (y - m)).sum / col.length
+      // means derive from QUANTIZED data while the projection reads
+      // raw floats — the residual mean is O(0.5/2^14) per coordinate
+      assert(math.abs(m) < 1e-4, s"component $c mean $m")
+      assert(math.abs(v - 1.0) < 0.02, s"component $c var $v")
+    }
+    // determinism: a repartitioned rerun yields identical doubles
+    // (integer gram => identical covariance => identical Jacobi)
+    val w2 = Similarity.whitenVectors(df.repartition(7), "embedding", k = 2)
+      .select(col("vec_id"), col("white")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(w2.toSeq == ys.toSeq, "whitening must be partition-invariant")
+  }
+
+  test("gramMatrix: null vectors skipped, mixed dims fail loud") {
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))), (2L, Some(Seq(0.5f, -1.0f))),
+      (3L, None)).toDF("vec_id", "embedding")
+    val g = Similarity.gramMatrix(df, "embedding", scaleBits = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // q1 = (1024, 2048), q2 = (512, -1024)
+    assert(g((0L, 0L)) == 1024L * 1024 + 512L * 512)
+    assert(g((0L, 1L)) == 1024L * 2048 + 512L * -1024)
+    assert(g((1L, 1L)) == 2048L * 2048 + 1024L * 1024)
+    val bad = Seq((1L, Seq(1.0f)), (2L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.gramMatrix(bad, "embedding").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("kmeansFitInt8 recovers planted blobs, deterministically") {
     // 4 well-separated blobs in 8 dims; id order interleaves blobs so
     // the id-ordered init starts with one seed per blob
