@@ -52,8 +52,9 @@ object Bench {
     // round-8: link-graph centrality (8 co-partitioned join rounds)
     "q_pagerank",
     // round-9: byte-level BPE encode (codegen kernel, hex-pair
-    // symbols) + the stream-stream interval join
-    "q_bpe_bytes_encode", "q_stream_join")
+    // symbols), the stream-stream interval join, and degree-oriented
+    // triangle counting (join-heavy graph workload)
+    "q_bpe_bytes_encode", "q_stream_join", "q_triangles")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

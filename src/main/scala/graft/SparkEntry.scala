@@ -1412,6 +1412,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Per-node triangle counts + clustering coefficient over the part
+    // co-purchase graph (parts sharing an order — non-bipartite, dense
+    // triangle population). Degree orientation => each triangle found
+    // exactly once at its lowest-(degree,id) vertex; the oracle's
+    // canonical a<b<c triple join enumerates the identical set.
+    "q_triangles" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val edges = li.select(col("o"), col("p").as("src"))
+        .join(li.select(col("o"), col("p").as("dst")), "o")
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      graft.functions.Graphs.triangleCounts(edges, "src", "dst")
+        .orderBy("node")
+    }),
+
     // Same walk forced onto the micro unit (the scale path auto-select
     // takes past ~10.6M node·damping/1e3): base 150_000 / r0 1e6, the
     // final rank rescaled x1000 back to nano — the oracle replays the
@@ -4537,6 +4554,17 @@ object SparkEntry {
       "q_pagerank" ->
         (s"WITH ${pageRankCtes(8)} " +
           "SELECT node, r AS rank_nano FROM pr_r8 ORDER BY node"),
+
+      // canonical a<b<c triple join == the degree-oriented triangle set
+      "q_triangles" ->
+        ("WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem), " +
+          "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x JOIN li y ON x.o = y.o AND x.p < y.p), " +
+          "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), " +
+          "tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+          "tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) GROUP BY 1) " +
+          "SELECT deg.node, deg.degree, COALESCE(tn.t, 0) AS n_triangles, " +
+          "CASE WHEN deg.degree < 2 THEN 0.0 ELSE round(2.0 * COALESCE(tn.t, 0) / (deg.degree * (deg.degree - 1)), 6) END AS clustering " +
+          "FROM deg LEFT JOIN tn USING (node) ORDER BY node"),
 
       // the same walk in micro units, rescaled x1000 to nano at the end
       "q_pagerank_micro" ->

@@ -193,4 +193,69 @@ object Graphs {
     * pins file-backed — see [[Pins]]).
     */
   def unpin(df: DataFrame): Unit = Pins.unpin(df)
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected edge table — the second host-graph quality signal
+    * next to [[pageRank]] (a spam farm's link neighborhood is either
+    * abnormally clique-ish or abnormally triangle-free for its
+    * degree).
+    *
+    * Algorithm: degree orientation (Suri & Vassilvitskii, WWW'11
+    * "Counting Triangles and the Curse of the Last Reducer" — the
+    * public MapReduce formulation). Edges canonicalize + distinct,
+    * then orient from the lower- to the higher-ranked endpoint under
+    * the total order `(degree, id)`. Every triangle has exactly one
+    * vertex with out-degree-2 in the orientation (its lowest-ranked),
+    * so wedges enumerate as the oriented self-join on `src` with
+    * `rank(v) < rank(w)`, and one more equi-join against the oriented
+    * edge set closes them — each triangle found EXACTLY once, no
+    * post-hoc division. The orientation is why this scales: a
+    * hub of degree D contributes C(outdeg, 2) wedges where
+    * `outdeg = O(sqrt(|E|))` regardless of D, so the curse-of-the-
+    * last-reducer hot key cannot form. All joins are equi-joins on
+    * node ids; all comparisons are integer-lexicographic
+    * (struct compare == DuckDB row compare), so the DuckDB oracle
+    * reproduces the triangle SET, not just the totals.
+    *
+    * Returns `(node, degree, n_triangles, clustering)` for every node
+    * with degree >= 1; `clustering` = 2T/(d(d-1)) rounded to 6
+    * (0.0 for degree-1 nodes).
+    */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient: (deg, id)-lower endpoint -> higher; carry both ranks
+    val withRanks = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("_db")), "b")
+    val lower = struct(col("_da"), col("a")) < struct(col("_db"), col("b"))
+    val oriented = withRanks.select(
+      when(lower, col("a")).otherwise(col("b")).as("src"),
+      when(lower, col("b")).otherwise(col("a")).as("dst"),
+      when(lower, struct(col("_db").as("d"), col("b").as("n")))
+        .otherwise(struct(col("_da").as("d"), col("a").as("n"))).as("_r"))
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("_r").as("_rv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("_r").as("_rw"))
+    val wedges = o1.join(o2, Seq("src")).filter(col("_rv") < col("_rw"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * col("n_triangles").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6)))
+  }
 }

@@ -104,6 +104,44 @@ class GraphsSpec extends SparkSpec {
     Graphs.unpin(r) // idempotent no-op
   }
 
+  test("triangleCounts: hand-checked graphs, duplicates/orientation-proof") {
+    // K3 plus a pendant: nodes 1,2,3 form the triangle; 4 hangs off 3.
+    // Edges deliberately duplicated and flipped — canonicalization
+    // must collapse them.
+    val e1 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graphs.triangleCounts(e1, "src", "dst")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, round6(2.0 / 6.0))))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+
+    // two triangles sharing edge (1,2): T(1)=T(2)=2, T(3)=T(4)=1
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got2 = Graphs.triangleCounts(e2, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got2 == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+
+    // total-triangle conservation on a seeded random graph: sum of
+    // per-node counts == 3 * naive triple-loop count
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val naive = (for {
+      a <- 0L until 20L; b <- a + 1 until 20L; c <- b + 1 until 20L
+      if canon((a, b)) && canon((b, c)) && canon((a, c))
+    } yield 1).size
+    val sumPerNode = Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .agg(sum("n_triangles")).collect()(0).getLong(0)
+    assert(sumPerNode == 3L * naive, s"per-node sum $sumPerNode vs 3x$naive")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("Pins.releaseAll reclaims pins leaked by callers that skip unpin") {
     // a "leaked" pin: materialized result, unpin never called
     val r = Graphs.pageRank(
