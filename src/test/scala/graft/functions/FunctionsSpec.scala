@@ -414,6 +414,44 @@ class DedupSpec extends SparkSpec {
     assert(c == Seq((1L, 2L, 1.0)), s"small-inside-big containment lost: $c")
   }
 
+  test("containmentPairs PPJoin == brute force at every threshold (randomized)") {
+    // the r9 prefix-filter completeness claim, property-tested: on
+    // seeded corpora with planted excerpts, the candidate+verify
+    // pipeline must equal a driver-side brute force over the exact
+    // same shingle sets (including the non-stop numerator semantics —
+    // stop set empty here), for thresholds from permissive to strict
+    import graft.functions.{DedupExpressions => DE}
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until (8 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant excerpts: doc 100+i = a random contiguous slice of doc i
+    val planted = (0 until 12).map { i =>
+      val words = base(i)._2.split(" ")
+      val from = rnd.nextInt(math.max(1, words.length - 6))
+      val len = 5 + rnd.nextInt(words.length - from - 4 max 1)
+      (100L + i, words.slice(from, from + len).mkString(" "))
+    }
+    val docs = (base ++ planted).toDF("id", "text")
+    // exact shingle sets via the same kernel the operator uses
+    val sets = docs.select(col("id"), DE.shingleSet(col("text"), 3).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    for (t <- Seq(0.3, 0.5, 0.8, 0.95)) {
+      val expected = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+        if c >= t
+      } yield (a, b, BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      val got = Dedup.containmentPairs(docs, "id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(got == expected,
+        s"t=$t: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("Array-param expressions compare by content (semanticEquals/CSE contract)") {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
