@@ -119,7 +119,14 @@ object TextOpsProbe {
         wide.filter(col("id") % 2 === 0), "text",
         wide.filter(col("id") % 2 === 1), "text").localCheckpoint(true)
     }
-    timed(s"classifierScore join path ($nDocs docs)") {
+    timed(s"classifierScore join path ($nDocs docs, forced)") {
+      // scanMaxBuckets=2 forces the feature-explode join (the r9
+      // default auto-selects the scan kernel on full-spine tables)
+      functions.Curation.classifierScore(wide, "id", "text", wTbl,
+          scanMaxBuckets = 2)
+        .agg(sum("logit_nano")).head()
+    }
+    timed(s"classifierScore auto (r9 scan default, $nDocs docs)") {
       functions.Curation.classifierScore(wide, "id", "text", wTbl)
         .agg(sum("logit_nano")).head()
     }

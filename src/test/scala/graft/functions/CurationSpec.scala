@@ -517,6 +517,17 @@ class ClassifierScanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("trainTokenClassifier: dense scan path == distributed join path, bit-exact") {
+    val pos = (0 until 25).map(i => (i.toLong, s"atom cell energy ion flux doc$i")).toDF("id", "text")
+    val neg = (0 until 25).map(i => (i.toLong, s"win free click now prize doc$i")).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dense = rows(Curation.trainTokenClassifier(pos, "text", neg, "text", buckets = 4096))
+    val join = rows(Curation.trainTokenClassifier(pos, "text", neg, "text",
+      buckets = 4096, scanMaxBuckets = 2))
+    assert(dense == join, "dense treeAggregate weights diverged from the join path")
+  }
+
   test("collectClassifierWeights rejects a filtered (non-spine) table") {
     val pos = Seq((1L, "a b")).toDF("id", "text")
     val neg = Seq((1L, "c d")).toDF("id", "text")
