@@ -202,27 +202,73 @@ object TextFunctions {
     * counts token OCCURRENCES whose corpus-wide occurrence count is
     * ≤ `maxCount`.
     */
+  /** @param maxFrequentCollect fast-path bound: the set of FREQUENT
+    *   tokens (corpus count > maxCount) is pigeonhole-bounded by
+    *   `total occurrences / (maxCount+1)`; when it fits under this cap
+    *   it collects to a sorted driver array and rarity becomes ONE
+    *   [[graft.functions.OovStatsExpr]]-style scan (`n_rare` =
+    *   occurrences outside the frequent set — the exact OOV
+    *   formulation), skipping the join-back that shuffled one row per
+    *   token occurrence. Only the r8 join path's one count shuffle
+    *   remains (12.8 s → ~5 s at 1M docs). A tiny `maxCount` on a huge
+    *   corpus overflows the cap and falls back to the join — same
+    *   values either way (same md5-64 token identity end to end).
+    */
   def corpusRarity(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxCount: Long = 2L): DataFrame = {
+      maxCount: Long = 2L,
+      maxFrequentCollect: Int = 4 << 20): DataFrame = {
     // token identity = signed-64 md5 (ShinglePosHashesExpr n=1): the
     // output is counts only, so the token STRING never needs to enter
-    // the corpus-wide frequency shuffle or the join back — 8-byte keys
-    // end to end, one codegen'd pass on the scan side
+    // the corpus-wide frequency shuffle — 8-byte keys end to end
     val exploded = df.select(col(idCol).as("id"),
       explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("tok"))
-    val counts = exploded.groupBy("tok").agg(count(lit(1)).as("_tc"))
-    exploded.join(counts, "tok")
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("_tc") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
-      .withColumn(
-        "rare_frac",
-        round(col("n_rare").cast("double") / col("n_tokens"), 6))
-      .withColumnRenamed("id", idCol)
+    // lazy pin: the frequent-set collect below is the first action and
+    // materializes it; the join fallback then reuses it without
+    // re-running the count shuffle
+    val (counts, countPins) = Pins.pin(
+      exploded.groupBy("tok").agg(count(lit(1)).as("_tc")), eager = false)
+    val frequent: Option[Array[Long]] = {
+      val arr = counts.filter(col("_tc") > maxCount).select(col("tok"))
+        .limit(maxFrequentCollect + 1).collect().map(_.getLong(0))
+      if (arr.length <= maxFrequentCollect) Some(arr) else None
+    }
+    frequent match {
+      case Some(freq) =>
+        Pins.release(counts, countPins)
+        val stats =
+          if (freq.isEmpty)
+            // no frequent tokens: every occurrence is rare
+            df.select(col(idCol).as("id"),
+              size(DedupExpressions.shinglePosHashes(col(textCol), 1))
+                .cast("long").as("n_tokens"))
+              .withColumn("n_rare", col("n_tokens"))
+          else
+            df.select(col(idCol).as("id"),
+              DedupExpressions.oovStats(
+                col(textCol), freq.sorted).as("_rs"))
+              .select(col("id"), col("_rs.n_tokens").as("n_tokens"),
+                col("_rs.n_oov").as("n_rare"))
+        stats
+          .filter(col("n_tokens") > 0) // zero-token docs produce no row
+          .withColumn("rare_frac",
+            round(col("n_rare").cast("double") / col("n_tokens"), 6))
+          .withColumnRenamed("id", idCol)
+      case None =>
+        val out = exploded.join(counts, "tok")
+          .groupBy("id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("_tc") <= maxCount, 1L).otherwise(0L)).as("n_rare"))
+          .withColumn(
+            "rare_frac",
+            round(col("n_rare").cast("double") / col("n_tokens"), 6))
+          .withColumnRenamed("id", idCol)
+        Pins.register(out, countPins)
+        out
+    }
   }
 
   /** CCNet-style unigram language-model surprisal — the standard

@@ -38,6 +38,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Map(1L -> (3L, 1L, 0.333333), 2L -> (2L, 1L, 0.5)))
   }
 
+  test("corpusRarity: r9 scan path == join fallback; null/empty docs absent; empty frequent set") {
+    val rnd = new scala.util.Random(5)
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, (0 until (3 + rnd.nextInt(12))).map(_ => s"t${rnd.nextInt(25)}").mkString(" "))
+    } ++ Seq((100L, ""), (101L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    for (mc <- Seq(1L, 3L, 10L)) {
+      val scan = rows(TextFunctions.corpusRarity(docs, "doc_id", "text", maxCount = mc))
+      val join = rows(TextFunctions.corpusRarity(docs, "doc_id", "text", maxCount = mc,
+        maxFrequentCollect = 0)) // force the join fallback
+      assert(scan == join, s"maxCount=$mc: scan path diverged from join path")
+      assert(!scan.exists(r => r._1 >= 100L), "empty/null docs must produce no row")
+    }
+    // maxCount above every corpus count: frequent set empty, all rare
+    val allRare = rows(TextFunctions.corpusRarity(docs, "doc_id", "text", maxCount = 10000L))
+    assert(allRare.forall(r => r._2 == r._3 && r._4 == 1.0))
+  }
+
   test("stopword / punct ratios") {
     assert(math.abs(one[Double](TextFunctions.stopwordRatio(col("text")), "the cat is here") - 0.5) < 1e-9)
     assert(math.abs(one[Double](TextFunctions.punctRatio(col("text")), "ab,.") - 0.5) < 1e-9)
