@@ -54,7 +54,11 @@ object Bench {
     // round-9: byte-level BPE encode (codegen kernel, hex-pair
     // symbols), the stream-stream interval join, and degree-oriented
     // triangle counting (join-heavy graph workload)
-    "q_bpe_bytes_encode", "q_stream_join", "q_triangles")
+    "q_bpe_bytes_encode", "q_stream_join", "q_triangles",
+    // round-9 (cont.): synchronous label propagation (5 vote rounds),
+    // integer-micro HITS (4 double-half-step rounds), and the trigram
+    // stupid-backoff LM (3 train passes + 5 left joins)
+    "q_label_prop", "q_hits", "q_trigram_lm")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

@@ -1440,6 +1440,36 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Deterministic synchronous label propagation (5 rounds) over the
+    // part co-purchase graph — community detection, the grouping
+    // complement of the pageRank score. Every round's argmax is
+    // (count desc, label asc), a total order both engines express
+    // exactly (Spark: max(struct(c, -label)); oracle: row_number) —
+    // the gate pins all 5 rounds, not just a converged fixpoint.
+    "q_label_prop" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val edges = li.select(col("o"), col("p").as("src"))
+        .join(li.select(col("o"), col("p").as("dst")), "o")
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      graft.functions.Graphs.labelPropagation(edges, "src", "dst", iterations = 5)
+        .orderBy("node")
+    }),
+
+    // Integer-micro HITS (4 rounds) over the DIRECTED supplier ->
+    // customer transaction graph: suppliers can only be hubs,
+    // customers only authorities, so the gate checks both role
+    // vectors end-to-end (zero columns included). Every half-step is
+    // a sum + truncating ceiling-divisor rescale into [0, 1e6] — the
+    // oracle replays the exact integer chain.
+    "q_hits" -> ((s, dir) => {
+      graft.functions.Graphs.hits(
+          transactionEdges(s, dir), "src", "dst", iterations = 4)
+        .orderBy("node")
+    }),
+
     // IncrementalStore lifecycle IN the gate: flush the first event per
     // user as the initial snapshot, flush the last event (rotating
     // changed users into append-only history), compact history, read
@@ -1996,6 +2026,19 @@ object SparkEntry {
     "q_bigram_lm" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       TextFunctions.bigramLmScore(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Trigram stupid-backoff LM on the same even/odd split — one
+    // context word deeper than q_bigram_lm, so the gate exercises all
+    // five nll branches (seen trigram, single alpha, double alpha,
+    // and the two bigram-level i=2 branches).
+    "q_trigram_lm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextFunctions.trigramLmScore(
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text")
@@ -2856,13 +2899,21 @@ object SparkEntry {
     * gates (customer ids offset by 1e12 — above every TPC-H key space
     * at any SF).
     */
-  private def pageRankEdges(
+  /** Directed supplier -> customer transaction edges (customer keys
+    * offset by 1e12 to keep the id spaces disjoint at any SF).
+    */
+  private def transactionEdges(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("l_suppkey").cast("long").as("src"),
         (col("o_custkey").cast("long") + lit(1000000000000L)).as("dst"))
+  }
+
+  private def pageRankEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fwd = transactionEdges(s, dir)
     fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -2875,6 +2926,73 @@ object SparkEntry {
     * same non-negative BIGINTs. Damping fixed at 850/1000 to match
     * `Graphs.pageRank`'s default.
     */
+  /** Synchronous LPA as `k` chained CTE rounds over the part
+    * co-purchase graph: per round, per-(node, label) neighbor-vote
+    * counts then a windowed (count desc, label asc) argmax — the same
+    * total order the engine's max(struct(c, -label)) aggregate takes.
+    */
+  private def lpaCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""lp_li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+         |lp_half AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b FROM lp_li x JOIN lp_li y ON x.o = y.o AND x.p < y.p),
+         |lp_edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM lp_half UNION ALL SELECT b AS src, a AS dst FROM lp_half),
+         |lp_r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM lp_edges)""".stripMargin)
+    (0 until k).foreach { i =>
+      sb.append(",\n").append(
+        s"""lp_c$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, r.label, CAST(count(*) AS BIGINT) AS c
+           |  FROM lp_edges e JOIN lp_r$i r ON e.src = r.node GROUP BY 1, 2
+           |),
+           |lp_r${i + 1} AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |    FROM lp_c$i
+           |  ) WHERE rn = 1
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Integer-micro HITS as `k` chained CTE rounds over the directed
+    * supplier -> customer graph: per half-step an in/out-edge sum
+    * (union-zero keeps isolated roles present) then the truncating
+    * ceiling-divisor rescale into [0, 1e6] — exactly the engine's
+    * arithmetic.
+    */
+  private def hitsCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""ht_e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey + 1000000000000 AS BIGINT) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |),
+         |ht_nodes AS MATERIALIZED (SELECT src AS node FROM ht_e UNION SELECT dst FROM ht_e),
+         |ht_h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS h FROM ht_nodes)""".stripMargin)
+    (1 to k).foreach { i =>
+      sb.append(",\n").append(
+        s"""ht_ar$i AS MATERIALIZED (
+           |  SELECT n.node, CAST(COALESCE(s.r, 0) AS BIGINT) AS raw FROM ht_nodes n LEFT JOIN (
+           |    SELECT e.dst AS nd, SUM(h.h) AS r FROM ht_e e JOIN ht_h${i - 1} h ON e.src = h.node GROUP BY 1
+           |  ) s ON n.node = s.nd
+           |),
+           |ht_a$i AS MATERIALIZED (
+           |  SELECT node, CAST(raw // d AS BIGINT) AS a FROM ht_ar$i CROSS JOIN
+           |    (SELECT greatest((max(raw) + 999999) // 1000000, 1) AS d FROM ht_ar$i) m
+           |),
+           |ht_hr$i AS MATERIALIZED (
+           |  SELECT n.node, CAST(COALESCE(s.r, 0) AS BIGINT) AS raw FROM ht_nodes n LEFT JOIN (
+           |    SELECT e.src AS nd, SUM(a.a) AS r FROM ht_e e JOIN ht_a$i a ON e.dst = a.node GROUP BY 1
+           |  ) s ON n.node = s.nd
+           |),
+           |ht_h$i AS MATERIALIZED (
+           |  SELECT node, CAST(raw // d AS BIGINT) AS h FROM ht_hr$i CROSS JOIN
+           |    (SELECT greatest((max(raw) + 999999) // 1000000, 1) AS d FROM ht_hr$i) m
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private def pageRankCtes(k: Int, digits: Int = 9): String = {
     val u = math.pow(10, digits).toLong
     val base = 150L * (u / 1000L)
@@ -4571,6 +4689,17 @@ object SparkEntry {
         (s"WITH ${pageRankCtes(8, digits = 6)} " +
           "SELECT node, CAST(r * 1000 AS BIGINT) AS rank_nano FROM pr_r8 ORDER BY node"),
 
+      // 5 chained synchronous-vote rounds; see lpaCtes
+      "q_label_prop" ->
+        (s"WITH ${lpaCtes(5)} " +
+          "SELECT node, label FROM lp_r5 ORDER BY node"),
+
+      // 4 chained hub/authority rounds; see hitsCtes
+      "q_hits" ->
+        (s"WITH ${hitsCtes(4)} " +
+          "SELECT h.node, h.h AS hub_micro, a.a AS auth_micro " +
+          "FROM ht_h4 h JOIN ht_a4 a USING (node) ORDER BY node"),
+
       // k chained merge stages; rank column from the stage index.
       // Composed by concatenation, NOT an outer stripMargin — the
       // fragment contains `||` concat operators and a re-strip would
@@ -4825,6 +4954,65 @@ object SparkEntry {
            |    ELSE CAST(round(ln(CAST(5*t AS DOUBLE)/(2*mc)) * 1e9) AS BIGINT)
            |    END AS nll,
            |    CASE WHEN hp IS NOT NULL AND c2 IS NULL THEN 1 ELSE 0 END AS bo
+           |  FROM j CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(bo) AS BIGINT) AS n_backoff,
+           |  CAST(sum(nll) AS BIGINT) AS nll_nano,
+           |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
+           |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the bigram oracle one context word deeper: five aligned
+      // per-position hashes (prev unigram, current, PREFIX bigram,
+      // current bigram, trigram), five left joins, six nll branches
+      "q_trigram_lm" ->
+        s"""WITH ${tokCte()},
+           |tr AS (SELECT ws FROM toks WHERE doc_id % 2 = 0),
+           |sc AS (SELECT doc_id, ws FROM toks WHERE doc_id % 2 = 1),
+           |u1 AS (SELECT md5_number_lower(unnest(ws)) AS h FROM tr),
+           |c1 AS (SELECT h, count(*) AS c FROM u1 GROUP BY h),
+           |tot AS (SELECT count(*) AS t FROM u1),
+           |b2 AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1]))) AS h2 FROM tr),
+           |c2 AS (SELECT h2, count(*) AS c FROM b2 GROUP BY h2),
+           |t3 AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+           |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS h3 FROM tr),
+           |c3 AS (SELECT h3, count(*) AS c FROM t3 GROUP BY h3),
+           |srows AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> CASE WHEN i = 1 THEN NULL ELSE md5_number_lower(ws[i-1]) END)) AS hp,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> md5_number_lower(ws[i]))) AS hc,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> CASE WHEN i < 3 THEN NULL ELSE md5_number_lower(ws[i-2] || ' ' || ws[i-1]) END)) AS hq,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> CASE WHEN i = 1 THEN NULL ELSE md5_number_lower(ws[i-1] || ' ' || ws[i]) END)) AS hb,
+           |    unnest(list_transform(range(1, len(ws)+1),
+           |      i -> CASE WHEN i < 3 THEN NULL ELSE md5_number_lower(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]) END)) AS ht
+           |  FROM sc),
+           |j AS (SELECT doc_id, hp, ht,
+           |    ct.c AS c3, cq.c AS c2q, cb.c AS c2b, cp.c AS c1p,
+           |    greatest(coalesce(cu.c, 1), 1) AS mc
+           |  FROM srows
+           |  LEFT JOIN c3 ct ON srows.ht = ct.h3
+           |  LEFT JOIN c2 cq ON srows.hq = cq.h2
+           |  LEFT JOIN c2 cb ON srows.hb = cb.h2
+           |  LEFT JOIN c1 cp ON srows.hp = cp.h
+           |  LEFT JOIN c1 cu ON srows.hc = cu.h),
+           |n AS (SELECT doc_id,
+           |    CASE WHEN hp IS NULL
+           |      THEN CAST(round(ln(CAST(t AS DOUBLE)/mc) * 1e9) AS BIGINT)
+           |    WHEN c3 IS NOT NULL
+           |      THEN CAST(round(ln(CAST(c2q AS DOUBLE)/c3) * 1e9) AS BIGINT)
+           |    WHEN ht IS NOT NULL AND c2b IS NOT NULL
+           |      THEN CAST(round(ln(CAST(5*c1p AS DOUBLE)/(2*c2b)) * 1e9) AS BIGINT)
+           |    WHEN ht IS NOT NULL
+           |      THEN CAST(round(ln(CAST(25*t AS DOUBLE)/(4*mc)) * 1e9) AS BIGINT)
+           |    WHEN c2b IS NOT NULL
+           |      THEN CAST(round(ln(CAST(c1p AS DOUBLE)/c2b) * 1e9) AS BIGINT)
+           |    ELSE CAST(round(ln(CAST(5*t AS DOUBLE)/(2*mc)) * 1e9) AS BIGINT)
+           |    END AS nll,
+           |    CASE WHEN (ht IS NOT NULL AND c3 IS NULL)
+           |      OR (hp IS NOT NULL AND ht IS NULL AND c2b IS NULL) THEN 1 ELSE 0 END AS bo
            |  FROM j CROSS JOIN tot)
            |SELECT doc_id, count(*) AS n_tokens,
            |  CAST(sum(bo) AS BIGINT) AS n_backoff,

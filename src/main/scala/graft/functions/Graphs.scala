@@ -194,6 +194,205 @@ object Graphs {
     */
   def unpin(df: DataFrame): Unit = Pins.unpin(df)
 
+  /** Deterministic synchronous label propagation — community
+    * detection over an undirected edge table (Raghavan, Albert &
+    * Kumara 2007, "Near linear time algorithm to detect community
+    * structures in large-scale networks"). The curation use is the
+    * complement of [[pageRank]]: PageRank scores individual hosts,
+    * LPA groups them — link-farm rings and mirror clusters surface as
+    * communities whose aggregate quality stats (spam score, dup rate)
+    * then gate every member at once.
+    *
+    * Determinism (the property the published algorithm lacks): updates
+    * are SYNCHRONOUS (round i+1 reads only round i's labels — no
+    * visit-order dependence) and the tie-break is total — each node
+    * takes the label with the highest neighbor count, smallest label
+    * winning ties:
+    *
+    * {{{ labelᵢ₊₁(v) = argmax_{l} ( |{u ∈ N(v) : labelᵢ(u) = l}| , -l ) }}}
+    *
+    * with `label₀(v) = v`. Every comparison is integer, so a SQL
+    * engine replays the rounds exactly (the gate oracle does, via
+    * per-round `row_number() OVER (ORDER BY c DESC, label ASC)`).
+    * Synchronous LPA can 2-cycle on bipartite regions rather than
+    * converge — the fixed `iterations` contract (same as
+    * [[pageRank]]) makes that a defined, replayable output, and in
+    * curation practice a fixed small round count is what's run anyway
+    * (labels stabilize within a few hops for the dense clusters that
+    * matter).
+    *
+    * Input edges are canonicalized: null/self-loop rows dropped,
+    * duplicates collapsed, and each edge voted in BOTH directions
+    * (pass a directed table and it is treated as its undirected
+    * support). Scale shape mirrors [[pageRank]]: the symmetrized edge
+    * table is pre-partitioned on the join key `src` and pinned, each
+    * round is one co-partitioned join + a two-level aggregation —
+    * `(node, label)` counts (map-side combinable) then a per-node
+    * `max(struct(count, -label))` argmax, 24-byte rows in both
+    * exchanges, no driver state; labels pin every `pinEvery` rounds
+    * through [[Pins]] and the previous pin releases. Labels never
+    * grow (they are node ids), so there is no overflow ladder to
+    * manage — this runs at any node count.
+    *
+    * @return `(node bigint, label bigint)` — one row per distinct
+    *         endpoint; `label` is the community representative's id.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      pinEvery: Int = 1): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(pinEvery >= 1, "pinEvery must be >= 1")
+    val half = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val (e, ePins) = Pins.pin(half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")))
+    // every endpoint appears as src after symmetrization, so the node
+    // set needs no second union — and every node has >= 1 neighbor,
+    // so the per-round vote join never drops a node
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var labelPins = Set.empty[Int]
+    var i = 0
+    while (i < iterations) {
+      val votes = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val counted = votes.groupBy("node", "label").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as ONE map-side-combinable
+      // aggregate: lexicographic max of (c, -label) — no window, no
+      // per-node sort
+      val next = counted.groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      i += 1
+      if (i % pinEvery == 0 || i == iterations) {
+        val (pinned, nextPins) = Pins.pin(next)
+        Pins.release(labels, labelPins)
+        labels = pinned
+        labelPins = nextPins
+      } else {
+        labels = next
+      }
+    }
+    Pins.release(e, ePins)
+    Pins.register(labels, labelPins)
+    labels
+  }
+
+  /** Fixed-iteration HITS (Kleinberg 1999, "Authoritative sources in
+    * a hyperlinked environment") in integer fixed-point — hubs and
+    * authorities over a DIRECTED edge table. The curation signal
+    * PageRank misses: a page can be an authority (linked by good
+    * hubs) without itself linking anywhere, and directory/spam hubs
+    * score high as hubs while staying low-authority — the two axes
+    * separate link roles that a single random-walk score conflates.
+    *
+    * Arithmetic: scores live in micro units (1e6 = the per-round
+    * maximum). Each iteration is the classic mutual recursion with a
+    * truncating max-rescale after each half-step:
+    *
+    * {{{
+    * rawA(v) = Σ_{(u,v)∈E} h(u);   a(v) = rawA(v) div max(1, ceil(max(rawA) / 1e6))
+    * rawH(u) = Σ_{(u,v)∈E} a(v);   h(u) = rawH(u) div max(1, ceil(max(rawH) / 1e6))
+    * }}}
+    *
+    * with `h₀ = 1e6` everywhere. The rescale divisor is derived with
+    * integer ceiling division `(m + 1e6 - 1) div 1e6`, so every score
+    * stays in `[0, 1e6]`, every raw sum is bounded by
+    * `nNodes · 1e6 < 2^63` (loud `require` at 9e12 nodes — far past
+    * any real host graph), and the whole chain is exact integer
+    * arithmetic a SQL oracle replays verbatim. Max-rescaling (vs the
+    * textbook L2 norm) keeps it integer-exact; the INDUCED RANKING is
+    * what curation consumes and it is unaffected by the norm choice
+    * up to the 1e-6 truncation granularity.
+    *
+    * Scale shape: the edge table is pinned twice, pre-partitioned on
+    * `src` (the authority-step probe) and on `dst` (the hub-step
+    * probe), so both half-step joins are co-partitioned every round;
+    * score frames carry 16-byte rows. The per-half-step max is a
+    * scalar aggregate over the just-pinned raw frame (a bounded
+    * 1-row collect, same economics as the pin barrier itself).
+    *
+    * @return `(node, hub_micro, auth_micro)` — one row per distinct
+    *         endpoint; sources that nothing links to have
+    *         `auth_micro = 0`, sinks that link nowhere `hub_micro = 0`.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val U = 1000000L
+    val cleaned = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val (eBySrc, eSrcPins) = Pins.pin(cleaned.repartition(col("src")))
+    val (eByDst, eDstPins) = Pins.pin(cleaned.repartition(col("dst")))
+    val (nodes, nodePins) = Pins.pin(eBySrc.select(col("src").as("node"))
+      .unionByName(eBySrc.select(col("dst").as("node")))
+      .distinct())
+    val nNodes = nodes.count()
+    require(nNodes < 9000000000000L,
+      s"hits: $nNodes nodes exceed the 9e12 cap (raw sums must stay under 2^63)")
+
+    // truncating max-rescale of a (node, raw) frame into [0, U]: pin
+    // raw (both the max aggregate and the rescale projection read the
+    // cache — unpinned, the whole half-step subtree would run twice),
+    // collect the 1-row max, divide by its ceiling ratio to U
+    def rescale(raw: DataFrame, outCol: String): (DataFrame, Set[Int]) = {
+      val (pinnedRaw, rawPins) = Pins.pin(raw)
+      val m = pinnedRaw.agg(max(col("raw"))).head.getLong(0)
+      val d = math.max((m + U - 1) / U, 1L)
+      // `div` (truncating integer division), NOT `/` — the double
+      // division loses exactness once raw exceeds 2^53
+      (pinnedRaw.select(col("node"), expr(s"raw div ${d}L").as(outCol)), rawPins)
+    }
+
+    var hubs = nodes.withColumn("h", lit(U))
+    var auths: DataFrame = null
+    var hubPins = Set.empty[Int]
+    var authPins = Set.empty[Int]
+    var i = 0
+    while (i < iterations) {
+      // authority half-step: in-edge sum of hub scores; the union-zero
+      // trick (pageRank) keeps no-in-edge nodes present without a
+      // second join
+      val rawA = eBySrc.join(hubs, eBySrc("src") === hubs("node"))
+        .select(col("dst").as("node"), col("h").as("c"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
+        .groupBy("node").agg(sum(col("c")).as("raw"))
+      val (a, aPins) = rescale(rawA, "a")
+      if (auths != null) Pins.release(auths, authPins)
+      auths = a
+      authPins = aPins
+      // hub half-step: out-edge sum of the JUST-rescaled authorities
+      val rawH = eByDst.join(auths, eByDst("dst") === auths("node"))
+        .select(eByDst("src").as("node"), col("a").as("c"))
+        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
+        .groupBy("node").agg(sum(col("c")).as("raw"))
+      val (h, hPins) = rescale(rawH, "h")
+      Pins.release(hubs, hubPins)
+      hubs = h
+      hubPins = hPins
+      i += 1
+    }
+    Pins.release(eBySrc, eSrcPins)
+    Pins.release(eByDst, eDstPins)
+    Pins.release(nodes, nodePins)
+    val out = hubs.join(auths, "node")
+      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+    Pins.register(out, hubPins ++ authPins)
+    out
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * undirected edge table — the second host-graph quality signal
     * next to [[pageRank]] (a spam farm's link neighborhood is either

@@ -450,6 +450,140 @@ object TextFunctions {
     out
   }
 
+  /** Trigram stupid-backoff LM scoring — [[bigramLmScore]] taken one
+    * context word deeper, the depth the published CCNet/KenLM quality
+    * filters actually run at (Brants et al. 2007 report stupid
+    * backoff at n=3..5 matching Kneser-Ney on web-scale counts; the
+    * backoff chain here is S(w|uv) = c3/c2(uv), else α·S(w|v) with
+    * S(w|v) = c2/c1(v), else α·S(w), S(w) = c1/T).
+    *
+    * Per token at position i of a scored doc (nano-nats, integer —
+    * every ln argument is a ratio of exact integers, the family
+    * invariant that makes the gate oracle engine-exact):
+    *  - i = 1: `ln(T / max(c1(w1), 1))` — unigram, unseen floor 1.
+    *  - i ≥ 3, trigram seen: `ln(c2(w_{i-2} w_{i-1}) / c3)` — the
+    *    prefix-bigram count is ≥ c3 > 0 whenever the trigram is seen.
+    *  - i ≥ 3, trigram unseen, bigram seen: one backoff —
+    *    `ln(αDen·c1(w_{i-1}) / (αNum·c2(w_{i-1} w_i)))`.
+    *  - i ≥ 3, both unseen: two backoffs —
+    *    `ln(αDen²·T / (αNum²·max(c1(w_i), 1)))`.
+    *  - i = 2: the bigram rules with one less α (no trigram context
+    *    exists to back off FROM): `ln(c1(w1)/c2)` seen,
+    *    `ln(αDen·T/(αNum·mc))` unseen.
+    *
+    * Shapes are the bigram scorer's, one level wider: three PINNED
+    * train-side count tables (uni/bi/tri — the train corpus is
+    * tokenized exactly three times; release with [[Curation.unpin]]),
+    * scored-side position quintuples built scan-side by zipping the
+    * three one-pass kernel arrays (no self-joins), then five left
+    * equi-joins on 8-byte hashes (AQE broadcasts small count tables)
+    * and one per-doc sum. `n_backoff` counts scored POSITIONS where
+    * at least one α fired (i ≥ 3 with trigram unseen, or i = 2 with
+    * bigram unseen) — the OOD diagnostic, not the α-application
+    * count.
+    *
+    * Returns `(idCol, n_tokens, n_backoff, nll_nano, avg_nll)`;
+    * zero-token documents are absent (family contract).
+    */
+  def trigramLmScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      alphaNum: Int = 2,
+      alphaDen: Int = 5): DataFrame = {
+    require(alphaNum >= 1 && alphaDen > alphaNum,
+      s"backoff alpha must be a rational in (0, 1): got $alphaNum/$alphaDen")
+    val uni = train.select(
+      explode(DedupExpressions.shinglePosHashes(col(textCol), 1)).as("_h"))
+    val (c1, c1Pins) =
+      Pins.pin(uni.groupBy("_h").agg(count(lit(1)).as("_c1")))
+    val total = c1.agg(sum(col("_c1")).as("_t"))
+    val (c2, c2Pins) = Pins.pin(train.select(
+        explode(DedupExpressions.shinglePosHashes(col(textCol), 2)).as("_h2"))
+      .groupBy("_h2").agg(count(lit(1)).as("_c2")))
+    val (c3, c3Pins) = Pins.pin(train.select(
+        explode(DedupExpressions.shinglePosHashes(col(textCol), 3)).as("_h3"))
+      .groupBy("_h3").agg(count(lit(1)).as("_c3")))
+    // position-aligned quintuples for token i (1-based):
+    //   _hp = u[i-1] | null          (left unigram context)
+    //   _hc = u[i]                   (current token)
+    //   _hq = b[i-2] | null          (PREFIX bigram w_{i-2} w_{i-1})
+    //   _hb = b[i-1] | null          (current bigram w_{i-1} w_i)
+    //   _ht = t[i-2] | null          (trigram w_{i-2} w_{i-1} w_i)
+    // null-pad to align; arrays_zip pads ragged tails with null, and
+    // any overhang row zips with _hc null — dropped by the attribute
+    // filter below (same zero-token contract as the bigram scorer,
+    // and a 1-token doc's 2-null trigram pad lands there too)
+    val staged = score.select(
+        col(idCol).as("_lm_id"),
+        DedupExpressions.shinglePosHashes(col(textCol), 1).as("_u"),
+        DedupExpressions.shinglePosHashes(col(textCol), 2).as("_b"),
+        DedupExpressions.shinglePosHashes(col(textCol), 3).as("_t3"))
+    val nullLong = array(lit(null).cast("long"))
+    val pad2 = concat(nullLong, nullLong)
+    val rows = staged.select(
+        col("_lm_id"),
+        explode(arrays_zip(
+          concat(nullLong,
+            slice(col("_u"), lit(1), greatest(size(col("_u")) - 1, lit(0)))).as("hp"),
+          col("_u").as("hc"),
+          concat(pad2,
+            slice(col("_b"), lit(1), greatest(size(col("_b")) - 1, lit(0)))).as("hq"),
+          concat(nullLong, col("_b")).as("hb"),
+          concat(pad2, col("_t3")).as("ht"))).as("_z"))
+      .select(col("_lm_id"),
+        col("_z.hp").as("_hp"), col("_z.hc").as("_hc"), col("_z.hq").as("_hq"),
+        col("_z.hb").as("_hb"), col("_z.ht").as("_ht"))
+      .filter(col("_hc").isNotNull)
+    val joined = rows
+      .join(c3, col("_ht") === col("_h3"), "left")
+      .join(c2.toDF("_hqk", "_c2q"), col("_hq") === col("_hqk"), "left")
+      .join(c2.toDF("_hbk", "_c2b"), col("_hb") === col("_hbk"), "left")
+      .join(c1.toDF("_hpk", "_c1p"), col("_hp") === col("_hpk"), "left")
+      .join(c1.toDF("_hck", "_c1c"), col("_hc") === col("_hck"), "left")
+      .crossJoin(broadcast(total))
+    val mc = greatest(coalesce(col("_c1c"), lit(1L)), lit(1L))
+    val t = when(col("_t").isNull,
+        raise_error(lit(
+          "trigramLmScore: train corpus has no tokens — cannot estimate an LM"))
+          .cast("long"))
+      .otherwise(col("_t"))
+    val aN = alphaNum.toLong
+    val aD = alphaDen.toLong
+    val nll = when(col("_hp").isNull, // i = 1
+        round(log(t.cast("double") / mc.cast("double")) * 1e9))
+      .when(col("_c3").isNotNull, // i >= 3, trigram seen
+        round(log(col("_c2q").cast("double") / col("_c3").cast("double")) * 1e9))
+      .when(col("_ht").isNotNull && col("_c2b").isNotNull, // i >= 3, one backoff
+        round(log((col("_c1p") * aD).cast("double") /
+          (col("_c2b") * aN).cast("double")) * 1e9))
+      .when(col("_ht").isNotNull, // i >= 3, two backoffs
+        round(log((t * aD * aD).cast("double") /
+          (mc * aN * aN).cast("double")) * 1e9))
+      .when(col("_c2b").isNotNull, // i = 2, bigram seen
+        round(log(col("_c1p").cast("double") / col("_c2b").cast("double")) * 1e9))
+      .otherwise( // i = 2, bigram unseen
+        round(log((t * aD).cast("double") / (mc * aN).cast("double")) * 1e9))
+      .cast("long")
+    val backoff = when(
+        (col("_ht").isNotNull && col("_c3").isNull) ||
+          (col("_hp").isNotNull && col("_ht").isNull && col("_c2b").isNull),
+        1L)
+      .otherwise(0L)
+    val out = joined
+      .select(col("_lm_id"), nll.as("_nll"), backoff.as("_bo"))
+      .groupBy(col("_lm_id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("_bo")).as("n_backoff"),
+        sum(col("_nll")).as("nll_nano"))
+      .withColumn("avg_nll",
+        round(col("nll_nano").cast("double") / col("n_tokens").cast("double") / 1e9, 6))
+    Pins.register(out, c1Pins ++ c2Pins ++ c3Pins)
+    out
+  }
+
   /** Per-group n-gram diversity — the type/token ratio over word
     * n-grams, the standard corpus-health metric for mode collapse /
     * template saturation (a domain whose crawl is one boilerplate page

@@ -268,6 +268,19 @@ class PlanSpec extends SparkSpec {
         s"bigramLmScore exchange carries a string column: $n")
   }
 
+  test("trigramLmScore shuffles hash keys and counts only — no token text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val shuffles = shuffleOutputsTyped(
+      functions.TextFunctions.trigramLmScore(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        "doc_id", "text"))
+    assert(shuffles.nonEmpty)
+    for (cols <- shuffles; (n, t) <- cols)
+      assert(t != org.apache.spark.sql.types.StringType,
+        s"trigramLmScore exchange carries a string column: $n")
+  }
+
   test("ngramDiversity pre-aggregates (group, hash) — no gram text in any exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val shuffles = shuffleOutputsTyped(

@@ -183,6 +183,53 @@ class CorpusCleanSpec extends SparkSpec {
       TextFunctions.bigramLmScore(train, score, "doc_id", "text", alphaNum = 0))
   }
 
+  test("trigramLmScore: all five backoff branches land on exact integer nll") {
+    // train: T=6; c1 a=2 b=2 c=1 d=1; c2 ab=2 bc=1 ca=1 bd=1;
+    // c3 abc=1 bca=1 cab=1 abd=1
+    val train = Seq((10L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"), // i=1 uni, i=2 seen bigram, i=3 seen trigram
+      (2L, "b c d"), // i=3 trigram AND bigram (c d) unseen: two alphas
+      (3L, "d a b"), // i=2 bigram (d a) unseen; i=3 one alpha to seen (a b)
+      (4L, "a b d"), // trigram abd seen — prefix-count denominator c2(ab)=2
+      (5L, "a"),     // single token: unigram branch only
+      (6L, ""))      // zero tokens -> absent
+      .toDF("doc_id", "text")
+    val out = TextFunctions.trigramLmScore(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def nano(num: Double, den: Double) = math.round(math.log(num / den) * 1e9)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, nano(6, 2) + nano(2, 2) + nano(2, 1)),
+      // "b c d": ln(6/2) + ln(c1(b)/c2(bc)) + ln(25*6 / (4*1))
+      (2L, 3L, 1L, nano(6, 2) + nano(2, 1) + nano(150, 4)),
+      // "d a b": ln(6/1) + ln(5*6/(2*2)) + ln(5*2/(2*2))
+      (3L, 3L, 2L, nano(6, 1) + nano(30, 4) + nano(10, 4)),
+      (4L, 3L, 0L, nano(6, 2) + nano(2, 2) + nano(2, 1)),
+      (5L, 1L, 0L, nano(6, 2))))
+    intercept[IllegalArgumentException](
+      TextFunctions.trigramLmScore(train, score, "doc_id", "text", alphaNum = 5, alphaDen = 5))
+    val e = intercept[Exception] {
+      TextFunctions.trigramLmScore(
+        Seq((1L, "")).toDF("doc_id", "text"), score, "doc_id", "text").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("train corpus has no tokens")))
+  }
+
+  test("trigramLmScore tracks bigramLmScore when no trigram context ever fires") {
+    // every scored doc is <= 2 tokens: positions are i=1/i=2 only, so
+    // the trigram scorer must equal the bigram scorer exactly
+    val train = Seq((10L, "a b c a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b"), (2L, "c a"), (3L, "z")).toDF("doc_id", "text")
+    val tri = TextFunctions.trigramLmScore(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bi = TextFunctions.bigramLmScore(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(tri == bi)
+  }
+
   test("bigramLmScore raises in-plan on a token-less train corpus (pinned c1 path)") {
     // the sum(_c1)-is-null guard must survive the r8 count-table pins:
     // an empty/all-empty train LM cannot silently null every score

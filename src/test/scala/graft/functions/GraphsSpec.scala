@@ -142,6 +142,121 @@ class GraphsSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Synchronous LPA replay: symmetrize, then per round every node
+    * takes the (count desc, label asc)-best neighbor label.
+    */
+  private def naiveLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val nodes = und.map(_._1).distinct
+    var lab = nodes.map(n => (n, n)).toMap
+    (1 to iters).foreach { _ =>
+      lab = und.groupBy(_._2).map { case (v, es) =>
+        val best = es.map(e => lab(e._1)).groupBy(identity)
+          .toSeq.map { case (l, g) => (-g.size.toLong, l) }.min
+        (v, best._2)
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: bridged cliques match the synchronous replay") {
+    // two triangles bridged at (3,10); edges deliberately directed,
+    // duplicated, and self-looped — canonicalization must absorb all
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (2L, 2L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L))
+    for (iters <- Seq(1, 2, 5)) {
+      val got = Graphs.labelPropagation(e.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == naiveLpa(e, iters), s"iters=$iters")
+    }
+    // by round 5 each clique coalesces onto one label and the two
+    // cliques stay distinct (the bridge cannot outvote a triangle)
+    val stable = Graphs.labelPropagation(e.toDF("src", "dst"), "src", "dst", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(stable(1L), stable(2L), stable(3L)).size == 1)
+    assert(Set(stable(10L), stable(11L), stable(12L)).size == 1)
+    assert(stable(1L) != stable(10L))
+  }
+
+  test("labelPropagation: seeded random graph replays exactly (tie-break total)") {
+    val rnd = new scala.util.Random(7)
+    val e = (1 to 150).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Graphs.labelPropagation(e.toDF("src", "dst"), "src", "dst", 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naiveLpa(e, 4))
+  }
+
+  /** Integer HITS replay: per half-step, sum then truncating
+    * max-rescale into [0, 1e6] with the ceiling divisor.
+    */
+  private def naiveHits(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val U = 1000000L
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var h = nodes.map(n => (n, U)).toMap
+    var a = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      val rawA = nodes.map(n => (n, e.filter(_._2 == n).map(x => h(x._1)).sum)).toMap
+      val da = math.max((rawA.values.max + U - 1) / U, 1L)
+      a = rawA.map { case (n, v) => (n, v / da) }
+      val rawH = nodes.map(n => (n, e.filter(_._1 == n).map(x => a(x._2)).sum)).toMap
+      val dh = math.max((rawH.values.max + U - 1) / U, 1L)
+      h = rawH.map { case (n, v) => (n, v / dh) }
+    }
+    nodes.map(n => (n, (h(n), a(n)))).toMap
+  }
+
+  test("hits: hub/authority separation on a hand graph; pure sinks score hub 0") {
+    // 1 links to both targets, 2 to one: 1 is the better hub; 3 is
+    // the better authority; 3/4 link nowhere -> hub 0
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L))
+    val got = Graphs.hits(e.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == naiveHits(e, 3))
+    assert(got(1L)._1 > got(2L)._1, "two out-links beat one")
+    assert(got(3L)._2 > got(4L)._2, "two in-links beat one")
+    assert(got(3L)._1 == 0L && got(4L)._1 == 0L, "sinks are zero hubs")
+    assert(got(1L)._2 == 0L && got(2L)._2 == 0L, "sources are zero authorities")
+    // the CEILING divisor keeps every score <= 1e6 but lands the max
+    // in (5e5, 1e6] (d = ceil(m/U) can overshoot m/U by up to 2x)
+    assert(got.values.map(_._1).max > 500000L && got.values.map(_._1).max <= 1000000L)
+    assert(got.values.map(_._2).max > 500000L && got.values.map(_._2).max <= 1000000L)
+  }
+
+  test("hits: seeded random digraph replays exactly; nulls/dups cleaned") {
+    val rnd = new scala.util.Random(13)
+    val e = (1 to 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val withJunk = (e ++ e.take(20)).map { case (a, b) => (Some(a), Some(b)) } :+
+      ((None: Option[Long], Some(1L))) :+ ((Some(1L), None: Option[Long]))
+    val got = Graphs.hits(withJunk.toDF("src", "dst"), "src", "dst", iterations = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == naiveHits(e, 2))
+  }
+
+  test("labelPropagation and hits register exactly their surviving pins") {
+    val lp = Graphs.labelPropagation(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", iterations = 2)
+    lp.count()
+    val lpPins = Pins.registered(lp)
+    assert(lpPins.nonEmpty && lpPins.size <= 2)
+    Graphs.unpin(lp)
+    assert(lpPins.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)))
+
+    val ht = Graphs.hits(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", iterations = 2)
+    ht.count()
+    val htPins = Pins.registered(ht)
+    assert(htPins.nonEmpty && htPins.size <= 4,
+      s"only the final hub+auth raw pins may survive, got ${htPins.size}")
+    Graphs.unpin(ht)
+    assert(htPins.forall(id => !spark.sparkContext.getPersistentRDDs.contains(id)))
+  }
+
   test("Pins.releaseAll reclaims pins leaked by callers that skip unpin") {
     // a "leaked" pin: materialized result, unpin never called
     val r = Graphs.pageRank(
