@@ -58,7 +58,12 @@ object Bench {
     // round-9 (cont.): synchronous label propagation (5 vote rounds),
     // integer-micro HITS (4 double-half-step rounds), and the trigram
     // stupid-backoff LM (3 train passes + 5 left joins)
-    "q_label_prop", "q_hits", "q_trigram_lm")
+    "q_label_prop", "q_hits", "q_trigram_lm",
+    // round-9 (cont.): seeded walk (frontier-filtered rounds) and
+    // fixed-round k-core peel (degree agg + two-sided semi-join/round)
+    "q_ppr", "q_kcore",
+    // round-9 (cont.): Aho-Corasick blocklist scan kernel
+    "q_blocklist")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

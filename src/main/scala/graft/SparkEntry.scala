@@ -1418,14 +1418,7 @@ object SparkEntry {
     // exactly once at its lowest-(degree,id) vertex; the oracle's
     // canonical a<b<c triple join enumerates the identical set.
     "q_triangles" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .distinct()
-      val edges = li.select(col("o"), col("p").as("src"))
-        .join(li.select(col("o"), col("p").as("dst")), "o")
-        .filter(col("src") < col("dst"))
-        .select("src", "dst")
-      graft.functions.Graphs.triangleCounts(edges, "src", "dst")
+      graft.functions.Graphs.triangleCounts(coPurchaseEdges(s, dir), "src", "dst")
         .orderBy("node")
     }),
 
@@ -1447,14 +1440,8 @@ object SparkEntry {
     // exactly (Spark: max(struct(c, -label)); oracle: row_number) —
     // the gate pins all 5 rounds, not just a converged fixpoint.
     "q_label_prop" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-        .distinct()
-      val edges = li.select(col("o"), col("p").as("src"))
-        .join(li.select(col("o"), col("p").as("dst")), "o")
-        .filter(col("src") < col("dst"))
-        .select("src", "dst")
-      graft.functions.Graphs.labelPropagation(edges, "src", "dst", iterations = 5)
+      graft.functions.Graphs.labelPropagation(
+          coPurchaseEdges(s, dir), "src", "dst", iterations = 5)
         .orderBy("node")
     }),
 
@@ -1467,6 +1454,29 @@ object SparkEntry {
     "q_hits" -> ((s, dir) => {
       graft.functions.Graphs.hits(
           transactionEdges(s, dir), "src", "dst", iterations = 4)
+        .orderBy("node")
+    }),
+
+    // Personalized PageRank: the q_pagerank walk with teleport mass
+    // restricted to trusted seed suppliers (s_suppkey <= 40) —
+    // unreached nodes must land at EXACT 0, and the frontier-filtered
+    // contribution join must not change a single rank vs the
+    // all-nodes algebra the oracle runs.
+    "q_ppr" -> ((s, dir) => {
+      val seeds = tbl(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("s"))
+        .filter(col("s") <= 40)
+      graft.functions.Graphs.personalizedPageRank(
+          pageRankEdges(s, dir), "src", "dst", seeds, "s", iterations = 8)
+        .orderBy("node")
+    }),
+
+    // Fixed-round k-core peeling (k=4, 3 synchronous rounds) over the
+    // part co-purchase graph — survivors with their residual in-core
+    // degree; the oracle chains the identical peel rounds.
+    "q_kcore" -> ((s, dir) => {
+      graft.functions.Graphs.kCoreRounds(
+          coPurchaseEdges(s, dir), "src", "dst", k = 4, rounds = 3)
         .orderBy("node")
     }),
 
@@ -2029,6 +2039,17 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Aho-Corasick blocklist scan: one automaton pass per document
+    // over 8 deliberately nasty patterns (substrings of corpus words,
+    // shared prefixes, a cross-token space pattern) — every
+    // occurrence counts, overlapping/nested included, which is
+    // exactly what the oracle's per-position substring scan counts.
+    "q_blocklist" -> ((s, dir) => {
+      graft.functions.Blocklist.hits(
+          tbl(s, dir, "documents"), "doc_id", "text", BlocklistPatterns)
         .orderBy("doc_id")
     }),
 
@@ -2899,6 +2920,15 @@ object SparkEntry {
     * gates (customer ids offset by 1e12 — above every TPC-H key space
     * at any SF).
     */
+  /** Gate blocklist: substrings of corpus words ("low" ⊂ "slow",
+    * "tab"/"table" shared-prefix nesting, "art" ⊂ "part"), full words,
+    * and one cross-token pattern with a space ("ue ta" ⊂ "value
+    * table") — the overlap/nesting cases an occurrence counter can
+    * get wrong.
+    */
+  private val BlocklistPatterns: Seq[String] =
+    Seq("scan", "low", "tab", "table", "art", "order", "fast", "ue ta")
+
   /** Directed supplier -> customer transaction edges (customer keys
     * offset by 1e12 to keep the id spaces disjoint at any SF).
     */
@@ -2915,6 +2945,21 @@ object SparkEntry {
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val fwd = transactionEdges(s, dir)
     fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Undirected part co-purchase edges (parts sharing an order),
+    * canonical a < b — the non-bipartite gate graph for triangles /
+    * LPA / k-core.
+    */
+  private def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    li.select(col("o"), col("p").as("src"))
+      .join(li.select(col("o"), col("p").as("dst")), "o")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
   }
 
   /** PageRank as `k` chained MATERIALIZED CTE stages (same
@@ -2993,9 +3038,22 @@ object SparkEntry {
     sb.toString
   }
 
-  private def pageRankCtes(k: Int, digits: Int = 9): String = {
+  /** Damped-walk CTE chain; `seedPred` (a SQL predicate over `node`)
+    * gates the initial mass and base term on seed membership — None is
+    * the global walk, Some the personalized one.
+    */
+  private def pageRankCtes(
+      k: Int, digits: Int = 9, seedPred: Option[String] = None): String = {
     val u = math.pow(10, digits).toLong
     val base = 150L * (u / 1000L)
+    val r0 = seedPred match {
+      case None => s"CAST($u AS BIGINT)"
+      case Some(p) => s"CAST(CASE WHEN $p THEN $u ELSE 0 END AS BIGINT)"
+    }
+    val baseTerm = seedPred match {
+      case None => base.toString
+      case Some(p) => s"CASE WHEN ${p.replace("node", "n.node")} THEN $base ELSE 0 END"
+    }
     val sb = new StringBuilder
     sb.append(
       s"""pr_fwd AS MATERIALIZED (
@@ -3007,16 +3065,40 @@ object SparkEntry {
         |),
         |pr_deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pr_edges GROUP BY 1),
         |pr_nodes AS MATERIALIZED (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges),
-        |pr_r0 AS MATERIALIZED (SELECT node, CAST($u AS BIGINT) AS r FROM pr_nodes)""".stripMargin)
+        |pr_r0 AS MATERIALIZED (SELECT node, $r0 AS r FROM pr_nodes)""".stripMargin)
     (0 until k).foreach { i =>
       sb.append(",\n").append(
         s"""pr_r${i + 1} AS MATERIALIZED (
-           |  SELECT n.node, CAST($base + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           |  SELECT n.node, CAST($baseTerm + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
            |  FROM pr_nodes n LEFT JOIN (
            |    SELECT e.dst AS node, SUM(r.r // d.deg) AS c
-           |    FROM pr_edges e JOIN pr_r$i r ON e.src = r.node JOIN pr_deg d ON e.src = d.src
+           |    FROM pr_edges e JOIN pr_r$i r ON e.src = r.node AND r.r <> 0 JOIN pr_deg d ON e.src = d.src
            |    GROUP BY 1
            |  ) s ON n.node = s.node
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Fixed-round synchronous k-core peel over the part co-purchase
+    * graph: per round a degree count, a keep set, and a two-sided
+    * semi-join back onto the surviving edges — the engine's
+    * kCoreRounds verbatim.
+    */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""kc_li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+         |kc_half AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b FROM kc_li x JOIN kc_li y ON x.o = y.o AND x.p < y.p),
+         |kc_e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM kc_half UNION ALL SELECT b AS src, a AS dst FROM kc_half)""".stripMargin)
+    (0 until rounds).foreach { i =>
+      sb.append(",\n").append(
+        s"""kc_k$i AS MATERIALIZED (
+           |  SELECT src FROM (SELECT src, count(*) AS degree FROM kc_e$i GROUP BY 1) WHERE degree >= $k
+           |),
+           |kc_e${i + 1} AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM kc_e$i e
+           |  JOIN kc_k$i s ON e.src = s.src JOIN kc_k$i t ON e.dst = t.src
            |)""".stripMargin)
     }
     sb.toString
@@ -4694,6 +4776,18 @@ object SparkEntry {
         (s"WITH ${lpaCtes(5)} " +
           "SELECT node, label FROM lp_r5 ORDER BY node"),
 
+      // the damped walk with seed-gated mass; frontier filter is
+      // algebra-neutral (zero ranks contribute zero)
+      "q_ppr" ->
+        (s"WITH ${pageRankCtes(8, seedPred = Some("node <= 40"))} " +
+          "SELECT node, r AS rank_nano FROM pr_r8 ORDER BY node"),
+
+      // 3 chained synchronous peel rounds at k=4; see kcoreCtes
+      "q_kcore" ->
+        (s"WITH ${kcoreCtes(4, 3)} " +
+          "SELECT src AS node, CAST(count(*) AS BIGINT) AS degree " +
+          "FROM kc_e3 GROUP BY 1 ORDER BY node"),
+
       // 4 chained hub/authority rounds; see hitsCtes
       "q_hits" ->
         (s"WITH ${hitsCtes(4)} " +
@@ -4960,6 +5054,24 @@ object SparkEntry {
            |  CAST(sum(nll) AS BIGINT) AS nll_nano,
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // every-occurrence blocklist counts via per-position substring
+      // scans (overlapping included — range over ALL start positions)
+      "q_blocklist" -> {
+        val cnt = BlocklistPatterns.zipWithIndex.map { case (p, j) =>
+          s"coalesce(list_sum(list_transform(range(1, greatest(len(t) - ${p.length} + 2, 1)), " +
+            s"i -> CASE WHEN substr(t, i, ${p.length}) = '$p' THEN 1 ELSE 0 END)), 0) AS c$j"
+        }.mkString(", ")
+        val hits = BlocklistPatterns.indices.map(j => s"c$j").mkString(" + ")
+        val fired = BlocklistPatterns.indices
+          .map(j => s"CASE WHEN c$j > 0 THEN 1 ELSE 0 END").mkString(" + ")
+        val sum = BlocklistPatterns.indices.map(j => s"c$j * ${j + 1}").mkString(" + ")
+        s"WITH bl AS (SELECT doc_id, lower(text) AS t FROM documents), " +
+          s"c AS (SELECT doc_id, $cnt FROM bl) " +
+          s"SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, " +
+          s"CAST($fired AS INTEGER) AS n_patterns, " +
+          s"CAST($sum AS BIGINT) AS checksum FROM c ORDER BY doc_id"
+      },
 
       // the bigram oracle one context word deeper: five aligned
       // per-position hashes (prev unigram, current, PREFIX bigram,

@@ -194,6 +194,221 @@ object Graphs {
     */
   def unpin(df: DataFrame): Unit = Pins.unpin(df)
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * restricted to a SEED set (Haveliwala 2002, "Topic-sensitive
+    * PageRank"). The standard trusted-seed expansion tool for crawl
+    * curation: seed the walk at known-good hosts and the rank measures
+    * link proximity to the trusted core, which a global PageRank
+    * (where a spam farm can bootstrap its own mass) cannot.
+    *
+    * Same exact-integer recurrence as [[pageRank]] with the base term
+    * and initial mass gated on seed membership:
+    *
+    * {{{
+    * r₀(v)   = [v ∈ S] · U
+    * rᵢ₊₁(v) = [v ∈ S]·(1000-d)·(U div 1000) + (d · Σ_{(u,v)∈E} rᵢ(u) div deg(u)) div 1000
+    * }}}
+    *
+    * Total mass is bounded by `|S| · U` (the same non-increasing
+    * argument as the global walk, summed over seeds only), so the
+    * unit ladder bounds scale with the SEED count, not the node
+    * count: nano holds to ~10.6M seeds at d=850 on a graph of ANY
+    * size, and the `rank_nano` output cap is `|S| < 9e9`. Non-seed
+    * nodes the walk never reaches stay at exactly 0 (they are
+    * reported — the zero is a signal: no link path from the trusted
+    * core within `iterations` hops).
+    *
+    * Scale shape adds one structural win over the global walk: the
+    * rank side of the per-round contribution join filters `r != 0`
+    * first, so early rounds join only the reached FRONTIER (seeds,
+    * then their k-hop neighborhood) instead of every node —
+    * integer-exact (a zero rank contributes zero) and exactly what
+    * makes seeded walks cheap on web-scale graphs. Pins cadence and
+    * co-partitioning mirror [[pageRank]].
+    *
+    * @param seeds frame whose `seedCol` holds the seed node ids;
+    *              ids not present in the graph are ignored.
+    * @return `(node bigint, rank_nano bigint)` — one row per distinct
+    *         endpoint of `edges`.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      dampingPerMille: Int = 850,
+      pinEvery: Int = 1,
+      unit: String = "auto"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
+    require(pinEvery >= 1, "pinEvery must be >= 1")
+    require(unit == "auto" || Units.exists(_._1 == unit),
+      s"unit must be one of auto|${Units.map(_._1).mkString("|")}, got $unit")
+
+    val (e, ePins) = Pins.pin(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src").repartition(col("src")))
+    val seedIds = seeds
+      .select(col(seedCol).cast("long").as("node")).filter(col("node").isNotNull)
+      .distinct()
+    val (nodes, nodePins) = Pins.pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seedIds.withColumn("_s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(false)).as("is_seed")))
+
+    // the ladder bounds scale with SEED mass, not graph size
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds >= 1, "personalizedPageRank: no seed id occurs in the graph")
+    require(nSeeds < MaxNodes,
+      s"personalizedPageRank: $nSeeds seeds exceed the ~9e9 cap from the " +
+        "rank_nano output bound (rank * 1e9 must stay under 2^63)")
+    val load = nSeeds * math.max(dampingPerMille, 1).toLong
+    val digits = unit match {
+      case "auto" =>
+        Units.collectFirst { case (_, dg) if load < unitBound(dg) => dg }.get
+      case name =>
+        val dg = Units.find(_._1 == name).get._2
+        require(load < unitBound(dg),
+          s"personalizedPageRank: $nSeeds seeds would overflow the $name-unit " +
+            s"damping multiply (bound ${unitBound(dg)} seed·damping) — use unit=\"auto\"")
+        dg
+    }
+    val u = math.pow(10, digits).toLong
+    val baseSeed = lit((1000L - dampingPerMille) * (u / 1000L))
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(u)).otherwise(lit(0L)).as("r"))
+    var rankPins = Set.empty[Int]
+    var i = 0
+    while (i < iterations) {
+      // frontier-limited: zero ranks contribute zero — drop them
+      // BEFORE the join so round cost tracks the reached set
+      val contrib = eDeg
+        .join(ranks.filter(col("r") =!= 0), eDeg("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"),
+          lit(false).as("is_seed"))
+      // the union-zero rows carry the REAL seed flag (contrib rows
+      // false), so max(is_seed) restores per-node membership in the
+      // same aggregate — no second nodes join per round
+      val next = contrib
+        .unionByName(nodes.select(col("node"), lit(0L).as("c"), col("is_seed")))
+        .groupBy("node")
+        .agg(sum(col("c")).as("c"), max(col("is_seed")).as("is_seed"))
+        .select(col("node"),
+          (when(col("is_seed"), baseSeed).otherwise(lit(0L)) +
+            expr(s"($dampingPerMille * c) div 1000"))
+            .cast("long").as("r"))
+      i += 1
+      if (i % pinEvery == 0 || i == iterations) {
+        val (pinned, nextPins) = Pins.pin(next)
+        Pins.release(ranks, rankPins)
+        ranks = pinned
+        rankPins = nextPins
+      } else {
+        ranks = next
+      }
+    }
+    Pins.release(e, ePins)
+    Pins.release(eDeg, eDegPins)
+    Pins.release(nodes, nodePins)
+    val toNano = math.pow(10, 9 - digits).toLong
+    val out = ranks.select(col("node"),
+      (col("r") * lit(toNano)).cast("long").as("rank_nano"))
+    Pins.register(out, rankPins)
+    out
+  }
+
+  /** Fixed-round k-core peeling over an undirected edge table —
+    * `rounds` synchronous rounds of "drop every node with current
+    * degree < k" (Seidman 1983 coreness, the standard
+    * well-embeddedness signal: a host in a high k-core is held by k
+    * mutually-supporting neighbors, which isolated spam rings and
+    * pendant mirror farms are not). Synchronous fixed-round peeling
+    * is the replayable contract (same design as [[pageRank]] /
+    * [[labelPropagation]]): every round recomputes degrees over the
+    * surviving subgraph and drops ALL sub-k nodes at once, so a SQL
+    * oracle chains the rounds verbatim. [[kCore]] runs the same
+    * peel to the true fixpoint.
+    *
+    * Input is canonicalized like [[labelPropagation]] (nulls/self
+    * loops dropped, duplicates collapsed, symmetrized). Each round is
+    * one degree aggregation + one semi-join back onto the edge table
+    * (both sides partitioned on the same key); the edge frame pins
+    * per round and the previous pin releases.
+    *
+    * @return `(node, degree)` for nodes surviving all rounds, with
+    *         degree measured IN the surviving subgraph. A node whose
+    *         residual degree is still < k after `rounds` rounds
+    *         survives only the fixpoint-unreached prefix — run
+    *         [[kCore]] for the exact core.
+    */
+  def kCoreRounds(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int): DataFrame =
+    kCorePeel(edges, srcCol, dstCol, k, Some(rounds))
+
+  /** Exact k-core: [[kCoreRounds]] run to the fixpoint. The driver
+    * checks a 16-byte count per round (strictly decreasing, so the
+    * loop terminates in at most |V| rounds; real graphs settle in a
+    * handful) — no row data is collected.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int): DataFrame =
+    kCorePeel(edges, srcCol, dstCol, k, None)
+
+  private def kCorePeel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Option[Int]): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    rounds.foreach(r => require(r >= 1, "rounds must be >= 1"))
+    val half = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    var (e, ePins) = Pins.pin(half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")))
+    var edgeCount = e.count()
+    var done = false
+    var round = 0
+    while (!done && edgeCount > 0L) {
+      val deg = e.groupBy("src").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).select(col("src").as("_keep"))
+      val (next, nextPins) = Pins.pin(e
+        .join(keep, e("src") === keep("_keep"), "left_semi")
+        .join(keep.withColumnRenamed("_keep", "_keep2"),
+          e("dst") === col("_keep2"), "left_semi")
+        .repartition(col("src")))
+      val nextCount = next.count()
+      round += 1
+      Pins.release(e, ePins)
+      e = next
+      ePins = nextPins
+      done = rounds.map(round >= _).getOrElse(nextCount == edgeCount)
+      edgeCount = nextCount
+    }
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    Pins.register(out, ePins)
+    out
+  }
+
   /** Deterministic synchronous label propagation — community
     * detection over an undirected edge table (Raghavan, Albert &
     * Kumara 2007, "Near linear time algorithm to detect community

@@ -49,6 +49,12 @@ object TextOpsProbe {
           "id", "text")
         .agg(sum("nll_nano"), sum("n_backoff")).head()
     }
+    timed(s"trigramLmScore ($nDocs docs, train=even score=odd)") {
+      functions.TextFunctions.trigramLmScore(
+          docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),
+          "id", "text")
+        .agg(sum("nll_nano"), sum("n_backoff")).head()
+    }
     timed(s"approxNgramDiversity ($nDocs docs, 32 domains)") {
       functions.TextFunctions.approxNgramDiversity(
           docs.withColumn("dom", pmod(col("id"), lit(32))), "dom", "text")

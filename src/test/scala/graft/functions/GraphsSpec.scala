@@ -142,6 +142,113 @@ class GraphsSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Seeded-walk replay: [[naivePr]] with base term and initial mass
+    * gated on seed membership.
+    */
+  private def naivePpr(
+      edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+      d: Long = 850L, digits: Int = 9): Map[Long, Long] = {
+    val u = math.pow(10, digits).toLong
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, g) => (s, g.size.toLong) }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = nodes.map(n => (n, if (seeds(n)) u else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val c = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (s, t) => c(t) += r(s) / deg(s) }
+      r = nodes.map(n => (n,
+        (if (seeds(n)) (1000L - d) * (u / 1000L) else 0L) + (d * c(n)) / 1000L)).toMap
+    }
+    val toNano = math.pow(10, 9 - digits).toLong
+    r.map { case (n, v) => (n, v * toNano) }
+  }
+
+  test("personalizedPageRank: seeded star/chain matches the naive replay; unreached stay 0") {
+    // hub graph plus a DISCONNECTED pair (40,41): no path from the
+    // seed -> exact 0, and the frontier filter must not drop the rows
+    val e = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 20L),
+      (40L, 41L), (41L, 40L))
+    val seeds = Seq(1L).toDF("s")
+    val got = Graphs.personalizedPageRank(
+        e.toDF("src", "dst"), "src", "dst", seeds, "s", iterations = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naivePpr(e, Set(1L), 6))
+    assert(got(40L) == 0L && got(41L) == 0L, "unreached nodes report exact 0")
+    assert(got(1L) > got(20L), "the seed outranks the far tail")
+  }
+
+  test("personalizedPageRank: all-node seed set equals the global walk; no-seed fails loud") {
+    val e = Seq((1L, 10L), (10L, 1L), (10L, 20L))
+    val all = Seq(1L, 10L, 20L).toDF("s")
+    val ppr = Graphs.personalizedPageRank(
+        e.toDF("src", "dst"), "src", "dst", all, "s", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val pr = Graphs.pageRank(e.toDF("src", "dst"), "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == pr)
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(
+        e.toDF("src", "dst"), "src", "dst", Seq(99L).toDF("s"), "s", iterations = 2)
+    }
+    assert(ex.getMessage.contains("no seed id occurs in the graph"))
+  }
+
+  /** Synchronous peel replay: symmetrize/clean, then per round drop
+    * ALL nodes with degree < k at once; None = run to fixpoint.
+    */
+  private def naiveCore(
+      edges: Seq[(Long, Long)], k: Int, rounds: Option[Int]): Map[Long, Long] = {
+    var e = edges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    var round = 0
+    var done = e.isEmpty
+    while (!done) {
+      val deg = e.groupBy(_._1).map { case (n, g) => (n, g.size) }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter(p => keep(p._1) && keep(p._2))
+      round += 1
+      done = rounds.map(round >= _).getOrElse(next.size == e.size) || next.isEmpty
+      e = next
+    }
+    e.groupBy(_._1).map { case (n, g) => (n, g.size.toLong) }
+  }
+
+  test("kCore: K4 + pendant chain peels to exactly the K4; chain case needs 2 rounds") {
+    // K4 on {1,2,3,4}; chain 4-5-6 hangs off it
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val got = Graphs.kCore(e.toDF("src", "dst"), "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got == naiveCore(e, 3, None))
+
+    // chain a-b-c-d at k=2: round 1 keeps {b,c} (degree-2 mid nodes),
+    // round 2 empties — kCoreRounds(1) differs from the fixpoint
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val r1 = Graphs.kCoreRounds(chain.toDF("src", "dst"), "src", "dst", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(2L -> 1L, 3L -> 1L))
+    assert(r1 == naiveCore(chain, 2, Some(1)))
+    val fix = Graphs.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(fix.isEmpty)
+  }
+
+  test("kCore: seeded random graph replays the synchronous peel at fixed rounds and fixpoint") {
+    val rnd = new scala.util.Random(29)
+    val e = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    for (r <- Seq(Some(1), Some(2), None)) {
+      val got = r match {
+        case Some(n) => Graphs.kCoreRounds(e.toDF("src", "dst"), "src", "dst", 3, n)
+        case None => Graphs.kCore(e.toDF("src", "dst"), "src", "dst", 3)
+      }
+      assert(got.as[(Long, Long)].collect().toMap == naiveCore(e, 3, r), s"rounds=$r")
+    }
+  }
+
   /** Synchronous LPA replay: symmetrize, then per round every node
     * takes the (count desc, label asc)-best neighbor label.
     */
