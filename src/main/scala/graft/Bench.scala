@@ -62,8 +62,9 @@ object Bench {
     // round-9 (cont.): seeded walk (frontier-filtered rounds) and
     // fixed-round k-core peel (degree agg + two-sided semi-join/round)
     "q_ppr", "q_kcore",
-    // round-9 (cont.): Aho-Corasick blocklist scan kernel
-    "q_blocklist")
+    // round-9 (cont.): Aho-Corasick blocklist scan kernel + two-phase
+    // global rank (the no-single-partition-window row_number)
+    "q_blocklist", "q_rank_normalize")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

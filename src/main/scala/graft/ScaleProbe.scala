@@ -157,6 +157,20 @@ object ScaleProbe {
         .agg(max("pack_id")).head()
     }
 
+    // --- global rank via range partitions vs the 1-task window -------
+    timed(s"rankBy ($nEvents rows, 64 range partitions)") {
+      graft.functions.Curation.rankBy(
+          ev, Seq(col("value"), col(Meta.OID), col(Meta.START)),
+          numPartitions = 64)
+        .agg(max("rank")).head()
+    }
+    timed(s"row_number single-partition window ($nEvents rows, strawman)") {
+      ev.withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("value"), col(Meta.OID), col(Meta.START))))
+        .agg(max("rank")).head()
+    }
+
     // --- new curation ops over the synthetic corpora -----------------
     timed(s"duplicatedSpans ($nDocs docs)") {
       // 20-word vocab × 50-word docs: ~43 positional 8-grams/doc, most

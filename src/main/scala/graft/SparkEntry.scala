@@ -1241,6 +1241,46 @@ object SparkEntry {
         .orderBy("user_id", "click_id", "buy_id")
     }),
 
+    // LEFT OUTER stream-stream interval join: unmatched clicks emit
+    // null-buy rows once both watermarks pass ts_c + maxGap. The
+    // outer result is only FINAL in the flushed region, so engine and
+    // oracle both restrict to clicks older than
+    // maxTs - watermark - maxGap - 1h margin (19h) — inside it the
+    // streamed rows (matches and nulls) must equal the batch left
+    // join exactly.
+    "q_stream_join_outer" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val cutoffUs = ev.agg(max(eventMicros(ev))).head.getLong(0) -
+        19L * 3600L * 1000000L
+      runStreamGate2(s, dir, "events", EventsStreamSchema, "sjoinout", "append") { (la, rb) =>
+        val clicks = la.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("ts_c"))
+        val buys = rb.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+            col("ts").as("ts_b"))
+        graft.streaming.StreamIngest.intervalJoinStreams(
+          clicks, buys, "c_user", "b_user", "ts_c", "ts_b",
+          maxGap = "6 hours", watermark = "12 hours", joinType = "left_outer")
+      }
+        .filter(unix_micros(col("ts_c")) <= cutoffUs)
+        .select(col("c_user").as("user_id"), col("click_id"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+          coalesce(unix_micros(col("ts_b")) - unix_micros(col("ts_c")), lit(-1L))
+            .as("gap_us"))
+        .orderBy("user_id", "click_id", "buy_id")
+    }),
+
+    // Streaming blocklist screen: the Aho-Corasick kernel as a
+    // stateless stream projection — the pattern list rides the task
+    // closure exactly as a cluster broadcast would, so the streamed
+    // result IS the batch q_blocklist result and shares its oracle.
+    "q_stream_blocklist" -> ((s, dir) => {
+      runStreamGate(s, dir, "documents", DocumentsStreamSchema, "blscreen", "append") { st =>
+        graft.functions.Blocklist.hits(st, "doc_id", "text", BlocklistPatterns)
+      }.orderBy("doc_id")
+    }),
+
     "q_stream_window" -> ((s, dir) => {
       runStreamGate(s, dir, "events", EventsStreamSchema, "win", "complete") { st =>
         st.withColumn("__ts", col("ts"))
@@ -1430,6 +1470,25 @@ object SparkEntry {
     "q_pagerank_micro" -> ((s, dir) => {
       graft.functions.Graphs.pageRank(
           pageRankEdges(s, dir), "src", "dst", iterations = 8, unit = "micro")
+        .orderBy("node")
+    }),
+
+    // Weighted walk: edge weight = transaction multiplicity (the
+    // lineitem count the unweighted gate's DISTINCT throws away), so
+    // high-volume supplier<->customer relationships carry
+    // proportionally more mass; contribution (r·w) div W replayed
+    // bit-for-bit by the oracle.
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val fwd = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey").cast("long") + lit(1000000000000L)).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.functions.Graphs.weightedPageRank(
+          edges, "src", "dst", "w", iterations = 8)
         .orderBy("node")
     }),
 
@@ -2039,6 +2098,18 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Global rank + exact micro-ECDF over a total order WITHOUT a
+    // single-partition window: the two-phase range-partition + offset
+    // counter must equal row_number() over the same order at any
+    // partitioning (ties broken by the id key).
+    "q_rank_normalize" -> ((s, dir) => {
+      graft.functions.Curation.rankNormalize(
+          tbl(s, dir, "documents"),
+          Seq(length(col("text")), col("doc_id")), numPartitions = 8)
+        .select("doc_id", "rank", "pct_micro")
         .orderBy("doc_id")
     }),
 
@@ -2929,6 +3000,26 @@ object SparkEntry {
   private val BlocklistPatterns: Seq[String] =
     Seq("scan", "low", "tab", "table", "art", "order", "fast", "ue ta")
 
+  /** Every-occurrence blocklist counts via per-position substring
+    * scans (overlapping included — range over ALL start positions);
+    * shared by the batch gate and its stateless stream twin.
+    */
+  private lazy val BlocklistOracleSql: String = {
+    val cnt = BlocklistPatterns.zipWithIndex.map { case (p, j) =>
+      s"coalesce(list_sum(list_transform(range(1, greatest(len(t) - ${p.length} + 2, 1)), " +
+        s"i -> CASE WHEN substr(t, i, ${p.length}) = '$p' THEN 1 ELSE 0 END)), 0) AS c$j"
+    }.mkString(", ")
+    val hits = BlocklistPatterns.indices.map(j => s"c$j").mkString(" + ")
+    val fired = BlocklistPatterns.indices
+      .map(j => s"CASE WHEN c$j > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val sum = BlocklistPatterns.indices.map(j => s"c$j * ${j + 1}").mkString(" + ")
+    s"WITH bl AS (SELECT doc_id, lower(text) AS t FROM documents), " +
+      s"c AS (SELECT doc_id, $cnt FROM bl) " +
+      s"SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, " +
+      s"CAST($fired AS INTEGER) AS n_patterns, " +
+      s"CAST($sum AS BIGINT) AS checksum FROM c ORDER BY doc_id"
+  }
+
   /** Directed supplier -> customer transaction edges (customer keys
     * offset by 1e12 to keep the id spaces disjoint at any SF).
     */
@@ -2971,6 +3062,36 @@ object SparkEntry {
     * same non-negative BIGINTs. Damping fixed at 850/1000 to match
     * `Graphs.pageRank`'s default.
     */
+  /** Weighted damped walk: contribution `(r · w) div W(src)` over the
+    * multiplicity-weighted symmetrized transaction graph.
+    */
+  private def weightedPrCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""wpr_fwd AS MATERIALIZED (
+         |  SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey + 1000000000000 AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+         |),
+         |wpr_edges AS MATERIALIZED (
+         |  SELECT src, dst, w FROM wpr_fwd UNION ALL SELECT dst AS src, src AS dst, w FROM wpr_fwd
+         |),
+         |wpr_ws AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM wpr_edges GROUP BY 1),
+         |wpr_nodes AS MATERIALIZED (SELECT src AS node FROM wpr_edges UNION SELECT dst FROM wpr_edges),
+         |wpr_r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM wpr_nodes)""".stripMargin)
+    (0 until k).foreach { i =>
+      sb.append(",\n").append(
+        s"""wpr_r${i + 1} AS MATERIALIZED (
+           |  SELECT n.node, CAST(150000000 + (850 * COALESCE(s.c, 0)) // 1000 AS BIGINT) AS r
+           |  FROM wpr_nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM((r.r * e.w) // d.ws) AS c
+           |    FROM wpr_edges e JOIN wpr_r$i r ON e.src = r.node JOIN wpr_ws d ON e.src = d.src
+           |    GROUP BY 1
+           |  ) s ON n.node = s.node
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** Synchronous LPA as `k` chained CTE rounds over the part
     * co-purchase graph: per round, per-(node, label) neighbor-vote
     * counts then a windowed (count desc, label asc) argmax — the same
@@ -4771,6 +4892,11 @@ object SparkEntry {
         (s"WITH ${pageRankCtes(8, digits = 6)} " +
           "SELECT node, CAST(r * 1000 AS BIGINT) AS rank_nano FROM pr_r8 ORDER BY node"),
 
+      // 8 weighted walk rounds; see weightedPrCtes
+      "q_pagerank_weighted" ->
+        (s"WITH ${weightedPrCtes(8)} " +
+          "SELECT node, r AS rank_nano FROM wpr_r8 ORDER BY node"),
+
       // 5 chained synchronous-vote rounds; see lpaCtes
       "q_label_prop" ->
         (s"WITH ${lpaCtes(5)} " +
@@ -5055,23 +5181,36 @@ object SparkEntry {
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      // the two-phase global rank == a plain windowed row_number over
+      // the identical total order; micro-ECDF by integer division
+      "q_rank_normalize" ->
+        """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY len(text), doc_id) AS rank FROM documents),
+          |n AS (SELECT count(*) AS n FROM documents)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+          |  CAST(rank * 1000000 // n AS BIGINT) AS pct_micro
+          |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
       // every-occurrence blocklist counts via per-position substring
       // scans (overlapping included — range over ALL start positions)
-      "q_blocklist" -> {
-        val cnt = BlocklistPatterns.zipWithIndex.map { case (p, j) =>
-          s"coalesce(list_sum(list_transform(range(1, greatest(len(t) - ${p.length} + 2, 1)), " +
-            s"i -> CASE WHEN substr(t, i, ${p.length}) = '$p' THEN 1 ELSE 0 END)), 0) AS c$j"
-        }.mkString(", ")
-        val hits = BlocklistPatterns.indices.map(j => s"c$j").mkString(" + ")
-        val fired = BlocklistPatterns.indices
-          .map(j => s"CASE WHEN c$j > 0 THEN 1 ELSE 0 END").mkString(" + ")
-        val sum = BlocklistPatterns.indices.map(j => s"c$j * ${j + 1}").mkString(" + ")
-        s"WITH bl AS (SELECT doc_id, lower(text) AS t FROM documents), " +
-          s"c AS (SELECT doc_id, $cnt FROM bl) " +
-          s"SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, " +
-          s"CAST($fired AS INTEGER) AS n_patterns, " +
-          s"CAST($sum AS BIGINT) AS checksum FROM c ORDER BY doc_id"
-      },
+      "q_blocklist" -> BlocklistOracleSql,
+
+      // stateless stream projection of the same kernel => same oracle
+      "q_stream_blocklist" -> BlocklistOracleSql,
+
+      // the flushed-region contract: batch left join restricted to
+      // clicks older than max(ts) - 19h, null matches as -1 sentinels
+      "q_stream_join_outer" ->
+        """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+          |c AS (SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+          |b AS (SELECT user_id AS b_user, event_id AS buy_id, ts AS ts_b FROM events WHERE event_type = 'purchase')
+          |SELECT CAST(c.user_id AS BIGINT) AS user_id,
+          |  CAST(c.click_id AS BIGINT) AS click_id,
+          |  CAST(coalesce(b.buy_id, -1) AS BIGINT) AS buy_id,
+          |  CAST(coalesce(epoch_us(b.ts_b) - epoch_us(c.ts), -1) AS BIGINT) AS gap_us
+          |FROM c CROSS JOIN mx LEFT JOIN b
+          |  ON c.user_id = b.b_user AND b.ts_b >= c.ts AND b.ts_b <= c.ts + INTERVAL 6 HOUR
+          |WHERE epoch_us(c.ts) <= mx.m - CAST(19 * 3600 AS BIGINT) * 1000000
+          |ORDER BY user_id, click_id, buy_id""".stripMargin,
 
       // the bigram oracle one context word deeper: five aligned
       // per-position hashes (prev unigram, current, PREFIX bigram,

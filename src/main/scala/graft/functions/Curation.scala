@@ -667,6 +667,87 @@ object Curation {
     (out, parted)
   }
 
+  /** Global 1-based rank over a TOTAL order, without the
+    * single-partition window a naive `row_number() OVER (ORDER BY …)`
+    * plans (Spark funnels the whole table through one task there —
+    * the op that silently stops scaling first in a curation
+    * pipeline). Same two-phase shape as [[packSequences]]:
+    * range-partition on the order columns, per-partition counts to
+    * the driver (numPartitions longs), then a sorted mapPartitions
+    * running counter seeded with each partition's offset — no global
+    * sort barrier beyond the range exchange itself.
+    *
+    * Curation uses: curriculum ordering (rank by a difficulty score),
+    * exact top-percentile cuts, and score CALIBRATION across
+    * different scorers via [[rankNormalize]]'s ECDF.
+    *
+    * `orderBy` must be a total order (include a unique id as the last
+    * key — ties crossing a partition boundary would otherwise rank
+    * arbitrarily). Nulls: Spark ranks null keys FIRST ascending;
+    * DuckDB defaults to NULLS LAST — keep null keys out of oracle'd
+    * orders. Result is pinned (reliable checkpoint when a dir is
+    * set); the phase-1/2 cache is released before returning.
+    */
+  def rankBy(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      numPartitions: Int = 0): DataFrame =
+    rankInternal(df, orderBy, numPartitions)._1
+
+  /** [[rankBy]] plus the exact-integer ECDF: `pct_micro = rank · 1e6
+    * div n` — the rank-transform normalization that makes scores from
+    * different scorers comparable (both engines compute the division
+    * identically on non-negative integers).
+    */
+  def rankNormalize(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    val (ranked, n) = rankInternal(df, orderBy, numPartitions)
+    require(n < 9000000000000L,
+      s"rankNormalize: $n rows overflow the micro-ECDF multiply (rank * 1e6 < 2^63)")
+    ranked.withColumn("pct_micro", expr(s"(rank * 1000000) div ${math.max(n, 1L)}L"))
+  }
+
+  private def rankInternal(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      numPartitions: Int): (DataFrame, Long) = {
+    require(orderBy.nonEmpty, "rankBy requires at least one order column")
+    val parted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
+       else df.repartitionByRange(orderBy: _*))
+        .sortWithinPartitions(orderBy: _*)
+        .withColumn("__pid", spark_partition_id())
+    // cached for the same CORRECTNESS reason as packSequences: phase 2
+    // must see the exact partition boundaries phase 1 counted (range
+    // partitioning re-samples on recompute)
+    parted.cache()
+    val partials = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partials.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + partials(p)).init).toMap
+    val total = partials.values.sum
+    val schemaOut = parted.schema
+      .add("rank", org.apache.spark.sql.types.LongType)
+    val pidIdx = parted.schema.fieldIndex("__pid")
+    val offsetsMap = offsets
+    val ranked = parted.mapPartitions { it =>
+      var run = Long.MinValue
+      it.map { r =>
+        if (run == Long.MinValue) run = offsetsMap.getOrElse(r.getInt(pidIdx), 0L)
+        run += 1L
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+      }
+    }(org.apache.spark.sql.Encoders.row(schemaOut))
+      .drop("__pid")
+    val pinned =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) ranked.checkpoint(true)
+      else ranked.localCheckpoint(true)
+    parted.unpersist()
+    (pinned, total)
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS 2023, "Data
     * Selection for Language Models via Importance Resampling"):
     * per-document log importance weight `log p_target(x) - log p_raw(x)`

@@ -194,6 +194,115 @@ object Graphs {
     */
   def unpin(df: DataFrame): Unit = Pins.unpin(df)
 
+  /** [[pageRank]] over WEIGHTED edges — transition probability
+    * proportional to integer edge weight (link multiplicity, crawl
+    * frequency, trust score). The per-edge contribution becomes
+    *
+    * {{{ (rᵢ(u) · w(u,v)) div W(u) }}}
+    *
+    * with `W(u) = Σ w(u,·)`; truncating division keeps total mass
+    * non-increasing exactly as in the unweighted walk, so the same
+    * unit-ladder argument holds with one extra multiply to guard:
+    * `r · w < 2^63` needs `nNodes · maxW < 9e18 / U`, so the auto
+    * unit selects on `nNodes · max(dampingPerMille, maxW)` (one
+    * bounded min/max aggregate, which also rejects weights < 1 loud —
+    * a zero or negative weight is a caller bug, not a silent drop).
+    * Parallel edges merge by SUMMING weights (the natural
+    * multiplicity semantics the unweighted walk's `distinct`
+    * deliberately discards); null endpoints/weights drop.
+    *
+    * Scale shape identical to [[pageRank]]: `(src, dst, w, W)`
+    * pre-partitioned on the join key and pinned, one co-partitioned
+    * join + one aggregation per round, 16-byte rank rows.
+    */
+  def weightedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int,
+      dampingPerMille: Int = 850,
+      pinEvery: Int = 1,
+      unit: String = "auto"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
+    require(pinEvery >= 1, "pinEvery must be >= 1")
+    require(unit == "auto" || Units.exists(_._1 == unit),
+      s"unit must be one of auto|${Units.map(_._1).mkString("|")}, got $unit")
+
+    val (e, ePins) = Pins.pin(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .repartition(col("src")))
+    val wsum = e.groupBy("src").agg(sum(col("w")).as("ws"))
+    val (eW, eWPins) = Pins.pin(e.join(wsum, "src").repartition(col("src")))
+    val (nodes, nodePins) = Pins.pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct())
+
+    val nNodes = nodes.count()
+    require(nNodes < MaxNodes,
+      s"weightedPageRank: $nNodes nodes exceed the ~9e9 cap from the " +
+        "rank_nano output bound")
+    val wStats = e.agg(min(col("w")).as("mn"), max(col("w")).as("mx")).head()
+    require(!wStats.isNullAt(0) && wStats.getLong(0) >= 1L,
+      s"weightedPageRank: weights must be >= 1 (got min ${
+        if (wStats.isNullAt(0)) "none" else wStats.getLong(0).toString})")
+    val maxW = wStats.getLong(1)
+    val load = nNodes * math.max(math.max(dampingPerMille, 1).toLong, maxW)
+    val digits = unit match {
+      case "auto" =>
+        val found = Units.collectFirst { case (_, dg) if load < unitBound(dg) => dg }
+        require(found.isDefined,
+          s"weightedPageRank: $nNodes nodes x max weight $maxW overflow even " +
+            s"the micro unit (bound ${unitBound(6)} node·weight) — rescale weights")
+        found.get
+      case name =>
+        val dg = Units.find(_._1 == name).get._2
+        require(load < unitBound(dg),
+          s"weightedPageRank: $nNodes nodes x max weight $maxW would overflow " +
+            s"the $name unit (bound ${unitBound(dg)}) — use unit=\"auto\"")
+        dg
+    }
+    val u = math.pow(10, digits).toLong
+    val base = lit((1000L - dampingPerMille) * (u / 1000L))
+    var ranks = nodes.withColumn("r", lit(u))
+    var rankPins = Set.empty[Int]
+    var i = 0
+    while (i < iterations) {
+      val contrib = eW
+        .join(ranks, eW("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("(r * w) div ws").as("c"))
+      val next = contrib
+        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
+        .groupBy("node")
+        .agg(sum(col("c")).as("c"))
+        .select(col("node"),
+          (base + expr(s"($dampingPerMille * c) div 1000"))
+            .cast("long").as("r"))
+      i += 1
+      if (i % pinEvery == 0 || i == iterations) {
+        val (pinned, nextPins) = Pins.pin(next)
+        Pins.release(ranks, rankPins)
+        ranks = pinned
+        rankPins = nextPins
+      } else {
+        ranks = next
+      }
+    }
+    Pins.release(e, ePins)
+    Pins.release(eW, eWPins)
+    Pins.release(nodes, nodePins)
+    val toNano = math.pow(10, 9 - digits).toLong
+    val out = ranks.select(col("node"),
+      (col("r") * lit(toNano)).cast("long").as("rank_nano"))
+    Pins.register(out, rankPins)
+    out
+  }
+
   /** Personalized PageRank — [[pageRank]] with the teleport mass
     * restricted to a SEED set (Haveliwala 2002, "Topic-sensitive
     * PageRank"). The standard trusted-seed expansion tool for crawl

@@ -256,6 +256,16 @@ object StreamIngest {
     * equi-join keys, `leftTime`/`rightTime` the event-time columns the
     * watermarks ride on.
     */
+  /** `joinType`: `"inner"` (default) or `"left_outer"`. The outer form
+    * emits an unmatched left row (right columns null) only once BOTH
+    * watermarks pass `leftTime + maxGap` — the row is then provably
+    * unmatchable. Completeness contract: the outer result is final
+    * only for left rows older than `watermark + maxGap` behind the
+    * max observed event time; a finite stream's tail rows stay
+    * buffered (they could still match on a longer stream), so a
+    * batch-equality check must restrict both sides to the flushed
+    * region (q_stream_join_outer does).
+    */
   def intervalJoinStreams(
       left: DataFrame,
       right: DataFrame,
@@ -264,7 +274,10 @@ object StreamIngest {
       leftTime: String,
       rightTime: String,
       maxGap: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner|left_outer, got $joinType")
     val l = left.withColumn(leftTime, col(leftTime).cast("timestamp"))
       .withWatermark(leftTime, watermark)
     val r = right.withColumn(rightTime, col(rightTime).cast("timestamp"))
@@ -272,6 +285,7 @@ object StreamIngest {
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTime) >= col(leftTime) &&
-        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $maxGap"))
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $maxGap"),
+      joinType)
   }
 }

@@ -49,6 +49,29 @@ object TextOpsProbe {
           "id", "text")
         .agg(sum("nll_nano"), sum("n_backoff")).head()
     }
+    // blocklist: automaton cost must be flat in pattern count; the
+    // contains-chain strawman (what a naive pipeline runs) is linear
+    // in it AND blows up the expression tree
+    val rnd = new scala.util.Random(5)
+    def randPats(n: Int): Seq[String] = (1 to n * 2).map(_ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .distinct.take(n)
+    val pats1k = randPats(1000) ++ Seq("spark", "shuffle", "scan")
+    timed(s"blocklistHits ($nDocs docs, ${pats1k.size} patterns, AC kernel)") {
+      functions.Blocklist.hits(docs, "id", "text", pats1k)
+        .agg(sum("n_hits")).head()
+    }
+    val pats100 = pats1k.take(97) ++ Seq("spark", "shuffle", "scan")
+    timed(s"blocklistHits ($nDocs docs, 100 patterns, AC kernel)") {
+      functions.Blocklist.hits(docs, "id", "text", pats100)
+        .agg(sum("n_hits")).head()
+    }
+    timed(s"contains-chain strawman ($nDocs docs, 100 patterns)") {
+      docs.select(pats100.map(p =>
+          (length(col("text")) - length(replace(col("text"), lit(p), lit(""))))
+            .cast("long").as(s"c")).reduce(_ + _).as("n"))
+        .agg(sum("n")).head()
+    }
     timed(s"trigramLmScore ($nDocs docs, train=even score=odd)") {
       functions.TextFunctions.trigramLmScore(
           docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),

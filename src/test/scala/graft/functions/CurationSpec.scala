@@ -133,6 +133,30 @@ class CurationSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("rankBy: global rank equals a row_number over the total order at any partitioning") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(40).toLong)) // heavy ties
+    val df = rows.toDF("id", "score").repartition(7)
+    val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1L) }.toMap
+    for (np <- Seq(0, 1, 3, 16)) {
+      val got = Curation.rankBy(df, Seq(col("score"), col("id")), numPartitions = np)
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+      assert(got == want, s"numPartitions=$np")
+    }
+  }
+
+  test("rankNormalize: exact integer micro-ECDF; cache released; result pinned") {
+    val df = (1L to 8L).toDF("id")
+    spark.sharedState.cacheManager.clearCache()
+    val got = Curation.rankNormalize(df, Seq(col("id")), numPartitions = 3)
+      .select("id", "rank", "pct_micro").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == (1L to 8L).map(i => (i, i, i * 1000000L / 8L)))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "rankBy leaked its phase-1/2 cache")
+  }
+
   test("packSequences: contiguous packs, bounded overflow, exact prefix sums") {
     val docs = Seq((1L, 300L), (2L, 500L), (3L, 400L), (4L, 900L),
       (5L, 100L), (6L, 250L), (7L, 800L))

@@ -142,6 +142,52 @@ class GraphsSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Weighted-walk replay: contribution (r·w) div W(u), parallel
+    * edges pre-summed.
+    */
+  private def naiveWpr(
+      edges: Seq[(Long, Long, Long)], iters: Int, d: Long = 850L): Map[Long, Long] = {
+    val e = edges.groupBy(t => (t._1, t._2))
+      .map { case ((s, t), g) => (s, t, g.map(_._3).sum) }.toSeq
+    val ws = e.groupBy(_._1).map { case (s, g) => (s, g.map(_._3).sum) }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = nodes.map(n => (n, 1000000000L)).toMap
+    (1 to iters).foreach { _ =>
+      val c = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (s, t, w) => c(t) += (r(s) * w) / ws(s) }
+      r = nodes.map(n => (n, 150L * 1000000L + (d * c(n)) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("weightedPageRank: parallel edges sum, skew pulls rank, replay exact") {
+    // hub 10 sends 9/10 of its mass to 1 (w=9 vs 1); parallel (2,10)
+    // edges must merge to w=5
+    val e = Seq((10L, 1L, 9L), (10L, 2L, 1L), (1L, 10L, 3L),
+      (2L, 10L, 2L), (2L, 10L, 3L))
+    val got = Graphs.weightedPageRank(
+        e.toDF("src", "dst", "w"), "src", "dst", "w", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naiveWpr(e, 5))
+    assert(got(1L) > got(2L), "the w=9 target must outrank the w=1 target")
+  }
+
+  test("weightedPageRank with uniform weights equals the unweighted walk; w<1 loud") {
+    val e = Seq((1L, 10L), (2L, 10L), (10L, 1L), (10L, 2L), (10L, 20L))
+    val wpr = Graphs.weightedPageRank(
+        e.map(t => (t._1, t._2, 1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val pr = Graphs.pageRank(e.toDF("src", "dst"), "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(wpr == pr)
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.weightedPageRank(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), "src", "dst", "w", iterations = 1)
+    }
+    assert(ex.getMessage.contains("weights must be >= 1"))
+  }
+
   /** Seeded-walk replay: [[naivePr]] with base term and initial mass
     * gated on seed membership.
     */

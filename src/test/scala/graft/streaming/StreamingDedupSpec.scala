@@ -112,6 +112,65 @@ class StreamingDedupSpec extends SparkSpec {
       s"stream-stream join diverged: streamed=$streamed expected=$expected")
   }
 
+  test("intervalJoinStreams left_outer: unmatched rows flush once the watermark passes") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ssjo")
+    val src = base.resolve("src").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("typ", StringType), StructField("t", DoubleType)))
+    // advancing timeline so the watermark can move without dropping
+    // anything: u1 click->buy (match), u4 click never matched (must
+    // flush as a null row), u5 buy arrives BEFORE its click
+    // (right-before-left buffering), u2 matches in a later batch, u9
+    // is the far-future watermark pusher (itself unflushable: final
+    // wm 99900 < 100000 + 100)
+    val files = Seq(
+      Seq((1L, 1L, "c", 10.0), (2L, 1L, "p", 50.0), (3L, 4L, "c", 40.0),
+        (7L, 5L, "p", 900.0)),
+      Seq((4L, 2L, "c", 1000.0), (5L, 2L, "p", 1050.0), (8L, 5L, "c", 880.0)),
+      Seq((6L, 9L, "c", 100000.0)))
+    files.foreach(g =>
+      g.toDF("id", "k", "typ", "t").coalesce(1).write.mode("append").parquet(src))
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("typ") === "c")
+        .select(col("k").as("ck"), col("id").as("click_id"), col("t").as("ct")),
+      df.filter(col("typ") === "p")
+        .select(col("k").as("pk"), col("id").as("buy_id"), col("t").as("pt")))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val (lc, rp) = (
+      sides(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)),
+      sides(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)))
+    val q = StreamIngest.intervalJoinStreams(
+        lc._1, rp._2, "ck", "pk", "ct", "pt",
+        maxGap = "100 seconds", watermark = "100 seconds", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("click_id"), coalesce(col("buy_id"), lit(-1L)).as("buy_id"))
+          .collect().foreach(r => out.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(out).asScala.toSet
+    assert(streamed == Set((1L, 2L), (4L, 5L), (8L, 7L), (3L, -1L)),
+      s"left_outer stream diverged: $streamed")
+    // == the batch left join restricted to the flushed region
+    // (ct + maxGap < final watermark 99900)
+    val batch = files.flatten.toDF("id", "k", "typ", "t")
+    val (bc, bp) = (sides(batch)._1, sides(batch)._2)
+    val expected = bc.filter(col("ct") + 100.0 < 99900.0)
+      .join(bp,
+        col("ck") === col("pk") &&
+          col("pt") >= col("ct") && col("pt") <= col("ct") + lit(100.0),
+        "left")
+      .select(col("click_id"), coalesce(col("buy_id"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected, s"batch twin diverged: $expected")
+  }
+
   test("screenStreamAgainstIndex: multi-batch union equals the batch screen") {
     import graft.functions.{Dedup, DedupExpressions}
     def doc(salt: Int): String =
