@@ -64,7 +64,9 @@ object Bench {
     "q_ppr", "q_kcore",
     // round-9 (cont.): Aho-Corasick blocklist scan kernel + two-phase
     // global rank (the no-single-partition-window row_number)
-    "q_blocklist", "q_rank_normalize")
+    "q_blocklist", "q_rank_normalize",
+    // round-9 (cont.): char-entropy and CDC scan kernels
+    "q_char_entropy", "q_cdc_chunks")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

@@ -2101,6 +2101,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement (A-ES in exact integers):
+    // weight = doc length, k = 50 — the oracle recomputes the
+    // md5-derived uniform, the nano-log key, and the truncating
+    // weight division, so the SELECTED SET is pinned, not just its
+    // size.
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.functions.Curation.weightedBottomKSample(
+          tbl(s, dir, "documents"), col("doc_id"), length(col("text")), k = 50)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Content-defined chunking, pure-mask form: every chunk boundary
+    // (rolling polynomial hash of the last 16 code points masking to
+    // 0 mod 64) plus each chunk's 1-based offsets and md5-lower-64 —
+    // the oracle recomputes every window hash directly from the
+    // polynomial definition, so the kernel's incremental update is
+    // pinned against the algebra, not against itself.
+    "q_cdc_chunks" -> ((s, dir) => {
+      graft.functions.Cdc.chunks(
+          tbl(s, dir, "documents"), "doc_id", "text", window = 16, divisor = 64)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Order-0 char entropy in integer nano-nats: per-distinct-symbol
+    // rounding then exact integer sum/division — the oracle groups
+    // the same code-point stream and replays the identical algebra.
+    "q_char_entropy" -> ((s, dir) => {
+      TextFunctions.charEntropy(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Global rank + exact micro-ECDF over a total order WITHOUT a
     // single-partition window: the two-phase range-partition + offset
     // counter must equal row_number() over the same order at any
@@ -5180,6 +5211,63 @@ object SparkEntry {
            |  CAST(sum(nll) AS BIGINT) AS nll_nano,
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the A-ES integer key chain replayed end-to-end
+      "q_weighted_sample" ->
+        """WITH p AS (SELECT doc_id,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT AS pri,
+          |    len(text) AS w FROM documents),
+          |kk AS (SELECT doc_id,
+          |    CAST(round(ln(1152921504606846976.0 / (pri + 1)) * 1e9) AS BIGINT) // w AS wk FROM p),
+          |sel AS (SELECT doc_id, wk FROM kk ORDER BY wk, doc_id LIMIT 50)
+          |SELECT doc_id FROM sel ORDER BY doc_id""".stripMargin,
+
+      // direct polynomial window hashes -> cut positions -> segments
+      // via lag + per-doc tail remainder; chunk hash = signed
+      // md5-lower-64 of the substr
+      "q_cdc_chunks" -> {
+        // B^j mod M for j = 0..15 as a SQL list literal
+        val pows = Iterator.iterate(1L)(p => p * 257L % 1000000007L)
+          .take(16).mkString("[", ", ", "]")
+        s"""WITH cdc AS (SELECT doc_id, text AS t, len(text) AS n FROM documents),
+           |hpos AS (SELECT doc_id, t, n, unnest(range(16, n + 1)) AS i FROM cdc),
+           |hv AS (SELECT doc_id, i,
+           |    list_sum(list_transform(range(0, 16),
+           |      j -> CAST(ord(substr(t, CAST(i - j AS INTEGER), 1)) AS BIGINT) * ($pows)[j + 1] % 1000000007))
+           |      % 1000000007 AS h
+           |  FROM hpos),
+           |cuts AS (SELECT doc_id, i FROM hv WHERE h % 64 = 0),
+           |segs AS (SELECT doc_id, COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s, i AS e FROM cuts),
+           |tails AS (SELECT c.doc_id, COALESCE(mx.mi, 0) + 1 AS s, c.n AS e
+           |  FROM cdc c LEFT JOIN (SELECT doc_id, max(i) AS mi FROM cuts GROUP BY 1) mx USING (doc_id)
+           |  WHERE COALESCE(mx.mi, 0) < c.n),
+           |allsegs AS (SELECT doc_id, s, e FROM segs UNION ALL SELECT doc_id, s, e FROM tails),
+           |hashed AS (SELECT a.doc_id,
+           |    row_number() OVER (PARTITION BY a.doc_id ORDER BY a.s) - 1 AS chunk_idx,
+           |    a.s, a.e, md5_number_lower(substr(c.t, CAST(a.s AS INTEGER), CAST(a.e - a.s + 1 AS INTEGER))) AS uh
+           |  FROM allsegs a JOIN cdc c USING (doc_id))
+           |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, CAST(s AS INTEGER) AS start,
+           |  CAST(e - s + 1 AS INTEGER) AS len,
+           |  CAST(CASE WHEN uh >= 9223372036854775808
+           |    THEN CAST(uh AS HUGEINT) - 18446744073709551616
+           |    ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS chunk_hash
+           |FROM hashed ORDER BY doc_id, chunk_idx""".stripMargin
+      },
+
+      // code-point histogram -> per-symbol rounded nano-nat terms ->
+      // exact integer sum and division (HUGEINT-safe via //)
+      "q_char_entropy" ->
+        """WITH ch AS (SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+          |    i -> substr(text, i, 1))) AS c FROM documents),
+          |cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2),
+          |nn AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n, CAST(count(*) AS INTEGER) AS nd FROM cnt GROUP BY 1),
+          |e AS (SELECT cnt.doc_id,
+          |    SUM(k * CAST(round(ln(CAST(nn.n AS DOUBLE) / k) * 1e9) AS BIGINT)) AS s
+          |  FROM cnt JOIN nn USING (doc_id) GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(nn.n, 0) AS n_chars, COALESCE(nn.nd, 0) AS n_distinct,
+          |  CAST(COALESCE(e.s // nn.n, 0) AS BIGINT) AS entropy_nano
+          |FROM documents d LEFT JOIN nn USING (doc_id) LEFT JOIN e ON d.doc_id = e.doc_id
+          |ORDER BY doc_id""".stripMargin,
 
       // the two-phase global rank == a plain windowed row_number over
       // the identical total order; micro-ECDF by integer division

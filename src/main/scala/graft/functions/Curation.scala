@@ -154,6 +154,60 @@ object Curation {
     }
   }
 
+  /** WEIGHTED deterministic sample without replacement — the
+    * importance-proportional subsampler a mixture recipe needs when
+    * documents should enter the corpus with probability proportional
+    * to an integer weight (length, quality score, domain multiplier).
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir"): keep the k items with the largest `u^(1/w)`,
+    * equivalently the SMALLEST `-ln(u)/w` — computed here as exact
+    * integers so the sample is engine-replayable like
+    * [[bottomKSample]]:
+    *
+    * {{{ wkey = round(ln(2^60 / (pri + 1)) · 1e9) div w }}}
+    *
+    * where `pri ∈ [0, 2^60)` is the md5-derived 15-hex-digit priority
+    * (so `(pri+1)/2^60` is the uniform variate, the ln argument is a
+    * ratio of exact integers — the family determinism recipe — and
+    * the division by the weight is truncating integer div). Larger
+    * weights shrink the key ⇒ enter the bottom-k more often; the
+    * inclusion probabilities converge to A-ES's up to the 1e-9
+    * rounding. Same shapes as the uniform form: global = sort+limit
+    * (TakeOrdered per-partition heaps), stratified = one window
+    * shuffle. Weights must be >= 1 — checked in-plan, fails loud.
+    */
+  def weightedBottomKSample(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      k: Int,
+      strata: Seq[String] = Nil,
+      seed: Long = 42L): DataFrame = {
+    val pri = conv(
+      substring(md5(concat(key.cast("string"), lit(s":$seed"))), 1, 15), 16, 10)
+      .cast("long")
+    val wChecked = when(weight.isNull || weight.cast("long") < 1L,
+        raise_error(lit("weightedBottomKSample: weights must be >= 1 and non-null"))
+          .cast("long"))
+      .otherwise(weight.cast("long"))
+    val negLnNano = round(
+      log(lit(1152921504606846976.0) / (pri + lit(1L)).cast("double")) * 1e9)
+      .cast("long")
+    // truncating integer division via `div` (`/` is a double divide)
+    df.withColumn("__nl", negLnNano)
+      .withColumn("__w", wChecked)
+      .withColumn("__wk", expr("__nl div __w"))
+      .transform { d =>
+        if (strata.isEmpty) d.orderBy(col("__wk"), key).limit(k)
+        else {
+          val w = Window.partitionBy(strata.map(col): _*).orderBy(col("__wk"), key)
+          d.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+            .drop("__rn")
+        }
+      }
+      .drop("__nl", "__w", "__wk")
+  }
+
   /** Per-domain document cap — the Common-Crawl-style anti-spam /
     * anti-SEO measure: no single site may contribute more than `cap`
     * documents to the corpus. Kept rows are the `cap` smallest md5

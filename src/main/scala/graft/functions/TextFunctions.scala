@@ -584,6 +584,18 @@ object TextFunctions {
     out
   }
 
+  /** Order-0 character entropy per document — see [[CharEntropyExpr]]
+    * (one codegen'd pass; integer nano-nats). The two-sided junk
+    * screen: near-zero entropy = repeated template/padding, saturated
+    * entropy = binary or encoding garbage.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), CharEntropyExpr(col(textCol)).as("_e"))
+      .select(col(idCol),
+        col("_e.n_chars").as("n_chars"),
+        col("_e.n_distinct").as("n_distinct"),
+        col("_e.entropy_nano").as("entropy_nano"))
+
   /** Per-group n-gram diversity — the type/token ratio over word
     * n-grams, the standard corpus-health metric for mode collapse /
     * template saturation (a domain whose crawl is one boilerplate page

@@ -563,3 +563,98 @@ object NormTokenCountExpr {
     n
   }
 }
+
+/** Order-0 character entropy in ONE pass — the compression-ratio
+  * proxy of the quality stack: repetitive template junk compresses to
+  * near-zero entropy and binary/encoding garbage saturates it, both
+  * long before a perplexity model needs to run. Per document over
+  * Unicode CODE POINTS (so `substr`-based SQL engines replay the same
+  * symbol stream):
+  *
+  * {{{ entropy_nano = (Σ_c k_c · round(ln(n / k_c) · 1e9)) div n }}}
+  *
+  * — the per-symbol average in integer nano-nats, with the rounding
+  * applied per DISTINCT symbol before the exact integer sum/division
+  * (the family's cross-engine determinism recipe: both engines round
+  * the same positive doubles, everything after is integer-exact).
+  * Empty/null-free contract: zero-length text reports (0, 0, 0).
+  *
+  * Output struct: n_chars long, n_distinct int, entropy_nano long.
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_entropy requires a STRING column, got $t")
+  }
+
+  override def dataType: DataType = CharEntropyExpr.schema
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropyExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharEntropyExpr$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
+    copy(child = c)
+  override def prettyName: String = "char_entropy"
+}
+
+object CharEntropyExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("entropy_nano", LongType, nullable = false)))
+
+  def apply(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new CharEntropyExpr(expression(text)))
+  }
+
+  /** Kernel; called from generated code and interpreted eval alike. */
+  def compute(input: UTF8String): InternalRow = {
+    val text = input.toString
+    // code-point histogram: ASCII fast path in a flat array, the rest
+    // in a small map (real corpora are ASCII-dominated)
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val cell = other.get(cp)
+        if (cell == null) other.put(cp, Array(1L)) else cell(0) += 1L
+      }
+      n += 1L
+      i += Character.charCount(cp)
+    }
+    var sum = 0L
+    var distinct = 0
+    if (n > 0L) {
+      val nd = n.toDouble
+      var c = 0
+      while (c < 128) {
+        val k = ascii(c)
+        if (k > 0L) {
+          distinct += 1
+          sum += k * math.round(math.log(nd / k.toDouble) * 1e9)
+        }
+        c += 1
+      }
+      if (other != null) {
+        val it = other.values().iterator()
+        while (it.hasNext) {
+          val k = it.next()(0)
+          distinct += 1
+          sum += k * math.round(math.log(nd / k.toDouble) * 1e9)
+        }
+      }
+    }
+    InternalRow(n, distinct, if (n > 0L) sum / n else 0L)
+  }
+}

@@ -133,6 +133,55 @@ class CurationSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  private def md5Pri(key: String, seed: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$key:$seed".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("weightedBottomKSample: exact integer A-ES replay; weight bias; w<1 loud") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1L to 200L).map(i => (i, 1L + rnd.nextInt(30).toLong))
+    val df = rows.toDF("id", "w")
+    val got = Curation.weightedBottomKSample(df, col("id"), col("w"), k = 25)
+      .select("id").as[Long].collect().toSet
+    val want = rows.map { case (id, w) =>
+      val nl = math.round(math.log(1152921504606846976.0 / (md5Pri(id.toString, 42L) + 1)) * 1e9)
+      (nl / w, id)
+    }.sorted.take(25).map(_._2).toSet
+    assert(got == want)
+
+    // inclusion bias: item B carries 50x the weight of A -> across 60
+    // seeds, k=1 must pick B the overwhelming majority of the time
+    val two = Seq((1L, 1L), (2L, 50L)).toDF("id", "w")
+    val picks = (1 to 60).map { s =>
+      Curation.weightedBottomKSample(two, col("id"), col("w"), k = 1, seed = s.toLong)
+        .select("id").as[Long].head()
+    }
+    assert(picks.count(_ == 2L) >= 48, s"heavy item picked ${picks.count(_ == 2L)}/60")
+
+    val e = intercept[Exception] {
+      Curation.weightedBottomKSample(
+        Seq((1L, 0L)).toDF("id", "w"), col("id"), col("w"), k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("weights must be >= 1")))
+  }
+
+  test("weightedBottomKSample stratified: per-stratum k, same key algebra") {
+    val rows = (1L to 100L).map(i => (i, if (i <= 50) "a" else "b", 1L + i % 7))
+    val got = Curation.weightedBottomKSample(
+        rows.toDF("id", "g", "w"), col("id"), col("w"), k = 5, strata = Seq("g"))
+      .select("g", "id").as[(String, Long)].collect().toSeq
+    assert(got.count(_._1 == "a") == 5 && got.count(_._1 == "b") == 5)
+    val wantA = rows.filter(_._2 == "a").map { case (id, _, w) =>
+      val nl = math.round(math.log(1152921504606846976.0 / (md5Pri(id.toString, 42L) + 1)) * 1e9)
+      (nl / w, id)
+    }.sorted.take(5).map(_._2).toSet
+    assert(got.filter(_._1 == "a").map(_._2).toSet == wantA)
+  }
+
   test("rankBy: global rank equals a row_number over the total order at any partitioning") {
     val rnd = new scala.util.Random(31)
     val rows = (1L to 500L).map(i => (i, rnd.nextInt(40).toLong)) // heavy ties

@@ -128,4 +128,41 @@ class TextStatsExprSpec extends SparkSpec {
       .orderBy("h").collect().map(_.toSeq)
     assert(kDict.toSeq == cDict.toSeq)
   }
+
+  private def naiveEntropy(t: String): (Long, Int, Long) = {
+    val cps = t.codePoints().toArray
+    val n = cps.length.toLong
+    if (n == 0L) return (0L, 0, 0L)
+    val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+    val sum = counts.values.map(k => k * math.round(math.log(n.toDouble / k) * 1e9)).sum
+    (n, counts.size, sum / n)
+  }
+
+  test("charEntropy: constant text is 0, two-symbol text is ln 2, naive replay exact") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "aaaaaa"),            // one symbol -> exactly 0
+      (2L, "ab"),                // uniform two symbols -> ~ln 2 nano
+      (3L, "aabbccdd"),          // uniform four -> ~ln 4
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "éééé"),         // multi-byte code points, one symbol
+      (6L, ""))                  // empty -> (0, 0, 0)
+    val got = TextFunctions.charEntropy(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == texts.map(t => naiveEntropy(t._2)))
+    assert(got(0)._3 == 0L)
+    assert(math.abs(got(1)._3 - math.round(math.log(2) * 1e9)) <= 1L)
+    assert(got(4) == ((4L, 1, 0L)), "é counted as ONE code point symbol")
+    assert(got(5) == ((0L, 0, 0L)))
+    // repetitive junk scores far below natural text
+    assert(got(0)._3 < got(3)._3)
+  }
+
+  test("charEntropy kernel runs inside whole-stage codegen over a real scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextFunctions.charEntropy(docs, "doc_id", "text")
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
 }
