@@ -65,8 +65,9 @@ object Bench {
     // round-9 (cont.): Aho-Corasick blocklist scan kernel + two-phase
     // global rank (the no-single-partition-window row_number)
     "q_blocklist", "q_rank_normalize",
-    // round-9 (cont.): char-entropy and CDC scan kernels
-    "q_char_entropy", "q_cdc_chunks")
+    // round-9 (cont.): char-entropy and CDC scan kernels; WordPiece
+    // greedy encode (BPE train + trie segmentation of distinct words)
+    "q_char_entropy", "q_cdc_chunks", "q_wordpiece")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land

@@ -2101,6 +2101,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WordPiece/MaxMatch greedy encode over the BPE-trained vocab:
+    // longest-vocab-match segmentation per distinct corpus word. The
+    // oracle precomputes best-match lengths with plain joins and
+    // follows the successor chain with a RECURSIVE CTE — greedy +
+    // longest is deterministic, so the piece STRINGS are pinned, not
+    // just counts.
+    "q_wordpiece" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = TextFunctions.bpeTrainWithVocab(docs, "text", numMerges = 16)
+        ._2.select("token").collect().map(_.getString(0)).toSeq
+      docs.select(explode(regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+        .distinct()
+        .select(col("word"),
+          graft.functions.WordpieceExpr(col("word"), vocab,
+            continuationPrefix = "", unk = "[UNK]").as("_p"))
+        .select(col("word"), size(col("_p")).as("n_pieces"),
+          array_join(col("_p"), "|").as("pieces"))
+        .orderBy("word")
+    }),
+
     // Weighted sampling without replacement (A-ES in exact integers):
     // weight = doc length, k = 50 — the oracle recomputes the
     // md5-derived uniform, the nano-log key, and the truncating
@@ -5211,6 +5232,30 @@ object SparkEntry {
            |  CAST(sum(nll) AS BIGINT) AS nll_nano,
            |  round(CAST(sum(nll) AS DOUBLE)/count(*)/1e9, 6) AS avg_nll
            |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // greedy longest-match segmentation: best-match length per
+      // (word, pos) via a plain join+max, then the successor chain as
+      // a recursive CTE; a word whose chain stalls (no match at a
+      // reachable position) never reaches pos = len -> [UNK]
+      "q_wordpiece" ->
+        (s"WITH RECURSIVE ${bpeCtes(BpeK)}, $BpeVocabCtes, " +
+          "wp_words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+          "wp_pos AS (SELECT word, unnest(range(0, len(word))) AS pos FROM wp_words), " +
+          "wp_best AS (SELECT p.word, p.pos, max(len(v.token)) AS bl " +
+          "FROM wp_pos p JOIN bpe_voc v ON substr(p.word, CAST(p.pos + 1 AS INTEGER), len(v.token)) = v.token " +
+          "GROUP BY 1, 2), " +
+          "wp_seg AS (" +
+          "SELECT word, CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS n FROM wp_words " +
+          "UNION ALL " +
+          "SELECT s.word, s.pos + b.bl, " +
+          "s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE '|' END || " +
+          "substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(b.bl AS INTEGER)), s.n + 1 " +
+          "FROM wp_seg s JOIN wp_best b ON s.word = b.word AND s.pos = b.pos " +
+          "WHERE s.pos < len(s.word)), " +
+          "wp_done AS (SELECT word, pieces, n FROM wp_seg WHERE pos = len(word)) " +
+          "SELECT w.word, CAST(COALESCE(d.n, 1) AS INTEGER) AS n_pieces, " +
+          "COALESCE(d.pieces, '[UNK]') AS pieces " +
+          "FROM wp_words w LEFT JOIN wp_done d USING (word) ORDER BY word"),
 
       // the A-ES integer key chain replayed end-to-end
       "q_weighted_sample" ->
