@@ -2145,6 +2145,20 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Cross-doc shared blocks over a shifted-twin corpus (each doc
+    // unioned with a prefix-edited copy): the CDC re-alignment
+    // property as a GATE — twins must share most of their chunk
+    // hashes despite the offset, which fixed-stride blocking would
+    // fail outright.
+    "q_shared_blocks" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("zzzz "), col("text")).as("text"))
+      graft.functions.Cdc.sharedBlocks(
+          docs.unionByName(twins), "doc_id", "text", window = 16, divisor = 64)
+        .orderBy("chunk_hash")
+    }),
+
     // Order-0 char entropy in integer nano-nats: per-distinct-symbol
     // rounding then exact integer sum/division — the oracle groups
     // the same code-point stream and replays the identical algebra.
@@ -3051,6 +3065,39 @@ object SparkEntry {
     */
   private val BlocklistPatterns: Seq[String] =
     Seq("scan", "low", "tab", "table", "art", "order", "fast", "ue ta")
+
+  /** CDC chunk CTEs over `src` (a table or CTE with doc_id + text):
+    * direct polynomial window hashes at every end position, cut set,
+    * segments via lag + tail remainder, and `cdc_hashed(doc_id,
+    * chunk_idx, s, e, sh)` with the SIGNED md5-lower-64 chunk hash.
+    * Shared by q_cdc_chunks and q_shared_blocks.
+    */
+  private def cdcOracleCtes(src: String): String = {
+    // B^j mod M for j = 0..15 as a SQL list literal
+    val pows = Iterator.iterate(1L)(p => p * 257L % 1000000007L)
+      .take(16).mkString("[", ", ", "]")
+    s"""cdc AS (SELECT doc_id, text AS t, len(text) AS n FROM $src),
+       |cdc_hpos AS (SELECT doc_id, t, n, unnest(range(16, n + 1)) AS i FROM cdc),
+       |cdc_hv AS (SELECT doc_id, i,
+       |    list_sum(list_transform(range(0, 16),
+       |      j -> CAST(ord(substr(t, CAST(i - j AS INTEGER), 1)) AS BIGINT) * ($pows)[j + 1] % 1000000007))
+       |      % 1000000007 AS h
+       |  FROM cdc_hpos),
+       |cdc_cuts AS (SELECT doc_id, i FROM cdc_hv WHERE h % 64 = 0),
+       |cdc_segs AS (SELECT doc_id, COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s, i AS e FROM cdc_cuts),
+       |cdc_tails AS (SELECT c.doc_id, COALESCE(mx.mi, 0) + 1 AS s, c.n AS e
+       |  FROM cdc c LEFT JOIN (SELECT doc_id, max(i) AS mi FROM cdc_cuts GROUP BY 1) mx USING (doc_id)
+       |  WHERE COALESCE(mx.mi, 0) < c.n),
+       |cdc_all AS (SELECT doc_id, s, e FROM cdc_segs UNION ALL SELECT doc_id, s, e FROM cdc_tails),
+       |cdc_hashed AS (SELECT doc_id, chunk_idx, s, e,
+       |    CAST(CASE WHEN uh >= 9223372036854775808
+       |      THEN CAST(uh AS HUGEINT) - 18446744073709551616
+       |      ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS sh
+       |  FROM (SELECT a.doc_id,
+       |      row_number() OVER (PARTITION BY a.doc_id ORDER BY a.s) - 1 AS chunk_idx,
+       |      a.s, a.e, md5_number_lower(substr(c.t, CAST(a.s AS INTEGER), CAST(a.e - a.s + 1 AS INTEGER))) AS uh
+       |    FROM cdc_all a JOIN cdc c USING (doc_id)))""".stripMargin
+  }
 
   /** Every-occurrence blocklist counts via per-position substring
     * scans (overlapping included — range over ALL start positions);
@@ -5270,34 +5317,24 @@ object SparkEntry {
       // direct polynomial window hashes -> cut positions -> segments
       // via lag + per-doc tail remainder; chunk hash = signed
       // md5-lower-64 of the substr
-      "q_cdc_chunks" -> {
-        // B^j mod M for j = 0..15 as a SQL list literal
-        val pows = Iterator.iterate(1L)(p => p * 257L % 1000000007L)
-          .take(16).mkString("[", ", ", "]")
-        s"""WITH cdc AS (SELECT doc_id, text AS t, len(text) AS n FROM documents),
-           |hpos AS (SELECT doc_id, t, n, unnest(range(16, n + 1)) AS i FROM cdc),
-           |hv AS (SELECT doc_id, i,
-           |    list_sum(list_transform(range(0, 16),
-           |      j -> CAST(ord(substr(t, CAST(i - j AS INTEGER), 1)) AS BIGINT) * ($pows)[j + 1] % 1000000007))
-           |      % 1000000007 AS h
-           |  FROM hpos),
-           |cuts AS (SELECT doc_id, i FROM hv WHERE h % 64 = 0),
-           |segs AS (SELECT doc_id, COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s, i AS e FROM cuts),
-           |tails AS (SELECT c.doc_id, COALESCE(mx.mi, 0) + 1 AS s, c.n AS e
-           |  FROM cdc c LEFT JOIN (SELECT doc_id, max(i) AS mi FROM cuts GROUP BY 1) mx USING (doc_id)
-           |  WHERE COALESCE(mx.mi, 0) < c.n),
-           |allsegs AS (SELECT doc_id, s, e FROM segs UNION ALL SELECT doc_id, s, e FROM tails),
-           |hashed AS (SELECT a.doc_id,
-           |    row_number() OVER (PARTITION BY a.doc_id ORDER BY a.s) - 1 AS chunk_idx,
-           |    a.s, a.e, md5_number_lower(substr(c.t, CAST(a.s AS INTEGER), CAST(a.e - a.s + 1 AS INTEGER))) AS uh
-           |  FROM allsegs a JOIN cdc c USING (doc_id))
-           |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, CAST(s AS INTEGER) AS start,
-           |  CAST(e - s + 1 AS INTEGER) AS len,
-           |  CAST(CASE WHEN uh >= 9223372036854775808
-           |    THEN CAST(uh AS HUGEINT) - 18446744073709551616
-           |    ELSE CAST(uh AS HUGEINT) END AS BIGINT) AS chunk_hash
-           |FROM hashed ORDER BY doc_id, chunk_idx""".stripMargin
-      },
+      "q_cdc_chunks" ->
+        (s"WITH ${cdcOracleCtes("documents")} " +
+          """SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, CAST(s AS INTEGER) AS start,
+            |  CAST(e - s + 1 AS INTEGER) AS len, sh AS chunk_hash
+            |FROM cdc_hashed ORDER BY doc_id, chunk_idx""".stripMargin),
+
+      // the same chunk CTEs over the shifted-twin corpus, grouped by
+      // hash — nonempty BY CONSTRUCTION because CDC re-aligns the
+      // twin after its 5-char prefix edit (the property the operator
+      // exists for)
+      "q_shared_blocks" ->
+        (s"WITH cdc_twin AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 100000, 'zzzz ' || text FROM documents), " +
+          s"${cdcOracleCtes("cdc_twin")} " +
+          """SELECT sh AS chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            |  CAST(count(*) AS BIGINT) AS n_occurrences
+            |FROM cdc_hashed GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+            |ORDER BY chunk_hash""".stripMargin),
 
       // code-point histogram -> per-symbol rounded nano-nat terms ->
       // exact integer sum and division (HUGEINT-safe via //)

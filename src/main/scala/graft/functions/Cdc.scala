@@ -75,6 +75,49 @@ object Cdc {
       .groupBy("chunk_hash")
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
+
+  /** [[chunks]] over a BINARY column — the actual multimodal/blob
+    * use: symbols are unsigned bytes, offsets are 1-based BYTE
+    * offsets, chunk hashes are md5-lower-64 of the raw chunk bytes.
+    * On ASCII data this equals the text form exactly (code points ==
+    * bytes == UTF-8 hash input — spec-pinned); on arbitrary blobs it
+    * is the LBFS algorithm verbatim.
+    */
+  def chunksBinary(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      window: Int = 16,
+      divisor: Int = 64,
+      minLen: Int = 1,
+      maxLen: Int = Int.MaxValue): DataFrame =
+    df.select(col(idCol),
+        posexplode(CdcChunkExpr(col(binCol), window, divisor, minLen, maxLen))
+          .as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_c.start").as("start"), col("_c.len").as("len"),
+        col("_c.hash").as("chunk_hash"))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-lower-64 of raw bytes (the string form's hash is over the
+    * chunk's UTF-8 bytes, so the two agree whenever the byte slice IS
+    * valid UTF-8 of the string slice).
+    */
+  private[functions] def md5Lower64Bytes(
+      bytes: Array[Byte], from: Int, until: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, from, until - from)
+    val d = md.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h |= (d(8 + i) & 0xffL) << (8 * i); i += 1 }
+    h
+  }
 }
 
 /** CDC kernel; see [[Cdc]]. `minLen`/`maxLen` bound chunk lengths the
@@ -96,9 +139,9 @@ case class CdcChunkExpr(
     s"need 1 <= minLen <= maxLen, got $minLen..$maxLen")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"cdc_chunks requires a STRING column, got $t")
+      s"cdc_chunks requires a STRING or BINARY column, got $t")
   }
 
   override def dataType: DataType = ArrayType(CdcChunkExpr.chunkSchema, containsNull = false)
@@ -142,12 +185,55 @@ case class CdcChunkExpr(
     new GenericArrayData(out.toArray)
   }
 
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[UTF8String])
+  /** Byte-symbol twin of [[compute]]: unsigned bytes, byte offsets,
+    * chunk hash over the raw slice.
+    */
+  def computeBytes(bytes: Array[Byte]): GenericArrayData = {
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val B = 257L
+    val M = 1000000007L
+    var pw = 1L
+    var j = 1
+    while (j < window) { pw = pw * B % M; j += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var chunkStart = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * B + (bytes(i) & 0xff)) % M
+      if (i >= window) {
+        h = (h - (bytes(i - window) & 0xff) * (pw * B % M)) % M
+        if (h < 0) h += M
+      }
+      val winFull = i >= window - 1
+      val sinceCut = i - chunkStart + 1
+      val cut =
+        (winFull && h % divisor == 0L && sinceCut >= minLen) || sinceCut >= maxLen
+      if (cut) {
+        out += InternalRow(chunkStart + 1, i + 1 - chunkStart,
+          Cdc.md5Lower64Bytes(bytes, chunkStart, i + 1))
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    if (chunkStart < n)
+      out += InternalRow(chunkStart + 1, n - chunkStart,
+        Cdc.md5Lower64Bytes(bytes, chunkStart, n))
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case BinaryType => computeBytes(input.asInstanceOf[Array[Byte]])
+    case _ => compute(input.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cdc", this, classOf[CdcChunkExpr].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    child.dataType match {
+      case BinaryType => defineCodeGen(ctx, ev, c => s"$ref.computeBytes($c)")
+      case _ => defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): CdcChunkExpr =

@@ -72,6 +72,10 @@ object TextOpsProbe {
             .cast("long").as(s"c")).reduce(_ + _).as("n"))
         .agg(sum("n")).head()
     }
+    timed(s"cdcChunks ($nDocs docs, w=16 d=64)") {
+      functions.Cdc.chunks(docs, "id", "text")
+        .agg(count(lit(1)), sum("len")).head()
+    }
     timed(s"trigramLmScore ($nDocs docs, train=even score=odd)") {
       functions.TextFunctions.trigramLmScore(
           docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),

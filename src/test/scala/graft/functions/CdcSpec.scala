@@ -99,6 +99,27 @@ class CdcSpec extends SparkSpec {
     assert(edge(2L) == Seq((1, 3, HashUtil.md5Lower64("abc"))))
   }
 
+  test("binary form == text form on ASCII (code points == bytes == hash input)") {
+    val rnd = new scala.util.Random(59)
+    val texts = (1L to 15L).map(i =>
+      (i, (1 to 200 + rnd.nextInt(200)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString))
+    val asText = Cdc.chunks(texts.toDF("doc_id", "text"), "doc_id", "text",
+        window = 8, divisor = 16)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    val asBytes = Cdc.chunksBinary(
+        texts.map { case (i, t) => (i, t.getBytes("UTF-8")) }.toDF("doc_id", "bin"),
+        "doc_id", "bin", window = 8, divisor = 16)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.toSeq).toSeq
+    assert(asText == asBytes)
+    // non-ASCII blob: still tiles exactly in BYTE offsets
+    val blob = Array.tabulate[Byte](500)(i => ((i * 131 + 7) % 256 - 128).toByte)
+    val chunks = Cdc.chunksBinary(Seq((1L, blob)).toDF("id", "b"), "id", "b",
+        window = 8, divisor = 16)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getInt(3)).sum == 500)
+    assert(chunks.head.getInt(2) == 1)
+  }
+
   test("sharedBlocks surfaces a planted cross-doc paragraph") {
     val rnd = new scala.util.Random(13)
     def rand(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
