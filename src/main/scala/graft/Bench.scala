@@ -67,7 +67,8 @@ object Bench {
     "q_blocklist", "q_rank_normalize",
     // round-9 (cont.): char-entropy and CDC scan kernels; WordPiece
     // greedy encode (BPE train + trie segmentation of distinct words)
-    "q_char_entropy", "q_cdc_chunks", "q_wordpiece", "q_shared_blocks")
+    "q_char_entropy", "q_cdc_chunks", "q_wordpiece", "q_shared_blocks",
+    "q_weighted_sample")
 
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land
