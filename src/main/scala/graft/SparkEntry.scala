@@ -1446,9 +1446,13 @@ object SparkEntry {
     // truncating integer divisions (contrib r div deg, damping
     // div 1000) are on non-negative BIGINTs, where Spark `div` ==
     // DuckDB `//` — the oracle replays all 8 rounds bit-for-bit.
+    // unit="nano" is PINNED (here and in the weighted/PPR gates): the
+    // oracle hard-codes nano arithmetic, and auto would silently flip
+    // to micro past ~10.6M node-damping — the gate contract must not
+    // depend on corpus scale (q_pagerank_micro pins the micro engine).
     "q_pagerank" -> ((s, dir) => {
       graft.functions.Graphs.pageRank(
-          pageRankEdges(s, dir), "src", "dst", iterations = 8)
+          pageRankEdges(s, dir), "src", "dst", iterations = 8, unit = "nano")
         .orderBy("node")
     }),
 
@@ -1488,7 +1492,7 @@ object SparkEntry {
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       graft.functions.Graphs.weightedPageRank(
-          edges, "src", "dst", "w", iterations = 8)
+          edges, "src", "dst", "w", iterations = 8, unit = "nano")
         .orderBy("node")
     }),
 
@@ -1526,7 +1530,8 @@ object SparkEntry {
         .select(col("s_suppkey").cast("long").as("s"))
         .filter(col("s") <= 40)
       graft.functions.Graphs.personalizedPageRank(
-          pageRankEdges(s, dir), "src", "dst", seeds, "s", iterations = 8)
+          pageRankEdges(s, dir), "src", "dst", seeds, "s", iterations = 8,
+          unit = "nano")
         .orderBy("node")
     }),
 

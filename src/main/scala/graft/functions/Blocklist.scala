@@ -52,6 +52,16 @@ object Blocklist {
       foldCase: Boolean = true): DataFrame = {
     val text = if (foldCase) lower(col(textCol)) else col(textCol)
     val pats = if (foldCase) patterns.map(_.toLowerCase(java.util.Locale.ROOT)) else patterns
+    if (foldCase) {
+      // the checksum is index-weighted, so collapsing case-fold
+      // collisions silently would change WHICH index a hit reports —
+      // fail with the collision named instead of the kernel's generic
+      // distinctness error
+      val collided = pats.groupBy(identity).collect { case (p, g) if g.size > 1 => p }
+      require(collided.isEmpty,
+        s"blocklist hits: patterns collide after case folding: ${collided.mkString(", ")} — " +
+          "pass distinct case-folded patterns or foldCase = false")
+    }
     val st = BlocklistCountExpr(text, pats)
     df.select(col(idCol), st.as("_bl"))
       .select(col(idCol),
@@ -69,7 +79,11 @@ object Blocklist {
       patterns: Seq[String],
       foldCase: Boolean = true): DataFrame = {
     val text = if (foldCase) lower(col(textCol)) else col(textCol)
-    val pats = if (foldCase) patterns.map(_.toLowerCase(java.util.Locale.ROOT)) else patterns
+    // ANY-hit semantics don't care about indices, so case-fold
+    // collisions dedupe safely here (unlike [[hits]]' checksum)
+    val pats =
+      if (foldCase) patterns.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      else patterns
     df.filter(BlocklistCountExpr(text, pats).getField("n_hits") === 0L)
   }
 }

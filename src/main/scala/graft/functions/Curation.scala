@@ -425,16 +425,16 @@ object Curation {
       budget: Long,
       orderBy: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
-    val (out, cached) = packSequencesInternal(df, tokens, budget, orderBy, numPartitions)
-    // pin the finished result, then release the phase-1/2 cache. With
-    // a checkpoint dir configured the pin is a RELIABLE checkpoint
-    // (survives executor loss/decommission — routine on large
+    val (out, parted, partedPins) = packSequencesInternal(df, tokens, budget, orderBy, numPartitions)
+    // pin the finished result, then release the phase-1/2 pin. With
+    // a checkpoint dir configured both pins are RELIABLE checkpoints
+    // (survive executor loss/decommission — routine on large
     // dynamically-allocated clusters); localCheckpoint is the
     // single-JVM fallback, whose blocks die with their executor.
     val pinned =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(true)
       else out.localCheckpoint(true)
-    cached.unpersist()
+    Pins.release(parted, partedPins)
     pinned
   }
 
@@ -469,9 +469,9 @@ object Curation {
       budget: Long,
       orderBy: Seq[Column],
       numPartitions: Int = 0)(action: DataFrame => T): T = {
-    val (out, cached) = packSequencesInternal(df, tokens, budget, orderBy, numPartitions)
+    val (out, parted, partedPins) = packSequencesInternal(df, tokens, budget, orderBy, numPartitions)
     try action(out)
-    finally { cached.unpersist(); () }
+    finally Pins.release(parted, partedPins)
   }
 
   /** Overlapping-window document chunking (the context-window prep
@@ -673,9 +673,9 @@ object Curation {
       tokens: Column,
       budget: Long,
       orderBy: Seq[Column],
-      numPartitions: Int): (DataFrame, DataFrame) = {
+      numPartitions: Int): (DataFrame, DataFrame, Set[Int]) = {
     require(budget > 0, "budget must be positive")
-    val parted =
+    val lazyParted =
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
        else df.repartitionByRange(orderBy: _*))
         .sortWithinPartitions(orderBy: _*)
@@ -683,11 +683,19 @@ object Curation {
         // null token counts pack as 0-width documents (getLong below
         // would NPE on null otherwise)
         .withColumn("__tok", coalesce(tokens.cast("long"), lit(0L)))
-    // The cache is CORRECTNESS, not just perf: phase 2 must see the
-    // exact partition boundaries phase 1 summed (range partitioning
-    // re-samples on recompute). Ownership: freed by the public
-    // packSequences or packSequencesRun wrappers — every public path.
-    parted.cache()
+    // The pin is CORRECTNESS, not just perf: phase 2 must see the
+    // exact partition boundaries phase 1 summed, and range
+    // partitioning RE-SAMPLES boundaries on recompute — under a bare
+    // cache(), losing an executor (its cached blocks + shuffle files)
+    // would silently recompute phase 2 against DIFFERENT boundaries
+    // than phase 1 counted: wrong answers, not a crash. A Pins pin is
+    // a reliable checkpoint when a checkpoint dir is set (the cluster
+    // contract: boundaries frozen in files, executor loss re-reads
+    // them); the localCheckpoint fallback TRUNCATES lineage, so block
+    // loss fails the job loudly instead of resampling. Ownership:
+    // released by the public packSequences / packSequencesRun
+    // wrappers — every public path.
+    val (parted, partedPins) = Pins.pin(lazyParted)
     // phase 1: per-partition totals (numPartitions rows to the driver)
     val partials = parted.groupBy(col("__pid")).agg(sum(col("__tok")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -718,7 +726,7 @@ object Curation {
       .withColumn("pack_pos",
         row_number().over(Window.partitionBy(col("pack_id")).orderBy(orderBy: _*)).cast("long"))
       .drop("__pid", "__tok")
-    (out, parted)
+    (out, parted, partedPins)
   }
 
   /** Global 1-based rank over a TOTAL order, without the
@@ -768,15 +776,18 @@ object Curation {
       orderBy: Seq[Column],
       numPartitions: Int): (DataFrame, Long) = {
     require(orderBy.nonEmpty, "rankBy requires at least one order column")
-    val parted =
+    val lazyParted =
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
        else df.repartitionByRange(orderBy: _*))
         .sortWithinPartitions(orderBy: _*)
         .withColumn("__pid", spark_partition_id())
-    // cached for the same CORRECTNESS reason as packSequences: phase 2
-    // must see the exact partition boundaries phase 1 counted (range
-    // partitioning re-samples on recompute)
-    parted.cache()
+    // pinned for the same CORRECTNESS reason as packSequences: phase 2
+    // must see the exact partition boundaries phase 1 counted, and
+    // range partitioning re-samples on recompute — a bare cache()
+    // would silently produce wrong ranks after executor loss; the pin
+    // freezes boundaries (reliable checkpoint with a dir set) or
+    // fails loudly (lineage-truncated localCheckpoint without one)
+    val (parted, partedPins) = Pins.pin(lazyParted)
     val partials = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = partials.keys.toSeq.sorted
@@ -798,7 +809,7 @@ object Curation {
     val pinned =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) ranked.checkpoint(true)
       else ranked.localCheckpoint(true)
-    parted.unpersist()
+    Pins.release(parted, partedPins)
     (pinned, total)
   }
 

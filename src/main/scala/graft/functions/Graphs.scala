@@ -664,6 +664,7 @@ object Graphs {
       .unionByName(eBySrc.select(col("dst").as("node")))
       .distinct())
     val nNodes = nodes.count()
+    require(nNodes > 0, "hits: no edges (empty or all-null edge input)")
     require(nNodes < 9000000000000L,
       s"hits: $nNodes nodes exceed the 9e12 cap (raw sums must stay under 2^63)")
 

@@ -941,7 +941,10 @@ case class IvfAssignExpr(child: Expression, centroids: Array[Array[Double]])
   * no per-element HOF allocation. `mat` rows are the (possibly
   * variance-scaled) component vectors; size ships with the plan
   * (k·d doubles — 4 KiB at d=64, k=8). Null arrays → null (unary
-  * null-intercept); vectors shorter than d treat missing entries as 0.
+  * null-intercept); vectors shorter than d treat missing COORDINATES
+  * as 0 (i.e. they still contribute `-means(i) · mat(c)(i)` to the
+  * centered sum); entries past d are ignored (the matrix defines the
+  * input dimensionality).
   */
 case class ProjectVecExpr(
     child: Expression,
@@ -949,6 +952,9 @@ case class ProjectVecExpr(
     mat: Array[Array[Double]])
     extends UnaryExpression {
   require(mat.nonEmpty, "need at least one projection row")
+  require(mat.forall(_.length <= means.length),
+    s"means has ${means.length} entries but a projection row has " +
+      s"${mat.map(_.length).max} — every projected coordinate needs a mean")
   // content equality for CSE/ReuseExchange (the QueryTfExpr lesson)
   override def equals(other: Any): Boolean = other match {
     case e: ProjectVecExpr =>
@@ -977,11 +983,15 @@ case class ProjectVecExpr(
     var c = 0
     while (c < mat.length) {
       val row = mat(c)
-      val m = math.min(n, row.length)
       var acc = 0.0
       var i = 0
-      while (i < m) {
-        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      // missing coordinates (short input vector) are 0, which still
+      // contributes the centering term -means(i)*row(i)
+      while (i < row.length) {
+        val v =
+          if (i >= n) 0.0
+          else if (isFloat) arr.getFloat(i).toDouble
+          else arr.getDouble(i)
         acc += (v - means(i)) * row(i)
         i += 1
       }

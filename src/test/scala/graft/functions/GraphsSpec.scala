@@ -391,6 +391,18 @@ class GraphsSpec extends SparkSpec {
     assert(got == naiveHits(e, 2))
   }
 
+  test("hits: empty or all-null edge input fails loud, not with an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException](
+      Graphs.hits(empty, "src", "dst", iterations = 1))
+    assert(e1.getMessage.contains("no edges"))
+    val allNull = Seq((None: Option[Long], None: Option[Long])).toDF("src", "dst")
+    val e2 = intercept[IllegalArgumentException](
+      Graphs.hits(allNull, "src", "dst", iterations = 1))
+    assert(e2.getMessage.contains("no edges"))
+  }
+
   test("labelPropagation and hits register exactly their surviving pins") {
     val lp = Graphs.labelPropagation(
       Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", iterations = 2)
