@@ -2127,6 +2127,18 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // WordPiece TRAINING (likelihood-scored merges): the q_bpe_train
+    // shape with score count(ab)/(count(a)·count(b)) — the oracle
+    // replays every stage's arg-max with a HUGEINT cross-multiplied
+    // anti-join (exact rational comparison, no division) over the
+    // same chained separator-replace CTEs, so the learned merge
+    // TABLE is pinned bit-for-bit, continuation-## algebra included.
+    "q_wordpiece_train" -> ((s, dir) => {
+      TextFunctions.wordpieceTrain(
+          tbl(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank")
+    }),
+
     // Weighted sampling without replacement (A-ES in exact integers):
     // weight = doc length, k = 50 — the oracle recomputes the
     // md5-derived uniform, the nano-log key, and the truncating
@@ -3023,6 +3035,71 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** WordPiece-training replay: [[bpeCtes]]' chained-stage structure
+    * with (a) BERT symbolization — first char plain, later chars
+    * `##`-prefixed — and (b) the LIKELIHOOD arg-max: best pair
+    * maximizes `c / (ca·cb)` (symbol counts under the current
+    * segmentation), decided EXACTLY by a HUGEINT cross-multiplied
+    * anti-join (`c₂·ca₁·cb₁ > c₁·ca₂·cb₂` beats — no division, no
+    * float anywhere near the decision), ties by binary-collation
+    * `(a, b)` — the identical total order the engine's BigInt
+    * comparator uses. Merged token strips the right side's `##`.
+    */
+  private def wordpieceCtes(k: Int): String = {
+    val s1 = "chr(2)"
+    val s2 = "chr(31)"
+    val sym0 =
+      s"$s1 || substr(word, 1, 1) || $s2 || " +
+        s"regexp_replace(substr(word, 2), '(.)', $s1 || '##\\1' || $s2, 'g')"
+    val sb = new StringBuilder
+    sb.append(
+      s"""wp_words0 AS MATERIALIZED (
+         |  SELECT word, $sym0 AS sym, cnt FROM (
+         |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+         |    ) GROUP BY 1
+         |  )
+         |)""".stripMargin)
+    (0 until k).foreach { i =>
+      sb.append(",\n").append(
+        s"""wp_syms$i AS MATERIALIZED (
+           |  SELECT word, cnt, list_slice(string_split(replace(sym, $s1, ''), $s2), 1,
+           |                    length(sym) - length(replace(sym, $s2, ''))) AS syms
+           |  FROM wp_words$i
+           |),
+           |wp_sc$i AS MATERIALIZED (
+           |  SELECT t AS tok, sum(cnt) AS sc FROM (SELECT unnest(syms) AS t, cnt FROM wp_syms$i) GROUP BY 1
+           |),
+           |wp_scored$i AS MATERIALIZED (
+           |  SELECT p.a, p.b, p.c, sa.sc AS ca, sb.sc AS cb FROM (
+           |    SELECT p[1] AS a, p[2] AS b, sum(cnt) AS c FROM (
+           |      SELECT unnest(list_zip(list_slice(syms, 1, length(syms)-1), list_slice(syms, 2, length(syms)))) AS p, cnt
+           |      FROM wp_syms$i WHERE length(syms) >= 2
+           |    ) GROUP BY 1, 2
+           |  ) p JOIN wp_sc$i sa ON sa.tok = p.a JOIN wp_sc$i sb ON sb.tok = p.b
+           |),
+           |wp_best$i AS MATERIALIZED (
+           |  SELECT a, b,
+           |    a || CASE WHEN substr(b, 1, 2) = '##' THEN substr(b, 3) ELSE b END AS mrg,
+           |    $s1 || a || $s2 || $s1 || b || $s2 AS pat,
+           |    $s1 || a || CASE WHEN substr(b, 1, 2) = '##' THEN substr(b, 3) ELSE b END || $s2 AS rep
+           |  FROM wp_scored$i x WHERE NOT EXISTS (
+           |    SELECT 1 FROM wp_scored$i y WHERE
+           |      CAST(y.c AS HUGEINT) * x.ca * x.cb > CAST(x.c AS HUGEINT) * y.ca * y.cb
+           |      OR (CAST(y.c AS HUGEINT) * x.ca * x.cb = CAST(x.c AS HUGEINT) * y.ca * y.cb
+           |          AND (y.a < x.a OR (y.a = x.a AND y.b < x.b)))
+           |  ) LIMIT 1
+           |),
+           |wp_words${i + 1} AS MATERIALIZED (
+           |  SELECT word, CASE WHEN pat IS NULL THEN sym ELSE replace(sym, pat, rep) END AS sym, cnt
+           |  FROM wp_words$i LEFT JOIN wp_best$i ON TRUE
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private val WpK = 8
 
   /** `(rank, a, b)` rows from the `k` argmax stages of [[bpeCtes]]. */
   private def bpeMergeRows(k: Int): String =
@@ -5308,6 +5385,16 @@ object SparkEntry {
           "SELECT w.word, CAST(COALESCE(d.n, 1) AS INTEGER) AS n_pieces, " +
           "COALESCE(d.pieces, '[UNK]') AS pieces " +
           "FROM wp_words w LEFT JOIN wp_done d USING (word) ORDER BY word"),
+
+      // chained likelihood-scored merge replay; arg-max by exact
+      // HUGEINT cross-multiplication (see wordpieceCtes)
+      "q_wordpiece_train" ->
+        (s"WITH ${wordpieceCtes(WpK)} " +
+          "SELECT CAST(r AS BIGINT) AS rank, a, b, merged FROM (" +
+          (0 until WpK)
+            .map(i => s"SELECT $i AS r, a, b, mrg AS merged FROM wp_best$i")
+            .mkString(" UNION ALL ") +
+          ") ORDER BY rank"),
 
       // the A-ES integer key chain replayed end-to-end
       "q_weighted_sample" ->

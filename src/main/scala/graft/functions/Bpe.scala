@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -638,6 +638,33 @@ object BpeEncodeExpr {
       emitTokens = true, byteLevel = byteLevel))
   }
 
+  /** Code-point symbolization as a codegen'd scan expression — the
+    * distributed trainer's seed step (a row UDF here would drop the
+    * whole seed scan out of whole-stage codegen).
+    */
+  def symbols(word: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(BpeSymbolsExpr(expression(word)))
+  }
+
+  /** One greedy merge pass over a symbol-array column; rows without
+    * the pair pass their array through untouched (zero allocation).
+    */
+  def mergeStep(syms: Column, a: String, b: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(BpeMergeStepExpr(expression(syms), a, b))
+  }
+
+  /** Per-word pair-count deltas caused by merging `(a, b)` — empty
+    * for unaffected words, so an `explode` over it emits work ONLY
+    * for the words the merge touches (the incremental-training
+    * filter+delta in one expression).
+    */
+  def pairDelta(syms: Column, a: String, b: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(BpePairDeltaExpr(expression(syms), a, b))
+  }
+
   /** BPE token COUNT for `text` — no token strings materialize. */
   def count(text: Column, merges: Seq[(String, String)], tokenPattern: String,
       byteLevel: Boolean = false): Column = {
@@ -645,4 +672,171 @@ object BpeEncodeExpr {
     column(new BpeEncodeExpr(expression(text), merges, tokenPattern,
       emitTokens = false, byteLevel = byteLevel))
   }
+}
+
+/** [[Bpe.codePointSymbols]] as a codegen scan kernel:
+  * `string → array<string>` of code-point symbols.
+  */
+case class BpeSymbolsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_symbols requires a STRING column, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeSymbols(input: UTF8String): ArrayData = {
+    val syms = Bpe.codePointSymbols(input.toString)
+    val out = new Array[Any](syms.length)
+    var i = 0
+    while (i < syms.length) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeSymbols(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSymbols", this, classOf[BpeSymbolsExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeSymbols($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeSymbolsExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_symbols"
+}
+
+/** One greedy left-to-right [[Bpe.applyMerge]] pass over an
+  * `array<string>` symbol column, inside whole-stage codegen. The
+  * adjacency pre-check makes the overwhelmingly common no-hit row a
+  * pure pass-through (the input ArrayData is returned as-is — no
+  * per-row allocation), which is what keeps a `pinEvery`-deep chain
+  * of merge steps cheap to re-evaluate between pins.
+  */
+case class BpeMergeStepExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_merge_step requires ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  @transient private lazy val uab = UTF8String.fromString(a + b)
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeStep(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    var hit = false
+    while (!hit && i + 1 < n) {
+      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
+      i += 1
+    }
+    if (!hit) return arr
+    val out = new mutable.ArrayBuffer[Any](n)
+    var j = 0
+    while (j < n) {
+      if (j + 1 < n && ua.equals(arr.getUTF8String(j)) &&
+          ub.equals(arr.getUTF8String(j + 1))) {
+        out += uab
+        j += 2
+      } else {
+        out += arr.getUTF8String(j)
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeStep(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergeStep", this, classOf[BpeMergeStepExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeStep($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeStepExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_merge_step"
+}
+
+/** Pair-count deltas a merge `(a, b)` causes in ONE word:
+  * `array<struct<pa, pb, d>>` where `d` is the signed multiset change
+  * `pairs(applyMerge(word)) − pairs(word)` per adjacent pair. Words
+  * the merge does not touch return an EMPTY array — an `explode` over
+  * this column is therefore the incremental trainer's
+  * filter-to-affected-words AND its delta computation in one codegen
+  * pass (nothing shuffles for untouched words).
+  */
+case class BpePairDeltaExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_pair_delta requires ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pa", StringType, nullable = false),
+      StructField("pb", StringType, nullable = false),
+      StructField("d", LongType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  @transient private lazy val empty = new GenericArrayData(Array.empty[Any])
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeDelta(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    var hit = false
+    while (!hit && i + 1 < n) {
+      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
+      i += 1
+    }
+    if (!hit) return empty
+    val old = new Array[String](n)
+    var k = 0
+    while (k < n) { old(k) = arr.getUTF8String(k).toString; k += 1 }
+    val merged = Bpe.applyMerge(old, a, b)
+    // signed multiset diff of adjacent pairs; insertion-ordered map so
+    // the emitted array is deterministic (consumers aggregate anyway)
+    val m = new java.util.LinkedHashMap[(String, String), Long]()
+    k = 0
+    while (k + 1 < old.length) {
+      val key = (old(k), old(k + 1))
+      m.merge(key, -1L, (x, y) => x + y)
+      k += 1
+    }
+    k = 0
+    while (k + 1 < merged.length) {
+      val key = (merged(k), merged(k + 1))
+      m.merge(key, 1L, (x, y) => x + y)
+      k += 1
+    }
+    val out = mutable.ArrayBuffer.empty[Any]
+    m.forEach { (key, d) =>
+      if (d != 0L) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(key._1), UTF8String.fromString(key._2), d))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeDelta(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpePairDelta", this, classOf[BpePairDeltaExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeDelta($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpePairDeltaExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_pair_delta"
 }

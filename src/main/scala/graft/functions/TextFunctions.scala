@@ -1327,17 +1327,30 @@ object TextFunctions {
     * A 100 TB multilingual corpus whose minCount-floored vocabulary
     * exceeds ~4M distinct words trains here without raising minCount.
     *
-    * Per merge round: one adjacent-pair aggregation (map-side combined
-    * — symbols are the only shuffled payload) → arg-max collect of ONE
-    * row (count desc, then `(a, b)` asc; Spark's UTF8String binary
+    * INCREMENTAL pair-count maintenance (the same standard-formulation
+    * complexity the driver trainer uses, distributed): the adjacent
+    * pair table is seeded by ONE full explode, then each round only
+    * UPDATES it — merging `(a, b)` changes the pair counts of exactly
+    * the words that contain the pair, so the per-round delta is a
+    * codegen'd [[BpePairDeltaExpr]] scan whose explode emits nothing
+    * for untouched words (the overwhelming majority), folded into the
+    * pinned pair table by a pair-keyed aggregation over the (distinct
+    * pairs)-sized table — orders of magnitude fewer rows than the
+    * occurrence-level re-count a full per-round explode pays (the
+    * pre-r10 shape: ~21 s/round at a 4.5M-word probe; this one ~1-2 s,
+    * which is what makes 30k-50k-merge production vocabularies
+    * feasible rather than merely survivable).
+    *
+    * Per merge round: arg-max collect of ONE row from the pinned pair
+    * table (count desc, then `(a, b)` asc; Spark's UTF8String binary
     * ordering == DuckDB binary collation == `Bpe.cpCompare`, the
-    * invariant the whole family rests on) → one greedy-merge map over
-    * the word table. Lineage pins every `pinEvery` rounds through
-    * [[Pins]] (eager local/reliable checkpoint), releasing the prior
-    * pin — bounded memory across thousands of rounds. The trade: a
-    * Spark job per merge (scheduler floor ~0.1-0.5 s/round locally),
-    * which amortizes exactly when the vocab is too big for the driver
-    * — the same economics as `Graphs.pageRank`. Merges are
+    * invariant the whole family rests on) → delta scan + fold (pinned)
+    * → one [[BpeMergeStepExpr]] projection over the word table (pure
+    * codegen; no-hit rows pass their array through untouched). Word
+    * lineage pins every `pinEvery` rounds through [[Pins]] (eager
+    * local/reliable checkpoint), releasing the prior pin; the pair
+    * table re-pins every round (it is the next round's arg-max
+    * source) — bounded memory across thousands of rounds. Merges are
     * bit-identical to [[bpeTrain]] (spec-gated equivalence on
     * randomized corpora; q_bpe_train_dist replays the same DuckDB
     * chained-CTE oracle).
@@ -1352,21 +1365,22 @@ object TextFunctions {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(pinEvery >= 1, "pinEvery must be >= 1")
     val spark = df.sparkSession
-    val symbolize = udf((w: String) => Bpe.codePointSymbols(w).toSeq)
     var (words, wordPins) = Pins.pin(
       bpeWordCountDf(df, textCol, tokenPattern, minCount)
-        .select(symbolize(col("_w")).as("syms"), col("_c").as("cnt")))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
-    var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val multi = words.filter(size(col("syms")) >= 2)
-      val best = multi
+        .select(BpeEncodeExpr.symbols(col("_w")).as("syms"), col("_c").as("cnt")))
+    // seed: the ONE occurrence-level pair explode of the whole run
+    var (pairs, pairPins) = Pins.pin(
+      words.filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
         .groupBy(col("p.0").as("a"), col("p.1").as("b"))
-        .agg(sum(col("cnt")).as("c"))
+        .agg(sum(col("cnt")).as("c")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val best = pairs
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
         .limit(1)
         .collect()
@@ -1374,8 +1388,22 @@ object TextFunctions {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        val apply = udf((s: Seq[String]) => Bpe.applyMerge(s.toArray, a, b).toSeq)
-        val next = words.select(apply(col("syms")).as("syms"), col("cnt"))
+        // delta: only words containing (a, b) adjacent emit anything
+        val delta = words
+          .select(col("cnt"),
+            explode(BpeEncodeExpr.pairDelta(col("syms"), a, b)).as("p"))
+          .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
+          .agg(sum(col("p.d") * col("cnt")).as("c"))
+        val (nextPairs, nextPairPins) = Pins.pin(
+          pairs.unionByName(delta)
+            .groupBy(col("a"), col("b"))
+            .agg(sum(col("c")).as("c"))
+            .filter(col("c") > 0))
+        Pins.release(pairs, pairPins)
+        pairs = nextPairs
+        pairPins = nextPairPins
+        val next = words.select(
+          BpeEncodeExpr.mergeStep(col("syms"), a, b).as("syms"), col("cnt"))
         round += 1
         if (round % pinEvery == 0 || round == numMerges) {
           val (pinned, nextPins) = Pins.pin(next)
@@ -1387,8 +1415,56 @@ object TextFunctions {
         }
       }
     }
+    Pins.release(pairs, pairPins)
     Pins.release(words, wordPins)
     mergesToDf(spark, merges.toIndexedSeq)
+  }
+
+  /** Train a WordPiece merge table — [[bpeTrain]]'s corpus contract
+    * (ONE distributed word-count scan; driver merge loop over the
+    * bounded vocab; `maxWords` fails loud) with the likelihood score
+    * `count(ab) / (count(a) · count(b))` instead of the raw pair
+    * count (see [[Wordpiece.train]] for the exact-integer arg-max and
+    * the `##` continuation algebra). Completes the tokenizer-training
+    * family: the engine now TRAINS BERT-style WordPiece vocabularies,
+    * not just segments with them ([[WordpieceExpr]]).
+    *
+    * Returns `(rank bigint, a, b, merged)` in learned order; fewer
+    * rows when the pair supply exhausts first. Feed
+    * [[wordpieceVocab]] to the encode kernel.
+    */
+  def wordpieceTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      maxWords: Int = 4 << 20,
+      continuationPrefix: String = "##"): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val wc = bpeWordCounts(df, textCol, tokenPattern, minCount, maxWords, "wordpieceTrain")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Wordpiece.train(wc, numMerges, continuationPrefix).zipWithIndex
+      .map { case ((a, b, m), i) => (i.toLong, a, b, m) }
+      .toDF("rank", "a", "b", "merged")
+  }
+
+  /** Encoder-ready WordPiece vocabulary (base symbols in code-point
+    * order, then merged tokens in rank order) from one corpus scan +
+    * one driver train — the [[WordpieceExpr]] input shape.
+    */
+  def wordpieceVocab(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      maxWords: Int = 4 << 20,
+      continuationPrefix: String = "##"): IndexedSeq[String] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val wc = bpeWordCounts(df, textCol, tokenPattern, minCount, maxWords, "wordpieceVocab")
+    Wordpiece.trainWithVocab(wc, numMerges, continuationPrefix)._2
   }
 
   /** Tokenizer vocabulary export for a [[bpeTrain]] run: base tokens

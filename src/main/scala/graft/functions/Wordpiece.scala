@@ -111,6 +111,235 @@ object WordpieceExpr {
   }
 }
 
+/** WordPiece TRAINING (Schuster & Nakajima 2012; Wu et al. 2016 §4.1;
+  * the scoring convention of the HuggingFace `tokenizers`
+  * WordpieceTrainer): identical merge mechanics to [[Bpe.train]] —
+  * greedy left-to-right pair replacement over a `(word, count)`
+  * vocabulary — but the best pair maximizes the LIKELIHOOD score
+  * `count(ab) / (count(a) · count(b))` instead of the raw pair count,
+  * where `count(x)` is the occurrence-weighted frequency of symbol
+  * `x` under the CURRENT segmentation. Symbols follow the BERT
+  * convention: a word's first code point is plain, every later one
+  * wears the continuation prefix (`##`), and a merged token strips
+  * the right side's prefix (`a + ##b → ab`, `##a + ##b → ##ab`) — so
+  * the trained vocabulary feeds [[WordpieceExpr]]'s greedy
+  * longest-match encoder directly.
+  *
+  * The arg-max is exact-integer: score comparison cross-multiplies
+  * `c₁·ca₂·cb₂` vs `c₂·ca₁·cb₁` (BigInt — no float division anywhere
+  * near the decision), ties broken by smallest `(a, b)` in
+  * [[Bpe.cpCompare]] code-point order, so the whole train is
+  * deterministic and SQL-replayable (the gate oracle replays each
+  * stage's arg-max with a HUGEINT cross-multiplied anti-join).
+  * Unlike raw-count BPE, a merge changes the scores of every pair
+  * touching `a` or `b` (their symbol counts moved), so each round
+  * re-scans the live pair table for the arg-max — pair counts and
+  * symbol counts themselves update incrementally (only words
+  * containing the merged pair are touched, the [[Bpe.train]]
+  * complexity).
+  */
+object Wordpiece {
+
+  /** Growable per-pair word-index list (duplicates tolerated — the
+    * apply step re-checks adjacency).
+    */
+  private final class IntList {
+    var a: Array[Int] = new Array[Int](4)
+    var n: Int = 0
+    def add(x: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = x
+      n += 1
+    }
+  }
+
+  /** Train `numMerges` likelihood-scored merges; returns
+    * `(a, b, merged)` in learned order (fewer rows on pair
+    * exhaustion). Pure driver code over the bounded vocab — the same
+    * `maxWords` contract as [[Bpe.train]] applies upstream.
+    */
+  def train(
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int,
+      continuationPrefix: String = "##"): IndexedSeq[(String, String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val entries = wordCounts.iterator.filter(_._1.nonEmpty).toArray
+    val symIds = new java.util.HashMap[String, Integer]()
+    val symStrs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val symCount = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idOf(s: String): Int = {
+      var id = symIds.get(s)
+      if (id == null) {
+        id = Integer.valueOf(symStrs.length)
+        symStrs += s
+        symCount += 0L
+        symIds.put(s, id)
+      }
+      id.intValue()
+    }
+    val syms: Array[Array[Int]] = entries.map { case (w, _) =>
+      val cps = Bpe.codePointSymbols(w)
+      val out = new Array[Int](cps.length)
+      var i = 0
+      while (i < cps.length) {
+        out(i) = idOf(if (i == 0) cps(i) else continuationPrefix + cps(i))
+        i += 1
+      }
+      out
+    }
+    val cnts = entries.map(_._2)
+
+    @inline def key(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    val pairCount = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val pairWords = new java.util.HashMap[java.lang.Long, IntList]()
+    def addPair(a: Int, b: Int, c: Long, wi: Int): Unit = {
+      val k = java.lang.Long.valueOf(key(a, b))
+      pairCount.merge(k, java.lang.Long.valueOf(c), (x, y) => x + y)
+      var l = pairWords.get(k)
+      if (l == null) { l = new IntList; pairWords.put(k, l) }
+      l.add(wi)
+    }
+    def subPair(a: Int, b: Int, c: Long): Unit = {
+      val k = java.lang.Long.valueOf(key(a, b))
+      val cur = pairCount.get(k)
+      if (cur != null) pairCount.put(k, java.lang.Long.valueOf(cur.longValue() - c))
+    }
+
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi)
+      val c = cnts(wi)
+      var k = 0
+      while (k < s.length) {
+        symCount(s(k)) += c
+        if (k + 1 < s.length) addPair(s(k), s(k + 1), c, wi)
+        k += 1
+      }
+      wi += 1
+    }
+
+    // candidate1 strictly better than candidate2 under the likelihood
+    // score, ties by smallest (a, b) in code-point order. Double
+    // prefilter with a wide margin (each side's relative FP error is
+    // ~4e-16); BigInt cross-multiplication decides anything closer.
+    def beats(k1: Long, c1: Long, k2: Long, c2: Long): Boolean = {
+      val a1 = (k1 >>> 32).toInt; val b1 = k1.toInt
+      val a2 = (k2 >>> 32).toInt; val b2 = k2.toInt
+      val ca1 = symCount(a1); val cb1 = symCount(b1)
+      val ca2 = symCount(a2); val cb2 = symCount(b2)
+      val d1 = c1.toDouble / (ca1.toDouble * cb1.toDouble)
+      val d2 = c2.toDouble / (ca2.toDouble * cb2.toDouble)
+      if (d1 > d2 * (1.0 + 1e-9)) return true
+      if (d2 > d1 * (1.0 + 1e-9)) return false
+      val x1 = BigInt(c1) * BigInt(ca2) * BigInt(cb2)
+      val x2 = BigInt(c2) * BigInt(ca1) * BigInt(cb1)
+      if (x1 != x2) return x1 > x2
+      val a = Bpe.cpCompare(symStrs(a1), symStrs(a2))
+      if (a != 0) return a < 0
+      Bpe.cpCompare(symStrs(b1), symStrs(b2)) < 0
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      // arg-max scan over live pairs (scores shift globally each
+      // round — a BPE-style lazy heap can't memoize them)
+      var bestKey = -1L
+      var bestC = 0L
+      val itEntries = pairCount.entrySet().iterator()
+      while (itEntries.hasNext) {
+        val e = itEntries.next()
+        val c = e.getValue.longValue()
+        if (c <= 0L) itEntries.remove()
+        else if (bestKey == -1L || beats(e.getKey.longValue(), c, bestKey, bestC)) {
+          bestKey = e.getKey.longValue()
+          bestC = c
+        }
+      }
+      if (bestKey == -1L) exhausted = true
+      else {
+        val a = (bestKey >>> 32).toInt
+        val b = bestKey.toInt
+        val sa = symStrs(a)
+        val sb = symStrs(b)
+        val merged =
+          if (continuationPrefix.nonEmpty && sb.startsWith(continuationPrefix))
+            sa + sb.substring(continuationPrefix.length)
+          else sa + sb
+        merges += ((sa, sb, merged))
+        val mergedId = idOf(merged)
+        val ids = pairWords.remove(java.lang.Long.valueOf(bestKey))
+        pairCount.remove(java.lang.Long.valueOf(bestKey))
+        var x = 0
+        while (ids != null && x < ids.n) {
+          val i = ids.a(x)
+          val old = syms(i)
+          var k = 0
+          var hit = false
+          while (!hit && k + 1 < old.length) {
+            hit = old(k) == a && old(k + 1) == b
+            k += 1
+          }
+          if (hit) {
+            val c = cnts(i)
+            k = 0
+            while (k < old.length) {
+              symCount(old(k)) -= c
+              if (k + 1 < old.length) subPair(old(k), old(k + 1), c)
+              k += 1
+            }
+            val nw = new Array[Int](old.length)
+            var m = 0
+            var j = 0
+            while (j < old.length) {
+              if (j + 1 < old.length && old(j) == a && old(j + 1) == b) {
+                nw(m) = mergedId; m += 1; j += 2
+              } else {
+                nw(m) = old(j); m += 1; j += 1
+              }
+            }
+            val trimmed = if (m == nw.length) nw else java.util.Arrays.copyOf(nw, m)
+            k = 0
+            while (k < trimmed.length) {
+              symCount(trimmed(k)) += c
+              if (k + 1 < trimmed.length) addPair(trimmed(k), trimmed(k + 1), c, i)
+              k += 1
+            }
+            syms(i) = trimmed
+          }
+          x += 1
+        }
+      }
+      it += 1
+    }
+    merges.toIndexedSeq
+  }
+
+  /** [[train]] plus the encoder-ready vocabulary: base symbols (every
+    * stage-0 symbol of the vocabulary — initial code points and
+    * `##`-marked continuations — in code-point order) followed by the
+    * merged tokens in rank order (first formation wins, base-block
+    * members skipped). Feed the token list straight to
+    * [[WordpieceExpr]].
+    */
+  def trainWithVocab(
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int,
+      continuationPrefix: String = "##"): (IndexedSeq[(String, String, String)], IndexedSeq[String]) = {
+    val merges = train(wordCounts, numMerges, continuationPrefix)
+    val base = wordCounts.iterator.filter(_._1.nonEmpty).flatMap { case (w, _) =>
+      Bpe.codePointSymbols(w).zipWithIndex.map { case (c, i) =>
+        if (i == 0) c else continuationPrefix + c
+      }
+    }.toSet.toIndexedSeq.sortWith((a, b) => Bpe.cpCompare(a, b) < 0)
+    val baseSet = base.toSet
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    merges.foreach { case (_, _, m) => if (!baseSet.contains(m)) seen += m }
+    (merges, base ++ seen.toIndexedSeq)
+  }
+}
+
 /** Char trie answering "longest vocab token starting at word[pos]" in
   * one descent. HashMap children — vocab size is tokenizer-scale
   * (tens of thousands), built once per executor.

@@ -103,9 +103,21 @@ object BpeProbe {
       catch { case e: IllegalArgumentException => e.getMessage.contains("maxWords") }
     }
     println(s"[probe] driver-path loud refusal: $refused")
+    val t4 = System.nanoTime()
     timed(s"bpeTrainDistributed ($nBig distinct words, 4 merges)") {
       functions.TextFunctions.bpeTrainDistributed(bigSaved, "text", 4).count()
     }
+    println(f"[probe] per-merge (4-merge run): ${(System.nanoTime() - t4) / 4e9}%6.2f s")
+    // the real-vocab economics check: incremental pair maintenance
+    // must hold its per-merge cost flat as the merge count grows —
+    // the pre-r10 full-rescan shape paid the whole word table per
+    // round (~21 s/round here), capping practical vocab size
+    val nDeep = args.lift(4).map(_.toInt).getOrElse(256)
+    val tD = System.nanoTime()
+    val learned = timed(s"bpeTrainDistributed ($nBig distinct words, $nDeep merges)") {
+      functions.TextFunctions.bpeTrainDistributed(bigSaved, "text", nDeep).count()
+    }
+    println(f"[probe] per-merge ($nDeep-merge run): ${(System.nanoTime() - tD) / (nDeep * 1e9)}%6.2f s  (learned $learned)")
     spark.stop()
   }
 }

@@ -75,4 +75,104 @@ class WordpieceSpec extends SparkSpec {
     assert(got("abcd") == Seq("ab", "c", "d"),
       "greedy takes ab even though a|bcd is shorter — documented contract")
   }
+
+  // ---- training -----------------------------------------------------
+
+  test("training: likelihood score picks the exclusive pair raw-count BPE would skip") {
+    // count(aa)=10 but 'a' occurs 22 times -> score 10/(22*22) ≈ .021;
+    // count(bc)=9 with b,c occurring ONLY there -> 9/81 ≈ .111. BPE
+    // (raw count) merges (a,##a) first; WordPiece must merge (b,##c).
+    val wc = Seq(("aa", 10L), ("bc", 9L), ("ab", 2L))
+    val wp = Wordpiece.train(wc, numMerges = 1)
+    assert(wp.head == (("b", "##c", "bc")), s"got ${wp.head}")
+    val bpe = Bpe.train(wc, 1)
+    assert(bpe.head == (("a", "a")), "raw-count BPE picks the frequent pair")
+  }
+
+  test("training: continuation algebra — merged tokens strip the right ##") {
+    // "abc" x 5: stage-0 symbols a, ##b, ##c. Scores: (a,##b) =
+    // 5/(5*5) = (##b,##c) — tie broken by (a,##b) < (##b,##c) in
+    // binary order ('#' < 'a'? no: 'a'=0x61 > '#'=0x23, so "##b" <
+    // "a" ... (a,##b) vs (##b,##c): compare first elements "a" vs
+    // "##b": "##b" is SMALLER -> (##b,##c) wins the tie
+    val wp = Wordpiece.train(Seq(("abc", 5L)), numMerges = 2)
+    assert(wp(0) == (("##b", "##c", "##bc")),
+      s"tie must break to the code-point-smaller pair; got ${wp(0)}")
+    // after merging ##b+##c -> ##bc: pair (a, ##bc) remains
+    assert(wp(1) == (("a", "##bc", "abc")), s"got ${wp(1)}")
+  }
+
+  test("training: randomized corpora match a from-scratch recount trainer") {
+    // naive reference: re-symbolize + recount everything each round,
+    // score by exact BigInt cross-multiplication, tie by (a, b)
+    def naive(wc: Seq[(String, Long)], k: Int): Seq[(String, String, String)] = {
+      var words: Seq[(Array[String], Long)] = wc.filter(_._1.nonEmpty).map { case (w, c) =>
+        (Bpe.codePointSymbols(w).zipWithIndex.map { case (s, i) =>
+          if (i == 0) s else "##" + s
+        }, c)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      var continue = true
+      while (out.size < k && continue) {
+        val sym = scala.collection.mutable.Map.empty[String, Long]
+        val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, c) <- words) {
+          s.foreach(t => sym(t) = sym.getOrElse(t, 0L) + c)
+          s.sliding(2).filter(_.length == 2).foreach(p =>
+            pair((p(0), p(1))) = pair.getOrElse((p(0), p(1)), 0L) + c)
+        }
+        if (pair.isEmpty) continue = false
+        else {
+          val best = pair.toSeq.minBy { case ((a, b), c) =>
+            // exact: sort by -score then (a,b); encode score as a
+            // comparable rational via BigDecimal of the cross ratio —
+            // tiny corpora, BigDecimal(200 digits) is exact enough to
+            // never reorder vs true rational comparison here
+            (scala.math.BigDecimal(-c) / (scala.math.BigDecimal(sym(a)) * scala.math.BigDecimal(sym(b))), a, b)
+          }
+          val (a, b) = best._1
+          val merged = a + (if (b.startsWith("##")) b.substring(2) else b)
+          out += ((a, b, merged))
+          words = words.map { case (s, c) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < s.length) {
+              if (j + 1 < s.length && s(j) == a && s(j + 1) == b) { buf += merged; j += 2 }
+              else { buf += s(j); j += 1 }
+            }
+            (buf.toArray, c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(500 + seed)
+      val alpha = if (seed % 2 == 0) "ab" else "abcd"
+      val wc = (1 to 40).map { _ =>
+        ((1 to (1 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString,
+          (1 + rnd.nextInt(20)).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val fast = Wordpiece.train(wc, 12)
+      val slow = naive(wc, 12)
+      assert(fast == slow, s"seed $seed: incremental trainer diverged from recount trainer")
+    }
+  }
+
+  test("trainWithVocab feeds the encode kernel: trained corpus re-segments") {
+    val docs = Seq("the cat sat", "the bat", "the mat sat")
+    val wc = docs.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val (merges, vocab) = Wordpiece.trainWithVocab(wc, numMerges = 6)
+    assert(merges.nonEmpty && vocab.nonEmpty)
+    // base block: every stage-0 symbol present, code-point ordered
+    assert(vocab.contains("t") && vocab.contains("##h") && vocab.contains("##e"))
+    // every trained word encodes with ZERO [UNK] under the vocab
+    val got = segment(wc.map(_._1), vocab)
+    for ((w, _) <- wc) {
+      assert(!got(w).contains("[UNK]"), s"$w -> ${got(w)}")
+      // pieces reassemble the word (strip ##)
+      assert(got(w).map(_.stripPrefix("##")).mkString == w)
+    }
+  }
 }
