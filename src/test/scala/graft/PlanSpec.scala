@@ -397,4 +397,157 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bottom_k_by"), s"cap lost its bounded aggregate:\n$p")
     assert(!p.contains("Window"), s"cap re-grew a per-domain window sort:\n$p")
   }
+
+  test("r9 scan kernels stay inside whole-stage codegen: cdc_chunks, wordpiece, char_entropy") {
+    // same contract BlocklistSpec pins for the AC kernel: the operator
+    // CARRYING the kernel must render with a *(N) span — a
+    // CodegenFallback expression would bar its whole stage from WSCG
+    for ((gate, marker) <- Seq(
+        ("q_cdc_chunks", "cdc_chunks"),
+        ("q_char_entropy", "char_entropy"))) {
+      val df = SparkEntry.queries(gate)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val lines = p.linesIterator.filter(_.contains(marker)).toSeq
+      assert(lines.nonEmpty, s"$gate: no $marker operator in plan\n$p")
+      lines.foreach(l =>
+        assert(l.contains("*("), s"$gate: $marker outside a codegen span:\n$l\n\n$p"))
+    }
+    // the q_wordpiece gate folds the kernel into a HashAggregate's
+    // (unprinted) result expressions — pin it on a direct projection,
+    // the BlocklistSpec pattern (range-derived so nothing constant-folds)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val wp = spark.range(10)
+      .select(concat(lit("word"), col("id")).as("w"))
+      .select(functions.WordpieceExpr(
+        col("w"), Seq("word", "##0", "##1", "##2", "##3", "##4",
+          "##5", "##6", "##7", "##8", "##9")).as("p"))
+    wp.collect()
+    val wpp = wp.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val wpl = wpp.linesIterator.filter(_.contains("wordpiece")).toSeq
+    assert(wpl.nonEmpty, s"no wordpiece operator in plan\n$wpp")
+    wpl.foreach(l =>
+      assert(l.contains("*("), s"wordpiece outside a codegen span:\n$l\n\n$wpp"))
+  }
+
+  /** Run `work` on a FRESH child session (own listenerManager — other
+    * suites' queries can't pollute the capture) and return every
+    * executed plan its actions produced, after draining the async
+    * listener bus to quiescence.
+    */
+  private def capturePlans(
+      work: org.apache.spark.sql.SparkSession => Unit): Seq[String] = {
+    val s2 = spark.newSession()
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s2.listenerManager.register(listener)
+    try {
+      work(s2)
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 100) {
+        Thread.sleep(100)
+        waited += 1
+        if (captured.size == last) stable += 1
+        else { stable = 0; last = captured.size }
+      }
+      scala.jdk.CollectionConverters.CollectionHasAsScala(captured).asScala.toSeq
+    } finally s2.listenerManager.unregister(listener)
+  }
+
+  test("graph walks: every per-round job is equi-join-only, hash-keyed on node ids, off pinned RDDs") {
+    val plansSeen = capturePlans { s2 =>
+      import s2.implicits._
+      val rnd = new scala.util.Random(11)
+      val edges = (1 to 500).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).toDF("src", "dst")
+      functions.Graphs.pageRank(edges, "src", "dst", iterations = 3, unit = "nano").collect()
+      functions.Graphs.hits(edges, "src", "dst", iterations = 2).collect()
+      functions.Graphs.labelPropagation(edges, "src", "dst", iterations = 2).collect()
+    }
+    assert(plansSeen.nonEmpty, "listener captured no plans")
+    val joinPlans = plansSeen.filter(_.contains("Join"))
+    assert(joinPlans.nonEmpty, "no per-round join plans captured")
+    for (p <- plansSeen)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join in a walk round:\n$p")
+    // hash exchanges inside round joins key on a graph id column only
+    // — a payload-carrying composite key would widen the shuffle
+    for (p <- joinPlans; l <- p.linesIterator
+         if l.contains("Exchange hashpartitioning")) {
+      assert(l.contains("src") || l.contains("dst") || l.contains("node"),
+        s"walk exchange keyed off a non-id column:\n$l")
+    }
+    // pinned-edge reuse: round joins scan the pinned RDD, not a
+    // re-derived source subtree
+    assert(joinPlans.exists(_.contains("ExistingRDD")),
+      "walk rounds do not reuse pinned edge/rank RDDs")
+  }
+
+  test("packSequences executes no single-partition exchange in any phase") {
+    // the result-plan variant of this pin went vacuous once the result
+    // was pinned (a LogicalRDD scan shows nothing) — capture the
+    // ACTUAL phase jobs instead; the only legal Window partitions by
+    // pack_id, never a global order
+    val plansSeen = capturePlans { s2 =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = s2.range(20000).toDF("doc_id").withColumn("n", lit(10L))
+      functions.Curation.packSequences(
+        docs, col("n"), 100L, Seq(col("doc_id")), numPartitions = 8).collect()
+    }
+    assert(plansSeen.nonEmpty, "listener captured no plans")
+    for (p <- plansSeen)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"packing funneled through one partition:\n$p")
+  }
+
+  test("bpeTrainDistributed explodes occurrence-level pairs exactly once (the seed)") {
+    // incremental training's whole point: after the one seed explode,
+    // every round touches only delta pairs (bpe_pair_delta) and the
+    // distinct-pair table — a second arrays_zip occurrence explode
+    // means the full-rescan shape regressed
+    val plansSeen = capturePlans { s2 =>
+      import s2.implicits._
+      val docs = (1 to 40).map(i => (i.toLong, "abab bab abba caba")).toDF("doc_id", "text")
+      functions.TextFunctions.bpeTrainDistributed(docs, "text", numMerges = 4).collect()
+    }
+    assert(plansSeen.nonEmpty, "listener captured no plans")
+    val seedExplodes = plansSeen.count(p =>
+      p.contains("zip_with") || p.contains("arrays_zip"))
+    assert(seedExplodes <= 1,
+      s"occurrence-level pair explode ran $seedExplodes times — rounds must be delta-only")
+    assert(plansSeen.exists(_.contains("bpe_pair_delta")),
+      "no delta-kernel round plan captured")
+    for (p <- plansSeen)
+      assert(!p.contains("CartesianProduct"), s"cartesian in a train round:\n$p")
+  }
+
+  test("rankBy never plans a single-partition exchange or a Window") {
+    val plansSeen = capturePlans { s2 =>
+      import org.apache.spark.sql.functions.col
+      val df = s2.range(20000).toDF("id")
+        .withColumn("score", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("id")), org.apache.spark.sql.functions.lit(97)))
+      functions.Curation.rankBy(df, Seq(col("score"), col("id")), numPartitions = 8).collect()
+    }
+    assert(plansSeen.nonEmpty, "listener captured no plans")
+    // the exact regression rankBy exists to prevent: row_number() over
+    // a global order = Window + Exchange SinglePartition
+    for (p <- plansSeen) {
+      assert(!p.contains("Exchange SinglePartition"),
+        s"rankBy funneled through one partition:\n$p")
+      assert(!p.contains("Window"), s"rankBy re-grew a window:\n$p")
+    }
+  }
 }
