@@ -70,6 +70,18 @@ object Bench {
     "q_char_entropy", "q_cdc_chunks", "q_wordpiece", "q_shared_blocks",
     "q_weighted_sample")
 
+  /** The fixed-iteration graph walks: each is 4-8 rounds of one
+    * co-partitioned equi-join + one aggregation, so their bench time
+    * is Spark's per-round scheduler/barrier floor, not data volume
+    * (adjudicated in r9's verdict — the floor amortizes at cluster
+    * scale). Split out as a subtotal so round-over-round totals don't
+    * re-litigate the floor: `walks_sec` moves only when a walk's
+    * round SHAPE regresses, `non_walks_sec` is the number to compare
+    * against prior rounds' scan/join/agg workloads.
+    */
+  val Walks: Set[String] =
+    Set("q_pagerank", "q_ppr", "q_kcore", "q_label_prop", "q_hits")
+
   /** First-run-set spread (max/min over successful runs) above which
     * the query is re-run once: a clean query's back-to-back runs land
     * within ~1.3x of each other, so a 2x spread means the window was
@@ -216,12 +228,16 @@ object Bench {
         s""""retried":${r.retried},"err":$errField""" + steadyField + "}"
     }.mkString("{", ",", "}")
     val total = results.map(r => math.max(r.median, 0.0)).sum
+    val walksSec = results.filter(r => Walks.contains(r.name))
+      .map(r => math.max(r.median, 0.0)).sum
+    val nonWalksSec = total - walksSec
     val nErr = results.count(_.errs.nonEmpty)
     val missingField =
       if (missing.isEmpty) "[]" else missing.map(jstr).mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,""" +
       f""""queries":$qs,"detail":$detail,"n_err":$nErr,""" +
+      f""""walks_sec":$walksSec%.3f,"non_walks_sec":$nonWalksSec%.3f,""" +
       f""""missing":$missingField,""" +
       f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
       f""""wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")

@@ -1271,6 +1271,66 @@ object SparkEntry {
         .orderBy("user_id", "click_id", "buy_id")
     }),
 
+    // RIGHT OUTER stream-stream interval join — the symmetric case:
+    // unmatched buys (no click in the prior 6 hours by the same user)
+    // emit null-click rows once the LEFT watermark passes ts_b. Same
+    // flushed-region contract, applied to the RIGHT side's event time
+    // (ts_b <= maxTs - 19h); matched rows inside it have
+    // ts_c <= ts_b <= cutoff, so the filter is output-expressible.
+    "q_stream_join_right" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val cutoffUs = ev.agg(max(eventMicros(ev))).head.getLong(0) -
+        19L * 3600L * 1000000L
+      runStreamGate2(s, dir, "events", EventsStreamSchema, "sjoinrt", "append") { (la, rb) =>
+        val clicks = la.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("ts_c"))
+        val buys = rb.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+            col("ts").as("ts_b"))
+        graft.streaming.StreamIngest.intervalJoinStreams(
+          clicks, buys, "c_user", "b_user", "ts_c", "ts_b",
+          maxGap = "6 hours", watermark = "12 hours", joinType = "right_outer")
+      }
+        .filter(unix_micros(col("ts_b")) <= cutoffUs)
+        .select(col("b_user").as("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"), col("buy_id"),
+          coalesce(unix_micros(col("ts_b")) - unix_micros(col("ts_c")), lit(-1L))
+            .as("gap_us"))
+        .orderBy("user_id", "click_id", "buy_id")
+    }),
+
+    // FULL OUTER stream-stream interval join — both unmatched sides
+    // flush under their respective contracts; the gate restricts to
+    // rows whose every NON-NULL event time is inside the flushed
+    // region, the symmetric restriction the batch oracle replays
+    // verbatim. user_id comes from whichever side is present.
+    "q_stream_join_full" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val cutoffUs = ev.agg(max(eventMicros(ev))).head.getLong(0) -
+        19L * 3600L * 1000000L
+      runStreamGate2(s, dir, "events", EventsStreamSchema, "sjoinfl", "append") { (la, rb) =>
+        val clicks = la.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("ts_c"))
+        val buys = rb.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+            col("ts").as("ts_b"))
+        graft.streaming.StreamIngest.intervalJoinStreams(
+          clicks, buys, "c_user", "b_user", "ts_c", "ts_b",
+          maxGap = "6 hours", watermark = "12 hours", joinType = "full_outer")
+      }
+        .filter(
+          (col("ts_c").isNull || unix_micros(col("ts_c")) <= cutoffUs) &&
+          (col("ts_b").isNull || unix_micros(col("ts_b")) <= cutoffUs))
+        .select(coalesce(col("c_user"), col("b_user")).as("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+          coalesce(unix_micros(col("ts_b")) - unix_micros(col("ts_c")), lit(-1L))
+            .as("gap_us"))
+        .orderBy("user_id", "click_id", "buy_id")
+    }),
+
     // Streaming blocklist screen: the Aho-Corasick kernel as a
     // stateless stream projection — the pattern list rides the task
     // closure exactly as a cluster broadcast would, so the streamed
@@ -5472,6 +5532,38 @@ object SparkEntry {
           |FROM c CROSS JOIN mx LEFT JOIN b
           |  ON c.user_id = b.b_user AND b.ts_b >= c.ts AND b.ts_b <= c.ts + INTERVAL 6 HOUR
           |WHERE epoch_us(c.ts) <= mx.m - CAST(19 * 3600 AS BIGINT) * 1000000
+          |ORDER BY user_id, click_id, buy_id""".stripMargin,
+
+      // the symmetric contract: batch RIGHT join restricted to buys
+      // older than max(ts) - 19h, null clicks as -1 sentinels
+      "q_stream_join_right" ->
+        """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+          |c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS ts_c FROM events WHERE event_type = 'click'),
+          |b AS (SELECT user_id, event_id AS buy_id, ts FROM events WHERE event_type = 'purchase')
+          |SELECT CAST(b.user_id AS BIGINT) AS user_id,
+          |  CAST(coalesce(c.click_id, -1) AS BIGINT) AS click_id,
+          |  CAST(b.buy_id AS BIGINT) AS buy_id,
+          |  CAST(coalesce(epoch_us(b.ts) - epoch_us(c.ts_c), -1) AS BIGINT) AS gap_us
+          |FROM b CROSS JOIN mx LEFT JOIN c
+          |  ON b.user_id = c.c_user AND b.ts >= c.ts_c AND b.ts <= c.ts_c + INTERVAL 6 HOUR
+          |WHERE epoch_us(b.ts) <= mx.m - CAST(19 * 3600 AS BIGINT) * 1000000
+          |ORDER BY user_id, click_id, buy_id""".stripMargin,
+
+      // both contracts at once: batch FULL OUTER join, every non-null
+      // event time inside the flushed region, -1 sentinels both ways
+      "q_stream_join_full" ->
+        """WITH mx AS (SELECT m FROM (SELECT max(epoch_us(ts)) - CAST(19 * 3600 AS BIGINT) * 1000000 AS m FROM events)),
+          |c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS ts_c FROM events WHERE event_type = 'click'),
+          |b AS (SELECT user_id AS b_user, event_id AS buy_id, ts AS ts_b FROM events WHERE event_type = 'purchase')
+          |SELECT CAST(coalesce(c.c_user, b.b_user) AS BIGINT) AS user_id,
+          |  CAST(coalesce(c.click_id, -1) AS BIGINT) AS click_id,
+          |  CAST(coalesce(b.buy_id, -1) AS BIGINT) AS buy_id,
+          |  CAST(coalesce(epoch_us(b.ts_b) - epoch_us(c.ts_c), -1) AS BIGINT) AS gap_us
+          |FROM c FULL OUTER JOIN b
+          |  ON c.c_user = b.b_user AND b.ts_b >= c.ts_c AND b.ts_b <= c.ts_c + INTERVAL 6 HOUR
+          |CROSS JOIN mx
+          |WHERE (c.ts_c IS NULL OR epoch_us(c.ts_c) <= mx.m)
+          |  AND (b.ts_b IS NULL OR epoch_us(b.ts_b) <= mx.m)
           |ORDER BY user_id, click_id, buy_id""".stripMargin,
 
       // the bigram oracle one context word deeper: five aligned

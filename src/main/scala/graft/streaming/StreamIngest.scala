@@ -256,15 +256,23 @@ object StreamIngest {
     * equi-join keys, `leftTime`/`rightTime` the event-time columns the
     * watermarks ride on.
     */
-  /** `joinType`: `"inner"` (default) or `"left_outer"`. The outer form
-    * emits an unmatched left row (right columns null) only once BOTH
-    * watermarks pass `leftTime + maxGap` — the row is then provably
-    * unmatchable. Completeness contract: the outer result is final
-    * only for left rows older than `watermark + maxGap` behind the
-    * max observed event time; a finite stream's tail rows stay
+  /** `joinType`: `"inner"` (default), `"left_outer"`, `"right_outer"`
+    * or `"full_outer"`. The outer forms emit an unmatched row (other
+    * side's columns null) only once the row is provably unmatchable:
+    * an unmatched LEFT row flushes when both watermarks pass
+    * `leftTime + maxGap` (no future right row in its window can still
+    * arrive), an unmatched RIGHT row when the left watermark passes
+    * `rightTime` (a matching left row would need
+    * `leftTime >= rightTime - maxGap` AND `leftTime <= rightTime`,
+    * and everything at or before `rightTime` is now late beyond the
+    * watermark). `full_outer` is both contracts at once.
+    * Completeness contract: the outer result is final only for rows
+    * older than `watermark + maxGap` behind the max observed event
+    * time ON THEIR OWN side; a finite stream's tail rows stay
     * buffered (they could still match on a longer stream), so a
-    * batch-equality check must restrict both sides to the flushed
-    * region (q_stream_join_outer does).
+    * batch-equality check must restrict to the flushed region —
+    * q_stream_join_outer restricts the left side,
+    * q_stream_join_right the right side, q_stream_join_full both.
     */
   def intervalJoinStreams(
       left: DataFrame,
@@ -276,8 +284,9 @@ object StreamIngest {
       maxGap: String = "30 minutes",
       watermark: String = "1 hour",
       joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"joinType must be inner|left_outer, got $joinType")
+    val allowed = Set("inner", "left_outer", "right_outer", "full_outer")
+    require(allowed.contains(joinType),
+      s"joinType must be one of ${allowed.mkString("|")}, got $joinType")
     val l = left.withColumn(leftTime, col(leftTime).cast("timestamp"))
       .withWatermark(leftTime, watermark)
     val r = right.withColumn(rightTime, col(rightTime).cast("timestamp"))

@@ -171,6 +171,68 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed == expected, s"batch twin diverged: $expected")
   }
 
+  test("intervalJoinStreams right_outer/full_outer: symmetric flush contracts") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("typ", StringType), StructField("t", DoubleType)))
+    // u1 click->buy match; u4 click never matched; u7 buy never
+    // matched; u5 buy arrives BEFORE its click; u2 matches across
+    // batches; u9 far-future click pushes the LEFT watermark (itself
+    // unflushable as an unmatched left row: right wm stays at
+    // 1050 - 100 = 950 < 100000 + 100)
+    val files = Seq(
+      Seq((1L, 1L, "c", 10.0), (2L, 1L, "p", 50.0), (3L, 4L, "c", 40.0),
+        (7L, 5L, "p", 900.0), (9L, 7L, "p", 60.0)),
+      Seq((4L, 2L, "c", 1000.0), (5L, 2L, "p", 1050.0), (8L, 5L, "c", 880.0)),
+      Seq((6L, 9L, "c", 100000.0)))
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("typ") === "c")
+        .select(col("k").as("ck"), col("id").as("click_id"), col("t").as("ct")),
+      df.filter(col("typ") === "p")
+        .select(col("k").as("pk"), col("id").as("buy_id"), col("t").as("pt")))
+    def run(joinType: String): Set[(Long, Long)] = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-ssj-$joinType")
+      val src = base.resolve("src").toString
+      files.foreach(g =>
+        g.toDF("id", "k", "typ", "t").coalesce(1).write.mode("append").parquet(src))
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val (lc, rp) = (
+        sides(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)),
+        sides(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)))
+      val q = StreamIngest.intervalJoinStreams(
+          lc._1, rp._2, "ck", "pk", "ct", "pt",
+          maxGap = "100 seconds", watermark = "100 seconds", joinType = joinType)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", base.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+              coalesce(col("buy_id"), lit(-1L)).as("buy_id"))
+            .collect().foreach(r => out.add((r.getLong(0), r.getLong(1))))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      scala.jdk.CollectionConverters.CollectionHasAsScala(out).asScala.toSet
+    }
+    // right_outer: the unmatched buy (u7) flushes once the LEFT
+    // watermark (99900, from the pusher click) passes its time 60;
+    // unmatched clicks never emit
+    assert(run("right_outer") == Set((1L, 2L), (4L, 5L), (8L, 7L), (-1L, 9L)),
+      "right_outer stream diverged")
+    // full_outer: both unmatched sides flush; the pusher click stays
+    // buffered (tail contract — right wm 950 < 100000 + 100)
+    assert(run("full_outer") ==
+      Set((1L, 2L), (4L, 5L), (8L, 7L), (3L, -1L), (-1L, 9L)),
+      "full_outer stream diverged")
+    intercept[IllegalArgumentException] {
+      StreamIngest.intervalJoinStreams(
+        sides(files.flatten.toDF("id", "k", "typ", "t"))._1,
+        sides(files.flatten.toDF("id", "k", "typ", "t"))._2,
+        "ck", "pk", "ct", "pt", joinType = "cross")
+    }
+  }
+
   test("screenStreamAgainstIndex: multi-batch union equals the batch screen") {
     import graft.functions.{Dedup, DedupExpressions}
     def doc(salt: Int): String =
