@@ -68,7 +68,11 @@ object Bench {
     // round-9 (cont.): char-entropy and CDC scan kernels; WordPiece
     // greedy encode (BPE train + trie segmentation of distinct words)
     "q_char_entropy", "q_cdc_chunks", "q_wordpiece", "q_shared_blocks",
-    "q_weighted_sample")
+    "q_weighted_sample",
+    // round-10: optimal lattice decode (Viterbi DP over the BPE
+    // vocab), the Bloom seen-screen (distributed bit_or build +
+    // broadcast probe), and the full-outer stream-stream join
+    "q_lattice_encode", "q_bloom_screen", "q_stream_join_full")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

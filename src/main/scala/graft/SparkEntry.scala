@@ -2187,6 +2187,43 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // OPTIMAL lattice segmentation (SentencePiece unigram decode with
+    // uniform scores = minimum piece count, longest-piece tie-break)
+    // over the same BPE-trained vocab as q_wordpiece — the greedy/
+    // optimal pair shares one vocab so their divergence is the
+    // measured quantity. Oracle: BFS-from-the-end recursive CTE gives
+    // min pieces per suffix, then the wp_seg-style chain walk follows
+    // the longest optimal edge — the piece STRINGS are pinned.
+    "q_lattice_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = TextFunctions.bpeTrainWithVocab(docs, "text", numMerges = 16)
+        ._2.select("token").collect().map(_.getString(0)).toSeq
+      docs.select(explode(regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+        .distinct()
+        .select(col("word"),
+          graft.functions.LatticeEncodeExpr(col("word"), vocab).as("_p"))
+        .select(col("word"), size(col("_p")).as("n_pieces"),
+          array_join(col("_p"), "|").as("pieces"))
+        .orderBy("word")
+    }),
+
+    // Bloom-filter seen-screen: filter built over the even-doc_id half
+    // of the corpus (distributed bit_or word packing), every document
+    // probed — members always hit, non-members hit only on the
+    // deterministic false-positive collision, which the oracle
+    // replays exactly from the position algebra (m=4096 bits, k=4 →
+    // a real ~35% FP load, so the gate pins actual Bloom behavior,
+    // not a degenerate all-false column).
+    "q_bloom_screen" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bloom = graft.functions.Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 2 === 0), "text", mBits = 4096, numHashes = 4)
+      graft.functions.Sketches.bloomProbe(
+          docs, "doc_id", "text", bloom, mBits = 4096, numHashes = 4)
+        .orderBy("doc_id")
+    }),
+
     // WordPiece TRAINING (likelihood-scored merges): the q_bpe_train
     // shape with score count(ab)/(count(a)·count(b)) — the oracle
     // replays every stage's arg-max with a HUGEINT cross-multiplied
@@ -5445,6 +5482,60 @@ object SparkEntry {
           "SELECT w.word, CAST(COALESCE(d.n, 1) AS INTEGER) AS n_pieces, " +
           "COALESCE(d.pieces, '[UNK]') AS pieces " +
           "FROM wp_words w LEFT JOIN wp_done d USING (word) ORDER BY word"),
+
+      // min-piece lattice decode: BFS from the word end (recursive
+      // UNION CTE — pos strictly decreases, k = path length, min(k)
+      // per pos = the suffix DP), then the greedy-among-optimal chain
+      // walk (max edge length whose target suffix cost is exactly one
+      // less). Unreachable words coalesce to [UNK], the engine's
+      // whole-word failure convention.
+      "q_lattice_encode" ->
+        (s"WITH RECURSIVE ${bpeCtes(BpeK)}, $BpeVocabCtes, " +
+          "lt_words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+          "lt_edges AS (SELECT p.word, p.pos, len(v.token) AS l " +
+          "FROM (SELECT word, unnest(range(0, len(word))) AS pos FROM lt_words) p " +
+          "JOIN bpe_voc v ON substr(p.word, CAST(p.pos + 1 AS INTEGER), len(v.token)) = v.token), " +
+          "lt_suf AS (" +
+          "SELECT word, CAST(len(word) AS BIGINT) AS pos, 0 AS k FROM lt_words " +
+          "UNION " +
+          "SELECT e.word, CAST(e.pos AS BIGINT), s.k + 1 " +
+          "FROM lt_suf s JOIN lt_edges e ON e.word = s.word AND e.pos + e.l = s.pos), " +
+          "lt_min AS (SELECT word, pos, min(k) AS suf FROM lt_suf GROUP BY 1, 2), " +
+          "lt_next AS (SELECT e.word, e.pos, max(e.l) AS bl " +
+          "FROM lt_edges e " +
+          "JOIN lt_min m0 ON m0.word = e.word AND m0.pos = e.pos " +
+          "JOIN lt_min m1 ON m1.word = e.word AND m1.pos = e.pos + e.l " +
+          "WHERE m1.suf = m0.suf - 1 GROUP BY 1, 2), " +
+          "lt_seg AS (" +
+          "SELECT word, CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS n FROM lt_words " +
+          "UNION ALL " +
+          "SELECT s.word, s.pos + b.bl, " +
+          "s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE '|' END || " +
+          "substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(b.bl AS INTEGER)), s.n + 1 " +
+          "FROM lt_seg s JOIN lt_next b ON s.word = b.word AND s.pos = b.pos " +
+          "WHERE s.pos < len(s.word)), " +
+          "lt_done AS (SELECT word, pieces, n FROM lt_seg WHERE pos = len(word)) " +
+          "SELECT w.word, CAST(COALESCE(d.n, 1) AS INTEGER) AS n_pieces, " +
+          "COALESCE(d.pieces, '[UNK]') AS pieces " +
+          "FROM lt_words w LEFT JOIN lt_done d USING (word) ORDER BY word"),
+
+      // position-set replay of the Bloom algebra: base = unsigned
+      // md5-lower-64 mod P, lane i (1-based here = 0-based engine
+      // lane i-1) = (laneA·base + laneB) mod P mod m; membership =
+      // every probe position among the build side's distinct set —
+      // bit-packing is representation, not semantics
+      "q_bloom_screen" ->
+        """WITH b AS (SELECT DISTINCT unnest(list_transform(range(1, 5),
+          |    i -> ((i * 2654435761 % 2147483647) * CAST(md5_number_lower(text) % 2147483647 AS BIGINT)
+          |          + i * 40503 % 2147483647) % 2147483647 % 4096)) AS pos
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |p AS (SELECT doc_id, unnest(list_transform(range(1, 5),
+          |    i -> ((i * 2654435761 % 2147483647) * CAST(md5_number_lower(text) % 2147483647 AS BIGINT)
+          |          + i * 40503 % 2147483647) % 2147483647 % 4096)) AS pos
+          |  FROM documents),
+          |j AS (SELECT p.doc_id, min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS ok
+          |  FROM p LEFT JOIN b ON p.pos = b.pos GROUP BY 1)
+          |SELECT doc_id, ok = 1 AS hit FROM j ORDER BY doc_id""".stripMargin,
 
       // chained likelihood-scored merge replay; arg-max by exact
       // HUGEINT cross-multiplication (see wordpieceCtes)

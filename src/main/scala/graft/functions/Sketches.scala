@@ -252,4 +252,92 @@ object Sketches {
     df.groupBy(keys.map(col): _*)
       .agg(percentile_approx(
         col(valueCol), array(qs.map(lit): _*), lit(accuracy)).as("quantiles"))
+
+  // ------------------------------------------------------------------
+  // Bloom filter (Bloom 1970, CACM 13(7)) — the set-membership sketch
+  // the family was missing: HLL answers "how many distinct", count-min
+  // "how often", the Bloom filter "have we seen THIS one" with zero
+  // false negatives and a tunable false-positive rate. Pipeline uses:
+  // URL / document-hash seen-screens against a historical corpus,
+  // cheap pre-joins (drop probe rows that cannot match before the real
+  // join), eval-set decontamination at ingest.
+  //
+  // Determinism contract (what makes it gate-able): bit positions come
+  // from the repo's standard SQL-replayable hash chain — base =
+  // unsigned md5-lower-64 of the key mod P (2^31-1), position i =
+  // (laneA(i)·base + laneB(i)) mod P mod mBits — so engine and oracle
+  // agree on every position, hence on every false positive. All
+  // arithmetic stays overflow-free in signed 64-bit on both engines.
+  // ------------------------------------------------------------------
+
+  /** The `numHashes` bit positions for one key — shared by build and
+    * probe so the two sides can NEVER disagree. `mBits` must stay
+    * below [[HashUtil.P]] (any real filter is far below 2^31 bits =
+    * 256 MB; shard upstream past that).
+    */
+  private def bloomPositions(key: Column, numHashes: Int, mBits: Int): Column = {
+    val base = {
+      val h = DedupExpressions.md5Lower64(key)
+      val p = lit(HashUtil.P)
+      pmod(pmod(h, p) + when(h < 0, lit(4L)).otherwise(lit(0L)), p)
+    }
+    array((0 until numHashes).map { i =>
+      (lit(HashUtil.laneA(i)) * base + lit(HashUtil.laneB(i))) % lit(HashUtil.P) % lit(mBits)
+    }: _*)
+  }
+
+  /** Build a Bloom filter over `keyCol` as a TABLE of packed 64-bit
+    * words `(widx, bits)` — only words with at least one set bit are
+    * present, so an underfull filter costs rows proportional to its
+    * set bits, not to `mBits`. Fully distributed: explode the k
+    * positions per key, pack into (word index, bit), and OR-fold with
+    * a map-side-combining `bit_or` aggregation — the shuffle carries
+    * at most `mBits / 64` 16-byte rows regardless of corpus size.
+    * The result is broadcast-sized by construction (`mBits = 2^26` →
+    * ≤ 1M rows / 8 MB) and feeds [[bloomProbe]] or a parquet sink for
+    * reuse across runs.
+    */
+  def bloomBuild(
+      df: DataFrame,
+      keyCol: String,
+      mBits: Int = 1 << 20,
+      numHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && mBits < HashUtil.P,
+      s"mBits must be in (0, 2^31-1), got $mBits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1, 16], got $numHashes")
+    df.select(explode(bloomPositions(col(keyCol), numHashes, mBits)).as("_pos"))
+      .select(shiftright(col("_pos"), 6).as("widx"),
+        call_function("shiftleft", lit(1L), pmod(col("_pos"), lit(64L)).cast("int")).as("_bit"))
+      .groupBy("widx").agg(bit_or(col("_bit")).as("bits"))
+  }
+
+  /** Screen `df` against a built filter: returns `(idCol, hit)` where
+    * `hit` ⇔ every one of the key's `numHashes` bit positions is set
+    * (a member always hits; a non-member hits only on the classic
+    * false-positive collision — deterministically, per the hash
+    * contract above, which is why the gate can pin exact values).
+    * `mBits`/`numHashes` MUST match the build call.
+    *
+    * Shape: explode k positions per probe row → broadcast-hash LEFT
+    * join against the word table (the filter never shuffles the probe
+    * side) → per-id `min(bit set)` conjunction. One narrow shuffle on
+    * the probe id for the conjunction; the filter itself rides the
+    * broadcast.
+    */
+  def bloomProbe(
+      probe: DataFrame,
+      idCol: String,
+      keyCol: String,
+      bloom: DataFrame,
+      mBits: Int = 1 << 20,
+      numHashes: Int = 4): DataFrame =
+    probe
+      .select(col(idCol), explode(bloomPositions(col(keyCol), numHashes, mBits)).as("_pos"))
+      .select(col(idCol), shiftright(col("_pos"), 6).as("widx"),
+        call_function("shiftleft", lit(1L), pmod(col("_pos"), lit(64L)).cast("int")).as("_bit"))
+      .join(broadcast(bloom), Seq("widx"), "left")
+      .select(col(idCol),
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("_bit")) =!= 0L).as("_set"))
+      .groupBy(idCol).agg(min(col("_set")).as("hit"))
 }

@@ -111,6 +111,101 @@ object WordpieceExpr {
   }
 }
 
+/** OPTIMAL lattice segmentation — Viterbi over the piece lattice with
+  * uniform piece scores, i.e. the MINIMUM-piece-count segmentation
+  * (the SentencePiece unigram decode of Kudo 2018, arXiv:1804.10959,
+  * specialized to equal log-probs so the whole decode is
+  * integer-exact and SQL-replayable). Complements [[WordpieceExpr]]'s
+  * greedy MaxMatch: greedy commits to the locally longest piece and
+  * can strand the tail (vocab {ab,cde,a,b,c,d,e}: greedy segments
+  * "abcde" as ab|c|d|e — 4 pieces — where the lattice finds ab|cde),
+  * so the pair measures exactly the compression a lattice decoder
+  * buys over greedy at serving time.
+  *
+  * Determinism: among minimum-count segmentations, reconstruction
+  * takes the LONGEST admissible piece at each position left to right
+  * (two admissible pieces at one position have distinct lengths, so
+  * the tie-break is total). If no segmentation covers the word the
+  * ENTIRE word becomes `unk`, matching the WordPiece failure
+  * convention. DP is O(len · maxPieceLen) per word over the
+  * per-executor lazy trie; the expression is codegen-friendly
+  * (reference-obj call) and runs scan-side — apply to the DISTINCT
+  * word table so each word segments once.
+  */
+case class LatticeEncodeExpr(
+    child: Expression,
+    vocab: Seq[String],
+    unk: String) extends UnaryExpression {
+  require(vocab.nonEmpty, "lattice_encode requires a non-empty vocab")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lattice_encode requires a STRING column, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val trie: WordpieceTrie = new WordpieceTrie(vocab)
+
+  /** Kernel; public for the codegen reference-object call. */
+  def compute(input: UTF8String): GenericArrayData = {
+    val word = input.toString
+    if (word.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = word.length
+    val INF = Int.MaxValue
+    // suf(p) = min pieces covering word[p..n); backward DP
+    val suf = new Array[Int](n + 1)
+    java.util.Arrays.fill(suf, INF)
+    suf(n) = 0
+    var pos = n - 1
+    while (pos >= 0) {
+      var best = INF
+      trie.eachMatch(word, pos) { l =>
+        val c = suf(pos + l)
+        if (c != INF && c + 1 < best) best = c + 1
+      }
+      suf(pos) = best
+      pos -= 1
+    }
+    if (suf(0) == INF)
+      return new GenericArrayData(Array[Any](UTF8String.fromString(unk)))
+    // forward reconstruction: longest piece continuing an optimal path
+    // (eachMatch ascends in length, so the last admissible wins)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    pos = 0
+    while (pos < n) {
+      var bl = 0
+      val target = suf(pos) - 1
+      trie.eachMatch(word, pos) { l =>
+        if (suf(pos + l) == target) bl = l
+      }
+      out += UTF8String.fromString(word.substring(pos, pos + bl))
+      pos += bl
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lattice", this, classOf[LatticeEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LatticeEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "lattice_encode"
+}
+
+object LatticeEncodeExpr {
+  def apply(word: Column, vocab: Seq[String], unk: String = "[UNK]"): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new LatticeEncodeExpr(expression(word), vocab, unk))
+  }
+}
+
 /** WordPiece TRAINING (Schuster & Nakajima 2012; Wu et al. 2016 §4.1;
   * the scoring convention of the HuggingFace `tokenizers`
   * WordpieceTrainer): identical merge mechanics to [[Bpe.train]] —
@@ -374,5 +469,20 @@ private[functions] final class WordpieceTrie(tokens: Seq[String]) {
       if (n.terminal) best = i - pos
     }
     best
+  }
+
+  /** Invoke `f(len)` for EVERY vocab token matching word[pos..), in
+    * ascending length order — one descent, same cost as
+    * [[longestMatch]].
+    */
+  def eachMatch(word: String, pos: Int)(f: Int => Unit): Unit = {
+    var n = root
+    var i = pos
+    while (i < word.length) {
+      n = n.children.get(word.charAt(i))
+      if (n == null) return
+      i += 1
+      if (n.terminal) f(i - pos)
+    }
   }
 }

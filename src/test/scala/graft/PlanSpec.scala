@@ -428,6 +428,29 @@ class PlanSpec extends SparkSpec {
     assert(wpl.nonEmpty, s"no wordpiece operator in plan\n$wpp")
     wpl.foreach(l =>
       assert(l.contains("*("), s"wordpiece outside a codegen span:\n$l\n\n$wpp"))
+    // r10: the lattice decoder rides the same reference-obj contract
+    val lt = spark.range(10)
+      .select(concat(lit("word"), col("id")).as("w"))
+      .select(functions.LatticeEncodeExpr(
+        col("w"), Seq("word", "0", "1", "2", "3", "4",
+          "5", "6", "7", "8", "9", "word0")).as("p"))
+    lt.collect()
+    val ltp = lt.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val ltl = ltp.linesIterator.filter(_.contains("lattice_encode")).toSeq
+    assert(ltl.nonEmpty, s"no lattice_encode operator in plan\n$ltp")
+    ltl.foreach(l =>
+      assert(l.contains("*("), s"lattice_encode outside a codegen span:\n$l\n\n$ltp"))
+  }
+
+  test("bloom screen: filter rides a broadcast, probe never shuffles wide rows") {
+    val df = SparkEntry.queries("q_bloom_screen")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"bloom probe lost its broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe degenerated to a heavy join:\n$p")
   }
 
   /** Run `work` on a FRESH child session (own listenerManager — other

@@ -175,4 +175,69 @@ class WordpieceSpec extends SparkSpec {
       assert(got(w).map(_.stripPrefix("##")).mkString == w)
     }
   }
+
+  // ---- lattice (optimal) decode --------------------------------------
+
+  private def lattice(words: Seq[String], vocab: Seq[String]): Map[String, Seq[String]] =
+    words.toDF("w")
+      .select(col("w"), LatticeEncodeExpr(col("w"), vocab).as("p"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq)).toMap
+
+  test("lattice finds the minimal segmentation greedy misses; rescues greedy dead-ends") {
+    // greedy: ab|c|d (3 pieces, ab commits and strands bcd);
+    // lattice: a|bcd (2) — the minimum
+    val v1 = Seq("a", "b", "c", "d", "ab", "bcd")
+    assert(lattice(Seq("abcd"), v1)("abcd") == Seq("a", "bcd"))
+    assert(segment(Seq("abcd"), v1, cont = "")("abcd") == Seq("ab", "c", "d"))
+    // greedy dead-ends to whole-word UNK; the lattice segments
+    val v2 = Seq("a", "ab", "bc")
+    assert(lattice(Seq("abc"), v2)("abc") == Seq("a", "bc"))
+    assert(segment(Seq("abc"), v2, cont = "")("abc") == Seq("[UNK]"))
+  }
+
+  test("lattice tie-break: longest admissible piece, left to right") {
+    // ab|cd and a|bcd are both 2 pieces — the longer FIRST piece wins
+    val got = lattice(Seq("abcd"), Seq("ab", "cd", "a", "bcd"))
+    assert(got("abcd") == Seq("ab", "cd"), s"got ${got("abcd")}")
+  }
+
+  test("lattice UNK + empty-word conventions match WordPiece") {
+    val got = lattice(Seq("abq", ""), Seq("a", "b", "ab"))
+    assert(got("abq") == Seq("[UNK]"))
+    assert(got("") == Seq.empty)
+  }
+
+  test("lattice == exhaustive-enumeration reference on randomized corpora") {
+    // reference: enumerate ALL segmentations, keep min count, then the
+    // lexicographically LARGEST piece-length sequence (== taking the
+    // longest admissible piece left to right)
+    def enumerate(w: String, vs: Set[String]): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to w.length).flatMap { l =>
+        val h = w.substring(0, l)
+        if (vs(h)) enumerate(w.substring(l), vs).map(h +: _) else Seq.empty
+      }
+    def reference(w: String, vs: Set[String]): Seq[String] = {
+      val all = enumerate(w, vs)
+      if (all.isEmpty) Seq("[UNK]")
+      else {
+        val minN = all.map(_.size).min
+        all.filter(_.size == minN).maxBy(_.map(_.length))(
+          math.Ordering.Implicits.seqOrdering[Seq, Int])
+      }
+    }
+    val rnd = new scala.util.Random(91)
+    val vocab = (Seq("a", "b", "c") ++ (1 to 30).map(_ =>
+      (1 to 1 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)).distinct
+    // drop one single char from some trials so UNK paths are exercised
+    val vocabNoC = vocab.filterNot(_ == "c")
+    for ((vs, tag) <- Seq((vocab, "full"), (vocabNoC, "no-c"))) {
+      val words = (1 to 60).map(_ =>
+        (1 to 2 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString).distinct
+      val got = lattice(words, vs)
+      val set = vs.toSet
+      for (w <- words)
+        assert(got(w) == reference(w, set), s"[$tag] $w: ${got(w)} vs ${reference(w, set)}")
+    }
+  }
 }

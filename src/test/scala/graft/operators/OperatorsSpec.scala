@@ -130,6 +130,58 @@ class SketchesSpec extends graft.SparkSpec {
       ("a", 6L, 0.6, 1L, 10L, 3L),
       ("b", 3L, 0.3, 2L, 10L, 3L)))
   }
+
+  test("bloom filter: zero false negatives; FPs match the position-set reference exactly") {
+    import graft.functions.HashUtil
+    val m = 512
+    val k = 4
+    val members = (0 until 200).map(i => s"member_$i")
+    val others = (0 until 300).map(i => s"other_$i")
+    val bloom = Sketches.bloomBuild(members.toDF("key"), "key", mBits = m, numHashes = k)
+    val probe = (members ++ others).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "key")
+    val got = Sketches.bloomProbe(probe, "id", "key", bloom, mBits = m, numHashes = k)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // independent reference: raw position-set semantics, no packing
+    def positions(s: String): Seq[Long] = {
+      val base = java.lang.Long.remainderUnsigned(HashUtil.md5Lower64(s), HashUtil.P)
+      (0 until k).map(i => (HashUtil.laneA(i) * base + HashUtil.laneB(i)) % HashUtil.P % m)
+    }
+    val built = members.flatMap(positions).toSet
+    (members ++ others).zipWithIndex.foreach { case (s, i) =>
+      val want = positions(s).forall(built.contains)
+      assert(got(i.toLong) == want, s"key $s: got ${got(i.toLong)}, want $want")
+    }
+    // members can NEVER miss; at this load (800 set-bit candidates in
+    // 512 bits) some non-member must collide or the fixture is broken
+    members.indices.foreach(i => assert(got(i.toLong), s"false negative at $i"))
+    assert(others.indices.exists(i => got((members.size + i).toLong)),
+      "fixture produced no false positive — m too large to exercise the FP path")
+    assert(others.indices.exists(i => !got((members.size + i).toLong)),
+      "all non-members hit — degenerate all-true filter")
+    // packed words carry exactly the reference bit set
+    val bits = bloom.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val popcount = bits.values.map(java.lang.Long.bitCount).sum
+    assert(popcount == built.size, s"packed $popcount bits, reference ${built.size}")
+    built.foreach { p =>
+      assert((bits.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0L,
+        s"reference position $p not set in the packed words")
+    }
+  }
+
+  test("bloom probe against an empty filter misses everything; build bounds validated") {
+    val empty = Sketches.bloomBuild(Seq.empty[String].toDF("key"), "key", mBits = 256)
+    val got = Sketches.bloomProbe(
+        Seq((1L, "x"), (2L, "y")).toDF("id", "key"), "id", "key", empty, mBits = 256)
+      .collect().map(_.getBoolean(1))
+    assert(got.forall(_ == false))
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBuild(Seq("a").toDF("key"), "key", mBits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBuild(Seq("a").toDF("key"), "key", numHashes = 17)
+    }
+  }
 }
 
 class AsOfJoinSpec extends graft.SparkSpec {
