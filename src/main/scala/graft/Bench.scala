@@ -71,8 +71,10 @@ object Bench {
     "q_weighted_sample",
     // round-10: optimal lattice decode (Viterbi DP over the BPE
     // vocab), the Bloom seen-screen (distributed bit_or build +
-    // broadcast probe), and the full-outer stream-stream join
-    "q_lattice_encode", "q_bloom_screen", "q_stream_join_full")
+    // broadcast probe), the full-outer stream-stream join, and the
+    // salt-replicated skew join
+    "q_lattice_encode", "q_bloom_screen", "q_stream_join_full",
+    "q_salted_join")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

@@ -1331,6 +1331,39 @@ object SparkEntry {
         .orderBy("user_id", "click_id", "buy_id")
     }),
 
+    // Streaming Bloom seen-screen: the densified word array as a
+    // join-free, aggregation-free membership column — stateless, so
+    // the streamed result IS the batch q_bloom_screen result and
+    // shares its oracle (the q_stream_blocklist deployment shape).
+    "q_stream_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val words = graft.functions.Sketches.bloomWords(
+        graft.functions.Sketches.bloomBuild(
+          docs.filter(col("doc_id") % 2 === 0), "text", mBits = 4096, numHashes = 4),
+        mBits = 4096)
+      runStreamGate(s, dir, "documents", DocumentsStreamSchema, "bloomscr", "append") { st =>
+        st.select(col("doc_id"),
+          graft.functions.Sketches.bloomHit(col("text"), words, 4096, 4).as("hit"))
+      }.orderBy("doc_id")
+    }),
+
+    // Salt-replicated skew join: lineitem salted 8 ways, orders
+    // replicated per salt — row semantics must equal the plain
+    // equi-join, which IS the oracle (aggregated per order so the
+    // gate output stays compact and totally ordered).
+    "q_salted_join" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ords = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_custkey"))
+      graft.operators.Salt.saltedJoin(li, ords, Seq("okey"), buckets = 8)
+        .groupBy("okey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          max(col("o_custkey")).as("custkey"))
+        .orderBy("okey")
+    }),
+
     // Streaming blocklist screen: the Aho-Corasick kernel as a
     // stateless stream projection — the pattern list rides the task
     // closure exactly as a cluster broadcast would, so the streamed
@@ -3282,6 +3315,22 @@ object SparkEntry {
     * scans (overlapping included — range over ALL start positions);
     * shared by the batch gate and its stateless stream twin.
     */
+  /** Shared by q_bloom_screen and its stateless stream twin
+    * q_stream_bloom.
+    */
+  private lazy val BloomOracleSql: String =
+    """WITH b AS (SELECT DISTINCT unnest(list_transform(range(1, 5),
+      |    i -> ((i * 2654435761 % 2147483647) * CAST(md5_number_lower(text) % 2147483647 AS BIGINT)
+      |          + i * 40503 % 2147483647) % 2147483647 % 4096)) AS pos
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |p AS (SELECT doc_id, unnest(list_transform(range(1, 5),
+      |    i -> ((i * 2654435761 % 2147483647) * CAST(md5_number_lower(text) % 2147483647 AS BIGINT)
+      |          + i * 40503 % 2147483647) % 2147483647 % 4096)) AS pos
+      |  FROM documents),
+      |j AS (SELECT p.doc_id, min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS ok
+      |  FROM p LEFT JOIN b ON p.pos = b.pos GROUP BY 1)
+      |SELECT doc_id, ok = 1 AS hit FROM j ORDER BY doc_id""".stripMargin
+
   private lazy val BlocklistOracleSql: String = {
     val cnt = BlocklistPatterns.zipWithIndex.map { case (p, j) =>
       s"coalesce(list_sum(list_transform(range(1, greatest(len(t) - ${p.length} + 2, 1)), " +
@@ -5524,18 +5573,18 @@ object SparkEntry {
       // lane i-1) = (laneA·base + laneB) mod P mod m; membership =
       // every probe position among the build side's distinct set —
       // bit-packing is representation, not semantics
-      "q_bloom_screen" ->
-        """WITH b AS (SELECT DISTINCT unnest(list_transform(range(1, 5),
-          |    i -> ((i * 2654435761 % 2147483647) * CAST(md5_number_lower(text) % 2147483647 AS BIGINT)
-          |          + i * 40503 % 2147483647) % 2147483647 % 4096)) AS pos
-          |  FROM documents WHERE doc_id % 2 = 0),
-          |p AS (SELECT doc_id, unnest(list_transform(range(1, 5),
-          |    i -> ((i * 2654435761 % 2147483647) * CAST(md5_number_lower(text) % 2147483647 AS BIGINT)
-          |          + i * 40503 % 2147483647) % 2147483647 % 4096)) AS pos
-          |  FROM documents),
-          |j AS (SELECT p.doc_id, min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS ok
-          |  FROM p LEFT JOIN b ON p.pos = b.pos GROUP BY 1)
-          |SELECT doc_id, ok = 1 AS hit FROM j ORDER BY doc_id""".stripMargin,
+      "q_bloom_screen" -> BloomOracleSql,
+
+      // stateless stream projection of the same filter => same oracle
+      "q_stream_bloom" -> BloomOracleSql,
+
+      // row semantics of the salted join == the plain equi-join
+      "q_salted_join" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS okey, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(max(o_custkey) AS BIGINT) AS custkey
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY okey""".stripMargin,
 
       // chained likelihood-scored merge replay; arg-max by exact
       // HUGEINT cross-multiplication (see wordpieceCtes)

@@ -340,4 +340,36 @@ object Sketches {
       .select(col(idCol),
         (coalesce(col("bits"), lit(0L)).bitwiseAND(col("_bit")) =!= 0L).as("_set"))
       .groupBy(idCol).agg(min(col("_set")).as("hit"))
+
+  /** Densify a built filter to its full word array — driver-side,
+    * bounded by `mBits / 64` longs and loud above 2^26 bits (8 MB):
+    * the form that ships in a task closure / plan literal for
+    * join-free probing. Absent words are zero by Bloom semantics.
+    */
+  def bloomWords(bloom: DataFrame, mBits: Int): Array[Long] = {
+    require(mBits > 0 && mBits <= (1 << 26),
+      s"bloomWords: mBits must be in (0, 2^26] for a driver-held filter, got $mBits")
+    val words = new Array[Long]((mBits + 63) / 64)
+    bloom.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Join-free, aggregation-free membership COLUMN over a densified
+    * filter — the stateless form: safe inside a streaming projection
+    * (no state, no watermark needed — the q_stream_blocklist shape)
+    * and as a map-side pre-filter ahead of an expensive join. The
+    * word array rides the plan as one literal, exactly like a
+    * cluster broadcast of the filter.
+    */
+  def bloomHit(
+      key: Column,
+      words: Array[Long],
+      mBits: Int,
+      numHashes: Int = 4): Column = {
+    val w = typedLit(words.toSeq)
+    forall(bloomPositions(key, numHashes, mBits), p =>
+      element_at(w, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int")))
+        =!= 0L)
+  }
 }

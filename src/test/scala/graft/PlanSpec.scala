@@ -442,6 +442,22 @@ class PlanSpec extends SparkSpec {
       assert(l.contains("*("), s"lattice_encode outside a codegen span:\n$l\n\n$ltp"))
   }
 
+  test("salted join: the salt rides the join keys — hot keys fan out over reducers") {
+    val df = SparkEntry.queries("q_salted_join")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the equi-join must key on (okey, _salt): a plan where the salt
+    // fell out of the join condition silently reverts to one reducer
+    // per hot key — the exact regression the operator exists to stop
+    val joinLines = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("okey")).toSeq
+    assert(joinLines.nonEmpty, s"no okey join in the salted-join plan:\n$p")
+    assert(joinLines.exists(_.contains("_salt")),
+      s"salt missing from the join keys:\n${joinLines.mkString("\n")}\n\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated:\n$p")
+  }
+
   test("bloom screen: filter rides a broadcast, probe never shuffles wide rows") {
     val df = SparkEntry.queries("q_bloom_screen")(spark, sfDir)
     df.collect()

@@ -25,6 +25,34 @@ class SaltSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("x" -> 2L, "y" -> 1L))
   }
+
+  test("saltedJoin == plain equi-join incl. a hot key and duplicate right rows") {
+    // hot key 1 (400 left rows), key 2 with TWO right matches (the
+    // replicate-per-salt path must not double-count multiplicity),
+    // key 3 unmatched on the right, right key 9 unmatched on the left
+    val left = ((1 to 400).map(i => (1L, i.toLong)) ++
+      Seq((2L, 900L), (2L, 901L), (3L, 950L))).toDF("k", "lv")
+    val right = Seq((1L, "r1"), (2L, "r2a"), (2L, "r2b"), (9L, "r9")).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val inner = canon(Salt.saltedJoin(left, right, Seq("k"), buckets = 5))
+    assert(inner == canon(left.join(right, Seq("k"))), "inner diverged")
+    val lo = canon(Salt.saltedJoin(left, right, Seq("k"), buckets = 5, joinType = "left"))
+    assert(lo == canon(left.join(right, Seq("k"), "left")), "left_outer diverged")
+    assert(lo.exists(t => t._1 == 3L && t._3.isEmpty), "unmatched left row lost")
+    // the hot key's left rows actually fan out over >1 salt value
+    val salts = left.filter(col("k") === 1L)
+      .withColumn("_s", pmod(hash(col("k"), col("lv")), lit(5)))
+      .select("_s").distinct().count()
+    assert(salts > 1, "hot key rows all landed on one salt — no skew relief")
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(left, right, Seq("k"), joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(left.withColumn("_salt", lit(1)), right, Seq("k"))
+    }
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
@@ -167,6 +195,14 @@ class SketchesSpec extends graft.SparkSpec {
       assert((bits.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0L,
         s"reference position $p not set in the packed words")
     }
+    // the join-free densified form answers identically (the streaming
+    // / map-side-prefilter deployment shape)
+    val words = Sketches.bloomWords(bloom, mBits = m)
+    assert(words.length == m / 64)
+    val inline = probe
+      .select(col("id"), Sketches.bloomHit(col("key"), words, m, k).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(inline == got, "bloomHit diverged from bloomProbe")
   }
 
   test("bloom probe against an empty filter misses everything; build bounds validated") {
