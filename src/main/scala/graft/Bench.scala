@@ -74,7 +74,10 @@ object Bench {
     // broadcast probe), the full-outer stream-stream join, and the
     // salt-replicated skew join
     "q_lattice_encode", "q_bloom_screen", "q_stream_join_full",
-    "q_salted_join")
+    "q_salted_join",
+    // round-10 (cont.): scored unigram decode (substring-occurrence
+    // cost table + one scored-Viterbi kernel scan)
+    "q_unigram_encode")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

@@ -2241,6 +2241,22 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // SCORED unigram (SentencePiece) decode: piece costs are integer
+    // nano-nat unigram LM surprisals from corpus-weighted substring
+    // occurrence counts; Viterbi minimizes the exact integer total
+    // (piece-count tie-break folded in as eff = 1024·cost + 1,
+    // longest-first for what remains). The oracle replays counts,
+    // costs, the backward DP (a list-carrying recursive CTE), the
+    // chain walk, AND the total cost — every number is pinned.
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = TextFunctions.bpeTrainWithVocab(docs, "text", numMerges = 16)
+        ._2.select("token").collect().map(_.getString(0)).toSeq
+      val costs = TextFunctions.unigramCosts(docs, "text", vocab)
+      TextFunctions.unigramEncodeWords(docs, "text", vocab, costs.toSeq)
+        .orderBy("word")
+    }),
+
     // Bloom-filter seen-screen: filter built over the even-doc_id half
     // of the corpus (distributed bit_or word packing), every document
     // probed — members always hit, non-members hit only on the
@@ -5567,6 +5583,69 @@ object SparkEntry {
           "SELECT w.word, CAST(COALESCE(d.n, 1) AS INTEGER) AS n_pieces, " +
           "COALESCE(d.pieces, '[UNK]') AS pieces " +
           "FROM lt_words w LEFT JOIN lt_done d USING (word) ORDER BY word"),
+
+      // scored Viterbi replay: substring-occurrence counts → nano-nat
+      // costs (the repo's round(ln·1e9) convention) → eff = 1024c+1 →
+      // backward DP as a LIST-carrying recursive CTE (one row per
+      // word per position, each iteration fills exactly the position
+      // it owns from the edges list) → longest-optimal-edge chain
+      // walk → pieces + exact integer total cost
+      "q_unigram_encode" ->
+        (s"WITH RECURSIVE ${bpeCtes(BpeK)}, $BpeVocabCtes, " +
+          "ue_wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1), " +
+          "ue_words AS (SELECT word FROM ue_wc), " +
+          "ue_pos AS (SELECT word, unnest(range(0, len(word))) AS pos FROM ue_words), " +
+          "ue_occ AS (SELECT v.token, CAST(sum(w.cnt) AS BIGINT) AS cnt " +
+          "FROM ue_pos p JOIN ue_wc w USING (word) " +
+          "JOIN bpe_voc v ON substr(p.word, CAST(p.pos + 1 AS INTEGER), len(v.token)) = v.token GROUP BY 1), " +
+          "ue_tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM ue_occ), " +
+          "ue_cost AS (SELECT token, " +
+          "CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1e9) AS BIGINT) AS c, " +
+          "CAST(round(ln(CAST(t AS DOUBLE) / cnt) * 1e9) AS BIGINT) * 1024 + 1 AS eff " +
+          "FROM ue_occ CROSS JOIN ue_tot), " +
+          "ue_e AS (SELECT p.word, list(struct_pack(s := CAST(p.pos AS BIGINT), " +
+          "e := CAST(p.pos + len(v.token) AS BIGINT), f := ue_cost.eff)) AS edges " +
+          "FROM ue_pos p JOIN bpe_voc v ON substr(p.word, CAST(p.pos + 1 AS INTEGER), len(v.token)) = v.token " +
+          "JOIN ue_cost ON ue_cost.token = v.token GROUP BY 1), " +
+          "ue_dp AS (" +
+          "SELECT word, CAST(len(word) AS BIGINT) AS at, " +
+          "list_append(list_transform(range(1, len(word) + 1), x -> CAST(NULL AS BIGINT)), CAST(0 AS BIGINT)) AS best " +
+          "FROM ue_words " +
+          "UNION ALL " +
+          "SELECT d.word, d.at - 1, " +
+          "list_transform(range(1, CAST(len(d.word) AS BIGINT) + 2), p -> " +
+          "CASE WHEN p = d.at THEN " +
+          "list_min(list_transform(" +
+          "list_filter(e.edges, ed -> ed.s = d.at - 1 AND d.best[CAST(ed.e AS INTEGER) + 1] IS NOT NULL), " +
+          "ed -> ed.f + d.best[CAST(ed.e AS INTEGER) + 1])) " +
+          "ELSE d.best[CAST(p AS INTEGER)] END) " +
+          "FROM ue_dp d JOIN ue_e e USING (word) WHERE d.at > 0), " +
+          "ue_final AS (SELECT word, best FROM ue_dp WHERE at = 0), " +
+          "ue_sufp AS (SELECT word, unnest(range(0, len(word) + 1)) AS pos, best FROM ue_final), " +
+          "ue_suf AS (SELECT word, pos, best[CAST(pos AS INTEGER) + 1] AS sc FROM ue_sufp), " +
+          "ue_next AS (SELECT p.word, p.pos, max(len(v.token)) AS bl " +
+          "FROM ue_pos p " +
+          "JOIN bpe_voc v ON substr(p.word, CAST(p.pos + 1 AS INTEGER), len(v.token)) = v.token " +
+          "JOIN ue_cost ON ue_cost.token = v.token " +
+          "JOIN ue_suf s0 ON s0.word = p.word AND s0.pos = p.pos " +
+          "JOIN ue_suf s1 ON s1.word = p.word AND s1.pos = p.pos + len(v.token) " +
+          "WHERE s1.sc IS NOT NULL AND s0.sc IS NOT NULL AND s0.sc = ue_cost.eff + s1.sc " +
+          "GROUP BY 1, 2), " +
+          "ue_seg AS (" +
+          "SELECT word, CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS n FROM ue_words " +
+          "UNION ALL " +
+          "SELECT s.word, s.pos + b.bl, " +
+          "s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE '|' END || " +
+          "substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(b.bl AS INTEGER)), s.n + 1 " +
+          "FROM ue_seg s JOIN ue_next b ON s.word = b.word AND s.pos = b.pos " +
+          "WHERE s.pos < len(s.word)), " +
+          "ue_done AS (SELECT word, pieces, n FROM ue_seg WHERE pos = len(word)) " +
+          "SELECT w.word, CAST(COALESCE(d.n, 1) AS INTEGER) AS n_pieces, " +
+          "COALESCE(d.pieces, '[UNK]') AS pieces, " +
+          "CAST(CASE WHEN d.n IS NULL THEN -1 ELSE (f.best[1] - d.n) // 1024 END AS BIGINT) AS cost_nano " +
+          "FROM ue_words w LEFT JOIN ue_done d USING (word) LEFT JOIN ue_final f USING (word) " +
+          "ORDER BY word"),
 
       // position-set replay of the Bloom algebra: base = unsigned
       // md5-lower-64 mod P, lane i (1-based here = 0-based engine

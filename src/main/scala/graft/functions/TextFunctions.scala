@@ -1547,4 +1547,85 @@ object TextFunctions {
       BpeEncodeExpr.count(
         lower(coalesce(col(textCol), lit(""))), merges, tokenPattern)
         .as("n_bpe_tokens"))
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece) scored decode — Kudo 2018,
+  // arXiv:1804.10959. Piece probabilities come from corpus-weighted
+  // SUBSTRING occurrence counts (every vocab token, at every position
+  // of every word occurrence), turned into integer nano-nat costs
+  // round(ln(total/count)·1e9) — the repo's established ln-rounding
+  // convention (charEntropy, unigramSurprisal, A-ES keys), so the
+  // whole decode is SQL-replayable including its total cost.
+  // ------------------------------------------------------------------
+
+  /** Corpus-weighted substring-occurrence counts for `vocab` and their
+    * nano-nat unigram costs, ALIGNED with `vocab`. Distributed shape:
+    * word counts (one aggregation over the token explode), then every
+    * substring of each DISTINCT word up to the longest vocab token —
+    * `O(distinct words · len · maxTokenLen)` rows, corpus-size
+    * independent — equi-joined against the broadcast vocab and
+    * count-aggregated. Every vocab token must occur (a BPE/WordPiece
+    * vocab trained on the same corpus always does — merged tokens are
+    * literal substrings of corpus words); absent tokens fail loud
+    * rather than receive an invented probability.
+    */
+  def unigramCosts(
+      df: DataFrame,
+      textCol: String,
+      vocab: Seq[String],
+      tokenPattern: String = "[a-z]+"): Array[Long] = {
+    require(vocab.nonEmpty, "unigramCosts: empty vocab")
+    val maxLen = vocab.map(_.length).max
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = df
+      .select(explode(regexp_extract_all(
+        lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val occ = wc
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+      .select(col("cnt"), col("pos"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("word")) - col("pos")))).as("l"),
+        col("word"))
+      .select(col("cnt"),
+        expr("substring(word, pos + 1, l)").as("sub"))
+      .join(broadcast(vocab.toDF("sub")), Seq("sub"))
+      .groupBy("sub").agg(sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = vocab.filterNot(occ.contains)
+    require(missing.isEmpty,
+      s"unigramCosts: vocab tokens absent from the corpus: ${missing.take(5).mkString(", ")}")
+    val total = occ.values.sum
+    vocab.map(t =>
+      Math.round(Math.log(total.toDouble / occ(t)) * 1e9)).toArray
+  }
+
+  /** Scored Viterbi segmentation of every distinct corpus word under
+    * `(vocab, costs)`: `(word, n_pieces, pieces, cost_nano)` where
+    * `cost_nano` is the exact integer sum of the chosen pieces' costs
+    * (−1 for UNK words). One codegen'd [[LatticeEncodeExpr]] pass
+    * over the distinct-word table; the piece→cost lookup for the sum
+    * is a plan-literal map (vocab-sized, broadcast-like).
+    */
+  def unigramEncodeWords(
+      df: DataFrame,
+      textCol: String,
+      vocab: Seq[String],
+      costs: Seq[Long],
+      tokenPattern: String = "[a-z]+",
+      unk: String = "[UNK]"): DataFrame = {
+    val costMap = typedLit(vocab.zip(costs).toMap)
+    df.select(explode(regexp_extract_all(
+          lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
+      .distinct()
+      .select(col("word"),
+        LatticeEncodeExpr(col("word"), vocab, unk, costs).as("_p"))
+      .select(col("word"), size(col("_p")).as("n_pieces"),
+        array_join(col("_p"), "|").as("pieces"),
+        when(size(col("_p")) === 1 && element_at(col("_p"), 1) === unk, lit(-1L))
+          .otherwise(aggregate(col("_p"), lit(0L),
+            (acc, p) => acc + element_at(costMap, p))).as("cost_nano"))
+  }
 }

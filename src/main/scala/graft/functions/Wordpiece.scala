@@ -135,8 +135,15 @@ object WordpieceExpr {
 case class LatticeEncodeExpr(
     child: Expression,
     vocab: Seq[String],
-    unk: String) extends UnaryExpression {
+    unk: String,
+    costs: Seq[Long]) extends UnaryExpression {
   require(vocab.nonEmpty, "lattice_encode requires a non-empty vocab")
+  require(costs.isEmpty || costs.length == vocab.length,
+    s"lattice_encode: ${costs.length} costs for ${vocab.length} vocab tokens")
+  require(costs.forall(c => c >= 0 && c < (1L << 39)),
+    "lattice_encode: costs must be non-negative nano-nats < 2^39 " +
+      "(ln-space: a cost of 2^39 nano-nats is e^549 — no finite corpus " +
+      "produces it; the bound keeps eff·pieces overflow-free)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -146,24 +153,41 @@ case class LatticeEncodeExpr(
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val trie: WordpieceTrie = new WordpieceTrie(vocab)
+  /** Effective integer cost per piece: `1024·cost + 1` folds the
+    * piece-count tie-break INTO one Long objective — any total-cost
+    * difference of ≥ 1 nano-nat (×1024 > the 1024-piece bound below)
+    * dominates, equal-cost paths then prefer fewer pieces, and the
+    * longest-first reconstruction settles what remains. With no costs
+    * (all zero) the objective degenerates to exactly the
+    * minimum-piece-count DP. Overflow-safe: eff ≤ 2^52·2^10 + 1 per
+    * piece and words beyond 2^10 pieces would need a 1024-char word —
+    * longer inputs than that are rejected loud below.
+    */
+  @transient private lazy val trie: WordpieceTrie =
+    new WordpieceTrie(
+      vocab,
+      if (costs.isEmpty) vocab.map(_ => 1L)
+      else costs.map(c => (c << 10) + 1L))
 
   /** Kernel; public for the codegen reference-object call. */
   def compute(input: UTF8String): GenericArrayData = {
     val word = input.toString
     if (word.isEmpty) return new GenericArrayData(Array.empty[Any])
     val n = word.length
-    val INF = Int.MaxValue
-    // suf(p) = min pieces covering word[p..n); backward DP
-    val suf = new Array[Int](n + 1)
+    // scored mode: eff < 2^49 per piece, ≤ 2^13 pieces → sums < 2^62
+    require(n <= (if (costs.isEmpty) 1 << 20 else 8192),
+      s"lattice_encode: ${n}-char input — chunk first (overflow-free bound)")
+    val INF = Long.MaxValue
+    // suf(p) = min total effective cost covering word[p..n); backward DP
+    val suf = new Array[Long](n + 1)
     java.util.Arrays.fill(suf, INF)
-    suf(n) = 0
+    suf(n) = 0L
     var pos = n - 1
     while (pos >= 0) {
       var best = INF
-      trie.eachMatch(word, pos) { l =>
+      trie.eachMatchCost(word, pos) { (l, eff) =>
         val c = suf(pos + l)
-        if (c != INF && c + 1 < best) best = c + 1
+        if (c != INF && c + eff < best) best = c + eff
       }
       suf(pos) = best
       pos -= 1
@@ -171,14 +195,13 @@ case class LatticeEncodeExpr(
     if (suf(0) == INF)
       return new GenericArrayData(Array[Any](UTF8String.fromString(unk)))
     // forward reconstruction: longest piece continuing an optimal path
-    // (eachMatch ascends in length, so the last admissible wins)
+    // (eachMatchCost ascends in length, so the last admissible wins)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     pos = 0
     while (pos < n) {
       var bl = 0
-      val target = suf(pos) - 1
-      trie.eachMatch(word, pos) { l =>
-        if (suf(pos + l) == target) bl = l
+      trie.eachMatchCost(word, pos) { (l, eff) =>
+        if (suf(pos + l) != INF && suf(pos) == eff + suf(pos + l)) bl = l
       }
       out += UTF8String.fromString(word.substring(pos, pos + bl))
       pos += bl
@@ -200,9 +223,11 @@ case class LatticeEncodeExpr(
 }
 
 object LatticeEncodeExpr {
-  def apply(word: Column, vocab: Seq[String], unk: String = "[UNK]"): Column = {
+  def apply(
+      word: Column, vocab: Seq[String],
+      unk: String = "[UNK]", costs: Seq[Long] = Nil): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
-    column(new LatticeEncodeExpr(expression(word), vocab, unk))
+    column(new LatticeEncodeExpr(expression(word), vocab, unk, costs))
   }
 }
 
@@ -437,15 +462,21 @@ object Wordpiece {
 
 /** Char trie answering "longest vocab token starting at word[pos]" in
   * one descent. HashMap children — vocab size is tokenizer-scale
-  * (tens of thousands), built once per executor.
+  * (tens of thousands), built once per executor. The optional
+  * `tokenCosts` (aligned with `tokens`) ride the terminal nodes for
+  * the scored-lattice descent; absent = 0.
   */
-private[functions] final class WordpieceTrie(tokens: Seq[String]) {
+private[functions] final class WordpieceTrie(
+    tokens: Seq[String], tokenCosts: Seq[Long] = Nil) {
+  require(tokenCosts.isEmpty || tokenCosts.length == tokens.length,
+    "one cost per token (or none)")
   private final class Node {
     val children = new java.util.HashMap[Character, Node]()
     var terminal = false
+    var cost = 0L
   }
   private val root = new Node
-  tokens.foreach { t =>
+  tokens.zipWithIndex.foreach { case (t, ti) =>
     var n = root
     var i = 0
     while (i < t.length) {
@@ -454,7 +485,10 @@ private[functions] final class WordpieceTrie(tokens: Seq[String]) {
       n = c
       i += 1
     }
-    if (t.nonEmpty) n.terminal = true
+    if (t.nonEmpty) {
+      n.terminal = true
+      if (tokenCosts.nonEmpty) n.cost = tokenCosts(ti)
+    }
   }
 
   /** Length of the longest token matching word[pos..); 0 if none. */
@@ -483,6 +517,18 @@ private[functions] final class WordpieceTrie(tokens: Seq[String]) {
       if (n == null) return
       i += 1
       if (n.terminal) f(i - pos)
+    }
+  }
+
+  /** [[eachMatch]] carrying each token's cost. */
+  def eachMatchCost(word: String, pos: Int)(f: (Int, Long) => Unit): Unit = {
+    var n = root
+    var i = pos
+    while (i < word.length) {
+      n = n.children.get(word.charAt(i))
+      if (n == null) return
+      i += 1
+      if (n.terminal) f(i - pos, n.cost)
     }
   }
 }

@@ -207,6 +207,103 @@ class WordpieceSpec extends SparkSpec {
     assert(got("") == Seq.empty)
   }
 
+  test("scored lattice: costs override piece count; uniform mode unchanged") {
+    // cheap ab + cd beat the single expensive abcd piece — the scored
+    // decode picks MORE pieces when the LM says so (uniform picks 1)
+    val vocab = Seq("abcd", "ab", "cd")
+    val dear = Seq(2000000000L, 100L, 100L) // abcd is e^2-rare
+    val scored = Seq("abcd").toDF("w")
+      .select(LatticeEncodeExpr(col("w"), vocab, costs = dear).as("p"))
+      .head().getSeq[String](0)
+    assert(scored == Seq("ab", "cd"), s"got $scored")
+    assert(lattice(Seq("abcd"), vocab)("abcd") == Seq("abcd"),
+      "uniform mode must still minimize piece count")
+    // equal-cost tie falls back to fewer pieces (the 1024c+1 fold)
+    val tied = Seq("abcd").toDF("w")
+      .select(LatticeEncodeExpr(col("w"), vocab,
+        costs = Seq(200L, 100L, 100L)).as("p"))
+      .head().getSeq[String](0)
+    assert(tied == Seq("abcd"), s"equal total cost must prefer fewer pieces: $tied")
+    intercept[IllegalArgumentException] {
+      LatticeEncodeExpr(col("w"), vocab, costs = Seq(1L)) // arity mismatch
+    }
+    intercept[IllegalArgumentException] {
+      LatticeEncodeExpr(col("w"), vocab, costs = Seq(-1L, 0L, 0L))
+    }
+  }
+
+  test("unigramCosts + unigramEncodeWords: counts, costs, and totals replay exactly") {
+    val docs = Seq("aba cab abacab", "cab cab ab a b c").toDF("text")
+    val vocab = Seq("a", "b", "c", "ab", "ba", "cab", "abacab")
+    val costs = TextFunctions.unigramCosts(docs, "text", vocab)
+    // reference counts by brute force
+    val words = docs.collect().flatMap(_.getString(0).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val occ = vocab.map { v =>
+      v -> words.map { case (w, c) =>
+        c * (0 until w.length).count(p => w.startsWith(v, p))
+      }.sum
+    }.toMap
+    val total = occ.values.sum
+    vocab.zipWithIndex.foreach { case (v, i) =>
+      assert(costs(i) == Math.round(Math.log(total.toDouble / occ(v)) * 1e9),
+        s"cost of $v")
+    }
+    val got = TextFunctions.unigramEncodeWords(docs, "text", vocab, costs.toSeq)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    // every word's total == the sum of its chosen pieces' costs
+    val cm = vocab.zip(costs).toMap
+    got.foreach { case (w, (n, pieces, cost)) =>
+      val ps = pieces.split('|').toSeq
+      assert(ps.size == n, s"$w piece count")
+      assert(ps.mkString == w, s"$w pieces reassemble")
+      assert(cost == ps.map(cm).sum, s"$w cost sum")
+    }
+    // the rare long piece: abacab occurs once, so its single-piece
+    // cost still beats any multi-piece split (each sub-piece is rarer
+    // than ... verify against exhaustive enumeration)
+    assert(got("abacab")._1 == 1, s"abacab: ${got("abacab")}")
+    // a vocab token absent from the corpus fails loud
+    val e = intercept[IllegalArgumentException] {
+      TextFunctions.unigramCosts(docs, "text", vocab :+ "zzz")
+    }
+    assert(e.getMessage.contains("zzz"))
+  }
+
+  test("scored lattice == exhaustive min-cost reference on randomized corpora") {
+    def enumerate(w: String, vs: Set[String]): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to w.length).flatMap { l =>
+        val h = w.substring(0, l)
+        if (vs(h)) enumerate(w.substring(l), vs).map(h +: _) else Seq.empty
+      }
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 4) {
+      val vocab = (Seq("a", "b") ++ (1 to 14).map(_ =>
+        (1 to 1 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString))
+        .distinct
+      val costs = vocab.map(_ => rnd.nextInt(1000000).toLong)
+      val eff = vocab.zip(costs).map { case (v, c) => v -> (c * 1024 + 1) }.toMap
+      def reference(w: String): Seq[String] = {
+        val all = enumerate(w, vocab.toSet)
+        if (all.isEmpty) Seq("[UNK]")
+        else {
+          val minEff = all.map(_.map(eff).sum).min
+          all.filter(_.map(eff).sum == minEff).maxBy(_.map(_.length))(
+            math.Ordering.Implicits.seqOrdering[Seq, Int])
+        }
+      }
+      val words = (1 to 40).map(_ =>
+        (1 to 2 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString).distinct
+      val got = words.toDF("w")
+        .select(col("w"), LatticeEncodeExpr(col("w"), vocab, costs = costs).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      for (w <- words)
+        assert(got(w) == reference(w), s"trial $trial $w: ${got(w)} vs ${reference(w)}")
+    }
+  }
+
   test("lattice == exhaustive-enumeration reference on randomized corpora") {
     // reference: enumerate ALL segmentations, keep min count, then the
     // lexicographically LARGEST piece-length sequence (== taking the
