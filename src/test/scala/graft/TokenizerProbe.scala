@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput probe for the r10 scan kernels at corpus scale:
+  * greedy WordPiece vs uniform-lattice vs scored-lattice segmentation
+  * over 1M distinct words with a 32k-token vocab (tokenizer-scale
+  * trie), plus the Bloom build/probe pair at 10M keys / 2^26 bits.
+  * All kernels are scan-side; the numbers are per-core segmentation /
+  * screening throughput — the quantity that multiplies out to cluster
+  * scale. `sbt "Test/runMain graft.TokenizerProbe [words]"`.
+  */
+object TokenizerProbe {
+  def main(args: Array[String]): Unit = {
+    val nWords = args.lift(0).map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // ~1M words, len 3-12, 26-letter alphabet (hash-derived)
+    val wordsDf = spark.range(nWords).repartition(32)
+      .selectExpr(
+        "concat_ws('', transform(sequence(0, pmod(hash(id, 7), 26) % 10 + 2), " +
+          "i -> chr(97 + pmod(hash(id, i), 26)))) AS w")
+      .localCheckpoint(true)
+    val rnd = new scala.util.Random(7)
+    val vocab = (('a' to 'z').map(_.toString) ++
+      (1 to 32000).map(_ => (1 to 2 + rnd.nextInt(6))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)).distinct
+    val costs = vocab.map(v => (math.abs(v.hashCode).toLong % 30000000000L))
+    println(s"[probe] vocab ${vocab.size} tokens, $nWords words")
+    for (round <- 1 to 2) {
+      timed(s"WordpieceExpr greedy #$round") {
+        val n = wordsDf.select(size(functions.WordpieceExpr(
+          col("w"), vocab, continuationPrefix = "")).as("n"))
+          .agg(sum("n")).head().getLong(0)
+        println(s"        greedy pieces = $n")
+      }
+      timed(s"LatticeEncodeExpr uniform #$round") {
+        val n = wordsDf.select(size(functions.LatticeEncodeExpr(
+          col("w"), vocab)).as("n"))
+          .agg(sum("n")).head().getLong(0)
+        println(s"        lattice pieces = $n")
+      }
+      timed(s"LatticeEncodeExpr scored #$round") {
+        val n = wordsDf.select(size(functions.LatticeEncodeExpr(
+          col("w"), vocab, costs = costs)).as("n"))
+          .agg(sum("n")).head().getLong(0)
+        println(s"        scored pieces = $n")
+      }
+    }
+
+    // ---- Bloom at 10M keys / 2^26 bits / k=6 ------------------------
+    val nKeys = nWords * 10
+    val keys = spark.range(nKeys).repartition(32)
+      .selectExpr("concat('key_', id) AS key", "id")
+      .localCheckpoint(true)
+    for (round <- 1 to 2) {
+      val bloom = timed(s"bloomBuild 10M keys m=2^26 k=6 #$round") {
+        val b = functions.Sketches.bloomBuild(keys, "key", 1 << 26, 6)
+          .localCheckpoint(true)
+        println(s"        words = ${b.count()}")
+        b
+      }
+      timed(s"bloomProbe 10M keys #$round") {
+        val hits = functions.Sketches.bloomProbe(keys, "id", "key", bloom, 1 << 26, 6)
+          .filter(col("hit")).count()
+        println(s"        hits = $hits / $nKeys (members: all must hit)")
+        require(hits == nKeys, "false negative!")
+      }
+    }
+    spark.stop()
+  }
+}
