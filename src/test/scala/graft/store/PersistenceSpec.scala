@@ -79,6 +79,34 @@ class BucketedSpec extends SparkSpec {
     assert(got == Map(1L -> "b", 2L -> "c"))
     spark.sql("DROP TABLE IF EXISTS bucketed_t")
   }
+
+  test("co-bucketed join: two saveBucketed tables join with ZERO Exchange") {
+    def mk(name: String, rows: Seq[(Long, Double, Option[Double], String)]): Unit = {
+      val df = rows.toDF("_oid", "_start", "_end", "v")
+        .select(col("_oid"), col("_start"),
+          col("_end").cast(DoubleType).as("_end"), col("v"))
+        .withColumn(Meta.HASH, Meta.contentHashOf("v" -> col("v")))
+        .withColumn(Meta.ID, Meta.genId(col("_oid"), col("_start"), col("_end")))
+      new Container(spark, name, df).saveBucketed(name, numBuckets = 4)
+    }
+    mk("cobkt_a", Seq((1L, 10.0, None, "a1"), (2L, 10.0, None, "a2"), (3L, 10.0, None, "a3")))
+    mk("cobkt_b", Seq((1L, 10.0, None, "b1"), (2L, 10.0, None, "b2"), (9L, 10.0, None, "b9")))
+    // SMJ over two co-bucketed scans: the required HashPartitioning
+    // comes off BOTH scans — at 100 TB this join moves zero bytes
+    val j = spark.table("cobkt_a").select(col("_oid"), col("v").as("va"))
+      .join(spark.table("cobkt_b").select(col("_oid"), col("v").as("vb")), "_oid")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join should not shuffle, got:\n$plan")
+      val got = j.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "a1", "b1"), (2L, "a2", "b2")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    spark.sql("DROP TABLE IF EXISTS cobkt_a")
+    spark.sql("DROP TABLE IF EXISTS cobkt_b")
+  }
 }
 
 class ExtensionsSpec extends SparkSpec {
