@@ -28,7 +28,11 @@ object Plans {
         "q_upsert_scd2", "q_minhash_pairs", "q_embed_topk", "q_token_counts",
         "q_zorder_scan", "q_token_pack", "q_keep_best",
         "q_rolling_window", "q_boilerplate", "q_knn_join", "q_skew_report",
-        "q_line_dedup", "q_remove_spans", "q_vocab")
+        "q_line_dedup", "q_remove_spans", "q_vocab",
+        // r10: skew join (salt in the join keys), bloom screen
+        // (broadcast-only), the two lattice decodes (scan kernels)
+        "q_salted_join", "q_bloom_screen", "q_lattice_encode",
+        "q_unigram_encode")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)
