@@ -2285,6 +2285,17 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // The distributed WordPiece trainer (likelihood arg-max as two
+    // equi-joins against the incrementally-folded symbol table +
+    // a driver-exact decision over the double-margin candidates)
+    // must learn the IDENTICAL merge table: same cross-multiplied
+    // chained-CTE oracle as q_wordpiece_train.
+    "q_wordpiece_train_dist" -> ((s, dir) => {
+      TextFunctions.wordpieceTrainDistributed(
+          tbl(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank")
+    }),
+
     // Weighted sampling without replacement (A-ES in exact integers):
     // weight = doc length, k = 50 — the oracle recomputes the
     // md5-derived uniform, the nano-log key, and the truncating
@@ -3331,6 +3342,18 @@ object SparkEntry {
     * scans (overlapping included — range over ALL start positions);
     * shared by the batch gate and its stateless stream twin.
     */
+  /** Shared by q_wordpiece_train and q_wordpiece_train_dist — the
+    * likelihood-scored merge replay with exact HUGEINT
+    * cross-multiplied arg-max (see wordpieceCtes).
+    */
+  private lazy val WordpieceTrainOracleSql: String =
+    s"WITH ${wordpieceCtes(WpK)} " +
+      "SELECT CAST(r AS BIGINT) AS rank, a, b, merged FROM (" +
+      (0 until WpK)
+        .map(i => s"SELECT $i AS r, a, b, mrg AS merged FROM wp_best$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY rank"
+
   /** Shared by q_bloom_screen and its stateless stream twin
     * q_stream_bloom.
     */
@@ -5667,13 +5690,11 @@ object SparkEntry {
 
       // chained likelihood-scored merge replay; arg-max by exact
       // HUGEINT cross-multiplication (see wordpieceCtes)
-      "q_wordpiece_train" ->
-        (s"WITH ${wordpieceCtes(WpK)} " +
-          "SELECT CAST(r AS BIGINT) AS rank, a, b, merged FROM (" +
-          (0 until WpK)
-            .map(i => s"SELECT $i AS r, a, b, mrg AS merged FROM wp_best$i")
-            .mkString(" UNION ALL ") +
-          ") ORDER BY rank"),
+      "q_wordpiece_train" -> WordpieceTrainOracleSql,
+
+      // driver and distributed trainers share the contract, so they
+      // share the oracle (the q_bpe_train_dist pattern)
+      "q_wordpiece_train_dist" -> WordpieceTrainOracleSql,
 
       // the A-ES integer key chain replayed end-to-end
       "q_weighted_sample" ->

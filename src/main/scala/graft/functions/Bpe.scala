@@ -136,14 +136,18 @@ object Bpe {
     out
   }
 
-  /** One greedy left-to-right, non-overlapping merge pass. */
+  /** One greedy left-to-right, non-overlapping merge pass. `merged`
+    * is the replacement symbol — `a + b` for plain BPE, the
+    * continuation-stripped concatenation for WordPiece.
+    */
   private[functions] def applyMerge(
-      syms: Array[String], a: String, b: String): Array[String] = {
+      syms: Array[String], a: String, b: String,
+      merged: String): Array[String] = {
     val out = new mutable.ArrayBuffer[String](syms.length)
     var j = 0
     while (j < syms.length) {
       if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
-        out += a + b
+        out += merged
         j += 2
       } else {
         out += syms(j)
@@ -152,6 +156,10 @@ object Bpe {
     }
     out.toArray
   }
+
+  private[functions] def applyMerge(
+      syms: Array[String], a: String, b: String): Array[String] =
+    applyMerge(syms, a, b, a + b)
 
   /** Growable int list (word indices per pair; duplicates tolerated —
     * the apply step re-checks adjacency, and after the first visit the
@@ -649,10 +657,13 @@ object BpeEncodeExpr {
 
   /** One greedy merge pass over a symbol-array column; rows without
     * the pair pass their array through untouched (zero allocation).
+    * `merged` overrides the replacement symbol (WordPiece strips the
+    * right side's continuation prefix); None = plain `a + b`.
     */
-  def mergeStep(syms: Column, a: String, b: String): Column = {
+  def mergeStep(syms: Column, a: String, b: String,
+      merged: Option[String] = None): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
-    column(BpeMergeStepExpr(expression(syms), a, b))
+    column(BpeMergeStepExpr(expression(syms), a, b, merged))
   }
 
   /** Per-word pair-count deltas caused by merging `(a, b)` — empty
@@ -660,9 +671,20 @@ object BpeEncodeExpr {
     * for the words the merge touches (the incremental-training
     * filter+delta in one expression).
     */
-  def pairDelta(syms: Column, a: String, b: String): Column = {
+  def pairDelta(syms: Column, a: String, b: String,
+      merged: Option[String] = None): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
-    column(BpePairDeltaExpr(expression(syms), a, b))
+    column(BpePairDeltaExpr(expression(syms), a, b, merged))
+  }
+
+  /** Per-word SYMBOL-count deltas caused by merging `(a, b)` — the
+    * companion of [[pairDelta]] for trainers whose merge score reads
+    * symbol counts (WordPiece likelihood). Empty for untouched words.
+    */
+  def symDelta(syms: Column, a: String, b: String,
+      merged: Option[String] = None): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(BpeSymDeltaExpr(expression(syms), a, b, merged))
   }
 
   /** BPE token COUNT for `text` — no token strings materialize. */
@@ -712,9 +734,11 @@ case class BpeSymbolsExpr(child: Expression) extends UnaryExpression {
   * per-row allocation), which is what keeps a `pinEvery`-deep chain
   * of merge steps cheap to re-evaluate between pins.
   */
-case class BpeMergeStepExpr(child: Expression, a: String, b: String)
+case class BpeMergeStepExpr(child: Expression, a: String, b: String,
+    merged: Option[String] = None)
     extends UnaryExpression {
   require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -724,7 +748,7 @@ case class BpeMergeStepExpr(child: Expression, a: String, b: String)
 
   @transient private lazy val ua = UTF8String.fromString(a)
   @transient private lazy val ub = UTF8String.fromString(b)
-  @transient private lazy val uab = UTF8String.fromString(a + b)
+  @transient private lazy val uab = UTF8String.fromString(merged.getOrElse(a + b))
 
   /** Kernel; public for the codegen `addReferenceObj` call. */
   def computeStep(arr: ArrayData): ArrayData = {
@@ -771,9 +795,11 @@ case class BpeMergeStepExpr(child: Expression, a: String, b: String)
   * filter-to-affected-words AND its delta computation in one codegen
   * pass (nothing shuffles for untouched words).
   */
-case class BpePairDeltaExpr(child: Expression, a: String, b: String)
+case class BpePairDeltaExpr(child: Expression, a: String, b: String,
+    merged: Option[String] = None)
     extends UnaryExpression {
   require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -803,7 +829,7 @@ case class BpePairDeltaExpr(child: Expression, a: String, b: String)
     val old = new Array[String](n)
     var k = 0
     while (k < n) { old(k) = arr.getUTF8String(k).toString; k += 1 }
-    val merged = Bpe.applyMerge(old, a, b)
+    val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
     // signed multiset diff of adjacent pairs; insertion-ordered map so
     // the emitted array is deterministic (consumers aggregate anyway)
     val m = new java.util.LinkedHashMap[(String, String), Long]()
@@ -814,8 +840,8 @@ case class BpePairDeltaExpr(child: Expression, a: String, b: String)
       k += 1
     }
     k = 0
-    while (k + 1 < merged.length) {
-      val key = (merged(k), merged(k + 1))
+    while (k + 1 < applied.length) {
+      val key = (applied(k), applied(k + 1))
       m.merge(key, 1L, (x, y) => x + y)
       k += 1
     }
@@ -839,4 +865,74 @@ case class BpePairDeltaExpr(child: Expression, a: String, b: String)
   override protected def withNewChildInternal(c: Expression): BpePairDeltaExpr =
     copy(child = c)
   override def prettyName: String = "bpe_pair_delta"
+}
+
+/** SYMBOL-count deltas a merge `(a, b) → merged` causes in ONE word:
+  * `array<struct<s, d>>` — the signed multiset change
+  * `symbols(applyMerge(word)) − symbols(word)`, empty for words the
+  * merge does not touch. The [[BpePairDeltaExpr]] companion for
+  * score functions that read symbol counts (WordPiece's likelihood
+  * `count(ab)/(count(a)·count(b))`): the distributed trainer keeps a
+  * `(symbol, count)` table current by exploding this column, so a
+  * merge round shuffles work ONLY for affected words.
+  */
+case class BpeSymDeltaExpr(child: Expression, a: String, b: String,
+    merged: Option[String] = None)
+    extends UnaryExpression {
+  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_sym_delta requires ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("s", StringType, nullable = false),
+      StructField("d", LongType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  @transient private lazy val empty = new GenericArrayData(Array.empty[Any])
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeDelta(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    var hit = false
+    while (!hit && i + 1 < n) {
+      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
+      i += 1
+    }
+    if (!hit) return empty
+    val old = new Array[String](n)
+    var k = 0
+    while (k < n) { old(k) = arr.getUTF8String(k).toString; k += 1 }
+    val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
+    val m = new java.util.LinkedHashMap[String, Long]()
+    k = 0
+    while (k < old.length) { m.merge(old(k), -1L, (x, y) => x + y); k += 1 }
+    k = 0
+    while (k < applied.length) { m.merge(applied(k), 1L, (x, y) => x + y); k += 1 }
+    val out = mutable.ArrayBuffer.empty[Any]
+    m.forEach { (s, d) =>
+      if (d != 0L) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(s), d))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeDelta(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSymDelta", this, classOf[BpeSymDeltaExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeDelta($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeSymDeltaExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_sym_delta"
 }

@@ -1450,6 +1450,158 @@ object TextFunctions {
       .toDF("rank", "a", "b", "merged")
   }
 
+  /** Fully distributed WordPiece training — [[wordpieceTrain]] past
+    * the driver vocabulary cap, the way [[bpeTrainDistributed]] lifts
+    * [[bpeTrain]]: the `(symbols, count)` word table stays a
+    * DataFrame for the whole run; the driver holds only the merge
+    * list. The likelihood score `count(ab) / (count(a) · count(b))`
+    * needs live SYMBOL counts, so next to the incrementally-folded
+    * pair table this trainer keeps a `(symbol, count)` table current
+    * through the codegen'd [[BpeSymDeltaExpr]] (empty output for
+    * untouched words — a merge round shuffles work only where it
+    * lands, exactly like the pair delta).
+    *
+    * Per round: score = two broadcast-shaped equi-joins of the pinned
+    * pair table against the pinned symbol table (both tables are
+    * distinct-key-sized, NOT corpus-sized) → double arg-max → the
+    * exact decision on the driver over the ≤`maxCandidates` pairs
+    * within a 1e-9 relative margin of the double max (BigInt
+    * cross-multiplication, `(a, b)` code-point tie-break — the
+    * [[Wordpiece.train]] comparator verbatim; the margin is ~1e7×
+    * wider than IEEE's ~4e-16 relative error, so the exact winner is
+    * always inside the candidate set) → pair-delta fold + sym-delta
+    * fold + one [[BpeMergeStepExpr]] projection, with the merged
+    * symbol OVERRIDDEN to the continuation-stripped concatenation
+    * (`a + ##b → ab`). Pins: pair and symbol tables re-pin per round,
+    * word lineage every `pinEvery` rounds.
+    *
+    * Merges are bit-identical to [[Wordpiece.train]] (spec-gated on
+    * randomized tie-heavy corpora; q_wordpiece_train_dist replays the
+    * same cross-multiplied DuckDB oracle as q_wordpiece_train).
+    */
+  def wordpieceTrainDistributed(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      tokenPattern: String = "[a-z]+",
+      minCount: Long = 1L,
+      pinEvery: Int = 8,
+      continuationPrefix: String = "##",
+      maxCandidates: Int = 100000): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(pinEvery >= 1, "pinEvery must be >= 1")
+    val spark = df.sparkSession
+    val pref = continuationPrefix
+    var (words, wordPins) = Pins.pin(
+      bpeWordCountDf(df, textCol, tokenPattern, minCount)
+        .select(transform(BpeEncodeExpr.symbols(col("_w")),
+          (s, i) => when(i === 0, s).otherwise(concat(lit(pref), s))).as("syms"),
+          col("_c").as("cnt")))
+    // seed pair table: the one occurrence-level pair explode
+    var (pairs, pairPins) = Pins.pin(
+      words.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("cnt")).as("c")))
+    // seed symbol table: the one occurrence-level symbol explode
+    var (symCounts, symPins) = Pins.pin(
+      words.select(col("cnt"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("sc")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val scored = pairs
+        .join(symCounts.select(col("s").as("a"), col("sc").as("ca")), Seq("a"))
+        .join(symCounts.select(col("s").as("b"), col("sc").as("cb")), Seq("b"))
+        .select(col("a"), col("b"), col("c"), col("ca"), col("cb"),
+          (col("c").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double"))).as("_sc"))
+      val mx = scored.agg(max(col("_sc"))).head()
+      if (mx.isNullAt(0)) exhausted = true
+      else {
+        val cands = scored
+          .filter(col("_sc") >= mx.getDouble(0) * (1.0 - 1e-9))
+          .select("a", "b", "c", "ca", "cb")
+          .limit(maxCandidates + 1).collect()
+        require(cands.length <= maxCandidates,
+          s"wordpieceTrainDistributed: over $maxCandidates score-tied " +
+            "candidate pairs in one round — a degenerate corpus; raise " +
+            "maxCandidates or minCount")
+        // exact arg-max (the Wordpiece.train comparator): cross-multiply
+        // in BigInt, tie by smallest (a, b) in code-point order
+        var bi = 0
+        var i = 1
+        while (i < cands.length) {
+          val x = cands(i); val w = cands(bi)
+          val xs = BigInt(x.getLong(2)) * BigInt(w.getLong(3)) * BigInt(w.getLong(4))
+          val ws = BigInt(w.getLong(2)) * BigInt(x.getLong(3)) * BigInt(x.getLong(4))
+          val better =
+            if (xs != ws) xs > ws
+            else {
+              val ac = Bpe.cpCompare(x.getString(0), w.getString(0))
+              if (ac != 0) ac < 0
+              else Bpe.cpCompare(x.getString(1), w.getString(1)) < 0
+            }
+          if (better) bi = i
+          i += 1
+        }
+        val (a, b) = (cands(bi).getString(0), cands(bi).getString(1))
+        val merged =
+          if (pref.nonEmpty && b.startsWith(pref)) a + b.substring(pref.length)
+          else a + b
+        merges += ((a, b, merged))
+        val mo = Some(merged)
+        val pairDelta = words
+          .select(col("cnt"),
+            explode(BpeEncodeExpr.pairDelta(col("syms"), a, b, mo)).as("p"))
+          .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
+          .agg(sum(col("p.d") * col("cnt")).as("c"))
+        val (nextPairs, nextPairPins) = Pins.pin(
+          pairs.unionByName(pairDelta)
+            .groupBy(col("a"), col("b"))
+            .agg(sum(col("c")).as("c"))
+            .filter(col("c") > 0))
+        Pins.release(pairs, pairPins)
+        pairs = nextPairs
+        pairPins = nextPairPins
+        val symDelta = words
+          .select(col("cnt"),
+            explode(BpeEncodeExpr.symDelta(col("syms"), a, b, mo)).as("p"))
+          .groupBy(col("p.s").as("s"))
+          .agg(sum(col("p.d") * col("cnt")).as("sc"))
+        val (nextSyms, nextSymPins) = Pins.pin(
+          symCounts.unionByName(symDelta)
+            .groupBy(col("s"))
+            .agg(sum(col("sc")).as("sc"))
+            .filter(col("sc") > 0))
+        Pins.release(symCounts, symPins)
+        symCounts = nextSyms
+        symPins = nextSymPins
+        val next = words.select(
+          BpeEncodeExpr.mergeStep(col("syms"), a, b, mo).as("syms"), col("cnt"))
+        round += 1
+        if (round % pinEvery == 0 || round == numMerges) {
+          val (pinned, nextPins) = Pins.pin(next)
+          Pins.release(words, wordPins)
+          words = pinned
+          wordPins = nextPins
+        } else {
+          words = next
+        }
+      }
+    }
+    Pins.release(pairs, pairPins)
+    Pins.release(symCounts, symPins)
+    Pins.release(words, wordPins)
+    import spark.implicits._
+    merges.toIndexedSeq.zipWithIndex
+      .map { case ((a, b, m), i) => (i.toLong, a, b, m) }
+      .toDF("rank", "a", "b", "merged")
+  }
+
   /** Encoder-ready WordPiece vocabulary (base symbols in code-point
     * order, then merged tokens in rank order) from one corpus scan +
     * one driver train — the [[WordpieceExpr]] input shape.

@@ -118,6 +118,16 @@ object BpeProbe {
       functions.TextFunctions.bpeTrainDistributed(bigSaved, "text", nDeep).count()
     }
     println(f"[probe] per-merge ($nDeep-merge run): ${(System.nanoTime() - tD) / (nDeep * 1e9)}%6.2f s  (learned $learned)")
+
+    // --- distributed WordPiece at the same shape -------------------
+    // the likelihood arg-max adds two symbol-table joins + the
+    // sym-delta fold per round — quantify the premium over BPE
+    val nWp = args.lift(5).map(_.toInt).getOrElse(64)
+    val tW = System.nanoTime()
+    val wpLearned = timed(s"wordpieceTrainDistributed ($nBig distinct words, $nWp merges)") {
+      functions.TextFunctions.wordpieceTrainDistributed(bigSaved, "text", nWp).count()
+    }
+    println(f"[probe] per-merge WordPiece ($nWp-merge run): ${(System.nanoTime() - tW) / (nWp * 1e9)}%6.2f s  (learned $wpLearned)")
     spark.stop()
   }
 }

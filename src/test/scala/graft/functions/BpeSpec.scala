@@ -181,6 +181,41 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("wordpieceTrainDistributed == driver Wordpiece.train: identical merge tables (randomized)") {
+    // same tie-heavy fixtures as the BPE equivalence test — plus the
+    // likelihood score's extra failure surface: symbol-count deltas,
+    // the ##-stripped merged symbol, and the double-margin candidate
+    // set feeding the exact BigInt arg-max
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(300 + seed)
+      val alpha = if (seed % 2 == 0) "ab" else "abcd"
+      val docs = (1 to 60).map { i =>
+        (i.toLong, (1 to (3 + rnd.nextInt(8))).map(_ =>
+          (1 to (1 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+      val drv = rows(TextFunctions.wordpieceTrain(docs, "text", numMerges = 20))
+      val dist = rows(TextFunctions.wordpieceTrainDistributed(
+        docs, "text", numMerges = 20, pinEvery = 3))
+      assert(dist == drv, s"seed $seed: distributed WordPiece diverged from driver loop")
+    }
+  }
+
+  test("wordpieceTrainDistributed: continuation algebra and exhaustion match the driver") {
+    // "abc" x 5: round 1 must merge (##b, ##c) -> ##bc (the tie-break
+    // case WordpieceSpec pins on the driver), round 2 (a, ##bc) -> abc,
+    // then exhaustion
+    val docs = Seq((1L, "abc abc abc abc abc")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val dist = rows(TextFunctions.wordpieceTrainDistributed(docs, "text", numMerges = 5))
+    assert(dist == Seq(("##b", "##c", "##bc"), ("a", "##bc", "abc")), s"got $dist")
+  }
+
   test("bpeTrainDistributed stops early on pair exhaustion like the driver loop") {
     val docs = Seq((1L, "ab a b"), (2L, "ab")).toDF("doc_id", "text")
     val drv = TextFunctions.bpeTrain(docs, "text", numMerges = 5).collect()
