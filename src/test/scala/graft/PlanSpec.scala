@@ -572,6 +572,30 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"cartesian in a train round:\n$p")
   }
 
+  test("wordpieceTrainDistributed: one seed explode; rounds are delta-kernel + key-sized joins") {
+    val plansSeen = capturePlans { s2 =>
+      import s2.implicits._
+      val docs = (1 to 40).map(i => (i.toLong, "abab bab abba caba")).toDF("doc_id", "text")
+      functions.TextFunctions.wordpieceTrainDistributed(docs, "text", numMerges = 4).collect()
+    }
+    assert(plansSeen.nonEmpty, "listener captured no plans")
+    // one occurrence-level PAIR seed; the symbol seed is a plain
+    // explode over the same pinned words (no zip) — a second zip
+    // explode means the full-rescan shape regressed
+    val seedExplodes = plansSeen.count(p =>
+      p.contains("zip_with") || p.contains("arrays_zip"))
+    assert(seedExplodes <= 1,
+      s"occurrence-level pair explode ran $seedExplodes times — rounds must be delta-only")
+    assert(plansSeen.exists(_.contains("bpe_pair_delta")),
+      "no pair-delta round plan captured")
+    assert(plansSeen.exists(_.contains("bpe_sym_delta")),
+      "no symbol-delta round plan captured")
+    for (p <- plansSeen) {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"degenerate join in a train round:\n$p")
+    }
+  }
+
   test("rankBy never plans a single-partition exchange or a Window") {
     val plansSeen = capturePlans { s2 =>
       import org.apache.spark.sql.functions.col
