@@ -1531,6 +1531,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe split: the q_dedup_components near-dup groups as
+    // the [[hashSplit]] key (singletons: own id), md5 basis so the
+    // oracle replays every per-row assignment — near-copies provably
+    // never straddle train/eval.
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.2)
+      graft.functions.Curation.leakageSafeSplit(
+          docs.select("doc_id"), "doc_id", pairs, Seq(0.8, 0.1, 0.1), basis = "md5")
+        .select(col("doc_id"), col("group").as("grp"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Link-graph centrality: fixed-iteration integer-nano PageRank
     // over the supplier<->customer transaction graph (customer keys
     // offset by 1e12 — far above any TPC-H key at any SF, so the two
@@ -6071,7 +6084,30 @@ object SparkEntry {
            |  UNION
            |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id)
            |SELECT id AS doc_id, min(r) AS component FROM reach
-           |GROUP BY id ORDER BY doc_id""".stripMargin
+           |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+      // components (the q_dedup_components chain) -> group key
+      // (singletons: own id) -> the q_hash_split md5 bucket algebra
+      // at 0.8/0.1/0.1 — every per-row assignment replayed
+      "q_leakage_split" ->
+        s"""WITH RECURSIVE ${tokCte("WHERE doc_id < 500")}, $ShingleCtes, $JaccardCtes,
+           |edges AS (SELECT id_a AS u, id_b AS v FROM jacr WHERE jaccard >= 0.2),
+           |sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT u, u FROM sym
+           |  UNION
+           |  SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id),
+           |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+           |g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS grp
+           |  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+           |  LEFT JOIN comp c ON d.doc_id = c.id),
+           |b AS (SELECT doc_id, grp,
+           |  ('0x' || substr(md5(CAST(grp AS VARCHAR) || ':42'), 1, 15))::BIGINT
+           |    % 1000000 AS bucket FROM g)
+           |SELECT doc_id, CAST(grp AS BIGINT) AS grp,
+           |  CAST(CASE WHEN bucket < 800000 THEN 0 WHEN bucket < 900000 THEN 1
+           |    ELSE 2 END AS INTEGER) AS split
+           |FROM b ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -31,6 +31,36 @@ object Curation {
     *   driver's DuckDB oracle verifies the split end-to-end; both
     *   bases share every other property)
     */
+  /** Leakage-SAFE split: [[hashSplit]] keyed on each document's
+    * near-duplicate GROUP, so near-copies can never straddle
+    * train/eval (the classic silent eval-inflation bug — a paraphrase
+    * of a training doc in the validation set). The group key is the
+    * connected component's min id over the caller's near-dup pair
+    * table ([[Dedup.connectedComponents]] — pairs from ANY of the
+    * family's generators: minhash, simhash, n-gram Jaccard,
+    * containment, embedding LSH); documents in no pair split by their
+    * own id, bit-identically to plain [[hashSplit]]. Adding corpus
+    * docs never reshuffles existing groups (stable, rerunnable).
+    * Returns `df` + `(group, split)`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[Double],
+      seed: Long = 42L,
+      basis: String = "xxhash"): DataFrame = {
+    require(!df.columns.contains("group") && !df.columns.contains("split"),
+      "input already has a group/split column")
+    val comp = Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", idCol)
+    val grouped = df
+      .join(comp, Seq(idCol), "left")
+      .withColumn("group", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    hashSplit(grouped, col("group"), weights, seed, basis)
+  }
+
   def hashSplit(
       df: DataFrame,
       key: Column,

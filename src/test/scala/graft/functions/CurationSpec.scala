@@ -90,6 +90,31 @@ class CurationSpec extends SparkSpec {
       .filter(col("split") =!= col("split2")).count() > 0)
   }
 
+  test("leakageSafeSplit: near-dup components never straddle splits; singletons == hashSplit") {
+    // docs 1-2-3 chained near-dups (one component, min id 1), 10-11 a
+    // pair, 20/21/22 singletons
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Curation.leakageSafeSplit(docs, "doc_id", pairs, Seq(0.5, 0.5))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L,
+      s"chained component must share min-id group: $got")
+    assert(got(1L)._2 == got(2L)._2 && got(2L)._2 == got(3L)._2,
+      "component straddled splits")
+    assert(got(10L)._2 == got(11L)._2, "pair straddled splits")
+    // singletons: group = own id, split bit-identical to plain hashSplit
+    val plain = Curation.hashSplit(
+        Seq(20L, 21L, 22L).toDF("doc_id"), col("doc_id"), Seq(0.5, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Seq(20L, 21L, 22L).foreach { id =>
+      assert(got(id)._1 == id && got(id)._2 == plain(id), s"singleton $id diverged")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(
+        docs.withColumn("split", lit(0)), "doc_id", pairs, Seq(0.5, 0.5))
+    }
+  }
+
   test("stratifiedSample: per-stratum fractions, deterministic") {
     val df = spark.range(30000).toDF("id")
       .withColumn("lang", when(col("id") % 3 === 0, "en")
