@@ -163,9 +163,10 @@ object Bpe {
 
   /** Growable int list (word indices per pair; duplicates tolerated —
     * the apply step re-checks adjacency, and after the first visit the
-    * word no longer contains the pair).
+    * word no longer contains the pair). Shared with [[Wordpiece]] —
+    * one copy of the pair-index bookkeeping to keep in sync.
     */
-  private final class IntList {
+  private[functions] final class IntList {
     var a: Array[Int] = new Array[Int](4)
     var n: Int = 0
     def add(x: Int): Unit = {
@@ -763,6 +764,8 @@ case class BpeMergeStepExpr(child: Expression, a: String, b: String,
     val out = new mutable.ArrayBuffer[Any](n)
     var j = 0
     while (j < n) {
+      if (arr.isNullAt(j)) throw new IllegalArgumentException(
+        s"bpe_merge_step: null symbol at index $j — symbol arrays are non-null by contract")
       if (j + 1 < n && ua.equals(arr.getUTF8String(j)) &&
           ub.equals(arr.getUTF8String(j + 1))) {
         out += uab
@@ -828,7 +831,12 @@ case class BpePairDeltaExpr(child: Expression, a: String, b: String,
     if (!hit) return empty
     val old = new Array[String](n)
     var k = 0
-    while (k < n) { old(k) = arr.getUTF8String(k).toString; k += 1 }
+    while (k < n) {
+      if (arr.isNullAt(k)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $k — symbol arrays are non-null by contract")
+      old(k) = arr.getUTF8String(k).toString
+      k += 1
+    }
     val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
     // signed multiset diff of adjacent pairs; insertion-ordered map so
     // the emitted array is deterministic (consumers aggregate anyway)
@@ -908,7 +916,12 @@ case class BpeSymDeltaExpr(child: Expression, a: String, b: String,
     if (!hit) return empty
     val old = new Array[String](n)
     var k = 0
-    while (k < n) { old(k) = arr.getUTF8String(k).toString; k += 1 }
+    while (k < n) {
+      if (arr.isNullAt(k)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $k — symbol arrays are non-null by contract")
+      old(k) = arr.getUTF8String(k).toString
+      k += 1
+    }
     val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
     val m = new java.util.LinkedHashMap[String, Long]()
     k = 0

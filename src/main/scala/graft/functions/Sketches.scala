@@ -306,7 +306,10 @@ object Sketches {
       s"mBits must be in (0, 2^31-1), got $mBits")
     require(numHashes >= 1 && numHashes <= 16,
       s"numHashes must be in [1, 16], got $numHashes")
+    // a NULL key yields an array of null positions — drop them (a null
+    // key is "no member", not a poisoned (null, null) word row)
     df.select(explode(bloomPositions(col(keyCol), numHashes, mBits)).as("_pos"))
+      .filter(col("_pos").isNotNull)
       .select(shiftright(col("_pos"), 6).as("widx"),
         call_function("shiftleft", lit(1L), pmod(col("_pos"), lit(64L)).cast("int")).as("_bit"))
       .groupBy("widx").agg(bit_or(col("_bit")).as("bits"))
@@ -337,8 +340,13 @@ object Sketches {
       .select(col(idCol), shiftright(col("_pos"), 6).as("widx"),
         call_function("shiftleft", lit(1L), pmod(col("_pos"), lit(64L)).cast("int")).as("_bit"))
       .join(broadcast(bloom), Seq("widx"), "left")
+      // null probe key ⇒ null positions ⇒ null _set; coalesce to
+      // false so the row reports hit=false instead of a null that a
+      // filter would silently drop
       .select(col(idCol),
-        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("_bit")) =!= 0L).as("_set"))
+        coalesce(
+          coalesce(col("bits"), lit(0L)).bitwiseAND(col("_bit")) =!= 0L,
+          lit(false)).as("_set"))
       .groupBy(idCol).agg(min(col("_set")).as("hit"))
 
   /** Densify a built filter to its full word array — driver-side,
@@ -367,9 +375,12 @@ object Sketches {
       mBits: Int,
       numHashes: Int = 4): Column = {
     val w = typedLit(words.toSeq)
-    forall(bloomPositions(key, numHashes, mBits), p =>
-      element_at(w, shiftright(p, 6).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int")))
-        =!= 0L)
+    // null key ⇒ null forall ⇒ coalesce to false (matches bloomProbe)
+    coalesce(
+      forall(bloomPositions(key, numHashes, mBits), p =>
+        element_at(w, shiftright(p, 6).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int")))
+          =!= 0L),
+      lit(false))
   }
 }

@@ -1388,6 +1388,11 @@ object TextFunctions {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
+        round += 1
+        if (round == numMerges) {
+          // last merge recorded: the folded pair table and the merged
+          // word table would never be read — skip their eager jobs
+        } else {
         // delta: only words containing (a, b) adjacent emit anything
         val delta = words
           .select(col("cnt"),
@@ -1404,14 +1409,14 @@ object TextFunctions {
         pairPins = nextPairPins
         val next = words.select(
           BpeEncodeExpr.mergeStep(col("syms"), a, b).as("syms"), col("cnt"))
-        round += 1
-        if (round % pinEvery == 0 || round == numMerges) {
+        if (round % pinEvery == 0) {
           val (pinned, nextPins) = Pins.pin(next)
           Pins.release(words, wordPins)
           words = pinned
           wordPins = nextPins
         } else {
           words = next
+        }
         }
       }
     }
@@ -1519,14 +1524,18 @@ object TextFunctions {
         .select(col("a"), col("b"), col("c"), col("ca"), col("cb"),
           (col("c").cast("double") /
             (col("ca").cast("double") * col("cb").cast("double"))).as("_sc"))
-      val mx = scored.agg(max(col("_sc"))).head()
-      if (mx.isNullAt(0)) exhausted = true
+      // ONE TakeOrdered job: the top-K by double score contains every
+      // pair within the 1e-9 margin of the max unless K overflows —
+      // which the tail check below makes loud (the max+filter shape
+      // evaluated the score join twice per round)
+      val top = scored
+        .orderBy(col("_sc").desc, col("a").asc, col("b").asc)
+        .limit(maxCandidates).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val cands = scored
-          .filter(col("_sc") >= mx.getDouble(0) * (1.0 - 1e-9))
-          .select("a", "b", "c", "ca", "cb")
-          .limit(maxCandidates + 1).collect()
-        require(cands.length <= maxCandidates,
+        val mxSc = top.head.getDouble(5)
+        val cands = top.takeWhile(_.getDouble(5) >= mxSc * (1.0 - 1e-9))
+        require(cands.length < maxCandidates,
           s"wordpieceTrainDistributed: over $maxCandidates score-tied " +
             "candidate pairs in one round — a degenerate corpus; raise " +
             "maxCandidates or minCount")
@@ -1553,6 +1562,11 @@ object TextFunctions {
           if (pref.nonEmpty && b.startsWith(pref)) a + b.substring(pref.length)
           else a + b
         merges += ((a, b, merged))
+        round += 1
+        if (round == numMerges) {
+          // last merge recorded: the folded pair/symbol tables and the
+          // merged word table would never be read — skip their jobs
+        } else {
         val mo = Some(merged)
         val pairDelta = words
           .select(col("cnt"),
@@ -1582,14 +1596,14 @@ object TextFunctions {
         symPins = nextSymPins
         val next = words.select(
           BpeEncodeExpr.mergeStep(col("syms"), a, b, mo).as("syms"), col("cnt"))
-        round += 1
-        if (round % pinEvery == 0 || round == numMerges) {
+        if (round % pinEvery == 0) {
           val (pinned, nextPins) = Pins.pin(next)
           Pins.release(words, wordPins)
           words = pinned
           wordPins = nextPins
         } else {
           words = next
+        }
         }
       }
     }
@@ -1768,16 +1782,23 @@ object TextFunctions {
       costs: Seq[Long],
       tokenPattern: String = "[a-z]+",
       unk: String = "[UNK]"): DataFrame = {
+    // if unk were itself a vocab token, a real single-piece
+    // segmentation equal to it would be indistinguishable from the
+    // whole-word failure — refuse the ambiguity
+    require(!vocab.contains(unk),
+      s"unigramEncodeWords: unk token '$unk' collides with a vocab entry")
     val costMap = typedLit(vocab.zip(costs).toMap)
     df.select(explode(regexp_extract_all(
           lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
       .distinct()
       .select(col("word"),
         LatticeEncodeExpr(col("word"), vocab, unk, costs).as("_p"))
+      // a map miss (only the unk piece can miss) nulls the aggregate —
+      // coalesce to the -1 sentinel, which cannot shadow a real total
       .select(col("word"), size(col("_p")).as("n_pieces"),
         array_join(col("_p"), "|").as("pieces"),
-        when(size(col("_p")) === 1 && element_at(col("_p"), 1) === unk, lit(-1L))
-          .otherwise(aggregate(col("_p"), lit(0L),
-            (acc, p) => acc + element_at(costMap, p))).as("cost_nano"))
+        coalesce(
+          aggregate(col("_p"), lit(0L), (acc, p) => acc + element_at(costMap, p)),
+          lit(-1L)).as("cost_nano"))
   }
 }

@@ -260,19 +260,6 @@ object LatticeEncodeExpr {
   */
 object Wordpiece {
 
-  /** Growable per-pair word-index list (duplicates tolerated — the
-    * apply step re-checks adjacency).
-    */
-  private final class IntList {
-    var a: Array[Int] = new Array[Int](4)
-    var n: Int = 0
-    def add(x: Int): Unit = {
-      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
-      a(n) = x
-      n += 1
-    }
-  }
-
   /** Train `numMerges` likelihood-scored merges; returns
     * `(a, b, merged)` in learned order (fewer rows on pair
     * exhaustion). Pure driver code over the bounded vocab — the same
@@ -311,12 +298,12 @@ object Wordpiece {
 
     @inline def key(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
     val pairCount = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-    val pairWords = new java.util.HashMap[java.lang.Long, IntList]()
+    val pairWords = new java.util.HashMap[java.lang.Long, Bpe.IntList]()
     def addPair(a: Int, b: Int, c: Long, wi: Int): Unit = {
       val k = java.lang.Long.valueOf(key(a, b))
       pairCount.merge(k, java.lang.Long.valueOf(c), (x, y) => x + y)
       var l = pairWords.get(k)
-      if (l == null) { l = new IntList; pairWords.put(k, l) }
+      if (l == null) { l = new Bpe.IntList; pairWords.put(k, l) }
       l.add(wi)
     }
     def subPair(a: Int, b: Int, c: Long): Unit = {

@@ -91,6 +91,13 @@ object Salt {
     val clash = (left.columns ++ right.columns).filter(_ == "_salt")
     require(clash.isEmpty, "input already has a _salt column")
     val saltSrc = if (leftSaltCols.nonEmpty) leftSaltCols else left.columns.toSeq
+    // a salt derived from the join keys alone maps every row of a hot
+    // key to ONE salt: zero skew relief while the right side still
+    // pays buckets× replication — the silent no-op this guard stops
+    require(!saltSrc.toSet.subsetOf(keys.toSet),
+      "saltedJoin: salt source columns are a subset of the join keys — " +
+        "every hot-key row would land on one salt. Project a " +
+        "distinguishing column onto the left side (or pass leftSaltCols).")
     val l = left.withColumn(
       "_salt", pmod(hash(saltSrc.map(col): _*), lit(buckets)))
     val r = right.withColumn(

@@ -216,6 +216,26 @@ class BpeSpec extends SparkSpec {
     assert(dist == Seq(("##b", "##c", "##bc"), ("a", "##bc", "abc")), s"got $dist")
   }
 
+  test("delta/merge kernels reject null symbol elements loud (never NPE / silent nulls)") {
+    val df = Seq(1).toDF("i")
+      .select(array(lit("a"), lit("b"), lit(null).cast("string")).as("syms"))
+    for (c <- Seq(
+        BpeEncodeExpr.mergeStep(col("syms"), "a", "b"),
+        BpeEncodeExpr.pairDelta(col("syms"), "a", "b"),
+        BpeEncodeExpr.symDelta(col("syms"), "a", "b"))) {
+      val e = intercept[Exception] { df.select(c).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null symbol")),
+        s"expected the loud null-symbol contract, got: ${msgs(e).mkString(" | ")}")
+    }
+    // arrays without the merge pair pass through regardless (no scan
+    // of elements past the adjacency check)
+    val pass = df.select(BpeEncodeExpr.pairDelta(col("syms"), "x", "y").as("d"))
+      .head().getSeq[Any](0)
+    assert(pass.isEmpty)
+  }
+
   test("bpeTrainDistributed stops early on pair exhaustion like the driver loop") {
     val docs = Seq((1L, "ab a b"), (2L, "ab")).toDF("doc_id", "text")
     val drv = TextFunctions.bpeTrain(docs, "text", numMerges = 5).collect()

@@ -205,6 +205,24 @@ class SketchesSpec extends graft.SparkSpec {
     assert(inline == got, "bloomHit diverged from bloomProbe")
   }
 
+  test("bloom null keys: build skips them, probe reports hit=false (row retained)") {
+    val m = 256
+    val members = Seq(Some("x"), None, Some("y")).toDF("key")
+    val bloom = Sketches.bloomBuild(members, "key", mBits = m)
+    // no (null, null) word row — bloomWords must densify cleanly
+    val words = Sketches.bloomWords(bloom, mBits = m)
+    assert(words.exists(_ != 0L))
+    val probe = Seq((1L, Some("x")), (2L, Option.empty[String]), (3L, Some("y")))
+      .toDF("id", "key")
+    val got = Sketches.bloomProbe(probe, "id", "key", bloom, mBits = m)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true), s"got $got")
+    val inline = probe
+      .select(col("id"), Sketches.bloomHit(col("key"), words, m).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(inline == got, "bloomHit null-key handling diverged from bloomProbe")
+  }
+
   test("bloom probe against an empty filter misses everything; build bounds validated") {
     val empty = Sketches.bloomBuild(Seq.empty[String].toDF("key"), "key", mBits = 256)
     val got = Sketches.bloomProbe(
