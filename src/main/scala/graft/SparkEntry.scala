@@ -2995,6 +2995,25 @@ object SparkEntry {
         .orderBy("asset_id", "frame_idx")
     }),
 
+    // REAL header-metadata parsing (no codec): PNG IHDR / GIF logical
+    // screen / JPEG SOF marker scan / canonical WAV fmt chunk, over a
+    // fixture whose headers are REAL bytes with dims and audio format
+    // derived from asset_id arithmetic — the oracle knows only the
+    // arithmetic, so agreement proves the engine actually parsed the
+    // byte layouts (offsets, endianness, marker chain).
+    "q_media_meta" -> ((s, dir) => {
+      val assets = Multimodal.syntheticMediaAssets(s, 200)
+      Multimodal.mediaMeta(assets, "asset_id", "content")
+        .select(col("asset_id"), col("mime_sniffed"),
+          coalesce(col("width"), lit(-1)).as("width"),
+          coalesce(col("height"), lit(-1)).as("height"),
+          coalesce(col("channels"), lit(-1)).as("channels"),
+          coalesce(col("sample_rate_hz"), lit(-1)).as("sample_rate_hz"),
+          coalesce(col("bits"), lit(-1)).as("bits"),
+          coalesce(col("duration_ms"), lit(-1L)).as("duration_ms"))
+        .orderBy("asset_id")
+    }),
+
     // REAL multimodal kernels in the gate: sha256 exact binary dedup +
     // magic-byte mime sniffing over the payload column (no codec
     // needed) — the oracle reconstructs the payloads and re-derives
@@ -4765,6 +4784,26 @@ object SparkEntry {
           |SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
           |  CAST(frame_idx * 500 AS BIGINT) AS ts_ms
           |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+
+      // the oracle knows only the fixture's id ARITHMETIC — matching
+      // values prove the engine parsed the real byte layouts
+      "q_media_meta" ->
+        """WITH m AS (SELECT i AS asset_id, i % 4 AS k,
+          |    100 + i % 37 AS w, 50 + i % 23 AS h,
+          |    1 + i % 2 AS ch, 8000 + 1000 * (i % 5) AS rate,
+          |    8 + 8 * (i % 2) AS bits, 1000 + i % 500 AS ndata
+          |  FROM range(0, 200) t(i))
+          |SELECT CAST(asset_id AS BIGINT) AS asset_id,
+          |  CASE k WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+          |         WHEN 2 THEN 'image/jpeg' ELSE 'audio/x-wav' END AS mime_sniffed,
+          |  CAST(CASE WHEN k <= 2 THEN w ELSE -1 END AS INTEGER) AS width,
+          |  CAST(CASE WHEN k <= 2 THEN h ELSE -1 END AS INTEGER) AS height,
+          |  CAST(CASE WHEN k = 3 THEN ch ELSE -1 END AS INTEGER) AS channels,
+          |  CAST(CASE WHEN k = 3 THEN rate ELSE -1 END AS INTEGER) AS sample_rate_hz,
+          |  CAST(CASE WHEN k = 3 THEN bits ELSE -1 END AS INTEGER) AS bits,
+          |  CAST(CASE WHEN k = 3
+          |    THEN ndata * 1000 // (rate * ch * bits // 8) ELSE -1 END AS BIGINT) AS duration_ms
+          |FROM m ORDER BY asset_id""".stripMargin,
 
       "q_binary_dedup" ->
         s"""WITH $AssetsCte,

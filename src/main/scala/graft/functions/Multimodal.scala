@@ -67,7 +67,98 @@ object Multimodal {
           .when(riffForm === lit("WEBP".getBytes("UTF-8")), "image/webp")
           .otherwise(lit("application/x-riff")))
       .when(substring(content, 1, 3) === lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)), "image/jpeg")
+      .when(substring(content, 1, 6) === lit("GIF87a".getBytes("UTF-8")) ||
+        substring(content, 1, 6) === lit("GIF89a".getBytes("UTF-8")), "image/gif")
       .otherwise(lit("application/octet-stream"))
+  }
+
+  // --- REAL kernel #3: header-level media metadata — no codec ------
+  // Dimensions, channel counts and sample rates live in fixed-layout
+  // (or marker-delimited) HEADERS; only pixel/sample DECODE needs the
+  // codecs this container lacks. Everything below is genuine byte
+  // parsing of the published container formats.
+
+  /** Big-endian unsigned int from `len` bytes at 1-based `pos`. */
+  private def beUint(content: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(content, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian unsigned int from `len` (≤4) bytes at 1-based
+    * `pos` — hex the slice, reverse its byte pairs, parse.
+    */
+  private def leUint(content: Column, pos: Int, len: Int): Column = {
+    val h = hex(substring(content, pos, len))
+    val reordered = concat((len to 1 by -1).map(i =>
+      substring(h, (i - 1) * 2 + 1, 2)): _*)
+    conv(reordered, 16, 10).cast("long")
+  }
+
+  /** PNG dimensions: the IHDR chunk is REQUIRED to be first (PNG
+    * spec §11.2.2), so width/height sit at fixed offsets 17/21
+    * (big-endian u32) after the 8-byte signature + 4-byte length +
+    * "IHDR". Non-PNG or truncated payloads → null.
+    */
+  def pngDims(content: Column): Column = {
+    val isPng = substring(content, 1, 8) === lit(PngMagic) &&
+      substring(content, 13, 4) === lit("IHDR".getBytes("UTF-8")) &&
+      length(content) >= 24
+    when(isPng, struct(
+      beUint(content, 17, 4).cast("int").as("width"),
+      beUint(content, 21, 4).cast("int").as("height")))
+  }
+
+  /** GIF dimensions: logical-screen width/height at offsets 7/9,
+    * little-endian u16, right after the GIF87a/GIF89a signature.
+    */
+  def gifDims(content: Column): Column = {
+    val sig = substring(content, 1, 6)
+    val isGif = (sig === lit("GIF87a".getBytes("UTF-8")) ||
+      sig === lit("GIF89a".getBytes("UTF-8"))) && length(content) >= 10
+    when(isGif, struct(
+      leUint(content, 7, 2).cast("int").as("width"),
+      leUint(content, 9, 2).cast("int").as("height")))
+  }
+
+  /** WAV format from the CANONICAL 44-byte header (RIFF/"WAVE" with
+    * the 16-byte PCM "fmt " chunk first, "data" second — the layout
+    * virtually every PCM .wav on disk uses): channels@23 (LE16),
+    * sample rate@25 (LE32), bits@35 (LE16), duration from the data
+    * chunk size@41 over the byte rate@29. Non-canonical chunk orders
+    * (LIST/fact before data) → null rather than a wrong guess; a
+    * production ingest would fall back to a chunk-walk kernel there.
+    */
+  def wavFormat(content: Column): Column = {
+    val isCanonicalWav =
+      substring(content, 1, 4) === lit("RIFF".getBytes("UTF-8")) &&
+      substring(content, 9, 8) === lit("WAVEfmt ".getBytes("UTF-8")) &&
+      substring(content, 37, 4) === lit("data".getBytes("UTF-8")) &&
+      length(content) >= 44
+    val byteRate = leUint(content, 29, 4)
+    when(isCanonicalWav, struct(
+      leUint(content, 23, 2).cast("int").as("channels"),
+      leUint(content, 25, 4).cast("int").as("sample_rate_hz"),
+      leUint(content, 35, 2).cast("int").as("bits"),
+      when(byteRate > 0,
+        leUint(content, 41, 4) * lit(1000L) / byteRate)
+        .cast("long").as("duration_ms")))
+  }
+
+  /** Header-level metadata for a mixed asset table in ONE projection:
+    * sniffed mime + image dimensions (PNG/GIF fixed-offset, JPEG via
+    * the marker-scan kernel) + WAV audio format. Null where the
+    * format doesn't carry the field in its header.
+    */
+  def mediaMeta(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val c = col(contentCol)
+    val dims = coalesce(pngDims(c), gifDims(c), JpegDimsExpr(c))
+    val wav = wavFormat(c)
+    df.select(col(idCol),
+      sniffMime(c).as("mime_sniffed"),
+      dims.getField("width").as("width"),
+      dims.getField("height").as("height"),
+      wav.getField("channels").as("channels"),
+      wav.getField("sample_rate_hz").as("sample_rate_hz"),
+      wav.getField("bits").as("bits"),
+      wav.getField("duration_ms").as("duration_ms"))
   }
 
   /** REAL kernel #2: exact binary dedup — sha256 over the (hex-encoded)
@@ -146,6 +237,60 @@ object Multimodal {
   val PngMagic: Array[Byte] =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
+  /** Deterministic REAL-HEADER asset fixture for the header-metadata
+    * kernels: full valid PNG IHDR / GIF logical screen / JPEG
+    * APP0+SOF0 / canonical 44-byte WAV headers with dimensions and
+    * audio format derived from `asset_id` arithmetic — which is
+    * exactly how the gate oracle verifies the parsers (the oracle
+    * knows the arithmetic; the engine must actually parse the bytes
+    * to agree).
+    */
+  def syntheticMediaAssets(spark: SparkSession, n: Int): DataFrame = {
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val rows = (0 until n).map { i =>
+      val w = 100 + i % 37
+      val h = 50 + i % 23
+      val ch = 1 + i % 2
+      val rate = 8000 + 1000 * (i % 5)
+      val bits = 8 + 8 * (i % 2)
+      val nData = 1000 + i % 500
+      val payload: Array[Byte] = (i % 4) match {
+        case 0 => // PNG: signature + IHDR(len 13) + bit depth/color + CRC
+          PngMagic ++ be32(13) ++ "IHDR".getBytes("UTF-8") ++
+            be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0) ++ be32(0)
+        case 1 => // GIF89a + logical screen descriptor
+          "GIF89a".getBytes("UTF-8") ++ le16(w) ++ le16(h) ++
+            Array[Byte](0, 0, 0)
+        case 2 => // JPEG: SOI + APP0(JFIF) + SOF0 + EOI — dims NOT at a
+          // fixed offset (the APP0 length would shift them)
+          Array[Byte](0xff.toByte, 0xd8.toByte) ++
+            Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+            "JFIF".getBytes("UTF-8") ++ Array[Byte](0, 1, 1, 0) ++
+            be16(1) ++ be16(1) ++ Array[Byte](0, 0) ++
+            Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++
+            Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](3) ++
+            Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+            Array[Byte](0xff.toByte, 0xd9.toByte)
+        case _ => // canonical 44-byte PCM WAV header (+ a token body)
+          val byteRate = rate * ch * bits / 8
+          "RIFF".getBytes("UTF-8") ++ le32(36 + nData) ++
+            "WAVE".getBytes("UTF-8") ++ "fmt ".getBytes("UTF-8") ++
+            le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+            le32(byteRate) ++ le16(ch * bits / 8) ++ le16(bits) ++
+            "data".getBytes("UTF-8") ++ le32(nData) ++ Array[Byte](0, 0, 0, 0)
+      }
+      Row(i.toLong, Seq("image", "image", "image", "audio")(i % 4),
+        payload, null, null, null, null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4), assetSchema)
+  }
+
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       val modality = Seq("image", "audio", "video")(i % 3)
@@ -168,5 +313,92 @@ object Multimodal {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 4), assetSchema)
+  }
+}
+
+/** JPEG dimensions via the marker scan (ITU-T T.81 §B): walk the
+  * segment chain from SOI, skip fill bytes, and read height/width
+  * from the first SOF frame header (markers C0-C3, C5-C7, C9-CB,
+  * CD-CF — every baseline/progressive/lossless variant; C4/C8/CC are
+  * tables, not frames). Dimensions are NOT at a fixed offset in JPEG
+  * (APPn/comment segments of arbitrary length precede the frame), so
+  * this is a kernel, not a fixed-slice Column op. Returns
+  * struct<width, height> or NULL for non-JPEG / truncated / SOF-less
+  * payloads — a loud-null, never a wrong guess.
+  */
+case class JpegDimsExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"jpeg_dims requires a BINARY column, got $t")
+  }
+  // fields nullable so the struct type unifies with the Column-built
+  // PNG/GIF structs under coalesce (values are never actually null)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+  override def nullable: Boolean = true
+
+  /** Kernel; public for the codegen reference-object call. Null when
+    * no SOF frame header is found before SOS/EOI/truncation.
+    */
+  def compute(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = bytes.length
+    @inline def u(i: Int): Int = bytes(i) & 0xff
+    if (n < 4 || u(0) != 0xff || u(1) != 0xd8) return null
+    var i = 2
+    while (i + 3 < n) {
+      if (u(i) != 0xff) return null // corrupt chain
+      var j = i
+      while (j + 1 < n && u(j + 1) == 0xff) j += 1 // fill bytes
+      val marker = if (j + 1 < n) u(j + 1) else return null
+      i = j
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker, no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return null // EOI / start-of-scan before any SOF
+      } else {
+        if (i + 3 >= n) return null
+        val segLen = (u(i + 2) << 8) | u(i + 3)
+        if (segLen < 2) return null
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 8 >= n) return null
+          val h = (u(i + 5) << 8) | u(i + 6)
+          val w = (u(i + 7) << 8) | u(i + 8)
+          return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](w, h))
+        }
+        i += 2 + segLen
+      }
+    }
+    null
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jpegDims", this, classOf[JpegDimsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): JpegDimsExpr =
+    copy(child = c)
+  override def prettyName: String = "jpeg_dims"
+}
+
+object JpegDimsExpr {
+  def apply(content: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new JpegDimsExpr(expression(content)))
   }
 }

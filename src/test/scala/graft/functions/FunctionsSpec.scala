@@ -1117,6 +1117,57 @@ class MultimodalSpec extends SparkSpec {
     assert(groups.map(_.getAs[Long]("keep_id")).sorted.toSeq == (0L until 39L))
   }
 
+  test("media header parsers: real byte layouts, endianness, truncation, JPEG marker walk") {
+    import spark.implicits._
+    val assets = Multimodal.syntheticMediaAssets(spark, 40)
+    val got = Multimodal.mediaMeta(assets, "asset_id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0 until 40).foreach { i =>
+      val r = got(i.toLong)
+      val (w, h) = (100 + i % 37, 50 + i % 23)
+      (i % 4: @unchecked) match {
+        case 0 =>
+          assert(r.getString(1) == "image/png" && r.getInt(2) == w && r.getInt(3) == h, s"$i: $r")
+        case 1 =>
+          assert(r.getString(1) == "image/gif" && r.getInt(2) == w && r.getInt(3) == h, s"$i: $r")
+        case 2 =>
+          assert(r.getString(1) == "image/jpeg" && r.getInt(2) == w && r.getInt(3) == h, s"$i: $r")
+        case 3 =>
+          val (ch, rate, bits) = (1 + i % 2, 8000 + 1000 * (i % 5), 8 + 8 * (i % 2))
+          val nData = 1000 + i % 500
+          assert(r.getString(1) == "audio/x-wav" && r.isNullAt(2) &&
+            r.getInt(4) == ch && r.getInt(5) == rate && r.getInt(6) == bits &&
+            r.getLong(7) == nData * 1000L / (rate.toLong * ch * bits / 8), s"$i: $r")
+      }
+    }
+    // hand-built cases: truncated PNG (signature only), JPEG with no
+    // SOF before EOI, JPEG whose SOF sits after TWO variable APPn
+    // segments (proves the scan walks the chain, not a fixed offset),
+    // and garbage — all must come back null, never a wrong guess
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sofAfterTwoApps: Array[Byte] =
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++
+        Array[Byte](0xff.toByte, 0xe1.toByte) ++ be16(9) ++ Array.fill[Byte](7)(0x41) ++
+        Array[Byte](0xff.toByte, 0xee.toByte) ++ be16(5) ++ Array.fill[Byte](3)(0x42) ++
+        Array[Byte](0xff.toByte, 0xc2.toByte) ++ be16(11) ++
+        Array[Byte](8) ++ be16(777) ++ be16(333) ++ Array[Byte](1, 1, 0x11, 0) ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+    val cases = Seq(
+      ("png-truncated", Multimodal.PngMagic),
+      ("jpeg-no-sof", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)),
+      ("garbage", Array[Byte](1, 2, 3, 4)))
+    cases.foreach { case (name, bytes) =>
+      val row = Seq(Tuple1(bytes)).toDF("content")
+        .select(JpegDimsExpr(col("content")).as("d"),
+          Multimodal.pngDims(col("content")).as("p")).head()
+      assert(row.isNullAt(0) && row.isNullAt(1), s"$name must parse to null")
+    }
+    val deep = Seq(Tuple1(sofAfterTwoApps)).toDF("content")
+      .select(JpegDimsExpr(col("content")).as("d")).head().getStruct(0)
+    assert(deep.getInt(0) == 333 && deep.getInt(1) == 777,
+      s"marker walk failed past APPn segments: $deep")
+  }
+
   test("extractFeatures: schema, shape, determinism") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val f = Multimodal.extractFeatures(assets, dim = 8)
