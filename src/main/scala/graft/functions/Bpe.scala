@@ -678,6 +678,13 @@ object BpeEncodeExpr {
     column(BpePairDeltaExpr(expression(syms), a, b, merged))
   }
 
+  /** Combined pair+symbol deltas in one scan — see [[BpeBothDeltaExpr]]. */
+  def bothDelta(syms: Column, a: String, b: String,
+      merged: Option[String] = None): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(BpeBothDeltaExpr(expression(syms), a, b, merged))
+  }
+
   /** Per-word SYMBOL-count deltas caused by merging `(a, b)` — the
     * companion of [[pairDelta]] for trainers whose merge score reads
     * symbol counts (WordPiece likelihood). Empty for untouched words.
@@ -948,4 +955,98 @@ case class BpeSymDeltaExpr(child: Expression, a: String, b: String,
   override protected def withNewChildInternal(c: Expression): BpeSymDeltaExpr =
     copy(child = c)
   override def prettyName: String = "bpe_sym_delta"
+}
+
+/** PAIR and SYMBOL deltas of one merge in a SINGLE pass —
+  * `array<struct<pa, pb, s, d>>` with pair rows carrying `s = null`
+  * and symbol rows `pa = pb = null`. [[BpePairDeltaExpr]] and
+  * [[BpeSymDeltaExpr]] each rescan the (corpus-sized, pinned) word
+  * table; the likelihood trainer needs BOTH every round, so this
+  * kernel emits the union in one adjacency scan + one applyMerge,
+  * letting the round pin ONE small exploded delta table and fold
+  * pairs and symbols from it.
+  */
+case class BpeBothDeltaExpr(child: Expression, a: String, b: String,
+    merged: Option[String] = None)
+    extends UnaryExpression {
+  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
+  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_both_delta requires ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pa", StringType, nullable = true),
+      StructField("pb", StringType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("d", LongType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+  @transient private lazy val empty = new GenericArrayData(Array.empty[Any])
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeDelta(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    var hit = false
+    while (!hit && i + 1 < n) {
+      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
+      i += 1
+    }
+    if (!hit) return empty
+    val old = new Array[String](n)
+    var k = 0
+    while (k < n) {
+      if (arr.isNullAt(k)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $k — symbol arrays are non-null by contract")
+      old(k) = arr.getUTF8String(k).toString
+      k += 1
+    }
+    val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
+    val pm = new java.util.LinkedHashMap[(String, String), Long]()
+    val sm = new java.util.LinkedHashMap[String, Long]()
+    k = 0
+    while (k < old.length) {
+      sm.merge(old(k), -1L, (x, y) => x + y)
+      if (k + 1 < old.length)
+        pm.merge((old(k), old(k + 1)), -1L, (x, y) => x + y)
+      k += 1
+    }
+    k = 0
+    while (k < applied.length) {
+      sm.merge(applied(k), 1L, (x, y) => x + y)
+      if (k + 1 < applied.length)
+        pm.merge((applied(k), applied(k + 1)), 1L, (x, y) => x + y)
+      k += 1
+    }
+    val out = mutable.ArrayBuffer.empty[Any]
+    pm.forEach { (key, d) =>
+      if (d != 0L) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(key._1), UTF8String.fromString(key._2), null, d))
+      }
+    }
+    sm.forEach { (s, d) =>
+      if (d != 0L) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](null, null, UTF8String.fromString(s), d))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeDelta(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeBothDelta", this, classOf[BpeBothDeltaExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeDelta($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeBothDeltaExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_both_delta"
 }

@@ -1568,9 +1568,15 @@ object TextFunctions {
           // merged word table would never be read — skip their jobs
         } else {
         val mo = Some(merged)
-        val pairDelta = words
+        // ONE adjacency scan of the word table per round: the combined
+        // kernel emits pair deltas (s null) and symbol deltas (pa
+        // null) together; the small exploded table (affected words
+        // only) pins once and feeds both folds
+        val (delta, deltaPins) = Pins.pin(words
           .select(col("cnt"),
-            explode(BpeEncodeExpr.pairDelta(col("syms"), a, b, mo)).as("p"))
+            explode(BpeEncodeExpr.bothDelta(col("syms"), a, b, mo)).as("p")))
+        val pairDelta = delta
+          .filter(col("p.s").isNull)
           .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
           .agg(sum(col("p.d") * col("cnt")).as("c"))
         val (nextPairs, nextPairPins) = Pins.pin(
@@ -1581,9 +1587,8 @@ object TextFunctions {
         Pins.release(pairs, pairPins)
         pairs = nextPairs
         pairPins = nextPairPins
-        val symDelta = words
-          .select(col("cnt"),
-            explode(BpeEncodeExpr.symDelta(col("syms"), a, b, mo)).as("p"))
+        val symDelta = delta
+          .filter(col("p.pa").isNull)
           .groupBy(col("p.s").as("s"))
           .agg(sum(col("p.d") * col("cnt")).as("sc"))
         val (nextSyms, nextSymPins) = Pins.pin(
@@ -1594,6 +1599,7 @@ object TextFunctions {
         Pins.release(symCounts, symPins)
         symCounts = nextSyms
         symPins = nextSymPins
+        Pins.release(delta, deltaPins)
         val next = words.select(
           BpeEncodeExpr.mergeStep(col("syms"), a, b, mo).as("syms"), col("cnt"))
         if (round % pinEvery == 0) {

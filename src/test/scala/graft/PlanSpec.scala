@@ -586,10 +586,15 @@ class PlanSpec extends SparkSpec {
       p.contains("zip_with") || p.contains("arrays_zip"))
     assert(seedExplodes <= 1,
       s"occurrence-level pair explode ran $seedExplodes times — rounds must be delta-only")
-    assert(plansSeen.exists(_.contains("bpe_pair_delta")),
-      "no pair-delta round plan captured")
-    assert(plansSeen.exists(_.contains("bpe_sym_delta")),
-      "no symbol-delta round plan captured")
+    assert(plansSeen.exists(_.contains("bpe_both_delta")),
+      "no combined-delta round plan captured")
+    // the combined kernel must appear in ONE scan per round, with the
+    // pair/sym folds reading the pinned explode — a reappearing
+    // separate pair_delta/sym_delta pair means the two-scan shape
+    // regressed
+    assert(!plansSeen.exists(p => p.contains("bpe_pair_delta(") ||
+      p.contains("bpe_sym_delta(")),
+      "separate per-family delta scans regressed")
     for (p <- plansSeen) {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"degenerate join in a train round:\n$p")
