@@ -685,15 +685,6 @@ object BpeEncodeExpr {
     column(BpeBothDeltaExpr(expression(syms), a, b, merged))
   }
 
-  /** Per-word SYMBOL-count deltas caused by merging `(a, b)` — the
-    * companion of [[pairDelta]] for trainers whose merge score reads
-    * symbol counts (WordPiece likelihood). Empty for untouched words.
-    */
-  def symDelta(syms: Column, a: String, b: String,
-      merged: Option[String] = None): Column = {
-    import org.apache.spark.sql.GraftColumnBridge._
-    column(BpeSymDeltaExpr(expression(syms), a, b, merged))
-  }
 
   /** BPE token COUNT for `text` — no token strings materialize. */
   def count(text: Column, merges: Seq[(String, String)], tokenPattern: String,
@@ -882,86 +873,11 @@ case class BpePairDeltaExpr(child: Expression, a: String, b: String,
   override def prettyName: String = "bpe_pair_delta"
 }
 
-/** SYMBOL-count deltas a merge `(a, b) → merged` causes in ONE word:
-  * `array<struct<s, d>>` — the signed multiset change
-  * `symbols(applyMerge(word)) − symbols(word)`, empty for words the
-  * merge does not touch. The [[BpePairDeltaExpr]] companion for
-  * score functions that read symbol counts (WordPiece's likelihood
-  * `count(ab)/(count(a)·count(b))`): the distributed trainer keeps a
-  * `(symbol, count)` table current by exploding this column, so a
-  * merge round shuffles work ONLY for affected words.
-  */
-case class BpeSymDeltaExpr(child: Expression, a: String, b: String,
-    merged: Option[String] = None)
-    extends UnaryExpression {
-  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
-  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"bpe_sym_delta requires ARRAY<STRING>, got $t")
-  }
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("s", StringType, nullable = false),
-      StructField("d", LongType, nullable = false))),
-    containsNull = false)
-
-  @transient private lazy val ua = UTF8String.fromString(a)
-  @transient private lazy val ub = UTF8String.fromString(b)
-  @transient private lazy val empty = new GenericArrayData(Array.empty[Any])
-
-  /** Kernel; public for the codegen `addReferenceObj` call. */
-  def computeDelta(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    var i = 0
-    var hit = false
-    while (!hit && i + 1 < n) {
-      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
-      i += 1
-    }
-    if (!hit) return empty
-    val old = new Array[String](n)
-    var k = 0
-    while (k < n) {
-      if (arr.isNullAt(k)) throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index $k — symbol arrays are non-null by contract")
-      old(k) = arr.getUTF8String(k).toString
-      k += 1
-    }
-    val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
-    val m = new java.util.LinkedHashMap[String, Long]()
-    k = 0
-    while (k < old.length) { m.merge(old(k), -1L, (x, y) => x + y); k += 1 }
-    k = 0
-    while (k < applied.length) { m.merge(applied(k), 1L, (x, y) => x + y); k += 1 }
-    val out = mutable.ArrayBuffer.empty[Any]
-    m.forEach { (s, d) =>
-      if (d != 0L) {
-        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(s), d))
-      }
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    computeDelta(input.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeSymDelta", this, classOf[BpeSymDeltaExpr].getName)
-    defineCodeGen(ctx, ev,
-      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeDelta($c)")
-  }
-  override protected def withNewChildInternal(c: Expression): BpeSymDeltaExpr =
-    copy(child = c)
-  override def prettyName: String = "bpe_sym_delta"
-}
-
 /** PAIR and SYMBOL deltas of one merge in a SINGLE pass —
   * `array<struct<pa, pb, s, d>>` with pair rows carrying `s = null`
-  * and symbol rows `pa = pb = null`. [[BpePairDeltaExpr]] and
-  * [[BpeSymDeltaExpr]] each rescan the (corpus-sized, pinned) word
-  * table; the likelihood trainer needs BOTH every round, so this
+  * and symbol rows `pa = pb = null`. A per-family kernel pair
+  * would rescan the (corpus-sized, pinned) word table once EACH; the
+  * likelihood trainer needs both families every round, so this
   * kernel emits the union in one adjacency scan + one applyMerge,
   * letting the round pin ONE small exploded delta table and fold
   * pairs and symbols from it.

@@ -1462,7 +1462,7 @@ object TextFunctions {
     * list. The likelihood score `count(ab) / (count(a) · count(b))`
     * needs live SYMBOL counts, so next to the incrementally-folded
     * pair table this trainer keeps a `(symbol, count)` table current
-    * through the codegen'd [[BpeSymDeltaExpr]] (empty output for
+    * through the codegen'd [[BpeBothDeltaExpr]] (empty output for
     * untouched words — a merge round shuffles work only where it
     * lands, exactly like the pair delta).
     *

@@ -222,7 +222,7 @@ class BpeSpec extends SparkSpec {
     for (c <- Seq(
         BpeEncodeExpr.mergeStep(col("syms"), "a", "b"),
         BpeEncodeExpr.pairDelta(col("syms"), "a", "b"),
-        BpeEncodeExpr.symDelta(col("syms"), "a", "b"))) {
+        BpeEncodeExpr.bothDelta(col("syms"), "a", "b"))) {
       val e = intercept[Exception] { df.select(c).collect() }
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
