@@ -1331,6 +1331,29 @@ object SparkEntry {
         .orderBy("user_id", "click_id", "buy_id")
     }),
 
+    // Stream-static AS-OF enrichment against the SCD2 version history
+    // (the temporal-store <-> streaming bridge): each streamed event,
+    // probed 30 min after its own time, picks the dimension version
+    // valid then — [_start, _end) with the open current version —
+    // via a stateless broadcast join. Users ≡ 0 (mod 7) are withheld
+    // from the dim so the unmatched-left path is exercised.
+    "q_stream_asof" -> ((s, dir) => {
+      val dim = versionedEvents(s, dir)
+        .filter(col(Meta.OID) % 7 =!= 0)
+        .select(col(Meta.OID).as("d_user"), col(Meta.START).as("d_start"),
+          col(Meta.END).as("d_end"), col("event_type").as("d_type"))
+      runStreamGate(s, dir, "events", EventsStreamSchema, "asofenr", "append") { st =>
+        graft.streaming.StreamIngest.enrichAsOfScd2(
+          st.select(col("event_id"), col("user_id"),
+            (unix_micros(col("ts")) / lit(1e6) + lit(1800.0)).as("at")),
+          "at", dim, "user_id", "d_user", "d_start", "d_end")
+      }
+        .select(col("event_id"), col("user_id"), col("at"),
+          coalesce(col("d_type"), lit("none")).as("d_type"),
+          coalesce(col("d_start"), lit(-1.0)).as("d_start"))
+        .orderBy("event_id")
+    }),
+
     // Streaming Bloom seen-screen: the densified word array as a
     // join-free, aggregation-free membership column — stateless, so
     // the streamed result IS the batch q_bloom_screen result and
@@ -5731,6 +5754,23 @@ object SparkEntry {
 
       // stateless stream projection of the same filter => same oracle
       "q_stream_bloom" -> BloomOracleSql,
+
+      // the SCD2 interval pick replayed in batch: LEFT join events
+      // (shifted +30 min) to the lead-window version table under the
+      // identical [_start, _end)/open-current condition
+      "q_stream_asof" ->
+        s"""$VEventsSql,
+           |d AS (SELECT _oid, _start AS d_start, _end AS d_end,
+           |      event_type AS d_type FROM v WHERE _oid % 7 != 0),
+           |e AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+           |      CAST(user_id AS BIGINT) AS user_id,
+           |      epoch_us(ts)/1e6 + 1800 AS at FROM events)
+           |SELECT e.event_id, e.user_id, e.at,
+           |  coalesce(d.d_type, 'none') AS d_type,
+           |  coalesce(d.d_start, -1.0) AS d_start
+           |FROM e LEFT JOIN d ON e.user_id = d._oid
+           |  AND d.d_start <= e.at AND (d.d_end IS NULL OR e.at < d.d_end)
+           |ORDER BY event_id""".stripMargin,
 
       // row semantics of the salted join == the plain equi-join
       "q_salted_join" ->

@@ -235,6 +235,36 @@ object StreamIngest {
         coalesce(col(attr), lit(fallbackAttr)).as(attr))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-static AS-OF enrichment against an SCD2 dimension — the
+    * bridge between the temporal store and the streaming half: each
+    * event picks the dimension VERSION valid at its event time
+    * (`dimStart <= t < dimEnd`, open current version `dimEnd IS
+    * NULL` — the store's exact `on_date` semantics). Stateless: the
+    * static side broadcasts and re-resolves per micro-batch (a dim
+    * refresh is picked up without restarting the query), no
+    * watermark, no state store. SCD2 intervals are non-overlapping
+    * per key, so at most one version matches — the join cannot fan
+    * out. LEFT join: an event before its key's first version (or
+    * with an unknown key) keeps flowing with null dim columns —
+    * count them, don't silently drop them.
+    *
+    * `tsCol` and `dimStart`/`dimEnd` must be the same comparable
+    * type (the store uses epoch-second doubles).
+    */
+  def enrichAsOfScd2(
+      events: DataFrame,
+      tsCol: String,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      dimStart: String = "_start",
+      dimEnd: String = "_end"): DataFrame =
+    events.join(broadcast(dim),
+      col(eventKey) === col(dimKey) &&
+        col(tsCol) >= col(dimStart) &&
+        (col(dimEnd).isNull || col(tsCol) < col(dimEnd)),
+      "left")
+
   /** STREAM-STREAM interval inner join — the stateful two-stream
     * primitive (funnel/attribution shape: "purchase within `maxGap`
     * after click"). Both sides get an event-time watermark and the

@@ -233,6 +233,30 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("enrichAsOfScd2: inclusive start, exclusive end, open current, unknown key") {
+    val dim = Seq(
+      (1L, 10.0, Some(20.0), "v1"), (1L, 20.0, None, "v2"),
+      (2L, 50.0, None, "w1"))
+      .toDF("d_key", "d_start", "d_end", "d_val")
+      .select(col("d_key"), col("d_start"),
+        col("d_end").cast("double").as("d_end"), col("d_val"))
+    val events = Seq(
+      (100L, 1L, 5.0),   // before the first version -> none
+      (101L, 1L, 10.0),  // _start inclusive -> v1
+      (102L, 1L, 20.0),  // _end exclusive -> v2 starts here
+      (103L, 1L, 19.999),// still v1
+      (104L, 1L, 9999.0),// open current -> v2
+      (105L, 9L, 15.0))  // unknown key -> none
+      .toDF("id", "k", "t")
+    val got = StreamIngest.enrichAsOfScd2(events, "t", dim, "k", "d_key", "d_start", "d_end")
+      .select(col("id"), coalesce(col("d_val"), lit("none")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(100L -> "none", 101L -> "v1", 102L -> "v2",
+      103L -> "v1", 104L -> "v2", 105L -> "none"), s"got $got")
+    // SCD2 intervals never fan out: one output row per event
+    assert(StreamIngest.enrichAsOfScd2(events, "t", dim, "k", "d_key", "d_start", "d_end").count() == 6)
+  }
+
   test("screenStreamAgainstIndex: multi-batch union equals the batch screen") {
     import graft.functions.{Dedup, DedupExpressions}
     def doc(salt: Int): String =
