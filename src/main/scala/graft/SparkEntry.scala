@@ -581,6 +581,20 @@ object SparkEntry {
         .orderBy(col(Meta.OID), col(Meta.START))
     }),
 
+    // CDC change feed implied by the SCD2 store: versions opened at
+    // or after the cut emit `open` at _start, versions closed at or
+    // after it emit `close` at _end (a rotation = close + open pair).
+    // Two scan-side filters, no join, no window.
+    "q_change_feed" -> ((s, dir) => {
+      import graft.temporal.TemporalOps._
+      val cut = ts("2024-01-15")
+      versionedEvents(s, dir)
+        .changeFeed(cut)
+        .select(col(Meta.OID), col("change_op"), col("change_at"),
+          col("event_type"))
+        .orderBy(col(Meta.OID), col("change_at"), col("change_op"), col("event_type"))
+    }),
+
     // history import: replace ALL versions of the oids in the batch
     "q_history_import" -> ((s, dir) => {
       val base = versionedEvents(s, dir)
@@ -4200,6 +4214,20 @@ object SparkEntry {
            |  SELECT * FROM hist UNION ALL SELECT * FROM kept
            |  UNION ALL SELECT * FROM rotated UNION ALL SELECT * FROM fresh)
            |ORDER BY _oid, _start""".stripMargin
+      },
+
+      // open events from _start >= t, close events from _end >= t —
+      // the rotation pair falls out of the union
+      "q_change_feed" -> {
+        val cut = ts("2024-01-15")
+        s"""$VEventsSql
+           |SELECT _oid, change_op, change_at, event_type FROM (
+           |  SELECT _oid, 'open' AS change_op, _start AS change_at, event_type
+           |  FROM v WHERE _start >= $cut
+           |  UNION ALL
+           |  SELECT _oid, 'close' AS change_op, _end AS change_at, event_type
+           |  FROM v WHERE _end IS NOT NULL AND _end >= $cut)
+           |ORDER BY _oid, change_at, change_op, event_type""".stripMargin
       },
 
       "q_history_import" ->

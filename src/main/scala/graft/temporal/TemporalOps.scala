@@ -74,6 +74,28 @@ object TemporalOps {
     /** All versions of oids that have an open version
       * (reference: result.py:312-322 `unfinished_objects`).
       */
+    /** Change feed since `t` — the CDC emission an SCD2 store implies
+      * without any extra bookkeeping: every version OPENED at or
+      * after `t` is an `open` event at its `_start`, every version
+      * CLOSED at or after `t` a `close` event at its `_end` (a
+      * rotation therefore emits the close of the old version and the
+      * open of its successor — the standard before/after change
+      * pair). Downstream consumers get incremental reprocessing
+      * without scanning history: two scan-side filters, no join, no
+      * window; at 100 TB both predicates push down to the parquet
+      * scan. Rows: original columns + `(change_op, change_at)`,
+      * ordered by the caller.
+      */
+    def changeFeed(t: Double): DataFrame = {
+      val opened = df.filter(col(Meta.START) >= t)
+        .withColumn("change_op", lit("open"))
+        .withColumn("change_at", col(Meta.START))
+      val closed = df.filter(col(Meta.END).isNotNull && col(Meta.END) >= t)
+        .withColumn("change_op", lit("close"))
+        .withColumn("change_at", col(Meta.END))
+      opened.unionByName(closed)
+    }
+
     def unfinishedObjects(rightBound: Option[Double] = None): DataFrame = {
       val openCond = rightBound match {
         case Some(rb) => col(Meta.END).isNull || col(Meta.END) > rb

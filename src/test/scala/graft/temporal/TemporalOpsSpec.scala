@@ -149,6 +149,32 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(ye2.head - 21.0) < 1e-9)
   }
 
+  test("changeFeed: opens at _start >= t, closes at _end >= t, rotation pairs") {
+    val t = 300.0
+    val got = df.changeFeed(t)
+      .select(col("_oid"), col("change_op"), col("change_at"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected =
+      chains.filter(_.start >= t).map(v => (v.oid, "open", v.start)).toSet ++
+      chains.collect { case v if v.end.exists(_ >= t) => (v.oid, "close", v.end.get) }
+    assert(got == expected, s"diff: ${(got diff expected) ++ (expected diff got)}")
+    // a mid-chain version rotated after t contributes close(old) AND
+    // open(new) at the same boundary — the standard change pair
+    val rotated = chains.groupBy(_.oid).values.flatMap { vs =>
+      vs.sortBy(_.start).sliding(2).collect {
+        case Seq(a, b) if a.end.contains(b.start) && b.start >= t => (a.oid, b.start)
+      }
+    }
+    assert(rotated.nonEmpty, "fixture lost its rotations")
+    rotated.foreach { case (oid, at) =>
+      assert(got.contains((oid, "close", at)) && got.contains((oid, "open", at)),
+        s"rotation pair missing at ($oid, $at)")
+    }
+    // open versions never emit a close
+    assert(!got.exists { case (oid, op, at) =>
+      op == "close" && !chains.exists(v => v.oid == oid && v.end.contains(at)) })
+  }
+
   test("datesRangeMaximum: all distinct version boundaries in window") {
     val lo = 150.0; val hi = 400.0
     val expected = chains
