@@ -98,12 +98,18 @@ object Multimodal {
     * "IHDR". Non-PNG or truncated payloads → null.
     */
   def pngDims(content: Column): Column = {
+    // u32 fields >= 2^31 (corrupt/adversarial headers) must yield the
+    // documented loud-NULL, not an ANSI CAST_OVERFLOW that kills the
+    // whole scan stage — range-check before the int cast
+    val w = beUint(content, 17, 4)
+    val h = beUint(content, 21, 4)
     val isPng = substring(content, 1, 8) === lit(PngMagic) &&
       substring(content, 13, 4) === lit("IHDR".getBytes("UTF-8")) &&
-      length(content) >= 24
+      length(content) >= 24 &&
+      w <= lit(Int.MaxValue.toLong) && h <= lit(Int.MaxValue.toLong)
     when(isPng, struct(
-      beUint(content, 17, 4).cast("int").as("width"),
-      beUint(content, 21, 4).cast("int").as("height")))
+      w.cast("int").as("width"),
+      h.cast("int").as("height")))
   }
 
   /** GIF dimensions: logical-screen width/height at offsets 7/9,
@@ -127,15 +133,19 @@ object Multimodal {
     * production ingest would fall back to a chunk-walk kernel there.
     */
   def wavFormat(content: Column): Column = {
+    // same ANSI-overflow discipline as pngDims: a u32 sample rate
+    // >= 2^31 is a corrupt header — null the asset, don't crash
+    val rate = leUint(content, 25, 4)
     val isCanonicalWav =
       substring(content, 1, 4) === lit("RIFF".getBytes("UTF-8")) &&
       substring(content, 9, 8) === lit("WAVEfmt ".getBytes("UTF-8")) &&
       substring(content, 37, 4) === lit("data".getBytes("UTF-8")) &&
-      length(content) >= 44
+      length(content) >= 44 &&
+      rate <= lit(Int.MaxValue.toLong)
     val byteRate = leUint(content, 29, 4)
     when(isCanonicalWav, struct(
       leUint(content, 23, 2).cast("int").as("channels"),
-      leUint(content, 25, 4).cast("int").as("sample_rate_hz"),
+      rate.cast("int").as("sample_rate_hz"),
       leUint(content, 35, 2).cast("int").as("bits"),
       when(byteRate > 0,
         leUint(content, 41, 4) * lit(1000L) / byteRate)

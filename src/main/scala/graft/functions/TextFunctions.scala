@@ -1530,12 +1530,14 @@ object TextFunctions {
       // evaluated the score join twice per round)
       val top = scored
         .orderBy(col("_sc").desc, col("a").asc, col("b").asc)
-        .limit(maxCandidates).collect()
+        .limit(maxCandidates + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val mxSc = top.head.getDouble(5)
         val cands = top.takeWhile(_.getDouble(5) >= mxSc * (1.0 - 1e-9))
-        require(cands.length < maxCandidates,
+        // the +1 row distinguishes a genuinely-overflowing margin from
+        // a complete set of exactly maxCandidates ties
+        require(cands.length <= maxCandidates,
           s"wordpieceTrainDistributed: over $maxCandidates score-tied " +
             "candidate pairs in one round — a degenerate corpus; raise " +
             "maxCandidates or minCount")

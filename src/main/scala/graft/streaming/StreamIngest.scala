@@ -258,12 +258,17 @@ object StreamIngest {
       eventKey: String,
       dimKey: String,
       dimStart: String = "_start",
-      dimEnd: String = "_end"): DataFrame =
-    events.join(broadcast(dim),
-      col(eventKey) === col(dimKey) &&
-        col(tsCol) >= col(dimStart) &&
-        (col(dimEnd).isNull || col(tsCol) < col(dimEnd)),
+      dimEnd: String = "_end"): DataFrame = {
+    // qualified references: an event stream that itself came through
+    // the store wrap carries _start/_end too — unqualified col()
+    // would be AMBIGUOUS_REFERENCE against the default dim columns
+    val d = broadcast(dim)
+    events.join(d,
+      events(eventKey) === d(dimKey) &&
+        events(tsCol) >= d(dimStart) &&
+        (d(dimEnd).isNull || events(tsCol) < d(dimEnd)),
       "left")
+  }
 
   /** STREAM-STREAM interval inner join — the stateful two-stream
     * primitive (funnel/attribution shape: "purchase within `maxGap`

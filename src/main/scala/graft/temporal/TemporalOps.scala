@@ -71,9 +71,6 @@ object TemporalOps {
         .orderBy("date")
     }
 
-    /** All versions of oids that have an open version
-      * (reference: result.py:312-322 `unfinished_objects`).
-      */
     /** Change feed since `t` — the CDC emission an SCD2 store implies
       * without any extra bookkeeping: every version OPENED at or
       * after `t` is an `open` event at its `_start`, every version
@@ -96,6 +93,9 @@ object TemporalOps {
       opened.unionByName(closed)
     }
 
+    /** All versions of oids that have an open version
+      * (reference: result.py:312-322 `unfinished_objects`).
+      */
     def unfinishedObjects(rightBound: Option[Double] = None): DataFrame = {
       val openCond = rightBound match {
         case Some(rb) => col(Meta.END).isNull || col(Meta.END) > rb

@@ -1152,8 +1152,14 @@ class MultimodalSpec extends SparkSpec {
         Array[Byte](0xff.toByte, 0xc2.toByte) ++ be16(11) ++
         Array[Byte](8) ++ be16(777) ++ be16(333) ++ Array[Byte](1, 1, 0x11, 0) ++
         Array[Byte](0xff.toByte, 0xd9.toByte)
+    // adversarial u32 >= 2^31 dims: must null (ANSI cast would throw)
+    val hugePng: Array[Byte] =
+      Multimodal.PngMagic ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("UTF-8") ++
+        Array[Byte](0x80.toByte, 0, 0, 0) ++ Array[Byte](0, 0, 0, 1) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0)
     val cases = Seq(
       ("png-truncated", Multimodal.PngMagic),
+      ("png-overflow-width", hugePng),
       ("jpeg-no-sof", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)),
       ("garbage", Array[Byte](1, 2, 3, 4)))
     cases.foreach { case (name, bytes) =>

@@ -255,6 +255,15 @@ class StreamingDedupSpec extends SparkSpec {
       103L -> "v1", 104L -> "v2", 105L -> "none"), s"got $got")
     // SCD2 intervals never fan out: one output row per event
     assert(StreamIngest.enrichAsOfScd2(events, "t", dim, "k", "d_key", "d_start", "d_end").count() == 6)
+    // store-wrapped events carry _start/_end themselves: the default
+    // dim column names must still resolve (qualified references)
+    val storeDim = dim.select(col("d_key"), col("d_start").as("_start"),
+      col("d_end").as("_end"), col("d_val"))
+    val storeEvents = events.withColumn("_start", col("t"))
+    val q = StreamIngest.enrichAsOfScd2(storeEvents, "t", storeDim, "k", "d_key")
+      .select(col("id"), coalesce(col("d_val"), lit("none")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q == got, "qualified-reference path diverged")
   }
 
   test("screenStreamAgainstIndex: multi-batch union equals the batch screen") {
