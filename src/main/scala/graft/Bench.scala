@@ -76,8 +76,10 @@ object Bench {
     "q_lattice_encode", "q_bloom_screen", "q_stream_join_full",
     "q_salted_join",
     // round-10 (cont.): scored unigram decode (substring-occurrence
-    // cost table + one scored-Viterbi kernel scan)
-    "q_unigram_encode")
+    // cost table + one scored-Viterbi kernel scan), the SCD2 change
+    // feed (two scan-side filters + union), and the stream-static
+    // as-of enrichment (stateless broadcast interval join)
+    "q_unigram_encode", "q_change_feed", "q_stream_asof")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

@@ -1722,6 +1722,34 @@ object TextFunctions {
         lower(coalesce(col(textCol), lit(""))), merges, tokenPattern)
         .as("n_bpe_tokens"))
 
+  /** Persist a trained tokenizer as parquet under `dir`: `merges/`
+    * (rank, a, b[, merged]) and optionally `vocab/` (token_id, token,
+    * kind) — the artifact a serving/encode job reloads WITHOUT
+    * retraining (training scans the corpus; encoding should only ever
+    * read this). Tiny tables → one file each.
+    */
+  def saveTokenizer(
+      dir: String, merges: DataFrame, vocab: Option[DataFrame] = None): Unit = {
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.foreach(_.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab"))
+  }
+
+  /** Reload the driver-side merge list ([[BpeEncodeExpr]]'s closure
+    * shape) from a [[saveTokenizer]] directory.
+    */
+  def loadTokenizerMerges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IndexedSeq[(String, String)] =
+    collectMerges(spark.read.parquet(s"$dir/merges"))
+
+  /** Reload the vocab token list (the [[WordpieceExpr]] /
+    * [[LatticeEncodeExpr]] input shape), id-ordered.
+    */
+  def loadTokenizerVocab(
+      spark: org.apache.spark.sql.SparkSession, dir: String): IndexedSeq[String] =
+    spark.read.parquet(s"$dir/vocab")
+      .orderBy("token_id").select("token")
+      .collect().map(_.getString(0)).toIndexedSeq
+
   // ------------------------------------------------------------------
   // Unigram-LM (SentencePiece) scored decode — Kudo 2018,
   // arXiv:1804.10959. Piece probabilities come from corpus-weighted

@@ -216,6 +216,31 @@ class BpeSpec extends SparkSpec {
     assert(dist == Seq(("##b", "##c", "##bc"), ("a", "##bc", "abc")), s"got $dist")
   }
 
+  test("saveTokenizer/load round trip: reloaded artifacts encode identically") {
+    val docs = foxDocs.toDF("text")
+    val (mergesDf, vocabDf) = TextFunctions.bpeTrainWithVocab(docs, "text", numMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    TextFunctions.saveTokenizer(dir, mergesDf, Some(vocabDf))
+    val merges = TextFunctions.loadTokenizerMerges(spark, dir)
+    assert(merges == TextFunctions.collectMerges(mergesDf), "merge list drifted")
+    val vocab = TextFunctions.loadTokenizerVocab(spark, dir)
+    assert(vocab == vocabDf.orderBy("token_id").select("token")
+      .collect().map(_.getString(0)).toIndexedSeq, "vocab drifted")
+    // the reloaded artifacts drive both encoders bit-identically
+    val viaLoaded = docs.select(
+        BpeEncodeExpr.count(lower(col("text")), merges, "[a-z]+").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val viaFresh = docs.select(
+        BpeEncodeExpr.count(lower(col("text")),
+          TextFunctions.collectMerges(mergesDf), "[a-z]+").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(viaLoaded == viaFresh && viaLoaded > 0)
+    val seg = Seq("quick").toDF("w")
+      .select(WordpieceExpr(col("w"), vocab, continuationPrefix = "").as("p"))
+      .head().getSeq[String](0)
+    assert(seg.mkString == "quick")
+  }
+
   test("delta/merge kernels reject null symbol elements loud (never NPE / silent nulls)") {
     val df = Seq(1).toDF("i")
       .select(array(lit("a"), lit("b"), lit(null).cast("string")).as("syms"))
