@@ -2323,6 +2323,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The FULL BERT shape end-to-end: WordPiece-TRAINED vocab (##
+    // continuation algebra) driving the greedy ##-continuation
+    // encoder — train and encode semantics pinned together. The
+    // oracle rebuilds the vocab from the chained likelihood-scored
+    // merge stages (base stage-0 symbols + first-formation merged
+    // tokens), computes the best match per (word, pos) with the
+    // initial/continuation split, and walks the successor chain.
+    "q_wordpiece_bert" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = TextFunctions.wordpieceVocab(docs, "text", numMerges = 8)
+      docs.select(explode(regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+        .distinct()
+        .select(col("word"),
+          graft.functions.WordpieceExpr(col("word"), vocab).as("_p"))
+        .select(col("word"), size(col("_p")).as("n_pieces"),
+          array_join(col("_p"), "|").as("pieces"))
+        .orderBy("word")
+    }),
+
     // WordPiece TRAINING (likelihood-scored merges): the q_bpe_train
     // shape with score count(ab)/(count(a)·count(b)) — the oracle
     // replays every stage's arg-max with a HUGEINT cross-multiplied
@@ -5815,6 +5835,41 @@ object SparkEntry {
       // driver and distributed trainers share the contract, so they
       // share the oracle (the q_bpe_train_dist pattern)
       "q_wordpiece_train_dist" -> WordpieceTrainOracleSql,
+
+      // trained-##-vocab greedy encode: vocab = stage-0 symbols +
+      // first-formation merged tokens from the scored merge stages;
+      // best match per (word, pos) splits initial (non-##) vs
+      // continuation (##-stripped) entries; chain walk re-wears ##
+      "q_wordpiece_bert" ->
+        (s"WITH RECURSIVE ${wordpieceCtes(WpK)}, " +
+          "wpv_base AS (SELECT DISTINCT unnest(syms) AS tok FROM wp_syms0), " +
+          "wpv_mrg AS (SELECT mrg, min(r) AS r0 FROM (" +
+          (0 until WpK).map(i => s"SELECT $i AS r, mrg FROM wp_best$i").mkString(" UNION ALL ") +
+          ") WHERE mrg NOT IN (SELECT tok FROM wpv_base) GROUP BY 1), " +
+          "wpv AS (SELECT tok FROM wpv_base UNION ALL SELECT mrg FROM wpv_mrg), " +
+          "wpb_words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
+          "wpb_pos AS (SELECT word, unnest(range(0, len(word))) AS pos FROM wpb_words), " +
+          "wpb_best AS (SELECT p.word, p.pos, " +
+          "max(CASE WHEN p.pos = 0 THEN len(v.tok) ELSE len(v.tok) - 2 END) AS bl " +
+          "FROM wpb_pos p JOIN wpv v ON " +
+          "(p.pos = 0 AND substr(v.tok, 1, 2) != '##' " +
+          "AND substr(p.word, 1, len(v.tok)) = v.tok) " +
+          "OR (p.pos > 0 AND substr(v.tok, 1, 2) = '##' AND len(v.tok) > 2 " +
+          "AND substr(p.word, CAST(p.pos + 1 AS INTEGER), len(v.tok) - 2) = substr(v.tok, 3)) " +
+          "GROUP BY 1, 2), " +
+          "wpb_seg AS (" +
+          "SELECT word, CAST(0 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS n FROM wpb_words " +
+          "UNION ALL " +
+          "SELECT s.word, s.pos + b.bl, " +
+          "s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE '|' END || " +
+          "CASE WHEN s.pos = 0 THEN '' ELSE '##' END || " +
+          "substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(b.bl AS INTEGER)), s.n + 1 " +
+          "FROM wpb_seg s JOIN wpb_best b ON s.word = b.word AND s.pos = b.pos " +
+          "WHERE s.pos < len(s.word)), " +
+          "wpb_done AS (SELECT word, pieces, n FROM wpb_seg WHERE pos = len(word)) " +
+          "SELECT w.word, CAST(COALESCE(d.n, 1) AS INTEGER) AS n_pieces, " +
+          "COALESCE(d.pieces, '[UNK]') AS pieces " +
+          "FROM wpb_words w LEFT JOIN wpb_done d USING (word) ORDER BY word"),
 
       // the A-ES integer key chain replayed end-to-end
       "q_weighted_sample" ->
