@@ -2307,6 +2307,19 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // Token-budget selection: the longest documents first until 100k
+    // chars of budget — exact global prefix sums via the rankBy
+    // two-phase shape (no single-partition window), boundary doc
+    // excluded deterministically.
+    "q_token_budget" -> ((s, dir) => {
+      graft.functions.Curation.selectToBudget(
+          tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id").asc), "n_chars",
+          budget = 100000L)
+        .select("doc_id", "rank", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Bloom-filter seen-screen: filter built over the even-doc_id half
     // of the corpus (distributed bit_or word packing), every document
     // probed — members always hit, non-members hit only on the
@@ -5792,6 +5805,18 @@ object SparkEntry {
           "CAST(CASE WHEN d.n IS NULL THEN -1 ELSE (f.best[1] - d.n) // 1024 END AS BIGINT) AS cost_nano " +
           "FROM ue_words w LEFT JOIN ue_done d USING (word) LEFT JOIN ue_final f USING (word) " +
           "ORDER BY word"),
+
+      // the two-phase prefix sum == the plain cumulative window over
+      // the identical total order, inclusive-budget cut
+      "q_token_budget" ->
+        """WITH r AS (SELECT doc_id, n_chars,
+          |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+          |  sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |FROM documents)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+          |  CAST(cum AS BIGINT) AS cum_tokens
+          |FROM r WHERE cum <= 100000 ORDER BY doc_id""".stripMargin,
 
       // position-set replay of the Bloom algebra: base = unsigned
       // md5-lower-64 mod P, lane i (1-based here = 0-based engine

@@ -801,6 +801,79 @@ object Curation {
     ranked.withColumn("pct_micro", expr(s"(rank * 1000000) div ${math.max(n, 1L)}L"))
   }
 
+  /** Token-budget corpus selection — "the best slice of the corpus
+    * that fits N training tokens", the data-budget allocation every
+    * pretraining run starts with: rows in `orderBy` order are kept
+    * while their cumulative `tokensCol` stays within `budget`
+    * (inclusive; the boundary row that would overflow is excluded
+    * deterministically). Exact GLOBAL prefix sums with NO
+    * single-partition window — [[rankBy]]'s two-phase shape carrying
+    * a token accumulator next to the row counter: range partition on
+    * the order, per-partition (count, token-sum) to the driver,
+    * offset-seeded running totals in sorted `mapPartitions`. Returns
+    * the kept rows + `(rank, cum_tokens)`; `orderBy` must be total
+    * (append the id) and `tokensCol` a non-negative LONG — negatives
+    * and nulls fail loud, never a silently wrong budget.
+    */
+  def selectToBudget(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      tokensCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(orderBy.nonEmpty, "selectToBudget requires at least one order column")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(df.schema(tokensCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"selectToBudget: $tokensCol must be LONG (cast upstream)")
+    val lazyParted =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
+       else df.repartitionByRange(orderBy: _*))
+        .sortWithinPartitions(orderBy: _*)
+        .withColumn("__pid", spark_partition_id())
+    // same durability contract as rankBy: phase 2 must see the exact
+    // boundaries phase 1 summed — Pins, not bare cache
+    val (parted, partedPins) = Pins.pin(lazyParted)
+    val partials = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("c"), sum(col(tokensCol)).as("t"))
+      .collect().map { r =>
+        require(!r.isNullAt(2),
+          s"selectToBudget: NULL $tokensCol in partition ${r.getInt(0)}")
+        r.getInt(0) -> ((r.getLong(1), r.getLong(2)))
+      }.toMap
+    val pids = partials.keys.toSeq.sorted
+    val rankOff = pids.zip(pids.scanLeft(0L)((a, p) =>
+      a + partials(p)._1).init).toMap
+    val tokOff = pids.zip(pids.scanLeft(0L)((a, p) =>
+      Math.addExact(a, partials(p)._2)).init).toMap
+    val schemaOut = parted.schema
+      .add("rank", org.apache.spark.sql.types.LongType)
+      .add("cum_tokens", org.apache.spark.sql.types.LongType)
+    val pidIdx = parted.schema.fieldIndex("__pid")
+    val tokIdx = parted.schema.fieldIndex(tokensCol)
+    val out = parted.mapPartitions { it =>
+      var rank = Long.MinValue
+      var cum = 0L
+      it.map { r =>
+        if (rank == Long.MinValue) {
+          rank = rankOff.getOrElse(r.getInt(pidIdx), 0L)
+          cum = tokOff.getOrElse(r.getInt(pidIdx), 0L)
+        }
+        val t = r.getLong(tokIdx)
+        require(t >= 0, s"selectToBudget: negative token count $t")
+        rank += 1L
+        cum = Math.addExact(cum, t)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank :+ cum)
+      }
+    }(org.apache.spark.sql.Encoders.row(schemaOut))
+      .drop("__pid")
+    val pinned =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(true)
+      else out.localCheckpoint(true)
+    Pins.release(parted, partedPins)
+    pinned.filter(col("cum_tokens") <= budget)
+  }
+
   private def rankInternal(
       df: DataFrame,
       orderBy: Seq[Column],

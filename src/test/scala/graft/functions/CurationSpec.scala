@@ -90,6 +90,47 @@ class CurationSpec extends SparkSpec {
       .filter(col("split") =!= col("split2")).count() > 0)
   }
 
+  test("selectToBudget == cumulative-window strawman; boundary doc excluded; loud paths") {
+    val df = spark.range(5000).toDF("id")
+      .withColumn("score", pmod(hash(col("id"), lit(3)), lit(1000)))
+      .withColumn("toks", pmod(hash(col("id"), lit(9)), lit(97)).cast("long") + 1L)
+    val budget = 40000L
+    for (parts <- Seq(0, 1, 7)) {
+      val got = Curation.selectToBudget(
+          df, Seq(col("score").desc, col("id").asc), "toks", budget, parts)
+        .select("id", "rank", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      val want = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", sum(col("toks")).over(
+          w.rowsBetween(Long.MinValue, 0)))
+        .filter(col("cum_tokens") <= budget)
+        .select("id", "rank", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"parts=$parts diverged")
+      // the boundary row (first over budget) is excluded, not clamped
+      val maxCum = got.map(_._3).max
+      assert(maxCum <= budget && got.size < 5000)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.selectToBudget(df, Seq(col("score")), "toks", -1L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.selectToBudget(
+        df.withColumn("toks", col("toks").cast("int")), Seq(col("score")), "toks", 10L)
+    }
+    val neg = df.withColumn("toks",
+      when(col("id") === 17L, lit(-5L)).otherwise(col("toks")))
+    val e = intercept[Exception] {
+      Curation.selectToBudget(neg, Seq(col("score").desc, col("id")), "toks", 40000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("negative token count")))
+  }
+
   test("leakageSafeSplit: near-dup components never straddle splits; singletons == hashSplit") {
     // docs 1-2-3 chained near-dups (one component, min id 1), 10-11 a
     // pair, 20/21/22 singletons
