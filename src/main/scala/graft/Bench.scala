@@ -79,7 +79,10 @@ object Bench {
     // cost table + one scored-Viterbi kernel scan), the SCD2 change
     // feed (two scan-side filters + union), and the stream-static
     // as-of enrichment (stateless broadcast interval join)
-    "q_unigram_encode", "q_change_feed", "q_stream_asof")
+    "q_unigram_encode", "q_change_feed", "q_stream_asof",
+    // round-10 (cont.): token-budget selection (two-phase exact
+    // prefix sums, no single-partition window)
+    "q_token_budget")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

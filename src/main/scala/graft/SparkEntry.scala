@@ -5868,9 +5868,9 @@ object SparkEntry {
       "q_wordpiece_bert" ->
         (s"WITH RECURSIVE ${wordpieceCtes(WpK)}, " +
           "wpv_base AS (SELECT DISTINCT unnest(syms) AS tok FROM wp_syms0), " +
-          "wpv_mrg AS (SELECT mrg, min(r) AS r0 FROM (" +
+          "wpv_mrg AS (SELECT DISTINCT mrg FROM (" +
           (0 until WpK).map(i => s"SELECT $i AS r, mrg FROM wp_best$i").mkString(" UNION ALL ") +
-          ") WHERE mrg NOT IN (SELECT tok FROM wpv_base) GROUP BY 1), " +
+          ") WHERE mrg NOT IN (SELECT tok FROM wpv_base)), " +
           "wpv AS (SELECT tok FROM wpv_base UNION ALL SELECT mrg FROM wpv_mrg), " +
           "wpb_words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents), " +
           "wpb_pos AS (SELECT word, unnest(range(0, len(word))) AS pos FROM wpb_words), " +

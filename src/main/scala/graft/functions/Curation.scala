@@ -821,99 +821,111 @@ object Curation {
       tokensCol: String,
       budget: Long,
       numPartitions: Int = 0): DataFrame = {
-    require(orderBy.nonEmpty, "selectToBudget requires at least one order column")
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(df.schema(tokensCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"selectToBudget: $tokensCol must be LONG (cast upstream)")
-    val lazyParted =
-      (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
-       else df.repartitionByRange(orderBy: _*))
-        .sortWithinPartitions(orderBy: _*)
-        .withColumn("__pid", spark_partition_id())
-    // same durability contract as rankBy: phase 2 must see the exact
-    // boundaries phase 1 summed — Pins, not bare cache
-    val (parted, partedPins) = Pins.pin(lazyParted)
-    val partials = parted.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("c"), sum(col(tokensCol)).as("t"))
-      .collect().map { r =>
-        require(!r.isNullAt(2),
-          s"selectToBudget: NULL $tokensCol in partition ${r.getInt(0)}")
-        r.getInt(0) -> ((r.getLong(1), r.getLong(2)))
-      }.toMap
-    val pids = partials.keys.toSeq.sorted
-    val rankOff = pids.zip(pids.scanLeft(0L)((a, p) =>
-      a + partials(p)._1).init).toMap
-    val tokOff = pids.zip(pids.scanLeft(0L)((a, p) =>
-      Math.addExact(a, partials(p)._2)).init).toMap
-    val schemaOut = parted.schema
-      .add("rank", org.apache.spark.sql.types.LongType)
-      .add("cum_tokens", org.apache.spark.sql.types.LongType)
-    val pidIdx = parted.schema.fieldIndex("__pid")
-    val tokIdx = parted.schema.fieldIndex(tokensCol)
-    val out = parted.mapPartitions { it =>
-      var rank = Long.MinValue
-      var cum = 0L
-      it.map { r =>
-        if (rank == Long.MinValue) {
-          rank = rankOff.getOrElse(r.getInt(pidIdx), 0L)
-          cum = tokOff.getOrElse(r.getInt(pidIdx), 0L)
-        }
-        val t = r.getLong(tokIdx)
-        require(t >= 0, s"selectToBudget: negative token count $t")
-        rank += 1L
-        cum = Math.addExact(cum, t)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank :+ cum)
-      }
-    }(org.apache.spark.sql.Encoders.row(schemaOut))
-      .drop("__pid")
-    val pinned =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint(true)
-      else out.localCheckpoint(true)
-    Pins.release(parted, partedPins)
-    pinned.filter(col("cum_tokens") <= budget)
+    twoPhase(df, orderBy, numPartitions, Some(tokensCol),
+      // filter BEFORE the result pin: only the kept slice
+      // materializes — a small budget over a huge corpus must not
+      // checkpoint the whole ranked table
+      pre = _.filter(col("cum_tokens") <= budget))._1
   }
 
   private def rankInternal(
       df: DataFrame,
       orderBy: Seq[Column],
-      numPartitions: Int): (DataFrame, Long) = {
-    require(orderBy.nonEmpty, "rankBy requires at least one order column")
+      numPartitions: Int): (DataFrame, Long) =
+    twoPhase(df, orderBy, numPartitions, tokensCol = None, pre = identity)
+
+  /** The ONE two-phase global-order engine behind [[rankBy]],
+    * [[rankNormalize]] and [[selectToBudget]]: range partition on the
+    * order, sort within partitions, per-partition (count[, token
+    * sum]) to the driver, offset-seeded running totals in a sorted
+    * `mapPartitions` — a global `rank` (and `cum_tokens` when
+    * `tokensCol` is set) with NO single-partition window or sort at
+    * any scale. `pre` transforms the counted frame before the result
+    * pin (selectToBudget's budget filter — only the kept slice
+    * materializes).
+    *
+    * Durability: phase 2 is only correct against the exact partition
+    * boundaries phase 1 counted, and range partitioning RE-SAMPLES on
+    * recompute — so the intermediate is [[Pins]]-frozen (reliable
+    * checkpoint with a dir set, lineage-truncated localCheckpoint
+    * otherwise), released in a finally so the loud data paths
+    * (negative/NULL token counts, overflow) can't leak it.
+    */
+  private def twoPhase(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      numPartitions: Int,
+      tokensCol: Option[String],
+      pre: DataFrame => DataFrame): (DataFrame, Long) = {
+    require(orderBy.nonEmpty, "need at least one order column")
+    val clash = (Seq("__pid", "rank") ++ tokensCol.map(_ => "cum_tokens"))
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved output columns: ${clash.mkString(", ")}")
     val lazyParted =
       (if (numPartitions > 0) df.repartitionByRange(numPartitions, orderBy: _*)
        else df.repartitionByRange(orderBy: _*))
         .sortWithinPartitions(orderBy: _*)
         .withColumn("__pid", spark_partition_id())
-    // pinned for the same CORRECTNESS reason as packSequences: phase 2
-    // must see the exact partition boundaries phase 1 counted, and
-    // range partitioning re-samples on recompute — a bare cache()
-    // would silently produce wrong ranks after executor loss; the pin
-    // freezes boundaries (reliable checkpoint with a dir set) or
-    // fails loudly (lineage-truncated localCheckpoint without one)
     val (parted, partedPins) = Pins.pin(lazyParted)
-    val partials = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = partials.keys.toSeq.sorted
-    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + partials(p)).init).toMap
-    val total = partials.values.sum
-    val schemaOut = parted.schema
-      .add("rank", org.apache.spark.sql.types.LongType)
-    val pidIdx = parted.schema.fieldIndex("__pid")
-    val offsetsMap = offsets
-    val ranked = parted.mapPartitions { it =>
-      var run = Long.MinValue
-      it.map { r =>
-        if (run == Long.MinValue) run = offsetsMap.getOrElse(r.getInt(pidIdx), 0L)
-        run += 1L
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+    try {
+      val aggs = count(lit(1)).as("c") +:
+        tokensCol.map(t => sum(col(t)).as("t")).toSeq
+      val partials = parted.groupBy(col("__pid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val toks = tokensCol.map { _ =>
+            require(!r.isNullAt(2) || r.getLong(1) == 0L,
+              s"NULL token count in partition ${r.getInt(0)}")
+            if (r.isNullAt(2)) 0L else r.getLong(2)
+          }.getOrElse(0L)
+          r.getInt(0) -> ((r.getLong(1), toks))
+        }.toMap
+      val pids = partials.keys.toSeq.sorted
+      val rankOff = pids.zip(pids.scanLeft(0L)((a, p) =>
+        a + partials(p)._1).init).toMap
+      val tokOff = pids.zip(pids.scanLeft(0L)((a, p) =>
+        Math.addExact(a, partials(p)._2)).init).toMap
+      val total = partials.values.map(_._1).sum
+      val withTokens = tokensCol.isDefined
+      val schemaOut = {
+        val base = parted.schema.add("rank", org.apache.spark.sql.types.LongType)
+        if (withTokens) base.add("cum_tokens", org.apache.spark.sql.types.LongType)
+        else base
       }
-    }(org.apache.spark.sql.Encoders.row(schemaOut))
-      .drop("__pid")
-    val pinned =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) ranked.checkpoint(true)
-      else ranked.localCheckpoint(true)
-    Pins.release(parted, partedPins)
-    (pinned, total)
+      val pidIdx = parted.schema.fieldIndex("__pid")
+      val tokIdx = tokensCol.map(parted.schema.fieldIndex).getOrElse(-1)
+      val ranked = parted.mapPartitions { it =>
+        var rank = Long.MinValue
+        var cum = 0L
+        it.map { r =>
+          if (rank == Long.MinValue) {
+            rank = rankOff.getOrElse(r.getInt(pidIdx), 0L)
+            cum = tokOff.getOrElse(r.getInt(pidIdx), 0L)
+          }
+          rank += 1L
+          if (withTokens) {
+            require(!r.isNullAt(tokIdx), "NULL token count — fill or filter upstream")
+            val t = r.getLong(tokIdx)
+            require(t >= 0, s"negative token count $t")
+            cum = Math.addExact(cum, t)
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank :+ cum)
+          } else {
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(schemaOut))
+        .drop("__pid")
+      val narrowed = pre(ranked)
+      val pinned =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) narrowed.checkpoint(true)
+        else narrowed.localCheckpoint(true)
+      (pinned, total)
+    } finally Pins.release(parted, partedPins)
   }
 
   /** DSIR-style importance weights (Xie et al., NeurIPS 2023, "Data
