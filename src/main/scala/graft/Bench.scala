@@ -81,8 +81,9 @@ object Bench {
     // as-of enrichment (stateless broadcast interval join)
     "q_unigram_encode", "q_change_feed", "q_stream_asof",
     // round-10 (cont.): token-budget selection (two-phase exact
-    // prefix sums, no single-partition window)
-    "q_token_budget")
+    // prefix sums, no single-partition window) and winnowing
+    // fingerprints (one codegen'd window-argmin scan)
+    "q_token_budget", "q_winnow")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

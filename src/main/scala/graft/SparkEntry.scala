@@ -2307,6 +2307,25 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // Winnowing fingerprints (MOSS, SIGMOD'03): per-doc window
+    // argmins over positional 4-gram hashes — every selected
+    // (pos, hash) pinned; the oracle replays each window's
+    // rightmost unsigned min directly.
+    "q_winnow" -> ((s, dir) => {
+      Dedup.winnowFingerprints(tbl(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4)
+        .orderBy("id", "pos")
+    }),
+
+    // The MOSS similarity report: pairs sharing >= 2 distinct
+    // winnowed fingerprints, counted — position-aware near-dup
+    // evidence at ~2/(w+1) of the full-gram volume.
+    "q_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowMatches(tbl(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Token-budget selection: the longest documents first until 100k
     // chars of budget — exact global prefix sums via the rankBy
     // two-phase shape (no single-partition window), boundary doc
@@ -3444,6 +3463,20 @@ object SparkEntry {
     * scans (overlapping included — range over ALL start positions);
     * shared by the batch gate and its stateless stream twin.
     */
+  /** Winnowing (k=4 grams, w=4 windows) CTEs over the `toks` word
+    * arrays — shared by q_winnow and q_winnow_pairs. Ends at `wn_fp`
+    * (doc_id, pos, h UBIGINT), no trailing comma.
+    */
+  private val WinnowCtes: String =
+    """wn_sh AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+      |  THEN list_transform(range(1, len(ws) - 2), i -> md5_number_lower(array_to_string(ws[i:i+3], ' ')))
+      |  ELSE [] END AS hs FROM toks),
+      |wn_pos AS (SELECT doc_id, hs, unnest(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+      |  p -> p + len(hs[p+1:p+4]) - list_position(list_reverse(hs[p+1:p+4]), list_min(hs[p+1:p+4])) + 1)) AS pos
+      |  FROM wn_sh WHERE len(hs) > 0),
+      |wn_fp AS (SELECT DISTINCT doc_id, pos, hs[CAST(pos AS INTEGER)] AS h FROM wn_pos)
+      |""".stripMargin
+
   /** Shared by q_wordpiece_train and q_wordpiece_train_dist — the
     * likelihood-scored merge replay with exact HUGEINT
     * cross-multiplied arg-max (see wordpieceCtes).
@@ -5805,6 +5838,29 @@ object SparkEntry {
           "CAST(CASE WHEN d.n IS NULL THEN -1 ELSE (f.best[1] - d.n) // 1024 END AS BIGINT) AS cost_nano " +
           "FROM ue_words w LEFT JOIN ue_done d USING (word) LEFT JOIN ue_final f USING (word) " +
           "ORDER BY word"),
+
+      // every winnow window's rightmost unsigned argmin replayed
+      // (list_min over UBIGINT == the kernel's compareUnsigned;
+      // reverse+list_position picks the rightmost tie), signed-long
+      // conversion only at the output boundary
+      "q_winnow" ->
+        (s"WITH ${tokCte()}, " +
+          WinnowCtes +
+          """SELECT doc_id AS id, CAST(pos AS INTEGER) AS pos,
+            |  CAST(CASE WHEN h >= 9223372036854775808 THEN CAST(h AS HUGEINT) - 18446744073709551616
+            |    ELSE CAST(h AS HUGEINT) END AS BIGINT) AS h
+            |FROM wn_fp ORDER BY id, pos""".stripMargin),
+
+      // distinct shared fingerprints per pair — the MOSS report
+      "q_winnow_pairs" ->
+        (s"WITH ${tokCte()}, " +
+          WinnowCtes +
+          """, wn_d AS (SELECT DISTINCT doc_id, h FROM wn_fp)
+            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |  count(*) AS n_shared
+            |FROM wn_d a JOIN wn_d b ON a.h = b.h AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2 HAVING count(*) >= 2
+            |ORDER BY id_a, id_b""".stripMargin),
 
       // the two-phase prefix sum == the plain cumulative window over
       // the identical total order, inclusive-budget cut

@@ -716,6 +716,58 @@ object Dedup {
     */
   def unpinContainment(df: DataFrame): Unit = Pins.unpin(df)
 
+  /** Winnowing fingerprints per document ([[WinnowExpr]] — MOSS,
+    * SIGMOD'03): `(id, pos, h)` rows, ~`2/(w+1)` of the k-gram count,
+    * with the guarantee that any cross-document match of at least
+    * `w + k - 1` tokens shares a fingerprint. ONE codegen'd
+    * projection (positional hashes → window argmins), then the
+    * explode — position-aware near-dup evidence at a fraction of the
+    * q_dup_spans full-gram volume.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    df.select(col(idCol).as("id"),
+        explode(column(WinnowExpr(
+          expression(DedupExpressions.shinglePosHashes(col(textCol), k)), w))).as("fp"))
+      .select(col("id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+  }
+
+  /** Cross-document fingerprint matches: pairs sharing at least
+    * `minShared` DISTINCT winnowed fingerprints, with the count — the
+    * MOSS similarity report. Same one-shuffle band shape as the
+    * shingle-pair operators: fingerprints group by hash with the
+    * buffer-capped collect (hot boilerplate fingerprints drop at
+    * `maxBucket`, exactly like stop shingles), each bucket emits its
+    * C(n,2) pairs once, then a pair-keyed count.
+    */
+  def winnowMatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("h")).distinct()
+    fp.groupBy(col("h"))
+      .agg(DedupExpressions.boundedCollectList(col("id"), maxBucket).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pa", "ida")))
+      .select(col("ida"),
+        explode(slice(col("ids"), col("pa") + lit(2), size(col("ids")))).as("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Incremental near-dup dedup of a NEW batch against an existing
     * signature corpus — the continuous-ingest shape: signatures for
     * the whole history are persisted once (e.g. via

@@ -1401,3 +1401,73 @@ object DedupExpressions {
   def projectVec(vec: Column, means: Array[Double], mat: Array[Array[Double]]): Column =
     column(ProjectVecExpr(expression(vec), means, mat))
 }
+
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS local document fingerprinting algorithm):
+  * over an array of positional k-gram hashes, select in every window
+  * of `w` consecutive hashes the MINIMUM (unsigned; RIGHTMOST
+  * occurrence on ties), recording each selected position once.
+  * Guarantee (the paper's): any substring match of at least
+  * `w + k - 1` tokens between two documents shares at least one
+  * selected fingerprint, while the expected density of selected
+  * positions is only `2/(w+1)` — position-aware near-dup detection
+  * at a fraction of the full k-gram set, the gap between MinHash
+  * (whole-document similarity, no positions) and the full
+  * [[ShinglePosHashesExpr]] explode (every gram).
+  *
+  * Unsigned min matches DuckDB's native UBIGINT ordering over
+  * `md5_number_lower`, so the oracle replays every window's argmin
+  * directly. Composes with [[ShinglePosHashesExpr]] in one codegen'd
+  * projection; `pos` is the 1-based k-gram index.
+  */
+case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"winnow needs a window >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow requires ARRAY<LONG>, got $t")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Kernel; public for the codegen reference-object call. */
+  def computeFp(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var last = -1
+    var p = 0
+    val lim = math.max(n - w, 0)
+    while (p <= lim) {
+      var best = p
+      val end = math.min(p + w, n)
+      var i = p + 1
+      while (i < end) {
+        if (java.lang.Long.compareUnsigned(arr.getLong(i), arr.getLong(best)) <= 0)
+          best = i // <= keeps the RIGHTMOST minimum
+        i += 1
+      }
+      if (best != last) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](best + 1, arr.getLong(best)))
+        last = best
+      }
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeFp(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeFp($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow"
+}

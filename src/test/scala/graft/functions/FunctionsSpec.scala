@@ -519,6 +519,82 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(ws: Seq[String], k: Int, w: Int): Seq[(Int, Long)] = {
+    if (ws.length < k) return Nil
+    val hs = (0 to ws.length - k).map(i => HashUtil.md5Lower64(ws.slice(i, i + k).mkString(" ")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var last = -1
+    for (p <- 0 to math.max(hs.length - w, 0)) {
+      val end = math.min(p + w, hs.length)
+      var best = p
+      for (i <- p + 1 until end)
+        if (java.lang.Long.compareUnsigned(hs(i), hs(best)) <= 0) best = i
+      if (best != last) { out += ((best + 1, hs(best))); last = best }
+    }
+    out.toSeq
+  }
+
+  test("winnowFingerprints == naive reference on randomized docs; density ~2/(w+1)") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (1 to 2 + rnd.nextInt(60)).map(_ => s"t${rnd.nextInt(30)}").mkString(" "))
+    }
+    val got = Dedup.winnowFingerprints(docs.toDF("id", "text"), "id", "text", k = 4, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    var grams = 0L
+    var selected = 0L
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      val want = reference(ws, 4, 4)
+      assert(got.getOrElse(id, Nil) == want, s"doc $id diverged")
+      grams += math.max(ws.length - 3, 0)
+      selected += want.size
+    }
+    // the paper's expected density is 2/(w+1) = 0.4; allow a wide band
+    assert(selected < grams, "winnowing selected every gram")
+    assert(selected.toDouble / grams > 0.15 && selected.toDouble / grams < 0.65,
+      s"implausible density ${selected.toDouble / grams}")
+  }
+
+  test("the w+k-1 guarantee: a shared 7-token run always shares a fingerprint") {
+    val rnd = new scala.util.Random(23)
+    val shared = (1 to 7).map(i => s"run$i").mkString(" ") // w + k - 1 = 7
+    val docs = (0 until 20).map { i =>
+      val pad1 = (1 to 5 + rnd.nextInt(20)).map(_ => s"a${rnd.nextInt(500)}").mkString(" ")
+      val pad2 = (1 to 5 + rnd.nextInt(20)).map(_ => s"b${rnd.nextInt(500)}").mkString(" ")
+      (i.toLong, s"$pad1 $shared $pad2")
+    }
+    val pairs = Dedup.winnowMatches(docs.toDF("id", "text"), "id", "text",
+        k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (a <- 0 until 20; b <- a + 1 until 20)
+      assert(pairs.contains((a.toLong, b.toLong)),
+        s"guaranteed match ($a, $b) missing — the SIGMOD'03 property broke")
+  }
+
+  test("winnowMatches == brute-force distinct shared fingerprints") {
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (1 to 10 + rnd.nextInt(30)).map(_ => s"t${rnd.nextInt(12)}").mkString(" "))
+    }
+    val got = Dedup.winnowMatches(docs.toDF("id", "text"), "id", "text",
+        k = 4, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fps = docs.map { case (id, text) =>
+      id -> reference(text.split(" ").toSeq, 4, 4).map(_._2).toSet
+    }.toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      n = (fps(a) intersect fps(b)).size if n >= 2
+    } yield (a, b) -> n.toLong).toMap
+    assert(got == want, s"diff keys: ${(got.keySet diff want.keySet) ++ (want.keySet diff got.keySet)}")
+  }
+}
+
 class ShingleSetExprSpec extends SparkSpec {
   import spark.implicits._
 
