@@ -878,10 +878,12 @@ object Curation {
       val partials = parted.groupBy(col("__pid"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
+          // a group row implies >= 1 input row, so a NULL sum means
+          // every token in the partition was NULL — loud
           val toks = tokensCol.map { _ =>
-            require(!r.isNullAt(2) || r.getLong(1) == 0L,
+            require(!r.isNullAt(2),
               s"NULL token count in partition ${r.getInt(0)}")
-            if (r.isNullAt(2)) 0L else r.getLong(2)
+            r.getLong(2)
           }.getOrElse(0L)
           r.getInt(0) -> ((r.getLong(1), toks))
         }.toMap

@@ -118,6 +118,18 @@ object Dedup {
       keyed: DataFrame,
       keyCols: Seq[String],
       maxBucketSize: Int): DataFrame =
+    bucketPairStream(keyed, keyCols, maxBucketSize).distinct()
+
+  /** The RAW per-bucket pair stream behind [[candidatePairsByKey]]
+    * and [[winnowMatches]] — one emission per (bucket, unordered
+    * pair), pre-dedup, so count-consumers (winnow's shared-
+    * fingerprint tally) and set-consumers (LSH candidates) share one
+    * definition of the cap/self-pair/explode semantics.
+    */
+  private[functions] def bucketPairStream(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      maxBucketSize: Int): DataFrame =
     keyed.groupBy(keyCols.map(col): _*)
       .agg(DedupExpressions.boundedCollectList(col("id"), maxBucketSize).as("_ids"))
       .filter(size(col("_ids")).between(2, maxBucketSize))
@@ -130,7 +142,6 @@ object Dedup {
       // bucket slots, same id) — the old self-join's `id_a < id_b`
       // dropped those self-pairs; keep that contract
       .filter(col("id_a") =!= col("id_b"))
-      .distinct()
 
   /** MinHash+LSH candidate pairs with estimated Jaccard.
     *
@@ -755,14 +766,9 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), col("h")).distinct()
-    fp.groupBy(col("h"))
-      .agg(DedupExpressions.boundedCollectList(col("id"), maxBucket).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pa", "ida")))
-      .select(col("ida"),
-        explode(slice(col("ids"), col("pa") + lit(2), size(col("ids")))).as("idb"))
-      .select(least(col("ida"), col("idb")).as("id_a"),
-        greatest(col("ida"), col("idb")).as("id_b"))
+    // distinct (id, h) upstream ⇒ one emission per (pair, shared
+    // hash), so the pair count IS the distinct-shared-hash count
+    bucketPairStream(fp, Seq("h"), maxBucket)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
