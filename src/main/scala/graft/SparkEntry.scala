@@ -2307,6 +2307,23 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // RIFF chunk-walk WAV parsing: four layouts (canonical; LIST
+    // before fmt; fact between fmt and data; odd-size LIST testing
+    // word alignment) carry the SAME id-derived format fields — the
+    // oracle is layout-independent arithmetic, so agreement proves
+    // the walker handles every chain shape.
+    "q_wav_chunks" -> ((s, dir) => {
+      val assets = Multimodal.syntheticWavAssets(s, 200)
+      assets.select(col("asset_id"),
+          graft.functions.WavChunkExpr(col("content")).as("w"))
+        .select(col("asset_id"),
+          coalesce(col("w.channels"), lit(-1)).as("channels"),
+          coalesce(col("w.sample_rate_hz"), lit(-1)).as("sample_rate_hz"),
+          coalesce(col("w.bits"), lit(-1)).as("bits"),
+          coalesce(col("w.duration_ms"), lit(-1L)).as("duration_ms"))
+        .orderBy("asset_id")
+    }),
+
     // Winnowing fingerprints (MOSS, SIGMOD'03): per-doc window
     // argmins over positional 4-gram hashes — every selected
     // (pos, hash) pinned; the oracle replays each window's
@@ -5838,6 +5855,20 @@ object SparkEntry {
           "CAST(CASE WHEN d.n IS NULL THEN -1 ELSE (f.best[1] - d.n) // 1024 END AS BIGINT) AS cost_nano " +
           "FROM ue_words w LEFT JOIN ue_done d USING (word) LEFT JOIN ue_final f USING (word) " +
           "ORDER BY word"),
+
+      // layout-independent arithmetic — the walker must find fmt and
+      // data wherever the chain puts them
+      "q_wav_chunks" ->
+        """WITH m AS (SELECT i AS asset_id,
+          |    1 + i % 2 AS ch, 8000 + 1000 * (i % 5) AS rate,
+          |    8 + 8 * (i % 2) AS bits, 1000 + i % 500 AS ndata
+          |  FROM range(0, 200) t(i))
+          |SELECT CAST(asset_id AS BIGINT) AS asset_id,
+          |  CAST(ch AS INTEGER) AS channels,
+          |  CAST(rate AS INTEGER) AS sample_rate_hz,
+          |  CAST(bits AS INTEGER) AS bits,
+          |  CAST(ndata * 1000 // (rate * ch * bits // 8) AS BIGINT) AS duration_ms
+          |FROM m ORDER BY asset_id""".stripMargin,
 
       // every winnow window's rightmost unsigned argmin replayed
       // (list_min over UBIGINT == the kernel's compareUnsigned;

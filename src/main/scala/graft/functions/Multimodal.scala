@@ -160,7 +160,9 @@ object Multimodal {
   def mediaMeta(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val c = col(contentCol)
     val dims = coalesce(pngDims(c), gifDims(c), JpegDimsExpr(c))
-    val wav = wavFormat(c)
+    // canonical layout via the cheap fixed-offset Column parse; any
+    // other chunk order falls through to the chunk-walk kernel
+    val wav = coalesce(wavFormat(c), WavChunkExpr(c))
     df.select(col(idCol),
       sniffMime(c).as("mime_sniffed"),
       dims.getField("width").as("width"),
@@ -301,6 +303,50 @@ object Multimodal {
       spark.sparkContext.parallelize(rows.toSeq, 4), assetSchema)
   }
 
+  /** WAV fixture exercising the chunk-walk fallback: four layouts —
+    * canonical; a LIST chunk before "fmt "; a fact chunk between
+    * "fmt " and "data"; an ODD-size LIST (word-alignment padding) —
+    * all with format fields from the same `asset_id` arithmetic, so
+    * the gate oracle is layout-independent while the engine must
+    * actually walk the chains.
+    */
+  def syntheticWavAssets(spark: SparkSession, n: Int): DataFrame = {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("UTF-8") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val rows = (0 until n).map { i =>
+      val ch = 1 + i % 2
+      val rate = 8000 + 1000 * (i % 5)
+      val bits = 8 + 8 * (i % 2)
+      val nData = 1000 + i % 500
+      val byteRate = rate * ch * bits / 8
+      val fmt = chunk("fmt ", le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(byteRate) ++ le16(ch * bits / 8) ++ le16(bits))
+      // data chunk whose SIZE field is nData but whose payload is a
+      // token 2 bytes (headers rule; gates never ship megabytes) —
+      // the walker reads the size FIELD, and "data" is always the
+      // LAST chunk here so the truncated payload ends the chain
+      val dataHdr = "data".getBytes("UTF-8") ++ le32(nData) ++ Array[Byte](0, 0)
+      val list = chunk("LIST", "INFOjunkdata".getBytes("UTF-8"))
+      val oddList = chunk("LIST", "INFOodd".getBytes("UTF-8")) // 7 bytes -> padded
+      val fact = chunk("fact", le32(nData / (ch * bits / 8)))
+      val body: Array[Byte] = (i % 4) match {
+        case 0 => fmt ++ dataHdr
+        case 1 => list ++ fmt ++ dataHdr
+        case 2 => fmt ++ fact ++ dataHdr
+        case _ => oddList ++ fmt ++ fact ++ dataHdr
+      }
+      val payload = "RIFF".getBytes("UTF-8") ++ le32(4 + body.length) ++
+        "WAVE".getBytes("UTF-8") ++ body
+      Row(i.toLong, "audio", payload, null, null, null, null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 4), assetSchema)
+  }
+
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       val modality = Seq("image", "audio", "video")(i % 3)
@@ -410,5 +456,93 @@ object JpegDimsExpr {
   def apply(content: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge._
     column(new JpegDimsExpr(expression(content)))
+  }
+}
+
+/** RIFF chunk-walk WAV parser — the fallback [[Multimodal.wavFormat]]
+  * documents: real .wav files sometimes carry LIST/fact/cue chunks
+  * before (or between) "fmt " and "data", which the canonical
+  * fixed-offset parse correctly refuses. This kernel walks the chunk
+  * chain per the RIFF spec (4-byte id, LE32 size, word-aligned
+  * payloads) and reads the PCM format fields and data size wherever
+  * their chunks sit. Null — never a wrong guess — on non-RIFF/WAVE
+  * payloads, truncated chains, missing fmt/data, or out-of-range
+  * fields (the ANSI-overflow discipline of the Column parsers).
+  */
+case class WavChunkExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wav_chunks requires a BINARY column, got $t")
+  }
+  // field shapes/nullability match wavFormat's struct so the two
+  // compose under coalesce in mediaMeta
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate_hz", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+  override def nullable: Boolean = true
+
+  /** Kernel; public for the codegen reference-object call. */
+  def compute(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | (u8(i + 3).toLong << 24)
+    @inline def tag(i: Int, s: String): Boolean =
+      (0 until 4).forall(j => bytes(i + j) == s.charAt(j).toByte)
+    if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var i = 12L
+    var channels = -1
+    var rate = -1L
+    var bits = -1
+    var byteRate = -1L
+    var dataSize = -1L
+    while (i + 8 <= n) {
+      val ii = i.toInt
+      val size = le32(ii + 4)
+      if (tag(ii, "fmt ") && size >= 16 && i + 8 + 16 <= n) {
+        channels = le16(ii + 10)
+        rate = le32(ii + 12)
+        byteRate = le32(ii + 16)
+        bits = le16(ii + 22)
+      } else if (tag(ii, "data")) {
+        dataSize = size
+      }
+      i += 8L + size + (size & 1L) // chunks are word-aligned
+    }
+    if (channels < 0 || rate < 0 || dataSize < 0 || rate > Int.MaxValue) return null
+    val dur: Any =
+      if (byteRate > 0) java.lang.Long.valueOf(dataSize * 1000L / byteRate) else null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](channels, rate.toInt, bits, dur))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wavChunks", this, classOf[WavChunkExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.InternalRow r = $ref.compute($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): WavChunkExpr =
+    copy(child = c)
+  override def prettyName: String = "wav_chunks"
+}
+
+object WavChunkExpr {
+  def apply(content: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new WavChunkExpr(expression(content)))
   }
 }

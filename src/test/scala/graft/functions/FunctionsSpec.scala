@@ -1250,6 +1250,43 @@ class MultimodalSpec extends SparkSpec {
       s"marker walk failed past APPn segments: $deep")
   }
 
+  test("WAV chunk walk: non-canonical layouts parse; canonical == Column path; garbage nulls") {
+    import spark.implicits._
+    val assets = Multimodal.syntheticMediaAssets(spark, 40) // canonical wavs at i%4==3
+    // canonical files: kernel == fixed-offset Column parse
+    val both = assets.filter(col("asset_id") % 4 === 3)
+      .select(col("asset_id"),
+        Multimodal.wavFormat(col("content")).as("a"),
+        WavChunkExpr(col("content")).as("b"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getStruct(1) == r.getStruct(2),
+      s"kernel diverged from the canonical parse at ${r.getLong(0)}"))
+    // non-canonical layouts: the Column path refuses, the walker parses
+    val wavs = Multimodal.syntheticWavAssets(spark, 20)
+    val nc = wavs.filter(col("asset_id") % 4 =!= 0)
+      .select(col("asset_id"),
+        Multimodal.wavFormat(col("content")).as("a"),
+        WavChunkExpr(col("content")).as("b"))
+      .collect()
+    assert(nc.nonEmpty)
+    nc.foreach { r =>
+      assert(r.isNullAt(1), s"canonical parse accepted a non-canonical layout: $r")
+      val i = r.getLong(0)
+      val b = r.getStruct(2)
+      assert(b.getInt(0) == 1 + (i % 2).toInt &&
+        b.getInt(1) == 8000 + 1000 * (i % 5).toInt &&
+        b.getInt(2) == 8 + 8 * (i % 2).toInt, s"walker misparsed $i: $b")
+    }
+    // garbage / truncated / missing chunks -> null
+    for (bad <- Seq(Array[Byte](1, 2, 3), "RIFF1234WAVE".getBytes("UTF-8"),
+        ("RIFF" + " " * 4 + "WAVEfmt ").getBytes("UTF-8"))) {
+      val row = Seq(Tuple1(bad)).toDF("content")
+        .select(WavChunkExpr(col("content"))).head()
+      assert(row.isNullAt(0), s"expected null for ${bad.length}-byte garbage")
+    }
+  }
+
   test("extractFeatures: schema, shape, determinism") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val f = Multimodal.extractFeatures(assets, dim = 8)
