@@ -5882,14 +5882,19 @@ object SparkEntry {
             |    ELSE CAST(h AS HUGEINT) END AS BIGINT) AS h
             |FROM wn_fp ORDER BY id, pos""".stripMargin),
 
-      // distinct shared fingerprints per pair — the MOSS report
+      // distinct shared fingerprints per pair — the MOSS report.
+      // wn_cap mirrors the engine's maxBucket=1000 hot-fingerprint
+      // drop (bucketPairStream keeps 2..maxBucket): a boilerplate
+      // hash shared by >1000 docs contributes NO pairs on either side.
       "q_winnow_pairs" ->
         (s"WITH ${tokCte()}, " +
           WinnowCtes +
-          """, wn_d AS (SELECT DISTINCT doc_id, h FROM wn_fp)
+          """, wn_d AS (SELECT DISTINCT doc_id, h FROM wn_fp),
+            |wn_cap AS (SELECT doc_id, h FROM wn_d
+            |  QUALIFY count(*) OVER (PARTITION BY h) BETWEEN 2 AND 1000)
             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             |  count(*) AS n_shared
-            |FROM wn_d a JOIN wn_d b ON a.h = b.h AND a.doc_id < b.doc_id
+            |FROM wn_cap a JOIN wn_cap b ON a.h = b.h AND a.doc_id < b.doc_id
             |GROUP BY 1, 2 HAVING count(*) >= 2
             |ORDER BY id_a, id_b""".stripMargin),
 

@@ -754,10 +754,18 @@ case class BpeMergeStepExpr(child: Expression, a: String, b: String,
     val n = arr.numElements()
     var i = 0
     var hit = false
+    // null contract is enforced IN the pre-scan (not only in the
+    // post-hit loop): an array carrying nulls but not the merge pair
+    // must fail loud too, or the violation is only sometimes visible
     while (!hit && i + 1 < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $i — symbol arrays are non-null by contract")
       hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
       i += 1
     }
+    if (!hit && n > 0 && arr.isNullAt(n - 1))
+      throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index ${n - 1} — symbol arrays are non-null by contract")
     if (!hit) return arr
     val out = new mutable.ArrayBuffer[Any](n)
     var j = 0
@@ -822,10 +830,18 @@ case class BpePairDeltaExpr(child: Expression, a: String, b: String,
     val n = arr.numElements()
     var i = 0
     var hit = false
+    // null contract is enforced IN the pre-scan (not only in the
+    // post-hit loop): an array carrying nulls but not the merge pair
+    // must fail loud too, or the violation is only sometimes visible
     while (!hit && i + 1 < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $i — symbol arrays are non-null by contract")
       hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
       i += 1
     }
+    if (!hit && n > 0 && arr.isNullAt(n - 1))
+      throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index ${n - 1} — symbol arrays are non-null by contract")
     if (!hit) return empty
     val old = new Array[String](n)
     var k = 0
@@ -909,10 +925,18 @@ case class BpeBothDeltaExpr(child: Expression, a: String, b: String,
     val n = arr.numElements()
     var i = 0
     var hit = false
+    // null contract is enforced IN the pre-scan (not only in the
+    // post-hit loop): an array carrying nulls but not the merge pair
+    // must fail loud too, or the violation is only sometimes visible
     while (!hit && i + 1 < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $i — symbol arrays are non-null by contract")
       hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
       i += 1
     }
+    if (!hit && n > 0 && arr.isNullAt(n - 1))
+      throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index ${n - 1} — symbol arrays are non-null by contract")
     if (!hit) return empty
     val old = new Array[String](n)
     var k = 0

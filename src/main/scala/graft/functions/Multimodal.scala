@@ -147,9 +147,16 @@ object Multimodal {
       leUint(content, 23, 2).cast("int").as("channels"),
       rate.cast("int").as("sample_rate_hz"),
       leUint(content, 35, 2).cast("int").as("bits"),
-      when(byteRate > 0,
-        leUint(content, 41, 4) * lit(1000L) / byteRate)
-        .cast("long").as("duration_ms")))
+      when(byteRate > 0, {
+        // FLOOR division, exactly like WavChunkExpr's Long `/`: a
+        // bare `/` is Catalyst Divide → double, whose rounding can
+        // cross an integer for large data sizes and disagree with the
+        // chunk-walk path by 1 ms on the same file. Subtracting the
+        // remainder first makes the double quotient an exact integer
+        // (both operands < 2^53), so the cast is lossless.
+        val num = leUint(content, 41, 4) * lit(1000L)
+        (num - pmod(num, byteRate)) / byteRate
+      }).cast("long").as("duration_ms")))
   }
 
   /** Header-level metadata for a mixed asset table in ONE projection:

@@ -159,9 +159,11 @@ case class LatticeEncodeExpr(
     * dominates, equal-cost paths then prefer fewer pieces, and the
     * longest-first reconstruction settles what remains. With no costs
     * (all zero) the objective degenerates to exactly the
-    * minimum-piece-count DP. Overflow-safe: eff ≤ 2^52·2^10 + 1 per
-    * piece and words beyond 2^10 pieces would need a 1024-char word —
-    * longer inputs than that are rejected loud below.
+    * minimum-piece-count DP. The scored-mode length guard below is
+    * 1024 = the 2^10 shift, so a path can never gain more than 2^10
+    * extra pieces — any ≥1-nano-nat total-cost difference therefore
+    * strictly dominates the tie-break (cost-dominance holds at the
+    * guard boundary, not just typically).
     */
   @transient private lazy val trie: WordpieceTrie =
     new WordpieceTrie(
@@ -174,9 +176,12 @@ case class LatticeEncodeExpr(
     val word = input.toString
     if (word.isEmpty) return new GenericArrayData(Array.empty[Any])
     val n = word.length
-    // scored mode: eff < 2^49 per piece, ≤ 2^13 pieces → sums < 2^62
-    require(n <= (if (costs.isEmpty) 1 << 20 else 8192),
-      s"lattice_encode: ${n}-char input — chunk first (overflow-free bound)")
+    // scored mode: eff < 2^49 + 1 per piece, ≤ 2^10 pieces → sums
+    // < 2^59, and ≤ 2^10 pieces keeps the ×1024 cost fold dominant
+    // over the piece-count tie-break (see the `trie` doc)
+    require(n <= (if (costs.isEmpty) 1 << 20 else 1024),
+      s"lattice_encode: ${n}-char input — chunk first (overflow-free, " +
+        "tie-break-sound bound)")
     val INF = Long.MaxValue
     // suf(p) = min total effective cost covering word[p..n); backward DP
     val suf = new Array[Long](n + 1)

@@ -254,11 +254,30 @@ class BpeSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("null symbol")),
         s"expected the loud null-symbol contract, got: ${msgs(e).mkString(" | ")}")
     }
-    // arrays without the merge pair pass through regardless (no scan
-    // of elements past the adjacency check)
-    val pass = df.select(BpeEncodeExpr.pairDelta(col("syms"), "x", "y").as("d"))
-      .head().getSeq[Any](0)
-    assert(pass.isEmpty)
+    // the contract is loud even when the merge pair is ABSENT — the
+    // pre-scan checks nulls, not just the post-hit allocation loop
+    // (a hit-gated check would make the violation only sometimes
+    // visible)
+    for (c <- Seq(
+        BpeEncodeExpr.mergeStep(col("syms"), "x", "y"),
+        BpeEncodeExpr.pairDelta(col("syms"), "x", "y"),
+        BpeEncodeExpr.bothDelta(col("syms"), "x", "y"))) {
+      val e = intercept[Exception] { df.select(c).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null symbol")),
+        s"no-hit rows must still fail loud: ${msgs(e).mkString(" | ")}")
+    }
+    // a null in the LAST slot (never the left element of any adjacency
+    // probe) is caught by the explicit tail check
+    val tail = Seq(1).toDF("i")
+      .select(array(lit("a"), lit(null).cast("string")).as("syms"))
+    val te = intercept[Exception] {
+      tail.select(BpeEncodeExpr.pairDelta(col("syms"), "x", "y")).collect()
+    }
+    def tmsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ tmsgs(t.getCause)
+    assert(tmsgs(te).exists(_.contains("null symbol")))
   }
 
   test("bpeTrainDistributed stops early on pair exhaustion like the driver loop") {

@@ -230,6 +230,28 @@ class WordpieceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LatticeEncodeExpr(col("w"), vocab, costs = Seq(-1L, 0L, 0L))
     }
+    // scored-mode length guard = 1024 — the same 2^10 as the cost
+    // fold's shift, so a path can never pick up more extra pieces
+    // than one nano-nat of cost dominates (the tie-break stays sound
+    // at the boundary, not just typically). 1024 chars pass; 1025
+    // reject loud.
+    val okLong = Seq("a" * 1024).toDF("w")
+      .select(LatticeEncodeExpr(col("w"), Seq("a"), costs = Seq(5L)).as("p"))
+      .head().getSeq[String](0)
+    assert(okLong.length == 1024)
+    val ge = intercept[Exception] {
+      Seq("a" * 1025).toDF("w")
+        .select(LatticeEncodeExpr(col("w"), Seq("a"), costs = Seq(5L)))
+        .collect()
+    }
+    def gmsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ gmsgs(t.getCause)
+    assert(gmsgs(ge).exists(_.contains("chunk first")), gmsgs(ge).mkString(" | "))
+    // uniform mode keeps the wide 2^20 bound (no cost fold to protect)
+    val uni = Seq("a" * 2048).toDF("w")
+      .select(LatticeEncodeExpr(col("w"), Seq("a")).as("p"))
+      .head().getSeq[String](0)
+    assert(uni.length == 2048)
   }
 
   test("unigramCosts + unigramEncodeWords: counts, costs, and totals replay exactly") {
