@@ -250,6 +250,18 @@ object StreamIngest {
     *
     * `tsCol` and `dimStart`/`dimEnd` must be the same comparable
     * type (the store uses epoch-second doubles).
+    *
+    * Broadcast contract: the dim ships to every executor AND lives on
+    * the driver, so an unbounded dimension means a driver OOM mid-run
+    * — the guard counts the dim ONCE at query construction and fails
+    * LOUD past `maxBroadcastRows` (default 10M rows ≈ ~1 GB at
+    * typical SCD2 widths). For a genuinely huge dimension pass
+    * `broadcastDim = false`: the hint (and the count) are skipped and
+    * each micro-batch plans a regular shuffle join against the static
+    * side — slower per batch, bounded memory. The count reflects the
+    * dim at START; a dim that grows past the bound after start is the
+    * caller's monitoring problem (documented, not re-counted per
+    * batch — that would put a full dim scan on every micro-batch).
     */
   def enrichAsOfScd2(
       events: DataFrame,
@@ -258,11 +270,21 @@ object StreamIngest {
       eventKey: String,
       dimKey: String,
       dimStart: String = "_start",
-      dimEnd: String = "_end"): DataFrame = {
+      dimEnd: String = "_end",
+      broadcastDim: Boolean = true,
+      maxBroadcastRows: Long = 10000000L): DataFrame = {
     // qualified references: an event stream that itself came through
     // the store wrap carries _start/_end too — unqualified col()
     // would be AMBIGUOUS_REFERENCE against the default dim columns
-    val d = broadcast(dim)
+    val d = if (broadcastDim) {
+      val n = dim.count()
+      require(n <= maxBroadcastRows,
+        s"enrichAsOfScd2: dimension has $n rows > maxBroadcastRows=" +
+          s"$maxBroadcastRows — broadcasting it would risk a driver OOM. " +
+          "Pass broadcastDim = false (per-batch shuffle join) or raise " +
+          "maxBroadcastRows if the driver is provisioned for it.")
+      broadcast(dim)
+    } else dim
     events.join(d,
       events(eventKey) === d(dimKey) &&
         events(tsCol) >= d(dimStart) &&

@@ -264,6 +264,20 @@ class StreamingDedupSpec extends SparkSpec {
       .select(col("id"), coalesce(col("d_val"), lit("none")))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(q == got, "qualified-reference path diverged")
+    // an oversized dim fails with the NAMED contract at construction —
+    // never a driver OOM mid-run
+    val big = intercept[IllegalArgumentException] {
+      StreamIngest.enrichAsOfScd2(events, "t", dim, "k", "d_key",
+        "d_start", "d_end", maxBroadcastRows = 2L)
+    }
+    assert(big.getMessage.contains("maxBroadcastRows"), big.getMessage)
+    // the non-broadcast fallback is value-identical (per-batch shuffle
+    // join, bounded driver memory) and skips the count entirely
+    val nb = StreamIngest.enrichAsOfScd2(events, "t", dim, "k", "d_key",
+        "d_start", "d_end", broadcastDim = false, maxBroadcastRows = 2L)
+      .select(col("id"), coalesce(col("d_val"), lit("none")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nb == got, "non-broadcast fallback diverged")
   }
 
   test("screenStreamAgainstIndex: multi-batch union equals the batch screen") {
