@@ -685,6 +685,30 @@ object BpeEncodeExpr {
     column(BpeBothDeltaExpr(expression(syms), a, b, merged))
   }
 
+  private def validateBatch(merges: Seq[(String, String, String)]): Unit = {
+    require(merges.nonEmpty, "batch must contain at least one merge")
+    require(merges.forall { case (a, b, m) =>
+      a.nonEmpty && b.nonEmpty && m.nonEmpty },
+      "batch merge symbols must be non-empty")
+  }
+
+  /** Apply an ORDERED merge batch in one scan — see [[BpeBatchStepExpr]]. */
+  def batchStep(syms: Column, merges: Seq[(String, String, String)]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    validateBatch(merges)
+    column(BpeBatchStepExpr(expression(syms), merges))
+  }
+
+  /** Pair (+ optionally symbol) deltas of an ORDERED merge batch in
+    * one scan — see [[BpeBatchDeltaExpr]].
+    */
+  def batchDelta(syms: Column, merges: Seq[(String, String, String)],
+      withSymbols: Boolean): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    validateBatch(merges)
+    column(BpeBatchDeltaExpr(expression(syms), merges, withSymbols))
+  }
+
 
   /** BPE token COUNT for `text` — no token strings materialize. */
   def count(text: Column, merges: Seq[(String, String)], tokenPattern: String,
@@ -989,4 +1013,198 @@ case class BpeBothDeltaExpr(child: Expression, a: String, b: String,
   override protected def withNewChildInternal(c: Expression): BpeBothDeltaExpr =
     copy(child = c)
   override def prettyName: String = "bpe_both_delta"
+}
+
+/** Shared machinery for the BATCH merge kernels: an ORDERED batch of
+  * `(a, b, merged)` triples applied per word as sequential greedy
+  * left-to-right [[Bpe.applyMerge]] passes. The batched trainers
+  * select PROVABLY-independent merge prefixes (see
+  * `TextFunctions.bpeTrainDistributed`), so one batch projection
+  * replaces K single-merge rounds — K fewer synchronous Spark jobs,
+  * the round-floor cure for 30k-merge production vocabularies.
+  *
+  * The kernel itself is order-faithful for ANY batch (a later merge
+  * sees the earlier merges' rewrites), so its contract does not
+  * depend on the trainer's disjointness proof. No-hit fast path: a
+  * word containing none of the batch pairs is untouched (a pair that
+  * only becomes adjacent AFTER an earlier batch merge applies implies
+  * that earlier pair WAS present, so the any-pair pre-scan is sound).
+  */
+abstract class BpeBatchExprBase extends UnaryExpression {
+  // NOTE: no `require` here — the base-class constructor runs before
+  // the case subclass assigns `merges`, so a body-level require reads
+  // null (and Java deserialization then fails with "unable to create
+  // instance"). Validation lives in BpeEncodeExpr.batchStep/batchDelta.
+  def merges: Seq[(String, String, String)]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>, got $t")
+  }
+
+  /** a-symbol → array of b-symbols of the batch (pre-scan index). */
+  @transient protected lazy val pairIndex
+      : java.util.HashMap[UTF8String, Array[UTF8String]] = {
+    val m = new java.util.HashMap[UTF8String, Array[UTF8String]]()
+    merges.groupBy(_._1).foreach { case (a, ms) =>
+      m.put(UTF8String.fromString(a),
+        ms.map(t => UTF8String.fromString(t._2)).toArray)
+    }
+    m
+  }
+
+  /** True iff any batch pair is adjacent in `arr`; enforces the
+    * non-null symbol contract loud on the way (hit or not).
+    */
+  protected final def anyHit(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    var hit = false
+    while (!hit && i + 1 < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $i — symbol arrays are non-null by contract")
+      val bs = pairIndex.get(arr.getUTF8String(i))
+      if (bs != null) {
+        val nxt = arr.getUTF8String(i + 1)
+        var k = 0
+        while (!hit && k < bs.length) {
+          hit = bs(k).equals(nxt)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (!hit && n > 0 && arr.isNullAt(n - 1))
+      throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index ${n - 1} — symbol arrays are non-null by contract")
+    hit
+  }
+
+  protected final def decodeSyms(arr: ArrayData): Array[String] = {
+    val n = arr.numElements()
+    val out = new Array[String](n)
+    var k = 0
+    while (k < n) {
+      if (arr.isNullAt(k)) throw new IllegalArgumentException(
+        s"$prettyName: null symbol at index $k — symbol arrays are non-null by contract")
+      out(k) = arr.getUTF8String(k).toString
+      k += 1
+    }
+    out
+  }
+
+  protected final def applyAll(old: Array[String]): Array[String] = {
+    var cur = old
+    var j = 0
+    while (j < merges.length) {
+      val (a, b, m) = merges(j)
+      cur = Bpe.applyMerge(cur, a, b, m)
+      j += 1
+    }
+    cur
+  }
+}
+
+/** The ordered-batch word rewrite — see [[BpeBatchExprBase]]. */
+case class BpeBatchStepExpr(child: Expression,
+    merges: Seq[(String, String, String)])
+    extends BpeBatchExprBase {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeBatch(arr: ArrayData): ArrayData = {
+    if (!anyHit(arr)) return arr
+    val applied = applyAll(decodeSyms(arr))
+    val out = new Array[Any](applied.length)
+    var k = 0
+    while (k < applied.length) {
+      out(k) = UTF8String.fromString(applied(k)); k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeBatch(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeBatchStep", this, classOf[BpeBatchStepExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeBatch($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeBatchStepExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_batch_step"
+}
+
+/** Pair (and, with `withSymbols`, symbol) count deltas of an ORDERED
+  * merge batch in ONE adjacency scan: `delta = counts(after all K
+  * merges) − counts(before)` — identical to the telescoped sum of K
+  * per-merge deltas, in one kernel invocation. Output rows use the
+  * [[BpeBothDeltaExpr]] schema (`pa`/`pb` pair rows with `s` null;
+  * symbol rows with `pa`/`pb` null); `withSymbols = false` emits pair
+  * rows only (the plain-BPE trainer keeps no symbol table). Untouched
+  * words return an EMPTY array — explode = the affected-words filter.
+  */
+case class BpeBatchDeltaExpr(child: Expression,
+    merges: Seq[(String, String, String)],
+    withSymbols: Boolean)
+    extends BpeBatchExprBase {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pa", StringType, nullable = true),
+      StructField("pb", StringType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("d", LongType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val emptyResult = new GenericArrayData(Array.empty[Any])
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeBatch(arr: ArrayData): ArrayData = {
+    if (!anyHit(arr)) return emptyResult
+    val old = decodeSyms(arr)
+    val applied = applyAll(old)
+    val pm = new java.util.LinkedHashMap[(String, String), Long]()
+    val sm = new java.util.LinkedHashMap[String, Long]()
+    var k = 0
+    while (k < old.length) {
+      if (withSymbols) sm.merge(old(k), -1L, (x, y) => x + y)
+      if (k + 1 < old.length)
+        pm.merge((old(k), old(k + 1)), -1L, (x, y) => x + y)
+      k += 1
+    }
+    k = 0
+    while (k < applied.length) {
+      if (withSymbols) sm.merge(applied(k), 1L, (x, y) => x + y)
+      if (k + 1 < applied.length)
+        pm.merge((applied(k), applied(k + 1)), 1L, (x, y) => x + y)
+      k += 1
+    }
+    val out = mutable.ArrayBuffer.empty[Any]
+    pm.forEach { (key, d) =>
+      if (d != 0L) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(key._1), UTF8String.fromString(key._2), null, d))
+      }
+    }
+    sm.forEach { (s, d) =>
+      if (d != 0L) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](null, null, UTF8String.fromString(s), d))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeBatch(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeBatchDelta", this, classOf[BpeBatchDeltaExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeBatch($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeBatchDeltaExpr =
+    copy(child = c)
+  override def prettyName: String = "bpe_batch_delta"
 }

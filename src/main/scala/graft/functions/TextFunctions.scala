@@ -1341,19 +1341,42 @@ object TextFunctions {
     * which is what makes 30k-50k-merge production vocabularies
     * feasible rather than merely survivable).
     *
-    * Per merge round: arg-max collect of ONE row from the pinned pair
-    * table (count desc, then `(a, b)` asc; Spark's UTF8String binary
-    * ordering == DuckDB binary collation == `Bpe.cpCompare`, the
-    * invariant the whole family rests on) → delta scan + fold (pinned)
-    * → one [[BpeMergeStepExpr]] projection over the word table (pure
-    * codegen; no-hit rows pass their array through untouched). Word
-    * lineage pins every `pinEvery` rounds through [[Pins]] (eager
-    * local/reliable checkpoint), releasing the prior pin; the pair
-    * table re-pins every round (it is the next round's arg-max
-    * source) — bounded memory across thousands of rounds. Merges are
-    * bit-identical to [[bpeTrain]] (spec-gated equivalence on
-    * randomized corpora; q_bpe_train_dist replays the same DuckDB
-    * chained-CTE oracle).
+    * Per merge ROUND: arg-max collect of the top `maxBatch + 1` rows
+    * from the pinned pair table (count desc, then `(a, b)` asc;
+    * Spark's UTF8String binary ordering == DuckDB binary collation ==
+    * `Bpe.cpCompare`, the invariant the whole family rests on) →
+    * BATCH selection on the driver ([[selectBpeBatch]] — the provably
+    * sequential-identical prefix, K merges per round instead of 1) →
+    * one [[BpeBatchDeltaExpr]] delta scan + fold (pinned) → one
+    * [[BpeBatchStepExpr]] projection over the word table (pure
+    * codegen; no-hit rows pass their array through untouched). The
+    * batch attacks the job-per-merge round FLOOR: rounds ≈ merges /
+    * mean-batch-size synchronous job sequences — and in the default
+    * `exactBatch = true` mode the merges are still BIT-IDENTICAL to
+    * [[bpeTrain]] (spec-gated equivalence on randomized corpora;
+    * q_bpe_train_dist replays the same DuckDB chained-CTE oracle),
+    * because the batch only ever contains merges sequential training
+    * would have picked in exactly that order (see the soundness
+    * argument on [[selectBpeBatch]]).
+    *
+    * Measured ceiling of EXACT batching (BatchProbe/BpeProbe r11):
+    * ~3.2 merges/round over the first 1k merges of a Zipfian 200k-word
+    * corpus (~2.1 in the 1k-4k tail, where small counts tie densely)
+    * and ~1.0 on a near-uniform 4.5M-word table — exactness forbids
+    * accepting past the first interacting candidate or a count tie,
+    * and real merge sequences chain through freshly-created symbols.
+    * `exactBatch = false` OPTS INTO the classic approximate batching
+    * (skip interacting candidates, keep the top-K disjoint pairs —
+    * the standard formulation of batched BPE): rounds collapse by
+    * ~maxBatch× even on adversarial corpora, the learned merge LIST
+    * may reorder relative to sequential training (encode semantics
+    * are unchanged — merges still apply in learned order), and the
+    * mode is never applied silently: the default trains exactly.
+    *
+    * Word lineage pins every `pinEvery` ROUNDS through [[Pins]]
+    * (eager local/reliable checkpoint), releasing the prior pin; the
+    * pair table re-pins every round (it is the next round's arg-max
+    * source) — bounded memory across thousands of rounds.
     */
   def bpeTrainDistributed(
       df: DataFrame,
@@ -1361,9 +1384,12 @@ object TextFunctions {
       numMerges: Int,
       tokenPattern: String = "[a-z]+",
       minCount: Long = 1L,
-      pinEvery: Int = 8): DataFrame = {
+      pinEvery: Int = 8,
+      maxBatch: Int = 64,
+      exactBatch: Boolean = true): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(pinEvery >= 1, "pinEvery must be >= 1")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = df.sparkSession
     var (words, wordPins) = Pins.pin(
       bpeWordCountDf(df, textCol, tokenPattern, minCount)
@@ -1376,27 +1402,41 @@ object TextFunctions {
           slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
         .groupBy(col("p.0").as("a"), col("p.1").as("b"))
         .agg(sum(col("cnt")).as("c")))
+    // symbol-string universe for the batch-selection collision check:
+    // seed symbols are single code points (alphabet-sized — ONE cheap
+    // key-table job), merged strings join as they are learned. Stale
+    // entries (symbols merged away) only make the check conservative.
+    val universe = scala.collection.mutable.Set.empty[String]
+    universe ++= pairs
+      .select(explode(array(col("a"), col("b"))).as("s"))
+      .distinct().collect().map(_.getString(0))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
+    var rounds = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val best = pairs
+    while (merges.length < numMerges && !exhausted) {
+      val top = pairs
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1)
+        .limit(maxBatch + 1)
         .collect()
-      if (best.isEmpty) exhausted = true
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((a, b))
-        round += 1
-        if (round == numMerges) {
+        val rows = top.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
+        val batch = selectBpeBatch(rows, maxBatch, universe, exactBatch)
+          .take(numMerges - merges.length)
+        val triples = batch.map { case (a, b, _) => (a, b, a + b) }
+        merges ++= triples.map(t => (t._1, t._2))
+        universe ++= triples.map(_._3)
+        rounds += 1
+        if (merges.length == numMerges) {
           // last merge recorded: the folded pair table and the merged
           // word table would never be read — skip their eager jobs
         } else {
-        // delta: only words containing (a, b) adjacent emit anything
+        // delta: only words containing a batch pair emit anything
         val delta = words
           .select(col("cnt"),
-            explode(BpeEncodeExpr.pairDelta(col("syms"), a, b)).as("p"))
+            explode(BpeEncodeExpr.batchDelta(col("syms"), triples,
+              withSymbols = false)).as("p"))
           .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
           .agg(sum(col("p.d") * col("cnt")).as("c"))
         val (nextPairs, nextPairPins) = Pins.pin(
@@ -1408,8 +1448,8 @@ object TextFunctions {
         pairs = nextPairs
         pairPins = nextPairPins
         val next = words.select(
-          BpeEncodeExpr.mergeStep(col("syms"), a, b).as("syms"), col("cnt"))
-        if (round % pinEvery == 0) {
+          BpeEncodeExpr.batchStep(col("syms"), triples).as("syms"), col("cnt"))
+        if (rounds % pinEvery == 0) {
           val (pinned, nextPins) = Pins.pin(next)
           Pins.release(words, wordPins)
           words = pinned
@@ -1422,8 +1462,121 @@ object TextFunctions {
     }
     Pins.release(pairs, pairPins)
     Pins.release(words, wordPins)
+    lastBpeTrainRounds = rounds
     mergesToDf(spark, merges.toIndexedSeq)
   }
+
+  /** Scheduler-round count of the most recent [[bpeTrainDistributed]]
+    * run in this JVM — probe/diagnostic surface only (racy under
+    * concurrent trainers, like `SparkEntry.lastStreamBatchMs`).
+    */
+  @volatile var lastBpeTrainRounds: Int = -1
+
+  /** Same diagnostic for [[wordpieceTrainDistributed]]. */
+  @volatile var lastWpTrainRounds: Int = -1
+
+  /** The provably sequential-identical merge batch: the maximal
+    * PREFIX of the pair table's total order (count desc, `(a, b)`
+    * asc) that sequential BPE training would pick in exactly that
+    * order, selected from the collected top `maxBatch + 1` rows.
+    *
+    * Soundness (why the batch is bit-identical to sequential):
+    * applying an accepted merge `(a_j, b_j) → m_j` changes only
+    *  (1) pairs sharing the symbol `a_j` or `b_j` — their counts can
+    *      only DECREASE;
+    *  (2) pairs containing the merged STRING `m_j` — pure creations
+    *      of count ≤ the count of some type-(1) pair, PROVIDED `m_j`
+    *      did not already exist as a symbol (the `universe` check —
+    *      two different merge paths can produce the same string, and
+    *      an existing-`m_j` pair could then GAIN on top of an
+    *      existing count).
+    * The walk stops at the first candidate touching any accepted
+    * symbol or merged string (prefix property: everything order-better
+    * than every type-(1)/(2) pair is accepted), so every changed
+    * pair's post-batch count is ≤ `cStop` = the count at the stop
+    * point (or at the first UNCOLLECTED row — rows beyond the collect
+    * horizon are order-worse by construction). Trimming the prefix to
+    * counts STRICTLY above `cStop` (the head row — the global arg-max
+    * — is always safe) then guarantees no changed pair can beat any
+    * batch member at its sequential step, even on ties: tie-break
+    * can't rescue a strictly smaller count. Symbol-disjoint merges
+    * commute and cannot create or destroy each other's occurrences,
+    * so applying the batch in one pass equals applying it
+    * sequentially. ∎
+    */
+  private[functions] def selectBpeBatch(
+      rows: IndexedSeq[(String, String, Long)],
+      maxBatch: Int,
+      universe: scala.collection.Set[String],
+      exact: Boolean = true): IndexedSeq[(String, String, Long)] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    if (!exact) {
+      // APPROXIMATE selection (opt-in, never silent — see the
+      // `exactBatch` contract on bpeTrainDistributed): SKIP
+      // interacting candidates instead of stopping, no dominance
+      // trim. Accepted merges are still pairwise symbol-disjoint, so
+      // the batch kernels' order-application is well-defined and the
+      // folds stay exact; only the merge ORDER vs sequential training
+      // is approximate.
+      var i = 0
+      while (i < math.min(maxBatch, rows.length)) {
+        val (a, b, _) = rows(i)
+        val m = a + b
+        if (i == 0 || !(seen(a) || seen(b) || seen(m))) {
+          accepted += rows(i)
+          seen += a; seen += b; seen += m
+        }
+        i += 1
+      }
+      return accepted.toIndexedSeq
+    }
+    // rows beyond the collect horizon (or beyond maxBatch) bound the
+    // changed-pair counts exactly like an explicit stop row does
+    var cStop = if (rows.length > maxBatch) rows(maxBatch)._3 else 0L
+    var stopped = false
+    var i = 0
+    while (!stopped && i < math.min(maxBatch, rows.length)) {
+      val (a, b, c) = rows(i)
+      val m = a + b
+      if (i > 0 && (seen(a) || seen(b) || seen(m) || universe.contains(m))) {
+        cStop = c
+        stopped = true
+      } else {
+        accepted += rows(i)
+        seen += a; seen += b; seen += m
+        // head row with a universe-colliding merged string: existing
+        // `m`-pairs can gain on top of an existing count, which the
+        // `> cStop` trim does not dominate — fall back to K=1 (the
+        // head alone is always sequential's first pick)
+        if (i == 0 && universe.contains(m)) stopped = true
+      }
+      i += 1
+    }
+    // counts are non-increasing, so the strict-dominance trim keeps a
+    // prefix; the head (global arg-max) survives unconditionally
+    (accepted.head +: accepted.drop(1).takeWhile(_._3 > cStop)).toIndexedSeq
+  }
+
+  /* Why there is NO WordPiece analog of [[selectBpeBatch]] — i.e.,
+   * why `wordpieceTrainDistributed` keeps one merge per round: under
+   * the likelihood score `s = c(ab)/(c(a)·c(b))`, merging the arg-max
+   * pair creates pairs involving the merged symbol `m`, and a created
+   * pair's score can reach ~`1/c'(m)` (a singleton neighbor symbol
+   * adjacent to one merge site scores `1/(1·c'(m))`). Any batch
+   * extension would need a score strictly above that ceiling to be
+   * sequential-identical, but EVERY pair's score obeys
+   * `s ≤ c/(c·c) = 1/c ≤ 1/c_1` (symbol counts dominate their pair
+   * counts), while the ceiling is `≥ 1/c_1` — so no extension can
+   * ever be certified. This is structural, not conservatism:
+   * sequential WordPiece genuinely interleaves freshly-created
+   * rare-symbol pairs into the merge order (it is WHY the score
+   * builds long words fast), so bit-identical batching is impossible
+   * from the (pair, symbol) tables, and an r10-style measurement pass
+   * is moot. The round-floor cure for WordPiece at 30k-merge scale
+   * would have to change the CONTRACT (approximate batching), which
+   * this engine does not do silently.
+   */
 
   /** Train a WordPiece merge table — [[bpeTrain]]'s corpus contract
     * (ONE distributed word-count scan; driver merge loop over the
@@ -1462,9 +1615,9 @@ object TextFunctions {
     * list. The likelihood score `count(ab) / (count(a) · count(b))`
     * needs live SYMBOL counts, so next to the incrementally-folded
     * pair table this trainer keeps a `(symbol, count)` table current
-    * through the codegen'd [[BpeBothDeltaExpr]] (empty output for
-    * untouched words — a merge round shuffles work only where it
-    * lands, exactly like the pair delta).
+    * through the codegen'd [[BpeBatchDeltaExpr]] in `withSymbols`
+    * mode (empty output for untouched words — a merge round shuffles
+    * work only where it lands, exactly like the pair delta).
     *
     * Per round: score = two broadcast-shaped equi-joins of the pinned
     * pair table against the pinned symbol table (both tables are
@@ -1475,10 +1628,13 @@ object TextFunctions {
     * [[Wordpiece.train]] comparator verbatim; the margin is ~1e7×
     * wider than IEEE's ~4e-16 relative error, so the exact winner is
     * always inside the candidate set) → pair-delta fold + sym-delta
-    * fold + one [[BpeMergeStepExpr]] projection, with the merged
+    * fold + one [[BpeBatchStepExpr]] projection, with the merged
     * symbol OVERRIDDEN to the continuation-stripped concatenation
-    * (`a + ##b → ab`). Pins: pair and symbol tables re-pin per round,
-    * word lineage every `pinEvery` rounds.
+    * (`a + ##b → ab`). ONE merge per round — unlike
+    * [[bpeTrainDistributed]] there is no sound merge batch under the
+    * likelihood score (see the proof note above this method). Pins:
+    * pair and symbol tables re-pin per round, word lineage every
+    * `pinEvery` rounds.
     *
     * Merges are bit-identical to [[Wordpiece.train]] (spec-gated on
     * randomized tie-heavy corpora; q_wordpiece_train_dist replays the
@@ -1515,9 +1671,9 @@ object TextFunctions {
       words.select(col("cnt"), explode(col("syms")).as("s"))
         .groupBy(col("s")).agg(sum(col("cnt")).as("sc")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-    var round = 0
+    var rounds = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
+    while (merges.length < numMerges && !exhausted) {
       val scored = pairs
         .join(symCounts.select(col("s").as("a"), col("sc").as("ca")), Seq("a"))
         .join(symCounts.select(col("s").as("b"), col("sc").as("cb")), Seq("b"))
@@ -1563,20 +1719,23 @@ object TextFunctions {
         val merged =
           if (pref.nonEmpty && b.startsWith(pref)) a + b.substring(pref.length)
           else a + b
-        merges += ((a, b, merged))
-        round += 1
-        if (round == numMerges) {
+        // ONE merge per round, by proof — see the no-WordPiece-batch
+        // note above this method
+        val triples = IndexedSeq((a, b, merged))
+        merges ++= triples
+        rounds += 1
+        if (merges.length == numMerges) {
           // last merge recorded: the folded pair/symbol tables and the
           // merged word table would never be read — skip their jobs
         } else {
-        val mo = Some(merged)
         // ONE adjacency scan of the word table per round: the combined
         // kernel emits pair deltas (s null) and symbol deltas (pa
-        // null) together; the small exploded table (affected words
-        // only) pins once and feeds both folds
+        // null) together for the WHOLE batch; the small exploded table
+        // (affected words only) pins once and feeds both folds
         val (delta, deltaPins) = Pins.pin(words
           .select(col("cnt"),
-            explode(BpeEncodeExpr.bothDelta(col("syms"), a, b, mo)).as("p")))
+            explode(BpeEncodeExpr.batchDelta(col("syms"), triples,
+              withSymbols = true)).as("p")))
         val pairDelta = delta
           .filter(col("p.s").isNull)
           .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
@@ -1603,8 +1762,8 @@ object TextFunctions {
         symPins = nextSymPins
         Pins.release(delta, deltaPins)
         val next = words.select(
-          BpeEncodeExpr.mergeStep(col("syms"), a, b, mo).as("syms"), col("cnt"))
-        if (round % pinEvery == 0) {
+          BpeEncodeExpr.batchStep(col("syms"), triples).as("syms"), col("cnt"))
+        if (rounds % pinEvery == 0) {
           val (pinned, nextPins) = Pins.pin(next)
           Pins.release(words, wordPins)
           words = pinned
@@ -1618,6 +1777,7 @@ object TextFunctions {
     Pins.release(pairs, pairPins)
     Pins.release(symCounts, symPins)
     Pins.release(words, wordPins)
+    lastWpTrainRounds = rounds
     import spark.implicits._
     merges.toIndexedSeq.zipWithIndex
       .map { case ((a, b, m), i) => (i.toLong, a, b, m) }

@@ -117,7 +117,19 @@ object BpeProbe {
     val learned = timed(s"bpeTrainDistributed ($nBig distinct words, $nDeep merges)") {
       functions.TextFunctions.bpeTrainDistributed(bigSaved, "text", nDeep).count()
     }
-    println(f"[probe] per-merge ($nDeep-merge run): ${(System.nanoTime() - tD) / (nDeep * 1e9)}%6.2f s  (learned $learned)")
+    val roundsD = functions.TextFunctions.lastBpeTrainRounds
+    println(f"[probe] per-merge ($nDeep-merge run): ${(System.nanoTime() - tD) / (nDeep * 1e9)}%6.2f s  " +
+      f"(learned $learned in $roundsD rounds, ${nDeep.toDouble / roundsD}%4.1f merges/round)")
+    // the opt-in approximate batch mode on the same (near-uniform,
+    // exact-batch-adversarial) corpus — the round-floor contrast
+    val tA = System.nanoTime()
+    val learnedA = timed(s"bpeTrainDistributed approx ($nBig words, $nDeep merges)") {
+      functions.TextFunctions
+        .bpeTrainDistributed(bigSaved, "text", nDeep, exactBatch = false).count()
+    }
+    val roundsA = functions.TextFunctions.lastBpeTrainRounds
+    println(f"[probe] per-merge approx ($nDeep-merge run): ${(System.nanoTime() - tA) / (nDeep * 1e9)}%6.2f s  " +
+      f"(learned $learnedA in $roundsA rounds, ${nDeep.toDouble / roundsA}%4.1f merges/round)")
 
     // --- distributed WordPiece at the same shape -------------------
     // the likelihood arg-max adds two symbol-table joins + the

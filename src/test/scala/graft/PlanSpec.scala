@@ -566,8 +566,14 @@ class PlanSpec extends SparkSpec {
       p.contains("zip_with") || p.contains("arrays_zip"))
     assert(seedExplodes <= 1,
       s"occurrence-level pair explode ran $seedExplodes times — rounds must be delta-only")
-    assert(plansSeen.exists(_.contains("bpe_pair_delta")),
-      "no delta-kernel round plan captured")
+    assert(plansSeen.exists(_.contains("bpe_batch_delta")),
+      "no batch-delta-kernel round plan captured")
+    // r11: rounds carry WHOLE BATCHES through the batch kernels — a
+    // single-merge kernel reappearing means the job-per-merge round
+    // floor regressed
+    assert(!plansSeen.exists(p => p.contains("bpe_pair_delta(") ||
+      p.contains("bpe_merge_step(")),
+      "single-merge round kernels regressed (batching bypassed)")
     for (p <- plansSeen)
       assert(!p.contains("CartesianProduct"), s"cartesian in a train round:\n$p")
   }
@@ -586,15 +592,16 @@ class PlanSpec extends SparkSpec {
       p.contains("zip_with") || p.contains("arrays_zip"))
     assert(seedExplodes <= 1,
       s"occurrence-level pair explode ran $seedExplodes times — rounds must be delta-only")
-    assert(plansSeen.exists(_.contains("bpe_both_delta")),
-      "no combined-delta round plan captured")
-    // the combined kernel must appear in ONE scan per round, with the
+    assert(plansSeen.exists(_.contains("bpe_batch_delta")),
+      "no combined batch-delta round plan captured")
+    // the batch kernel must appear in ONE scan per round, with the
     // pair/sym folds reading the pinned explode — a reappearing
-    // separate pair_delta/sym_delta pair means the two-scan shape
-    // regressed
+    // separate pair_delta/sym_delta/both_delta (or single-merge step)
+    // means the one-scan-per-ROUND shape regressed
     assert(!plansSeen.exists(p => p.contains("bpe_pair_delta(") ||
-      p.contains("bpe_sym_delta(")),
-      "separate per-family delta scans regressed")
+      p.contains("bpe_sym_delta(") || p.contains("bpe_both_delta(") ||
+      p.contains("bpe_merge_step(")),
+      "separate per-family/single-merge delta scans regressed")
     for (p <- plansSeen) {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"degenerate join in a train round:\n$p")

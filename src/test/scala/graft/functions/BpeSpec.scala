@@ -280,6 +280,108 @@ class BpeSpec extends SparkSpec {
     assert(tmsgs(te).exists(_.contains("null symbol")))
   }
 
+  test("selectBpeBatch: disjoint prefix, strict-dominance trim, collision stops") {
+    def sel(rows: Seq[(String, String, Long)], maxBatch: Int,
+        universe: Set[String] = Set("a", "b", "c", "d", "e", "f", "x")) =
+      TextFunctions.selectBpeBatch(rows.toIndexedSeq, maxBatch, universe)
+        .map(r => (r._1, r._2))
+    // plain disjoint prefix; stop at the shared-symbol row; the row
+    // above the stop count survives the trim
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 8L), ("b", "e", 7L)), 8) ==
+      Seq(("a", "b"), ("c", "d")))
+    // a tie AT the stop count is trimmed: a pair the batch creates
+    // could reach that count and win the tie-break
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 7L), ("b", "e", 7L)), 8) ==
+      Seq(("a", "b")))
+    // the head's merged string already exists as a symbol -> K=1
+    // (existing "ab"-pairs could GAIN on top of an existing count)
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 8L)), 8,
+      universe = Set("a", "b", "c", "d", "ab")) == Seq(("a", "b")))
+    // a later candidate mentioning the head's merged string stops the
+    // walk even though its raw symbols are disjoint
+    assert(sel(Seq(("a", "b", 10L), ("ab", "c", 8L), ("e", "f", 6L)), 8) ==
+      Seq(("a", "b")))
+    // collect horizon: the sentinel row's count bounds the trim even
+    // with no interaction among the walked rows
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 8L)), 2) ==
+      Seq(("a", "b")))
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)), 2) ==
+      Seq(("a", "b"), ("c", "d")))
+    // whole table seen, no interactions -> everything batches
+    assert(sel(Seq(("a", "b", 10L), ("c", "d", 1L)), 8) ==
+      Seq(("a", "b"), ("c", "d")))
+    // approximate mode (opt-in): SKIPS interacting candidates and
+    // keeps collecting disjoint ones — no stop, no dominance trim
+    def selApprox(rows: Seq[(String, String, Long)], maxBatch: Int) =
+      TextFunctions.selectBpeBatch(rows.toIndexedSeq, maxBatch,
+        Set("a", "b", "c", "d", "e", "f"), exact = false).map(r => (r._1, r._2))
+    assert(selApprox(Seq(("a", "b", 10L), ("b", "e", 9L), ("c", "d", 7L)), 8) ==
+      Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("approximate batch mode: fewer rounds, explicit opt-in, exact head merge") {
+    // a chain-heavy corpus where exact batching yields 1 merge/round
+    val docs = (1 to 30).map(i => (i.toLong, "thethe then they them the"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    val drv = rows(TextFunctions.bpeTrain(docs, "text", numMerges = 6))
+    val exactD = rows(TextFunctions.bpeTrainDistributed(docs, "text", numMerges = 6))
+    val exactRounds = TextFunctions.lastBpeTrainRounds
+    assert(exactD == drv, "exact mode must stay bit-identical")
+    val approx = rows(TextFunctions.bpeTrainDistributed(docs, "text",
+      numMerges = 6, exactBatch = false))
+    val approxRounds = TextFunctions.lastBpeTrainRounds
+    assert(approx.length == 6, s"approx mode under-learned: $approx")
+    assert(approx.head == drv.head,
+      "the head merge is the exact arg-max in BOTH modes")
+    assert(approxRounds <= exactRounds,
+      s"approx used $approxRounds rounds vs exact $exactRounds")
+    // on a fully disjoint corpus the two modes coincide exactly
+    val dj = Seq((1L, Seq("ab", "cd", "ef", "gh").flatMap(w =>
+      Seq.fill(5)(w)).mkString(" "))).toDF("doc_id", "text")
+    val e = rows(TextFunctions.bpeTrainDistributed(dj, "text", numMerges = 4))
+    val ap = rows(TextFunctions.bpeTrainDistributed(dj, "text",
+      numMerges = 4, exactBatch = false))
+    assert(e == ap)
+  }
+
+  test("batched bpeTrainDistributed == driver on the created-pair interception corpus") {
+    // After merging (a,b), the CREATED pair (x,ab) has count N — above
+    // (c,d)'s M — so sequential picks it second. A naive disjoint
+    // batch would have grabbed (c,d); the stop rule must not.
+    val docs = (1 to 40).map(i => (i.toLong, "xab xab cd")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val drv = rows(TextFunctions.bpeTrain(docs, "text", numMerges = 3))
+    val dist = rows(TextFunctions.bpeTrainDistributed(docs, "text", numMerges = 3))
+    assert(dist == drv, s"batch selection diverged:\n$dist\nvs driver\n$drv")
+    assert(drv.map(d => (d._2, d._3)).take(2) == Seq(("a", "b"), ("x", "ab")),
+      s"fixture lost its point: $drv")
+  }
+
+  test("batching fires on disjoint-alphabet corpora: fewer rounds, identical merges") {
+    // eight strictly-ordered, symbol-disjoint top pairs -> sequential
+    // picks them in count order and one batch round learns them all
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - 10 * i)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    val drv = rows(TextFunctions.bpeTrain(docs, "text", numMerges = 8))
+    val dist = rows(TextFunctions.bpeTrainDistributed(docs, "text", numMerges = 8))
+    assert(dist == drv)
+    assert(TextFunctions.lastBpeTrainRounds == 1,
+      s"expected ONE batch round for 8 disjoint merges, got ${TextFunctions.lastBpeTrainRounds}")
+    // numMerges caps the batch: asking for 3 must learn exactly 3
+    val dist3 = rows(TextFunctions.bpeTrainDistributed(docs, "text", numMerges = 3))
+    assert(dist3 == drv.take(3))
+  }
+
   test("bpeTrainDistributed stops early on pair exhaustion like the driver loop") {
     val docs = Seq((1L, "ab a b"), (2L, "ab")).toDF("doc_id", "text")
     val drv = TextFunctions.bpeTrain(docs, "text", numMerges = 5).collect()
