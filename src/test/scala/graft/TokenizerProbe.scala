@@ -60,6 +60,44 @@ object TokenizerProbe {
       }
     }
 
+    // ---- Winnowing at 1M docs (r10 verdict item 5) ------------------
+    // 40-word docs; 30% carry a shared 12-word boilerplate sentence —
+    // the hot-fingerprint case the maxBucket cap exists for. Measures
+    // fingerprint scan throughput, the match join, and the cap's
+    // actual drop rate on this corpus.
+    val nDocs = nWords
+    val boiler = "terms of service apply all rights reserved click here to unsubscribe now"
+    val docsDf = spark.range(nDocs).repartition(32)
+      .selectExpr("id AS doc_id",
+        "concat(CASE WHEN id % 10 < 3 THEN '" + boiler + " ' ELSE '' END, " +
+          "concat_ws(' ', transform(sequence(0, 39), " +
+          "i -> concat('tok', pmod(hash(id, i), 50000))))) AS text")
+      .localCheckpoint(true)
+    for (round <- 1 to 2) {
+      val fp = timed(s"winnowFingerprints 1M docs k=8 w=8 #$round") {
+        val f = functions.Dedup
+          .winnowFingerprints(docsDf, "doc_id", "text", k = 8, w = 8)
+          .localCheckpoint(true)
+        println(s"        fingerprints = ${f.count()}")
+        f
+      }
+      if (round == 2) {
+        val buckets = fp.groupBy("h").count()
+        val stats = buckets.agg(
+          count(lit(1)), sum(when(col("count") > 1000, 1).otherwise(0)),
+          sum(when(col("count") > 1000, col("count")).otherwise(0)), sum("count"))
+          .head()
+        println(s"        distinct h = ${stats.getLong(0)}, " +
+          s"buckets>1000 = ${stats.getLong(1)} " +
+          s"(${stats.getLong(2)} of ${stats.getLong(3)} rows dropped by the cap)")
+      }
+      timed(s"winnowMatches 1M docs #$round") {
+        val m = functions.Dedup.winnowMatches(docsDf, "doc_id", "text",
+          k = 8, w = 8, minShared = 2)
+        println(s"        match pairs = ${m.count()}")
+      }
+    }
+
     // ---- Bloom at 10M keys / 2^26 bits / k=6 ------------------------
     val nKeys = nWords * 10
     val keys = spark.range(nKeys).repartition(32)
