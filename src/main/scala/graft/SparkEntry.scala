@@ -1368,6 +1368,35 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // STREAM-STREAM as-of with a VERSIONED DIMENSION STREAM: purchase
+    // events form a per-user version feed; every event picks the
+    // latest version at or before its own time, with cross-batch
+    // buffering under the flushed-region contract (an event emits
+    // once the watermark passes its time — the pick is then final).
+    // Gate and oracle both restrict to events older than
+    // maxTs − 13h (12h watermark + 1h margin).
+    "q_stream_asof_dim" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val cutoffUs = ev.agg(max(eventMicros(ev))).head.getLong(0) -
+        13L * 3600L * 1000000L
+      runStreamGate2(s, dir, "events", EventsStreamSchema, "asofdim", "append") { (la, rb) =>
+        graft.streaming.StreamIngest.enrichAsOfDimStream(
+          la.select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+            col("event_id")),
+          "user_id", "t_us", "event_id",
+          rb.filter(col("event_type") === "purchase")
+            .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+              col("event_id").cast("string").as("payload")),
+          "user_id", "t_us", "payload",
+          watermarkDelay = "12 hours").toDF()
+      }
+        .filter(col("t_us") <= cutoffUs)
+        .select(col("event_id"), col("key").as("user_id"), col("t_us"),
+          col("dim_t_us"),
+          coalesce(col("dim_payload"), lit("none")).as("dim_payload"))
+        .orderBy("event_id")
+    }),
+
     // Streaming Bloom seen-screen: the densified word array as a
     // join-free, aggregation-free membership column — stateless, so
     // the streamed result IS the batch q_bloom_screen result and
@@ -5936,6 +5965,28 @@ object SparkEntry {
            |FROM e LEFT JOIN d ON e.user_id = d._oid
            |  AND d.d_start <= e.at AND (d.d_end IS NULL OR e.at < d.d_end)
            |ORDER BY event_id""".stripMargin,
+
+      // the versioned-dim STREAM as-of replayed in batch: latest
+      // purchase version at or before each event (ties: max payload
+      // string — both engines compare VARCHAR binary), restricted to
+      // the flushed region t <= max - 13h; integer-microsecond times
+      "q_stream_asof_dim" ->
+        """WITH e AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+          |    CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS t_us
+          |  FROM events),
+          |d AS (SELECT CAST(user_id AS BIGINT) AS dk, epoch_us(ts) AS dt,
+          |    CAST(CAST(event_id AS BIGINT) AS VARCHAR) AS payload
+          |  FROM events WHERE event_type = 'purchase'),
+          |mx AS (SELECT max(t_us) AS m FROM e),
+          |f AS (SELECT e.* FROM e, mx WHERE e.t_us <= mx.m - 46800000000),
+          |j AS (SELECT f.event_id, f.user_id, f.t_us, d.dt, d.payload,
+          |    row_number() OVER (PARTITION BY f.event_id
+          |      ORDER BY d.dt DESC, d.payload DESC) AS rn
+          |  FROM f LEFT JOIN d ON f.user_id = d.dk AND d.dt <= f.t_us)
+          |SELECT event_id, user_id, t_us,
+          |  coalesce(dt, -1) AS dim_t_us,
+          |  coalesce(payload, 'none') AS dim_payload
+          |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
       // row semantics of the salted join == the plain equi-join
       "q_salted_join" ->

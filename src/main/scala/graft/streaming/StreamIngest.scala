@@ -21,6 +21,24 @@ final case class SessionOut(
     user_id: Long, session_start: Double, session_end: Double,
     n_events: Long, sum_value: Double)
 
+/** Unioned input row of [[StreamIngest.enrichAsOfDimStream]]: an
+  * event (`is_dim = false`, `id` = event id) or a dimension VERSION
+  * (`is_dim = true`, `payload` = the version's value). `t_us` is
+  * epoch microseconds on both sides — exact, no float time.
+  */
+final case class AsOfDimRow(
+    key: Long, t_us: Long, is_dim: Boolean, id: Long, payload: String)
+final case class AsOfDimVersion(t_us: Long, payload: String)
+final case class AsOfDimEvent(t_us: Long, id: Long)
+final case class AsOfDimState(
+    dims: List[AsOfDimVersion], events: List[AsOfDimEvent])
+
+/** Enriched event: `dim_t_us = -1` / `dim_payload = null` when no
+  * dimension version at or before the event time exists.
+  */
+final case class AsOfDimOut(
+    key: Long, event_id: Long, t_us: Long, dim_t_us: Long, dim_payload: String)
+
 object StreamIngest {
 
   /** Ingest a directory of files as a stream of current-version
@@ -354,4 +372,112 @@ object StreamIngest {
         col(rightTime) <= col(leftTime) + expr(s"INTERVAL $maxGap"),
       joinType)
   }
+
+  /** STREAM-STREAM as-of enrichment with a VERSIONED DIMENSION STREAM
+    * — the stream-dim variant [[enrichAsOfScd2]] cannot cover (there
+    * the dim is a static table re-resolved per micro-batch). Each
+    * event picks the dimension version with the largest
+    * `version time <= event time` (inclusive, the store's as-of
+    * convention; ties on the version time break by largest payload
+    * string — a total, cross-engine-replayable order). Public
+    * precedent: Flink's event-time temporal table join keeps exactly
+    * this latest-version-per-key state.
+    *
+    * Contract (the interval joins' flushed-region contract): an
+    * enriched event emits once the WATERMARK passes its event time —
+    * at that point every dimension version at or before it has either
+    * arrived or is late beyond the watermark (Spark's stateful late
+    * filter drops rows at or below the watermark), so the pick is
+    * FINAL. A finite stream's tail events (inside the watermark of
+    * the max observed time) stay buffered; a batch-equality check
+    * must restrict to events older than `maxTime - watermarkDelay`,
+    * which is what q_stream_asof_dim replays.
+    *
+    * State per key: buffered not-yet-flushable events (bounded by the
+    * watermark window) + dimension versions pruned to the latest one
+    * at or below the watermark plus any above it. The latest version
+    * per key persists for the stream's lifetime — O(#keys) state, the
+    * inherent floor of a versioned-dim join (a future event may
+    * always need the current version); document capacity accordingly.
+    *
+    * Inputs are pre-projected DataFrames: `events` carries
+    * `(eventKey long, eventTimeUs long, eventId long)`, `dims`
+    * carries `(dimKey long, dimTimeUs long, payload string)` — times
+    * in epoch MICROSECONDS (exact; no float time inside the state
+    * machine).
+    */
+  def enrichAsOfDimStream(
+      events: DataFrame,
+      eventKey: String, eventTimeUs: String, eventId: String,
+      dims: DataFrame,
+      dimKey: String, dimTimeUs: String, dimPayload: String,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[AsOfDimOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val evRows = events.select(
+      col(eventKey).cast("long").as("key"),
+      col(eventTimeUs).cast("long").as("t_us"),
+      lit(false).as("is_dim"),
+      col(eventId).cast("long").as("id"),
+      lit(null).cast("string").as("payload"))
+    val dimRows = dims.select(
+      col(dimKey).cast("long").as("key"),
+      col(dimTimeUs).cast("long").as("t_us"),
+      lit(true).as("is_dim"),
+      lit(-1L).as("id"),
+      col(dimPayload).cast("string").as("payload"))
+    evRows.unionByName(dimRows)
+      .withColumn("__ts", timestamp_micros(col("t_us")))
+      .withWatermark("__ts", watermarkDelay)
+      .as[AsOfDimRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[AsOfDimRow], state: GroupState[AsOfDimState]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(AsOfDimState(Nil, Nil))
+          if (!state.hasTimedOut) {
+            // fold the batch's rows into state (dims sorted on merge)
+            val (newDims, newEvs) = rows.toSeq.partition(_.is_dim)
+            if (newDims.nonEmpty) {
+              val merged = (st.dims ++ newDims.map(d =>
+                AsOfDimVersion(d.t_us, d.payload)))
+                .sortBy(v => (v.t_us, v.payload))
+              st = st.copy(dims = merged)
+            }
+            if (newEvs.nonEmpty)
+              st = st.copy(events =
+                st.events ++ newEvs.map(e => AsOfDimEvent(e.t_us, e.id)))
+          }
+          // flush: events at or below the watermark have a FINAL pick
+          val (ready, pending) = st.events.partition(_.t_us <= wmUs)
+          val out = ready.sortBy(e => (e.t_us, e.id)).map { e =>
+            // dims sorted by (t, payload): the last one <= e.t_us is
+            // the as-of pick with the documented payload tie-break
+            val pick = st.dims.takeWhile(_.t_us <= e.t_us).lastOption
+            AsOfDimOut(key, e.id, e.t_us,
+              pick.map(_.t_us).getOrElse(-1L), pick.map(_.payload).orNull)
+          }
+          // prune dims: keep the latest version at or below the
+          // watermark (any future event still needs it) + all above
+          val below = st.dims.filter(_.t_us <= wmUs)
+          val keptDims =
+            (if (below.nonEmpty) List(below.last) else Nil) :::
+              st.dims.filter(_.t_us > wmUs)
+          val next = AsOfDimState(keptDims, pending)
+          if (next.dims.isEmpty && next.events.isEmpty) state.remove()
+          else {
+            state.update(next)
+            // wake on watermark advance ONLY while events are pending
+            // (dim-only state sits passively until the key's next row)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                pending.map(_.t_us).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+        })
+  }
+
 }

@@ -233,6 +233,83 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("enrichAsOfDimStream: versioned-dim STREAM as-of under the flushed-region contract") {
+    import graft.streaming.AsOfDimOut
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t_us", LongType),
+      StructField("typ", StringType), StructField("id", LongType),
+      StructField("payload", StringType)))
+    def us(sec: Long): Long = sec * 1000000L
+    // batch 1: events BEFORE some of their dims (cross-batch buffering
+    // is the operator's whole point); batch 2: the dims + more events,
+    // incl. a same-time tie (k4, two versions at t=10 -> payload "b"
+    // wins); batch 3: the watermark pusher (its own event stays
+    // buffered — the tail contract)
+    val files = Seq(
+      Seq((1L, us(5), "e", 101L, null), (1L, us(10), "e", 102L, null),
+        (3L, us(45), "e", 301L, null), (2L, us(20), "e", 201L, null),
+        (1L, us(10), "d", -1L, "v1")),
+      Seq((1L, us(50), "d", -1L, "v2"), (3L, us(40), "d", -1L, "w1"),
+        (4L, us(10), "d", -1L, "a"), (4L, us(10), "d", -1L, "b"),
+        (1L, us(30), "e", 103L, null), (1L, us(60), "e", 104L, null),
+        (4L, us(15), "e", 401L, null)),
+      Seq((9L, us(100000), "e", 901L, null)))
+    val base = java.nio.file.Files.createTempDirectory("graft-asofdim")
+    val src = base.resolve("src").toString
+    files.foreach(g =>
+      g.toDF("k", "t_us", "typ", "id", "payload")
+        .coalesce(1).write.mode("append").parquet(src))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    def stream() =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamIngest.enrichAsOfDimStream(
+        stream().filter(col("typ") === "e")
+          .select(col("k"), col("t_us"), col("id")),
+        "k", "t_us", "id",
+        stream().filter(col("typ") === "d")
+          .select(col("k"), col("t_us"), col("payload")),
+        "k", "t_us", "payload",
+        watermarkDelay = "100 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[AsOfDimOut], _: Long) =>
+        b.collect().foreach(r =>
+          out.add((r.event_id, r.dim_t_us, Option(r.dim_payload).getOrElse("none"))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(out).asScala.toSet
+    assert(streamed == Set(
+      (101L, -1L, "none"),       // before the key's first version
+      (102L, us(10), "v1"),      // version time == event time: inclusive
+      (103L, us(10), "v1"),
+      (104L, us(50), "v2"),
+      (201L, -1L, "none"),       // key with no dim at all
+      (301L, us(40), "w1"),      // dim arrived a BATCH AFTER the event
+      (401L, us(10), "b")),      // same-time versions: max payload wins
+      s"streamed as-of diverged: $streamed")
+    // == the batch as-of restricted to the flushed region (the pusher
+    // event at 100000 > wm 99900 must stay buffered)
+    val batch = files.flatten.toDF("k", "t_us", "typ", "id", "payload")
+    val ev = batch.filter(col("typ") === "e" && col("t_us") <= lit(us(99900)))
+      .select(col("k"), col("t_us").as("et"), col("id"))
+    val dm = batch.filter(col("typ") === "d")
+      .select(col("k").as("dk"), col("t_us").as("dt"), col("payload"))
+    import org.apache.spark.sql.expressions.Window
+    val expected = ev.join(dm, ev("k") === dm("dk") && col("dt") <= col("et"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"), col("et"))
+          .orderBy(col("dt").desc_nulls_last, col("payload").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("id"), coalesce(col("dt"), lit(-1L)),
+        coalesce(col("payload"), lit("none")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == expected, s"batch twin diverged: $expected")
+  }
+
   test("enrichAsOfScd2: inclusive start, exclusive end, open current, unknown key") {
     val dim = Seq(
       (1L, 10.0, Some(20.0), "v1"), (1L, 20.0, None, "v2"),
