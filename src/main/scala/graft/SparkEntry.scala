@@ -2336,6 +2336,18 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // Unigram-LM (SentencePiece) TRAINING — Kudo '18 §3.2 in its
+    // Viterbi (hard-EM) form, every step an exact integer: substring
+    // seed (120 pieces, <=5 chars) → Viterbi round under nano-nat
+    // costs → prune to 40 (chars mandatory) + reprice → second round.
+    // The oracle replays ALL of it: seed counts, both recursive-CTE
+    // Viterbi rounds, the prunes, the ln-rounded repricing.
+    "q_unigram_train" -> ((s, dir) => {
+      TextFunctions.unigramTrain(tbl(s, dir, "documents"), "text",
+          vocabSize = 40, maxTokenLen = 5, seedSize = 120, emRounds = 2)
+        .orderBy("token")
+    }),
+
     // RIFF chunk-walk WAV parsing: four layouts (canonical; LIST
     // before fmt; fact between fmt and data; odd-size LIST testing
     // word alignment) carry the SAME id-derived format fields — the
@@ -3522,6 +3534,50 @@ object SparkEntry {
       |  FROM wn_sh WHERE len(hs) > 0),
       |wn_fp AS (SELECT DISTINCT doc_id, pos, hs[CAST(pos AS INTEGER)] AS h FROM wn_pos)
       |""".stripMargin
+
+  /** One hard-EM round of the q_unigram_train oracle: Viterbi-segment
+    * every `ug_words` word under the `(token, eff)` cost CTE `cost`
+    * (the q_unigram_encode LIST-carrying recursive-CTE DP + the
+    * longest-optimal-edge chain walk, prefixed `p`), ending at
+    * `<p>_use(token, cnt)` = corpus-weighted piece usage counts.
+    */
+  private def unigramRoundCtes(p: String, cost: String): String =
+    s"${p}_e AS MATERIALIZED (SELECT q.word, list(struct_pack(s := CAST(q.pos AS BIGINT), " +
+      s"e := CAST(q.pos + len(v.token) AS BIGINT), f := v.eff)) AS edges " +
+      s"FROM ug_pos q JOIN $cost v ON substr(q.word, CAST(q.pos + 1 AS INTEGER), len(v.token)) = v.token GROUP BY 1), " +
+      s"${p}_dp AS (" +
+      "SELECT word, CAST(len(word) AS BIGINT) AS at, " +
+      "list_append(list_transform(range(1, len(word) + 1), x -> CAST(NULL AS BIGINT)), CAST(0 AS BIGINT)) AS best " +
+      "FROM ug_words " +
+      "UNION ALL " +
+      "SELECT d.word, d.at - 1, " +
+      "list_transform(range(1, CAST(len(d.word) AS BIGINT) + 2), p -> " +
+      "CASE WHEN p = d.at THEN " +
+      "list_min(list_transform(" +
+      "list_filter(e.edges, ed -> ed.s = d.at - 1 AND d.best[CAST(ed.e AS INTEGER) + 1] IS NOT NULL), " +
+      "ed -> ed.f + d.best[CAST(ed.e AS INTEGER) + 1])) " +
+      s"ELSE d.best[CAST(p AS INTEGER)] END) " +
+      s"FROM ${p}_dp d JOIN ${p}_e e USING (word) WHERE d.at > 0), " +
+      s"${p}_sufp AS MATERIALIZED (SELECT word, unnest(range(0, len(word) + 1)) AS pos, best " +
+      s"FROM ${p}_dp WHERE at = 0), " +
+      s"${p}_suf AS MATERIALIZED (SELECT word, pos, best[CAST(pos AS INTEGER) + 1] AS sc FROM ${p}_sufp), " +
+      s"${p}_next AS MATERIALIZED (SELECT q.word, q.pos, max(len(v.token)) AS bl " +
+      s"FROM ug_pos q " +
+      s"JOIN $cost v ON substr(q.word, CAST(q.pos + 1 AS INTEGER), len(v.token)) = v.token " +
+      s"JOIN ${p}_suf s0 ON s0.word = q.word AND s0.pos = q.pos " +
+      s"JOIN ${p}_suf s1 ON s1.word = q.word AND s1.pos = q.pos + len(v.token) " +
+      "WHERE s1.sc IS NOT NULL AND s0.sc IS NOT NULL AND s0.sc = v.eff + s1.sc " +
+      "GROUP BY 1, 2), " +
+      s"${p}_walk AS (" +
+      "SELECT word, CAST(0 AS BIGINT) AS pos FROM ug_words " +
+      "UNION ALL " +
+      s"SELECT w.word, w.pos + n.bl FROM ${p}_walk w " +
+      s"JOIN ${p}_next n ON n.word = w.word AND n.pos = w.pos " +
+      "WHERE w.pos < len(w.word)), " +
+      s"${p}_use AS MATERIALIZED (SELECT substr(w.word, CAST(w.pos + 1 AS INTEGER), CAST(n.bl AS INTEGER)) AS token, " +
+      "CAST(sum(c.cnt) AS BIGINT) AS cnt " +
+      s"FROM ${p}_walk w JOIN ${p}_next n ON n.word = w.word AND n.pos = w.pos " +
+      "JOIN ug_wc c ON c.word = w.word WHERE w.pos < len(w.word) GROUP BY 1)"
 
   /** Shared by q_wordpiece_train and q_wordpiece_train_dist — the
     * likelihood-scored merge replay with exact HUGEINT
@@ -5898,6 +5954,49 @@ object SparkEntry {
           |  CAST(bits AS INTEGER) AS bits,
           |  CAST(ndata * 1000 // (rate * ch * bits // 8) AS BIGINT) AS duration_ms
           |FROM m ORDER BY asset_id""".stripMargin,
+
+      // the WHOLE hard-EM training run replayed: substring seed (all
+      // chars + top multis by (count desc, token asc)), nano-nat
+      // repricing round(ln(total/greatest(cnt,1))·1e9), one
+      // recursive-CTE Viterbi round per EM round (unigramRoundCtes),
+      // prune to 40 with mandatory chars — final (token, cnt, cost)
+      "q_unigram_train" ->
+        ("WITH RECURSIVE " +
+          "ug_wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1), " +
+          "ug_words AS MATERIALIZED (SELECT word FROM ug_wc), " +
+          "ug_pos AS MATERIALIZED (SELECT word, unnest(range(0, len(word))) AS pos FROM ug_words), " +
+          "ug_sub AS MATERIALIZED (SELECT word, pos, unnest(range(1, least(5, len(word) - pos) + 1)) AS l FROM ug_pos), " +
+          "ug_occ AS MATERIALIZED (SELECT substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(s.l AS INTEGER)) AS sub, " +
+          "CAST(sum(w.cnt) AS BIGINT) AS n FROM ug_sub s JOIN ug_wc w ON w.word = s.word GROUP BY 1), " +
+          "ug_chars AS MATERIALIZED (SELECT sub, n FROM ug_occ WHERE len(sub) = 1), " +
+          "ug_nc AS MATERIALIZED (SELECT count(*) AS nc FROM ug_chars), " +
+          "ug_m0 AS MATERIALIZED (SELECT sub, n FROM ug_occ, ug_nc WHERE len(sub) > 1 " +
+          "QUALIFY row_number() OVER (ORDER BY n DESC, sub) <= 120 - nc), " +
+          "ug_v0 AS MATERIALIZED (SELECT sub AS token, n FROM ug_chars UNION ALL SELECT sub, n FROM ug_m0), " +
+          "ug_t0 AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS t FROM ug_v0), " +
+          "ug_c0 AS MATERIALIZED (SELECT token, CAST(round(ln(CAST(t AS DOUBLE) / n) * 1e9) AS BIGINT) * 1024 + 1 AS eff " +
+          "FROM ug_v0 CROSS JOIN ug_t0), " +
+          unigramRoundCtes("ug_r1", "ug_c0") + ", " +
+          "ug_kc1 AS MATERIALIZED (SELECT c.sub AS token, coalesce(u.cnt, 0) AS cnt " +
+          "FROM ug_chars c LEFT JOIN ug_r1_use u ON u.token = c.sub), " +
+          "ug_km1 AS MATERIALIZED (SELECT token, cnt FROM ug_r1_use, ug_nc WHERE len(token) > 1 " +
+          "QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 40 - nc), " +
+          "ug_v1 AS MATERIALIZED (SELECT token, cnt FROM ug_kc1 UNION ALL SELECT token, cnt FROM ug_km1), " +
+          "ug_t1 AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM ug_v1), " +
+          "ug_c1 AS MATERIALIZED (SELECT token, " +
+          "CAST(round(ln(CAST(t AS DOUBLE) / greatest(cnt, 1)) * 1e9) AS BIGINT) * 1024 + 1 AS eff " +
+          "FROM ug_v1 CROSS JOIN ug_t1), " +
+          unigramRoundCtes("ug_r2", "ug_c1") + ", " +
+          "ug_kc2 AS MATERIALIZED (SELECT c.sub AS token, coalesce(u.cnt, 0) AS cnt " +
+          "FROM ug_chars c LEFT JOIN ug_r2_use u ON u.token = c.sub), " +
+          "ug_km2 AS MATERIALIZED (SELECT token, cnt FROM ug_r2_use, ug_nc WHERE len(token) > 1 " +
+          "QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 40 - nc), " +
+          "ug_v2 AS MATERIALIZED (SELECT token, cnt FROM ug_kc2 UNION ALL SELECT token, cnt FROM ug_km2), " +
+          "ug_t2 AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM ug_v2) " +
+          "SELECT token, cnt, " +
+          "CAST(round(ln(CAST(t AS DOUBLE) / greatest(cnt, 1)) * 1e9) AS BIGINT) AS cost_nano " +
+          "FROM ug_v2 CROSS JOIN ug_t2 ORDER BY token"),
 
       // every winnow window's rightmost unsigned argmin replayed
       // (list_min over UBIGINT == the kernel's compareUnsigned;

@@ -1997,4 +1997,120 @@ object TextFunctions {
           aggregate(col("_p"), lit(0L), (acc, p) => acc + element_at(costMap, p)),
           lit(-1L)).as("cost_nano"))
   }
+
+  /** TRAIN a unigram-LM (SentencePiece) vocabulary — Kudo 2018,
+    * arXiv:1804.10959 §3.2, in its VITERBI ("hard-EM") variant: the
+    * E-step assigns every word its single best segmentation under the
+    * current piece costs (the exact-integer [[LatticeEncodeExpr]]
+    * Viterbi, one codegen scan over the DISTINCT-word table per
+    * round), piece counts fold corpus-weighted from those
+    * segmentations, and the M-step recomputes nano-nat costs
+    * `round(ln(total/count)·1e9)` — the repo's established
+    * cross-engine ln-rounding convention. Soft EM (forward-backward
+    * expected counts) accumulates float path sums whose addition
+    * order no two engines reproduce bit-for-bit; the hard variant
+    * keeps every intermediate an exact integer (costs included), so
+    * the WHOLE training run is DuckDB-replayable — q_unigram_train's
+    * oracle replays seed counts, both Viterbi rounds, the prune, and
+    * the final costs verbatim. (SentencePiece itself documents the
+    * Viterbi path as the degenerate point of its EM; the trade is the
+    * usual hard-vs-soft EM one.)
+    *
+    * Shape per round: seed = ALL substrings of distinct words up to
+    * `maxTokenLen`, corpus-weighted (`O(distinct words · len ·
+    * maxTokenLen)` rows — corpus-size independent, the
+    * [[unigramCosts]] scale argument); single characters are
+    * mandatory (coverage — no word can UNK) and never pruned; the
+    * multi-char seed keeps the top `seedSize − #chars` by
+    * `(count desc, token asc)`. Each EM round re-segments, recounts,
+    * reprices, and prunes the multi-char block to
+    * `vocabSize − #chars` by the same total order. Pieces unused by
+    * any Viterbi path drop out (the vocabulary may end smaller than
+    * `vocabSize` on tiny corpora — documented, not padded).
+    *
+    * Returns `(token, cnt, cost_nano)` — final Viterbi usage counts
+    * and costs, the [[unigramEncodeWords]] input shape.
+    */
+  def unigramTrain(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      tokenPattern: String = "[a-z]+",
+      maxTokenLen: Int = 8,
+      seedSize: Int = 0, // 0 = 4 × vocabSize
+      emRounds: Int = 2): DataFrame = {
+    require(vocabSize >= 2, "vocabSize must be >= 2")
+    require(maxTokenLen >= 2, "maxTokenLen must be >= 2")
+    require(emRounds >= 1, "emRounds must be >= 1")
+    val seeds = if (seedSize <= 0) vocabSize * 4 else seedSize
+    require(seeds >= vocabSize, s"seedSize $seeds < vocabSize $vocabSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = df
+      .select(explode(regexp_extract_all(
+        lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val (wcPinned, wcPins) = Pins.pin(wc)
+    try {
+      // seed: every substring up to maxTokenLen, corpus-weighted
+      val occ = wcPinned
+        .select(col("word"), col("cnt"),
+          explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+        .select(col("cnt"), col("pos"),
+          explode(sequence(lit(1),
+            least(lit(maxTokenLen), length(col("word")) - col("pos")))).as("l"),
+          col("word"))
+        .select(col("cnt"), expr("substring(word, pos + 1, l)").as("sub"))
+        .groupBy("sub").agg(sum(col("cnt")).as("n"))
+      val chars = occ.filter(length(col("sub")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(chars.nonEmpty, "unigramTrain: empty corpus")
+      val nMulti0 = math.max(0, seeds - chars.length)
+      val multis = occ.filter(length(col("sub")) > 1)
+        .orderBy(col("n").desc, col("sub").asc)
+        .limit(nMulti0)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      def priced(entries: Array[(String, Long)]): (Seq[String], Seq[Long]) = {
+        val total = entries.map(_._2).sum
+        val sorted = entries.sortBy(_._1) // stable vocab order: token asc
+        (sorted.map(_._1).toSeq,
+          sorted.map(e => Math.round(Math.log(total.toDouble / e._2) * 1e9)).toSeq)
+      }
+      var (vocab, costs) = priced(chars ++ multis)
+      var counted: Array[(String, Long)] = chars ++ multis
+      var round = 0
+      while (round < emRounds) {
+        round += 1
+        // E (hard): Viterbi usage counts under the current costs
+        val use = wcPinned
+          .select(col("cnt"),
+            explode(LatticeEncodeExpr(col("word"), vocab, "[UNK]", costs)).as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        require(!use.exists(_._1 == "[UNK]"),
+          "unigramTrain: a word failed to segment — single-char coverage broken")
+        // prune: chars are mandatory; multis keep the top block by
+        // (count desc, token asc); unused pieces drop out
+        val useMap = use.toMap
+        val keptChars = chars.map { case (c, _) => (c, useMap.getOrElse(c, 0L)) }
+        val nMulti = math.max(0, vocabSize - chars.length)
+        val keptMultis = use
+          .filter { case (t, _) => t.length > 1 }
+          .sortBy { case (t, n) => (-n, t) }
+          .take(nMulti)
+        counted = keptChars ++ keptMultis
+        // M: reprice over the kept set (zero-count chars keep coverage
+        // via a +1 floor on the count — a char the corpus never uses
+        // standalone must stay encodable, at the worst cost)
+        val floored = counted.map { case (t, n) => (t, math.max(n, 1L)) }
+        val repriced = priced(floored)
+        vocab = repriced._1
+        costs = repriced._2
+      }
+      val countMap = counted.toMap
+      vocab.zip(costs)
+        .map { case (t, c) => (t, countMap.getOrElse(t, 0L), c) }
+        .toDF("token", "cnt", "cost_nano")
+    } finally Pins.release(wcPinned, wcPins)
+  }
 }

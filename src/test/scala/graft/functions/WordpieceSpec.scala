@@ -359,4 +359,108 @@ class WordpieceSpec extends SparkSpec {
         assert(got(w) == reference(w, set), s"[$tag] $w: ${got(w)} vs ${reference(w, set)}")
     }
   }
+
+  test("unigramTrain == independent driver-side reference hard-EM (randomized)") {
+    // the reference re-implements the documented algorithm from
+    // scratch (its own Viterbi over eff = 1024c+1, its own seed/
+    // prune/reprice) — agreement pins the distributed trainer's
+    // semantics, not its plumbing
+    def refViterbi(word: String, eff: Map[String, Long]): Seq[String] = {
+      val n = word.length
+      val maxL = eff.keys.map(_.length).max
+      val INF = Long.MaxValue
+      val suf = Array.fill(n + 1)(INF); suf(n) = 0L
+      for (pos <- (n - 1) to 0 by -1) {
+        var best = INF
+        for (l <- 1 to math.min(maxL, n - pos)) {
+          eff.get(word.substring(pos, pos + l)).foreach { e =>
+            if (suf(pos + l) != INF && e + suf(pos + l) < best)
+              best = e + suf(pos + l)
+          }
+        }
+        suf(pos) = best
+      }
+      if (suf(0) == INF) return Seq("[UNK]")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < n) {
+        var bl = 0
+        for (l <- 1 to math.min(maxL, n - pos)) {
+          eff.get(word.substring(pos, pos + l)).foreach { e =>
+            if (suf(pos + l) != INF && suf(pos) == e + suf(pos + l)) bl = l
+          }
+        }
+        out += word.substring(pos, pos + bl)
+        pos += bl
+      }
+      out.toSeq
+    }
+    def refTrain(words: Seq[(String, Long)], vocabSize: Int, maxLen: Int,
+        seeds: Int, rounds: Int): Seq[(String, Long, Long)] = {
+      val occ = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- words; p <- 0 until w.length;
+           l <- 1 to math.min(maxLen, w.length - p))
+        occ(w.substring(p, p + l)) = occ.getOrElse(w.substring(p, p + l), 0L) + c
+      val chars = occ.filter(_._1.length == 1).toArray
+      val multis = occ.filter(_._1.length > 1).toArray
+        .sortBy { case (t, c) => (-c, t) }.take(math.max(0, seeds - chars.length))
+      def price(es: Array[(String, Long)]): Map[String, Long] = {
+        val tot = es.map(_._2).sum
+        es.map { case (t, c) =>
+          t -> Math.round(Math.log(tot.toDouble / c) * 1e9) }.toMap
+      }
+      var costs = price(chars ++ multis)
+      var counted: Array[(String, Long)] = chars ++ multis
+      for (_ <- 1 to rounds) {
+        val eff = costs.map { case (t, c) => t -> ((c << 10) + 1L) }
+        val use = scala.collection.mutable.Map.empty[String, Long]
+        for ((w, c) <- words; p <- refViterbi(w, eff))
+          use(p) = use.getOrElse(p, 0L) + c
+        assert(!use.contains("[UNK]"))
+        val keptChars = chars.map { case (c, _) => (c, use.getOrElse(c, 0L)) }
+        val keptMultis = use.toArray.filter(_._1.length > 1)
+          .sortBy { case (t, c) => (-c, t) }
+          .take(math.max(0, vocabSize - chars.length))
+        counted = keptChars ++ keptMultis
+        costs = price(counted.map { case (t, c) => (t, math.max(c, 1L)) })
+      }
+      val cm = counted.toMap
+      costs.toSeq.sortBy(_._1).map { case (t, c) => (t, cm.getOrElse(t, 0L), c) }
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(700 + seed)
+      val alpha = if (seed % 2 == 0) "abc" else "abcde"
+      val raw = (1 to 80).map(_ =>
+        (1 to 2 + rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val wc = raw.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+      val docs = Seq((1L, raw.mkString(" "))).toDF("doc_id", "text")
+      val got = TextFunctions.unigramTrain(docs, "text",
+          vocabSize = 12, maxTokenLen = 5, seedSize = 40, emRounds = 2)
+        .orderBy("token").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = refTrain(wc, 12, 5, 40, 2)
+      assert(got == want, s"seed $seed:\n$got\nvs reference\n$want")
+    }
+  }
+
+  test("unigramTrain: chars never pruned; floor cost for unused chars; vocab caps") {
+    // 'q' appears only inside a frequent multi-char piece, so its
+    // Viterbi usage is 0 — it must survive with the +1-floored cost
+    val docs = Seq((1L, Seq.fill(30)("aqb").mkString(" ") + " cc cc cc"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.unigramTrain(docs, "text",
+        vocabSize = 6, maxTokenLen = 3, seedSize = 20, emRounds = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val toks = out.map(_._1).toSet
+    assert(Set("a", "b", "c", "q").subsetOf(toks), s"chars pruned: $toks")
+    assert(out.count(_._1.length > 1) <= 2, s"multi block over cap: $toks")
+    val q = out.find(_._1 == "q").get
+    assert(q._2 == 0L, s"q should be unused, got $q")
+    // floored cost = ln(total/1): the maximum cost in the table
+    assert(q._3 == out.map(_._3).max, s"unused char must carry the max cost: $out")
+    intercept[IllegalArgumentException] {
+      TextFunctions.unigramTrain(docs, "text", vocabSize = 50, seedSize = 10)
+    }
+  }
+
 }
