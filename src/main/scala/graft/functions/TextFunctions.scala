@@ -1630,10 +1630,16 @@ object TextFunctions {
     * always inside the candidate set) → pair-delta fold + sym-delta
     * fold + one [[BpeBatchStepExpr]] projection, with the merged
     * symbol OVERRIDDEN to the continuation-stripped concatenation
-    * (`a + ##b → ab`). ONE merge per round — unlike
-    * [[bpeTrainDistributed]] there is no sound merge batch under the
-    * likelihood score (see the proof note above this method). Pins:
-    * pair and symbol tables re-pin per round, word lineage every
+    * (`a + ##b → ab`). ONE merge per round in the default exact mode
+    * — unlike [[bpeTrainDistributed]] there is no sound merge batch
+    * under the likelihood score (see the proof note above this
+    * method). `approxMaxBatch > 1` OPTS INTO approximate batching
+    * (the only scale path a 30k-merge WordPiece vocabulary has): up
+    * to that many pairwise-symbol-disjoint merges from the scored
+    * top of the table apply per round; the learned merge LIST may
+    * reorder relative to sequential training — encode semantics are
+    * unchanged — and the mode is never applied silently. Pins: pair
+    * and symbol tables re-pin per round, word lineage every
     * `pinEvery` rounds.
     *
     * Merges are bit-identical to [[Wordpiece.train]] (spec-gated on
@@ -1648,9 +1654,11 @@ object TextFunctions {
       minCount: Long = 1L,
       pinEvery: Int = 8,
       continuationPrefix: String = "##",
-      maxCandidates: Int = 100000): DataFrame = {
+      maxCandidates: Int = 100000,
+      approxMaxBatch: Int = 1): DataFrame = {
     require(numMerges >= 1, "numMerges must be >= 1")
     require(pinEvery >= 1, "pinEvery must be >= 1")
+    require(approxMaxBatch >= 1, "approxMaxBatch must be >= 1")
     val spark = df.sparkSession
     val pref = continuationPrefix
     var (words, wordPins) = Pins.pin(
@@ -1716,12 +1724,32 @@ object TextFunctions {
           i += 1
         }
         val (a, b) = (cands(bi).getString(0), cands(bi).getString(1))
-        val merged =
-          if (pref.nonEmpty && b.startsWith(pref)) a + b.substring(pref.length)
-          else a + b
-        // ONE merge per round, by proof — see the no-WordPiece-batch
-        // note above this method
-        val triples = IndexedSeq((a, b, merged))
+        def mergedOf(x: String, y: String): String =
+          if (pref.nonEmpty && y.startsWith(pref)) x + y.substring(pref.length)
+          else x + y
+        // exact mode: ONE merge per round, by proof — see the
+        // no-WordPiece-batch note above this method. Approximate
+        // mode extends the head with score-ordered pairwise-disjoint
+        // merges (skip-not-stop; application stays well-defined and
+        // the delta folds exact — only the ORDER vs sequential is
+        // approximate, the documented opt-in).
+        val triples = {
+          val buf = scala.collection.mutable.ArrayBuffer((a, b, mergedOf(a, b)))
+          if (approxMaxBatch > 1) {
+            val seen = scala.collection.mutable.Set(a, b, buf.head._3)
+            var i = 0
+            while (buf.length < approxMaxBatch && i < top.length) {
+              val (x, y) = (top(i).getString(0), top(i).getString(1))
+              val m = mergedOf(x, y)
+              if (!(seen(x) || seen(y) || seen(m))) {
+                buf += ((x, y, m))
+                seen += x; seen += y; seen += m
+              }
+              i += 1
+            }
+          }
+          buf.take(numMerges - merges.length).toIndexedSeq
+        }
         merges ++= triples
         rounds += 1
         if (merges.length == numMerges) {

@@ -140,6 +140,16 @@ object BpeProbe {
       functions.TextFunctions.wordpieceTrainDistributed(bigSaved, "text", nWp).count()
     }
     println(f"[probe] per-merge WordPiece ($nWp-merge run): ${(System.nanoTime() - tW) / (nWp * 1e9)}%6.2f s  (learned $wpLearned)")
+    // the opt-in approximate WP batch mode (exact batching is proven
+    // impossible under the likelihood score — this is WP's scale path)
+    val tWa = System.nanoTime()
+    val wpA = timed(s"wordpieceTrainDistributed approx ($nBig words, $nWp merges)") {
+      functions.TextFunctions
+        .wordpieceTrainDistributed(bigSaved, "text", nWp, approxMaxBatch = 16).count()
+    }
+    val wpRounds = functions.TextFunctions.lastWpTrainRounds
+    println(f"[probe] per-merge WP approx ($nWp-merge run): ${(System.nanoTime() - tWa) / (nWp * 1e9)}%6.2f s  " +
+      f"(learned $wpA in $wpRounds rounds, ${nWp.toDouble / wpRounds}%4.1f merges/round)")
     spark.stop()
   }
 }

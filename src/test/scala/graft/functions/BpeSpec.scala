@@ -382,6 +382,28 @@ class BpeSpec extends SparkSpec {
     assert(dist3 == drv.take(3))
   }
 
+  test("wordpieceTrainDistributed approxMaxBatch: opt-in batching, exact head, fewer rounds") {
+    val docs = (1 to 30).map(i => (i.toLong, "ab ab ab cd cd ef gh gh gh gh"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val exact = rows(TextFunctions.wordpieceTrainDistributed(docs, "text", numMerges = 4))
+    val exactRounds = TextFunctions.lastWpTrainRounds
+    assert(exactRounds == 4, s"exact mode is one merge per round, got $exactRounds")
+    val approx = rows(TextFunctions.wordpieceTrainDistributed(docs, "text",
+      numMerges = 4, approxMaxBatch = 8))
+    val approxRounds = TextFunctions.lastWpTrainRounds
+    assert(approx.length == 4)
+    assert(approx.head == exact.head, "the head merge is the exact arg-max in BOTH modes")
+    assert(approxRounds < exactRounds,
+      s"approx used $approxRounds rounds vs exact $exactRounds")
+    // the two-symbol words are fully disjoint: the learned merge SET
+    // coincides even though the contract only promises the head
+    assert(approx.toSet == exact.toSet,
+      s"disjoint corpus should coincide: $approx vs $exact")
+  }
+
   test("bpeTrainDistributed stops early on pair exhaustion like the driver loop") {
     val docs = Seq((1L, "ab a b"), (2L, "ab")).toDF("doc_id", "text")
     val drv = TextFunctions.bpeTrain(docs, "text", numMerges = 5).collect()
