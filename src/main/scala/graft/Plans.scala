@@ -32,7 +32,12 @@ object Plans {
         // r10: skew join (salt in the join keys), bloom screen
         // (broadcast-only), the two lattice decodes (scan kernels)
         "q_salted_join", "q_bloom_screen", "q_lattice_encode",
-        "q_unigram_encode")
+        "q_unigram_encode",
+        // r11: media header parsing (one scan-side projection),
+        // winnow matches (capped-bucket pair shape), leakage split
+        // (components + hash buckets), token budget (two-phase)
+        "q_media_meta", "q_winnow_pairs", "q_leakage_split",
+        "q_token_budget")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)
