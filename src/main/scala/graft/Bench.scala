@@ -90,9 +90,10 @@ object Bench {
     // the right-outer stream-stream interval join
     "q_media_meta", "q_wav_chunks", "q_winnow_pairs", "q_leakage_split",
     "q_wordpiece_train", "q_wordpiece_train_dist", "q_stream_join_right",
-    // round-11: unigram-LM (SentencePiece) hard-EM training and the
-    // versioned-dim stream-stream as-of enrichment
-    "q_unigram_train", "q_stream_asof_dim")
+    // round-11: unigram-LM (SentencePiece) hard-EM training, the
+    // soft-EM forward-backward round, and the versioned-dim
+    // stream-stream as-of enrichment
+    "q_unigram_train", "q_unigram_em", "q_stream_asof_dim")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

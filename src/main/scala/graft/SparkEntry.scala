@@ -2348,6 +2348,21 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // SOFT-EM unigram training (Kudo '18 §3.2 proper): one
+    // forward-backward E-step over every word's lattice + the M-step
+    // reprice, in the prune-neutral configuration (vocabSize ==
+    // seedSize) so the float-noise-sensitive prune ordering stays out
+    // of the oracle; costs pinned at MILLI-NAT granularity — coarse
+    // enough that cross-engine exp/ln ulp differences cannot flip a
+    // value, fine enough that a wrong posterior is loud. The prune
+    // path (likelihood-loss ranking) is spec-verified instead.
+    "q_unigram_em" -> ((s, dir) => {
+      TextFunctions.unigramTrainSoft(tbl(s, dir, "documents"), "text",
+          vocabSize = 120, maxTokenLen = 5, seedSize = 120, emRounds = 1)
+        .select(col("token"), col("cost_milli"))
+        .orderBy("token")
+    }),
+
     // RIFF chunk-walk WAV parsing: four layouts (canonical; LIST
     // before fmt; fact between fmt and data; odd-size LIST testing
     // word alignment) carry the SAME id-derived format fields — the
@@ -5997,6 +6012,77 @@ object SparkEntry {
           "SELECT token, cnt, " +
           "CAST(round(ln(CAST(t AS DOUBLE) / greatest(cnt, 1)) * 1e9) AS BIGINT) AS cost_nano " +
           "FROM ug_v2 CROSS JOIN ug_t2 ORDER BY token"),
+
+      // soft-EM forward-backward replayed in SQL: seed probs, the
+      // prefix (alpha) and suffix (beta) log-partition DPs as
+      // LIST-carrying recursive CTEs (plain ln-sum-exp — path sums
+      // stay > -100 here, no shift needed), per-edge posteriors
+      // exp(alpha+lp+beta-Z), corpus-weighted token sums, milli-nat
+      // repricing. Engine and oracle agree to ~1e-13 relative; the
+      // milli-nat rounding makes the gate deterministic.
+      "q_unigram_em" ->
+        ("WITH RECURSIVE " +
+          "ug_wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1), " +
+          "ug_words AS MATERIALIZED (SELECT word FROM ug_wc), " +
+          "ug_pos AS MATERIALIZED (SELECT word, unnest(range(0, len(word))) AS pos FROM ug_words), " +
+          "ug_sub AS MATERIALIZED (SELECT word, pos, unnest(range(1, least(5, len(word) - pos) + 1)) AS l FROM ug_pos), " +
+          "ug_occ AS MATERIALIZED (SELECT substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(s.l AS INTEGER)) AS sub, " +
+          "CAST(sum(w.cnt) AS BIGINT) AS n FROM ug_sub s JOIN ug_wc w ON w.word = s.word GROUP BY 1), " +
+          "ug_chars AS MATERIALIZED (SELECT sub, n FROM ug_occ WHERE len(sub) = 1), " +
+          "ug_nc AS MATERIALIZED (SELECT count(*) AS nc FROM ug_chars), " +
+          "ug_m0 AS MATERIALIZED (SELECT sub, n FROM ug_occ, ug_nc WHERE len(sub) > 1 " +
+          "QUALIFY row_number() OVER (ORDER BY n DESC, sub) <= 120 - nc), " +
+          "ug_v0 AS MATERIALIZED (SELECT sub AS token, n FROM ug_chars UNION ALL SELECT sub, n FROM ug_m0), " +
+          "ug_t0 AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS t FROM ug_v0), " +
+          "ug_lp AS MATERIALIZED (SELECT token, ln(CAST(n AS DOUBLE) / t) AS lp FROM ug_v0 CROSS JOIN ug_t0), " +
+          "um_e AS MATERIALIZED (SELECT q.word, list(struct_pack(s := CAST(q.pos AS BIGINT), " +
+          "e := CAST(q.pos + len(v.token) AS BIGINT), f := v.lp, tk := v.token)) AS edges " +
+          "FROM ug_pos q JOIN ug_lp v ON substr(q.word, CAST(q.pos + 1 AS INTEGER), len(v.token)) = v.token GROUP BY 1), " +
+          // forward: vals[p+1] = alpha(p); each iteration fills p = at+1
+          "um_fwd AS (" +
+          "SELECT word, CAST(0 AS BIGINT) AS at, " +
+          "list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(word) + 1), x -> CAST(NULL AS DOUBLE))) AS vals " +
+          "FROM ug_words " +
+          "UNION ALL " +
+          "SELECT d.word, d.at + 1, " +
+          "list_transform(range(1, CAST(len(d.word) AS BIGINT) + 2), p -> " +
+          "CASE WHEN p = d.at + 2 THEN " +
+          "ln(list_sum(list_transform(" +
+          "list_filter(e.edges, ed -> ed.e = d.at + 1 AND d.vals[CAST(ed.s AS INTEGER) + 1] IS NOT NULL), " +
+          "ed -> exp(d.vals[CAST(ed.s AS INTEGER) + 1] + ed.f)))) " +
+          "ELSE d.vals[CAST(p AS INTEGER)] END) " +
+          "FROM um_fwd d JOIN um_e e USING (word) WHERE d.at < len(d.word)), " +
+          "um_alpha AS MATERIALIZED (SELECT word, vals FROM um_fwd WHERE at = len(word)), " +
+          // backward: vals[p+1] = beta(p); each iteration fills p = at-1
+          "um_bwd AS (" +
+          "SELECT word, CAST(len(word) AS BIGINT) AS at, " +
+          "list_append(list_transform(range(1, len(word) + 1), x -> CAST(NULL AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS vals " +
+          "FROM ug_words " +
+          "UNION ALL " +
+          "SELECT d.word, d.at - 1, " +
+          "list_transform(range(1, CAST(len(d.word) AS BIGINT) + 2), p -> " +
+          "CASE WHEN p = d.at THEN " +
+          "ln(list_sum(list_transform(" +
+          "list_filter(e.edges, ed -> ed.s = d.at - 1 AND d.vals[CAST(ed.e AS INTEGER) + 1] IS NOT NULL), " +
+          "ed -> exp(ed.f + d.vals[CAST(ed.e AS INTEGER) + 1])))) " +
+          "ELSE d.vals[CAST(p AS INTEGER)] END) " +
+          "FROM um_bwd d JOIN um_e e USING (word) WHERE d.at > 0), " +
+          "um_beta AS MATERIALIZED (SELECT word, vals FROM um_bwd WHERE at = 0), " +
+          "um_edge AS MATERIALIZED (SELECT q.word, q.pos AS s, q.pos + len(v.token) AS e, v.token, v.lp " +
+          "FROM ug_pos q JOIN ug_lp v ON substr(q.word, CAST(q.pos + 1 AS INTEGER), len(v.token)) = v.token), " +
+          "um_post AS MATERIALIZED (SELECT ed.token, " +
+          "sum(c.cnt * exp(a.vals[CAST(ed.s AS INTEGER) + 1] + ed.lp + " +
+          "b.vals[CAST(ed.e AS INTEGER) + 1] - a.vals[CAST(len(ed.word) AS INTEGER) + 1])) AS e " +
+          "FROM um_edge ed JOIN um_alpha a ON a.word = ed.word " +
+          "JOIN um_beta b ON b.word = ed.word JOIN ug_wc c ON c.word = ed.word " +
+          "WHERE a.vals[CAST(ed.s AS INTEGER) + 1] IS NOT NULL " +
+          "AND b.vals[CAST(ed.e AS INTEGER) + 1] IS NOT NULL GROUP BY 1), " +
+          "um_z AS MATERIALIZED (SELECT sum(e) AS z FROM um_post) " +
+          "SELECT v.token, " +
+          "CAST(round(ln(z / greatest(coalesce(p.e, 0.0), 1e-9)) * 1e3) AS BIGINT) AS cost_milli " +
+          "FROM ug_v0 v LEFT JOIN um_post p ON p.token = v.token CROSS JOIN um_z " +
+          "ORDER BY v.token"),
 
       // every winnow window's rightmost unsigned argmin replayed
       // (list_min over UBIGINT == the kernel's compareUnsigned;

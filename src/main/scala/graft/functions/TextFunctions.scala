@@ -2141,4 +2141,139 @@ object TextFunctions {
         .toDF("token", "cnt", "cost_nano")
     } finally Pins.release(wcPinned, wcPins)
   }
+
+  /** TRAIN a unigram-LM vocabulary with Kudo 2018's SOFT EM — the
+    * full §3.2 algorithm: the E-step computes EXPECTED piece counts
+    * by forward-backward over every word's segmentation lattice
+    * ([[LatticeExpectExpr]], one codegen scan over the distinct-word
+    * table per round), the M-step renormalizes `logp(x) =
+    * ln(E(x)/ΣE)`, and pruning ranks multi-char pieces by LIKELIHOOD
+    * LOSS — Kudo's approximation `loss(x) = E(x)·(altCost(x) −
+    * cost(x))` where `altCost(x)` is the Viterbi cost of segmenting
+    * the piece's own string WITHOUT itself (computed on the driver
+    * over the vocab-sized table; single characters are mandatory and
+    * never pruned, so every string stays segmentable).
+    *
+    * Soft vs hard, honestly: expected counts are IEEE doubles whose
+    * aggregation order is partition-dependent, so unlike
+    * [[unigramTrain]] (the Viterbi/hard variant, bit-exact and fully
+    * DuckDB-replayable) this trainer's outputs carry float noise at
+    * the 1e-12 relative level. The q_unigram_em gate therefore pins
+    * the prune-neutral configuration (`vocabSize == seedSize`, one EM
+    * round) at MILLI-NAT granularity — a cross-engine-stable
+    * discretization — while the prune path is spec-verified against
+    * an independent driver reference.
+    *
+    * Returns `(token, e_count double, cost_milli bigint)` — final
+    * expected counts and `round(ln(ΣE/E)·1e3)` milli-nat costs.
+    */
+  def unigramTrainSoft(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      tokenPattern: String = "[a-z]+",
+      maxTokenLen: Int = 8,
+      seedSize: Int = 0,
+      emRounds: Int = 2): DataFrame = {
+    require(vocabSize >= 2, "vocabSize must be >= 2")
+    require(maxTokenLen >= 2, "maxTokenLen must be >= 2")
+    require(emRounds >= 1, "emRounds must be >= 1")
+    val seeds = if (seedSize <= 0) vocabSize * 4 else seedSize
+    require(seeds >= vocabSize, s"seedSize $seeds < vocabSize $vocabSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = df
+      .select(explode(regexp_extract_all(
+        lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val (wcPinned, wcPins) = Pins.pin(wc)
+    try {
+      val occ = wcPinned
+        .select(col("word"), col("cnt"),
+          explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+        .select(col("cnt"), col("pos"),
+          explode(sequence(lit(1),
+            least(lit(maxTokenLen), length(col("word")) - col("pos")))).as("l"),
+          col("word"))
+        .select(col("cnt"), expr("substring(word, pos + 1, l)").as("sub"))
+        .groupBy("sub").agg(sum(col("cnt")).as("n"))
+      val chars = occ.filter(length(col("sub")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      require(chars.nonEmpty, "unigramTrainSoft: empty corpus")
+      val multis = occ.filter(length(col("sub")) > 1)
+        .orderBy(col("n").desc, col("sub").asc)
+        .limit(math.max(0, seeds - chars.length))
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      // (vocab sorted token-asc, logp) from positive weights
+      def priced(entries: Array[(String, Double)]): (IndexedSeq[String], Array[Double]) = {
+        val total = entries.map(_._2).sum
+        val sorted = entries.sortBy(_._1)
+        (sorted.map(_._1).toIndexedSeq,
+          sorted.map(e => math.log(e._2 / total)).toArray)
+      }
+      var (vocab, logp) = priced(chars ++ multis)
+      var eCounts: Map[String, Double] =
+        (chars ++ multis).toMap // placeholder until the first E-step
+      val charSet = chars.map(_._1).toSet
+      var round = 0
+      while (round < emRounds) {
+        round += 1
+        // E: expected piece counts, corpus-weighted (forward-backward)
+        val vSnap = vocab
+        val use = wcPinned
+          .select(col("cnt"),
+            explode(LatticeExpectExpr(col("word"), vSnap, logp.toIndexedSeq)).as("p"))
+          .groupBy(col("p.tid").as("tid"))
+          .agg(sum(col("p.e") * col("cnt")).as("e"))
+          .collect().map(r => (vSnap(r.getInt(0)), r.getDouble(1)))
+        // prune multis by likelihood loss (chars mandatory): loss =
+        // E(x) * (Viterbi cost of x's string without x - cost(x)) —
+        // Kudo's alternative-encoding approximation
+        val costOf = vocab.zip(logp).map { case (t, l) => (t, -l) }.toMap
+        def altCost(piece: String): Double = {
+          val n = piece.length
+          val INF = Double.MaxValue
+          val suf = Array.fill(n + 1)(INF); suf(n) = 0.0
+          var i = n - 1
+          while (i >= 0) {
+            var l = 1
+            val lim = math.min(maxTokenLen, n - i)
+            while (l <= lim) {
+              val sub = piece.substring(i, i + l)
+              if (sub != piece) costOf.get(sub).foreach { c =>
+                if (suf(i + l) != INF && c + suf(i + l) < suf(i))
+                  suf(i) = c + suf(i + l)
+              }
+              l += 1
+            }
+            i -= 1
+          }
+          suf(0)
+        }
+        val keptChars = chars.map { case (c, _) =>
+          (c, use.collectFirst { case (t, e) if t == c => e }.getOrElse(0.0)) }
+        val nMulti = math.max(0, vocabSize - chars.length)
+        val multiUse = use.filter { case (t, _) => !charSet(t) }
+        val keptMultis =
+          if (multiUse.length <= nMulti) multiUse
+          else multiUse
+            .map { case (t, e) => (t, e, e * (altCost(t) - costOf(t))) }
+            .sortBy { case (t, _, loss) => (-loss, t) }
+            .take(nMulti)
+            .map { case (t, e, _) => (t, e) }
+        val kept = keptChars ++ keptMultis
+        eCounts = kept.toMap
+        // M: renormalize over the kept set (zero-count floor at 1e-9
+        // so a never-used char keeps a finite worst-case prob)
+        val repriced = priced(kept.map { case (t, e) => (t, math.max(e, 1e-9)) })
+        vocab = repriced._1
+        logp = repriced._2
+      }
+      vocab.zip(logp)
+        .map { case (t, l) =>
+          (t, eCounts.getOrElse(t, 0.0), Math.round(-l * 1e3)) }
+        .toDF("token", "e_count", "cost_milli")
+    } finally Pins.release(wcPinned, wcPins)
+  }
+
 }

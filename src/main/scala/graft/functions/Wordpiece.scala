@@ -524,3 +524,155 @@ private[functions] final class WordpieceTrie(
     }
   }
 }
+
+/** Per-word EXPECTED piece counts under a unigram LM — the E-step of
+  * Kudo 2018's soft EM (arXiv:1804.10959 §3.2): forward-backward over
+  * the segmentation lattice, where a segmentation's probability is
+  * proportional to the product of its pieces' probabilities. Emits
+  * `array<struct<tid int, e double>>` — `tid` the vocab index,
+  * `e = E[count(piece) | word]` = the sum of edge posteriors
+  * `exp(α(i) + logp + β(j) − α(n))` over that piece's lattice edges.
+  * Log-space with streaming log-sum-exp, so a 1000-piece word cannot
+  * underflow. Unreachable (UNK) words emit an EMPTY array — the
+  * caller decides whether that is an error (the trainer seeds all
+  * single characters precisely so it never happens).
+  *
+  * Float caveat, by design: expected counts are IEEE doubles and the
+  * downstream aggregation's summation order is partition-dependent —
+  * this kernel backs the SOFT trainer (`TextFunctions.
+  * unigramTrainSoft`), whose gate compares at milli-nat granularity;
+  * the bit-exact cross-engine path is the HARD variant
+  * (`unigramTrain` / [[LatticeEncodeExpr]]).
+  */
+case class LatticeExpectExpr(
+    child: Expression,
+    vocab: Seq[String],
+    logProbs: Seq[Double]) extends UnaryExpression {
+  require(vocab.nonEmpty, "lattice_expect requires a non-empty vocab")
+  require(logProbs.length == vocab.length,
+    s"lattice_expect: ${logProbs.length} log-probs for ${vocab.length} vocab tokens")
+  require(logProbs.forall(lp => lp <= 0.0 && !lp.isNaN),
+    "lattice_expect: log-probs must be finite and <= 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lattice_expect requires a STRING column, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("tid", IntegerType, nullable = false),
+      StructField("e", DoubleType, nullable = false))),
+    containsNull = false)
+
+  @transient private lazy val index: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    vocab.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+    m
+  }
+  @transient private lazy val maxLen: Int = vocab.map(_.length).max
+  @transient private lazy val lp: Array[Double] = logProbs.toArray
+  @transient private lazy val empty = new GenericArrayData(Array.empty[Any])
+
+  // streaming log-sum-exp accumulate: acc ⊕ x in log space
+  private def lse(acc: Double, x: Double): Double =
+    if (acc == Double.NegativeInfinity) x
+    else if (x == Double.NegativeInfinity) acc
+    else if (acc >= x) acc + math.log1p(math.exp(x - acc))
+    else x + math.log1p(math.exp(acc - x))
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def computeExpect(input: UTF8String): GenericArrayData = {
+    val word = input.toString
+    val n = word.length
+    if (n == 0) return empty
+    require(n <= (1 << 16),
+      s"lattice_expect: ${n}-char input — chunk first")
+    val NEG = Double.NegativeInfinity
+    // forward: alpha(j) = log Σ_paths prob(word[0..j))
+    val alpha = Array.fill(n + 1)(NEG)
+    alpha(0) = 0.0
+    var i = 0
+    while (i < n) {
+      if (alpha(i) != NEG) {
+        var l = 1
+        val lim = math.min(maxLen, n - i)
+        while (l <= lim) {
+          val tid = index.getOrDefault(word.substring(i, i + l), -1)
+          if (tid >= 0) alpha(i + l) = lse(alpha(i + l), alpha(i) + lp(tid))
+          l += 1
+        }
+      }
+      i += 1
+    }
+    if (alpha(n) == NEG) return empty // UNK word: no segmentation
+    // backward: beta(i) = log Σ_paths prob(word[i..n))
+    val beta = Array.fill(n + 1)(NEG)
+    beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lim = math.min(maxLen, n - i)
+      while (l <= lim) {
+        if (beta(i + l) != NEG) {
+          val tid = index.getOrDefault(word.substring(i, i + l), -1)
+          if (tid >= 0) beta(i) = lse(beta(i), lp(tid) + beta(i + l))
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    // edge posteriors, accumulated per piece id
+    val acc = new java.util.HashMap[Integer, java.lang.Double]()
+    i = 0
+    while (i < n) {
+      if (alpha(i) != NEG) {
+        var l = 1
+        val lim = math.min(maxLen, n - i)
+        while (l <= lim) {
+          if (beta(i + l) != NEG) {
+            val tid = index.getOrDefault(word.substring(i, i + l), -1)
+            if (tid >= 0) {
+              val post = math.exp(alpha(i) + lp(tid) + beta(i + l) - alpha(n))
+              acc.merge(tid, post, (a, b) => a + b)
+            }
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    // deterministic emission order: ascending token id
+    val ids = new Array[Int](acc.size())
+    val it = acc.keySet().iterator()
+    var k = 0
+    while (it.hasNext) { ids(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](ids.length)
+    k = 0
+    while (k < ids.length) {
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ids(k), acc.get(ids(k)).doubleValue()))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeExpect(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("latticeExpect", this, classOf[LatticeExpectExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.computeExpect($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): LatticeExpectExpr =
+    copy(child = c)
+  override def prettyName: String = "lattice_expect"
+}
+
+object LatticeExpectExpr {
+  def apply(word: Column, vocab: Seq[String], logProbs: Seq[Double]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    column(new LatticeExpectExpr(expression(word), vocab, logProbs))
+  }
+}

@@ -463,4 +463,130 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+
+  test("LatticeExpectExpr == exhaustive-enumeration expected counts (randomized)") {
+    // reference: enumerate ALL segmentations, weight by the product of
+    // piece probabilities, accumulate exact expected counts
+    def refExpect(word: String, vocab: IndexedSeq[String],
+        probs: Map[String, Double]): Map[String, Double] = {
+      def segs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to w.length).flatMap { l =>
+          val h = w.substring(0, l)
+          if (probs.contains(h)) segs(w.substring(l)).map(h +: _) else Seq.empty
+        }
+      val all = segs(word)
+      if (all.isEmpty) return Map.empty
+      val weights = all.map(sg => sg.map(probs).product)
+      val z = weights.sum
+      all.zip(weights).foldLeft(Map.empty[String, Double]) { case (m, (sg, w)) =>
+        sg.foldLeft(m)((mm, p) => mm.updated(p, mm.getOrElse(p, 0.0) + w / z))
+      }
+    }
+    val rnd = new scala.util.Random(55)
+    val alpha = "abc"
+    val vocab = (Seq("a", "b", "c") ++ (1 to 20).map(_ =>
+      (1 to 2 + rnd.nextInt(3)).map(_ => alpha(rnd.nextInt(3))).mkString)).distinct.toIndexedSeq
+    val raw = vocab.map(_ => 0.05 + rnd.nextDouble())
+    val z = raw.sum
+    val probs = vocab.zip(raw.map(_ / z)).toMap
+    val logp = vocab.map(t => math.log(probs(t)))
+    val words = (1 to 50).map(_ =>
+      (1 to 2 + rnd.nextInt(7)).map(_ => alpha(rnd.nextInt(3))).mkString).distinct
+    val got = words.toDF("w")
+      .select(col("w"), LatticeExpectExpr(col("w"), vocab, logp).as("p"))
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => vocab(x.getInt(0)) -> x.getDouble(1)).toMap
+      }.toMap
+    for (w <- words) {
+      val want = refExpect(w, vocab, probs)
+      val have = got(w)
+      assert(have.keySet == want.keySet, s"$w: ${have.keySet} vs ${want.keySet}")
+      for ((t, e) <- want)
+        assert(math.abs(have(t) - e) <= 1e-9 * math.max(1.0, e.abs),
+          s"$w/$t: ${have(t)} vs $e")
+      // expected piece count is a convex mix of segmentation lengths
+      val tot = have.values.sum
+      assert(tot >= 1.0 - 1e-9 && tot <= w.length + 1e-9)
+    }
+    // single-path word: exact integer counts (no float mixing at all)
+    val one = Seq("abc").toDF("w")
+      .select(LatticeExpectExpr(col("w"), IndexedSeq("ab", "c"),
+        Seq(math.log(0.5), math.log(0.5))).as("p"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(one.map(r => (r.getInt(0), r.getDouble(1))).toSet ==
+      Set((0, 1.0), (1, 1.0)))
+    // UNK word: empty array, not a crash
+    val unk = Seq("q").toDF("w")
+      .select(LatticeExpectExpr(col("w"), IndexedSeq("a"), Seq(0.0)).as("p"))
+      .head().getSeq[Any](0)
+    assert(unk.isEmpty)
+  }
+
+  test("unigramTrainSoft: one prune-neutral EM round == independent reference") {
+    def refExpectAll(words: Seq[(String, Long)], vocab: IndexedSeq[String],
+        probs: Map[String, Double]): Map[String, Double] = {
+      def segs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Seq.empty)
+        else (1 to w.length).flatMap { l =>
+          val h = w.substring(0, l)
+          if (probs.contains(h)) segs(w.substring(l)).map(h +: _) else Seq.empty
+        }
+      words.foldLeft(Map.empty[String, Double]) { case (m, (w, c)) =>
+        val all = segs(w)
+        val weights = all.map(sg => sg.map(probs).product)
+        val z = weights.sum
+        all.zip(weights).foldLeft(m) { case (mm, (sg, wt)) =>
+          sg.foldLeft(mm)((m2, p) =>
+            m2.updated(p, m2.getOrElse(p, 0.0) + c * wt / z))
+        }
+      }
+    }
+    val raw = Seq.fill(40)("abab") ++ Seq.fill(25)("ba") ++ Seq.fill(10)("aab")
+    val docs = Seq((1L, raw.mkString(" "))).toDF("doc_id", "text")
+    val wc = raw.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    // replicate the seed exactly (all substrings <= 3, top multis)
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wc; p <- 0 until w.length; l <- 1 to math.min(3, w.length - p))
+      occ(w.substring(p, p + l)) = occ.getOrElse(w.substring(p, p + l), 0L) + c
+    val chars = occ.filter(_._1.length == 1).toSeq
+    val multis = occ.filter(_._1.length > 1).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(10 - chars.length)
+    val seedTotal = (chars ++ multis).map(_._2).sum.toDouble
+    val seedProbs = (chars ++ multis).map { case (t, c) => t -> c / seedTotal }.toMap
+    val vocab = seedProbs.keys.toIndexedSeq.sorted
+    val e = refExpectAll(wc, vocab, seedProbs)
+    val z = e.values.sum
+    val wantCosts = vocab.map(t =>
+      t -> Math.round(math.log(z / math.max(e.getOrElse(t, 0.0), 1e-9)) * 1e3)).toMap
+    val got = TextFunctions.unigramTrainSoft(docs, "text",
+        vocabSize = 10, maxTokenLen = 3, seedSize = 10, emRounds = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == vocab.toSet, s"vocab diverged: ${got.toSeq}")
+    for ((t, ec, cm) <- got) {
+      val want = e.getOrElse(t, 0.0)
+      assert(math.abs(ec - want) <= 1e-9 * math.max(1.0, want),
+        s"$t expected-count ${ec} vs $want")
+      assert(cm == wantCosts(t), s"$t cost_milli $cm vs ${wantCosts(t)}")
+    }
+  }
+
+  test("unigramTrainSoft prunes by likelihood LOSS, not raw expected count") {
+    // xy is frequent but cheaply re-encodable (x, y are common
+    // singles); zw is rarer but its characters exist ONLY inside it,
+    // so removing zw is expensive. Count-ranking keeps xy; Kudo's
+    // loss-ranking must keep zw.
+    val raw = Seq.fill(50)("xy") ++ Seq.fill(30)("zw") ++
+      Seq.fill(200)("x") ++ Seq.fill(200)("y")
+    val docs = Seq((1L, raw.mkString(" "))).toDF("doc_id", "text")
+    val out = TextFunctions.unigramTrainSoft(docs, "text",
+        vocabSize = 5, maxTokenLen = 2, seedSize = 8, emRounds = 2)
+      .collect().map(_.getString(0)).toSet
+    // 4 chars (x,y,z,w) + exactly ONE multi slot
+    assert(out.contains("zw") && !out.contains("xy"),
+      s"loss pruning must keep the irreplaceable piece: $out")
+    assert(Set("x", "y", "z", "w").subsetOf(out))
+  }
+
 }
