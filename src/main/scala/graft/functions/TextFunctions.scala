@@ -2090,14 +2090,20 @@ object TextFunctions {
           col("word"))
         .select(col("cnt"), expr("substring(word, pos + 1, l)").as("sub"))
         .groupBy("sub").agg(sum(col("cnt")).as("n"))
-      val chars = occ.filter(length(col("sub")) === 1)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      require(chars.nonEmpty, "unigramTrain: empty corpus")
-      val nMulti0 = math.max(0, seeds - chars.length)
-      val multis = occ.filter(length(col("sub")) > 1)
-        .orderBy(col("n").desc, col("sub").asc)
-        .limit(nMulti0)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // pin the substring-count table: the char collect and the multi
+      // TakeOrdered both read it — unpinned, the occurrence explode
+      // (O(distinct words · len · maxTokenLen)) would run twice
+      val (occPinned, occPins) = Pins.pin(occ)
+      val (chars, multis) = try {
+        val cs = occPinned.filter(length(col("sub")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        require(cs.nonEmpty, "unigramTrain: empty corpus")
+        val ms = occPinned.filter(length(col("sub")) > 1)
+          .orderBy(col("n").desc, col("sub").asc)
+          .limit(math.max(0, seeds - cs.length))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        (cs, ms)
+      } finally Pins.release(occPinned, occPins)
       def priced(entries: Array[(String, Long)]): (Seq[String], Seq[Long]) = {
         val total = entries.map(_._2).sum
         val sorted = entries.sortBy(_._1) // stable vocab order: token asc
@@ -2197,13 +2203,18 @@ object TextFunctions {
           col("word"))
         .select(col("cnt"), expr("substring(word, pos + 1, l)").as("sub"))
         .groupBy("sub").agg(sum(col("cnt")).as("n"))
-      val chars = occ.filter(length(col("sub")) === 1)
-        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
-      require(chars.nonEmpty, "unigramTrainSoft: empty corpus")
-      val multis = occ.filter(length(col("sub")) > 1)
-        .orderBy(col("n").desc, col("sub").asc)
-        .limit(math.max(0, seeds - chars.length))
-        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      // same one-explode discipline as unigramTrain (PlanSpec-pinned)
+      val (occPinned, occPins) = Pins.pin(occ)
+      val (chars, multis) = try {
+        val cs = occPinned.filter(length(col("sub")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+        require(cs.nonEmpty, "unigramTrainSoft: empty corpus")
+        val ms = occPinned.filter(length(col("sub")) > 1)
+          .orderBy(col("n").desc, col("sub").asc)
+          .limit(math.max(0, seeds - cs.length))
+          .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+        (cs, ms)
+      } finally Pins.release(occPinned, occPins)
       // (vocab sorted token-asc, logp) from positive weights
       def priced(entries: Array[(String, Double)]): (IndexedSeq[String], Array[Double]) = {
         val total = entries.map(_._2).sum

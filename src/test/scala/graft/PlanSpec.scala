@@ -440,6 +440,55 @@ class PlanSpec extends SparkSpec {
     assert(ltl.nonEmpty, s"no lattice_encode operator in plan\n$ltp")
     ltl.foreach(l =>
       assert(l.contains("*("), s"lattice_encode outside a codegen span:\n$l\n\n$ltp"))
+    // r11: the soft-EM expectation kernel and the batch merge kernels
+    // ride the same contract — a kernel falling out of whole-stage
+    // codegen is the silent 10x the r6 HOF tax taught us to pin
+    val le = spark.range(10)
+      .select(concat(lit("word"), col("id")).as("w"))
+      .select(functions.LatticeExpectExpr(
+        col("w"), IndexedSeq("word", "0", "1", "2", "3", "4",
+          "5", "6", "7", "8", "9"), Seq.fill(11)(math.log(1.0 / 11))).as("p"))
+    le.collect()
+    val lep = le.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val lel = lep.linesIterator.filter(_.contains("lattice_expect")).toSeq
+    assert(lel.nonEmpty, s"no lattice_expect operator in plan\n$lep")
+    lel.foreach(l =>
+      assert(l.contains("*("), s"lattice_expect outside a codegen span:\n$l\n\n$lep"))
+    val bt = spark.range(10)
+      .select(org.apache.spark.sql.functions.split(
+        concat(lit("a b a"), col("id")), " ").as("syms"))
+      .select(functions.BpeEncodeExpr.batchStep(col("syms"),
+        Seq(("a", "b", "ab"))).as("s1"),
+        functions.BpeEncodeExpr.batchDelta(col("syms"),
+          Seq(("a", "b", "ab")), withSymbols = true).as("d1"))
+    bt.collect()
+    val btp = bt.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    for (k <- Seq("bpe_batch_step", "bpe_batch_delta")) {
+      val ls = btp.linesIterator.filter(_.contains(k)).toSeq
+      assert(ls.nonEmpty, s"no $k operator in plan\n$btp")
+      ls.foreach(l => assert(l.contains("*("), s"$k outside a codegen span:\n$l\n\n$btp"))
+    }
+  }
+
+  test("unigramTrain rounds are one lattice-kernel scan each (no per-round re-seed)") {
+    // the seed explodes substrings ONCE; every EM round afterwards is
+    // one codegen lattice_encode scan + a key-sized fold — a second
+    // substring explode means the seeding regressed into the loop
+    val plansSeen = capturePlans { s2 =>
+      import s2.implicits._
+      val docs = (1 to 30).map(i => (i.toLong, "abab bab abba caba"))
+        .toDF("doc_id", "text")
+      functions.TextFunctions.unigramTrain(docs, "text",
+        vocabSize = 8, maxTokenLen = 3, seedSize = 16, emRounds = 3).collect()
+    }
+    assert(plansSeen.nonEmpty, "listener captured no plans")
+    val seedExplodes = plansSeen.count(_.contains("substring(word"))
+    assert(seedExplodes <= 1,
+      s"substring seed exploded $seedExplodes times — rounds must be lattice scans only")
+    assert(plansSeen.count(_.contains("lattice_encode")) >= 3,
+      "expected one lattice_encode scan per EM round")
+    for (p <- plansSeen)
+      assert(!p.contains("CartesianProduct"), s"cartesian in a train round:\n$p")
   }
 
   test("salted join: the salt rides the join keys — hot keys fan out over reducers") {
