@@ -60,6 +60,24 @@ object TokenizerProbe {
       }
     }
 
+    // ---- Unigram-LM training at 1M distinct words (r11) -------------
+    // hard (Viterbi) EM: seed substring counts are the heavy job
+    // (~40M occurrence rows -> distinct-substring fold); each EM round
+    // is one codegen lattice scan + a key-sized fold
+    timed("unigramTrain 1M words vocab=2000 seed=8000 2 rounds") {
+      val v = functions.TextFunctions.unigramTrain(
+        wordsDf.toDF("w"), "w", vocabSize = 2000, tokenPattern = "[a-z]+",
+        maxTokenLen = 6, seedSize = 8000, emRounds = 2)
+      println(s"        vocab rows = ${v.count()}")
+    }
+    // soft (forward-backward) EM, prune-neutral round
+    timed("unigramTrainSoft 1M words seed=2000 1 round") {
+      val v = functions.TextFunctions.unigramTrainSoft(
+        wordsDf.toDF("w"), "w", vocabSize = 2000, tokenPattern = "[a-z]+",
+        maxTokenLen = 6, seedSize = 2000, emRounds = 1)
+      println(s"        vocab rows = ${v.count()}")
+    }
+
     // ---- Winnowing at 1M docs (r10 verdict item 5) ------------------
     // 40-word docs; 30% carry a shared 12-word boilerplate sentence —
     // the hot-fingerprint case the maxBucket cap exists for. Measures
