@@ -233,13 +233,17 @@ object Bench {
         .replaceAll("[\\r\\n\\t]", " ") + "\""
     // `queries` stays the backward-compatible name->median map the
     // driver's round-over-round comparison reads; everything a judge
-    // needs to adjudicate contention lives in `detail`.
-    val qEntries = results.map { r => jstr(r.name) + f":${r.median}%.3f" } ++
-      results.filter(_.steady.nonEmpty).map { r =>
+    // needs to adjudicate contention lives in `detail`. One builder
+    // for both renderings (full-precision detail line, 2-decimal
+    // compact line) so the two maps can never silently disagree.
+    def queriesMap(decimals: Int): String =
+      (results.map { r =>
+        jstr(r.name) + ":" + s"%.${decimals}f".format(r.median)
+      } ++ results.filter(_.steady.nonEmpty).map { r =>
         val m = r.steady.sorted.apply(r.steady.length / 2)
-        jstr(r.name + "_steady") + f":$m%.3f"
-      }
-    val qs = qEntries.mkString("{", ",", "}")
+        jstr(r.name + "_steady") + ":" + s"%.${decimals}f".format(m)
+      }).mkString("{", ",", "}")
+    val qs = queriesMap(3)
     val detail = results.map { r =>
       val runsArr = r.times.map(t => f"$t%.3f").mkString("[", ",", "]")
       val errField =
@@ -273,11 +277,7 @@ object Bench {
     // to sbt's trailing "[success]" line, so the driver always gets a
     // parseable line carrying the full queries map; the full-precision
     // detail line stays above for judges reading the complete stdout.
-    val qsCompact = (results.map { r => jstr(r.name) + f":${r.median}%.2f" } ++
-      results.filter(_.steady.nonEmpty).map { r =>
-        val m = r.steady.sorted.apply(r.steady.length / 2)
-        jstr(r.name + "_steady") + f":$m%.2f"
-      }).mkString("{", ",", "}")
+    val qsCompact = queriesMap(2)
     val compact =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_err":$nErr,""" +
       f""""walks_sec":$walksSec%.2f,"non_walks_sec":$nonWalksSec%.2f,""" +

@@ -656,34 +656,32 @@ object BpeEncodeExpr {
     column(BpeSymbolsExpr(expression(word)))
   }
 
-  /** One greedy merge pass over a symbol-array column; rows without
-    * the pair pass their array through untouched (zero allocation).
-    * `merged` overrides the replacement symbol (WordPiece strips the
-    * right side's continuation prefix); None = plain `a + b`.
+  /** One greedy merge pass over a symbol-array column — the
+    * single-merge convenience form of [[batchStep]] (a one-element
+    * batch; the r11 batch kernels superseded the dedicated
+    * single-merge expressions). `merged` overrides the replacement
+    * symbol (WordPiece strips the right side's continuation prefix);
+    * None = plain `a + b`.
     */
   def mergeStep(syms: Column, a: String, b: String,
-      merged: Option[String] = None): Column = {
-    import org.apache.spark.sql.GraftColumnBridge._
-    column(BpeMergeStepExpr(expression(syms), a, b, merged))
-  }
+      merged: Option[String] = None): Column =
+    batchStep(syms, Seq((a, b, merged.getOrElse(a + b))))
 
   /** Per-word pair-count deltas caused by merging `(a, b)` — empty
     * for unaffected words, so an `explode` over it emits work ONLY
-    * for the words the merge touches (the incremental-training
-    * filter+delta in one expression).
+    * for the words the merge touches. A one-element [[batchDelta]];
+    * rows use the batch schema `(pa, pb, s, d)` with `s` always null.
     */
   def pairDelta(syms: Column, a: String, b: String,
-      merged: Option[String] = None): Column = {
-    import org.apache.spark.sql.GraftColumnBridge._
-    column(BpePairDeltaExpr(expression(syms), a, b, merged))
-  }
+      merged: Option[String] = None): Column =
+    batchDelta(syms, Seq((a, b, merged.getOrElse(a + b))), withSymbols = false)
 
-  /** Combined pair+symbol deltas in one scan — see [[BpeBothDeltaExpr]]. */
+  /** Combined pair+symbol deltas of one merge in one scan — a
+    * one-element [[batchDelta]] with symbol rows on.
+    */
   def bothDelta(syms: Column, a: String, b: String,
-      merged: Option[String] = None): Column = {
-    import org.apache.spark.sql.GraftColumnBridge._
-    column(BpeBothDeltaExpr(expression(syms), a, b, merged))
-  }
+      merged: Option[String] = None): Column =
+    batchDelta(syms, Seq((a, b, merged.getOrElse(a + b))), withSymbols = true)
 
   private def validateBatch(merges: Seq[(String, String, String)]): Unit = {
     require(merges.nonEmpty, "batch must contain at least one merge")
@@ -750,270 +748,8 @@ case class BpeSymbolsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "bpe_symbols"
 }
 
-/** One greedy left-to-right [[Bpe.applyMerge]] pass over an
-  * `array<string>` symbol column, inside whole-stage codegen. The
-  * adjacency pre-check makes the overwhelmingly common no-hit row a
-  * pure pass-through (the input ArrayData is returned as-is — no
-  * per-row allocation), which is what keeps a `pinEvery`-deep chain
-  * of merge steps cheap to re-evaluate between pins.
-  */
-case class BpeMergeStepExpr(child: Expression, a: String, b: String,
-    merged: Option[String] = None)
-    extends UnaryExpression {
-  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
-  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"bpe_merge_step requires ARRAY<STRING>, got $t")
-  }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val ua = UTF8String.fromString(a)
-  @transient private lazy val ub = UTF8String.fromString(b)
-  @transient private lazy val uab = UTF8String.fromString(merged.getOrElse(a + b))
-
-  /** Kernel; public for the codegen `addReferenceObj` call. */
-  def computeStep(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    var i = 0
-    var hit = false
-    // null contract is enforced IN the pre-scan (not only in the
-    // post-hit loop): an array carrying nulls but not the merge pair
-    // must fail loud too, or the violation is only sometimes visible
-    while (!hit && i + 1 < n) {
-      if (arr.isNullAt(i)) throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index $i — symbol arrays are non-null by contract")
-      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
-      i += 1
-    }
-    if (!hit && n > 0 && arr.isNullAt(n - 1))
-      throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index ${n - 1} — symbol arrays are non-null by contract")
-    if (!hit) return arr
-    val out = new mutable.ArrayBuffer[Any](n)
-    var j = 0
-    while (j < n) {
-      if (arr.isNullAt(j)) throw new IllegalArgumentException(
-        s"bpe_merge_step: null symbol at index $j — symbol arrays are non-null by contract")
-      if (j + 1 < n && ua.equals(arr.getUTF8String(j)) &&
-          ub.equals(arr.getUTF8String(j + 1))) {
-        out += uab
-        j += 2
-      } else {
-        out += arr.getUTF8String(j)
-        j += 1
-      }
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    computeStep(input.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMergeStep", this, classOf[BpeMergeStepExpr].getName)
-    defineCodeGen(ctx, ev,
-      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeStep($c)")
-  }
-  override protected def withNewChildInternal(c: Expression): BpeMergeStepExpr =
-    copy(child = c)
-  override def prettyName: String = "bpe_merge_step"
-}
-
-/** Pair-count deltas a merge `(a, b)` causes in ONE word:
-  * `array<struct<pa, pb, d>>` where `d` is the signed multiset change
-  * `pairs(applyMerge(word)) − pairs(word)` per adjacent pair. Words
-  * the merge does not touch return an EMPTY array — an `explode` over
-  * this column is therefore the incremental trainer's
-  * filter-to-affected-words AND its delta computation in one codegen
-  * pass (nothing shuffles for untouched words).
-  */
-case class BpePairDeltaExpr(child: Expression, a: String, b: String,
-    merged: Option[String] = None)
-    extends UnaryExpression {
-  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
-  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"bpe_pair_delta requires ARRAY<STRING>, got $t")
-  }
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("pa", StringType, nullable = false),
-      StructField("pb", StringType, nullable = false),
-      StructField("d", LongType, nullable = false))),
-    containsNull = false)
-
-  @transient private lazy val ua = UTF8String.fromString(a)
-  @transient private lazy val ub = UTF8String.fromString(b)
-  @transient private lazy val empty = new GenericArrayData(Array.empty[Any])
-
-  /** Kernel; public for the codegen `addReferenceObj` call. */
-  def computeDelta(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    var i = 0
-    var hit = false
-    // null contract is enforced IN the pre-scan (not only in the
-    // post-hit loop): an array carrying nulls but not the merge pair
-    // must fail loud too, or the violation is only sometimes visible
-    while (!hit && i + 1 < n) {
-      if (arr.isNullAt(i)) throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index $i — symbol arrays are non-null by contract")
-      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
-      i += 1
-    }
-    if (!hit && n > 0 && arr.isNullAt(n - 1))
-      throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index ${n - 1} — symbol arrays are non-null by contract")
-    if (!hit) return empty
-    val old = new Array[String](n)
-    var k = 0
-    while (k < n) {
-      if (arr.isNullAt(k)) throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index $k — symbol arrays are non-null by contract")
-      old(k) = arr.getUTF8String(k).toString
-      k += 1
-    }
-    val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
-    // signed multiset diff of adjacent pairs; insertion-ordered map so
-    // the emitted array is deterministic (consumers aggregate anyway)
-    val m = new java.util.LinkedHashMap[(String, String), Long]()
-    k = 0
-    while (k + 1 < old.length) {
-      val key = (old(k), old(k + 1))
-      m.merge(key, -1L, (x, y) => x + y)
-      k += 1
-    }
-    k = 0
-    while (k + 1 < applied.length) {
-      val key = (applied(k), applied(k + 1))
-      m.merge(key, 1L, (x, y) => x + y)
-      k += 1
-    }
-    val out = mutable.ArrayBuffer.empty[Any]
-    m.forEach { (key, d) =>
-      if (d != 0L) {
-        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(key._1), UTF8String.fromString(key._2), d))
-      }
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    computeDelta(input.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpePairDelta", this, classOf[BpePairDeltaExpr].getName)
-    defineCodeGen(ctx, ev,
-      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeDelta($c)")
-  }
-  override protected def withNewChildInternal(c: Expression): BpePairDeltaExpr =
-    copy(child = c)
-  override def prettyName: String = "bpe_pair_delta"
-}
-
-/** PAIR and SYMBOL deltas of one merge in a SINGLE pass —
-  * `array<struct<pa, pb, s, d>>` with pair rows carrying `s = null`
-  * and symbol rows `pa = pb = null`. A per-family kernel pair
-  * would rescan the (corpus-sized, pinned) word table once EACH; the
-  * likelihood trainer needs both families every round, so this
-  * kernel emits the union in one adjacency scan + one applyMerge,
-  * letting the round pin ONE small exploded delta table and fold
-  * pairs and symbols from it.
-  */
-case class BpeBothDeltaExpr(child: Expression, a: String, b: String,
-    merged: Option[String] = None)
-    extends UnaryExpression {
-  require(a.nonEmpty && b.nonEmpty, "merge pair symbols must be non-empty")
-  require(merged.forall(_.nonEmpty), "merged symbol must be non-empty")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"bpe_both_delta requires ARRAY<STRING>, got $t")
-  }
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("pa", StringType, nullable = true),
-      StructField("pb", StringType, nullable = true),
-      StructField("s", StringType, nullable = true),
-      StructField("d", LongType, nullable = false))),
-    containsNull = false)
-
-  @transient private lazy val ua = UTF8String.fromString(a)
-  @transient private lazy val ub = UTF8String.fromString(b)
-  @transient private lazy val empty = new GenericArrayData(Array.empty[Any])
-
-  /** Kernel; public for the codegen `addReferenceObj` call. */
-  def computeDelta(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    var i = 0
-    var hit = false
-    // null contract is enforced IN the pre-scan (not only in the
-    // post-hit loop): an array carrying nulls but not the merge pair
-    // must fail loud too, or the violation is only sometimes visible
-    while (!hit && i + 1 < n) {
-      if (arr.isNullAt(i)) throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index $i — symbol arrays are non-null by contract")
-      hit = ua.equals(arr.getUTF8String(i)) && ub.equals(arr.getUTF8String(i + 1))
-      i += 1
-    }
-    if (!hit && n > 0 && arr.isNullAt(n - 1))
-      throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index ${n - 1} — symbol arrays are non-null by contract")
-    if (!hit) return empty
-    val old = new Array[String](n)
-    var k = 0
-    while (k < n) {
-      if (arr.isNullAt(k)) throw new IllegalArgumentException(
-        s"$prettyName: null symbol at index $k — symbol arrays are non-null by contract")
-      old(k) = arr.getUTF8String(k).toString
-      k += 1
-    }
-    val applied = Bpe.applyMerge(old, a, b, merged.getOrElse(a + b))
-    val pm = new java.util.LinkedHashMap[(String, String), Long]()
-    val sm = new java.util.LinkedHashMap[String, Long]()
-    k = 0
-    while (k < old.length) {
-      sm.merge(old(k), -1L, (x, y) => x + y)
-      if (k + 1 < old.length)
-        pm.merge((old(k), old(k + 1)), -1L, (x, y) => x + y)
-      k += 1
-    }
-    k = 0
-    while (k < applied.length) {
-      sm.merge(applied(k), 1L, (x, y) => x + y)
-      if (k + 1 < applied.length)
-        pm.merge((applied(k), applied(k + 1)), 1L, (x, y) => x + y)
-      k += 1
-    }
-    val out = mutable.ArrayBuffer.empty[Any]
-    pm.forEach { (key, d) =>
-      if (d != 0L) {
-        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(key._1), UTF8String.fromString(key._2), null, d))
-      }
-    }
-    sm.forEach { (s, d) =>
-      if (d != 0L) {
-        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](null, null, UTF8String.fromString(s), d))
-      }
-    }
-    new GenericArrayData(out.toArray)
-  }
-
-  override def nullSafeEval(input: Any): Any =
-    computeDelta(input.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeBothDelta", this, classOf[BpeBothDeltaExpr].getName)
-    defineCodeGen(ctx, ev,
-      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.computeDelta($c)")
-  }
-  override protected def withNewChildInternal(c: Expression): BpeBothDeltaExpr =
-    copy(child = c)
-  override def prettyName: String = "bpe_both_delta"
-}
 
 /** Shared machinery for the BATCH merge kernels: an ORDERED batch of
   * `(a, b, merged)` triples applied per word as sequential greedy

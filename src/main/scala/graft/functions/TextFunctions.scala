@@ -2059,6 +2059,51 @@ object TextFunctions {
     * Returns `(token, cnt, cost_nano)` — final Viterbi usage counts
     * and costs, the [[unigramEncodeWords]] input shape.
     */
+  /** Shared plumbing of the two unigram trainers: the distinct-word
+    * count table and the substring-occurrence SEED — all substrings
+    * up to `maxTokenLen`, corpus-weighted, split into the mandatory
+    * single-code-point block and the top `seeds − #chars` multi-char
+    * block by `(count desc, token asc)`. The substring-count table is
+    * pinned so the char collect and the multi TakeOrdered read the
+    * `O(distinct words · len · maxTokenLen)` explode ONCE
+    * (PlanSpec-pinned).
+    */
+  private def unigramSeed(
+      wcPinned: DataFrame,
+      maxTokenLen: Int,
+      seeds: Int,
+      who: String): (Array[(String, Long)], Array[(String, Long)]) = {
+    val occ = wcPinned
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+      .select(col("cnt"), col("pos"),
+        explode(sequence(lit(1),
+          least(lit(maxTokenLen), length(col("word")) - col("pos")))).as("l"),
+        col("word"))
+      .select(col("cnt"), expr("substring(word, pos + 1, l)").as("sub"))
+      .groupBy("sub").agg(sum(col("cnt")).as("n"))
+    val (occPinned, occPins) = Pins.pin(occ)
+    try {
+      val cs = occPinned.filter(length(col("sub")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      require(cs.nonEmpty, s"$who: empty corpus")
+      val ms = occPinned.filter(length(col("sub")) > 1)
+        .orderBy(col("n").desc, col("sub").asc)
+        .limit(math.max(0, seeds - cs.length))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (cs, ms)
+    } finally Pins.release(occPinned, occPins)
+  }
+
+  /** Distinct-word occurrence counts of `textCol` — the table every
+    * unigram-trainer pass (seed and EM rounds) scans.
+    */
+  private def unigramWordCounts(
+      df: DataFrame, textCol: String, tokenPattern: String): DataFrame =
+    df.select(explode(regexp_extract_all(
+        lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   def unigramTrain(
       df: DataFrame,
       textCol: String,
@@ -2074,36 +2119,9 @@ object TextFunctions {
     require(seeds >= vocabSize, s"seedSize $seeds < vocabSize $vocabSize")
     val spark = df.sparkSession
     import spark.implicits._
-    val wc = df
-      .select(explode(regexp_extract_all(
-        lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val (wcPinned, wcPins) = Pins.pin(wc)
+    val (wcPinned, wcPins) = Pins.pin(unigramWordCounts(df, textCol, tokenPattern))
     try {
-      // seed: every substring up to maxTokenLen, corpus-weighted
-      val occ = wcPinned
-        .select(col("word"), col("cnt"),
-          explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
-        .select(col("cnt"), col("pos"),
-          explode(sequence(lit(1),
-            least(lit(maxTokenLen), length(col("word")) - col("pos")))).as("l"),
-          col("word"))
-        .select(col("cnt"), expr("substring(word, pos + 1, l)").as("sub"))
-        .groupBy("sub").agg(sum(col("cnt")).as("n"))
-      // pin the substring-count table: the char collect and the multi
-      // TakeOrdered both read it — unpinned, the occurrence explode
-      // (O(distinct words · len · maxTokenLen)) would run twice
-      val (occPinned, occPins) = Pins.pin(occ)
-      val (chars, multis) = try {
-        val cs = occPinned.filter(length(col("sub")) === 1)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        require(cs.nonEmpty, "unigramTrain: empty corpus")
-        val ms = occPinned.filter(length(col("sub")) > 1)
-          .orderBy(col("n").desc, col("sub").asc)
-          .limit(math.max(0, seeds - cs.length))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        (cs, ms)
-      } finally Pins.release(occPinned, occPins)
+      val (chars, multis) = unigramSeed(wcPinned, maxTokenLen, seeds, "unigramTrain")
       def priced(entries: Array[(String, Long)]): (Seq[String], Seq[Long]) = {
         val total = entries.map(_._2).sum
         val sorted = entries.sortBy(_._1) // stable vocab order: token asc
@@ -2124,13 +2142,20 @@ object TextFunctions {
         require(!use.exists(_._1 == "[UNK]"),
           "unigramTrain: a word failed to segment — single-char coverage broken")
         // prune: chars are mandatory; multis keep the top block by
-        // (count desc, token asc); unused pieces drop out
+        // (count desc, token asc); unused pieces drop out. Char
+        // membership is by SET (never Java String.length — a
+        // supplementary-plane char is one code point, two UTF-16
+        // units, and must not land in both blocks), and the token
+        // tie-break is cpCompare — the binary-collation invariant the
+        // Spark-side seed order and the DuckDB oracle share.
         val useMap = use.toMap
+        val charSet = chars.map(_._1).toSet
         val keptChars = chars.map { case (c, _) => (c, useMap.getOrElse(c, 0L)) }
         val nMulti = math.max(0, vocabSize - chars.length)
         val keptMultis = use
-          .filter { case (t, _) => t.length > 1 }
-          .sortBy { case (t, n) => (-n, t) }
+          .filter { case (t, _) => !charSet(t) }
+          .sortWith { case ((ta, na), (tb, nb)) =>
+            if (na != nb) na > nb else Bpe.cpCompare(ta, tb) < 0 }
           .take(nMulti)
         counted = keptChars ++ keptMultis
         // M: reprice over the kept set (zero-count chars keep coverage
@@ -2188,33 +2213,11 @@ object TextFunctions {
     require(seeds >= vocabSize, s"seedSize $seeds < vocabSize $vocabSize")
     val spark = df.sparkSession
     import spark.implicits._
-    val wc = df
-      .select(explode(regexp_extract_all(
-        lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val (wcPinned, wcPins) = Pins.pin(wc)
+    val (wcPinned, wcPins) = Pins.pin(unigramWordCounts(df, textCol, tokenPattern))
     try {
-      val occ = wcPinned
-        .select(col("word"), col("cnt"),
-          explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
-        .select(col("cnt"), col("pos"),
-          explode(sequence(lit(1),
-            least(lit(maxTokenLen), length(col("word")) - col("pos")))).as("l"),
-          col("word"))
-        .select(col("cnt"), expr("substring(word, pos + 1, l)").as("sub"))
-        .groupBy("sub").agg(sum(col("cnt")).as("n"))
-      // same one-explode discipline as unigramTrain (PlanSpec-pinned)
-      val (occPinned, occPins) = Pins.pin(occ)
-      val (chars, multis) = try {
-        val cs = occPinned.filter(length(col("sub")) === 1)
-          .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
-        require(cs.nonEmpty, "unigramTrainSoft: empty corpus")
-        val ms = occPinned.filter(length(col("sub")) > 1)
-          .orderBy(col("n").desc, col("sub").asc)
-          .limit(math.max(0, seeds - cs.length))
-          .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
-        (cs, ms)
-      } finally Pins.release(occPinned, occPins)
+      val (charsL, multisL) = unigramSeed(wcPinned, maxTokenLen, seeds, "unigramTrainSoft")
+      val chars = charsL.map { case (t, n) => (t, n.toDouble) }
+      val multis = multisL.map { case (t, n) => (t, n.toDouble) }
       // (vocab sorted token-asc, logp) from positive weights
       def priced(entries: Array[(String, Double)]): (IndexedSeq[String], Array[Double]) = {
         val total = entries.map(_._2).sum
@@ -2261,15 +2264,18 @@ object TextFunctions {
           }
           suf(0)
         }
-        val keptChars = chars.map { case (c, _) =>
-          (c, use.collectFirst { case (t, e) if t == c => e }.getOrElse(0.0)) }
+        val useMap = use.toMap
+        val keptChars = chars.map { case (c, _) => (c, useMap.getOrElse(c, 0.0)) }
         val nMulti = math.max(0, vocabSize - chars.length)
         val multiUse = use.filter { case (t, _) => !charSet(t) }
         val keptMultis =
           if (multiUse.length <= nMulti) multiUse
           else multiUse
             .map { case (t, e) => (t, e, e * (altCost(t) - costOf(t))) }
-            .sortBy { case (t, _, loss) => (-loss, t) }
+            // token tie-break by cpCompare — binary collation, like
+            // every other driver-side order in the tokenizer family
+            .sortWith { case ((ta, _, la), (tb, _, lb)) =>
+              if (la != lb) la > lb else Bpe.cpCompare(ta, tb) < 0 }
             .take(nMulti)
             .map { case (t, e, _) => (t, e) }
         val kept = keptChars ++ keptMultis

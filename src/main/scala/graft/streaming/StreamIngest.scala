@@ -438,12 +438,25 @@ object StreamIngest {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           var st = state.getOption.getOrElse(AsOfDimState(Nil, Nil))
           if (!state.hasTimedOut) {
-            // fold the batch's rows into state (dims sorted on merge)
+            // fold the batch's rows into state (dims sorted on merge).
+            // The tie-break on same-time versions is CODE-POINT payload
+            // order (== UTF-8 byte order == DuckDB's VARCHAR binary
+            // collation, the q_stream_asof_dim oracle's ORDER BY) —
+            // Java String ordering disagrees for supplementary-plane
+            // payloads. Null payloads are a contract violation, loud.
             val (newDims, newEvs) = rows.toSeq.partition(_.is_dim)
             if (newDims.nonEmpty) {
+              newDims.find(_.payload == null).foreach { d =>
+                throw new IllegalArgumentException(
+                  s"enrichAsOfDimStream: null dim payload at key=$key " +
+                    s"t_us=${d.t_us} — versions must carry a value")
+              }
               val merged = (st.dims ++ newDims.map(d =>
                 AsOfDimVersion(d.t_us, d.payload)))
-                .sortBy(v => (v.t_us, v.payload))
+                .sortWith { (x, y) =>
+                  if (x.t_us != y.t_us) x.t_us < y.t_us
+                  else graft.functions.Bpe.cpCompare(x.payload, y.payload) < 0
+                }
               st = st.copy(dims = merged)
             }
             if (newEvs.nonEmpty)
