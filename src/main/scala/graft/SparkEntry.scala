@@ -2348,6 +2348,28 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // The TRAINED unigram vocab through the scored Viterbi decoder —
+    // the q_wordpiece_bert analog for this family: piece usage counts
+    // of the learned (vocab, costs) over the whole corpus. The oracle
+    // chains the full training replay into a third decode round, so
+    // agreement pins train AND apply end to end.
+    "q_unigram_apply" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val trained = TextFunctions.unigramTrain(docs, "text",
+          vocabSize = 40, maxTokenLen = 5, seedSize = 120, emRounds = 2)
+        .collect()
+      val vocab = trained.map(_.getString(0)).toSeq
+      val costs = trained.map(_.getLong(2)).toSeq
+      docs.select(explode(regexp_extract_all(
+            lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          explode(graft.functions.LatticeEncodeExpr(
+            col("word"), vocab, "[UNK]", costs)).as("token"))
+        .groupBy("token").agg(sum(col("cnt")).as("cnt"))
+        .orderBy("token")
+    }),
+
     // SOFT-EM unigram training (Kudo '18 §3.2 proper): one
     // forward-backward E-step over every word's lattice + the M-step
     // reprice, in the prune-neutral configuration (vocabSize ==
@@ -3593,6 +3615,52 @@ object SparkEntry {
       "CAST(sum(c.cnt) AS BIGINT) AS cnt " +
       s"FROM ${p}_walk w JOIN ${p}_next n ON n.word = w.word AND n.pos = w.pos " +
       "JOIN ug_wc c ON c.word = w.word WHERE w.pos < len(w.word) GROUP BY 1)"
+
+  /** The q_unigram_train hard-EM replay as a reusable CTE chain —
+    * ends at `ug_v2`/`ug_t2` (the post-round-2 kept counts and the
+    * floored total). q_unigram_train selects the final costs from
+    * it; q_unigram_apply chains a THIRD Viterbi round on top.
+    */
+  private lazy val UnigramTrainCtes: String =
+    "WITH RECURSIVE " +
+          "ug_wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
+          "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1), " +
+          "ug_words AS MATERIALIZED (SELECT word FROM ug_wc), " +
+          "ug_pos AS MATERIALIZED (SELECT word, unnest(range(0, len(word))) AS pos FROM ug_words), " +
+          "ug_sub AS MATERIALIZED (SELECT word, pos, unnest(range(1, least(5, len(word) - pos) + 1)) AS l FROM ug_pos), " +
+          "ug_occ AS MATERIALIZED (SELECT substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(s.l AS INTEGER)) AS sub, " +
+          "CAST(sum(w.cnt) AS BIGINT) AS n FROM ug_sub s JOIN ug_wc w ON w.word = s.word GROUP BY 1), " +
+          "ug_chars AS MATERIALIZED (SELECT sub, n FROM ug_occ WHERE len(sub) = 1), " +
+          "ug_nc AS MATERIALIZED (SELECT count(*) AS nc FROM ug_chars), " +
+          "ug_m0 AS MATERIALIZED (SELECT sub, n FROM ug_occ, ug_nc WHERE len(sub) > 1 " +
+          "QUALIFY row_number() OVER (ORDER BY n DESC, sub) <= 120 - nc), " +
+          "ug_v0 AS MATERIALIZED (SELECT sub AS token, n FROM ug_chars UNION ALL SELECT sub, n FROM ug_m0), " +
+          "ug_t0 AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS t FROM ug_v0), " +
+          "ug_c0 AS MATERIALIZED (SELECT token, CAST(round(ln(CAST(t AS DOUBLE) / n) * 1e9) AS BIGINT) * 1024 + 1 AS eff " +
+          "FROM ug_v0 CROSS JOIN ug_t0), " +
+          unigramRoundCtes("ug_r1", "ug_c0") + ", " +
+          "ug_kc1 AS MATERIALIZED (SELECT c.sub AS token, coalesce(u.cnt, 0) AS cnt " +
+          "FROM ug_chars c LEFT JOIN ug_r1_use u ON u.token = c.sub), " +
+          "ug_km1 AS MATERIALIZED (SELECT token, cnt FROM ug_r1_use, ug_nc WHERE len(token) > 1 " +
+          "QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 40 - nc), " +
+          "ug_v1 AS MATERIALIZED (SELECT token, cnt FROM ug_kc1 UNION ALL SELECT token, cnt FROM ug_km1), " +
+          "ug_t1 AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM ug_v1), " +
+          "ug_c1 AS MATERIALIZED (SELECT token, " +
+          "CAST(round(ln(CAST(t AS DOUBLE) / greatest(cnt, 1)) * 1e9) AS BIGINT) * 1024 + 1 AS eff " +
+          "FROM ug_v1 CROSS JOIN ug_t1), " +
+          unigramRoundCtes("ug_r2", "ug_c1") + ", " +
+          "ug_kc2 AS MATERIALIZED (SELECT c.sub AS token, coalesce(u.cnt, 0) AS cnt " +
+          "FROM ug_chars c LEFT JOIN ug_r2_use u ON u.token = c.sub), " +
+          "ug_km2 AS MATERIALIZED (SELECT token, cnt FROM ug_r2_use, ug_nc WHERE len(token) > 1 " +
+          "QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 40 - nc), " +
+          "ug_v2 AS MATERIALIZED (SELECT token, cnt FROM ug_kc2 UNION ALL SELECT token, cnt FROM ug_km2), " +
+          "ug_t2 AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM ug_v2) "
+
+  private lazy val UnigramTrainOracleSql: String =
+    UnigramTrainCtes + " " +
+          "SELECT token, cnt, " +
+          "CAST(round(ln(CAST(t AS DOUBLE) / greatest(cnt, 1)) * 1e9) AS BIGINT) AS cost_nano " +
+          "FROM ug_v2 CROSS JOIN ug_t2 ORDER BY token"
 
   /** Shared by q_wordpiece_train and q_wordpiece_train_dist — the
     * likelihood-scored merge replay with exact HUGEINT
@@ -5975,43 +6043,19 @@ object SparkEntry {
       // repricing round(ln(total/greatest(cnt,1))·1e9), one
       // recursive-CTE Viterbi round per EM round (unigramRoundCtes),
       // prune to 40 with mandatory chars — final (token, cnt, cost)
-      "q_unigram_train" ->
-        ("WITH RECURSIVE " +
-          "ug_wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt " +
-          "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1), " +
-          "ug_words AS MATERIALIZED (SELECT word FROM ug_wc), " +
-          "ug_pos AS MATERIALIZED (SELECT word, unnest(range(0, len(word))) AS pos FROM ug_words), " +
-          "ug_sub AS MATERIALIZED (SELECT word, pos, unnest(range(1, least(5, len(word) - pos) + 1)) AS l FROM ug_pos), " +
-          "ug_occ AS MATERIALIZED (SELECT substr(s.word, CAST(s.pos + 1 AS INTEGER), CAST(s.l AS INTEGER)) AS sub, " +
-          "CAST(sum(w.cnt) AS BIGINT) AS n FROM ug_sub s JOIN ug_wc w ON w.word = s.word GROUP BY 1), " +
-          "ug_chars AS MATERIALIZED (SELECT sub, n FROM ug_occ WHERE len(sub) = 1), " +
-          "ug_nc AS MATERIALIZED (SELECT count(*) AS nc FROM ug_chars), " +
-          "ug_m0 AS MATERIALIZED (SELECT sub, n FROM ug_occ, ug_nc WHERE len(sub) > 1 " +
-          "QUALIFY row_number() OVER (ORDER BY n DESC, sub) <= 120 - nc), " +
-          "ug_v0 AS MATERIALIZED (SELECT sub AS token, n FROM ug_chars UNION ALL SELECT sub, n FROM ug_m0), " +
-          "ug_t0 AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS t FROM ug_v0), " +
-          "ug_c0 AS MATERIALIZED (SELECT token, CAST(round(ln(CAST(t AS DOUBLE) / n) * 1e9) AS BIGINT) * 1024 + 1 AS eff " +
-          "FROM ug_v0 CROSS JOIN ug_t0), " +
-          unigramRoundCtes("ug_r1", "ug_c0") + ", " +
-          "ug_kc1 AS MATERIALIZED (SELECT c.sub AS token, coalesce(u.cnt, 0) AS cnt " +
-          "FROM ug_chars c LEFT JOIN ug_r1_use u ON u.token = c.sub), " +
-          "ug_km1 AS MATERIALIZED (SELECT token, cnt FROM ug_r1_use, ug_nc WHERE len(token) > 1 " +
-          "QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 40 - nc), " +
-          "ug_v1 AS MATERIALIZED (SELECT token, cnt FROM ug_kc1 UNION ALL SELECT token, cnt FROM ug_km1), " +
-          "ug_t1 AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM ug_v1), " +
-          "ug_c1 AS MATERIALIZED (SELECT token, " +
+      "q_unigram_train" -> UnigramTrainOracleSql,
+
+      // the TRAINED vocab drives the scored decoder end to end (the
+      // q_wordpiece_bert analog for the unigram family): oracle =
+      // the full training replay chained into a THIRD Viterbi round
+      // under the final costs, reporting corpus-weighted piece usage
+      "q_unigram_apply" ->
+        (UnigramTrainCtes + ", " +
+          "ug_c2 AS MATERIALIZED (SELECT token, " +
           "CAST(round(ln(CAST(t AS DOUBLE) / greatest(cnt, 1)) * 1e9) AS BIGINT) * 1024 + 1 AS eff " +
-          "FROM ug_v1 CROSS JOIN ug_t1), " +
-          unigramRoundCtes("ug_r2", "ug_c1") + ", " +
-          "ug_kc2 AS MATERIALIZED (SELECT c.sub AS token, coalesce(u.cnt, 0) AS cnt " +
-          "FROM ug_chars c LEFT JOIN ug_r2_use u ON u.token = c.sub), " +
-          "ug_km2 AS MATERIALIZED (SELECT token, cnt FROM ug_r2_use, ug_nc WHERE len(token) > 1 " +
-          "QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 40 - nc), " +
-          "ug_v2 AS MATERIALIZED (SELECT token, cnt FROM ug_kc2 UNION ALL SELECT token, cnt FROM ug_km2), " +
-          "ug_t2 AS MATERIALIZED (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM ug_v2) " +
-          "SELECT token, cnt, " +
-          "CAST(round(ln(CAST(t AS DOUBLE) / greatest(cnt, 1)) * 1e9) AS BIGINT) AS cost_nano " +
-          "FROM ug_v2 CROSS JOIN ug_t2 ORDER BY token"),
+          "FROM ug_v2 CROSS JOIN ug_t2), " +
+          unigramRoundCtes("ug_r3", "ug_c2") + " " +
+          "SELECT token, cnt FROM ug_r3_use ORDER BY token"),
 
       // soft-EM forward-backward replayed in SQL: seed probs, the
       // prefix (alpha) and suffix (beta) log-partition DPs as

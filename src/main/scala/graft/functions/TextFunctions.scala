@@ -1938,6 +1938,27 @@ object TextFunctions {
       .orderBy("token_id").select("token")
       .collect().map(_.getString(0)).toIndexedSeq
 
+  /** Persist a trained unigram-LM vocabulary (the [[unigramTrain]]
+    * output shape, `(token, cnt, cost_nano)`) under `dir/unigram` —
+    * the third tokenizer family's artifact, so decode jobs reload
+    * costs instead of retraining (the [[saveTokenizer]] contract).
+    */
+  def saveUnigram(dir: String, vocab: DataFrame): Unit =
+    vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/unigram")
+
+  /** Reload a [[saveUnigram]] artifact as the aligned
+    * `(vocab, costs)` pair [[LatticeEncodeExpr]] and
+    * [[unigramEncodeWords]] take, token-ordered.
+    */
+  def loadUnigram(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (IndexedSeq[String], IndexedSeq[Long]) = {
+    val rows = spark.read.parquet(s"$dir/unigram")
+      .orderBy("token").select("token", "cost_nano")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (rows.map(_._1).toIndexedSeq, rows.map(_._2).toIndexedSeq)
+  }
+
   // ------------------------------------------------------------------
   // Unigram-LM (SentencePiece) scored decode — Kudo 2018,
   // arXiv:1804.10959. Piece probabilities come from corpus-weighted

@@ -241,6 +241,26 @@ class BpeSpec extends SparkSpec {
     assert(seg.mkString == "quick")
   }
 
+  test("saveUnigram/loadUnigram: reloaded artifact decodes identically") {
+    val docs = foxDocs.toDF("text")
+    val trained = TextFunctions.unigramTrain(docs, "text",
+      vocabSize = 20, maxTokenLen = 4, seedSize = 60, emRounds = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ug").toString
+    TextFunctions.saveUnigram(dir, trained)
+    val (vocab, costs) = TextFunctions.loadUnigram(spark, dir)
+    val fresh = trained.orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(vocab.zip(costs) == fresh.toSeq, "artifact drifted")
+    val viaLoaded = TextFunctions
+      .unigramEncodeWords(docs, "text", vocab, costs)
+      .orderBy("word").collect().map(_.toSeq).toSeq
+    val viaFresh = TextFunctions
+      .unigramEncodeWords(docs, "text",
+        fresh.map(_._1).toSeq, fresh.map(_._2).toSeq)
+      .orderBy("word").collect().map(_.toSeq).toSeq
+    assert(viaLoaded == viaFresh && viaLoaded.nonEmpty)
+  }
+
   test("delta/merge kernels reject null symbol elements loud (never NPE / silent nulls)") {
     val df = Seq(1).toDF("i")
       .select(array(lit("a"), lit("b"), lit(null).cast("string")).as("syms"))
