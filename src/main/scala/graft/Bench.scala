@@ -93,7 +93,10 @@ object Bench {
     // round-11: unigram-LM (SentencePiece) hard-EM training, the
     // soft-EM forward-backward round, and the versioned-dim
     // stream-stream as-of enrichment
-    "q_unigram_train", "q_unigram_em", "q_unigram_apply", "q_stream_asof_dim")
+    "q_unigram_train", "q_unigram_em", "q_unigram_apply", "q_stream_asof_dim",
+    // round-11: product-quantized ANN (fused sub-space Lloyd fits +
+    // exact integer ADC)
+    "q_ann_pq")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

@@ -2742,6 +2742,24 @@ object SparkEntry {
     // survives cross-engine hashing.
     "q_kmeans" -> ((s, dir) => kmeansCells(s, dir).orderBy("vec_id")),
 
+    // Product-quantized ANN (Jégou et al. 2011): m=4 int8 sub-space
+    // codebooks (k=4, 2 Lloyd iterations each — ONE fused aggregation
+    // job per iteration), 4-byte codes per 64-dim vector, exact
+    // integer ADC distances for vec 0's query. Everything is integer,
+    // so the oracle replays fit → encode → ADC top-10 BIT-FOR-BIT —
+    // no recall band, the distances themselves hash-match.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val cbs = Similarity.pqFitInt8(emb, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding", query,
+          k = 10, scale = scale, codebooks = cbs)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
     // Semantic-balance composition: k-means cells capped at a common
     // budget by the md5 bottom-k sampler — the "no cluster dominates
     // the mixture" step of a curation recipe, all existing operators.
@@ -4033,6 +4051,79 @@ object SparkEntry {
     * with `a3(vec_id, cell)`, the final assignment. Shared by
     * q_kmeans and q_cluster_balance.
     */
+  /** q_ann_pq replay: the KMeansCtes algebra generalized with a `sub`
+    * (subspace) column — m=4 sub-spaces of 16 dims, k=4 seeds per
+    * sub (the same id-ordered convention), 2 Lloyd iterations, final
+    * codes, then exact integer ADC against vec 0's query. Ends at
+    * `pq_top(vec_id, adc_dist)`.
+    */
+  private val PqCtes: String =
+    """sc AS (
+          |  SELECT max(list_max(list_transform(embedding,
+          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+          |qv AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings, sc),
+          |pq_sv AS (
+          |  SELECT t.sub, v.vec_id,
+          |    list_transform(range(1, 17), j -> v.q[CAST(t.sub * 16 + j AS INTEGER)]) AS sq
+          |  FROM qv v CROSS JOIN range(0, 4) t(sub)),
+          |pq_c0 AS (
+          |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cell, sq
+          |  FROM pq_sv QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 4),
+          |pq_d1 AS (
+          |  SELECT v.sub, v.vec_id, v.sq, c.cell,
+          |    list_sum(list_transform(range(1, 17),
+          |      j -> (v.sq[j] - c.sq[j]) * (v.sq[j] - c.sq[j]))) AS dist
+          |  FROM pq_sv v JOIN pq_c0 c ON c.sub = v.sub),
+          |pq_a1 AS (SELECT sub, vec_id, sq, cell FROM (
+          |  SELECT sub, vec_id, sq, cell,
+          |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cell) AS rk
+          |  FROM pq_d1) WHERE rk = 1),
+          |pq_s1 AS (SELECT sub, cell, j, sum(sq[j]) AS sv, count(*) AS n
+          |  FROM pq_a1, range(1, 17) t(j) GROUP BY 1, 2, 3),
+          |pq_c1 AS (
+          |  SELECT c0.sub, c0.cell, coalesce(u.nq, c0.sq) AS sq FROM pq_c0 c0 LEFT JOIN (
+          |    SELECT sub, cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM pq_s1 GROUP BY sub, cell) u USING (sub, cell)),
+          |pq_d2 AS (
+          |  SELECT v.sub, v.vec_id, v.sq, c.cell,
+          |    list_sum(list_transform(range(1, 17),
+          |      j -> (v.sq[j] - c.sq[j]) * (v.sq[j] - c.sq[j]))) AS dist
+          |  FROM pq_sv v JOIN pq_c1 c ON c.sub = v.sub),
+          |pq_a2 AS (SELECT sub, vec_id, sq, cell FROM (
+          |  SELECT sub, vec_id, sq, cell,
+          |    row_number() OVER (PARTITION BY sub, vec_id ORDER BY dist, cell) AS rk
+          |  FROM pq_d2) WHERE rk = 1),
+          |pq_s2 AS (SELECT sub, cell, j, sum(sq[j]) AS sv, count(*) AS n
+          |  FROM pq_a2, range(1, 17) t(j) GROUP BY 1, 2, 3),
+          |pq_c2 AS (
+          |  SELECT c1.sub, c1.cell, coalesce(u.nq, c1.sq) AS sq FROM pq_c1 c1 LEFT JOIN (
+          |    SELECT sub, cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM pq_s2 GROUP BY sub, cell) u USING (sub, cell)),
+          |pq_enc AS (SELECT sub, vec_id, cell FROM (
+          |  SELECT v.sub, v.vec_id, c.cell,
+          |    row_number() OVER (PARTITION BY v.sub, v.vec_id ORDER BY
+          |      list_sum(list_transform(range(1, 17),
+          |        j -> (v.sq[j] - c.sq[j]) * (v.sq[j] - c.sq[j]))), c.cell) AS rk
+          |  FROM pq_sv v JOIN pq_c2 c ON c.sub = v.sub) WHERE rk = 1),
+          |pq_qq AS (SELECT sub, sq FROM pq_sv WHERE vec_id = 0),
+          |pq_tbl AS (
+          |  SELECT c.sub, c.cell,
+          |    list_sum(list_transform(range(1, 17),
+          |      j -> (q.sq[j] - c.sq[j]) * (q.sq[j] - c.sq[j]))) AS d
+          |  FROM pq_c2 c JOIN pq_qq q ON q.sub = c.sub),
+          |pq_score AS (
+          |  SELECT e.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+          |  FROM pq_enc e JOIN pq_tbl t ON t.sub = e.sub AND t.cell = e.cell
+          |  GROUP BY 1),
+          |pq_top AS (SELECT vec_id, adc_dist FROM pq_score
+          |  ORDER BY adc_dist, vec_id LIMIT 10)""".stripMargin
+
   private val KMeansCtes: String =
     """sc AS (
           |  SELECT max(list_max(list_transform(embedding,
@@ -6450,6 +6541,14 @@ object SparkEntry {
 
       // two unrolled Lloyd's iterations; dN/aN = assignment round N,
       // sN/cN = per-(cell,dim) integer sums -> rounded centroids
+      // the PQ pipeline replayed whole: sub-space Lloyd iterations
+      // (the KMeansCtes algebra + a `sub` column), final codes, exact
+      // integer ADC — the top-10 DISTANCES hash-match, not just ids
+      "q_ann_pq" ->
+        s"""WITH $PqCtes
+           |SELECT vec_id, adc_dist FROM pq_top
+           |ORDER BY adc_dist, vec_id""".stripMargin,
+
       "q_kmeans" ->
         s"""WITH $KMeansCtes
            |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a3

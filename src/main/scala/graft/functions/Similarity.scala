@@ -984,4 +984,147 @@ object Similarity {
     df.withColumn(outCol,
       DedupExpressions.projectVec(col(vecCol), means, mat))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — Jégou, Douze & Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search" (TPAMI): split each
+  // vector into `m` subvectors, k-means each subspace independently,
+  // store only the m byte-sized codes per vector, answer queries with
+  // asymmetric distance computation (ADC) — a per-query lookup table
+  // of exact subspace distances summed over the codes. The memory
+  // shape that makes billion-vector ANN feasible: a 64-dim float
+  // vector (256 B) compresses to m codes (m bytes at k ≤ 256).
+  //
+  // Everything here runs over the int8-quantized domain the repo's
+  // k-means is exact in, so codebooks, codes, AND ADC distances are
+  // integers — the q_ann_pq oracle replays the WHOLE pipeline
+  // (fit → encode → ADC top-k) bit-for-bit, no recall band needed.
+  // ------------------------------------------------------------------
+
+  /** Fit `m` independent int8 k-means codebooks, one per subspace —
+    * returns `[m][k][dim/m]` integer centroids. Same exactness
+    * contract as [[kmeansFitInt8]] (order-independent integer sums,
+    * round-half-up centroid division, ties to the lower cell, empty
+    * cells keep their centroid, id-ordered deterministic seeds);
+    * per iteration the m subproblems run as ONE aggregation job — m
+    * cache-backed scans of the pinned quantized table union into a
+    * single `(sub, cell)`-keyed integer-sum shuffle of `m·k` rows.
+    */
+  def pqFitInt8(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int,
+      scale: Double): Array[Array[Array[Long]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val q = df.select(col(idCol).as("_id"),
+        kmeansQuantize(col(vecCol), scale).as("_q"))
+      .filter(col("_q").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = q.orderBy("_id").limit(k)
+        .collect().map(_.getSeq[Long](1).toArray)
+      require(seeds.length == k, s"need >= $k non-null vectors, got ${seeds.length}")
+      val dim = seeds(0).length
+      require(dim % m == 0, s"m=$m must divide dim=$dim")
+      val ds = dim / m
+      var cents: Array[Array[Array[Long]]] =
+        Array.tabulate(m, k)((sub, c) => seeds(c).slice(sub * ds, (sub + 1) * ds))
+      var it = 0
+      while (it < iters) {
+        val branches = (0 until m).map { sub =>
+          val sv = slice(col("_q"), sub * ds + 1, ds)
+          q.select(lit(sub).as("_sub"),
+            DedupExpressions.kmeansAssign(sv, cents(sub)).as("_cell"),
+            sv.as("_sv"))
+        }
+        val sumCols = (0 until ds).map(j =>
+          sum(element_at(col("_sv"), j + 1)).as(s"_s$j"))
+        val stats = branches.reduce(_ unionByName _)
+          .groupBy("_sub", "_cell")
+          .agg(count(lit(1)).as("_n"), sumCols: _*)
+          .collect()
+        val next = cents.map(_.map(_.clone())) // empty cells keep centroids
+        stats.foreach { r =>
+          val sub = r.getInt(0)
+          val cell = r.getInt(1)
+          val n = r.getLong(2)
+          var j = 0
+          while (j < ds) {
+            next(sub)(cell)(j) = Math.floorDiv(2L * r.getLong(3 + j) + n, 2L * n)
+            j += 1
+          }
+        }
+        cents = next
+        it += 1
+      }
+      cents
+    } finally q.unpersist(blocking = false)
+  }
+
+  /** PQ codes of an ALREADY-QUANTIZED vector column (`array<bigint>`,
+    * the [[kmeansQuantize]] domain): `array<int>` of `m` cell ids,
+    * one scan-side [[DedupExpressions.kmeansAssign]] per subspace.
+    */
+  def pqEncodeQ(qvec: Column, codebooks: Array[Array[Array[Long]]]): Column = {
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    array((0 until m).map { sub =>
+      DedupExpressions.kmeansAssign(
+        slice(qvec, sub * ds + 1, ds), codebooks(sub))
+    }: _*)
+  }
+
+  /** Exact ADC top-`k`: quantize the query with the SAME scale,
+    * precompute the `m × k` table of exact integer squared-L2
+    * subspace distances on the driver, and score every row as the sum
+    * of its codes' table entries — one scan-side lookup projection
+    * (the codes come from [[pqEncodeQ]] inline here; production
+    * precomputes and stores them once via [[pqEncodeQ]]), then a
+    * distributed TakeOrdered. Returns `(idCol, adc_dist)` ascending —
+    * `adc_dist` is exact, so the gate hash-pins it.
+    */
+  def pqAdcTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      scale: Double,
+      codebooks: Array[Array[Array[Long]]]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    require(query.length == m * ds,
+      s"query dim ${query.length} != m*ds = ${m * ds}")
+    // the kernel's quantization, verbatim (floor(x·127/scale + 0.5))
+    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val table: Seq[Seq[Long]] = (0 until m).map { sub =>
+      codebooks(sub).toSeq.map { cent =>
+        var d2 = 0L
+        var j = 0
+        while (j < ds) {
+          val diff = qq(sub * ds + j) - cent(j)
+          d2 += diff * diff
+          j += 1
+        }
+        d2
+      }
+    }
+    val tLit = typedLit(table)
+    val codes = pqEncodeQ(kmeansQuantize(col(vecCol), scale), codebooks)
+    df.select(col(idCol), codes.as("_codes"))
+      .select(col(idCol),
+        aggregate(
+          zip_with(col("_codes"), typedLit(Seq.range(0, m)),
+            (c, i) => element_at(element_at(tLit, i + 1), c + 1)),
+          lit(0L), (acc, x) => acc + x).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
 }

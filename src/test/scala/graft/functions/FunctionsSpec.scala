@@ -728,6 +728,68 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("pqFitInt8 == m independent sub-space kmeansFitInt8 runs; ADC == driver reference") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val m = 4; val ds = 4
+    val pq = Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = m, k = 3, iters = 2, scale = scale)
+    assert(pq.map(_.map(_.toSeq).toSeq).toSeq ==
+      Similarity.pqFitInt8(df, "vec_id", "embedding", m = m, k = 3,
+        iters = 2, scale = scale).map(_.map(_.toSeq).toSeq).toSeq,
+      "pq fit must be deterministic")
+    // the fused one-job-per-iteration fit must equal m INDEPENDENT
+    // whole-vector fits over the sliced inputs
+    for (sub <- 0 until m) {
+      val sliced = df.select(col("vec_id"),
+        slice(col("embedding"), sub * ds + 1, ds).as("embedding"))
+      val solo = Similarity.kmeansFitInt8(sliced, "vec_id", "embedding",
+        k = 3, iters = 2, scale = scale)
+      assert(pq(sub).map(_.toSeq).toSeq == solo.map(_.toSeq).toSeq,
+        s"subspace $sub diverged from the independent fit")
+    }
+    // m = 1 degenerates to plain k-means: codes == assign cells
+    val pq1 = Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = 1, k = 3, iters = 2, scale = scale)
+    val one = df.select(col("vec_id"),
+        Similarity.pqEncodeQ(Similarity.kmeansQuantize(col("embedding"), scale), pq1).as("c"),
+        DedupExpressions.kmeansAssign(
+          Similarity.kmeansQuantize(col("embedding"), scale), pq1(0)).as("cell"))
+      .collect()
+    one.foreach(r => assert(r.getSeq[Int](1) == Seq(r.getInt(2))))
+    // ADC top-k == an exhaustive driver replay of the same algebra
+    val query = vecs(7)._2
+    val got = Similarity.pqAdcTopK(df, "vec_id", "embedding", query,
+        k = 10, scale = scale, codebooks = pq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong).toArray
+    val qq = quant(query)
+    def assignCell(sv: Array[Long], cents: Array[Array[Long]]): Int =
+      cents.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(sv).map { case (a, b) => (a - b) * (a - b) }.sum, i) }._2
+    val want = vecs.map { case (id, v) =>
+      val vq = quant(v)
+      val dist = (0 until m).map { sub =>
+        val sv = vq.slice(sub * ds, sub * ds + ds)
+        val cell = assignCell(sv, pq(sub))
+        val cent = pq(sub)(cell)
+        val qs = qq.slice(sub * ds, sub * ds + ds)
+        qs.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      (id, dist)
+    }.sortBy { case (id, d) => (d, id) }.take(10)
+    assert(got == want, s"ADC diverged:\n$got\nvs\n$want")
+    intercept[IllegalArgumentException] {
+      Similarity.pqFitInt8(df, "vec_id", "embedding", m = 5, k = 3,
+        iters = 1, scale = scale) // 5 does not divide 16
+    }
+  }
+
   test("kmeansFitInt8 recovers planted blobs, deterministically") {
     // 4 well-separated blobs in 8 dims; id order interleaves blobs so
     // the id-ordered init starts with one seed per blob
