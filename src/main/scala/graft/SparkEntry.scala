@@ -2360,13 +2360,7 @@ object SparkEntry {
         .collect()
       val vocab = trained.map(_.getString(0)).toSeq
       val costs = trained.map(_.getLong(2)).toSeq
-      docs.select(explode(regexp_extract_all(
-            lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"),
-          explode(graft.functions.LatticeEncodeExpr(
-            col("word"), vocab, "[UNK]", costs)).as("token"))
-        .groupBy("token").agg(sum(col("cnt")).as("cnt"))
+      TextFunctions.unigramUsageCounts(docs, "text", vocab, costs)
         .orderBy("token")
     }),
 
@@ -4051,6 +4045,60 @@ object SparkEntry {
     * with `a3(vec_id, cell)`, the final assignment. Shared by
     * q_kmeans and q_cluster_balance.
     */
+  private val KMeansCtes: String =
+    """sc AS (
+          |  SELECT max(list_max(list_transform(embedding,
+          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+          |qv AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings, sc),
+          |c0 AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q
+          |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
+          |d1 AS (
+          |  SELECT v.vec_id, v.q, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c0 c),
+          |a1 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT vec_id, q, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d1) WHERE rk = 1),
+          |s1 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
+          |  FROM a1, range(1, 65) t(j) GROUP BY 1, 2),
+          |c1 AS (
+          |  SELECT c0.cell, coalesce(u.nq, c0.q) AS q FROM c0 LEFT JOIN (
+          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM s1 GROUP BY cell) u USING (cell)),
+          |d2 AS (
+          |  SELECT v.vec_id, v.q, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c1 c),
+          |a2 AS (SELECT vec_id, q, cell FROM (
+          |  SELECT vec_id, q, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d2) WHERE rk = 1),
+          |s2 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
+          |  FROM a2, range(1, 65) t(j) GROUP BY 1, 2),
+          |c2 AS (
+          |  SELECT c1.cell, coalesce(u.nq, c1.q) AS q FROM c1 LEFT JOIN (
+          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
+          |      ORDER BY j) AS nq
+          |    FROM s2 GROUP BY cell) u USING (cell)),
+          |d3 AS (
+          |  SELECT v.vec_id, c.cell,
+          |    list_sum(list_transform(range(1, 65),
+          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
+          |  FROM qv v CROSS JOIN c2 c),
+          |a3 AS (SELECT vec_id, cell FROM (
+          |  SELECT vec_id, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+          |  FROM d3) WHERE rk = 1)""".stripMargin
+
   /** q_ann_pq replay: the KMeansCtes algebra generalized with a `sub`
     * (subspace) column — m=4 sub-spaces of 16 dims, k=4 seeds per
     * sub (the same id-ordered convention), 2 Lloyd iterations, final
@@ -4124,59 +4172,6 @@ object SparkEntry {
           |pq_top AS (SELECT vec_id, adc_dist FROM pq_score
           |  ORDER BY adc_dist, vec_id LIMIT 10)""".stripMargin
 
-  private val KMeansCtes: String =
-    """sc AS (
-          |  SELECT max(list_max(list_transform(embedding,
-          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
-          |qv AS (
-          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
-          |  FROM embeddings, sc),
-          |c0 AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q
-          |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
-          |d1 AS (
-          |  SELECT v.vec_id, v.q, c.cell,
-          |    list_sum(list_transform(range(1, 65),
-          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
-          |  FROM qv v CROSS JOIN c0 c),
-          |a1 AS (SELECT vec_id, q, cell FROM (
-          |  SELECT vec_id, q, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-          |  FROM d1) WHERE rk = 1),
-          |s1 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
-          |  FROM a1, range(1, 65) t(j) GROUP BY 1, 2),
-          |c1 AS (
-          |  SELECT c0.cell, coalesce(u.nq, c0.q) AS q FROM c0 LEFT JOIN (
-          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
-          |      ORDER BY j) AS nq
-          |    FROM s1 GROUP BY cell) u USING (cell)),
-          |d2 AS (
-          |  SELECT v.vec_id, v.q, c.cell,
-          |    list_sum(list_transform(range(1, 65),
-          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
-          |  FROM qv v CROSS JOIN c1 c),
-          |a2 AS (SELECT vec_id, q, cell FROM (
-          |  SELECT vec_id, q, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-          |  FROM d2) WHERE rk = 1),
-          |s2 AS (SELECT cell, j, sum(q[j]) AS sv, count(*) AS n
-          |  FROM a2, range(1, 65) t(j) GROUP BY 1, 2),
-          |c2 AS (
-          |  SELECT c1.cell, coalesce(u.nq, c1.q) AS q FROM c1 LEFT JOIN (
-          |    SELECT cell, list(CAST(floor((2.0 * sv + n) / (2 * n)) AS BIGINT)
-          |      ORDER BY j) AS nq
-          |    FROM s2 GROUP BY cell) u USING (cell)),
-          |d3 AS (
-          |  SELECT v.vec_id, c.cell,
-          |    list_sum(list_transform(range(1, 65),
-          |      j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j]))) AS dist
-          |  FROM qv v CROSS JOIN c2 c),
-          |a3 AS (SELECT vec_id, cell FROM (
-          |  SELECT vec_id, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
-          |  FROM d3) WHERE rk = 1)""".stripMargin
 
   /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
     * terms join/window/stream, k1=1.2, b=0.75; constants written as

@@ -1073,10 +1073,19 @@ object Similarity {
   def pqEncodeQ(qvec: Column, codebooks: Array[Array[Array[Long]]]): Column = {
     val m = codebooks.length
     val ds = codebooks(0)(0).length
-    array((0 until m).map { sub =>
+    val codes = array((0 until m).map { sub =>
       DedupExpressions.kmeansAssign(
         slice(qvec, sub * ds + 1, ds), codebooks(sub))
     }: _*)
+    // null vectors propagate null codes (the family's null contract);
+    // a WRONG-DIMENSION vector fails loud — a silent slice over a
+    // short vector would score every centroid 0 and emit a
+    // plausible-looking code 0
+    when(qvec.isNull, lit(null).cast("array<int>"))
+      .when(size(qvec) === lit(m * ds), codes)
+      .otherwise(raise_error(concat(
+        lit(s"pq: vector dimension "), size(qvec).cast("string"),
+        lit(s" != m*ds = ${m * ds}"))))
   }
 
   /** Exact ADC top-`k`: quantize the query with the SAME scale,
@@ -1117,7 +1126,11 @@ object Similarity {
     }
     val tLit = typedLit(table)
     val codes = pqEncodeQ(kmeansQuantize(col(vecCol), scale), codebooks)
+    // null vectors are EXCLUDED (pqFitInt8's convention) — a null
+    // adc_dist would otherwise sort FIRST under Spark's ascending
+    // default and silently occupy top-k slots
     df.select(col(idCol), codes.as("_codes"))
+      .filter(col("_codes").isNotNull)
       .select(col(idCol),
         aggregate(
           zip_with(col("_codes"), typedLit(Seq.range(0, m)),

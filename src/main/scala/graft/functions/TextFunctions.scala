@@ -2125,6 +2125,23 @@ object TextFunctions {
         lower(coalesce(col(textCol), lit(""))), lit(tokenPattern), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Corpus-weighted Viterbi piece-usage counts of `(vocab, costs)`
+    * over `textCol` — one [[LatticeEncodeExpr]] scan of the
+    * distinct-word table (the trainers' E-step shape, exposed for
+    * apply-time jobs like q_unigram_apply). Returns `(token, cnt)`.
+    */
+  def unigramUsageCounts(
+      df: DataFrame,
+      textCol: String,
+      vocab: Seq[String],
+      costs: Seq[Long],
+      tokenPattern: String = "[a-z]+",
+      unk: String = "[UNK]"): DataFrame =
+    unigramWordCounts(df, textCol, tokenPattern)
+      .select(col("cnt"),
+        explode(LatticeEncodeExpr(col("word"), vocab, unk, costs)).as("token"))
+      .groupBy("token").agg(sum(col("cnt")).as("cnt"))
+
   def unigramTrain(
       df: DataFrame,
       textCol: String,
