@@ -35,9 +35,10 @@ object Plans {
         "q_unigram_encode",
         // r11: media header parsing (one scan-side projection),
         // winnow matches (capped-bucket pair shape), leakage split
-        // (components + hash buckets), token budget (two-phase)
+        // (components + hash buckets), token budget (two-phase),
+        // PQ ADC (scan-side code lookups + TakeOrdered)
         "q_media_meta", "q_winnow_pairs", "q_leakage_split",
-        "q_token_budget")
+        "q_token_budget", "q_ann_pq")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)
