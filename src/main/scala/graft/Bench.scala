@@ -281,11 +281,15 @@ object Bench {
     // parseable line carrying the full queries map; the full-precision
     // detail line stays above for judges reading the complete stdout.
     val qsCompact = queriesMap(2)
+    // walks/non_walks/sf stay OUT of the compact line — they live in
+    // the detail line above and every byte here competes with the
+    // queries map for the 2000-char window (the 84-query set measured
+    // 1915 chars WITH them — within 3 bytes of truncation after sbt's
+    // trailer; 1835 without)
     val compact =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_err":$nErr,""" +
-      f""""walks_sec":$walksSec%.2f,"non_walks_sec":$nonWalksSec%.2f,""" +
-      f""""missing":$missingField,"sf":"$sfDir","queries":$qsCompact}"""
-    if (compact.length > 1900)
+      f""""missing":$missingField,"queries":$qsCompact}"""
+    if (compact.length > 1850)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
         "nearing the driver's 2000-char tail window; trim the headline set " +
         "or shorten values")
