@@ -470,6 +470,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pqAdcTopK is one scan-side projection into a TakeOrdered — no join, no wide shuffle") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 40).map(i =>
+      (i.toLong, (0 until 8).map(_ => (rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val scale = functions.Similarity.kmeansGlobalScale(df, "embedding")
+    val pq = functions.Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1, scale = scale)
+    val top = functions.Similarity.pqAdcTopK(df, "vec_id", "embedding",
+      (0 until 8).map(_ => 0.1f), k = 5, scale = scale, codebooks = pq)
+    top.collect()
+    val p = top.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k must be a distributed TakeOrdered:\n$p")
+    assert(!p.contains("Join"), s"ADC scoring must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"ADC scoring must not shuffle beyond the TakeOrdered merge:\n$p")
+  }
+
   test("unigramTrain rounds are one lattice-kernel scan each (no per-round re-seed)") {
     // the seed explodes substrings ONCE; every EM round afterwards is
     // one codegen lattice_encode scan + a key-sized fold — a second

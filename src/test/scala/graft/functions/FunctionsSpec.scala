@@ -790,6 +790,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq null/dimension contracts: nulls excluded from top-k, wrong dim loud") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 8).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val pq = Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = 2, k = 2, iters = 1, scale = scale)
+    // a null-embedding row must NOT occupy a top-k slot (Spark's
+    // ascending sort puts nulls first — the finding this spec pins)
+    val withNull = df.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val top = Similarity.pqAdcTopK(withNull, "vec_id", "embedding",
+        base(0)._2, k = 5, scale = scale, codebooks = pq)
+      .collect().map(_.getLong(0))
+    assert(!top.contains(99L), s"null row leaked into top-k: ${top.toSeq}")
+    assert(top.length == 5)
+    // wrong-dimension vectors fail LOUD, never a plausible code 0
+    val short = Seq((7L, Seq(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pqAdcTopK(short, "vec_id", "embedding",
+        base(0)._2, k = 1, scale = scale, codebooks = pq).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vector dimension")), msgs(e).mkString(" | "))
+  }
+
   test("kmeansFitInt8 recovers planted blobs, deterministically") {
     // 4 well-separated blobs in 8 dims; id order interleaves blobs so
     // the id-ordered init starts with one seed per blob

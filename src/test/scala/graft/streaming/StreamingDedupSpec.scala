@@ -310,6 +310,58 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed == expected, s"batch twin diverged: $expected")
   }
 
+  test("enrichAsOfDimStream contracts: code-point tie-break, null payload loud") {
+    import graft.streaming.AsOfDimOut
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("t_us", LongType),
+      StructField("typ", StringType), StructField("id", LongType),
+      StructField("payload", StringType)))
+    // same-time versions whose payloads ORDER DIFFERENTLY under Java
+    // UTF-16 vs code-point comparison: U+10000 (surrogate pair, Java
+    // "smaller") vs U+FFFD — the pick must be U+10000, the CODE-POINT
+    // max, matching the oracle's binary VARCHAR collation
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "\uFFFD"
+    def run(rows: Seq[(Long, Long, String, Long, String)]): Seq[AsOfDimOut] = {
+      val base = java.nio.file.Files.createTempDirectory("graft-asofdim-c")
+      val src = base.resolve("src").toString
+      rows.toDF("k", "t_us", "typ", "id", "payload")
+        .coalesce(1).write.mode("append").parquet(src)
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[AsOfDimOut]()
+      def stream() = spark.readStream.schema(schema).parquet(src)
+      val q = StreamIngest.enrichAsOfDimStream(
+          stream().filter(col("typ") === "e").select(col("k"), col("t_us"), col("id")),
+          "k", "t_us", "id",
+          stream().filter(col("typ") === "d").select(col("k"), col("t_us"), col("payload")),
+          "k", "t_us", "payload",
+          watermarkDelay = "10 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", base.resolve("ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[AsOfDimOut], _: Long) =>
+          b.collect().foreach(out.add); ()
+        }
+        .start()
+      q.awaitTermination()
+      scala.jdk.CollectionConverters.CollectionHasAsScala(out).asScala.toSeq
+    }
+    val got = run(Seq(
+      (1L, 10000000L, "d", -1L, supp), (1L, 10000000L, "d", -1L, bmp),
+      (1L, 15000000L, "e", 1L, null),
+      (9L, 100000000L, "e", 9L, null))) // watermark pusher
+    val pick = got.find(_.event_id == 1L).get
+    assert(pick.dim_payload == supp,
+      s"tie must break by CODE POINT (binary collation), got '${pick.dim_payload}'")
+    // a null dim payload is a loud contract violation, not an NPE
+    val e = intercept[Exception] {
+      run(Seq((2L, 10000000L, "d", -1L, null),
+        (9L, 100000000L, "e", 9L, null)))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null dim payload")), msgs(e).mkString(" | "))
+  }
+
   test("enrichAsOfScd2: inclusive start, exclusive end, open current, unknown key") {
     val dim = Seq(
       (1L, 10.0, Some(20.0), "v1"), (1L, 20.0, None, "v2"),
