@@ -95,8 +95,8 @@ object Bench {
     // stream-stream as-of enrichment
     "q_unigram_train", "q_unigram_em", "q_unigram_apply", "q_stream_asof_dim",
     // round-11: product-quantized ANN (fused sub-space Lloyd fits +
-    // exact integer ADC)
-    "q_ann_pq")
+    // exact integer ADC) and the IVF-PQ residual composition
+    "q_ann_pq", "q_ann_ivfpq")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

@@ -2754,6 +2754,24 @@ object SparkEntry {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // IVF-PQ — the full FAISS-style composition: coarse integer
+    // k-means cells, PQ codebooks fit on the integer RESIDUALS,
+    // queries probe the 2 nearest cells and ADC-score only their
+    // rows. Integer end to end, so the oracle replays coarse fit →
+    // residuals → PQ fit → probe → ADC top-10 bit-for-bit.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", query,
+          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
     // Semantic-balance composition: k-means cells capped at a common
     // budget by the md5 bottom-k sampler — the "no cluster dominates
     // the mixture" step of a curation recipe, all existing operators.
@@ -4099,25 +4117,19 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
           |  FROM d3) WHERE rk = 1)""".stripMargin
 
-  /** q_ann_pq replay: the KMeansCtes algebra generalized with a `sub`
-    * (subspace) column — m=4 sub-spaces of 16 dims, k=4 seeds per
-    * sub (the same id-ordered convention), 2 Lloyd iterations, final
-    * codes, then exact integer ADC against vec 0's query. Ends at
-    * `pq_top(vec_id, adc_dist)`.
+  /** The PQ sub-space Lloyd + encode algebra — the KMeansCtes pattern
+    * generalized with a `sub` column, over quantized vectors from CTE
+    * `src` (column `fld`): m=4 sub-spaces of 16 dims, k=4 id-ordered
+    * seeds per sub, 2 iterations, final codes. Ends at
+    * `pq_enc(sub, vec_id, cell)` with codebooks in `pq_c2`. q_ann_pq
+    * runs it over raw quantized vectors (`qv.q`), q_ann_ivfpq over
+    * coarse-cell RESIDUALS (`ivq.rq`).
     */
-  private val PqCtes: String =
-    """sc AS (
-          |  SELECT max(list_max(list_transform(embedding,
-          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
-          |qv AS (
-          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
-          |  FROM embeddings, sc),
-          |pq_sv AS (
+  private def pqCoreCtes(src: String, fld: String): String =
+    s"""pq_sv AS (
           |  SELECT t.sub, v.vec_id,
-          |    list_transform(range(1, 17), j -> v.q[CAST(t.sub * 16 + j AS INTEGER)]) AS sq
-          |  FROM qv v CROSS JOIN range(0, 4) t(sub)),
+          |    list_transform(range(1, 17), j -> v.$fld[CAST(t.sub * 16 + j AS INTEGER)]) AS sq
+          |  FROM $src v CROSS JOIN range(0, 4) t(sub)),
           |pq_c0 AS (
           |  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cell, sq
           |  FROM pq_sv QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id) <= 4),
@@ -4158,19 +4170,7 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY v.sub, v.vec_id ORDER BY
           |      list_sum(list_transform(range(1, 17),
           |        j -> (v.sq[j] - c.sq[j]) * (v.sq[j] - c.sq[j]))), c.cell) AS rk
-          |  FROM pq_sv v JOIN pq_c2 c ON c.sub = v.sub) WHERE rk = 1),
-          |pq_qq AS (SELECT sub, sq FROM pq_sv WHERE vec_id = 0),
-          |pq_tbl AS (
-          |  SELECT c.sub, c.cell,
-          |    list_sum(list_transform(range(1, 17),
-          |      j -> (q.sq[j] - c.sq[j]) * (q.sq[j] - c.sq[j]))) AS d
-          |  FROM pq_c2 c JOIN pq_qq q ON q.sub = c.sub),
-          |pq_score AS (
-          |  SELECT e.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
-          |  FROM pq_enc e JOIN pq_tbl t ON t.sub = e.sub AND t.cell = e.cell
-          |  GROUP BY 1),
-          |pq_top AS (SELECT vec_id, adc_dist FROM pq_score
-          |  ORDER BY adc_dist, vec_id LIMIT 10)""".stripMargin
+          |  FROM pq_sv v JOIN pq_c2 c ON c.sub = v.sub) WHERE rk = 1)""".stripMargin
 
 
   /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
@@ -6540,9 +6540,64 @@ object SparkEntry {
       // (the KMeansCtes algebra + a `sub` column), final codes, exact
       // integer ADC — the top-10 DISTANCES hash-match, not just ids
       "q_ann_pq" ->
-        s"""WITH $PqCtes
-           |SELECT vec_id, adc_dist FROM pq_top
-           |ORDER BY adc_dist, vec_id""".stripMargin,
+        (s"""WITH sc AS (
+           |  SELECT max(list_max(list_transform(embedding,
+           |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+           |qv AS (
+           |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+           |  FROM embeddings, sc),
+           |""".stripMargin +
+          pqCoreCtes("qv", "q") +
+          """,
+           |pq_qq AS (SELECT sub, sq FROM pq_sv WHERE vec_id = 0),
+           |pq_tbl AS (
+           |  SELECT c.sub, c.cell,
+           |    list_sum(list_transform(range(1, 17),
+           |      j -> (q.sq[j] - c.sq[j]) * (q.sq[j] - c.sq[j]))) AS d
+           |  FROM pq_c2 c JOIN pq_qq q ON q.sub = c.sub),
+           |pq_score AS (
+           |  SELECT e.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+           |  FROM pq_enc e JOIN pq_tbl t ON t.sub = e.sub AND t.cell = e.cell
+           |  GROUP BY 1)
+           |SELECT vec_id, adc_dist FROM pq_score
+           |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin),
+
+      // IVF-PQ replayed whole: the coarse k-means (KMeansCtes), the
+      // integer residuals, the sub-space PQ fit over them, the
+      // 2-nearest-cell probe, and the per-probed-cell residual ADC —
+      // top-10 distances hash-pinned, rows in unprobed cells pruned
+      "q_ann_ivfpq" ->
+        (s"""WITH $KMeansCtes,
+           |ivq AS (SELECT v.vec_id, a.cell AS ccell,
+           |    list_transform(range(1, 65), j -> v.q[j] - c.q[j]) AS rq
+           |  FROM qv v JOIN a3 a ON a.vec_id = v.vec_id
+           |  JOIN c2 c ON c.cell = a.cell),
+           |""".stripMargin +
+          pqCoreCtes("ivq", "rq") +
+          """,
+           |iq_q AS (SELECT q FROM qv WHERE vec_id = 0),
+           |iq_pd AS (SELECT c.cell,
+           |    list_sum(list_transform(range(1, 65),
+           |      j -> (q.q[j] - c.q[j]) * (q.q[j] - c.q[j]))) AS d
+           |  FROM c2 c CROSS JOIN iq_q q),
+           |iq_probe AS (SELECT cell FROM iq_pd ORDER BY d, cell LIMIT 2),
+           |iq_res AS (SELECT c.cell,
+           |    list_transform(range(1, 65), j -> q.q[j] - c.q[j]) AS rq
+           |  FROM c2 c JOIN iq_probe USING (cell) CROSS JOIN iq_q q),
+           |iq_tbl AS (SELECT r.cell AS ccell, pc.sub, pc.cell AS code,
+           |    list_sum(list_transform(range(1, 17),
+           |      j -> (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]) *
+           |           (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]))) AS d
+           |  FROM iq_res r CROSS JOIN pq_c2 pc),
+           |iq_score AS (SELECT e.vec_id, max(v.ccell) AS ccell,
+           |    CAST(sum(t.d) AS BIGINT) AS adc_dist
+           |  FROM pq_enc e JOIN ivq v ON v.vec_id = e.vec_id
+           |  JOIN iq_tbl t ON t.ccell = v.ccell AND t.sub = e.sub AND t.code = e.cell
+           |  GROUP BY e.vec_id)
+           |SELECT vec_id, CAST(ccell AS BIGINT) AS cell, adc_dist FROM iq_score
+           |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin),
 
       "q_kmeans" ->
         s"""WITH $KMeansCtes

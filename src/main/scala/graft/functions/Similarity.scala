@@ -1018,11 +1018,25 @@ object Similarity {
       k: Int,
       iters: Int,
       scale: Double): Array[Array[Array[Long]]] = {
+    val q = df.select(col(idCol).as("_id"),
+        kmeansQuantize(col(vecCol), scale).as("_q"))
+    pqLloyd(q, m, k, iters)
+  }
+
+  /** The PQ Lloyd core over a prepared `(_id, _q array<bigint>)`
+    * frame — shared by [[pqFitInt8]] (quantized raw vectors) and
+    * [[ivfPqFit]] (quantized RESIDUALS). Pins `q` for the iteration
+    * scans; see [[pqFitInt8]] for the exactness contract.
+    */
+  private def pqLloyd(
+      qIn: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val q = df.select(col(idCol).as("_id"),
-        kmeansQuantize(col(vecCol), scale).as("_q"))
+    val q = qIn
       .filter(col("_q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1138,6 +1152,102 @@ object Similarity {
           lit(0L), (acc, x) => acc + x).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
+  }
+
+
+  /** IVF-PQ — the FAISS-style composition: a coarse integer k-means
+    * quantizer partitions the corpus into cells, PQ codebooks are fit
+    * on the RESIDUALS `q − coarse[cell]` (residuals are integer
+    * subtractions, so the whole pipeline stays in the exact domain),
+    * and queries probe only the `nProbe` nearest cells. Returns
+    * `(coarse [coarseK][dim], codebooks [m][k][dim/m])`.
+    */
+  def ivfPqFit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseK: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      scale: Double): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val coarse = kmeansFitInt8(df, idCol, vecCol, coarseK, iters, scale)
+    val cLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val q = kmeansQuantize(col(vecCol), scale)
+    val res = df.select(col(idCol).as("_id"),
+      zip_with(q,
+        element_at(cLit, DedupExpressions.kmeansAssign(q, coarse) + 1),
+        (a, b) => a - b).as("_q"))
+    (coarse, pqLloyd(res, m, k, iters))
+  }
+
+  /** Exact-integer IVF-PQ ADC top-`k`: probe the `nProbe` coarse
+    * cells nearest the quantized query (exact integer distances,
+    * driver-side), build ONE per-probed-cell `m × k` residual ADC
+    * table, and score only rows assigned to probed cells — the
+    * 100 TB serving shape (a cell-partitioned layout would prune the
+    * scan itself; here the cell filter prunes compute). Returns
+    * `(idCol, cell, adc_dist)` ascending, ties by id.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      kTop: Int,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      nProbe: Int): DataFrame = {
+    require(kTop >= 1, s"kTop must be >= 1, got $kTop")
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      s"nProbe must be in [1, ${coarse.length}], got $nProbe")
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    val dim = coarse(0).length
+    require(query.length == dim, s"query dim ${query.length} != $dim")
+    require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
+    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    // probe the nearest coarse cells (exact squared L2, ties to the
+    // lower cell — the kmeansAssign convention)
+    val probed = coarse.zipWithIndex.map { case (c, i) =>
+      var d = 0L; var j = 0
+      while (j < dim) { val x = qq(j) - c(j); d += x * x; j += 1 }
+      (d, i)
+    }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
+    // per probed cell: the residual query's m x k ADC table
+    val tables: Map[Int, Seq[Seq[Long]]] = probed.map { cell =>
+      val rq = (0 until dim).map(j => qq(j) - coarse(cell)(j))
+      cell -> (0 until m).map { sub =>
+        codebooks(sub).toSeq.map { cent =>
+          var d2 = 0L; var j = 0
+          while (j < ds) {
+            val diff = rq(sub * ds + j) - cent(j); d2 += diff * diff; j += 1
+          }
+          d2
+        }
+      }
+    }.toMap
+    val qv = kmeansQuantize(col(vecCol), scale)
+    val cLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val cellCol = DedupExpressions.kmeansAssign(qv, coarse)
+    val resCol = zip_with(qv, element_at(cLit, cellCol + 1), (a, b) => a - b)
+    val codes = pqEncodeQ(resCol, codebooks)
+    def adc(cell: Int): Column =
+      aggregate(
+        zip_with(col("_codes"), typedLit(Seq.range(0, m)),
+          (c, i) => element_at(element_at(typedLit(tables(cell)), i + 1), c + 1)),
+        lit(0L), (acc, x) => acc + x)
+    val dist = probed.tail.foldLeft(
+      when(col("_cell") === lit(probed.head), adc(probed.head))) {
+      (acc, cell) => acc.when(col("_cell") === lit(cell), adc(cell))
+    }
+    df.select(col(idCol), cellCol.as("_cell"), codes.as("_codes"))
+      .filter(col("_codes").isNotNull && col("_cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol), col("_cell").cast("long").as("cell"),
+        dist.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(kTop)
   }
 
 }

@@ -790,6 +790,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqFit/ivfPqTopK == manual residual composition and driver ADC reference") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 2, scale = scale)
+    // coarse == the plain integer k-means fit
+    val plain = Similarity.kmeansFitInt8(df, "vec_id", "embedding",
+      k = 3, iters = 2, scale = scale)
+    assert(coarse.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+    // driver reference: quantize, assign, residual, PQ-encode, probe,
+    // ADC — all exact integers
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cellOf(q: Array[Long], cents: Array[Array[Long]]): Int =
+      cents.zipWithIndex.minBy { case (c, i) => (d2(c, q), i) }._2
+    val ds = 4
+    val query = vecs(5)._2
+    val qq = quant(query)
+    val probed = coarse.zipWithIndex
+      .map { case (c, i) => (d2(qq, c), i) }.sorted.take(2).map(_._2)
+    val want = vecs.flatMap { case (id, v) =>
+      val vq = quant(v)
+      val cell = cellOf(vq, coarse)
+      if (!probed.contains(cell)) None
+      else {
+        val res = vq.zip(coarse(cell)).map { case (a, b) => a - b }
+        val rq = qq.zip(coarse(cell)).map { case (a, b) => a - b }
+        val dist = (0 until 4).map { sub =>
+          val sv = res.slice(sub * ds, sub * ds + ds)
+          val code = cellOf(sv, cbs(sub))
+          d2(rq.slice(sub * ds, sub * ds + ds), cbs(sub)(code))
+        }.sum
+        Some((id, cell.toLong, dist))
+      }
+    }.sortBy { case (id, _, d) => (d, id) }.take(8)
+    val got = Similarity.ivfPqTopK(df, "vec_id", "embedding", query,
+        kTop = 8, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"IVF-PQ diverged:\n$got\nvs\n$want")
+    // rows in unprobed cells never appear, even with huge kTop
+    val all = Similarity.ivfPqTopK(df, "vec_id", "embedding", query,
+        kTop = 1000, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 1)
+      .collect()
+    assert(all.forall(_.getLong(1) == probed.head.toLong))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(df, "vec_id", "embedding", query,
+        kTop = 1, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 9)
+    }
+  }
+
   test("pq null/dimension contracts: nulls excluded from top-k, wrong dim loud") {
     val rnd = new scala.util.Random(13)
     val base = (0 until 20).map { i =>
