@@ -1228,7 +1228,15 @@ object Similarity {
         }
       }
     }.toMap
-    val qv = kmeansQuantize(col(vecCol), scale)
+    val qvRaw = kmeansQuantize(col(vecCol), scale)
+    // the residual zip_with would silently null-pad a wrong-dimension
+    // vector (pqEncodeQ then sees a full-length array) — guard the
+    // dimension HERE, like pqEncodeQ does for its own input
+    val qv = when(qvRaw.isNull, lit(null).cast("array<bigint>"))
+      .when(size(qvRaw) === lit(dim), qvRaw)
+      .otherwise(raise_error(concat(
+        lit("ivfpq: vector dimension "), size(qvRaw).cast("string"),
+        lit(s" != $dim"))))
     val cLit = typedLit(coarse.map(_.toSeq).toSeq)
     val cellCol = DedupExpressions.kmeansAssign(qv, coarse)
     val resCol = zip_with(qv, element_at(cLit, cellCol + 1), (a, b) => a - b)

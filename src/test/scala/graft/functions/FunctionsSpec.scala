@@ -844,6 +844,25 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqTopK(df, "vec_id", "embedding", query,
         kTop = 1, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 9)
     }
+    // wrong-dimension rows fail LOUD (the zip_with residual would
+    // otherwise null-pad them into plausible codes), nulls drop
+    val mixed = df.unionByName(Seq(
+        (98L, Seq(0.1f, 0.2f)), (99L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      Similarity.ivfPqTopK(mixed, "vec_id", "embedding", query,
+        kTop = 3, scale = scale, coarse = coarse, codebooks = cbs,
+        nProbe = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vector dimension")), msgs(e).mkString(" | "))
+    val nullOnly = df.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val topN = Similarity.ivfPqTopK(nullOnly, "vec_id", "embedding", query,
+        kTop = 3, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(_.getLong(0))
+    assert(!topN.contains(99L))
   }
 
   test("pq null/dimension contracts: nulls excluded from top-k, wrong dim loud") {
