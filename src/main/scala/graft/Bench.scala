@@ -96,7 +96,34 @@ object Bench {
     "q_unigram_train", "q_unigram_em", "q_unigram_apply", "q_stream_asof_dim",
     // round-11: product-quantized ANN (fused sub-space Lloyd fits +
     // exact integer ADC) and the IVF-PQ residual composition
-    "q_ann_pq", "q_ann_ivfpq")
+    "q_ann_pq", "q_ann_ivfpq",
+    // round-12: the persisted-codes ANN serving twins — encode once,
+    // store (IVF-PQ: partitioned by coarse cell), answer top-k by
+    // READING codes with partition pruning + one broadcast ADC join
+    "q_ann_pq_persisted", "q_ann_ivfpq_persisted",
+    // round-12: approximate-batch BPE training (the production
+    // 30k-merge mode, now oracle-gated end to end)
+    "q_bpe_train_approx")
+
+  /** Omitted from the COMPACT stdout line only (they stay in the
+    * full-precision `detail` line and in the total): long-flat
+    * sub-second scan-side kernels whose regression would move the
+    * compact `value` total anyway. The 84-entry full map measured
+    * 1915 chars in r11 and the driver's 2000-char stdout tail cut it
+    * mid-entry (`parsed: null` three rounds running) — the stable-core
+    * split keeps the parsed artifact's round-over-round diff on the
+    * queries that actually move while guaranteeing the line fits.
+    */
+  val CompactOmit: Set[String] = Set(
+    "q_quality_filter", "q_quality_score", "q_char_entropy",
+    "q_cdc_chunks", "q_media_meta", "q_wav_chunks", "q_leakage_split",
+    "q_weighted_sample", "q_blocklist", "q_ngram_diversity",
+    "q_bigram_lm", "q_surprisal", "q_corpus_rarity", "q_dup_spans",
+    "q_chunk_docs", "q_tfidf_terms", "q_line_dedup", "q_remove_spans",
+    "q_domain_cap", "q_classifier_score", "q_mixture_temp",
+    "q_simhash_pairs", "q_winnow_pairs", "q_lattice_encode",
+    "q_unigram_encode", "q_token_counts", "q_simhash",
+    "q_hll_distinct", "q_quantiles")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time
@@ -239,14 +266,17 @@ object Bench {
     // needs to adjudicate contention lives in `detail`. One builder
     // for both renderings (full-precision detail line, 2-decimal
     // compact line) so the two maps can never silently disagree.
-    def queriesMap(decimals: Int): String =
-      (results.map { r =>
-        jstr(r.name) + ":" + s"%.${decimals}f".format(r.median)
-      } ++ results.filter(_.steady.nonEmpty).map { r =>
+    def queriesMap(decimals: Int, compact: Boolean): String = {
+      val rs = if (compact) results.filterNot(r => CompactOmit(r.name)) else results
+      def key(n: String) = jstr(if (compact) n.stripPrefix("q_") else n)
+      (rs.map { r =>
+        key(r.name) + ":" + s"%.${decimals}f".format(r.median)
+      } ++ rs.filter(_.steady.nonEmpty).map { r =>
         val m = r.steady.sorted.apply(r.steady.length / 2)
-        jstr(r.name + "_steady") + ":" + s"%.${decimals}f".format(m)
+        key(r.name + "_steady") + ":" + s"%.${decimals}f".format(m)
       }).mkString("{", ",", "}")
-    val qs = queriesMap(3)
+    }
+    val qs = queriesMap(3, compact = false)
     val detail = results.map { r =>
       val runsArr = r.times.map(t => f"$t%.3f").mkString("[", ",", "]")
       val errField =
@@ -274,25 +304,28 @@ object Bench {
       f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
       f""""wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")
     // The driver's artifact keeps only the LAST ~2000 chars of stdout;
-    // the self-adjudicating line above outgrew that in r8-r10 and the
-    // driver recorded `parsed: null` every round. This final COMPACT
-    // line (no `detail`, 2-decimal medians) fits the tail window next
-    // to sbt's trailing "[success]" line, so the driver always gets a
-    // parseable line carrying the full queries map; the full-precision
-    // detail line stays above for judges reading the complete stdout.
-    val qsCompact = queriesMap(2)
+    // the self-adjudicating line above outgrew that in r8-r11 and the
+    // driver recorded `parsed: null` every round (r11: the full
+    // 84-entry 2-decimal map + sbt's "[info] " prefix grazed the
+    // window and the map was cut mid-entry). This final COMPACT line
+    // budgets ≤1700 chars: no `detail`, the stable-core queries map
+    // ([[CompactOmit]] — the omitted kernels keep full-precision rows
+    // in the detail line above), keys with the constant "q_" prefix
+    // stripped, and 3-decimal medians (2 decimals hid sub-10 ms moves
+    // from the driver's round-over-round diff, r11 ADVICE).
+    val qsCompact = queriesMap(3, compact = true)
     // walks/non_walks/sf stay OUT of the compact line — they live in
-    // the detail line above and every byte here competes with the
-    // queries map for the 2000-char window (the 84-query set measured
-    // 1915 chars WITH them — within 3 bytes of truncation after sbt's
-    // trailer; 1835 without)
+    // the detail line above; `missing` is dropped when empty (every
+    // byte here competes with the queries map for the window)
+    val missingCompact =
+      if (missing.isEmpty) "" else s""","missing":$missingField"""
     val compact =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_err":$nErr,""" +
-      f""""missing":$missingField,"queries":$qsCompact}"""
-    if (compact.length > 1850)
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_err":$nErr""" +
+      f"""$missingCompact,"queries":$qsCompact}"""
+    if (compact.length > 1700)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
-        "nearing the driver's 2000-char tail window; trim the headline set " +
-        "or shorten values")
+        "over the 1700-char budget for the driver's 2000-char tail window " +
+        "(sbt prefix + trailer eat the rest); move entries to CompactOmit")
     println(compact)
     spark.stop()
   }

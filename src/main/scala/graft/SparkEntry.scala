@@ -2772,6 +2772,50 @@ object SparkEntry {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // The PRODUCTION PQ serving path: encode the corpus ONCE
+    // (savePqEncoded — m bytes of code per vector), then answer the
+    // same top-10 by READING the stored codes — no re-quantize, no
+    // re-assign. Bit-equal to q_ann_pq, so the same oracle pins the
+    // distances.
+    "q_ann_pq_persisted" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val cbs = Similarity.pqFitInt8(emb, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val path = java.nio.file.Files.createTempDirectory("graft-pq-codes")
+        .resolve("codes").toString
+      Similarity.savePqEncoded(emb, "vec_id", "embedding", scale, cbs, path)
+      Similarity.pqAdcTopKFromCodes(s.read.parquet(path), "vec_id", query,
+          k = 10, scale = scale, codebooks = cbs)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
+    // The PRODUCTION IVF-PQ serving layout: codes stored PARTITIONED
+    // BY COARSE CELL (saveIvfPqEncoded), so the nProbe cell filter
+    // lands as on-disk partition pruning (a top-10 reads 2/4 of the
+    // FILES — at 100 TB, nProbe/coarseK of the corpus) and the
+    // per-cell residual ADC tables ride one tiny broadcast join.
+    // Bit-equal to q_ann_ivfpq (same integers end to end); PlanSpec
+    // pins PartitionFilters + BroadcastHashJoin + no re-encode.
+    "q_ann_ivfpq_persisted" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-codes")
+        .resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
+        coarse, cbs, path)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id", query,
+          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
     // Semantic-balance composition: k-means cells capped at a common
     // budget by the md5 bottom-k sampler — the "no cluster dominates
     // the mixture" step of a curation recipe, all existing operators.
@@ -3091,6 +3135,20 @@ object SparkEntry {
     "q_bpe_train_dist" -> ((s, dir) => {
       TextFunctions.bpeTrainDistributed(
           tbl(s, dir, "documents"), "text", numMerges = 16)
+        .orderBy("rank")
+    }),
+
+    // The APPROXIMATE batch mode (exactBatch = false — the opt-in a
+    // 30k-merge production vocabulary actually runs): skip-disjoint
+    // greedy selection over the top maxBatch candidates per round,
+    // up to maxBatch merges applied per job sequence. Previously
+    // spec-covered only; this oracle replays the per-round candidate
+    // order, the greedy accept/skip walk, AND the batched merge
+    // application end to end (see bpeApproxCtes).
+    "q_bpe_train_approx" -> ((s, dir) => {
+      TextFunctions.bpeTrainDistributed(
+          tbl(s, dir, "documents"), "text", numMerges = 12,
+          maxBatch = 3, exactBatch = false)
         .orderBy("rank")
     }),
 
@@ -3511,6 +3569,90 @@ object SparkEntry {
       .mkString(" UNION ALL ")
 
   private val BpeK = 16
+
+  /** APPROXIMATE-batch BPE training replayed whole — the
+    * `exactBatch = false` production mode (the one a 30k-merge
+    * vocabulary actually runs) finally pinned by an oracle instead of
+    * specs alone. Per ROUND: pair counts over the current word table
+    * ([[bpeCtes]]' separator algebra) → the top `maxBatch` candidates
+    * in the trainer's total order (count desc, `(a, b)` asc, binary
+    * collation) → the skip-disjoint GREEDY selection unrolled per
+    * candidate position (`selectBpeBatch`'s approx branch: position 0
+    * always accepted; position j accepted iff its `a`, `b`, and
+    * merged string avoid every earlier-ACCEPTED row's `{a, b, ab}`)
+    * → the accepted merges applied as a chained `replace` fold
+    * (accepted merges are pairwise symbol-disjoint, so sequential
+    * application == the batch kernel's one pass). Unrolls `rounds`
+    * rounds — one per merge, the 1-accept worst case — and the final
+    * SELECT takes the first `numMerges` rows by (round, candidate
+    * position), exactly the trainer's `take(numMerges - done)`
+    * truncation; rounds past the crossing point cannot disturb that
+    * prefix.
+    */
+  private def bpeApproxCtes(rounds: Int, maxBatch: Int): String = {
+    val s1 = "chr(2)"
+    val s2 = "chr(31)"
+    val sym0 = s"regexp_replace(word, '(.)', $s1 || '\\1' || $s2, 'g')"
+    val sb = new StringBuilder
+    sb.append(
+      s"""ab_words0 AS MATERIALIZED (
+         |  SELECT word, $sym0 AS sym, cnt FROM (
+         |    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+         |    ) GROUP BY 1
+         |  )
+         |)""".stripMargin)
+    (0 until rounds).foreach { i =>
+      sb.append(",\n").append(
+        s"""ab_cand$i AS MATERIALIZED (
+           |  SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a ASC, b ASC) - 1 AS ci FROM (
+           |    SELECT p[1] AS a, p[2] AS b, sum(cnt) AS c FROM (
+           |      SELECT unnest(list_zip(list_slice(syms, 1, length(syms)-1), list_slice(syms, 2, length(syms)))) AS p, cnt FROM (
+           |        SELECT list_slice(string_split(replace(sym, $s1, ''), $s2), 1,
+           |                          length(sym) - length(replace(sym, $s2, ''))) AS syms, cnt FROM ab_words$i
+           |      ) WHERE length(syms) >= 2
+           |    ) GROUP BY 1, 2
+           |  ) ORDER BY c DESC, a ASC, b ASC LIMIT $maxBatch
+           |),
+           |ab_acc${i}_0 AS MATERIALIZED (SELECT ci, a, b FROM ab_cand$i WHERE ci = 0)""".stripMargin)
+      (1 until maxBatch).foreach { j =>
+        sb.append(",\n").append(
+          s"""ab_acc${i}_$j AS MATERIALIZED (
+             |  SELECT ci, a, b FROM ab_acc${i}_${j - 1}
+             |  UNION ALL
+             |  SELECT x.ci, x.a, x.b FROM ab_cand$i x WHERE x.ci = $j AND NOT EXISTS (
+             |    SELECT 1 FROM ab_acc${i}_${j - 1} s
+             |    WHERE x.a IN (s.a, s.b, s.a || s.b)
+             |       OR x.b IN (s.a, s.b, s.a || s.b)
+             |       OR (x.a || x.b) IN (s.a, s.b, s.a || s.b))
+             |)""".stripMargin)
+      }
+      sb.append(",\n").append(
+        s"""ab_batch$i AS MATERIALIZED (
+           |  SELECT ci, a, b, $s1 || a || $s2 || $s1 || b || $s2 AS pat, $s1 || a || b || $s2 AS rep,
+           |    row_number() OVER (ORDER BY ci) - 1 AS j
+           |  FROM ab_acc${i}_${maxBatch - 1}
+           |)""".stripMargin)
+      (0 until maxBatch).foreach { j =>
+        val src = if (j == 0) s"ab_words$i" else s"ab_w${i}_$j"
+        val dst = if (j == maxBatch - 1) s"ab_words${i + 1}" else s"ab_w${i}_${j + 1}"
+        sb.append(",\n").append(
+          s"""$dst AS MATERIALIZED (
+             |  SELECT word, CASE WHEN pat IS NULL THEN sym ELSE replace(sym, pat, rep) END AS sym, cnt
+             |  FROM $src LEFT JOIN (SELECT pat, rep FROM ab_batch$i WHERE j = $j) ON TRUE
+             |)""".stripMargin)
+      }
+    }
+    sb.toString
+  }
+
+  /** `(rnd, ci, a, b)` rows from the `rounds` batch stages of
+    * [[bpeApproxCtes]] — global learned order is (rnd, ci).
+    */
+  private def bpeApproxMergeRows(rounds: Int): String =
+    (0 until rounds)
+      .map(i => s"SELECT $i AS rnd, ci, a, b FROM ab_batch$i")
+      .mkString(" UNION ALL ")
 
   /** Vocabulary CTEs over [[bpeCtes]]' stages: base chars of the
     * stage-0 vocabulary (strip the chr(2) prefix separators, split on
@@ -4172,6 +4314,78 @@ object SparkEntry {
           |        j -> (v.sq[j] - c.sq[j]) * (v.sq[j] - c.sq[j]))), c.cell) AS rk
           |  FROM pq_sv v JOIN pq_c2 c ON c.sub = v.sub) WHERE rk = 1)""".stripMargin
 
+
+  /** The q_ann_pq oracle: the PQ pipeline replayed whole — sub-space
+    * Lloyd iterations (the KMeansCtes algebra + a `sub` column), final
+    * codes, exact integer ADC; the top-10 DISTANCES hash-match, not
+    * just ids. SHARED verbatim by q_ann_pq (inline encode) and
+    * q_ann_pq_persisted (stored codes) — the two Spark paths are
+    * bit-equal by construction, so one oracle pins both.
+    */
+  private lazy val AnnPqOracle: String =
+    (s"""WITH sc AS (
+       |  SELECT max(list_max(list_transform(embedding,
+       |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+       |qv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings, sc),
+       |""".stripMargin +
+      pqCoreCtes("qv", "q") +
+      """,
+       |pq_qq AS (SELECT sub, sq FROM pq_sv WHERE vec_id = 0),
+       |pq_tbl AS (
+       |  SELECT c.sub, c.cell,
+       |    list_sum(list_transform(range(1, 17),
+       |      j -> (q.sq[j] - c.sq[j]) * (q.sq[j] - c.sq[j]))) AS d
+       |  FROM pq_c2 c JOIN pq_qq q ON q.sub = c.sub),
+       |pq_score AS (
+       |  SELECT e.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+       |  FROM pq_enc e JOIN pq_tbl t ON t.sub = e.sub AND t.cell = e.cell
+       |  GROUP BY 1)
+       |SELECT vec_id, adc_dist FROM pq_score
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
+
+  /** The q_ann_ivfpq oracle: IVF-PQ replayed whole — the coarse
+    * k-means (KMeansCtes), the integer residuals, the sub-space PQ
+    * fit over them, the 2-nearest-cell probe, and the per-probed-cell
+    * residual ADC — top-10 distances hash-pinned, rows in unprobed
+    * cells pruned. SHARED verbatim by q_ann_ivfpq (inline encode;
+    * compute pruning) and q_ann_ivfpq_persisted (stored
+    * cell-partitioned codes; PARTITION pruning) — same integers, one
+    * oracle pins both.
+    */
+  private lazy val AnnIvfPqOracle: String =
+    (s"""WITH $KMeansCtes,
+       |ivq AS (SELECT v.vec_id, a.cell AS ccell,
+       |    list_transform(range(1, 65), j -> v.q[j] - c.q[j]) AS rq
+       |  FROM qv v JOIN a3 a ON a.vec_id = v.vec_id
+       |  JOIN c2 c ON c.cell = a.cell),
+       |""".stripMargin +
+      pqCoreCtes("ivq", "rq") +
+      """,
+       |iq_q AS (SELECT q FROM qv WHERE vec_id = 0),
+       |iq_pd AS (SELECT c.cell,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> (q.q[j] - c.q[j]) * (q.q[j] - c.q[j]))) AS d
+       |  FROM c2 c CROSS JOIN iq_q q),
+       |iq_probe AS (SELECT cell FROM iq_pd ORDER BY d, cell LIMIT 2),
+       |iq_res AS (SELECT c.cell,
+       |    list_transform(range(1, 65), j -> q.q[j] - c.q[j]) AS rq
+       |  FROM c2 c JOIN iq_probe USING (cell) CROSS JOIN iq_q q),
+       |iq_tbl AS (SELECT r.cell AS ccell, pc.sub, pc.cell AS code,
+       |    list_sum(list_transform(range(1, 17),
+       |      j -> (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]) *
+       |           (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]))) AS d
+       |  FROM iq_res r CROSS JOIN pq_c2 pc),
+       |iq_score AS (SELECT e.vec_id, max(v.ccell) AS ccell,
+       |    CAST(sum(t.d) AS BIGINT) AS adc_dist
+       |  FROM pq_enc e JOIN ivq v ON v.vec_id = e.vec_id
+       |  JOIN iq_tbl t ON t.ccell = v.ccell AND t.sub = e.sub AND t.code = e.cell
+       |  GROUP BY e.vec_id)
+       |SELECT vec_id, CAST(ccell AS BIGINT) AS cell, adc_dist FROM iq_score
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
 
   /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
     * terms join/window/stream, k1=1.2, b=0.75; constants written as
@@ -5755,6 +5969,15 @@ object SparkEntry {
           s"SELECT CAST(r AS BIGINT) AS rank, a, b, a || b AS merged " +
           s"FROM (${bpeMergeRows(BpeK)}) ORDER BY rank"),
 
+      // approximate batching replayed whole: per-round top-3
+      // candidates, the skip-disjoint greedy walk, batched replace
+      // application, first-12 truncation in (round, position) order
+      "q_bpe_train_approx" ->
+        (s"WITH ${bpeApproxCtes(12, 3)} " +
+          "SELECT CAST(row_number() OVER (ORDER BY rnd, ci) - 1 AS BIGINT) AS rank, " +
+          "a, b, a || b AS merged " +
+          s"FROM (${bpeApproxMergeRows(12)}) ORDER BY rank LIMIT 12"),
+
       // byte-level: same merge stages over hex-pair stage-0 symbols
       "q_bpe_bytes" ->
         (s"WITH ${bpeCtes(BpeK, bytes = true)} " +
@@ -6535,69 +6758,14 @@ object SparkEntry {
            |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
       // two unrolled Lloyd's iterations; dN/aN = assignment round N,
-      // sN/cN = per-(cell,dim) integer sums -> rounded centroids
-      // the PQ pipeline replayed whole: sub-space Lloyd iterations
-      // (the KMeansCtes algebra + a `sub` column), final codes, exact
-      // integer ADC — the top-10 DISTANCES hash-match, not just ids
-      "q_ann_pq" ->
-        (s"""WITH sc AS (
-           |  SELECT max(list_max(list_transform(embedding,
-           |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
-           |qv AS (
-           |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-           |    list_transform(embedding,
-           |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
-           |  FROM embeddings, sc),
-           |""".stripMargin +
-          pqCoreCtes("qv", "q") +
-          """,
-           |pq_qq AS (SELECT sub, sq FROM pq_sv WHERE vec_id = 0),
-           |pq_tbl AS (
-           |  SELECT c.sub, c.cell,
-           |    list_sum(list_transform(range(1, 17),
-           |      j -> (q.sq[j] - c.sq[j]) * (q.sq[j] - c.sq[j]))) AS d
-           |  FROM pq_c2 c JOIN pq_qq q ON q.sub = c.sub),
-           |pq_score AS (
-           |  SELECT e.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
-           |  FROM pq_enc e JOIN pq_tbl t ON t.sub = e.sub AND t.cell = e.cell
-           |  GROUP BY 1)
-           |SELECT vec_id, adc_dist FROM pq_score
-           |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin),
+      // sN/cN = per-(cell,dim) integer sums -> rounded centroids.
+      // One oracle pins BOTH the inline-encode gate and its
+      // persisted-codes serving twin (bit-equal Spark paths).
+      "q_ann_pq" -> AnnPqOracle,
+      "q_ann_pq_persisted" -> AnnPqOracle,
 
-      // IVF-PQ replayed whole: the coarse k-means (KMeansCtes), the
-      // integer residuals, the sub-space PQ fit over them, the
-      // 2-nearest-cell probe, and the per-probed-cell residual ADC —
-      // top-10 distances hash-pinned, rows in unprobed cells pruned
-      "q_ann_ivfpq" ->
-        (s"""WITH $KMeansCtes,
-           |ivq AS (SELECT v.vec_id, a.cell AS ccell,
-           |    list_transform(range(1, 65), j -> v.q[j] - c.q[j]) AS rq
-           |  FROM qv v JOIN a3 a ON a.vec_id = v.vec_id
-           |  JOIN c2 c ON c.cell = a.cell),
-           |""".stripMargin +
-          pqCoreCtes("ivq", "rq") +
-          """,
-           |iq_q AS (SELECT q FROM qv WHERE vec_id = 0),
-           |iq_pd AS (SELECT c.cell,
-           |    list_sum(list_transform(range(1, 65),
-           |      j -> (q.q[j] - c.q[j]) * (q.q[j] - c.q[j]))) AS d
-           |  FROM c2 c CROSS JOIN iq_q q),
-           |iq_probe AS (SELECT cell FROM iq_pd ORDER BY d, cell LIMIT 2),
-           |iq_res AS (SELECT c.cell,
-           |    list_transform(range(1, 65), j -> q.q[j] - c.q[j]) AS rq
-           |  FROM c2 c JOIN iq_probe USING (cell) CROSS JOIN iq_q q),
-           |iq_tbl AS (SELECT r.cell AS ccell, pc.sub, pc.cell AS code,
-           |    list_sum(list_transform(range(1, 17),
-           |      j -> (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]) *
-           |           (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]))) AS d
-           |  FROM iq_res r CROSS JOIN pq_c2 pc),
-           |iq_score AS (SELECT e.vec_id, max(v.ccell) AS ccell,
-           |    CAST(sum(t.d) AS BIGINT) AS adc_dist
-           |  FROM pq_enc e JOIN ivq v ON v.vec_id = e.vec_id
-           |  JOIN iq_tbl t ON t.ccell = v.ccell AND t.sub = e.sub AND t.code = e.cell
-           |  GROUP BY e.vec_id)
-           |SELECT vec_id, CAST(ccell AS BIGINT) AS cell, adc_dist FROM iq_score
-           |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin),
+      "q_ann_ivfpq" -> AnnIvfPqOracle,
+      "q_ann_ivfpq_persisted" -> AnnIvfPqOracle,
 
       "q_kmeans" ->
         s"""WITH $KMeansCtes

@@ -728,6 +728,15 @@ object Similarity {
         .collect().map(_.getSeq[Long](1).toArray)
       require(cents.length == k, s"need >= $k non-null vectors, got ${cents.length}")
       val d = cents(0).length
+      // wrong-dimension vectors fail LOUD at the fit scans: a LONGER
+      // row would otherwise bias the centroids silently (kmeansAssign
+      // truncates to min length and the sums read only the first d
+      // coordinates), a shorter one died with an opaque ANSI
+      // element_at error — same contract as pqEncodeQ / the pq fits
+      val qg = when(size(col("_q")) === lit(d), col("_q"))
+        .otherwise(raise_error(concat(
+          lit("kmeans fit: vector dimension "), size(col("_q")).cast("string"),
+          lit(s" != $d"))))
       var it = 0
       while (it < iters) {
         // per-cell coordinate sums as d parallel column aggregates —
@@ -737,8 +746,8 @@ object Similarity {
         val sumCols = (0 until d).map(j =>
           sum(element_at(col("_q"), j + 1)).as(s"_s$j"))
         val stats = q
-          .select(DedupExpressions.kmeansAssign(col("_q"), cents).as("_cell"),
-            col("_q"))
+          .select(DedupExpressions.kmeansAssign(qg, cents).as("_cell"),
+            qg.as("_q"))
           .groupBy("_cell")
           .agg(count(lit(1)).as("_n"), sumCols: _*)
           .collect()
@@ -1046,12 +1055,22 @@ object Similarity {
       val dim = seeds(0).length
       require(dim % m == 0, s"m=$m must divide dim=$dim")
       val ds = dim / m
+      // a short row would otherwise bias the codebooks SILENTLY —
+      // kmeansAssign truncates to the shorter length and the
+      // per-dim sums skip the missing positions while count(_n)
+      // still includes the row — so the fit scans fail loud on a
+      // wrong-dimension vector, matching the encode/query guards
+      // (pqEncodeQ / ivfPqTopK)
+      val qg = when(size(col("_q")) === lit(dim), col("_q"))
+        .otherwise(raise_error(concat(
+          lit("pq fit: vector dimension "), size(col("_q")).cast("string"),
+          lit(s" != $dim"))))
       var cents: Array[Array[Array[Long]]] =
         Array.tabulate(m, k)((sub, c) => seeds(c).slice(sub * ds, (sub + 1) * ds))
       var it = 0
       while (it < iters) {
         val branches = (0 until m).map { sub =>
-          val sv = slice(col("_q"), sub * ds + 1, ds)
+          val sv = slice(qg, sub * ds + 1, ds)
           q.select(lit(sub).as("_sub"),
             DedupExpressions.kmeansAssign(sv, cents(sub)).as("_cell"),
             sv.as("_sv"))
@@ -1102,31 +1121,18 @@ object Similarity {
         lit(s" != m*ds = ${m * ds}"))))
   }
 
-  /** Exact ADC top-`k`: quantize the query with the SAME scale,
-    * precompute the `m × k` table of exact integer squared-L2
-    * subspace distances on the driver, and score every row as the sum
-    * of its codes' table entries — one scan-side lookup projection
-    * (the codes come from [[pqEncodeQ]] inline here; production
-    * precomputes and stores them once via [[pqEncodeQ]]), then a
-    * distributed TakeOrdered. Returns `(idCol, adc_dist)` ascending —
-    * `adc_dist` is exact, so the gate hash-pins it.
+  /** The exact integer `m × k` ADC table for an already-quantized
+    * query against one codebook set: entry `(sub, code)` is the
+    * squared L2 distance between the query's `sub`-th slice and that
+    * code's centroid. Driver-side — `m·k·ds` integer ops once per
+    * query, never per row.
     */
-  def pqAdcTopK(
-      df: DataFrame,
-      idCol: String,
-      vecCol: String,
-      query: Seq[Float],
-      k: Int,
-      scale: Double,
-      codebooks: Array[Array[Array[Long]]]): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  private def pqAdcTable(
+      qq: Seq[Long],
+      codebooks: Array[Array[Array[Long]]]): Seq[Seq[Long]] = {
     val m = codebooks.length
     val ds = codebooks(0)(0).length
-    require(query.length == m * ds,
-      s"query dim ${query.length} != m*ds = ${m * ds}")
-    // the kernel's quantization, verbatim (floor(x·127/scale + 0.5))
-    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
-    val table: Seq[Seq[Long]] = (0 until m).map { sub =>
+    (0 until m).map { sub =>
       codebooks(sub).toSeq.map { cent =>
         var d2 = 0L
         var j = 0
@@ -1138,21 +1144,96 @@ object Similarity {
         d2
       }
     }
-    val tLit = typedLit(table)
-    val codes = pqEncodeQ(kmeansQuantize(col(vecCol), scale), codebooks)
-    // null vectors are EXCLUDED (pqFitInt8's convention) — a null
-    // adc_dist would otherwise sort FIRST under Spark's ascending
-    // default and silently occupy top-k slots
-    df.select(col(idCol), codes.as("_codes"))
-      .filter(col("_codes").isNotNull)
+  }
+
+  /** PQ codes of the corpus — the PERSISTABLE index payload:
+    * `(idCol, codes array<int>)`, one row per non-null vector (null
+    * vectors are excluded from the index — [[pqFitInt8]]'s
+    * convention; a null code would otherwise need re-filtering at
+    * every query). Wrong-dimension vectors fail loud via
+    * [[pqEncodeQ]]'s guard. Encode ONCE, serve many: at corpus scale
+    * every ADC query over raw vectors re-pays m kmeans-assigns per
+    * row, while a query over stored codes pays one table lookup per
+    * subspace — see [[savePqEncoded]] / [[pqAdcTopKFromCodes]].
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Double,
+      codebooks: Array[Array[Array[Long]]]): DataFrame =
+    df.select(col(idCol),
+        pqEncodeQ(kmeansQuantize(col(vecCol), scale), codebooks).as("codes"))
+      .filter(col("codes").isNotNull)
+
+  /** Persist the PQ index: [[pqEncode]]'s `(id, codes)` written as
+    * parquet at `path` (overwrite). `m` bytes of code per vector in
+    * place of the raw floats — the serving scan reads ~`m/(4·dim)`
+    * of the embedding bytes.
+    */
+  def savePqEncoded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Double,
+      codebooks: Array[Array[Array[Long]]],
+      path: String): Unit =
+    pqEncode(df, idCol, vecCol, scale, codebooks)
+      .write.mode("overwrite").parquet(path)
+
+  /** Exact ADC top-`k` over STORED codes (the production serving
+    * path — [[savePqEncoded]] wrote them once): precompute the
+    * `m × k` integer distance table on the driver, score each row as
+    * the sum of its codes' table entries (one scan-side lookup
+    * projection, zero shuffles), then a distributed TakeOrdered.
+    * Returns `(idCol, adc_dist)` ascending — exact integers,
+    * bit-equal to [[pqAdcTopK]] over the raw vectors.
+    */
+  def pqAdcTopKFromCodes(
+      codes: DataFrame,
+      idCol: String,
+      query: Seq[Float],
+      k: Int,
+      scale: Double,
+      codebooks: Array[Array[Array[Long]]],
+      codesCol: String = "codes"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    require(query.length == m * ds,
+      s"query dim ${query.length} != m*ds = ${m * ds}")
+    // the kernel's quantization, verbatim (floor(x·127/scale + 0.5))
+    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val tLit = typedLit(pqAdcTable(qq, codebooks))
+    // null codes are EXCLUDED (a null adc_dist would otherwise sort
+    // FIRST under Spark's ascending default and occupy top-k slots);
+    // the stored layout never contains them, raw-vector callers might
+    codes.filter(col(codesCol).isNotNull)
       .select(col(idCol),
         aggregate(
-          zip_with(col("_codes"), typedLit(Seq.range(0, m)),
+          zip_with(col(codesCol), typedLit(Seq.range(0, m)),
             (c, i) => element_at(element_at(tLit, i + 1), c + 1)),
           lit(0L), (acc, x) => acc + x).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Exact ADC top-`k` over RAW vectors — encodes inline (one full
+    * scan + m kmeans-assigns per row) and delegates to
+    * [[pqAdcTopKFromCodes]]. One-shot/exploratory use; a serving
+    * deployment stores the codes once ([[savePqEncoded]]) and reads
+    * them instead.
+    */
+  def pqAdcTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      scale: Double,
+      codebooks: Array[Array[Array[Long]]]): DataFrame =
+    pqAdcTopKFromCodes(pqEncode(df, idCol, vecCol, scale, codebooks),
+      idCol, query, k, scale, codebooks)
 
 
   /** IVF-PQ — the FAISS-style composition: a coarse integer k-means
@@ -1173,7 +1254,18 @@ object Similarity {
       scale: Double): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
     val coarse = kmeansFitInt8(df, idCol, vecCol, coarseK, iters, scale)
     val cLit = typedLit(coarse.map(_.toSeq).toSeq)
-    val q = kmeansQuantize(col(vecCol), scale)
+    val dim = coarse(0).length
+    val qRaw = kmeansQuantize(col(vecCol), scale)
+    // guard BEFORE the residual zip_with: zip_with null-pads the
+    // shorter side, so a wrong-dimension vector would reach pqLloyd
+    // as a full-length residual with nulls (NPE in the integer sums)
+    // or silently bias the codebooks — same loud contract as
+    // pqEncodeQ / ivfPqTopK's query path
+    val q = when(qRaw.isNull, lit(null).cast("array<bigint>"))
+      .when(size(qRaw) === lit(dim), qRaw)
+      .otherwise(raise_error(concat(
+        lit("ivfpq fit: vector dimension "), size(qRaw).cast("string"),
+        lit(s" != $dim"))))
     val res = df.select(col(idCol).as("_id"),
       zip_with(q,
         element_at(cLit, DedupExpressions.kmeansAssign(q, coarse) + 1),
@@ -1181,13 +1273,161 @@ object Similarity {
     (coarse, pqLloyd(res, m, k, iters))
   }
 
-  /** Exact-integer IVF-PQ ADC top-`k`: probe the `nProbe` coarse
-    * cells nearest the quantized query (exact integer distances,
-    * driver-side), build ONE per-probed-cell `m × k` residual ADC
-    * table, and score only rows assigned to probed cells — the
-    * 100 TB serving shape (a cell-partitioned layout would prune the
-    * scan itself; here the cell filter prunes compute). Returns
-    * `(idCol, cell, adc_dist)` ascending, ties by id.
+  /** IVF-PQ index payload — the PERSISTABLE `(idCol, cell int,
+    * codes array<int>)` frame: each vector's coarse cell plus the PQ
+    * codes of its integer RESIDUAL against that cell's centroid.
+    * Null vectors are excluded (the index convention —
+    * [[pqEncode]]); wrong-dimension vectors fail loud BEFORE the
+    * residual `zip_with` (which would silently null-pad a short
+    * vector into a plausible full-length residual).
+    */
+  def ivfPqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]]): DataFrame = {
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    val dim = coarse(0).length
+    require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
+    val qvRaw = kmeansQuantize(col(vecCol), scale)
+    val qv = when(qvRaw.isNull, lit(null).cast("array<bigint>"))
+      .when(size(qvRaw) === lit(dim), qvRaw)
+      .otherwise(raise_error(concat(
+        lit("ivfpq: vector dimension "), size(qvRaw).cast("string"),
+        lit(s" != $dim"))))
+    val cLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val cellCol = DedupExpressions.kmeansAssign(qv, coarse)
+    val resCol = zip_with(qv, element_at(cLit, cellCol + 1), (a, b) => a - b)
+    df.select(col(idCol), cellCol.as("cell"),
+        pqEncodeQ(resCol, codebooks).as("codes"))
+      .filter(col("codes").isNotNull)
+  }
+
+  /** Persist the IVF-PQ index PARTITIONED BY COARSE CELL — the
+    * 100 TB serving layout: `partitionBy("cell")` puts each cell's
+    * codes in its own directory, so a query's `nProbe`-cell filter
+    * lands as on-disk PARTITION PRUNING (`PartitionFilters` in the
+    * scan — the [[graft.store.Container.saveIvfPartitioned]]
+    * precedent) and a top-k reads `nProbe/coarseK` of the FILES
+    * instead of scanning, re-quantizing, and re-encoding the whole
+    * corpus per query.
+    */
+  def saveIvfPqEncoded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      path: String): Unit =
+    ivfPqEncode(df, idCol, vecCol, scale, coarse, codebooks)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Driver-side probe selection + per-probed-cell residual ADC
+    * tables, shared by both serving paths. Returns the probed cell
+    * ids (ascending by exact integer distance, ties to the lower
+    * cell — the kmeansAssign convention) and each probed cell's
+    * `m × k` table for the query's residual against that cell.
+    */
+  private def ivfPqProbeTables(
+      query: Seq[Float],
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      nProbe: Int): (Array[Int], Map[Int, Seq[Seq[Long]]]) = {
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      s"nProbe must be in [1, ${coarse.length}], got $nProbe")
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    val dim = coarse(0).length
+    require(query.length == dim, s"query dim ${query.length} != $dim")
+    require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
+    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val probed = coarse.zipWithIndex.map { case (c, i) =>
+      var d = 0L; var j = 0
+      while (j < dim) { val x = qq(j) - c(j); d += x * x; j += 1 }
+      (d, i)
+    }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
+    val tables = probed.map { cell =>
+      val rq = (0 until dim).map(j => qq(j) - coarse(cell)(j))
+      cell -> pqAdcTable(rq, codebooks)
+    }.toMap
+    (probed, tables)
+  }
+
+  /** Score rows of probed cells against their cell's residual ADC
+    * table and take the global top-k. The per-cell tables ship as
+    * ONE tiny broadcast `(cell → m×k table)` relation joined on the
+    * cell id — `nProbe·m·k` integers TOTAL, off the plan tree —
+    * instead of a literal CASE chain that inlined one `m × k` table
+    * per probed cell into the projection (O(nProbe·m·k) literals;
+    * at production nProbe 32-128 and k 256 that is a megabyte-scale
+    * plan re-evaluating the cell guard per branch). Broadcast hash
+    * join: zero shuffles, the top-k stays a TakeOrdered.
+    */
+  private def ivfPqScoreProbed(
+      enc: DataFrame,
+      idCol: String,
+      cellCol: String,
+      codesCol: String,
+      m: Int,
+      probed: Array[Int],
+      tables: Map[Int, Seq[Seq[Long]]],
+      kTop: Int): DataFrame = {
+    require(kTop >= 1, s"kTop must be >= 1, got $kTop")
+    val spark = enc.sparkSession
+    import spark.implicits._
+    val tbls = probed.toSeq.map(c => (c, tables(c))).toDF("__pcell", "__tbl")
+    // the cell filter BEFORE the join: over the partitioned layout it
+    // lands as PartitionFilters (file pruning); over an inline encode
+    // it prunes compute. Unprobed cells never reach the scorer.
+    enc.filter(col(codesCol).isNotNull &&
+        col(cellCol).isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(tbls), col(cellCol) === col("__pcell"))
+      .select(col(idCol), col(cellCol).cast("long").as("cell"),
+        aggregate(
+          zip_with(col(codesCol), typedLit(Seq.range(0, m)),
+            (c, i) => element_at(element_at(col("__tbl"), i + 1), c + 1)),
+          lit(0L), (acc, x) => acc + x).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(kTop)
+  }
+
+  /** Exact-integer IVF-PQ ADC top-`k` over STORED codes (the
+    * [[saveIvfPqEncoded]] layout read back): probe the `nProbe`
+    * nearest coarse cells driver-side, PRUNE PARTITIONS with the
+    * cell filter, broadcast-join the per-cell residual ADC tables,
+    * and TakeOrdered — no re-quantize, no re-assign, no re-encode.
+    * Returns `(idCol, cell, adc_dist)` ascending, ties by id —
+    * bit-equal to [[ivfPqTopK]] over the raw vectors.
+    */
+  def ivfPqTopKFromCodes(
+      codes: DataFrame,
+      idCol: String,
+      query: Seq[Float],
+      kTop: Int,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      nProbe: Int,
+      cellCol: String = "cell",
+      codesCol: String = "codes"): DataFrame = {
+    val (probed, tables) =
+      ivfPqProbeTables(query, scale, coarse, codebooks, nProbe)
+    ivfPqScoreProbed(codes, idCol, cellCol, codesCol,
+      codebooks.length, probed, tables, kTop)
+  }
+
+  /** Exact-integer IVF-PQ ADC top-`k` over RAW vectors — encodes
+    * inline (full scan + coarse assign + m sub-assigns per row; the
+    * cell filter prunes COMPUTE, not the scan) and shares
+    * [[ivfPqScoreProbed]] with the serving path. One-shot use; a
+    * serving deployment stores the codes once ([[saveIvfPqEncoded]])
+    * and queries them via [[ivfPqTopKFromCodes]], where the same
+    * filter prunes FILES.
     */
   def ivfPqTopK(
       df: DataFrame,
@@ -1199,63 +1439,11 @@ object Similarity {
       coarse: Array[Array[Long]],
       codebooks: Array[Array[Array[Long]]],
       nProbe: Int): DataFrame = {
-    require(kTop >= 1, s"kTop must be >= 1, got $kTop")
-    require(nProbe >= 1 && nProbe <= coarse.length,
-      s"nProbe must be in [1, ${coarse.length}], got $nProbe")
-    val m = codebooks.length
-    val ds = codebooks(0)(0).length
-    val dim = coarse(0).length
-    require(query.length == dim, s"query dim ${query.length} != $dim")
-    require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
-    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
-    // probe the nearest coarse cells (exact squared L2, ties to the
-    // lower cell — the kmeansAssign convention)
-    val probed = coarse.zipWithIndex.map { case (c, i) =>
-      var d = 0L; var j = 0
-      while (j < dim) { val x = qq(j) - c(j); d += x * x; j += 1 }
-      (d, i)
-    }.sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
-    // per probed cell: the residual query's m x k ADC table
-    val tables: Map[Int, Seq[Seq[Long]]] = probed.map { cell =>
-      val rq = (0 until dim).map(j => qq(j) - coarse(cell)(j))
-      cell -> (0 until m).map { sub =>
-        codebooks(sub).toSeq.map { cent =>
-          var d2 = 0L; var j = 0
-          while (j < ds) {
-            val diff = rq(sub * ds + j) - cent(j); d2 += diff * diff; j += 1
-          }
-          d2
-        }
-      }
-    }.toMap
-    val qvRaw = kmeansQuantize(col(vecCol), scale)
-    // the residual zip_with would silently null-pad a wrong-dimension
-    // vector (pqEncodeQ then sees a full-length array) — guard the
-    // dimension HERE, like pqEncodeQ does for its own input
-    val qv = when(qvRaw.isNull, lit(null).cast("array<bigint>"))
-      .when(size(qvRaw) === lit(dim), qvRaw)
-      .otherwise(raise_error(concat(
-        lit("ivfpq: vector dimension "), size(qvRaw).cast("string"),
-        lit(s" != $dim"))))
-    val cLit = typedLit(coarse.map(_.toSeq).toSeq)
-    val cellCol = DedupExpressions.kmeansAssign(qv, coarse)
-    val resCol = zip_with(qv, element_at(cLit, cellCol + 1), (a, b) => a - b)
-    val codes = pqEncodeQ(resCol, codebooks)
-    def adc(cell: Int): Column =
-      aggregate(
-        zip_with(col("_codes"), typedLit(Seq.range(0, m)),
-          (c, i) => element_at(element_at(typedLit(tables(cell)), i + 1), c + 1)),
-        lit(0L), (acc, x) => acc + x)
-    val dist = probed.tail.foldLeft(
-      when(col("_cell") === lit(probed.head), adc(probed.head))) {
-      (acc, cell) => acc.when(col("_cell") === lit(cell), adc(cell))
-    }
-    df.select(col(idCol), cellCol.as("_cell"), codes.as("_codes"))
-      .filter(col("_codes").isNotNull && col("_cell").isin(probed.map(Integer.valueOf): _*))
-      .select(col(idCol), col("_cell").cast("long").as("cell"),
-        dist.as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col(idCol).asc)
-      .limit(kTop)
+    val (probed, tables) =
+      ivfPqProbeTables(query, scale, coarse, codebooks, nProbe)
+    ivfPqScoreProbed(
+      ivfPqEncode(df, idCol, vecCol, scale, coarse, codebooks),
+      idCol, "cell", "codes", codebooks.length, probed, tables, kTop)
   }
 
 }

@@ -280,6 +280,13 @@ object StreamIngest {
     * dim at START; a dim that grows past the bound after start is the
     * caller's monitoring problem (documented, not re-counted per
     * batch — that would put a full dim scan on every micro-batch).
+    *
+    * Hot-path callers constructing the enrichment repeatedly (per
+    * micro-batch, in a loop) should pre-validate the dimension ONCE
+    * and pass `knownDimRows = Some(n)` — the guard then checks the
+    * supplied bound without re-scanning the dim at every
+    * construction. The count is the caller's assertion; a dim that
+    * was swapped for a bigger one under the same plan is on them.
     */
   def enrichAsOfScd2(
       events: DataFrame,
@@ -290,12 +297,13 @@ object StreamIngest {
       dimStart: String = "_start",
       dimEnd: String = "_end",
       broadcastDim: Boolean = true,
-      maxBroadcastRows: Long = 10000000L): DataFrame = {
+      maxBroadcastRows: Long = 10000000L,
+      knownDimRows: Option[Long] = None): DataFrame = {
     // qualified references: an event stream that itself came through
     // the store wrap carries _start/_end too — unqualified col()
     // would be AMBIGUOUS_REFERENCE against the default dim columns
     val d = if (broadcastDim) {
-      val n = dim.count()
+      val n = knownDimRows.getOrElse(dim.count())
       require(n <= maxBroadcastRows,
         s"enrichAsOfScd2: dimension has $n rows > maxBroadcastRows=" +
           s"$maxBroadcastRows — broadcasting it would risk a driver OOM. " +
@@ -451,17 +459,37 @@ object StreamIngest {
                   s"enrichAsOfDimStream: null dim payload at key=$key " +
                     s"t_us=${d.t_us} — versions must carry a value")
               }
-              val merged = (st.dims ++ newDims.map(d =>
-                AsOfDimVersion(d.t_us, d.payload)))
-                .sortWith { (x, y) =>
-                  if (x.t_us != y.t_us) x.t_us < y.t_us
-                  else graft.functions.Bpe.cpCompare(x.payload, y.payload) < 0
-                }
-              st = st.copy(dims = merged)
+              // st.dims is ALWAYS sorted (this merge + the watermark
+              // prune both preserve order), so fold a new batch in by
+              // sorting ONLY the batch and linear-merging the two
+              // sorted lists — O(new·log new + existing), not the
+              // O(n log n) full re-sort that degraded a hot key
+              // receiving versions across many micro-batches.
+              // Function VALUES + an iterative merge, not local defs:
+              // a local def lifts onto StreamIngest$ and the state
+              // lambda then captures the (non-serializable) object.
+              val lt = (x: AsOfDimVersion, y: AsOfDimVersion) =>
+                if (x.t_us != y.t_us) x.t_us < y.t_us
+                else graft.functions.Bpe.cpCompare(x.payload, y.payload) < 0
+              val batch = newDims.map(d => AsOfDimVersion(d.t_us, d.payload))
+                .sortWith(lt).toList
+              val out = List.newBuilder[AsOfDimVersion]
+              var a = st.dims
+              var b = batch
+              while (a.nonEmpty && b.nonEmpty) {
+                if (lt(b.head, a.head)) { out += b.head; b = b.tail }
+                else { out += a.head; a = a.tail }
+              }
+              out ++= a
+              out ++= b
+              st = st.copy(dims = out.result())
             }
             if (newEvs.nonEmpty)
+              // PREPEND the batch (O(new), not List ++'s O(existing)):
+              // event order inside state is irrelevant — the flush
+              // sorts `ready` by (t_us, id) and `pending` is a set
               st = st.copy(events =
-                st.events ++ newEvs.map(e => AsOfDimEvent(e.t_us, e.id)))
+                newEvs.map(e => AsOfDimEvent(e.t_us, e.id)).toList ::: st.events)
           }
           // flush: events at or below the watermark have a FINAL pick
           val (ready, pending) = st.events.partition(_.t_us <= wmUs)

@@ -695,4 +695,43 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"rankBy re-grew a window:\n$p")
     }
   }
+
+  test("persisted IVF-PQ serving: probe filter prunes PARTITIONS, tables broadcast-join, no re-encode") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 80).map(i =>
+      (i.toLong, (0 until 8).map(_ => (rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val scale = functions.Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = functions.Similarity.ivfPqFit(df, "vec_id",
+      "embedding", coarseK = 4, m = 2, k = 2, iters = 1, scale = scale)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan")
+      .resolve("codes").toString
+    functions.Similarity.saveIvfPqEncoded(df, "vec_id", "embedding",
+      scale, coarse, cbs, dir)
+    val top = functions.Similarity.ivfPqTopKFromCodes(
+      spark.read.parquet(dir), "vec_id",
+      (0 until 8).map(_ => 0.1f), kTop = 5, scale = scale,
+      coarse = coarse, codebooks = cbs, nProbe = 2)
+    top.collect()
+    val p = top.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the nProbe cell filter must land as on-disk partition pruning —
+    // the 100 TB difference between reading nProbe/coarseK of the
+    // FILES and re-scanning the corpus per query
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"expected partition pruning on cell, got:\n$p")
+    // per-cell ADC tables ride ONE tiny broadcast join (off the plan
+    // tree), not a literal CASE chain that grows O(nProbe*m*k)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the ADC tables as a broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must stay a distributed TakeOrdered:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"serving path must not shuffle:\n$p")
+    // serving READS codes — any quantize/assign in the plan means the
+    // path regressed into re-encoding the corpus per query
+    assert(!p.contains("kmeans_assign") && !p.contains("transform("),
+      s"stored-code serving must not re-encode:\n$p")
+  }
 }

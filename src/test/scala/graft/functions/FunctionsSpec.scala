@@ -865,6 +865,72 @@ class SimilaritySpec extends SparkSpec {
     assert(!topN.contains(99L))
   }
 
+  test("persisted PQ/IVF-PQ codes serve bit-equal top-k; fit fails loud on wrong dims") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val query = vecs(5)._2
+    // plain PQ: stored (id, codes) answers the same top-k as the
+    // raw-vector path, bit for bit (distances included)
+    val pq = Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = 4, k = 3, iters = 2, scale = scale)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pqc")
+      .resolve("codes").toString
+    Similarity.savePqEncoded(df, "vec_id", "embedding", scale, pq, pqDir)
+    val pqGot = Similarity.pqAdcTopKFromCodes(spark.read.parquet(pqDir),
+        "vec_id", query, k = 10, scale = scale, codebooks = pq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pqWant = Similarity.pqAdcTopK(df, "vec_id", "embedding", query,
+        k = 10, scale = scale, codebooks = pq)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pqGot == pqWant, s"persisted PQ diverged:\n$pqGot\nvs\n$pqWant")
+    // IVF-PQ: the cell-partitioned layout answers bit-equal to the
+    // inline-encode path at every nProbe
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 2, scale = scale)
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivfpqc")
+      .resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale,
+      coarse, cbs, ivfDir)
+    val stored = spark.read.parquet(ivfDir)
+    for (nProbe <- Seq(1, 2, 3)) {
+      val got = Similarity.ivfPqTopKFromCodes(stored, "vec_id", query,
+          kTop = 8, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = Similarity.ivfPqTopK(df, "vec_id", "embedding", query,
+          kTop = 8, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want,
+        s"persisted IVF-PQ diverged at nProbe=$nProbe:\n$got\nvs\n$want")
+    }
+    // the stored layout is partitioned by cell and carries every
+    // non-null row exactly once
+    assert(stored.count() == 60)
+    assert(stored.select("cell").distinct().count() <= 3)
+    // FIT inputs with a wrong-dimension row fail loud too (the silent
+    // codebook bias / null-padded residual NPE this guard closes):
+    // both the plain-PQ Lloyd scans and the residual construction
+    val mixed = df.unionByName(
+      Seq((98L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception] {
+      Similarity.pqFitInt8(mixed, "vec_id", "embedding",
+        m = 4, k = 3, iters = 1, scale = scale)
+    }
+    assert(msgs(e1).exists(_.contains("vector dimension")), msgs(e1).mkString(" | "))
+    val e2 = intercept[Exception] {
+      Similarity.ivfPqFit(mixed, "vec_id", "embedding",
+        coarseK = 3, m = 4, k = 3, iters = 1, scale = scale)
+    }
+    assert(msgs(e2).exists(_.contains("vector dimension")), msgs(e2).mkString(" | "))
+  }
+
   test("pq null/dimension contracts: nulls excluded from top-k, wrong dim loud") {
     val rnd = new scala.util.Random(13)
     val base = (0 until 20).map { i =>
