@@ -102,8 +102,9 @@ object Bench {
     // READING codes with partition pruning + one broadcast ADC join
     "q_ann_pq_persisted", "q_ann_ivfpq_persisted",
     // round-12: approximate-batch BPE training (the production
-    // 30k-merge mode, now oracle-gated end to end)
-    "q_bpe_train_approx")
+    // 30k-merge mode, now oracle-gated end to end), and IVF-PQ with
+    // the exact re-rank refine stage over stored codes
+    "q_bpe_train_approx", "q_ann_ivfpq_refined")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat

@@ -2816,6 +2816,28 @@ object SparkEntry {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // IVF-PQ + EXACT RE-RANK (the FAISS refine step): ADC top-50
+    // candidates from the stored cell-partitioned codes, then the
+    // exact integer quantized L2 re-ranks the final top-10 — the
+    // serving recipe that makes PQ's lossy distances safe. Both
+    // distance stages are exact integers; the oracle replays both.
+    "q_ann_ivfpq_refined" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref")
+        .resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
+        coarse, cbs, path)
+      Similarity.ivfPqTopKRefined(s.read.parquet(path), emb, "vec_id",
+          "embedding", query, kTop = 10, rerank = 50, scale = scale,
+          coarse = coarse, codebooks = cbs, nProbe = 2)
+        .orderBy("exact_dist", "vec_id")
+    }),
+
     // Semantic-balance composition: k-means cells capped at a common
     // budget by the md5 bottom-k sampler — the "no cluster dominates
     // the mixture" step of a curation recipe, all existing operators.
@@ -4356,8 +4378,8 @@ object SparkEntry {
     * cell-partitioned codes; PARTITION pruning) — same integers, one
     * oracle pins both.
     */
-  private lazy val AnnIvfPqOracle: String =
-    (s"""WITH $KMeansCtes,
+  private lazy val AnnIvfPqCtes: String =
+    (s"""$KMeansCtes,
        |ivq AS (SELECT v.vec_id, a.cell AS ccell,
        |    list_transform(range(1, 65), j -> v.q[j] - c.q[j]) AS rq
        |  FROM qv v JOIN a3 a ON a.vec_id = v.vec_id
@@ -4383,9 +4405,28 @@ object SparkEntry {
        |    CAST(sum(t.d) AS BIGINT) AS adc_dist
        |  FROM pq_enc e JOIN ivq v ON v.vec_id = e.vec_id
        |  JOIN iq_tbl t ON t.ccell = v.ccell AND t.sub = e.sub AND t.code = e.cell
-       |  GROUP BY e.vec_id)
-       |SELECT vec_id, CAST(ccell AS BIGINT) AS cell, adc_dist FROM iq_score
-       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
+       |  GROUP BY e.vec_id)""".stripMargin)
+
+  private lazy val AnnIvfPqOracle: String =
+    s"WITH $AnnIvfPqCtes " +
+      """SELECT vec_id, CAST(ccell AS BIGINT) AS cell, adc_dist FROM iq_score
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+
+  /** The refined gate's oracle: the full IVF-PQ chain, ADC
+    * top-`rerank` candidates, then the EXACT integer quantized L2
+    * against the query re-ranks the final top-10 — both distance
+    * stages hash-pinned.
+    */
+  private lazy val AnnIvfPqRefinedOracle: String =
+    s"WITH $AnnIvfPqCtes, " +
+      """iq_cand AS (SELECT vec_id, ccell, adc_dist FROM iq_score
+       |  ORDER BY adc_dist, vec_id LIMIT 50),
+       |iq_ex AS (SELECT c.vec_id, CAST(c.ccell AS BIGINT) AS cell, c.adc_dist,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (v.q[j] - q.q[j]) * (v.q[j] - q.q[j]))) AS BIGINT) AS exact_dist
+       |  FROM iq_cand c JOIN qv v ON v.vec_id = c.vec_id CROSS JOIN iq_q q)
+       |SELECT vec_id, cell, adc_dist, exact_dist FROM iq_ex
+       |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin
 
   /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
     * terms join/window/stream, k1=1.2, b=0.75; constants written as
@@ -6766,6 +6807,7 @@ object SparkEntry {
 
       "q_ann_ivfpq" -> AnnIvfPqOracle,
       "q_ann_ivfpq_persisted" -> AnnIvfPqOracle,
+      "q_ann_ivfpq_refined" -> AnnIvfPqRefinedOracle,
 
       "q_kmeans" ->
         s"""WITH $KMeansCtes

@@ -1446,4 +1446,105 @@ object Similarity {
       idCol, "cell", "codes", codebooks.length, probed, tables, kTop)
   }
 
+  /** IVF-PQ with EXACT RE-RANKING — the standard FAISS refine step
+    * that makes PQ's lossy distances safe to serve: stage 1 takes the
+    * ADC top-`rerank` candidates from the STORED code layout
+    * (partition-pruned, [[ivfPqTopKFromCodes]]); stage 2 fetches only
+    * those `rerank` rows' raw vectors (the candidate ids ride a tiny
+    * broadcast join — at 100 TB this is a point-lookup against the
+    * vector table, which an id-bucketed layout turns into file
+    * pruning) and re-ranks by the EXACT integer quantized L2
+    * distance. Returns `(idCol, cell, adc_dist, exact_dist)` ordered
+    * by `(exact_dist, id)` — every column exact-integer, so the gate
+    * hash-pins both distance stages. `rerank ≥ kTop` required; ADC
+    * recall errors beyond rank `rerank` are the documented
+    * approximation (raise `rerank`/`nProbe` to taste).
+    */
+  def ivfPqTopKRefined(
+      codes: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      kTop: Int,
+      rerank: Int,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      nProbe: Int): DataFrame = {
+    require(kTop >= 1, s"kTop must be >= 1, got $kTop")
+    require(rerank >= kTop, s"rerank=$rerank must be >= kTop=$kTop")
+    val dim = coarse(0).length
+    require(query.length == dim, s"query dim ${query.length} != $dim")
+    val cand = ivfPqTopKFromCodes(codes, idCol, query, rerank, scale,
+      coarse, codebooks, nProbe)
+    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val qvRaw = kmeansQuantize(col(vecCol), scale)
+    // same loud dimension contract as the fit/encode/query paths —
+    // zip_with would null-pad a short vector into a null sum
+    val qv = when(qvRaw.isNull, lit(null).cast("array<bigint>"))
+      .when(size(qvRaw) === lit(dim), qvRaw)
+      .otherwise(raise_error(concat(
+        lit("ivfpq refine: vector dimension "), size(qvRaw).cast("string"),
+        lit(s" != $dim"))))
+    raw.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol), col("cell"), col("adc_dist"),
+        aggregate(
+          zip_with(qv, typedLit(qq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("exact_dist"))
+      .orderBy(col("exact_dist").asc, col(idCol).asc)
+      .limit(kTop)
+  }
+
+  /** Persist the IVF-PQ index PARAMETERS — the artifact that lets a
+    * serving job answer queries without re-fitting (the
+    * saveTokenizer precedent: train once, every consumer loads):
+    * one parquet table of `(kind, sub, idx, vec, scale)` rows —
+    * `kind = 'coarse'` carries the coarseK cell centroids,
+    * `kind = 'codebook'` the m×k sub-space centroids. Pass
+    * `coarse = Array.empty` to persist a plain-PQ index (no cells).
+    */
+  def saveIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]]): Unit = {
+    import spark.implicits._
+    val rows =
+      coarse.zipWithIndex.toSeq.map { case (c, i) =>
+        ("coarse", -1, i, c.toSeq, scale)
+      } ++
+      codebooks.zipWithIndex.toSeq.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.toSeq.map { case (c, code) =>
+          ("codebook", sub, code, c.toSeq, scale)
+        }
+      }
+    rows.toDF("kind", "sub", "idx", "vec", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveIvfPqIndex]] artifact back as
+    * `(scale, coarse, codebooks)` — `coarse` is empty for a plain-PQ
+    * index. Bounded collect by construction (coarseK + m·k rows).
+    */
+  def loadIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Double, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val all = spark.read.parquet(path).collect()
+    require(all.nonEmpty, s"empty IVF-PQ index at $path")
+    val scale = all.head.getAs[Double]("scale")
+    val coarse = all.filter(_.getAs[String]("kind") == "coarse")
+      .sortBy(_.getAs[Int]("idx"))
+      .map(_.getAs[Seq[Long]]("vec").toArray)
+    val cbRows = all.filter(_.getAs[String]("kind") == "codebook")
+    val m = if (cbRows.isEmpty) 0 else cbRows.map(_.getAs[Int]("sub")).max + 1
+    val codebooks = (0 until m).toArray.map { sub =>
+      cbRows.filter(_.getAs[Int]("sub") == sub)
+        .sortBy(_.getAs[Int]("idx"))
+        .map(_.getAs[Seq[Long]]("vec").toArray)
+    }
+    (scale, coarse, codebooks)
+  }
+
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-latency probe for the persisted IVF-PQ layout: at 1M+
+  * vectors, compare a top-k answered by the inline-encode path
+  * (ivfPqTopK — full scan, coarse assign + m sub-assigns per row,
+  * per query) against the stored-codes path (ivfPqTopKFromCodes over
+  * saveIvfPqEncoded's cell-partitioned layout — partition-pruned scan
+  * of m-byte codes + one broadcast ADC join). The gate corpus (2k
+  * vectors) proves bit-equality; this records the latency gap the
+  * layout exists for.
+  *
+  * `sbt "Test/runMain graft.AnnProbe [nVecs] [coarseK] [nProbe]"`.
+  */
+object AnnProbe {
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.lift(0).map(_.toLong).getOrElse(1000000L)
+    val coarseK = args.lift(1).map(_.toInt).getOrElse(64)
+    val nProbe = args.lift(2).map(_.toInt).getOrElse(4)
+    val dim = 64
+    val m = 8
+    val k = 16
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-52s $s%8.2f s")
+      (r, s)
+    }
+
+    // deterministic dense vectors: hash-derived floats in [-1, 1)
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => ((pmod(hash(col("id"), j), lit(20001)) - lit(10000)) / lit(10000.0))
+          .cast("float")).as("embedding"))
+    vecs.write.mode("overwrite").parquet("/tmp/ann_probe_vecs")
+    val saved = spark.read.parquet("/tmp/ann_probe_vecs")
+
+    val scale = functions.Similarity.kmeansGlobalScale(saved, "embedding")
+    val ((coarse, cbs), _) = timed(s"ivfPqFit ($nVecs vecs, coarseK=$coarseK, m=$m, k=$k)") {
+      functions.Similarity.ivfPqFit(saved, "vec_id", "embedding",
+        coarseK = coarseK, m = m, k = k, iters = 2, scale = scale)
+    }
+    val (_, tSave) = timed("saveIvfPqEncoded (encode once, partitioned by cell)") {
+      functions.Similarity.saveIvfPqEncoded(saved, "vec_id", "embedding",
+        scale, coarse, cbs, "/tmp/ann_probe_codes")
+    }
+    val codes = spark.read.parquet("/tmp/ann_probe_codes")
+    val query = saved.filter(col("vec_id") === 42).head.getSeq[Float](1)
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val recompute = (1 to 3).map { i =>
+      timed(s"ivfPqTopK recompute path (run $i)") {
+        functions.Similarity.ivfPqTopK(saved, "vec_id", "embedding", query,
+          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = nProbe).collect()
+      }._2
+    }
+    val persisted = (1 to 3).map { i =>
+      timed(s"ivfPqTopKFromCodes persisted path (run $i)") {
+        functions.Similarity.ivfPqTopKFromCodes(codes, "vec_id", query,
+          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = nProbe).collect()
+      }._2
+    }
+    // the two paths must agree bit-for-bit at probe scale too
+    val a = functions.Similarity.ivfPqTopK(saved, "vec_id", "embedding", query,
+      kTop = 10, scale = scale, coarse = coarse, codebooks = cbs, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = functions.Similarity.ivfPqTopKFromCodes(codes, "vec_id", query,
+      kTop = 10, scale = scale, coarse = coarse, codebooks = cbs, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    require(a == b, s"persisted top-k diverged:\n$a\nvs\n$b")
+    println(f"[probe] ANN serving at $nVecs%d vecs, nProbe=$nProbe/$coarseK: " +
+      f"recompute ${median(recompute)}%.2f s vs persisted ${median(persisted)}%.2f s " +
+      f"(${median(recompute) / median(persisted)}%.1fx; one-time encode+store $tSave%.1f s; " +
+      f"top-10 bit-equal)")
+    spark.stop()
+  }
+}

@@ -931,6 +931,67 @@ class SimilaritySpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("vector dimension")), msgs(e2).mkString(" | "))
   }
 
+  test("IVF-PQ index artifact round-trips; refined top-k == driver exact re-rank") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 2, scale = scale)
+    // artifact: save + load returns the identical parameters (the
+    // saveTokenizer precedent — serving jobs never re-fit)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+      .resolve("idx").toString
+    Similarity.saveIvfPqIndex(spark, idxDir, scale, coarse, cbs)
+    val (s2, c2, b2) = Similarity.loadIvfPqIndex(spark, idxDir)
+    assert(s2 == scale)
+    assert(c2.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq)
+    assert(b2.map(_.map(_.toSeq).toSeq).toSeq == cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    // plain-PQ artifact: empty coarse round-trips as empty
+    val pqIdxDir = java.nio.file.Files.createTempDirectory("graft-pq-idx")
+      .resolve("idx").toString
+    Similarity.saveIvfPqIndex(spark, pqIdxDir, scale, Array.empty, cbs)
+    val (s3, c3, b3) = Similarity.loadIvfPqIndex(spark, pqIdxDir)
+    assert(s3 == scale && c3.isEmpty)
+    assert(b3.map(_.map(_.toSeq).toSeq).toSeq == cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    // refined serving: ADC top-rerank candidates from stored codes,
+    // exact integer re-rank — equals the driver reference end to end
+    val codesDir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rc")
+      .resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale,
+      coarse, cbs, codesDir)
+    val query = vecs(5)._2
+    val got = Similarity.ivfPqTopKRefined(spark.read.parquet(codesDir), df,
+        "vec_id", "embedding", query, kTop = 5, rerank = 12, scale = scale,
+        coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qq = quant(query)
+    val cand = Similarity.ivfPqTopK(df, "vec_id", "embedding", query,
+        kTop = 12, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byId = vecs.toMap
+    val want = cand.map { case (id, cell, adc) =>
+      (id, cell, adc, d2(quant(byId(id)), qq))
+    }.sortBy { case (id, _, _, ex) => (ex, id) }.take(5)
+    assert(got == want, s"refined top-k diverged:\n$got\nvs\n$want")
+    // the exact winner can differ from the ADC winner — the refine
+    // stage must actually reorder when ADC and exact disagree; assert
+    // the output is exact-ordered (not adc-ordered)
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRefined(spark.read.parquet(codesDir), df,
+        "vec_id", "embedding", query, kTop = 10, rerank = 5, scale = scale,
+        coarse = coarse, codebooks = cbs, nProbe = 2)
+    }
+  }
+
   test("pq null/dimension contracts: nulls excluded from top-k, wrong dim loud") {
     val rnd = new scala.util.Random(13)
     val base = (0 until 20).map { i =>
