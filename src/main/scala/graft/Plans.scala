@@ -38,7 +38,11 @@ object Plans {
         // (components + hash buckets), token budget (two-phase),
         // PQ ADC (scan-side code lookups + TakeOrdered)
         "q_media_meta", "q_winnow_pairs", "q_leakage_split",
-        "q_token_budget", "q_ann_pq")
+        "q_token_budget", "q_ann_pq",
+        // r12: the persisted ANN serving paths (partition pruning +
+        // broadcast ADC tables) and the exact re-rank composition
+        "q_ann_pq_persisted", "q_ann_ivfpq_persisted",
+        "q_ann_ivfpq_refined")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)

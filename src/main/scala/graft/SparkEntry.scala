@@ -202,6 +202,14 @@ object SparkEntry {
       StructField("n_chars", LongType)))
   }
 
+  private val EmbeddingsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+  }
+
   private def eventMicros(ev: DataFrame): Column =
     ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
@@ -2816,6 +2824,31 @@ object SparkEntry {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // STREAMING PQ screen: incoming embeddings scored statelessly
+    // against a fixed anchor (vec 0) with stored codebooks — the
+    // deployment that routes/filters a vector feed by distance
+    // (semantic dedup admission, topic gating) without any state
+    // store. Stateless => the streamed distances ARE the batch
+    // distances, so the oracle is the batch ADC replay over every
+    // row (no top-k). Codebooks fit once on the static table and
+    // ride the task closure exactly as a cluster broadcast would.
+    "q_stream_pq_screen" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val cbs = Similarity.pqFitInt8(emb, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      runStreamGate(s, dir, "embeddings", EmbeddingsStreamSchema,
+          "pqscreen", "append") { st =>
+        st.select(col("vec_id"),
+          Similarity.pqAdcDistance(
+            Similarity.pqEncodeQ(
+              Similarity.kmeansQuantize(col("embedding"), scale), cbs),
+            query, scale, cbs).as("adc_dist"))
+      }.orderBy("vec_id")
+    }),
+
     // IVF-PQ + EXACT RE-RANK (the FAISS refine step): ADC top-50
     // candidates from the stored cell-partitioned codes, then the
     // exact integer quantized L2 re-ranks the final top-10 — the
@@ -4344,8 +4377,8 @@ object SparkEntry {
     * q_ann_pq_persisted (stored codes) — the two Spark paths are
     * bit-equal by construction, so one oracle pins both.
     */
-  private lazy val AnnPqOracle: String =
-    (s"""WITH sc AS (
+  private lazy val AnnPqCtes: String =
+    (s"""sc AS (
        |  SELECT max(list_max(list_transform(embedding,
        |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
        |qv AS (
@@ -4365,9 +4398,12 @@ object SparkEntry {
        |pq_score AS (
        |  SELECT e.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
        |  FROM pq_enc e JOIN pq_tbl t ON t.sub = e.sub AND t.cell = e.cell
-       |  GROUP BY 1)
-       |SELECT vec_id, adc_dist FROM pq_score
-       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin)
+       |  GROUP BY 1)""".stripMargin)
+
+  private lazy val AnnPqOracle: String =
+    s"WITH $AnnPqCtes " +
+      """SELECT vec_id, adc_dist FROM pq_score
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
 
   /** The q_ann_ivfpq oracle: IVF-PQ replayed whole — the coarse
     * k-means (KMeansCtes), the integer residuals, the sub-space PQ
@@ -6804,6 +6840,12 @@ object SparkEntry {
       // persisted-codes serving twin (bit-equal Spark paths).
       "q_ann_pq" -> AnnPqOracle,
       "q_ann_pq_persisted" -> AnnPqOracle,
+
+      // the stateless stream screen = the batch ADC replay over
+      // EVERY row (same fit chain, no top-k)
+      "q_stream_pq_screen" ->
+        (s"WITH $AnnPqCtes " +
+          "SELECT vec_id, adc_dist FROM pq_score ORDER BY vec_id"),
 
       "q_ann_ivfpq" -> AnnIvfPqOracle,
       "q_ann_ivfpq_persisted" -> AnnIvfPqOracle,

@@ -1189,6 +1189,30 @@ object Similarity {
     * Returns `(idCol, adc_dist)` ascending — exact integers,
     * bit-equal to [[pqAdcTopK]] over the raw vectors.
     */
+  /** The exact integer ADC distance of a CODES column against one
+    * query — the scalar form of the serving scorer, usable in any
+    * projection (batch scans, STREAMS — a stateless embedding screen
+    * routes/filters incoming vectors by distance to a fixed anchor).
+    * Driver builds the `m × k` table once; each row pays m lookups.
+    */
+  def pqAdcDistance(
+      codes: Column,
+      query: Seq[Float],
+      scale: Double,
+      codebooks: Array[Array[Array[Long]]]): Column = {
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    require(query.length == m * ds,
+      s"query dim ${query.length} != m*ds = ${m * ds}")
+    // the kernel's quantization, verbatim (floor(x·127/scale + 0.5))
+    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val tLit = typedLit(pqAdcTable(qq, codebooks))
+    aggregate(
+      zip_with(codes, typedLit(Seq.range(0, m)),
+        (c, i) => element_at(element_at(tLit, i + 1), c + 1)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   def pqAdcTopKFromCodes(
       codes: DataFrame,
       idCol: String,
@@ -1198,22 +1222,12 @@ object Similarity {
       codebooks: Array[Array[Array[Long]]],
       codesCol: String = "codes"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val m = codebooks.length
-    val ds = codebooks(0)(0).length
-    require(query.length == m * ds,
-      s"query dim ${query.length} != m*ds = ${m * ds}")
-    // the kernel's quantization, verbatim (floor(x·127/scale + 0.5))
-    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
-    val tLit = typedLit(pqAdcTable(qq, codebooks))
     // null codes are EXCLUDED (a null adc_dist would otherwise sort
     // FIRST under Spark's ascending default and occupy top-k slots);
     // the stored layout never contains them, raw-vector callers might
     codes.filter(col(codesCol).isNotNull)
       .select(col(idCol),
-        aggregate(
-          zip_with(col(codesCol), typedLit(Seq.range(0, m)),
-            (c, i) => element_at(element_at(tLit, i + 1), c + 1)),
-          lit(0L), (acc, x) => acc + x).as("adc_dist"))
+        pqAdcDistance(col(codesCol), query, scale, codebooks).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
   }
