@@ -42,7 +42,7 @@ object Plans {
         // r12: the persisted ANN serving paths (partition pruning +
         // broadcast ADC tables) and the exact re-rank composition
         "q_ann_pq_persisted", "q_ann_ivfpq_persisted",
-        "q_ann_ivfpq_refined")
+        "q_ann_ivfpq_refined", "q_ann_ivfpq_knn")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)

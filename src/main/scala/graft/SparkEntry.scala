@@ -2849,6 +2849,29 @@ object SparkEntry {
       }.orderBy("vec_id")
     }),
 
+    // BULK ANN retrieval: a 5-query table joined against the stored
+    // cell-partitioned codes — per-query probe cells computed
+    // scan-side, ONE equi-join on the cell id, residual ADC from the
+    // codebook literal, per-query top-5 via the buffer-capped
+    // bottom-k aggregate. The "neighbors for a million prompts"
+    // shape; distances AND ranks exact-integer, oracle-pinned.
+    "q_ann_ivfpq_knn" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-knn")
+        .resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
+        coarse, cbs, path)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqKnnJoin(queries, "query_id", "embedding",
+          s.read.parquet(path), "vec_id", k = 5, scale = scale,
+          coarse = coarse, codebooks = cbs, nProbe = 2)
+        .orderBy("query_id", "rk")
+    }),
+
     // IVF-PQ + EXACT RE-RANK (the FAISS refine step): ADC top-50
     // candidates from the stored cell-partitioned codes, then the
     // exact integer quantized L2 re-ranks the final top-10 — the
@@ -4463,6 +4486,43 @@ object SparkEntry {
        |  FROM iq_cand c JOIN qv v ON v.vec_id = c.vec_id CROSS JOIN iq_q q)
        |SELECT vec_id, cell, adc_dist, exact_dist FROM iq_ex
        |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin
+
+  /** The bulk-retrieval oracle: the shared coarse+residual+PQ chain,
+    * then PER QUERY (vec_id < 5) — probe cells by row_number over the
+    * exact integer cell distances, per-(query, cell) residual ADC
+    * tables, candidate scoring restricted to each query's probed
+    * cells, and the 1-based (adc_dist, vec_id) rank — the multi-query
+    * generalization of AnnIvfPqOracle's single-query tail.
+    */
+  private lazy val AnnIvfPqKnnOracle: String =
+    s"WITH $AnnIvfPqCtes, " +
+      """kq AS (SELECT vec_id AS qid, q FROM qv WHERE vec_id < 5),
+       |kpd AS (SELECT k.qid, c.cell,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> (k.q[j] - c.q[j]) * (k.q[j] - c.q[j]))) AS d
+       |  FROM c2 c CROSS JOIN kq k),
+       |kprobe AS (SELECT qid, cell FROM (
+       |  SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+       |  FROM kpd) WHERE rn <= 2),
+       |kres AS (SELECT p.qid, p.cell,
+       |    list_transform(range(1, 65), j -> k.q[j] - c.q[j]) AS rq
+       |  FROM kprobe p JOIN kq k USING (qid) JOIN c2 c USING (cell)),
+       |ktbl AS (SELECT r.qid, r.cell AS ccell, pc.sub, pc.cell AS code,
+       |    list_sum(list_transform(range(1, 17),
+       |      j -> (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]) *
+       |           (r.rq[CAST(pc.sub * 16 + j AS INTEGER)] - pc.sq[j]))) AS d
+       |  FROM kres r CROSS JOIN pq_c2 pc),
+       |kscore AS (SELECT t.qid, e.vec_id, max(v.ccell) AS ccell,
+       |    CAST(sum(t.d) AS BIGINT) AS adc_dist
+       |  FROM pq_enc e JOIN ivq v ON v.vec_id = e.vec_id
+       |  JOIN ktbl t ON t.ccell = v.ccell AND t.sub = e.sub AND t.code = e.cell
+       |  GROUP BY t.qid, e.vec_id),
+       |krank AS (SELECT qid, vec_id, ccell, adc_dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+       |  FROM kscore)
+       |SELECT qid AS query_id, vec_id, CAST(ccell AS BIGINT) AS cell,
+       |  adc_dist, CAST(rn AS BIGINT) AS rk
+       |FROM krank WHERE rn <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
     * terms join/window/stream, k1=1.2, b=0.75; constants written as
@@ -6850,6 +6910,7 @@ object SparkEntry {
       "q_ann_ivfpq" -> AnnIvfPqOracle,
       "q_ann_ivfpq_persisted" -> AnnIvfPqOracle,
       "q_ann_ivfpq_refined" -> AnnIvfPqRefinedOracle,
+      "q_ann_ivfpq_knn" -> AnnIvfPqKnnOracle,
 
       "q_kmeans" ->
         s"""WITH $KMeansCtes

@@ -1510,6 +1510,97 @@ object Similarity {
       .limit(kTop)
   }
 
+  /** BULK ANN retrieval — a QUERY TABLE joined against the stored
+    * IVF-PQ code layout (the "fetch neighbors for a million prompts"
+    * shape that single-query `ivfPqTopKFromCodes` cannot batch):
+    *
+    *  1. each query row computes its own `nProbe` probe cells
+    *     SCAN-SIDE (exact integer distances to the coarse centroids,
+    *     `array_sort` of `(dist, cell)` structs — the kmeansAssign
+    *     tie order) and explodes to `(query, probe cell, residual)`;
+    *  2. one EQUI-JOIN on the cell id against the code table — with
+    *     a broadcastable query side this is a scan-side hash probe,
+    *     and because [[saveIvfPqEncoded]] partitioned the codes by
+    *     cell, Spark's dynamic partition pruning skips unprobed
+    *     cells' files at runtime (the multi-query analog of the
+    *     static `PartitionFilters`);
+    *  3. the residual ADC distance is computed scan-side from the
+    *     codebook literal (`m` sub-distances per candidate row);
+    *  4. per-query top-`k` via the buffer-capped [[BottomKByExpr]]
+    *     aggregate — a hot query never sorts its candidate set on
+    *     one reducer, every buffer is ≤ 2k rows.
+    *
+    * Everything is exact-integer, so the gate hash-pins distances
+    * AND ranks. Returns `(qIdCol, idCol, cell, adc_dist, rk)` —
+    * `rk` is the 1-based ascending `(adc_dist, id)` rank.
+    */
+  def ivfPqKnnJoin(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      codes: DataFrame,
+      idCol: String,
+      k: Int,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      nProbe: Int,
+      cellCol: String = "cell",
+      codesCol: String = "codes",
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      s"nProbe must be in [1, ${coarse.length}], got $nProbe")
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    val dim = coarse(0).length
+    require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
+    val qvRaw = kmeansQuantize(col(qVecCol), scale)
+    val qv = when(qvRaw.isNull, lit(null).cast("array<bigint>"))
+      .when(size(qvRaw) === lit(dim), qvRaw)
+      .otherwise(raise_error(concat(
+        lit("ivfpq knn: query dimension "), size(qvRaw).cast("string"),
+        lit(s" != $dim"))))
+    val cLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // per-query probe cells, scan-side: (dist, cell) structs sort by
+    // field order == the single-query driver probe's (d, i) tie rule
+    val cellDists = transform(sequence(lit(0), lit(coarse.length - 1)), c =>
+      struct(
+        aggregate(zip_with(qv, element_at(cLit, c + 1), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        c.as("cell")))
+    val probed = queries
+      .filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol), qv.as("_qv"),
+        explode(slice(array_sort(cellDists), 1, nProbe)).as("_p"))
+      .select(col(qIdCol),
+        col("_p.cell").as("_qcell"),
+        zip_with(col("_qv"), element_at(cLit, col("_p.cell") + 1),
+          (a, b) => a - b).as("_rq"))
+    val qSide = if (broadcastQueries) broadcast(probed) else probed
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // residual ADC from the codebook literal: m sub-distances summed
+    val dist = aggregate(
+      zip_with(col(codesCol), typedLit(Seq.range(0, m)), (code, sub) =>
+        aggregate(
+          zip_with(slice(col("_rq"), sub * lit(ds) + lit(1), lit(ds)),
+            element_at(element_at(cbLit, sub + 1), code + 1),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)),
+      lit(0L), (acc, x) => acc + x)
+    codes.filter(col(codesCol).isNotNull)
+      .join(qSide, col(cellCol) === col("_qcell"))
+      .select(col(qIdCol),
+        struct(dist.as("p"), col(idCol).cast("long").as("t"),
+          col(idCol), col(cellCol).cast("long").as("cell"),
+          dist.as("adc_dist")).as("_e"))
+      .groupBy(col(qIdCol))
+      .agg(DedupExpressions.bottomKBy(col("_e"), k).as("_ks"))
+      .select(col(qIdCol), posexplode(col("_ks")).as(Seq("_r", "_e")))
+      .select(col(qIdCol), col(s"_e.$idCol"), col("_e.cell"),
+        col("_e.adc_dist"), (col("_r") + 1).cast("long").as("rk"))
+  }
+
   /** Persist the IVF-PQ index PARAMETERS — the artifact that lets a
     * serving job answer queries without re-fitting (the
     * saveTokenizer precedent: train once, every consumer loads):

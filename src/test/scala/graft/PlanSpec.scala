@@ -734,4 +734,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("kmeans_assign") && !p.contains("transform("),
       s"stored-code serving must not re-encode:\n$p")
   }
+
+  test("ivfPqKnnJoin: dynamic partition pruning on the code scan, bottom-k agg, no window") {
+    // drive the actual gate (sf0.01 embeddings): DPP's benefit
+    // heuristic rejects toy fixtures, and the pin exists to keep the
+    // GATE's plan honest
+    val joined = SparkEntry.queries("q_ann_ivfpq_knn")(spark, sfDir)
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the multi-query analog of the static probe filter: Spark's
+    // dynamic partition pruning must skip unprobed cells' FILES at
+    // runtime off the broadcast query side
+    assert(p.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the code scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+    // per-query top-k rides the buffer-capped aggregate, never a
+    // window sort of the whole candidate set on one reducer
+    assert(p.contains("bottom_k_by"), s"expected bottom_k_by agg:\n$p")
+    assert(!p.contains("Window"), s"knn join re-grew a window:\n$p")
+  }
 }

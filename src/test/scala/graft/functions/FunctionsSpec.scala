@@ -992,6 +992,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqKnnJoin == per-query ivfPqTopKFromCodes for every query") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 2, scale = scale)
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-codes")
+      .resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale, coarse, cbs, dir)
+    val codes = spark.read.parquet(dir)
+    val queries = df.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfPqKnnJoin(queries, "query_id", "embedding",
+        codes, "vec_id", k = 5, scale = scale, coarse = coarse,
+        codebooks = cbs, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(x => (x._1, x._5))
+    val want = (0L until 7L).flatMap { qid =>
+      val q = vecs(qid.toInt)._2
+      Similarity.ivfPqTopKFromCodes(codes, "vec_id", q, kTop = 5,
+          scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+        .collect().zipWithIndex
+        .map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), r.getLong(2), (i + 1).toLong) }
+    }
+    assert(got == want, s"knn join diverged:\n$got\nvs\n$want")
+    // a null query vanishes; a wrong-dimension query fails loud
+    val withNull = queries.unionByName(Seq(
+        (99L, null.asInstanceOf[Seq[Float]])).toDF("query_id", "embedding"))
+    val okIds = Similarity.ivfPqKnnJoin(withNull, "query_id", "embedding",
+        codes, "vec_id", k = 2, scale = scale, coarse = coarse,
+        codebooks = cbs, nProbe = 2)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(okIds == (0L until 7L).toSet)
+    val bad = Seq((98L, Seq(0.1f, 0.2f))).toDF("query_id", "embedding")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      Similarity.ivfPqKnnJoin(bad, "query_id", "embedding", codes, "vec_id",
+        k = 2, scale = scale, coarse = coarse, codebooks = cbs,
+        nProbe = 2).collect()
+    }
+    assert(msgs(e).exists(_.contains("query dimension")), msgs(e).mkString(" | "))
+  }
+
   test("pq null/dimension contracts: nulls excluded from top-k, wrong dim loud") {
     val rnd = new scala.util.Random(13)
     val base = (0 until 20).map { i =>
