@@ -2841,11 +2841,16 @@ object SparkEntry {
         .select("embedding").head.getSeq[Float](0)
       runStreamGate(s, dir, "embeddings", EmbeddingsStreamSchema,
           "pqscreen", "append") { st =>
-        st.select(col("vec_id"),
-          Similarity.pqAdcDistance(
-            Similarity.pqEncodeQ(
-              Similarity.kmeansQuantize(col("embedding"), scale), cbs),
-            query, scale, cbs).as("adc_dist"))
+        // drop null vectors BEFORE scoring — the oracle's pq_enc join
+        // drops them too, so streamed == batch holds by construction
+        // even if the fixture ever grows a null embedding (a null
+        // adc_dist row would otherwise appear on the Spark side only)
+        st.filter(col("embedding").isNotNull)
+          .select(col("vec_id"),
+            Similarity.pqAdcDistance(
+              Similarity.pqEncodeQ(
+                Similarity.kmeansQuantize(col("embedding"), scale), cbs),
+              query, scale, cbs).as("adc_dist"))
       }.orderBy("vec_id")
     }),
 

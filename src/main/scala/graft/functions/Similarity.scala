@@ -1189,11 +1189,29 @@ object Similarity {
     * Returns `(idCol, adc_dist)` ascending — exact integers,
     * bit-equal to [[pqAdcTopK]] over the raw vectors.
     */
+  /** Loud length contract for a stored CODES column: `m` codebooks
+    * can only score `m`-code rows — a codes table written with a
+    * DIFFERENT m (a stale or wrong index artifact) would otherwise
+    * null-pad through `zip_with`, emit NULL distances, and those
+    * sort FIRST under the ascending top-k — the exact
+    * nulls-occupy-top-k hazard the raw-vector paths already fail
+    * loud on. Null rows keep propagating null (the family's null
+    * contract; callers filter).
+    */
+  private def guardedCodes(codes: Column, m: Int, ctx: String): Column =
+    when(codes.isNull, lit(null).cast("array<int>"))
+      .when(size(codes) === lit(m), codes)
+      .otherwise(raise_error(concat(
+        lit(s"$ctx: stored code length "), size(codes).cast("string"),
+        lit(s" != m = $m — codes were written with a different codebook set"))))
+
   /** The exact integer ADC distance of a CODES column against one
     * query — the scalar form of the serving scorer, usable in any
     * projection (batch scans, STREAMS — a stateless embedding screen
     * routes/filters incoming vectors by distance to a fixed anchor).
     * Driver builds the `m × k` table once; each row pays m lookups.
+    * Wrong-length codes fail loud ([[guardedCodes]]); null codes
+    * yield a null distance.
     */
   def pqAdcDistance(
       codes: Column,
@@ -1208,7 +1226,7 @@ object Similarity {
     val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
     val tLit = typedLit(pqAdcTable(qq, codebooks))
     aggregate(
-      zip_with(codes, typedLit(Seq.range(0, m)),
+      zip_with(guardedCodes(codes, m, "pq adc"), typedLit(Seq.range(0, m)),
         (c, i) => element_at(element_at(tLit, i + 1), c + 1)),
       lit(0L), (acc, x) => acc + x)
   }
@@ -1403,7 +1421,8 @@ object Similarity {
       .join(broadcast(tbls), col(cellCol) === col("__pcell"))
       .select(col(idCol), col(cellCol).cast("long").as("cell"),
         aggregate(
-          zip_with(col(codesCol), typedLit(Seq.range(0, m)),
+          zip_with(guardedCodes(col(codesCol), m, "ivfpq adc"),
+            typedLit(Seq.range(0, m)),
             (c, i) => element_at(element_at(col("__tbl"), i + 1), c + 1)),
           lit(0L), (acc, x) => acc + x).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
@@ -1493,10 +1512,20 @@ object Similarity {
     val cand = ivfPqTopKFromCodes(codes, idCol, query, rerank, scale,
       coarse, codebooks, nProbe)
     val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    // Contract: the code table is a SUBSET of `raw` (encode wrote it
+    // from raw) — a candidate missing from raw (codes lagging a
+    // delete) drops out of the inner join; keep the two in sync. A
+    // candidate PRESENT with a nulled vector fails LOUD — its NULL
+    // exact_dist would otherwise sort into the top slot. The inner
+    // join keeps `raw`'s scan a broadcast hash probe (a left join
+    // from the broadcast candidates cannot build on the small side).
     val qvRaw = kmeansQuantize(col(vecCol), scale)
     // same loud dimension contract as the fit/encode/query paths —
     // zip_with would null-pad a short vector into a null sum
-    val qv = when(qvRaw.isNull, lit(null).cast("array<bigint>"))
+    val qv = when(qvRaw.isNull,
+        raise_error(concat(lit("ivfpq refine: candidate id "),
+          col(idCol).cast("string"),
+          lit(" has a null raw vector — re-encode or repair the table"))))
       .when(size(qvRaw) === lit(dim), qvRaw)
       .otherwise(raise_error(concat(
         lit("ivfpq refine: vector dimension "), size(qvRaw).cast("string"),
@@ -1551,6 +1580,24 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1 && nProbe <= coarse.length,
       s"nProbe must be in [1, ${coarse.length}], got $nProbe")
+    // the join output carries both id columns — same-named sides
+    // would make every downstream col(qIdCol) ambiguous
+    require(qIdCol != idCol,
+      s"qIdCol and idCol are both '$qIdCol' — alias the query id " +
+        "(e.g. .withColumnRenamed) before joining")
+    // the bottom-k tie key is the corpus id cast to long — same
+    // contract knnJoin enforces; a string-keyed corpus would throw an
+    // opaque ANSI cast mid-job (or rank nondeterministically with
+    // ANSI off), so refuse it loud up front
+    codes.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"ivfPqKnnJoin: idCol '$idCol' must be integral (the bottom-k " +
+          s"tie key), got ${other.simpleString}")
+    }
     val m = codebooks.length
     val ds = codebooks(0)(0).length
     val dim = coarse(0).length
@@ -1581,7 +1628,8 @@ object Similarity {
     val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     // residual ADC from the codebook literal: m sub-distances summed
     val dist = aggregate(
-      zip_with(col(codesCol), typedLit(Seq.range(0, m)), (code, sub) =>
+      zip_with(guardedCodes(col(codesCol), m, "ivfpq knn"),
+        typedLit(Seq.range(0, m)), (code, sub) =>
         aggregate(
           zip_with(slice(col("_rq"), sub * lit(ds) + lit(1), lit(ds)),
             element_at(element_at(cbLit, sub + 1), code + 1),
@@ -1590,10 +1638,14 @@ object Similarity {
       lit(0L), (acc, x) => acc + x)
     codes.filter(col(codesCol).isNotNull)
       .join(qSide, col(cellCol) === col("_qcell"))
+      // project the ADC sum ONCE — HOF aggregates are interpreted and
+      // CSE across two struct fields is not guaranteed, so embedding
+      // `dist` twice would double the hot join's per-row cost
+      .select(col(qIdCol), col(idCol), col(cellCol), dist.as("_adc"))
       .select(col(qIdCol),
-        struct(dist.as("p"), col(idCol).cast("long").as("t"),
+        struct(col("_adc").as("p"), col(idCol).cast("long").as("t"),
           col(idCol), col(cellCol).cast("long").as("cell"),
-          dist.as("adc_dist")).as("_e"))
+          col("_adc").as("adc_dist")).as("_e"))
       .groupBy(col(qIdCol))
       .agg(DedupExpressions.bottomKBy(col("_e"), k).as("_ks"))
       .select(col(qIdCol), posexplode(col("_ks")).as(Seq("_r", "_e")))

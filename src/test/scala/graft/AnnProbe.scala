@@ -86,6 +86,19 @@ object AnnProbe {
       f"recompute ${median(recompute)}%.2f s vs persisted ${median(persisted)}%.2f s " +
       f"(${median(recompute) / median(persisted)}%.1fx; one-time encode+store $tSave%.1f s; " +
       f"top-10 bit-equal)")
+
+    // bulk retrieval: a query TABLE against the same stored codes —
+    // per-query probes, one DPP-pruned equi-join, bottom-k agg
+    val nQueries = args.lift(3).map(_.toInt).getOrElse(1000)
+    val queries = saved.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (nOut, tKnn) = timed(s"ivfPqKnnJoin ($nQueries queries x top-10, nProbe=$nProbe)") {
+      functions.Similarity.ivfPqKnnJoin(queries, "query_id", "embedding",
+        codes, "vec_id", k = 10, scale = scale, coarse = coarse,
+        codebooks = cbs, nProbe = nProbe).count()
+    }
+    println(f"[probe] bulk retrieval: $nOut%d result rows, " +
+      f"${nQueries / tKnn}%.0f queries/s against $nVecs%d stored codes")
     spark.stop()
   }
 }

@@ -990,6 +990,36 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", query, kTop = 10, rerank = 5, scale = scale,
         coarse = coarse, codebooks = cbs, nProbe = 2)
     }
+    // a candidate whose raw vector was NULLED fails loud (its NULL
+    // exact_dist would otherwise sort into the top slot)
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    val victim = got.head._1
+    val holed = df.select(col("vec_id"),
+      when(col("vec_id") === victim, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val eNull = intercept[Exception] {
+      Similarity.ivfPqTopKRefined(spark.read.parquet(codesDir), holed,
+        "vec_id", "embedding", query, kTop = 5, rerank = 12, scale = scale,
+        coarse = coarse, codebooks = cbs, nProbe = 2).collect()
+    }
+    assert(msgs2(eNull).exists(_.contains("null raw vector")),
+      msgs2(eNull).mkString(" | "))
+    // scoring stored codes with a DIFFERENT codebook set (wrong m)
+    // fails loud instead of emitting NULL distances that sort first
+    val cbs2 = Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = 2, k = 3, iters = 1, scale = scale)
+    val pq4Dir = java.nio.file.Files.createTempDirectory("graft-pq-m4")
+      .resolve("codes").toString
+    val cbs4 = Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = 4, k = 3, iters = 1, scale = scale)
+    Similarity.savePqEncoded(df, "vec_id", "embedding", scale, cbs4, pq4Dir)
+    val eM = intercept[Exception] {
+      Similarity.pqAdcTopKFromCodes(spark.read.parquet(pq4Dir), "vec_id",
+        query, k = 5, scale = scale, codebooks = cbs2).collect()
+    }
+    assert(msgs2(eM).exists(_.contains("stored code length")),
+      msgs2(eM).mkString(" | "))
   }
 
   test("ivfPqKnnJoin == per-query ivfPqTopKFromCodes for every query") {
@@ -1039,6 +1069,25 @@ class SimilaritySpec extends SparkSpec {
         nProbe = 2).collect()
     }
     assert(msgs(e).exists(_.contains("query dimension")), msgs(e).mkString(" | "))
+    // non-integral corpus ids refuse loud (the bottom-k tie key is an
+    // id cast to long — an ANSI cast would otherwise throw mid-job)
+    val strCodes = codes.select(
+      concat(lit("doc_"), col("vec_id")).as("vec_id"),
+      col("cell"), col("codes"))
+    val eStr = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoin(queries, "query_id", "embedding", strCodes,
+        "vec_id", k = 2, scale = scale, coarse = coarse, codebooks = cbs,
+        nProbe = 2)
+    }
+    assert(eStr.getMessage.contains("must be integral"), eStr.getMessage)
+    // same-named query/corpus id columns refuse loud (ambiguous refs)
+    val eDup = intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoin(
+        queries.withColumnRenamed("query_id", "vec_id"), "vec_id",
+        "embedding", codes, "vec_id", k = 2, scale = scale,
+        coarse = coarse, codebooks = cbs, nProbe = 2)
+    }
+    assert(eDup.getMessage.contains("alias the query id"), eDup.getMessage)
   }
 
   test("pq null/dimension contracts: nulls excluded from top-k, wrong dim loud") {
