@@ -2854,6 +2854,66 @@ object SparkEntry {
       }.orderBy("vec_id")
     }),
 
+    // INCREMENTAL index maintenance: half the corpus saved, the
+    // other half APPENDED later with the same frozen index params
+    // (fit once, encode forever — the living-index ingestion path);
+    // a top-10 over the combined layout must equal the one-shot
+    // encode bit for bit, so the q_ann_ivfpq oracle pins it.
+    "q_ann_ivfpq_incremental" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-inc")
+        .resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", scale, coarse, cbs, path)
+      Similarity.appendIvfPqEncoded(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", scale, coarse, cbs, path)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id", query,
+          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
+    // STREAMING index ingest: the embeddings feed is encoded
+    // statelessly (coarse assign + PQ codes per row) and written
+    // STRAIGHT INTO the cell-partitioned serving layout by the
+    // streaming parquet sink — index build as a continuously-running
+    // job. A top-10 read from the streamed layout equals the batch
+    // encode bit for bit (q_ann_ivfpq's oracle pins it).
+    "q_stream_ann_ingest" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val tmpBase = streamScratchBase
+      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-annsrc")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        srcDir.resolve("embeddings.parquet"))
+      val outDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-annout").toString
+      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-annck").toString
+      val q = Similarity.ivfPqEncode(
+          s.readStream.schema(EmbeddingsStreamSchema).parquet(srcDir.toString)
+            .filter(col("embedding").isNotNull),
+          "vec_id", "embedding", scale, coarse, cbs)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ck)
+        .partitionBy("cell")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(outDir), "vec_id", query,
+          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
     // BULK ANN retrieval: a 5-query table joined against the stored
     // cell-partitioned codes — per-query probe cells computed
     // scan-side, ONE equi-join on the cell id, residual ADC from the
@@ -6914,6 +6974,8 @@ object SparkEntry {
 
       "q_ann_ivfpq" -> AnnIvfPqOracle,
       "q_ann_ivfpq_persisted" -> AnnIvfPqOracle,
+      "q_ann_ivfpq_incremental" -> AnnIvfPqOracle,
+      "q_stream_ann_ingest" -> AnnIvfPqOracle,
       "q_ann_ivfpq_refined" -> AnnIvfPqRefinedOracle,
       "q_ann_ivfpq_knn" -> AnnIvfPqKnnOracle,
 

@@ -1358,6 +1358,25 @@ object Similarity {
     ivfPqEncode(df, idCol, vecCol, scale, coarse, codebooks)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** INCREMENTAL index maintenance: encode a new batch with the SAME
+    * frozen index parameters ([[loadIvfPqIndex]]) and APPEND its
+    * codes into the cell-partitioned layout — new files land inside
+    * the existing cell directories, so partition pruning and every
+    * topK/knn reader see old + new rows seamlessly. The ingestion
+    * path of a living index: fit once, encode forever; re-fit only
+    * when drift degrades recall (caller's policy).
+    */
+  def appendIvfPqEncoded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      path: String): Unit =
+    ivfPqEncode(df, idCol, vecCol, scale, coarse, codebooks)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Driver-side probe selection + per-probed-cell residual ADC
     * tables, shared by both serving paths. Returns the probed cell
     * ids (ascending by exact integer distance, ties to the lower
