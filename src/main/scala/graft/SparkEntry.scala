@@ -2914,6 +2914,29 @@ object SparkEntry {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // BULK retrieval + exact re-rank — the full production recipe in
+    // one call: per-query ADC top-10 from the stored codes, raw
+    // vectors fetched once for the candidates, exact integer L2
+    // against each query's OWN vector, per-query top-5. Both
+    // distance stages and the final ranks oracle-pinned.
+    "q_ann_ivfpq_knn_refined" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val path = java.nio.file.Files.createTempDirectory("graft-knn-ref")
+        .resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
+        coarse, cbs, path)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqKnnJoinRefined(queries, "query_id", "embedding",
+          s.read.parquet(path), emb, "vec_id", "embedding",
+          k = 5, rerank = 10, scale = scale, coarse = coarse,
+          codebooks = cbs, nProbe = 2)
+        .orderBy("query_id", "rk")
+    }),
+
     // BULK ANN retrieval: a 5-query table joined against the stored
     // cell-partitioned codes — per-query probe cells computed
     // scan-side, ONE equi-join on the cell id, residual ADC from the
@@ -4559,8 +4582,8 @@ object SparkEntry {
     * cells, and the 1-based (adc_dist, vec_id) rank — the multi-query
     * generalization of AnnIvfPqOracle's single-query tail.
     */
-  private lazy val AnnIvfPqKnnOracle: String =
-    s"WITH $AnnIvfPqCtes, " +
+  private lazy val AnnIvfPqKnnCtes: String =
+    s"$AnnIvfPqCtes, " +
       """kq AS (SELECT vec_id AS qid, q FROM qv WHERE vec_id < 5),
        |kpd AS (SELECT k.qid, c.cell,
        |    list_sum(list_transform(range(1, 65),
@@ -4584,10 +4607,33 @@ object SparkEntry {
        |  GROUP BY t.qid, e.vec_id),
        |krank AS (SELECT qid, vec_id, ccell, adc_dist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
-       |  FROM kscore)
-       |SELECT qid AS query_id, vec_id, CAST(ccell AS BIGINT) AS cell,
+       |  FROM kscore)""".stripMargin
+
+  private lazy val AnnIvfPqKnnOracle: String =
+    s"WITH $AnnIvfPqKnnCtes " +
+      """SELECT qid AS query_id, vec_id, CAST(ccell AS BIGINT) AS cell,
        |  adc_dist, CAST(rn AS BIGINT) AS rk
        |FROM krank WHERE rn <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** The bulk-refined oracle: ADC top-10 candidates per query from
+    * the shared chain, exact integer quantized L2 against each
+    * query's own vector, per-query (exact_dist, id) rank, top-5.
+    */
+  private lazy val AnnIvfPqKnnRefinedOracle: String =
+    s"WITH $AnnIvfPqKnnCtes, " +
+      """kcand AS (SELECT qid, vec_id, ccell, adc_dist FROM krank WHERE rn <= 10),
+       |kex AS (SELECT c.qid, c.vec_id, CAST(c.ccell AS BIGINT) AS cell,
+       |    c.adc_dist,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (v.q[j] - w.q[j]) * (v.q[j] - w.q[j]))) AS BIGINT) AS exact_dist
+       |  FROM kcand c JOIN qv v ON v.vec_id = c.vec_id
+       |  JOIN qv w ON w.vec_id = c.qid),
+       |kfr AS (SELECT qid, vec_id, cell, adc_dist, exact_dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY exact_dist, vec_id) AS rn2
+       |  FROM kex)
+       |SELECT qid AS query_id, vec_id, cell, adc_dist, exact_dist,
+       |  CAST(rn2 AS BIGINT) AS rk
+       |FROM kfr WHERE rn2 <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
     * terms join/window/stream, k1=1.2, b=0.75; constants written as
@@ -6978,6 +7024,7 @@ object SparkEntry {
       "q_stream_ann_ingest" -> AnnIvfPqOracle,
       "q_ann_ivfpq_refined" -> AnnIvfPqRefinedOracle,
       "q_ann_ivfpq_knn" -> AnnIvfPqKnnOracle,
+      "q_ann_ivfpq_knn_refined" -> AnnIvfPqKnnRefinedOracle,
 
       "q_kmeans" ->
         s"""WITH $KMeansCtes

@@ -1684,6 +1684,70 @@ object Similarity {
         col("_e.adc_dist"), (col("_r") + 1).cast("long").as("rk"))
   }
 
+  /** BULK retrieval WITH exact re-ranking — [[ivfPqKnnJoin]] composed
+    * with [[ivfPqTopKRefined]]'s refine stage, the full production
+    * retrieval recipe in one call: ADC top-`rerank` candidates per
+    * query from the stored codes, then only those rows' raw vectors
+    * fetched (one join) and re-ranked per query by the exact integer
+    * quantized L2 against THAT query's vector (a broadcast back-join
+    * to the query table supplies it). Candidates and queries both
+    * ride broadcasts; the per-query final top-`k` is the same
+    * buffer-capped bottom-k aggregate. Same loud contracts as the
+    * single-query refine (null raw vector raises; codes ⊆ raw).
+    * Returns `(qIdCol, idCol, cell, adc_dist, exact_dist, rk)`.
+    */
+  def ivfPqKnnJoinRefined(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      codes: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      nProbe: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val dim = coarse(0).length
+    val cand = ivfPqKnnJoin(queries, qIdCol, qVecCol, codes, idCol,
+        k = rerank, scale = scale, coarse = coarse, codebooks = codebooks,
+        nProbe = nProbe)
+      .drop("rk")
+    def quantGuard(vc: Column, who: String): Column = {
+      val q = kmeansQuantize(vc, scale)
+      when(q.isNull,
+          raise_error(lit(s"ivfpq knn refine: null $who vector")))
+        .when(size(q) === lit(dim), q)
+        .otherwise(raise_error(concat(
+          lit(s"ivfpq knn refine: $who dimension "), size(q).cast("string"),
+          lit(s" != $dim"))))
+    }
+    val qvs = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol), quantGuard(col(qVecCol), "query").as("_qq"))
+    val exact = aggregate(
+      zip_with(quantGuard(col(vecCol), "candidate"), col("_qq"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    raw.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qvs), Seq(qIdCol))
+      .select(col(qIdCol), col(idCol), col("cell"), col("adc_dist"),
+        exact.as("_ex"))
+      .select(col(qIdCol),
+        struct(col("_ex").as("p"), col(idCol).cast("long").as("t"),
+          col(idCol), col("cell"), col("adc_dist"),
+          col("_ex").as("exact_dist")).as("_e"))
+      .groupBy(col(qIdCol))
+      .agg(DedupExpressions.bottomKBy(col("_e"), k).as("_ks"))
+      .select(col(qIdCol), posexplode(col("_ks")).as(Seq("_r", "_e")))
+      .select(col(qIdCol), col(s"_e.$idCol"), col("_e.cell"),
+        col("_e.adc_dist"), col("_e.exact_dist"),
+        (col("_r") + 1).cast("long").as("rk"))
+  }
+
   /** Persist the IVF-PQ index PARAMETERS — the artifact that lets a
     * serving job answer queries without re-fitting (the
     * saveTokenizer precedent: train once, every consumer loads):

@@ -1069,6 +1069,25 @@ class SimilaritySpec extends SparkSpec {
         nProbe = 2).collect()
     }
     assert(msgs(e).exists(_.contains("query dimension")), msgs(e).mkString(" | "))
+    // bulk refined == per-query single-query refined, for every query
+    val gotR = Similarity.ivfPqKnnJoinRefined(queries, "query_id",
+        "embedding", codes, df, "vec_id", "embedding", k = 3, rerank = 8,
+        scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq.sortBy(x => (x._1, x._6))
+    val wantR = (0L until 7L).flatMap { qid =>
+      val q = vecs(qid.toInt)._2
+      Similarity.ivfPqTopKRefined(codes, df, "vec_id", "embedding", q,
+          kTop = 3, rerank = 8, scale = scale, coarse = coarse,
+          codebooks = cbs, nProbe = 2)
+        .collect().zipWithIndex
+        .map { case (r, i) =>
+          (qid, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            (i + 1).toLong) }
+    }
+    assert(gotR == wantR, s"bulk refined diverged:\n$gotR\nvs\n$wantR")
     // non-integral corpus ids refuse loud (the bottom-k tie key is an
     // id cast to long — an ANSI cast would otherwise throw mid-job)
     val strCodes = codes.select(
