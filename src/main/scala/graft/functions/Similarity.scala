@@ -1647,6 +1647,12 @@ object Similarity {
     // row to the broadcast — trivial next to the query vectors.
     val rqCol = zip_with(col("_qv"), element_at(cLit, col("_p.cell") + 1),
       (a, b) => a - b)
+    // COST NOTE: the table is m·k longs per probed row, replacing the
+    // dim-long residual — a k/ds growth of the broadcast (neutral at
+    // k≈ds; ~16× at a production m=64/k=256/ds=16 shape). With many
+    // queries × large nProbe at production k, size the query batch
+    // accordingly or pass broadcastQueries = false (shuffle join on
+    // the cell id) — the per-candidate saving is the same either way.
     val tblCol = transform(sequence(lit(0), lit(m - 1)), sub =>
       transform(sequence(lit(0), lit(kCodes - 1)), code =>
         aggregate(
@@ -1710,25 +1716,32 @@ object Similarity {
       coarse: Array[Array[Long]],
       codebooks: Array[Array[Array[Long]]],
       nProbe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val dim = coarse(0).length
     val cand = ivfPqKnnJoin(queries, qIdCol, qVecCol, codes, idCol,
         k = rerank, scale = scale, coarse = coarse, codebooks = codebooks,
         nProbe = nProbe)
       .drop("rk")
-    def quantGuard(vc: Column, who: String): Column = {
+    // same loud contract AND the same diagnostic as the single-query
+    // refine: the failing row's ID rides the message so the operator
+    // knows which row to repair without a manual probe
+    def quantGuard(vc: Column, who: String, idc: Column): Column = {
       val q = kmeansQuantize(vc, scale)
       when(q.isNull,
-          raise_error(lit(s"ivfpq knn refine: null $who vector")))
+          raise_error(concat(lit(s"ivfpq knn refine: $who id "),
+            idc.cast("string"),
+            lit(s" has a null raw vector — re-encode or repair the table"))))
         .when(size(q) === lit(dim), q)
         .otherwise(raise_error(concat(
           lit(s"ivfpq knn refine: $who dimension "), size(q).cast("string"),
           lit(s" != $dim"))))
     }
     val qvs = queries.filter(col(qVecCol).isNotNull)
-      .select(col(qIdCol), quantGuard(col(qVecCol), "query").as("_qq"))
+      .select(col(qIdCol),
+        quantGuard(col(qVecCol), "query", col(qIdCol)).as("_qq"))
     val exact = aggregate(
-      zip_with(quantGuard(col(vecCol), "candidate"), col("_qq"),
+      zip_with(quantGuard(col(vecCol), "candidate", col(idCol)), col("_qq"),
         (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
     raw.select(col(idCol), col(vecCol))

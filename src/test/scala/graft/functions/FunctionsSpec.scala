@@ -1088,6 +1088,32 @@ class SimilaritySpec extends SparkSpec {
             (i + 1).toLong) }
     }
     assert(gotR == wantR, s"bulk refined diverged:\n$gotR\nvs\n$wantR")
+    // bulk refine keeps the single-query refine's LOUD contracts:
+    // a candidate with a nulled raw vector raises WITH its id, and
+    // degenerate k/rerank are rejected up front by name
+    val victimR = gotR.head._2
+    val holedR = df.select(col("vec_id"),
+      when(col("vec_id") === victimR, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val eNullR = intercept[Exception] {
+      Similarity.ivfPqKnnJoinRefined(queries, "query_id", "embedding",
+        codes, holedR, "vec_id", "embedding", k = 3, rerank = 8,
+        scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+        .collect()
+    }
+    assert(msgs(eNullR).exists(m =>
+        m.contains("null raw vector") && m.contains(victimR.toString)),
+      msgs(eNullR).mkString(" | "))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoinRefined(queries, "query_id", "embedding",
+        codes, df, "vec_id", "embedding", k = 5, rerank = 3,
+        scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnnJoinRefined(queries, "query_id", "embedding",
+        codes, df, "vec_id", "embedding", k = 0, rerank = 3,
+        scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+    }
     // non-integral corpus ids refuse loud (the bottom-k tie key is an
     // id cast to long — an ANSI cast would otherwise throw mid-job)
     val strCodes = codes.select(
