@@ -106,7 +106,7 @@ object Bench {
     // the exact re-rank refine stage over stored codes
     "q_bpe_train_approx", "q_ann_ivfpq_refined", "q_stream_pq_screen",
     "q_ann_ivfpq_knn", "q_ann_ivfpq_incremental", "q_stream_ann_ingest",
-    "q_ann_ivfpq_knn_refined")
+    "q_ann_ivfpq_knn_refined", "q_ann_ivfpq_filtered")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat

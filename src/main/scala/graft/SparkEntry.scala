@@ -2854,6 +2854,33 @@ object SparkEntry {
       }.orderBy("vec_id")
     }),
 
+    // FILTERED ANN — the production "vector search under a metadata
+    // predicate" feature, shown as PURE COMPOSITION: the stored code
+    // layout joins its attribute (label) back on the id, the
+    // predicate filters BEFORE scoring, and the unchanged
+    // ivfPqTopKFromCodes serves the top-10 among survivors. No new
+    // operator — the declarative layout is what makes the predicate
+    // composable; oracle replays the same filter over the ADC chain.
+    "q_ann_ivfpq_filtered" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-flt")
+        .resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
+        coarse, cbs, path)
+      val filtered = s.read.parquet(path)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .filter(col("label") === 1)
+      Similarity.ivfPqTopKFromCodes(filtered, "vec_id", query,
+          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
     // INCREMENTAL index maintenance: half the corpus saved, the
     // other half APPENDED later with the same frozen index params
     // (fit once, encode forever — the living-index ingestion path);
@@ -7022,6 +7049,15 @@ object SparkEntry {
       "q_ann_ivfpq_persisted" -> AnnIvfPqOracle,
       "q_ann_ivfpq_incremental" -> AnnIvfPqOracle,
       "q_stream_ann_ingest" -> AnnIvfPqOracle,
+
+      // the metadata predicate rides the same ADC chain: score only
+      // label=1 rows, same top-10 algebra
+      "q_ann_ivfpq_filtered" ->
+        (s"WITH $AnnIvfPqCtes " +
+          """SELECT s.vec_id, CAST(s.ccell AS BIGINT) AS cell, s.adc_dist
+           |FROM iq_score s JOIN embeddings e ON e.vec_id = s.vec_id
+           |WHERE e.label = 1
+           |ORDER BY s.adc_dist, s.vec_id LIMIT 10""".stripMargin),
       "q_ann_ivfpq_refined" -> AnnIvfPqRefinedOracle,
       "q_ann_ivfpq_knn" -> AnnIvfPqKnnOracle,
       "q_ann_ivfpq_knn_refined" -> AnnIvfPqKnnRefinedOracle,
