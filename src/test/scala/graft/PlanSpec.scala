@@ -754,4 +754,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bottom_k_by"), s"expected bottom_k_by agg:\n$p")
     assert(!p.contains("Window"), s"knn join re-grew a window:\n$p")
   }
+
+  test("streamed ANN ingest writes the SAME prunable layout as the batch writer") {
+    import org.apache.spark.sql.functions.col
+    // drive the gate (it writes the layout via the streaming parquet
+    // sink), then prove a static probe filter over the streamed
+    // output prunes partitions exactly like the batch-written layout
+    val emb = SparkEntry.queries("q_ann_ivfpq_persisted")(spark, sfDir)
+    emb.collect() // ensure the batch layout path stays green too
+    val streamed = SparkEntry.queries("q_stream_ann_ingest")(spark, sfDir)
+    streamed.collect()
+    val p = streamed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"streamed layout must partition-prune on cell:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"streamed-layout serving must not shuffle:\n$p")
+  }
 }

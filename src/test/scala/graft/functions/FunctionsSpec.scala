@@ -1052,6 +1052,16 @@ class SimilaritySpec extends SparkSpec {
           (qid, r.getLong(0), r.getLong(1), r.getLong(2), (i + 1).toLong) }
     }
     assert(got == want, s"knn join diverged:\n$got\nvs\n$want")
+    // the broadcastQueries=false escape hatch (big query sets at
+    // production m·k: shuffle join on the cell id) returns the same
+    // rows — the flag changes the JOIN STRATEGY only
+    val gotNb = Similarity.ivfPqKnnJoin(queries, "query_id", "embedding",
+        codes, "vec_id", k = 5, scale = scale, coarse = coarse,
+        codebooks = cbs, nProbe = 2, broadcastQueries = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(x => (x._1, x._5))
+    assert(gotNb == want, s"non-broadcast knn join diverged:\n$gotNb\nvs\n$want")
     // a null query vanishes; a wrong-dimension query fails loud
     val withNull = queries.unionByName(Seq(
         (99L, null.asInstanceOf[Seq[Float]])).toDF("query_id", "embedding"))
