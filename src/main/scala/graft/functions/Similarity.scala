@@ -724,19 +724,22 @@ object Similarity {
       .filter(col("_q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // wrong-dimension vectors fail LOUD before anything is fit: a
+      // LONGER row would bias the centroids silently (kmeansAssign
+      // truncates to min length and the sums read only the first d
+      // coordinates), a shorter one died with an opaque ANSI
+      // element_at error. ONE min/max(size) pass over the pinned
+      // frame validates the whole corpus up front — BEFORE the seed
+      // collect, so wrong-dim seeds and iters=0 fits are covered too
+      // (r12 ADVICE; the guard previously ran only in iteration scans)
+      val dims = q.agg(min(size(col("_q"))), max(size(col("_q")))).head()
+      require(!dims.isNullAt(0), s"need >= $k non-null vectors, got 0")
+      val d = dims.getInt(0)
+      require(d == dims.getInt(1),
+        s"kmeans fit: mixed vector dimensions ($d vs ${dims.getInt(1)})")
       var cents: Array[Array[Long]] = q.orderBy("_id").limit(k)
         .collect().map(_.getSeq[Long](1).toArray)
       require(cents.length == k, s"need >= $k non-null vectors, got ${cents.length}")
-      val d = cents(0).length
-      // wrong-dimension vectors fail LOUD at the fit scans: a LONGER
-      // row would otherwise bias the centroids silently (kmeansAssign
-      // truncates to min length and the sums read only the first d
-      // coordinates), a shorter one died with an opaque ANSI
-      // element_at error — same contract as pqEncodeQ / the pq fits
-      val qg = when(size(col("_q")) === lit(d), col("_q"))
-        .otherwise(raise_error(concat(
-          lit("kmeans fit: vector dimension "), size(col("_q")).cast("string"),
-          lit(s" != $d"))))
       var it = 0
       while (it < iters) {
         // per-cell coordinate sums as d parallel column aggregates —
@@ -746,8 +749,8 @@ object Similarity {
         val sumCols = (0 until d).map(j =>
           sum(element_at(col("_q"), j + 1)).as(s"_s$j"))
         val stats = q
-          .select(DedupExpressions.kmeansAssign(qg, cents).as("_cell"),
-            qg.as("_q"))
+          .select(DedupExpressions.kmeansAssign(col("_q"), cents).as("_cell"),
+            col("_q"))
           .groupBy("_cell")
           .agg(count(lit(1)).as("_n"), sumCols: _*)
           .collect()
@@ -1049,28 +1052,30 @@ object Similarity {
       .filter(col("_q").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a wrong-dimension row would otherwise bias the codebooks
+      // SILENTLY — kmeansAssign truncates to the shorter length and
+      // the per-dim sums skip missing positions while count(_n) still
+      // includes the row. Validate the WHOLE corpus up front with one
+      // min/max(size) pass over the pinned frame, BEFORE the seed
+      // collect — the r12 guard lived only in the iteration scans, so
+      // a wrong-dim seed (or any wrong-dim row under iters=0)
+      // slipped through (r12 ADVICE).
+      val dims = q.agg(min(size(col("_q"))), max(size(col("_q")))).head()
+      require(!dims.isNullAt(0), s"need >= $k non-null vectors, got 0")
+      val dim = dims.getInt(0)
+      require(dim == dims.getInt(1),
+        s"pq fit: mixed vector dimensions ($dim vs ${dims.getInt(1)})")
+      require(dim % m == 0, s"m=$m must divide dim=$dim")
+      val ds = dim / m
       val seeds = q.orderBy("_id").limit(k)
         .collect().map(_.getSeq[Long](1).toArray)
       require(seeds.length == k, s"need >= $k non-null vectors, got ${seeds.length}")
-      val dim = seeds(0).length
-      require(dim % m == 0, s"m=$m must divide dim=$dim")
-      val ds = dim / m
-      // a short row would otherwise bias the codebooks SILENTLY —
-      // kmeansAssign truncates to the shorter length and the
-      // per-dim sums skip the missing positions while count(_n)
-      // still includes the row — so the fit scans fail loud on a
-      // wrong-dimension vector, matching the encode/query guards
-      // (pqEncodeQ / ivfPqTopK)
-      val qg = when(size(col("_q")) === lit(dim), col("_q"))
-        .otherwise(raise_error(concat(
-          lit("pq fit: vector dimension "), size(col("_q")).cast("string"),
-          lit(s" != $dim"))))
       var cents: Array[Array[Array[Long]]] =
         Array.tabulate(m, k)((sub, c) => seeds(c).slice(sub * ds, (sub + 1) * ds))
       var it = 0
       while (it < iters) {
         val branches = (0 until m).map { sub =>
-          val sv = slice(qg, sub * ds + 1, ds)
+          val sv = slice(col("_q"), sub * ds + 1, ds)
           q.select(lit(sub).as("_sub"),
             DedupExpressions.kmeansAssign(sv, cents(sub)).as("_cell"),
             sv.as("_sv"))
@@ -1189,29 +1194,14 @@ object Similarity {
     * Returns `(idCol, adc_dist)` ascending — exact integers,
     * bit-equal to [[pqAdcTopK]] over the raw vectors.
     */
-  /** Loud length contract for a stored CODES column: `m` codebooks
-    * can only score `m`-code rows — a codes table written with a
-    * DIFFERENT m (a stale or wrong index artifact) would otherwise
-    * null-pad through `zip_with`, emit NULL distances, and those
-    * sort FIRST under the ascending top-k — the exact
-    * nulls-occupy-top-k hazard the raw-vector paths already fail
-    * loud on. Null rows keep propagating null (the family's null
-    * contract; callers filter).
-    */
-  private def guardedCodes(codes: Column, m: Int, ctx: String): Column =
-    when(codes.isNull, lit(null).cast("array<int>"))
-      .when(size(codes) === lit(m), codes)
-      .otherwise(raise_error(concat(
-        lit(s"$ctx: stored code length "), size(codes).cast("string"),
-        lit(s" != m = $m — codes were written with a different codebook set"))))
-
   /** The exact integer ADC distance of a CODES column against one
     * query — the scalar form of the serving scorer, usable in any
     * projection (batch scans, STREAMS — a stateless embedding screen
     * routes/filters incoming vectors by distance to a fixed anchor).
-    * Driver builds the `m × k` table once; each row pays m lookups.
-    * Wrong-length codes fail loud ([[guardedCodes]]); null codes
-    * yield a null distance.
+    * Driver builds the `m × k` table once; each row pays m table
+    * lookups in the codegen'd [[PqAdcExpr]] kernel. Wrong-length
+    * codes fail loud (a stale index written with a different
+    * codebook set); null codes yield a null distance.
     */
   def pqAdcDistance(
       codes: Column,
@@ -1224,11 +1214,7 @@ object Similarity {
       s"query dim ${query.length} != m*ds = ${m * ds}")
     // the kernel's quantization, verbatim (floor(x·127/scale + 0.5))
     val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
-    val tLit = typedLit(pqAdcTable(qq, codebooks))
-    aggregate(
-      zip_with(guardedCodes(codes, m, "pq adc"), typedLit(Seq.range(0, m)),
-        (c, i) => element_at(element_at(tLit, i + 1), c + 1)),
-      lit(0L), (acc, x) => acc + x)
+    DedupExpressions.pqAdc(codes, typedLit(pqAdcTable(qq, codebooks)), "pq adc")
   }
 
   def pqAdcTopKFromCodes(
@@ -1377,6 +1363,98 @@ object Similarity {
     ivfPqEncode(df, idCol, vecCol, scale, coarse, codebooks)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Crash-safe staged rewrite of a cell-partitioned code layout:
+    * write the new layout to a `_compacting` sibling, swap it in via
+    * two renames, delete the retired copy. A crash at any point
+    * leaves readers a COMPLETE layout (old or new, never a partial
+    * mix) — the [[graft.store.IncrementalStore.compactHistory]]
+    * contract. Shared by [[compactIvfPqLayout]] / [[repairIvfPqLayout]].
+    */
+  private def stagedLayoutRewrite(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rewritten: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = target.getParent
+    val staging = new Path(parent, target.getName + "_compacting")
+    val retired = new Path(parent, target.getName + "_retired")
+    fs.delete(staging, true)
+    rewritten.write.partitionBy("cell").parquet(staging.toString)
+    fs.delete(retired, true)
+    if (!fs.rename(target, retired))
+      throw new IllegalStateException(s"layout compaction rename failed for $target")
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target) // roll back
+      throw new IllegalStateException(s"layout compaction swap failed for $target")
+    }
+    fs.delete(retired, true)
+  }
+
+  /** Compact a cell-partitioned code layout: [[appendIvfPqEncoded]]
+    * and the streaming ingest sink land one file SET per batch per
+    * touched cell, so at production cadence a cell directory grows
+    * 10⁵+ tiny files and the file-pruned reads the layout exists for
+    * degrade into open-call storms. This rewrites every `cell=N/`
+    * directory down to at most `filesPerCell` files (rows and values
+    * unchanged — every serving gate is bit-equal before/after), via
+    * the crash-safe staged swap of [[stagedLayoutRewrite]].
+    *
+    * Shuffle shape: ONE repartition keyed by the cell id (plus a
+    * deterministic row-hash salt when `filesPerCell > 1`), so each
+    * output task writes whole cells — no tiny-file re-fragmentation
+    * on the way out. Run it off the serving path at whatever cadence
+    * ingest warrants (e.g. when a cell's file count crosses ~10× the
+    * target); readers never block (swap is two renames).
+    */
+  def compactIvfPqLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("cell"),
+      s"$path is not a cell-partitioned code layout (no `cell` column)")
+    val keyed =
+      if (filesPerCell == 1) df.repartition(col("cell"))
+      else df.repartition(col("cell"),
+        pmod(hash(struct(df.columns.filter(_ != "cell").map(col): _*)),
+          lit(filesPerCell)))
+    stagedLayoutRewrite(spark, path, keyed)
+  }
+
+  /** DELETE-SYNC for a code layout: drop every code row whose id no
+    * longer exists in `raw`, restoring the `codes ⊆ raw` contract the
+    * refine paths depend on (a lagging delete otherwise SILENTLY
+    * drops that candidate from the refine inner join —
+    * [[ivfPqTopKRefined]]'s documented hazard). One left-semi join on
+    * the id, then the same crash-safe staged rewrite as
+    * [[compactIvfPqLayout]] — so a repair pass also compacts
+    * (`filesPerCell`). Run after deletes land in `raw`, before the
+    * next refine-serving window.
+    */
+  def repairIvfPqLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      raw: DataFrame,
+      idCol: String,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("cell"),
+      s"$path is not a cell-partitioned code layout (no `cell` column)")
+    require(df.columns.contains(idCol),
+      s"layout at $path has no id column '$idCol' (columns: ${df.columns.mkString(", ")})")
+    val kept = df.join(raw.select(col(idCol)), Seq(idCol), "left_semi")
+    val keyed =
+      if (filesPerCell == 1) kept.repartition(col("cell"))
+      else kept.repartition(col("cell"),
+        pmod(hash(struct(kept.columns.filter(_ != "cell").map(col): _*)),
+          lit(filesPerCell)))
+    stagedLayoutRewrite(spark, path, keyed)
+  }
+
   /** Driver-side probe selection + per-probed-cell residual ADC
     * tables, shared by both serving paths. Returns the probed cell
     * ids (ascending by exact integer distance, ties to the lower
@@ -1424,7 +1502,6 @@ object Similarity {
       idCol: String,
       cellCol: String,
       codesCol: String,
-      m: Int,
       probed: Array[Int],
       tables: Map[Int, Seq[Seq[Long]]],
       kTop: Int): DataFrame = {
@@ -1439,11 +1516,8 @@ object Similarity {
         col(cellCol).isin(probed.map(Integer.valueOf): _*))
       .join(broadcast(tbls), col(cellCol) === col("__pcell"))
       .select(col(idCol), col(cellCol).cast("long").as("cell"),
-        aggregate(
-          zip_with(guardedCodes(col(codesCol), m, "ivfpq adc"),
-            typedLit(Seq.range(0, m)),
-            (c, i) => element_at(element_at(col("__tbl"), i + 1), c + 1)),
-          lit(0L), (acc, x) => acc + x).as("adc_dist"))
+        DedupExpressions.pqAdc(col(codesCol), col("__tbl"), "ivfpq adc")
+          .as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(kTop)
   }
@@ -1469,8 +1543,7 @@ object Similarity {
       codesCol: String = "codes"): DataFrame = {
     val (probed, tables) =
       ivfPqProbeTables(query, scale, coarse, codebooks, nProbe)
-    ivfPqScoreProbed(codes, idCol, cellCol, codesCol,
-      codebooks.length, probed, tables, kTop)
+    ivfPqScoreProbed(codes, idCol, cellCol, codesCol, probed, tables, kTop)
   }
 
   /** Exact-integer IVF-PQ ADC top-`k` over RAW vectors — encodes
@@ -1495,7 +1568,7 @@ object Similarity {
       ivfPqProbeTables(query, scale, coarse, codebooks, nProbe)
     ivfPqScoreProbed(
       ivfPqEncode(df, idCol, vecCol, scale, coarse, codebooks),
-      idCol, "cell", "codes", codebooks.length, probed, tables, kTop)
+      idCol, "cell", "codes", probed, tables, kTop)
   }
 
   /** IVF-PQ with EXACT RE-RANKING — the standard FAISS refine step
@@ -1581,6 +1654,14 @@ object Similarity {
     * Everything is exact-integer, so the gate hash-pins distances
     * AND ranks. Returns `(qIdCol, idCol, cell, adc_dist, rk)` —
     * `rk` is the 1-based ascending `(adc_dist, id)` rank.
+    *
+    * Null contract: a query row with a NULL vector is DROPPED — it
+    * contributes no output rows, same as the single-query paths'
+    * null-codes convention (`pqAdcTopKFromCodes`) — while a
+    * wrong-dimension query fails loud. Callers that must fail on
+    * null queries pre-assert (`filter(isnull).isEmpty`) or use
+    * [[ivfPqKnnJoinRefined]], whose quantGuard raises with the
+    * offending query id.
     */
   def ivfPqKnnJoin(
       queries: DataFrame,
@@ -1635,16 +1716,15 @@ object Similarity {
         aggregate(zip_with(qv, element_at(cLit, c + 1), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("d"),
         c.as("cell")))
-    val kCodes = codebooks(0).length
-    val cbLit = typedLit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     // each (query, probed cell) row carries its OWN m×k residual ADC
-    // table, computed ONCE here (m·k·ds integer ops per probe row —
-    // the multi-query analog of the single-query driver table); every
-    // candidate row then pays m table LOOKUPS instead of m·ds
-    // interpreted multiply-subtracts. Measured at 1M codes × 1k
-    // queries: 132 s with per-candidate math vs ~m·ds/m less work
-    // per candidate this way. The table adds m·k longs per probed
-    // row to the broadcast — trivial next to the query vectors.
+    // table, computed ONCE here in the codegen'd PqAdcTableExpr
+    // kernel (m·k·ds integer ops per probe row — the multi-query
+    // analog of the single-query driver table); every candidate row
+    // then pays m table LOOKUPS instead of m·ds interpreted
+    // multiply-subtracts. Measured at 1M codes × 1k queries: 132 s
+    // with per-candidate math vs ~m·ds/m less work per candidate
+    // this way. The table adds m·k longs per probed row to the
+    // broadcast — trivial next to the query vectors.
     val rqCol = zip_with(col("_qv"), element_at(cLit, col("_p.cell") + 1),
       (a, b) => a - b)
     // COST NOTE: the table is m·k longs per probed row, replacing the
@@ -1653,13 +1733,7 @@ object Similarity {
     // queries × large nProbe at production k, size the query batch
     // accordingly or pass broadcastQueries = false (shuffle join on
     // the cell id) — the per-candidate saving is the same either way.
-    val tblCol = transform(sequence(lit(0), lit(m - 1)), sub =>
-      transform(sequence(lit(0), lit(kCodes - 1)), code =>
-        aggregate(
-          zip_with(slice(col("_rq"), sub * lit(ds) + lit(1), lit(ds)),
-            element_at(element_at(cbLit, sub + 1), code + 1),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)))
+    val tblCol = DedupExpressions.pqAdcTables(col("_rq"), codebooks)
     val probed = queries
       .filter(col(qVecCol).isNotNull)
       .select(col(qIdCol), qv.as("_qv"),
@@ -1667,17 +1741,10 @@ object Similarity {
       .select(col(qIdCol), col("_p.cell").as("_qcell"), rqCol.as("_rq"))
       .select(col(qIdCol), col("_qcell"), tblCol.as("_tbl"))
     val qSide = if (broadcastQueries) broadcast(probed) else probed
-    // per-candidate ADC: m lookups into the probe row's table
-    val dist = aggregate(
-      zip_with(guardedCodes(col(codesCol), m, "ivfpq knn"),
-        typedLit(Seq.range(0, m)), (code, sub) =>
-        element_at(element_at(col("_tbl"), sub + 1), code + 1)),
-      lit(0L), (acc, x) => acc + x)
+    // per-candidate ADC: m codegen'd lookups into the probe row's table
+    val dist = DedupExpressions.pqAdc(col(codesCol), col("_tbl"), "ivfpq knn")
     codes.filter(col(codesCol).isNotNull)
       .join(qSide, col(cellCol) === col("_qcell"))
-      // project the ADC sum ONCE — HOF aggregates are interpreted and
-      // CSE across two struct fields is not guaranteed, so embedding
-      // `dist` twice would double the hot join's per-row cost
       .select(col(qIdCol), col(idCol), col(cellCol), dist.as("_adc"))
       .select(col(qIdCol),
         struct(col("_adc").as("p"), col(idCol).cast("long").as("t"),
@@ -1792,24 +1859,78 @@ object Similarity {
   /** Load a [[saveIvfPqIndex]] artifact back as
     * `(scale, coarse, codebooks)` — `coarse` is empty for a plain-PQ
     * index. Bounded collect by construction (coarseK + m·k rows).
+    *
+    * SHAPE-VALIDATED (fail loud, path in the message): a corrupted or
+    * partially-written artifact — missing sub rows, jagged vector
+    * lengths, inconsistent scale — would otherwise load into jagged
+    * codebooks and die later with an opaque index error inside a
+    * serving job. Checks: one distinct scale; coarse `idx` contiguous
+    * from 0 with equal-length vectors; each codebook sub carries the
+    * same number of idx-contiguous, equal-length rows; codebook dims
+    * divide the coarse dim (when coarse is present).
     */
   def loadIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Double, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     val all = spark.read.parquet(path).collect()
     require(all.nonEmpty, s"empty IVF-PQ index at $path")
-    val scale = all.head.getAs[Double]("scale")
-    val coarse = all.filter(_.getAs[String]("kind") == "coarse")
-      .sortBy(_.getAs[Int]("idx"))
-      .map(_.getAs[Seq[Long]]("vec").toArray)
-    val cbRows = all.filter(_.getAs[String]("kind") == "codebook")
-    val m = if (cbRows.isEmpty) 0 else cbRows.map(_.getAs[Int]("sub")).max + 1
-    val codebooks = (0 until m).toArray.map { sub =>
-      cbRows.filter(_.getAs[Int]("sub") == sub)
-        .sortBy(_.getAs[Int]("idx"))
-        .map(_.getAs[Seq[Long]]("vec").toArray)
+    def fail(msg: String): Nothing =
+      throw new IllegalStateException(s"corrupt IVF-PQ index at $path: $msg")
+    val scales = all.map(_.getAs[Double]("scale")).distinct
+    if (scales.length != 1)
+      fail(s"${scales.length} distinct scales (${scales.mkString(", ")})")
+    val badKinds = all.map(_.getAs[String]("kind")).distinct
+      .filterNot(k => k == "coarse" || k == "codebook")
+    if (badKinds.nonEmpty) fail(s"unknown kind rows: ${badKinds.mkString(", ")}")
+    def contiguous(what: String, rows: Array[org.apache.spark.sql.Row]): Array[Array[Long]] = {
+      val sorted = rows.sortBy(_.getAs[Int]("idx"))
+      sorted.map(_.getAs[Int]("idx")).zipWithIndex.foreach { case (idx, i) =>
+        if (idx != i) fail(s"$what idx gap — expected $i, found $idx " +
+          "(partial write or duplicate rows)")
+      }
+      val vecs = sorted.map(_.getAs[Seq[Long]]("vec").toArray)
+      if (vecs.map(_.length).distinct.length > 1)
+        fail(s"$what has jagged vector lengths " +
+          s"(${vecs.map(_.length).distinct.sorted.mkString(", ")})")
+      vecs
     }
-    (scale, coarse, codebooks)
+    val coarse = contiguous("coarse",
+      all.filter(_.getAs[String]("kind") == "coarse"))
+    val cbRows = all.filter(_.getAs[String]("kind") == "codebook")
+    val subs = cbRows.map(_.getAs[Int]("sub")).distinct.sorted
+    val m = if (cbRows.isEmpty) 0 else subs.last + 1
+    if (subs.length != m || (subs.nonEmpty && subs.head != 0))
+      fail(s"codebook subs not contiguous from 0 (${subs.mkString(", ")})")
+    val codebooks = (0 until m).toArray.map { sub =>
+      contiguous(s"codebook sub $sub", cbRows.filter(_.getAs[Int]("sub") == sub))
+    }
+    if (m > 0) {
+      val ks = codebooks.map(_.length).distinct
+      if (ks.length > 1) fail(s"subs carry different k (${ks.sorted.mkString(", ")})")
+      val dss = codebooks.map(_(0).length).distinct
+      if (dss.length > 1)
+        fail(s"subs carry different sub-dims (${dss.sorted.mkString(", ")})")
+      if (coarse.nonEmpty && m * dss.head != coarse(0).length)
+        fail(s"codebooks cover ${m * dss.head} dims != coarse dim ${coarse(0).length}")
+    }
+    (scales.head, coarse, codebooks)
   }
+
+  /** L2-normalize a float vector column to unit length
+    * (`array<double>`; null vectors and ALL-ZERO vectors yield null —
+    * a zero vector has no direction, and a null result fails loud at
+    * the quantize guards instead of silently scoring at the origin).
+    *
+    * THE COSINE SERVING RECIPE: for unit vectors,
+    * `||a − b||² = 2 − 2·cos(a, b)`, so L2 top-k over L2-NORMALIZED
+    * vectors IS cosine top-k — normalize once at ingest, then every
+    * operator in the L2 family ([[pqAdcTopK]], [[ivfPqTopK]], the
+    * persisted [[ivfPqTopKFromCodes]] / [[ivfPqKnnJoin]] serving
+    * paths, [[knnJoin]]) serves cosine with no new kernels.
+    * Normalization is float (gate with a recall band, the q_ann_ivf
+    * pattern — the downstream quantized pipeline stays exact-integer
+    * AFTER this projection).
+    */
+  def l2Normalize(vec: Column): Column = DedupExpressions.l2Normalize(vec)
 
 }
