@@ -106,7 +106,15 @@ object Bench {
     // the exact re-rank refine stage over stored codes
     "q_bpe_train_approx", "q_ann_ivfpq_refined", "q_stream_pq_screen",
     "q_ann_ivfpq_knn", "q_ann_ivfpq_incremental", "q_stream_ann_ingest",
-    "q_ann_ivfpq_knn_refined", "q_ann_ivfpq_filtered")
+    "q_ann_ivfpq_knn_refined", "q_ann_ivfpq_filtered",
+    // round-13: the fit/serve split (r12 verdict #3) — the TRAINING
+    // jobs are their own timed rows and every serving row reads the
+    // memoized artifacts, so the driver's diff watches serving, not
+    // ~1.5 s of re-fit noise per row
+    "q_ann_pq_fit", "q_ann_ivfpq_fit",
+    // round-13: layout maintenance (compaction + delete sync) and the
+    // cosine-over-normalized serving recipe
+    "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired", "q_ann_cosine")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat
@@ -126,7 +134,13 @@ object Bench {
     "q_domain_cap", "q_classifier_score", "q_mixture_temp",
     "q_simhash_pairs", "q_winnow_pairs", "q_lattice_encode",
     "q_unigram_encode", "q_token_counts", "q_simhash",
-    "q_hll_distinct", "q_quantiles")
+    "q_hll_distinct", "q_quantiles",
+    // r13 (r12 verdict #8): the one-shot inline-encode ANN demos are
+    // strict output-subsets of fit+persisted rows now in the compact
+    // map — rotate them out; the maintenance/recipe gates are
+    // composition of already-watched kernels
+    "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_compacted",
+    "q_ann_ivfpq_repaired", "q_ann_cosine")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time
@@ -201,6 +215,13 @@ object Bench {
     try queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+    // pre-build the shared ANN artifacts (one fit+encode per sf dir):
+    // serving rows time SERVING — the fit cost has its own rows
+    // (q_ann_pq_fit / q_ann_ivfpq_fit) and must not contaminate the
+    // first run of whichever serving gate touches the memo first
+    try SparkEntry.warmAnnArtifacts(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ANN warm-up failed: ${e.getMessage}") }
     val set = only match {
       case Some(o) => Headline.filter(o.contains)
       case None => Headline

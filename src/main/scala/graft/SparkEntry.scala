@@ -95,6 +95,95 @@ object SparkEntry {
       java.nio.file.Paths.get("/dev/shm")
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
 
+  /** Gate scratch dir with JVM-exit cleanup: bench/spec runs
+    * re-execute gates repeatedly, and bare `createTempDirectory`
+    * calls accumulated one encoded index copy per invocation in the
+    * system tmp dir (r12 ADVICE). Dirs registered here are
+    * recursively deleted on JVM exit; contents are throwaway by
+    * construction (re-derivable from the sf tables).
+    */
+  private val scratchDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () } })
+        } catch { case _: Throwable => () }
+      }
+    }))
+  }
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(streamScratchBase, prefix)
+    scratchDirs.add(p)
+    p
+  }
+
+  // ------------------------------------------------- ANN fit memoization
+  //
+  // The ANN gates share ONE index shape (scale, coarseK=4, m=4, k=4,
+  // iters=2 over the sf embeddings). r12 benched every serving gate
+  // WITH an inline re-fit, so the driver's round-over-round diff on
+  // those rows watched ~1.5 s of fit noise per row (r12 verdict
+  // "wrong" #3). The fit+encode now runs ONCE per (JVM, sf dir) —
+  // the production split: q_ann_pq_fit / q_ann_ivfpq_fit time the
+  // training job (and oracle-pin the codebooks), the serving gates
+  // read the shared artifacts like a serving deployment reads a
+  // published index. Outputs are unchanged — same params, same
+  // integers — so every r12 oracle still pins every gate.
+
+  private case class PqArt(
+      scale: Double, cbs: Array[Array[Array[Long]]], codesPath: String)
+  private case class IvfPqArt(
+      scale: Double, coarse: Array[Array[Long]],
+      cbs: Array[Array[Array[Long]]], codesPath: String)
+  private val pqArtMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, PqArt]()
+  private val ivfPqArtMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfPqArt]()
+
+  private def pqArtifacts(s: SparkSession, dir: String): PqArt =
+    pqArtMemo.computeIfAbsent(dir, _ => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val cbs = Similarity.pqFitInt8(emb, "vec_id", "embedding",
+        m = 4, k = 4, iters = 2, scale = scale)
+      val path = scratchDir("graft-pq-layout").resolve("codes").toString
+      Similarity.savePqEncoded(emb, "vec_id", "embedding", scale, cbs, path)
+      PqArt(scale, cbs, path)
+    })
+
+  private def ivfPqArtifacts(s: SparkSession, dir: String): IvfPqArt =
+    ivfPqArtMemo.computeIfAbsent(dir, _ => {
+      val emb = tbl(s, dir, "embeddings")
+      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
+      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
+      val path = scratchDir("graft-ivfpq-layout").resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
+        coarse, cbs, path)
+      IvfPqArt(scale, coarse, cbs, path)
+    })
+
+  /** Pre-build the shared ANN artifacts so bench serving rows never
+    * pay the one-time fit in their first run (Bench calls this in its
+    * warm-up).
+    */
+  def warmAnnArtifacts(s: SparkSession, dir: String): Unit = {
+    pqArtifacts(s, dir)
+    ivfPqArtifacts(s, dir)
+  }
+
+  /** The anchor query vector every single-query ANN gate probes with
+    * (vec 0's embedding — one tiny head job, shared shape).
+    */
+  private def annQueryVec(s: SparkSession, dir: String): Seq[Float] =
+    tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+
   private def runStreamGate(
       s: SparkSession,
       dir: String,
@@ -2751,15 +2840,29 @@ object SparkEntry {
     // so the oracle replays fit → encode → ADC top-10 BIT-FOR-BIT —
     // no recall band, the distances themselves hash-match.
     "q_ann_pq" -> ((s, dir) => {
+      val art = pqArtifacts(s, dir)
+      Similarity.pqAdcTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          annQueryVec(s, dir), k = 10, scale = art.scale, codebooks = art.cbs)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
+    // The PQ TRAINING job as its own timed/gated surface (r12 verdict:
+    // serving rows must not re-pay ~1.5 s of fit noise per bench run):
+    // a FRESH pqFitInt8 every invocation, codebooks emitted as
+    // flattened (sub, idx, j, v) centroid coordinates the oracle
+    // replays bit-for-bit via the shared pq_c2 algebra.
+    "q_ann_pq_fit" -> ((s, dir) => {
+      import s.implicits._
       val emb = tbl(s, dir, "embeddings")
       val scale = Similarity.kmeansGlobalScale(emb, "embedding")
       val cbs = Similarity.pqFitInt8(emb, "vec_id", "embedding",
         m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      Similarity.pqAdcTopK(emb, "vec_id", "embedding", query,
-          k = 10, scale = scale, codebooks = cbs)
-        .orderBy("adc_dist", "vec_id")
+      cbs.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.flatMap { case (cent, idx) =>
+          cent.zipWithIndex.map { case (v, j) =>
+            (sub.toLong, idx.toLong, (j + 1).toLong, v) } }
+      }.toSeq.toDF("sub", "idx", "j", "v")
+        .orderBy("sub", "idx", "j")
     }),
 
     // IVF-PQ — the full FAISS-style composition: coarse integer
@@ -2768,16 +2871,35 @@ object SparkEntry {
     // rows. Integer end to end, so the oracle replays coarse fit →
     // residuals → PQ fit → probe → ADC top-10 bit-for-bit.
     "q_ann_ivfpq" -> ((s, dir) => {
+      val art = ivfPqArtifacts(s, dir)
+      Similarity.ivfPqTopK(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          annQueryVec(s, dir), kTop = 10, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
+    // The IVF-PQ TRAINING job (coarse k-means + residual PQ fit) as
+    // its own timed/gated surface — fresh ivfPqFit per invocation,
+    // coarse centroids AND codebooks flattened to scalar rows; the
+    // oracle replays both fits (the shared c2 + pq_c2 algebra over
+    // residuals) bit-for-bit. Serving gates read the memoized
+    // artifacts instead of re-fitting (the published-index split).
+    "q_ann_ivfpq_fit" -> ((s, dir) => {
+      import s.implicits._
       val emb = tbl(s, dir, "embeddings")
       val scale = Similarity.kmeansGlobalScale(emb, "embedding")
       val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
         coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      Similarity.ivfPqTopK(emb, "vec_id", "embedding", query,
-          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
-          nProbe = 2)
-        .orderBy("adc_dist", "vec_id")
+      val rows =
+        coarse.zipWithIndex.flatMap { case (cent, idx) =>
+          cent.zipWithIndex.map { case (v, j) =>
+            ("coarse", -1L, idx.toLong, (j + 1).toLong, v) } } ++
+        cbs.zipWithIndex.flatMap { case (cb, sub) =>
+          cb.zipWithIndex.flatMap { case (cent, idx) =>
+            cent.zipWithIndex.map { case (v, j) =>
+              ("codebook", sub.toLong, idx.toLong, (j + 1).toLong, v) } } }
+      rows.toSeq.toDF("kind", "sub", "idx", "j", "v")
+        .orderBy("kind", "sub", "idx", "j")
     }),
 
     // The PRODUCTION PQ serving path: encode the corpus ONCE
@@ -2786,17 +2908,9 @@ object SparkEntry {
     // re-assign. Bit-equal to q_ann_pq, so the same oracle pins the
     // distances.
     "q_ann_pq_persisted" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val cbs = Similarity.pqFitInt8(emb, "vec_id", "embedding",
-        m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      val path = java.nio.file.Files.createTempDirectory("graft-pq-codes")
-        .resolve("codes").toString
-      Similarity.savePqEncoded(emb, "vec_id", "embedding", scale, cbs, path)
-      Similarity.pqAdcTopKFromCodes(s.read.parquet(path), "vec_id", query,
-          k = 10, scale = scale, codebooks = cbs)
+      val art = pqArtifacts(s, dir)
+      Similarity.pqAdcTopKFromCodes(s.read.parquet(art.codesPath), "vec_id",
+          annQueryVec(s, dir), k = 10, scale = art.scale, codebooks = art.cbs)
         .orderBy("adc_dist", "vec_id")
     }),
 
@@ -2808,19 +2922,10 @@ object SparkEntry {
     // Bit-equal to q_ann_ivfpq (same integers end to end); PlanSpec
     // pins PartitionFilters + BroadcastHashJoin + no re-encode.
     "q_ann_ivfpq_persisted" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-codes")
-        .resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
-        coarse, cbs, path)
-      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id", query,
-          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
-          nProbe = 2)
+      val art = ivfPqArtifacts(s, dir)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(art.codesPath), "vec_id",
+          annQueryVec(s, dir), kTop = 10, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
         .orderBy("adc_dist", "vec_id")
     }),
 
@@ -2833,12 +2938,10 @@ object SparkEntry {
     // row (no top-k). Codebooks fit once on the static table and
     // ride the task closure exactly as a cluster broadcast would.
     "q_stream_pq_screen" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val cbs = Similarity.pqFitInt8(emb, "vec_id", "embedding",
-        m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
+      val art = pqArtifacts(s, dir)
+      val scale = art.scale
+      val cbs = art.cbs
+      val query = annQueryVec(s, dir)
       runStreamGate(s, dir, "embeddings", EmbeddingsStreamSchema,
           "pqscreen", "append") { st =>
         // drop null vectors BEFORE scoring — the oracle's pq_enc join
@@ -2863,21 +2966,13 @@ object SparkEntry {
     // composable; oracle replays the same filter over the ADC chain.
     "q_ann_ivfpq_filtered" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-flt")
-        .resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
-        coarse, cbs, path)
-      val filtered = s.read.parquet(path)
+      val art = ivfPqArtifacts(s, dir)
+      val filtered = s.read.parquet(art.codesPath)
         .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
         .filter(col("label") === 1)
-      Similarity.ivfPqTopKFromCodes(filtered, "vec_id", query,
-          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
-          nProbe = 2)
+      Similarity.ivfPqTopKFromCodes(filtered, "vec_id", annQueryVec(s, dir),
+          kTop = 10, scale = art.scale, coarse = art.coarse,
+          codebooks = art.cbs, nProbe = 2)
         .orderBy("adc_dist", "vec_id")
     }),
 
@@ -2888,21 +2983,63 @@ object SparkEntry {
     // encode bit for bit, so the q_ann_ivfpq oracle pins it.
     "q_ann_ivfpq_incremental" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-inc")
-        .resolve("codes").toString
+      val art = ivfPqArtifacts(s, dir)
+      val path = scratchDir("graft-ivfpq-inc").resolve("codes").toString
       Similarity.saveIvfPqEncoded(emb.filter(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", scale, coarse, cbs, path)
+        "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
       Similarity.appendIvfPqEncoded(emb.filter(col("vec_id") % 2 =!= 0),
-        "vec_id", "embedding", scale, coarse, cbs, path)
-      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id", query,
-          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
-          nProbe = 2)
+        "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id",
+          annQueryVec(s, dir), kTop = 10, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
         .orderBy("adc_dist", "vec_id")
+    }),
+
+    // LAYOUT COMPACTION: a living index built by EIGHT append batches
+    // (one file set per batch per touched cell — exactly the
+    // small-file accretion a production ingest cadence produces),
+    // then compactIvfPqLayout rewrites every cell directory to one
+    // file via the crash-safe staged swap. The top-10 over the
+    // compacted layout must equal the one-shot encode BIT FOR BIT
+    // (q_ann_ivfpq's oracle pins it) — compaction moves bytes, never
+    // values — and PlanSpec pins that partition pruning still fires.
+    "q_ann_ivfpq_compacted" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val path = scratchDir("graft-ivfpq-cmp").resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb.filter(col("vec_id") % 8 === 0),
+        "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
+      (1 to 7).foreach { i =>
+        Similarity.appendIvfPqEncoded(emb.filter(col("vec_id") % 8 === i),
+          "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
+      }
+      Similarity.compactIvfPqLayout(s, path, filesPerCell = 1)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id",
+          annQueryVec(s, dir), kTop = 10, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
+    // DELETE SYNC: ids `vec_id % 7 == 3` are deleted from the raw
+    // vector table AFTER the layout was built — the lagging-delete
+    // hazard where the refine inner join silently drops candidates.
+    // repairIvfPqLayout left-semi-joins the codes against the
+    // surviving raw ids (and compacts), after which the refined
+    // serving path answers over exactly the surviving corpus; the
+    // oracle replays the ADC chain with the same ids removed.
+    "q_ann_ivfpq_repaired" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val path = scratchDir("graft-ivfpq-rep").resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", art.scale,
+        art.coarse, art.cbs, path)
+      val surviving = emb.filter(col("vec_id") % 7 =!= 3)
+      Similarity.repairIvfPqLayout(s, path, surviving, "vec_id")
+      Similarity.ivfPqTopKRefined(s.read.parquet(path), surviving, "vec_id",
+          "embedding", annQueryVec(s, dir), kTop = 10, rerank = 50,
+          scale = art.scale, coarse = art.coarse, codebooks = art.cbs,
+          nProbe = 2)
+        .orderBy("exact_dist", "vec_id")
     }),
 
     // STREAMING index ingest: the embeddings feed is encoded
@@ -2912,32 +3049,26 @@ object SparkEntry {
     // job. A top-10 read from the streamed layout equals the batch
     // encode bit for bit (q_ann_ivfpq's oracle pins it).
     "q_stream_ann_ingest" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      val tmpBase = streamScratchBase
-      val srcDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-annsrc")
+      val art = ivfPqArtifacts(s, dir)
+      val srcDir = scratchDir("graft-annsrc")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
         srcDir.resolve("embeddings.parquet"))
-      val outDir = java.nio.file.Files.createTempDirectory(tmpBase, "graft-annout").toString
-      val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-annck").toString
+      val outDir = scratchDir("graft-annout").toString
+      val ck = scratchDir("graft-annck").toString
       val q = Similarity.ivfPqEncode(
           s.readStream.schema(EmbeddingsStreamSchema).parquet(srcDir.toString)
             .filter(col("embedding").isNotNull),
-          "vec_id", "embedding", scale, coarse, cbs)
+          "vec_id", "embedding", art.scale, art.coarse, art.cbs)
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ck)
         .partitionBy("cell")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      Similarity.ivfPqTopKFromCodes(s.read.parquet(outDir), "vec_id", query,
-          kTop = 10, scale = scale, coarse = coarse, codebooks = cbs,
-          nProbe = 2)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(outDir), "vec_id",
+          annQueryVec(s, dir), kTop = 10, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
         .orderBy("adc_dist", "vec_id")
     }),
 
@@ -2948,19 +3079,13 @@ object SparkEntry {
     // distance stages and the final ranks oracle-pinned.
     "q_ann_ivfpq_knn_refined" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val path = java.nio.file.Files.createTempDirectory("graft-knn-ref")
-        .resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
-        coarse, cbs, path)
+      val art = ivfPqArtifacts(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfPqKnnJoinRefined(queries, "query_id", "embedding",
-          s.read.parquet(path), emb, "vec_id", "embedding",
-          k = 5, rerank = 10, scale = scale, coarse = coarse,
-          codebooks = cbs, nProbe = 2)
+          s.read.parquet(art.codesPath), emb, "vec_id", "embedding",
+          k = 5, rerank = 10, scale = art.scale, coarse = art.coarse,
+          codebooks = art.cbs, nProbe = 2)
         .orderBy("query_id", "rk")
     }),
 
@@ -2972,18 +3097,12 @@ object SparkEntry {
     // shape; distances AND ranks exact-integer, oracle-pinned.
     "q_ann_ivfpq_knn" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-knn")
-        .resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
-        coarse, cbs, path)
+      val art = ivfPqArtifacts(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfPqKnnJoin(queries, "query_id", "embedding",
-          s.read.parquet(path), "vec_id", k = 5, scale = scale,
-          coarse = coarse, codebooks = cbs, nProbe = 2)
+          s.read.parquet(art.codesPath), "vec_id", k = 5, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
         .orderBy("query_id", "rk")
     }),
 
@@ -2994,19 +3113,62 @@ object SparkEntry {
     // distance stages are exact integers; the oracle replays both.
     "q_ann_ivfpq_refined" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val scale = Similarity.kmeansGlobalScale(emb, "embedding")
-      val (coarse, cbs) = Similarity.ivfPqFit(emb, "vec_id", "embedding",
-        coarseK = 4, m = 4, k = 4, iters = 2, scale = scale)
-      val query = emb.filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-ref")
-        .resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", scale,
-        coarse, cbs, path)
-      Similarity.ivfPqTopKRefined(s.read.parquet(path), emb, "vec_id",
-          "embedding", query, kTop = 10, rerank = 50, scale = scale,
-          coarse = coarse, codebooks = cbs, nProbe = 2)
+      val art = ivfPqArtifacts(s, dir)
+      Similarity.ivfPqTopKRefined(s.read.parquet(art.codesPath), emb,
+          "vec_id", "embedding", annQueryVec(s, dir), kTop = 10,
+          rerank = 50, scale = art.scale, coarse = art.coarse,
+          codebooks = art.cbs, nProbe = 2)
         .orderBy("exact_dist", "vec_id")
+    }),
+
+    // COSINE serving recipe: L2-normalize at ingest, then L2 top-k IS
+    // cosine top-k (unit vectors: ||a−b||² = 2 − 2·cos). The gate
+    // proves the identity through the EXACT-INTEGER kernel the refine
+    // family serves with: the L2 arm quantizes the l2Normalize'd
+    // vectors into the standard int8 domain (kmeansQuantize — the
+    // same projection ivfPqTopKRefined's exact stage re-ranks in) and
+    // takes the integer-L2 top-10; it must agree with brute-force
+    // float cosine on ≥ 8 of 10 ids per query (the only loss is int8
+    // quantization of the unit vectors — recall band, the q_ann_ivf
+    // pattern; the oracle pins the booleans TRUE; CosProbe measured
+    // 9-10/10 at sf0.001 and sf0.01). At scale the same recipe rides
+    // the stored-code serving paths: normalize → fit → saveIvfPqEncoded
+    // → ivfPqTopKFromCodes/ivfPqKnnJoin (+refine) serve cosine.
+    "q_ann_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val emb = tbl(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val unit = emb.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("uvec"))
+      val qdf = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        .toDF("query_id", "qvec")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      val brute = emb
+        .crossJoin(broadcast(qdf))
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("score"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      val uscale = Similarity.kmeansGlobalScale(unit, "uvec")
+      val uq = unit.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          Similarity.kmeansQuantize(col("uvec"), uscale).as("_qq"))
+      val wL2 = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+      val l2 = unit
+        .select(col("vec_id"),
+          Similarity.kmeansQuantize(col("uvec"), uscale).as("_u"))
+        .crossJoin(broadcast(uq))
+        .select(col("query_id"), col("vec_id"),
+          aggregate(zip_with(col("_u"), col("_qq"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d"))
+        .withColumn("rk", row_number().over(wL2)).filter(col("rk") <= 10)
+      brute.select("query_id", "vec_id")
+        .join(l2.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        .select(col("query_id"), (col("n_hits") >= 8).as("recall_ok"))
+        .orderBy("query_id")
     }),
 
     // Semantic-balance composition: k-means cells capped at a common
@@ -7039,6 +7201,31 @@ object SparkEntry {
       "q_ann_pq" -> AnnPqOracle,
       "q_ann_pq_persisted" -> AnnPqOracle,
 
+      // the TRAINING gate: codebook centroid coordinates replayed
+      // bit-for-bit through the shared pq_c2 fit algebra
+      "q_ann_pq_fit" ->
+        (s"WITH $AnnPqCtes " +
+          """SELECT CAST(sub AS BIGINT) AS sub, CAST(cell AS BIGINT) AS idx,
+           |  CAST(j AS BIGINT) AS j, CAST(sq[j] AS BIGINT) AS v
+           |FROM pq_c2, range(1, 17) t(j)
+           |ORDER BY sub, idx, j""".stripMargin),
+
+      // coarse centroids (c2) AND residual codebooks (pq_c2) of the
+      // IVF-PQ training job, flattened to scalar rows
+      "q_ann_ivfpq_fit" ->
+        (s"WITH $AnnIvfPqCtes " +
+          """SELECT kind, sub, idx, j, v FROM (
+           |  SELECT 'coarse' AS kind, CAST(-1 AS BIGINT) AS sub,
+           |    CAST(cell AS BIGINT) AS idx, CAST(j AS BIGINT) AS j,
+           |    CAST(q[j] AS BIGINT) AS v
+           |  FROM c2, range(1, 65) t(j)
+           |  UNION ALL
+           |  SELECT 'codebook' AS kind, CAST(sub AS BIGINT) AS sub,
+           |    CAST(cell AS BIGINT) AS idx, CAST(j AS BIGINT) AS j,
+           |    CAST(sq[j] AS BIGINT) AS v
+           |  FROM pq_c2, range(1, 17) t(j))
+           |ORDER BY kind, sub, idx, j""".stripMargin),
+
       // the stateless stream screen = the batch ADC replay over
       // EVERY row (same fit chain, no top-k)
       "q_stream_pq_screen" ->
@@ -7048,7 +7235,32 @@ object SparkEntry {
       "q_ann_ivfpq" -> AnnIvfPqOracle,
       "q_ann_ivfpq_persisted" -> AnnIvfPqOracle,
       "q_ann_ivfpq_incremental" -> AnnIvfPqOracle,
+      // compaction moves bytes, never values: the 8-batch layout
+      // compacted to one file per cell serves the SAME top-10
+      "q_ann_ivfpq_compacted" -> AnnIvfPqOracle,
       "q_stream_ann_ingest" -> AnnIvfPqOracle,
+
+      // delete sync: ids vec_id % 7 == 3 left `raw`; after
+      // repairIvfPqLayout the refined serving path answers over
+      // exactly the surviving corpus — the refine algebra with the
+      // same ids removed from the candidate AND re-rank stages
+      "q_ann_ivfpq_repaired" ->
+        (s"WITH $AnnIvfPqCtes, " +
+          """iq_cand AS (SELECT vec_id, ccell, adc_dist FROM iq_score
+           |  WHERE vec_id % 7 <> 3 ORDER BY adc_dist, vec_id LIMIT 50),
+           |iq_ex AS (SELECT c.vec_id, CAST(c.ccell AS BIGINT) AS cell, c.adc_dist,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> (v.q[j] - q.q[j]) * (v.q[j] - q.q[j]))) AS BIGINT) AS exact_dist
+           |  FROM iq_cand c JOIN qv v ON v.vec_id = c.vec_id CROSS JOIN iq_q q)
+           |SELECT vec_id, cell, adc_dist, exact_dist FROM iq_ex
+           |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin),
+
+      // the cosine recipe's recall band (the q_ann_ivf pattern):
+      // normalization + int8 quantization are float, so the oracle
+      // pins the per-query recall booleans TRUE
+      "q_ann_cosine" ->
+        """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
+          |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
       // the metadata predicate rides the same ADC chain: score only
       // label=1 rows, same top-10 algebra

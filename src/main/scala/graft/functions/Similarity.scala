@@ -1662,7 +1662,28 @@ object Similarity {
     * null queries pre-assert (`filter(isnull).isEmpty`) or use
     * [[ivfPqKnnJoinRefined]], whose quantGuard raises with the
     * offending query id.
+    *
+    * Join strategy (`broadcastQueries`): `None` (default) picks from
+    * the DATA — the probe side is `nQueries · nProbe` rows of `m·k`
+    * longs each, and the KnnJoinProbe measurement at a production
+    * m=16/k=256 shape against 1M stored codes showed broadcast
+    * LOSING once that side is large (1k queries = 250 MiB probe
+    * side: 13.8 q/s broadcast vs 39.3 q/s shuffle; at 10k queries
+    * the 2.5 GiB broadcast exceeds Spark's default 1 GiB
+    * `spark.driver.maxResultSize` and FAILS outright), while the
+    * small-batch regime (few queries, small tables) keeps the
+    * zero-shuffle broadcast win the r12 verdict measured. Auto costs
+    * one `count()` of the query table and broadcasts iff the
+    * estimated probe side is ≤ [[KnnBroadcastBytesMax]] (64 MiB).
+    * `Some(true/false)` forces a mode and skips the count.
     */
+  /** Auto-mode probe-side budget for [[ivfPqKnnJoin]]: broadcast only
+    * when `nQueries · nProbe · m · k · 8B` fits — above this the
+    * measured crossover says the cell-id shuffle join wins (and far
+    * above it, broadcast collection breaks `spark.driver.maxResultSize`).
+    */
+  val KnnBroadcastBytesMax: Long = 64L << 20
+
   def ivfPqKnnJoin(
       queries: DataFrame,
       qIdCol: String,
@@ -1676,7 +1697,7 @@ object Similarity {
       nProbe: Int,
       cellCol: String = "cell",
       codesCol: String = "codes",
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1 && nProbe <= coarse.length,
       s"nProbe must be in [1, ${coarse.length}], got $nProbe")
@@ -1740,7 +1761,11 @@ object Similarity {
         explode(slice(array_sort(cellDists), 1, nProbe)).as("_p"))
       .select(col(qIdCol), col("_p.cell").as("_qcell"), rqCol.as("_rq"))
       .select(col(qIdCol), col("_qcell"), tblCol.as("_tbl"))
-    val qSide = if (broadcastQueries) broadcast(probed) else probed
+    val useBroadcast = broadcastQueries.getOrElse {
+      val perProbeRow = codebooks.length.toLong * codebooks(0).length * 8L
+      queries.count() * nProbe * perProbeRow <= KnnBroadcastBytesMax
+    }
+    val qSide = if (useBroadcast) broadcast(probed) else probed
     // per-candidate ADC: m codegen'd lookups into the probe row's table
     val dist = DedupExpressions.pqAdc(col(codesCol), col("_tbl"), "ivfpq knn")
     codes.filter(col(codesCol).isNotNull)

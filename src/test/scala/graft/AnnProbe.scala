@@ -99,6 +99,60 @@ object AnnProbe {
     }
     println(f"[probe] bulk retrieval: $nOut%d result rows, " +
       f"${nQueries / tKnn}%.0f queries/s against $nVecs%d stored codes")
+
+    // LIVING-INDEX maintenance: rebuild the same layout as 16 append
+    // batches (the streaming-ingest fragmentation shape), record file
+    // count + serving latency, compact, record again — the number the
+    // compactor exists for.
+    val fragDir = "/tmp/ann_probe_frag"
+    val (_, tFrag) = timed("fragmented build (16 append batches)") {
+      functions.Similarity.saveIvfPqEncoded(
+        saved.filter(col("vec_id") % 16 === 0), "vec_id", "embedding",
+        scale, coarse, cbs, fragDir)
+      (1 to 15).foreach { i =>
+        functions.Similarity.appendIvfPqEncoded(
+          saved.filter(col("vec_id") % 16 === i), "vec_id", "embedding",
+          scale, coarse, cbs, fragDir)
+      }
+    }
+    def layoutFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    val filesBefore = layoutFiles(fragDir)
+    val fragServe = (1 to 3).map { i =>
+      timed(s"topKFromCodes over FRAGMENTED layout (run $i)") {
+        functions.Similarity.ivfPqTopKFromCodes(spark.read.parquet(fragDir),
+          "vec_id", query, kTop = 10, scale = scale, coarse = coarse,
+          codebooks = cbs, nProbe = nProbe).collect()
+      }._2
+    }
+    val fragTop = functions.Similarity.ivfPqTopKFromCodes(
+        spark.read.parquet(fragDir), "vec_id", query, kTop = 10,
+        scale = scale, coarse = coarse, codebooks = cbs, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (_, tCompact) = timed("compactIvfPqLayout (1 file/cell, staged swap)") {
+      functions.Similarity.compactIvfPqLayout(spark, fragDir, filesPerCell = 1)
+    }
+    val filesAfter = layoutFiles(fragDir)
+    val compServe = (1 to 3).map { i =>
+      timed(s"topKFromCodes over COMPACTED layout (run $i)") {
+        functions.Similarity.ivfPqTopKFromCodes(spark.read.parquet(fragDir),
+          "vec_id", query, kTop = 10, scale = scale, coarse = coarse,
+          codebooks = cbs, nProbe = nProbe).collect()
+      }._2
+    }
+    val compTop = functions.Similarity.ivfPqTopKFromCodes(
+        spark.read.parquet(fragDir), "vec_id", query, kTop = 10,
+        scale = scale, coarse = coarse, codebooks = cbs, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    require(compTop == fragTop && compTop == b,
+      s"compaction changed the top-k:\n$compTop\nvs\n$fragTop\nvs\n$b")
+    println(f"[probe] compaction at $nVecs%d vecs: $filesBefore%d files -> " +
+      f"$filesAfter%d (compact pass $tCompact%.1f s, 16-batch build $tFrag%.1f s); " +
+      f"serve ${median(fragServe)}%.2f s fragmented vs ${median(compServe)}%.2f s " +
+      f"compacted; top-10 bit-equal to the one-shot layout")
     spark.stop()
   }
 }

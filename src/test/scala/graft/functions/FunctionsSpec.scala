@@ -1057,7 +1057,7 @@ class SimilaritySpec extends SparkSpec {
     // rows — the flag changes the JOIN STRATEGY only
     val gotNb = Similarity.ivfPqKnnJoin(queries, "query_id", "embedding",
         codes, "vec_id", k = 5, scale = scale, coarse = coarse,
-        codebooks = cbs, nProbe = 2, broadcastQueries = false)
+        codebooks = cbs, nProbe = 2, broadcastQueries = Some(false))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq.sortBy(x => (x._1, x._5))
@@ -1614,6 +1614,218 @@ class SimilaritySpec extends SparkSpec {
     // same candidate cells + float rerank: int8 approximation must not
     // change the final top-3
     assert(qz == fl)
+  }
+
+  test("compactIvfPqLayout: many append batches -> <= filesPerCell files, bit-equal serving") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale)
+    val root = java.nio.file.Files.createTempDirectory("graft-cmp-t")
+    val dir = root.resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df.filter(col("vec_id") % 8 === 0),
+      "vec_id", "embedding", scale, coarse, cbs, dir)
+    (1 to 7).foreach { i =>
+      Similarity.appendIvfPqEncoded(df.filter(col("vec_id") % 8 === i),
+        "vec_id", "embedding", scale, coarse, cbs, dir)
+    }
+    def cellFiles(): Map[String, Int] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(c => c.getName ->
+          c.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = cellFiles()
+    assert(before.values.max >= 8,
+      s"append batches should fragment a cell dir, got $before")
+    val q = vecs(5)._2
+    val want = Similarity.ivfPqTopKFromCodes(spark.read.parquet(dir), "vec_id",
+        q, kTop = 7, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Similarity.compactIvfPqLayout(spark, dir, filesPerCell = 1)
+    val after = cellFiles()
+    assert(after.keySet == before.keySet, s"compaction changed cells: $after")
+    assert(after.values.max == 1, s"expected 1 file per cell, got $after")
+    val got = Similarity.ivfPqTopKFromCodes(spark.read.parquet(dir), "vec_id",
+        q, kTop = 7, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"compaction changed values:\n$got\nvs\n$want")
+    // no staging/retired leftovers after a clean swap
+    val sibs = root.toFile.listFiles().map(_.getName).toSet
+    assert(sibs == Set("codes"), s"staged dirs leaked: $sibs")
+    // filesPerCell > 1 splits deterministically and stays bit-equal
+    Similarity.compactIvfPqLayout(spark, dir, filesPerCell = 2)
+    assert(cellFiles().values.max <= 2)
+    val got2 = Similarity.ivfPqTopKFromCodes(spark.read.parquet(dir), "vec_id",
+        q, kTop = 7, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == want)
+  }
+
+  test("repairIvfPqLayout drops codes whose id left raw; refine serves the survivors") {
+    val rnd = new scala.util.Random(59)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep-t")
+      .resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale, coarse, cbs, dir)
+    // "delete" a third of the corpus from raw AFTER the layout exists
+    val surviving = df.filter(col("vec_id") % 3 =!= 1)
+    Similarity.repairIvfPqLayout(spark, dir, surviving, "vec_id")
+    val ids = spark.read.parquet(dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == vecs.map(_._1).filter(_ % 3 != 1).toSet,
+      "repair must keep exactly the surviving ids")
+    // the refined path now works over the repaired layout: candidates
+    // all resolve in raw (codes subset-of raw restored), and the result
+    // equals refining over codes encoded from the surviving corpus
+    val q = vecs(2)._2
+    val got = Similarity.ivfPqTopKRefined(spark.read.parquet(dir), surviving,
+        "vec_id", "embedding", q, kTop = 5, rerank = 12, scale = scale,
+        coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val want = Similarity.ivfPqTopKRefined(
+        Similarity.ivfPqEncode(surviving, "vec_id", "embedding", scale, coarse, cbs),
+        surviving, "vec_id", "embedding", q, kTop = 5, rerank = 12,
+        scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == want, s"repaired refine diverged:\n$got\nvs\n$want")
+  }
+
+  test("loadIvfPqIndex fails loud on corrupt artifacts, round-trips clean ones") {
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 2, m = 2, k = 2, iters = 1, scale = scale)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-t")
+    val good = dir.resolve("good").toString
+    Similarity.saveIvfPqIndex(spark, good, scale, coarse, cbs)
+    val (s2, c2, b2) = Similarity.loadIvfPqIndex(spark, good)
+    assert(s2 == scale && c2.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq &&
+      b2.map(_.map(_.toSeq).toSeq).toSeq == cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    def corrupt(name: String)(
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      val p = dir.resolve(name).toString
+      f(spark.read.parquet(good)).coalesce(1).write.parquet(p)
+      p
+    }
+    // a missing codebook row (partial write)
+    val holed = corrupt("holed")(d =>
+      d.filter(!(col("kind") === "codebook" && col("sub") === 1 && col("idx") === 0)))
+    val e1 = intercept[IllegalStateException] { Similarity.loadIvfPqIndex(spark, holed) }
+    assert(e1.getMessage.contains(holed) && e1.getMessage.contains("idx"),
+      e1.getMessage)
+    // jagged vector lengths
+    val jagged = corrupt("jagged")(d =>
+      d.withColumn("vec", when(col("kind") === "coarse" && col("idx") === 0,
+        slice(col("vec"), 1, 3)).otherwise(col("vec"))))
+    val e2 = intercept[IllegalStateException] { Similarity.loadIvfPqIndex(spark, jagged) }
+    assert(e2.getMessage.contains("jagged"), e2.getMessage)
+    // two distinct scales
+    val twoScale = corrupt("twoscale")(d =>
+      d.withColumn("scale", when(col("kind") === "coarse", col("scale") * 2)
+        .otherwise(col("scale"))))
+    val e3 = intercept[IllegalStateException] { Similarity.loadIvfPqIndex(spark, twoScale) }
+    assert(e3.getMessage.contains("scale"), e3.getMessage)
+  }
+
+  test("l2Normalize: unit norms, cosine identity, zero/null/null-component contracts") {
+    val df = Seq(
+      (1L, Seq(3f, 4f, 0f)),
+      (2L, Seq(0f, 0f, 0f)),                  // zero vector -> null
+      (3L, null.asInstanceOf[Seq[Float]]))    // null -> null
+      .toDF("id", "v")
+    val rows = df.select(col("id"), Similarity.l2Normalize(col("v")).as("u"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    // kernel multiplies by 1/norm (one divide per row, not per
+    // component) — compare with tolerance
+    assert(rows(1L).zip(Seq(0.6, 0.8, 0.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-15 }, rows(1L).toString)
+    assert(rows(2L) == null && rows(3L) == null)
+    // the serving identity: L2 distance over normalized == 2 - 2*cos
+    val rnd = new scala.util.Random(67)
+    val pair = Seq(
+      (1L, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)),
+      (2L, Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("id", "v")
+      .select(col("id"), col("v"), Similarity.l2Normalize(col("v")).as("u"))
+      .orderBy("id").collect()
+    val u1 = pair(0).getSeq[Double](2); val u2 = pair(1).getSeq[Double](2)
+    val d2 = u1.zip(u2).map { case (a, b) => (a - b) * (a - b) }.sum
+    val v1 = pair(0).getSeq[Float](1).map(_.toDouble)
+    val v2 = pair(1).getSeq[Float](1).map(_.toDouble)
+    val cos = v1.zip(v2).map { case (a, b) => a * b }.sum /
+      (math.sqrt(v1.map(x => x * x).sum) * math.sqrt(v2.map(x => x * x).sum))
+    assert(math.abs(d2 - (2.0 - 2.0 * cos)) < 1e-12,
+      s"||a-b||^2=$d2 vs 2-2cos=${2.0 - 2.0 * cos}")
+    // null component fails loud, not a silent zero
+    val holed = Seq((1L, Seq(Some(1f), None, Some(2f)))).toDF("id", "v")
+    val e = intercept[Exception] {
+      holed.select(Similarity.l2Normalize(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null component")), msgs(e).mkString(" | "))
+  }
+
+  test("pqAdcTables kernel: wrong-dimension residual fails loud; table matches driver math") {
+    val cbs: Array[Array[Array[Long]]] = Array(
+      Array(Array(1L, 2L), Array(3L, -1L)),
+      Array(Array(0L, 0L), Array(5L, 5L)))
+    val df = Seq((1L, Seq(2L, 2L, 2L, 2L))).toDF("id", "rq")
+    val got = df.select(DedupExpressions.pqAdcTables(col("rq"), cbs))
+      .head().getSeq[scala.collection.Seq[Long]](0).map(_.toList).toList
+    // sub0 vs (1,2): (2-1)^2+(2-2)^2=1; vs (3,-1): 1+9=10
+    // sub1 vs (0,0): 4+4=8;             vs (5,5): 9+9=18
+    assert(got == List(List(1L, 10L), List(8L, 18L)), got.toString)
+    val short = Seq((1L, Seq(2L, 2L, 2L))).toDF("id", "rq")
+    val e = intercept[Exception] {
+      short.select(DedupExpressions.pqAdcTables(col("rq"), cbs)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("residual dimension")), msgs(e).mkString(" | "))
+    // out-of-range stored code fails loud through the pq_adc kernel
+    val codes = Seq((1L, Seq(0, 7))).toDF("id", "codes")
+    val tbl = org.apache.spark.sql.functions.typedLit(
+      Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    val e2 = intercept[Exception] {
+      codes.select(DedupExpressions.pqAdc(col("codes"), tbl, "spec")).collect()
+    }
+    assert(msgs(e2).exists(_.contains("out of range")), msgs(e2).mkString(" | "))
+  }
+
+  test("mixed-dimension corpora fail loud at fit time even with iters=0") {
+    // r12 ADVICE: the dim guard ran only inside iteration scans, so a
+    // wrong-dim row among the seeds (or any wrong-dim row with
+    // iters=0) produced mixed centroids silently
+    val mixed = Seq(
+      (1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f, 0.4f, 0.5f)), (3L, Seq(0.5f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeansFitInt8(mixed, "vec_id", "embedding",
+        k = 2, iters = 0, scale = 1.0)
+    }
+    assert(e1.getMessage.contains("mixed vector dimensions"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqFitInt8(mixed, "vec_id", "embedding",
+        m = 1, k = 2, iters = 0, scale = 1.0)
+    }
+    assert(e2.getMessage.contains("mixed vector dimensions"), e2.getMessage)
   }
 }
 
