@@ -3137,8 +3137,13 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, dir) => {
       import s.implicits._
       val emb = tbl(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      // drop zero vectors too: l2Normalize yields null for them (no
+      // direction) and a null distance would sort FIRST into every
+      // top-10 under Spark's ascending NULLS FIRST default — the same
+      // null-exclusion the encode/fit entry points apply
       val unit = emb.select(col("vec_id"),
         Similarity.l2Normalize(col("embedding")).as("uvec"))
+        .filter(col("uvec").isNotNull)
       val qdf = emb.filter(col("vec_id") < 5)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -7257,10 +7262,13 @@ object SparkEntry {
 
       // the cosine recipe's recall band (the q_ann_ivf pattern):
       // normalization + int8 quantization are float, so the oracle
-      // pins the per-query recall booleans TRUE
+      // pins the per-query recall booleans TRUE (null embeddings
+      // excluded on both sides — the gate filters them before
+      // building its query set)
       "q_ann_cosine" ->
         """SELECT CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
-          |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+          |FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+          |ORDER BY query_id""".stripMargin,
 
       // the metadata predicate rides the same ADC chain: score only
       // label=1 rows, same top-10 algebra

@@ -1376,6 +1376,12 @@ case class PqAdcExpr(left: Expression, right: Expression, ctx: String)
     var d = 0L
     var sub = 0
     while (sub < m) {
+      // a NULL element (corrupt file, external writer) must not read
+      // as code 0 — UnsafeArrayData returns 0 for null slots, which
+      // would score codebook entry 0 with a plausible wrong distance
+      if (codes.isNullAt(sub))
+        throw new IllegalArgumentException(
+          s"$ctx: null code element at sub $sub — repair the stored codes")
       val row = table.getArray(sub)
       val c = codes.getInt(sub)
       if (c < 0 || c >= row.numElements())
@@ -1485,9 +1491,10 @@ case class PqAdcTableExpr(child: Expression, codebooks: Array[Array[Array[Long]]
 /** L2-normalize a float/double vector to unit length in one
   * imperative pass (the HOF formulation evaluates the norm aggregate
   * once per OUTPUT component — no CSE for interpreted lambdas).
-  * Null input → null; an ALL-ZERO vector → null (no direction — a
-  * null fails loud at the downstream quantize guards instead of
-  * silently scoring at the origin); a null COMPONENT fails loud.
+  * Null input → null; an ALL-ZERO vector → null (no direction — the
+  * null rides the family's null contract: encode/fit entry points
+  * exclude it, top-k callers filter; assert isNotNull after this
+  * projection to fail loud instead); a null COMPONENT fails loud.
   * The cosine-serving recipe's ingest step: for unit vectors
   * `||a − b||² = 2 − 2·cos(a, b)`, so the exact-integer L2 family
   * serves cosine over this projection.

@@ -1363,25 +1363,65 @@ object Similarity {
     ivfPqEncode(df, idCol, vecCol, scale, coarse, codebooks)
       .write.mode("append").partitionBy("cell").parquet(path)
 
-  /** Crash-safe staged rewrite of a cell-partitioned code layout:
-    * write the new layout to a `_compacting` sibling, swap it in via
-    * two renames, delete the retired copy. A crash at any point
-    * leaves readers a COMPLETE layout (old or new, never a partial
-    * mix) — the [[graft.store.IncrementalStore.compactHistory]]
-    * contract. Shared by [[compactIvfPqLayout]] / [[repairIvfPqLayout]].
+  /** Staged rewrite of a cell-partitioned code layout: read a
+    * snapshot, repartition so each output task writes whole cells
+    * (`filesPerCell == 1` → one file per cell; else a deterministic
+    * row-hash salt splits each cell into ≤ `filesPerCell`), write to
+    * a `_compacting` sibling, swap via two renames, delete the
+    * retired copy — the
+    * [[graft.store.IncrementalStore.compactHistory]] pattern.
+    *
+    * Crash contract: a crash before the first rename leaves the old
+    * layout untouched; between the two renames the layout briefly
+    * lives at `_retired` only — the NEXT maintenance call detects
+    * that state on entry and RESTORES it before proceeding, so the
+    * pass is self-healing (a reader in that window sees
+    * path-not-found and retries).
+    *
+    * Writer exclusion REQUIRED: the pass snapshots the directory,
+    * so a batch appended concurrently (appendIvfPqEncoded, the
+    * streaming sink) would be swept away with the retired copy. Run
+    * maintenance with ingest quiesced; as a best-effort guard the
+    * pass re-lists the data files after staging and fails loud —
+    * without touching the live layout — if the set changed.
     */
   private def stagedLayoutRewrite(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      rewritten: DataFrame): Unit = {
+      snapshot: DataFrame,
+      filesPerCell: Int): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    require(snapshot.columns.contains("cell"),
+      s"$path is not a cell-partitioned code layout (no `cell` column)")
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = target.getParent
     val staging = new Path(parent, target.getName + "_compacting")
     val retired = new Path(parent, target.getName + "_retired")
+    def listDataFiles(): Set[String] = {
+      val it = fs.listFiles(target, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val before = listDataFiles()
+    val keyed =
+      if (filesPerCell == 1) snapshot.repartition(col("cell"))
+      else snapshot.repartition(col("cell"),
+        pmod(hash(struct(snapshot.columns.filter(_ != "cell").map(col): _*)),
+          lit(filesPerCell)))
     fs.delete(staging, true)
-    rewritten.write.partitionBy("cell").parquet(staging.toString)
+    keyed.write.partitionBy("cell").parquet(staging.toString)
+    if (listDataFiles() != before) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"layout at $target changed during the rewrite (concurrent append?) — " +
+          "quiesce ingest before compacting/repairing; the live layout is untouched")
+    }
     fs.delete(retired, true)
     if (!fs.rename(target, retired))
       throw new IllegalStateException(s"layout compaction rename failed for $target")
@@ -1390,6 +1430,22 @@ object Similarity {
       throw new IllegalStateException(s"layout compaction swap failed for $target")
     }
     fs.delete(retired, true)
+  }
+
+  /** Self-heal a layout left at `_retired` by a crash between
+    * [[stagedLayoutRewrite]]'s two renames. No-op when `path` exists.
+    */
+  private def restoreRetiredLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new Path(target.getParent, target.getName + "_retired")
+    if (!fs.exists(target) && fs.exists(retired)) {
+      if (!fs.rename(retired, target))
+        throw new IllegalStateException(
+          s"crash recovery: could not restore $retired to $target")
+    }
   }
 
   /** Compact a cell-partitioned code layout: [[appendIvfPqEncoded]]
@@ -1404,24 +1460,18 @@ object Similarity {
     * Shuffle shape: ONE repartition keyed by the cell id (plus a
     * deterministic row-hash salt when `filesPerCell > 1`), so each
     * output task writes whole cells — no tiny-file re-fragmentation
-    * on the way out. Run it off the serving path at whatever cadence
-    * ingest warrants (e.g. when a cell's file count crosses ~10× the
-    * target); readers never block (swap is two renames).
+    * on the way out. Run it off the serving path, with INGEST
+    * QUIESCED (see [[stagedLayoutRewrite]] — a concurrent append
+    * would be swept with the retired copy; a best-effort file-list
+    * guard fails loud), at whatever cadence ingest warrants (e.g.
+    * when a cell's file count crosses ~10× the target).
     */
   def compactIvfPqLayout(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       filesPerCell: Int = 1): Unit = {
-    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
-    val df = spark.read.parquet(path)
-    require(df.columns.contains("cell"),
-      s"$path is not a cell-partitioned code layout (no `cell` column)")
-    val keyed =
-      if (filesPerCell == 1) df.repartition(col("cell"))
-      else df.repartition(col("cell"),
-        pmod(hash(struct(df.columns.filter(_ != "cell").map(col): _*)),
-          lit(filesPerCell)))
-    stagedLayoutRewrite(spark, path, keyed)
+    restoreRetiredLayout(spark, path)
+    stagedLayoutRewrite(spark, path, spark.read.parquet(path), filesPerCell)
   }
 
   /** DELETE-SYNC for a code layout: drop every code row whose id no
@@ -1440,19 +1490,12 @@ object Similarity {
       raw: DataFrame,
       idCol: String,
       filesPerCell: Int = 1): Unit = {
-    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    restoreRetiredLayout(spark, path)
     val df = spark.read.parquet(path)
-    require(df.columns.contains("cell"),
-      s"$path is not a cell-partitioned code layout (no `cell` column)")
     require(df.columns.contains(idCol),
       s"layout at $path has no id column '$idCol' (columns: ${df.columns.mkString(", ")})")
     val kept = df.join(raw.select(col(idCol)), Seq(idCol), "left_semi")
-    val keyed =
-      if (filesPerCell == 1) kept.repartition(col("cell"))
-      else kept.repartition(col("cell"),
-        pmod(hash(struct(kept.columns.filter(_ != "cell").map(col): _*)),
-          lit(filesPerCell)))
-    stagedLayoutRewrite(spark, path, keyed)
+    stagedLayoutRewrite(spark, path, kept, filesPerCell)
   }
 
   /** Driver-side probe selection + per-probed-cell residual ADC
@@ -1807,13 +1850,14 @@ object Similarity {
       scale: Double,
       coarse: Array[Array[Long]],
       codebooks: Array[Array[Array[Long]]],
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val dim = coarse(0).length
     val cand = ivfPqKnnJoin(queries, qIdCol, qVecCol, codes, idCol,
         k = rerank, scale = scale, coarse = coarse, codebooks = codebooks,
-        nProbe = nProbe)
+        nProbe = nProbe, broadcastQueries = broadcastQueries)
       .drop("rk")
     // same loud contract AND the same diagnostic as the single-query
     // refine: the failing row's ID rides the message so the operator
@@ -1943,8 +1987,12 @@ object Similarity {
 
   /** L2-normalize a float vector column to unit length
     * (`array<double>`; null vectors and ALL-ZERO vectors yield null —
-    * a zero vector has no direction, and a null result fails loud at
-    * the quantize guards instead of silently scoring at the origin).
+    * a zero vector has no direction). The null rides the family's
+    * null contract downstream: the encode/fit entry points EXCLUDE
+    * null vectors ([[pqEncode]]/[[ivfPqEncode]] filter, the fits skip
+    * them), and the top-k paths document the same drop — callers that
+    * must fail loud on zero vectors assert `isNotNull` after this
+    * projection.
     *
     * THE COSINE SERVING RECIPE: for unit vectors,
     * `||a − b||² = 2 − 2·cos(a, b)`, so L2 top-k over L2-NORMALIZED

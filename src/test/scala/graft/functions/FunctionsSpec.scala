@@ -1657,6 +1657,19 @@ class SimilaritySpec extends SparkSpec {
     // no staging/retired leftovers after a clean swap
     val sibs = root.toFile.listFiles().map(_.getName).toSet
     assert(sibs == Set("codes"), s"staged dirs leaked: $sibs")
+    // crash recovery: a crash between the two renames leaves the
+    // layout at `_retired` only; the next maintenance call restores
+    // it before proceeding (self-healing)
+    val codesDir = root.resolve("codes")
+    val retiredDir = root.resolve("codes_retired")
+    java.nio.file.Files.move(codesDir, retiredDir)
+    Similarity.compactIvfPqLayout(spark, dir, filesPerCell = 1)
+    assert(java.nio.file.Files.exists(codesDir) &&
+      !java.nio.file.Files.exists(retiredDir))
+    val healed = Similarity.ivfPqTopKFromCodes(spark.read.parquet(dir), "vec_id",
+        q, kTop = 7, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(healed == want, "recovery from the crash window lost rows")
     // filesPerCell > 1 splits deterministically and stays bit-equal
     Similarity.compactIvfPqLayout(spark, dir, filesPerCell = 2)
     assert(cellFiles().values.max <= 2)
@@ -1807,6 +1820,14 @@ class SimilaritySpec extends SparkSpec {
       codes.select(DedupExpressions.pqAdc(col("codes"), tbl, "spec")).collect()
     }
     assert(msgs(e2).exists(_.contains("out of range")), msgs(e2).mkString(" | "))
+    // a NULL code ELEMENT fails loud too — UnsafeArrayData would
+    // otherwise read the null slot as code 0 and emit a plausible
+    // wrong distance
+    val holedCodes = Seq((1L, Seq(Some(0), None))).toDF("id", "codes")
+    val e3 = intercept[Exception] {
+      holedCodes.select(DedupExpressions.pqAdc(col("codes"), tbl, "spec")).collect()
+    }
+    assert(msgs(e3).exists(_.contains("null code element")), msgs(e3).mkString(" | "))
   }
 
   test("mixed-dimension corpora fail loud at fit time even with iters=0") {
