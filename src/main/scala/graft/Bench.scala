@@ -112,9 +112,10 @@ object Bench {
     // memoized artifacts, so the driver's diff watches serving, not
     // ~1.5 s of re-fit noise per row
     "q_ann_pq_fit", "q_ann_ivfpq_fit",
-    // round-13: layout maintenance (compaction + delete sync) and the
-    // cosine-over-normalized serving recipe
-    "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired", "q_ann_cosine")
+    // round-13: layout maintenance (compaction + delete sync + the
+    // per-cell health report) and the cosine-over-normalized recipe
+    "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired", "q_ann_cosine",
+    "q_ann_layout_cells")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat
@@ -140,7 +141,7 @@ object Bench {
     // map — rotate them out; the maintenance/recipe gates are
     // composition of already-watched kernels
     "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_compacted",
-    "q_ann_ivfpq_repaired", "q_ann_cosine")
+    "q_ann_ivfpq_repaired", "q_ann_cosine", "q_ann_layout_cells")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

@@ -42,7 +42,10 @@ object Plans {
         // r12: the persisted ANN serving paths (partition pruning +
         // broadcast ADC tables) and the exact re-rank composition
         "q_ann_pq_persisted", "q_ann_ivfpq_persisted",
-        "q_ann_ivfpq_refined", "q_ann_ivfpq_knn")
+        "q_ann_ivfpq_refined", "q_ann_ivfpq_knn",
+        // r13: serving over a compacted layout (pruning must survive
+        // the rewrite) and the delete-synced refine
+        "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)

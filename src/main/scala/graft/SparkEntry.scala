@@ -3020,6 +3020,18 @@ object SparkEntry {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // LAYOUT HEALTH: the per-cell stats report that drives the
+    // compaction/re-fit policy — row counts per coarse cell must
+    // equal the oracle's replay of the coarse assignment (the file
+    // counts/bytes columns are filesystem observables, spec'd not
+    // oracled).
+    "q_ann_layout_cells" -> ((s, dir) => {
+      val art = ivfPqArtifacts(s, dir)
+      Similarity.ivfPqLayoutStats(s, art.codesPath)
+        .select(col("cell"), col("n_rows"))
+        .orderBy("cell")
+    }),
+
     // DELETE SYNC: ids `vec_id % 7 == 3` are deleted from the raw
     // vector table AFTER the layout was built — the lagging-delete
     // hazard where the refine inner join silently drops candidates.
@@ -7244,6 +7256,16 @@ object SparkEntry {
       // compacted to one file per cell serves the SAME top-10
       "q_ann_ivfpq_compacted" -> AnnIvfPqOracle,
       "q_stream_ann_ingest" -> AnnIvfPqOracle,
+
+      // layout health: rows per coarse cell == the oracle's coarse
+      // assignment counts (null vectors excluded — the layout
+      // convention)
+      "q_ann_layout_cells" ->
+        (s"WITH $AnnIvfPqCtes " +
+          """SELECT CAST(ccell AS BIGINT) AS cell,
+           |  count(*) AS n_rows
+           |FROM ivq WHERE rq IS NOT NULL
+           |GROUP BY 1 ORDER BY cell""".stripMargin),
 
       // delete sync: ids vec_id % 7 == 3 left `raw`; after
       // repairIvfPqLayout the refined serving path answers over

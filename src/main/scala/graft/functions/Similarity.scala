@@ -1474,6 +1474,69 @@ object Similarity {
     stagedLayoutRewrite(spark, path, spark.read.parquet(path), filesPerCell)
   }
 
+  /** Per-cell health report of a code layout — the observable that
+    * drives the compaction policy: `(cell, n_rows, n_files, bytes)`,
+    * one row per cell directory. Row counts come from ONE distributed
+    * aggregation over the stored codes (map-side combined to coarseK
+    * rows); file counts/bytes from a driver directory listing
+    * (coarseK directories — bounded by construction). A cell whose
+    * `n_files` outgrows the compaction target by ~10× is due for
+    * [[compactIvfPqLayout]]; `n_rows` skew across cells is the
+    * coarse-quantizer drift signal (re-fit when recall degrades).
+    */
+  def ivfPqLayoutStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileRows = fs.listStatus(target).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        (d.getPath.getName.stripPrefix("cell=").toLong,
+          files.size.toLong, files.map(_.getLen).sum)
+      }
+    import spark.implicits._
+    val filesDf = fileRows.toDF("cell", "n_files", "bytes")
+    val rowsDf = spark.read.parquet(path)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_rows"))
+    rowsDf.join(filesDf, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+  }
+
+  /** Threshold-policy compaction: rewrite the layout only when some
+    * cell's file count exceeds `maxFilesPerCell` (the stats listing
+    * is a driver directory walk — coarseK dirs — so a healthy layout
+    * pays no Spark job at all). Returns whether a compaction ran.
+    * The cadence wrapper a living-index maintenance cron calls after
+    * each ingest window; same writer-exclusion contract as
+    * [[compactIvfPqLayout]].
+    */
+  def compactIvfPqLayoutIfNeeded(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxFilesPerCell: Int,
+      filesPerCell: Int = 1): Boolean = {
+    require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
+    restoreRetiredLayout(spark, path)
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val worst = fs.listStatus(target).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_")))
+      .maxOption.getOrElse(0)
+    if (worst <= maxFilesPerCell) false
+    else { compactIvfPqLayout(spark, path, filesPerCell); true }
+  }
+
   /** DELETE-SYNC for a code layout: drop every code row whose id no
     * longer exists in `raw`, restoring the `codes ⊆ raw` contract the
     * refine paths depend on (a lagging delete otherwise SILENTLY

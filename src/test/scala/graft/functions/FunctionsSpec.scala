@@ -1670,13 +1670,43 @@ class SimilaritySpec extends SparkSpec {
         q, kTop = 7, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(healed == want, "recovery from the crash window lost rows")
+    // the health report matches the filesystem AND the stored rows,
+    // and the threshold policy skips a healthy layout / fires on a
+    // fragmented one
+    val stats = Similarity.ivfPqLayoutStats(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats.keySet == cellFiles().keySet.map(_.stripPrefix("cell=").toLong))
+    stats.foreach { case (c, (nRows, nFiles)) =>
+      assert(nFiles == cellFiles()(s"cell=$c"), s"cell $c file count")
+      assert(nRows > 0)
+    }
+    assert(stats.values.map(_._1).sum ==
+      spark.read.parquet(dir).count(), "stats row counts != layout rows")
+    assert(!Similarity.compactIvfPqLayoutIfNeeded(spark, dir, maxFilesPerCell = 4),
+      "healthy layout must not be rewritten")
+    // fragment again with FRESH ids (duplicating existing ids would
+    // legitimately change serving output — appends are not idempotent)
+    val extra = (80 until 96).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendIvfPqEncoded(extra.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", scale, coarse, cbs, dir)
+    Similarity.appendIvfPqEncoded(extra.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", scale, coarse, cbs, dir)
+    def serve(): Seq[(Long, Long, Long)] =
+      Similarity.ivfPqTopKFromCodes(spark.read.parquet(dir), "vec_id",
+          q, kTop = 7, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want2 = serve()
+    // some cell now holds >= 3 file sets (post-compaction 1 + two appends)
+    assert(Similarity.compactIvfPqLayoutIfNeeded(spark, dir, maxFilesPerCell = 2),
+      "fragmented layout must compact")
+    assert(cellFiles().values.max == 1)
+    assert(serve() == want2, "threshold compaction changed values")
     // filesPerCell > 1 splits deterministically and stays bit-equal
     Similarity.compactIvfPqLayout(spark, dir, filesPerCell = 2)
     assert(cellFiles().values.max <= 2)
-    val got2 = Similarity.ivfPqTopKFromCodes(spark.read.parquet(dir), "vec_id",
-        q, kTop = 7, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got2 == want)
+    assert(serve() == want2)
   }
 
   test("repairIvfPqLayout drops codes whose id left raw; refine serves the survivors") {
