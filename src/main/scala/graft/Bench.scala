@@ -115,7 +115,10 @@ object Bench {
     // round-13: layout maintenance (compaction + delete sync + the
     // per-cell health report) and the cosine-over-normalized recipe
     "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired", "q_ann_cosine",
-    "q_ann_layout_cells")
+    "q_ann_layout_cells",
+    // round-13: the recall observability pair (exact ground truth +
+    // the ANN-vs-exact report) and the re-fit migration it triggers
+    "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat
@@ -141,7 +144,8 @@ object Bench {
     // map — rotate them out; the maintenance/recipe gates are
     // composition of already-watched kernels
     "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_compacted",
-    "q_ann_ivfpq_repaired", "q_ann_cosine", "q_ann_layout_cells")
+    "q_ann_ivfpq_repaired", "q_ann_cosine", "q_ann_layout_cells",
+    "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

@@ -3133,6 +3133,59 @@ object SparkEntry {
         .orderBy("exact_dist", "vec_id")
     }),
 
+    // RE-FIT migration: start from a copy of the served layout, then
+    // refitIvfPqLayout re-fits on the current corpus with the
+    // standard params and re-encodes through the crash-safe swap.
+    // The fit is deterministic (id-ordered init), so the returned
+    // params equal the memoized fit and serving over the refitted
+    // layout is bit-equal to the shared IVF-PQ oracle, which replays
+    // fit+encode+probe end to end. (The DRIFT scenario — stale params
+    // over new data — is spec'd; a gate needs the deterministic
+    // twin.)
+    "q_ann_ivfpq_refit" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val lay = scratchDir("graft-refit").resolve("codes").toString
+      s.read.parquet(art.codesPath).write.partitionBy("cell").parquet(lay)
+      val (sc2, coarse2, cbs2) = Similarity.refitIvfPqLayout(s, lay, emb,
+        "vec_id", "embedding", coarseK = 4, m = 4, k = 4, iters = 2)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(lay), "vec_id",
+          annQueryVec(s, dir), kTop = 10, scale = sc2, coarse = coarse2,
+          codebooks = cbs2, nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
+    // EXACT kNN ground truth: brute-force integer-L2 kNN join — a
+    // query SAMPLE broadcast along ONE corpus scan (O(Q·N) by design,
+    // zero shuffle beyond the bounded bottom-k). The baseline the
+    // recall report grades the ANN serving path against.
+    "q_ann_exact_knn" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.exactQuantizedKnnJoin(queries, "query_id", "embedding",
+          emb, "vec_id", "embedding", k = 5, scale = art.scale)
+        .orderBy("query_id", "rk")
+    }),
+
+    // ANN RECALL report: per-query recall@5 of the stored-code
+    // serving path vs the exact ground truth — the RE-FIT signal that
+    // closes the living-index maintenance loop (layout stats = when
+    // to compact; this = when to re-fit). All integers; the oracle
+    // replays BOTH retrieval chains and the intersection counts.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqRecallReport(s.read.parquet(art.codesPath), emb,
+          queries, "query_id", "embedding", "vec_id", "embedding",
+          k = 5, scale = art.scale, coarse = art.coarse,
+          codebooks = art.cbs, nProbe = 2)
+        .orderBy("query_id")
+    }),
+
     // COSINE serving recipe: L2-normalize at ingest, then L2 top-k IS
     // cosine top-k (unit vectors: ||a−b||² = 2 − 2·cos). The gate
     // proves the identity through the EXACT-INTEGER kernel the refine
@@ -4840,6 +4893,38 @@ object SparkEntry {
        |SELECT qid AS query_id, vec_id, cell, adc_dist, exact_dist,
        |  CAST(rn2 AS BIGINT) AS rk
        |FROM kfr WHERE rn2 <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** The shared int8-quantization prefix (`sc` global scale, `qv`
+    * quantized vectors) STANDALONE — textually the first two CTEs of
+    * [[KMeansCtes]], for oracles that need the quantized domain
+    * without the Lloyd chain (q_ann_exact_knn).
+    */
+  private val QuantVecCtes: String =
+    """sc AS (
+          |  SELECT max(list_max(list_transform(embedding,
+          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+          |qv AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings, sc)""".stripMargin
+
+  /** Exact brute-force kNN over the quantized domain (matches
+    * Similarity.exactQuantizedKnnJoin for queries vec_id < 5, k = 5):
+    * assumes `qv` in scope (from [[QuantVecCtes]] or [[KMeansCtes]]),
+    * ends with `xr(query_id, vec_id, exact_dist, rn)` PRE-limit.
+    * Shared by q_ann_exact_knn and q_ann_recall.
+    */
+  private val ExactKnnCtes: String =
+    """xq AS (SELECT vec_id AS query_id, q FROM qv
+      |  WHERE vec_id < 5 AND q IS NOT NULL),
+      |xd AS (SELECT k.query_id, v.vec_id,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> (v.q[j] - k.q[j]) * (v.q[j] - k.q[j]))) AS BIGINT) AS exact_dist
+      |  FROM qv v CROSS JOIN xq k WHERE v.q IS NOT NULL),
+      |xr AS (SELECT query_id, vec_id, exact_dist,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY exact_dist, vec_id) AS rn
+      |  FROM xd)""".stripMargin
 
   /** BM25 scoring chain (matches TextFunctions.bm25TopDocs for query
     * terms join/window/stream, k1=1.2, b=0.75; constants written as
@@ -7255,6 +7340,7 @@ object SparkEntry {
       // compaction moves bytes, never values: the 8-batch layout
       // compacted to one file per cell serves the SAME top-10
       "q_ann_ivfpq_compacted" -> AnnIvfPqOracle,
+      "q_ann_ivfpq_refit" -> AnnIvfPqOracle,
       "q_stream_ann_ingest" -> AnnIvfPqOracle,
 
       // layout health: rows per coarse cell == the oracle's coarse
@@ -7303,6 +7389,30 @@ object SparkEntry {
       "q_ann_ivfpq_refined" -> AnnIvfPqRefinedOracle,
       "q_ann_ivfpq_knn" -> AnnIvfPqKnnOracle,
       "q_ann_ivfpq_knn_refined" -> AnnIvfPqKnnRefinedOracle,
+
+      // exact ground truth: quantize, brute-force integer L2 per
+      // sampled query, (dist, id) rank — null vectors excluded on
+      // both sides (the family convention)
+      "q_ann_exact_knn" ->
+        (s"WITH $QuantVecCtes, $ExactKnnCtes " +
+          """SELECT query_id, vec_id, exact_dist, CAST(rn AS BIGINT) AS rk
+           |FROM xr WHERE rn <= 5 ORDER BY query_id, rk""".stripMargin),
+
+      // recall@5: both retrieval chains replayed (the bulk-ANN krank
+      // from the shared IVF-PQ algebra; the exact xr chain), then the
+      // per-query intersection counts — every column an integer
+      "q_ann_recall" ->
+        (s"WITH $AnnIvfPqKnnCtes, $ExactKnnCtes, " +
+          """xtop AS (SELECT query_id, vec_id FROM xr WHERE rn <= 5),
+           |atop AS (SELECT qid, vec_id FROM krank WHERE rn <= 5),
+           |ragg AS (SELECT t.query_id, count(*) AS n_true,
+           |    count(a.vec_id) AS n_hit
+           |  FROM xtop t LEFT JOIN atop a
+           |    ON a.qid = t.query_id AND a.vec_id = t.vec_id
+           |  GROUP BY 1)
+           |SELECT query_id, n_true, n_hit,
+           |  n_hit * 1000 // n_true AS recall_permille
+           |FROM ragg ORDER BY query_id""".stripMargin),
 
       "q_kmeans" ->
         s"""WITH $KMeansCtes

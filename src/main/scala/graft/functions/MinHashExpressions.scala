@@ -1488,6 +1488,60 @@ case class PqAdcTableExpr(child: Expression, codebooks: Array[Array[Array[Long]]
   override def prettyName: String = "pq_adc_table"
 }
 
+/** Exact integer squared L2 distance between two quantized vectors
+  * (`ARRAY<BIGINT>`) in one imperative pass — the refine/ground-truth
+  * kernel (the `aggregate(zip_with(...))` HOF formulation pays two
+  * boxed lambda closures per COMPONENT, interpreted; same integers,
+  * bit-identical gates). Null array → null (the caller's null
+  * contract — refine call sites wrap with a loud raise); a DIMENSION
+  * MISMATCH fails loud with `ctx` (zip_with would have null-padded a
+  * short vector into a null sum that silently drops the row); a null
+  * ELEMENT fails loud (UnsafeArrayData reads null slots as 0 — a
+  * plausible wrong distance).
+  */
+case class IntL2Expr(left: Expression, right: Expression, ctx: String)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"int_l2 requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def l2(aAny: Any, bAny: Any): Long = {
+    val a = aAny.asInstanceOf[ArrayData]
+    val b = bAny.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$ctx: vector dimension ${b.numElements()} != $n")
+    var d = 0L
+    var j = 0
+    while (j < n) {
+      if (a.isNullAt(j) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"$ctx: null vector component at index $j — repair the table")
+      val diff = a.getLong(j) - b.getLong(j)
+      d += diff * diff
+      j += 1
+    }
+    d
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(l2(a, b))
+  override protected def doGenCode(ctx2: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx2.addReferenceObj("intL2", this, classOf[IntL2Expr].getName)
+    defineCodeGen(ctx2, ev, (a, b) => s"$ref.l2($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntL2Expr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "int_l2"
+}
+
 /** L2-normalize a float/double vector to unit length in one
   * imperative pass (the HOF formulation evaluates the norm aggregate
   * once per OUTPUT component — no CSE for interpreted lambdas).
@@ -1624,6 +1678,9 @@ object DedupExpressions {
 
   def pqAdcTables(residual: Column, codebooks: Array[Array[Array[Long]]]): Column =
     column(PqAdcTableExpr(expression(residual), codebooks))
+
+  def intL2(a: Column, b: Column, ctx: String): Column =
+    column(IntL2Expr(expression(a), expression(b), ctx))
 
   def l2Normalize(vec: Column): Column =
     column(L2NormalizeExpr(expression(vec)))

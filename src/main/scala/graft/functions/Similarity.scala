@@ -1537,6 +1537,42 @@ object Similarity {
     else { compactIvfPqLayout(spark, path, filesPerCell); true }
   }
 
+  /** RE-FIT migration for a living code layout — the action
+    * [[ivfPqRecallReport]] triggers: when ingest has drifted the
+    * corpus away from the frozen coarse quantizer/codebooks (falling
+    * recall — the FAISS re-train signal), re-fit the index parameters
+    * on the CURRENT raw corpus and re-encode the whole layout in one
+    * job, swapping in via the same crash-safe staged rewrite as
+    * [[compactIvfPqLayout]] (readers see the old index until the
+    * swap; a refit also compacts by construction). Returns the new
+    * `(scale, coarse, codebooks)` — REPUBLISH them atomically with
+    * the layout ([[saveIvfPqIndex]]): codes and params must travel
+    * together, since codes written under new params are garbage to a
+    * server still holding the old ADC tables. Same writer-exclusion
+    * contract as compaction (quiesce ingest; the staged rewrite fails
+    * loud if the layout changes mid-pass). The layout at `path` must
+    * exist — a first build is [[saveIvfPqEncoded]], not a refit.
+    */
+  def refitIvfPqLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseK: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      filesPerCell: Int = 1): (Double, Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    restoreRetiredLayout(spark, path)
+    val scale = kmeansGlobalScale(raw, vecCol)
+    val (coarse, codebooks) =
+      ivfPqFit(raw, idCol, vecCol, coarseK, m, k, iters, scale)
+    val encoded = ivfPqEncode(raw, idCol, vecCol, scale, coarse, codebooks)
+    stagedLayoutRewrite(spark, path, encoded, filesPerCell)
+    (scale, coarse, codebooks)
+  }
+
   /** DELETE-SYNC for a code layout: drop every code row whose id no
     * longer exists in `raw`, restoring the `codes ⊆ raw` contract the
     * refine paths depend on (a lagging delete otherwise SILENTLY
@@ -1730,9 +1766,8 @@ object Similarity {
         lit(s" != $dim"))))
     raw.join(broadcast(cand), Seq(idCol))
       .select(col(idCol), col("cell"), col("adc_dist"),
-        aggregate(
-          zip_with(qv, typedLit(qq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("exact_dist"))
+        DedupExpressions.intL2(qv, typedLit(qq), "ivfpq refine")
+          .as("exact_dist"))
       .orderBy(col("exact_dist").asc, col(idCol).asc)
       .limit(kTop)
   }
@@ -1939,10 +1974,9 @@ object Similarity {
     val qvs = queries.filter(col(qVecCol).isNotNull)
       .select(col(qIdCol),
         quantGuard(col(qVecCol), "query", col(qIdCol)).as("_qq"))
-    val exact = aggregate(
-      zip_with(quantGuard(col(vecCol), "candidate", col(idCol)), col("_qq"),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val exact = DedupExpressions.intL2(
+      quantGuard(col(vecCol), "candidate", col(idCol)), col("_qq"),
+      "ivfpq knn refine")
     raw.select(col(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))
       .join(broadcast(qvs), Seq(qIdCol))
@@ -1958,6 +1992,115 @@ object Similarity {
       .select(col(qIdCol), col(s"_e.$idCol"), col("_e.cell"),
         col("_e.adc_dist"), col("_e.exact_dist"),
         (col("_r") + 1).cast("long").as("rk"))
+  }
+
+  /** EXACT integer kNN join — the ground truth for ANN evaluation:
+    * each query row's `k` nearest corpus rows by the exact quantized
+    * squared L2 distance (the same integer algebra as the refine
+    * stage, so ANN output is directly comparable). O(|queries| ×
+    * |corpus|) BY DESIGN: the corpus is scanned ONCE with the query
+    * table broadcast alongside (BroadcastNestedLoopJoin — zero
+    * shuffle, parallel over corpus splits), so the cost knob is the
+    * QUERY COUNT — evaluation passes run a query SAMPLE (hundreds
+    * estimate recall to ±percent), never the production query load.
+    * Null-vector rows on EITHER side are dropped (the layout /
+    * knn-join convention — a null vector has no index-space
+    * location); a dimension mismatch fails loud in the `int_l2`
+    * kernel. Returns `(qIdCol, idCol, exact_dist, rk)`, rank 1-based
+    * ascending by `(exact_dist, id)` — every column integer, so
+    * gates hash-pin it.
+    */
+  def exactQuantizedKnnJoin(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scale: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(qIdCol != idCol,
+      s"query id column '$qIdCol' must differ from corpus id column — alias one side")
+    val qs = queries.filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("_qid"),
+        kmeansQuantize(col(qVecCol), scale).as("_qq"))
+    val cs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), kmeansQuantize(col(vecCol), scale).as("_cq"))
+    val scored = cs.crossJoin(broadcast(qs))
+      .select(col("_qid"), col(idCol),
+        DedupExpressions.intL2(col("_cq"), col("_qq"), "exact knn").as("_ex"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idIsIntegral = corpus.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (idIsIntegral) {
+      // per-query top-k through the buffer-capped bottom-k aggregate
+      // (map-side partials — a query never gathers the corpus on one
+      // reducer; the shuffle carries <= |queries|·2k rows)
+      scored
+        .select(col("_qid"),
+          struct(col("_ex").as("p"), col(idCol).cast("long").as("t"),
+            col(idCol), col("_ex").as("exact_dist")).as("_e"))
+        .groupBy(col("_qid"))
+        .agg(DedupExpressions.bottomKBy(col("_e"), k).as("_ks"))
+        .select(col("_qid"), posexplode(col("_ks")).as(Seq("_r", "_e")))
+        .select(col("_qid").as(qIdCol), col(s"_e.$idCol"),
+          col("_e.exact_dist"), (col("_r") + 1).cast("long").as("rk"))
+    } else {
+      // non-integral ids: the bounded agg's tie key must be a long —
+      // keep the window path so rank ties stay on the raw id
+      val w = Window.partitionBy("_qid").orderBy(col("_ex").asc, col(idCol).asc)
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("_qid").as(qIdCol), col(idCol),
+          col("_ex").as("exact_dist"), col("rk"))
+    }
+  }
+
+  /** ANN RECALL report — the index-QUALITY observable that pairs with
+    * [[ivfPqLayoutStats]] to close the living-index maintenance loop:
+    * stats says when to COMPACT (fragmentation), this says when to
+    * RE-FIT (a coarse quantizer drifting away from the ingested
+    * distribution shows up as falling recall; FAISS re-trains on the
+    * same signal). For a query sample, per-query `recall@k` of the
+    * production serving path ([[ivfPqKnnJoin]] over the STORED codes)
+    * against the exact ground truth ([[exactQuantizedKnnJoin]] over
+    * the raw vectors): `(qIdCol, n_true, n_hit, recall_permille)` —
+    * all integers (`recall_permille = n_hit·1000 div n_true`), so the
+    * gate hash-pins the whole evaluation. Cost = one bulk ANN
+    * retrieval + one O(sample × corpus) exact pass — size the SAMPLE,
+    * not the corpus. Queries with null vectors are dropped by both
+    * paths and absent from the report.
+    */
+  def ivfPqRecallReport(
+      codes: DataFrame,
+      raw: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      nProbe: Int,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val ann = ivfPqKnnJoin(queries, qIdCol, qVecCol, codes, idCol,
+        k = k, scale = scale, coarse = coarse, codebooks = codebooks,
+        nProbe = nProbe, broadcastQueries = broadcastQueries)
+      .select(col(qIdCol), col(idCol))
+    val truth = exactQuantizedKnnJoin(queries, qIdCol, qVecCol, raw,
+      idCol, vecCol, k, scale)
+    val hit = truth.join(ann, Seq(qIdCol, idCol), "left_semi")
+      .groupBy(col(qIdCol)).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col(qIdCol)).agg(count(lit(1)).as("n_true"))
+      .join(hit, Seq(qIdCol), "left_outer")
+      .select(col(qIdCol), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_permille", expr("(n_hit * 1000) div n_true"))
   }
 
   /** Persist the IVF-PQ index PARAMETERS — the artifact that lets a

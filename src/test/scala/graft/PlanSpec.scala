@@ -774,6 +774,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"knn join re-grew a window:\n$p")
   }
 
+  test("refine + exact ground truth ride the int_l2 kernel; exact knn broadcasts the sample") {
+    // the refine re-rank was the last interpreted HOF on a serving
+    // path (aggregate(zip_with(...)) paid two boxed closures per
+    // vector component); same integers, every gate bit-identical
+    val refined = SparkEntry.queries("q_ann_ivfpq_refined")(spark, sfDir)
+    refined.collect()
+    val pr = refined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pr.contains("int_l2"), s"expected the int_l2 kernel:\n$pr")
+    assert(!pr.contains("zip_with") && !pr.contains("aggregate("),
+      s"interpreted HOF re-rank regressed into the refine path:\n$pr")
+    // the evaluation ground truth: query SAMPLE broadcast along ONE
+    // corpus scan (no shuffle of the corpus), per-query top-k through
+    // the buffer-capped aggregate — never a window sort
+    val exact = SparkEntry.queries("q_ann_exact_knn")(spark, sfDir)
+    exact.collect()
+    val pe = exact.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pe.contains("BroadcastNestedLoopJoin"),
+      s"the query sample must broadcast along the corpus scan:\n$pe")
+    assert(pe.contains("int_l2"), s"expected the int_l2 kernel:\n$pe")
+    assert(pe.contains("bottom_k_by"), s"expected bottom_k_by agg:\n$pe")
+    assert(!pe.contains("Window"), s"exact knn re-grew a window:\n$pe")
+  }
+
   test("streamed ANN ingest writes the SAME prunable layout as the batch writer") {
     import org.apache.spark.sql.functions.col
     // drive the gate (it writes the layout via the streaming parquet

@@ -1744,6 +1744,167 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"repaired refine diverged:\n$got\nvs\n$want")
   }
 
+  test("refitIvfPqLayout: drifted corpus re-fit, re-encode, crash-safe swap") {
+    val rnd = new scala.util.Random(73)
+    val base = (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    // the drift: later ingest with twice the spread — the stale
+    // quantizer's scale/centroids no longer fit it
+    val drift = (50 until 90).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 4 - 2).toFloat))
+    }
+    val baseDf = base.toDF("vec_id", "embedding")
+    val full = (base ++ drift).toDF("vec_id", "embedding")
+    val scale0 = Similarity.kmeansGlobalScale(baseDf, "embedding")
+    val (c0, b0) = Similarity.ivfPqFit(baseDf, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale0)
+    val root = java.nio.file.Files.createTempDirectory("graft-refit-t")
+    val dir = root.resolve("codes").toString
+    Similarity.saveIvfPqEncoded(baseDf, "vec_id", "embedding", scale0, c0, b0, dir)
+    Similarity.appendIvfPqEncoded(drift.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", scale0, c0, b0, dir)
+    val (s1, c1, b1) = Similarity.refitIvfPqLayout(spark, dir, full,
+      "vec_id", "embedding", coarseK = 3, m = 4, k = 3, iters = 1)
+    // returned params == a fresh fit on the full corpus
+    val sWant = Similarity.kmeansGlobalScale(full, "embedding")
+    val (cW, bW) = Similarity.ivfPqFit(full, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = sWant)
+    assert(s1 == sWant, "refit scale")
+    assert(c1.map(_.toSeq).toSeq == cW.map(_.toSeq).toSeq, "refit coarse")
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq ==
+      bW.map(_.map(_.toSeq).toSeq).toSeq, "refit codebooks")
+    // stored rows == a fresh encode under the new params
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Seq[Int])] =
+      df.select(col("vec_id"), col("cell").cast("long"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    assert(rowSet(spark.read.parquet(dir)) ==
+      rowSet(Similarity.ivfPqEncode(full, "vec_id", "embedding", s1, c1, b1)),
+      "refitted layout rows != fresh encode")
+    // clean swap: no staging/retired leftovers
+    assert(root.toFile.listFiles().map(_.getName).toSet == Set("codes"))
+    // serving over the refitted layout == serving over a fresh save
+    val q = drift.head._2
+    def serve(path: String): Seq[(Long, Long, Long)] =
+      Similarity.ivfPqTopKFromCodes(spark.read.parquet(path), "vec_id",
+          q, kTop = 7, scale = s1, coarse = c1, codebooks = b1, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fresh = root.resolve("fresh").toString
+    Similarity.saveIvfPqEncoded(full, "vec_id", "embedding", s1, c1, b1, fresh)
+    assert(serve(dir) == serve(fresh), "refit serving diverged from fresh save")
+  }
+
+  test("intL2 kernel: reference math, null array, dim mismatch, null element") {
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        Seq.fill(8)(rnd.between(-100L, 100L)),
+        Seq.fill(8)(rnd.between(-100L, 100L)))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), DedupExpressions.intL2(col("a"), col("b"), "spec").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      val want = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(got(id) == want, s"id $id")
+    }
+    // null array -> null (the caller's null contract)
+    val n = spark.sql("SELECT CAST(NULL AS ARRAY<BIGINT>) a, array(1L, 2L) b")
+      .select(DedupExpressions.intL2(col("a"), col("b"), "spec")).collect()
+    assert(n(0).isNullAt(0))
+    // dimension mismatch fails loud with the caller's context
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT array(1L, 2L, 3L) a, array(1L, 2L) b")
+        .select(DedupExpressions.intL2(col("a"), col("b"), "specctx")).collect()
+    }
+    assert(e1.getMessage.contains("specctx") && e1.getMessage.contains("dimension"),
+      e1.getMessage)
+    // a null ELEMENT fails loud (UnsafeArrayData would read it as 0)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT array(1L, NULL, 3L) a, array(1L, 2L, 3L) b")
+        .select(DedupExpressions.intL2(col("a"), col("b"), "specctx")).collect()
+    }
+    assert(e2.getMessage.contains("null vector component"), e2.getMessage)
+  }
+
+  test("exactQuantizedKnnJoin == driver brute force; null vectors dropped; string-id fallback") {
+    val rnd = new scala.util.Random(67)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, (0 until 8).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .union(Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    def dist(a: Seq[Float], b: Seq[Float]): Long =
+      quant(a).zip(quant(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val queries = df.filter(col("vec_id") < 3 || col("vec_id") === 99)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = Similarity.exactQuantizedKnnJoin(queries, "qid", "embedding",
+        df, "vec_id", "embedding", k = 4, scale = scale)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (q <- 0L until 3L) {
+      val want = vecs.map { case (id, v) => (id, dist(v, vecs(q.toInt)._2)) }
+        .sortBy { case (id, d) => (d, id) }.take(4)
+      val g = got.filter(_._1 == q).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(g == want, s"query $q:\n$g\nvs\n$want")
+    }
+    assert(!got.exists(_._1 == 99L), "null-vector query must be dropped")
+    assert(!got.exists(_._2 == 99L), "null corpus vector must be dropped")
+    // same-name id columns are a silent-collision hazard -> loud
+    intercept[IllegalArgumentException] {
+      Similarity.exactQuantizedKnnJoin(
+        df, "vec_id", "embedding", df, "vec_id", "embedding", 4, scale)
+    }
+    // string corpus ids keep the window path; ranks tie on the RAW id
+    val sdf = df.select(concat(lit("v"), col("vec_id")).as("vec_id"), col("embedding"))
+    val sGot = Similarity.exactQuantizedKnnJoin(queries, "qid", "embedding",
+        sdf, "vec_id", "embedding", k = 4, scale = scale)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for (q <- 0L until 3L) {
+      val want = vecs.map { case (id, v) => (s"v$id", dist(v, vecs(q.toInt)._2)) }
+        .sortBy { case (id, d) => (d, id) }.take(4)
+      val g = sGot.filter(_._1 == q).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(g == want, s"string-id query $q:\n$g\nvs\n$want")
+    }
+  }
+
+  test("ivfPqRecallReport = per-query intersection of the ANN and exact top-k") {
+    val rnd = new scala.util.Random(71)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rec-t")
+      .resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale, coarse, cbs, dir)
+    val queries = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val k = 5
+    val report = Similarity.ivfPqRecallReport(spark.read.parquet(dir), df,
+        queries, "qid", "embedding", "vec_id", "embedding",
+        k = k, scale = scale, coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val annSets = Similarity.ivfPqKnnJoin(queries, "qid", "embedding",
+        spark.read.parquet(dir), "vec_id", k = k, scale = scale,
+        coarse = coarse, codebooks = cbs, nProbe = 2)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val trueSets = Similarity.exactQuantizedKnnJoin(queries, "qid", "embedding",
+        df, "vec_id", "embedding", k = k, scale = scale)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(report.keySet == (0L until 4L).toSet)
+    report.foreach { case (q, (nTrue, nHit, permille)) =>
+      val want = (annSets(q) intersect trueSets(q)).size.toLong
+      assert(nTrue == trueSets(q).size.toLong, s"query $q n_true")
+      assert(nHit == want, s"query $q n_hit")
+      assert(permille == want * 1000L / nTrue, s"query $q recall_permille")
+    }
+  }
+
   test("loadIvfPqIndex fails loud on corrupt artifacts, round-trips clean ones") {
     val rnd = new scala.util.Random(61)
     val vecs = (0 until 40).map { i =>
