@@ -4623,6 +4623,22 @@ object SparkEntry {
        |SELECT d.doc_id, m.dup_of FROM documents d LEFT JOIN m ON m.nid = d.doc_id
        |WHERE d.doc_id >= 400 ORDER BY d.doc_id""".stripMargin
 
+  /** The shared int8-quantization prefix (`sc` global scale, `qv`
+    * quantized vectors) — the ONE place the quantization formula
+    * lives on the oracle side; [[KMeansCtes]] composes it, and
+    * oracles that need the quantized domain without the Lloyd chain
+    * (q_ann_exact_knn) use it directly.
+    */
+  private val QuantVecCtes: String =
+    """sc AS (
+          |  SELECT max(list_max(list_transform(embedding,
+          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
+          |qv AS (
+          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
+          |  FROM embeddings, sc)""".stripMargin
+
   /** Two unrolled integer Lloyd's iterations over the quantized
     * embeddings (matches Similarity.kmeansFitInt8 with k = 4,
     * iters = 2, id-ordered init): dN/aN = assignment round N, sN/cN =
@@ -4631,14 +4647,7 @@ object SparkEntry {
     * q_kmeans and q_cluster_balance.
     */
   private val KMeansCtes: String =
-    """sc AS (
-          |  SELECT max(list_max(list_transform(embedding,
-          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
-          |qv AS (
-          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
-          |  FROM embeddings, sc),
+    s"""$QuantVecCtes,
           |c0 AS (
           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q
           |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
@@ -4748,15 +4757,7 @@ object SparkEntry {
     * bit-equal by construction, so one oracle pins both.
     */
   private lazy val AnnPqCtes: String =
-    (s"""sc AS (
-       |  SELECT max(list_max(list_transform(embedding,
-       |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
-       |qv AS (
-       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings, sc),
-       |""".stripMargin +
+    (s"$QuantVecCtes,\n" +
       pqCoreCtes("qv", "q") +
       """,
        |pq_qq AS (SELECT sub, sq FROM pq_sv WHERE vec_id = 0),
@@ -4893,21 +4894,6 @@ object SparkEntry {
        |SELECT qid AS query_id, vec_id, cell, adc_dist, exact_dist,
        |  CAST(rn2 AS BIGINT) AS rk
        |FROM kfr WHERE rn2 <= 5 ORDER BY query_id, rk""".stripMargin
-
-  /** The shared int8-quantization prefix (`sc` global scale, `qv`
-    * quantized vectors) STANDALONE — textually the first two CTEs of
-    * [[KMeansCtes]], for oracles that need the quantized domain
-    * without the Lloyd chain (q_ann_exact_knn).
-    */
-  private val QuantVecCtes: String =
-    """sc AS (
-          |  SELECT max(list_max(list_transform(embedding,
-          |    x -> abs(CAST(x AS DOUBLE))))) AS s FROM embeddings),
-          |qv AS (
-          |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS BIGINT)) AS q
-          |  FROM embeddings, sc)""".stripMargin
 
   /** Exact brute-force kNN over the quantized domain (matches
     * Similarity.exactQuantizedKnnJoin for queries vec_id < 5, k = 5):

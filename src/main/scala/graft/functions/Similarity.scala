@@ -1474,6 +1474,29 @@ object Similarity {
     stagedLayoutRewrite(spark, path, spark.read.parquet(path), filesPerCell)
   }
 
+  /** The shared per-cell directory listing of a code layout:
+    * `(cell, n_files, bytes)` over data files (names not starting
+    * with `_`) — one walk of the coarseK cell dirs, bounded by
+    * construction. Serves [[ivfPqLayoutStats]] and the
+    * [[compactIvfPqLayoutIfNeeded]] threshold so the two can never
+    * disagree about what counts as a layout file.
+    */
+  private def cellFileCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(target).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        (d.getPath.getName.stripPrefix("cell=").toLong,
+          files.size.toLong, files.map(_.getLen).sum)
+      }
+  }
+
   /** Per-cell health report of a code layout — the observable that
     * drives the compaction policy: `(cell, n_rows, n_files, bytes)`,
     * one row per cell directory. Row counts come from ONE distributed
@@ -1483,23 +1506,20 @@ object Similarity {
     * `n_files` outgrows the compaction target by ~10× is due for
     * [[compactIvfPqLayout]]; `n_rows` skew across cells is the
     * coarse-quantizer drift signal (re-fit when recall degrades).
+    *
+    * Same quiesce contract as the rewrites: the file listing is
+    * captured at CALL time while `n_rows` evaluates at ACTION time,
+    * so an append landing between the two skews the rows-per-file
+    * signal — run the report with ingest quiesced (or re-call it per
+    * collect). Self-heals a crash-windowed layout (`_retired`-only)
+    * before listing, like every other maintenance entry point.
     */
   def ivfPqLayoutStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fileRows = fs.listStatus(target).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .map { d =>
-        val files = fs.listStatus(d.getPath).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        (d.getPath.getName.stripPrefix("cell=").toLong,
-          files.size.toLong, files.map(_.getLen).sum)
-      }
+    restoreRetiredLayout(spark, path)
     import spark.implicits._
-    val filesDf = fileRows.toDF("cell", "n_files", "bytes")
+    val filesDf = cellFileCounts(spark, path).toDF("cell", "n_files", "bytes")
     val rowsDf = spark.read.parquet(path)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_rows"))
@@ -1525,14 +1545,7 @@ object Similarity {
       filesPerCell: Int = 1): Boolean = {
     require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
     restoreRetiredLayout(spark, path)
-    import org.apache.hadoop.fs.Path
-    val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val worst = fs.listStatus(target).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .map(d => fs.listStatus(d.getPath)
-        .count(f => f.isFile && !f.getPath.getName.startsWith("_")))
-      .maxOption.getOrElse(0)
+    val worst = cellFileCounts(spark, path).map(_._2).maxOption.getOrElse(0L)
     if (worst <= maxFilesPerCell) false
     else { compactIvfPqLayout(spark, path, filesPerCell); true }
   }
@@ -1565,6 +1578,14 @@ object Similarity {
       iters: Int,
       filesPerCell: Int = 1): (Double, Array[Array[Long]], Array[Array[Array[Long]]]) = {
     restoreRetiredLayout(spark, path)
+    // fail FAST on a missing layout — the fit below is the expensive
+    // part, and the contract violation should not wait for it
+    locally {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(target),
+        s"no code layout at $path — a first build is saveIvfPqEncoded, not a refit")
+    }
     val scale = kmeansGlobalScale(raw, vecCol)
     val (coarse, codebooks) =
       ivfPqFit(raw, idCol, vecCol, coarseK, m, k, iters, scale)
@@ -2094,12 +2115,13 @@ object Similarity {
       .select(col(qIdCol), col(idCol))
     val truth = exactQuantizedKnnJoin(queries, qIdCol, qVecCol, raw,
       idCol, vecCol, k, scale)
-    val hit = truth.join(ann, Seq(qIdCol, idCol), "left_semi")
-      .groupBy(col(qIdCol)).agg(count(lit(1)).as("n_hit"))
-    truth.groupBy(col(qIdCol)).agg(count(lit(1)).as("n_true"))
-      .join(hit, Seq(qIdCol), "left_outer")
-      .select(col(qIdCol), col("n_true"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    // ONE reference to the O(sample × corpus) truth subtree: a
+    // left-outer marker join + one aggregation (splitting n_hit and
+    // n_true into two branches would rely on exchange reuse to avoid
+    // paying the brute-force pass twice — not guaranteed under AQE)
+    truth.join(ann.withColumn("_hit", lit(1)), Seq(qIdCol, idCol), "left_outer")
+      .groupBy(col(qIdCol))
+      .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_hit"))
       .withColumn("recall_permille", expr("(n_hit * 1000) div n_true"))
   }
 

@@ -153,6 +153,28 @@ object AnnProbe {
       f"$filesAfter%d (compact pass $tCompact%.1f s, 16-batch build $tFrag%.1f s); " +
       f"serve ${median(fragServe)}%.2f s fragmented vs ${median(compServe)}%.2f s " +
       f"compacted; top-10 bit-equal to the one-shot layout")
+
+    // RECALL observability + RE-FIT migration at probe scale: the
+    // recall report is one bulk retrieval + one O(sample x corpus)
+    // exact pass — the sample size is the cost knob; the refit is a
+    // full fit + re-encode + staged swap (the migration an operator
+    // schedules when the report's recall falls).
+    val rq = saved.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (rep, tRecall) = timed("ivfPqRecallReport (100-query sample, k=10)") {
+      functions.Similarity.ivfPqRecallReport(codes, saved, rq,
+          "query_id", "embedding", "vec_id", "embedding", k = 10,
+          scale = scale, coarse = coarse, codebooks = cbs, nProbe = nProbe)
+        .agg(sum("n_hit").as("h"), sum("n_true").as("t")).head
+    }
+    println(f"[probe] recall report at $nVecs%d vecs: overall recall@10 " +
+      f"${rep.getLong(0) * 1000 / rep.getLong(1)}%d permille " +
+      f"(nProbe=$nProbe/$coarseK), pass $tRecall%.1f s")
+    val (_, tRefit) = timed("refitIvfPqLayout (fit + re-encode + swap)") {
+      functions.Similarity.refitIvfPqLayout(spark, fragDir, saved,
+        "vec_id", "embedding", coarseK = coarseK, m = m, k = k, iters = 2)
+    }
+    println(f"[probe] refit migration at $nVecs%d vecs: $tRefit%.1f s end-to-end")
     spark.stop()
   }
 }
