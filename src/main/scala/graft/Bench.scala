@@ -117,8 +117,10 @@ object Bench {
     "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired", "q_ann_cosine",
     "q_ann_layout_cells",
     // round-13: the recall observability pair (exact ground truth +
-    // the ANN-vs-exact report) and the re-fit migration it triggers
-    "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit")
+    // the ANN-vs-exact report), the re-fit migration it triggers, and
+    // the embedding-space contamination screen
+    "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit",
+    "q_semantic_contamination")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat
@@ -145,7 +147,8 @@ object Bench {
     // composition of already-watched kernels
     "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_compacted",
     "q_ann_ivfpq_repaired", "q_ann_cosine", "q_ann_layout_cells",
-    "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit")
+    "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit",
+    "q_semantic_contamination")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

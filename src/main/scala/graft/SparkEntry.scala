@@ -898,6 +898,22 @@ object SparkEntry {
         .orderBy("corpus_id", "eval_id")
     }),
 
+    // SEMANTIC contamination — the embedding-space sibling (n-gram
+    // overlap misses paraphrases): corpus embeddings within an exact
+    // integer L2 range of any eval embedding, eval side broadcast
+    // along one corpus scan (a range screen, not a kNN)
+    "q_semantic_contamination" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val eval = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("eval_vid"), col("embedding"))
+      graft.functions.Curation.semanticContamination(
+          emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          eval, "eval_vid", "embedding",
+          scale = art.scale, maxDist = 80000L)
+        .orderBy("corpus_id", "eval_id")
+    }),
+
     // deterministic bottom-k sample: 3 docs per lang by md5 priority —
     // reservoir-style sampling with no RNG state, verified row-for-row
     "q_bottomk_sample" -> ((s, dir) => {
@@ -5830,6 +5846,22 @@ object SparkEntry {
            |  list_min(list_transform(bh.hs,
            |    h -> ((2654435761 % 2147483647) * h + 40503 % 2147483647) % 2147483647)) AS shingle_fp
            |FROM n JOIN bh ON n.doc_id = bh.doc_id ORDER BY n.doc_id""".stripMargin,
+
+      // the semantic sibling: the shared quantized domain, one cross
+      // join against the 5-row eval side, exact integer L2 range
+      // filter (corpus = vec_id >= 5, eval = vec_id < 5, nulls out)
+      "q_semantic_contamination" ->
+        (s"WITH $QuantVecCtes, " +
+          """se AS (SELECT vec_id AS eval_id, q FROM qv
+           |  WHERE vec_id < 5 AND q IS NOT NULL),
+           |scp AS (SELECT vec_id AS corpus_id, q FROM qv
+           |  WHERE vec_id >= 5 AND q IS NOT NULL),
+           |sd AS (SELECT c.corpus_id, e.eval_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> (c.q[j] - e.q[j]) * (c.q[j] - e.q[j]))) AS BIGINT) AS exact_dist
+           |  FROM scp c CROSS JOIN se e)
+           |SELECT corpus_id, eval_id, exact_dist FROM sd
+           |WHERE exact_dist <= 80000 ORDER BY corpus_id, eval_id""".stripMargin),
 
       "q_contamination" ->
         s"""WITH ${tokCte()},

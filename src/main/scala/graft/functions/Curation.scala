@@ -154,6 +154,47 @@ object Curation {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** EMBEDDING-space benchmark contamination — the semantic sibling
+    * of [[contamination]]: n-gram overlap misses paraphrases and
+    * translations, so decontamination reports also screen by
+    * embedding distance (the SemDeDup-style check). Flags corpus rows
+    * whose embedding sits within `maxDist` (exact integer quantized
+    * squared L2 — the int_l2 kernel, bit-replayable by the oracle) of
+    * ANY eval-set embedding. The eval set is small by construction →
+    * broadcast along ONE corpus scan (BroadcastNestedLoopJoin, no
+    * shuffle, no top-k — a range screen, not a kNN); cost =
+    * |corpus| · |eval| codegen kernel evaluations, linear in the
+    * corpus. For a COSINE threshold, [[Similarity.l2Normalize]] both
+    * sides at ingest and use `maxDist ≈ (2 − 2·cosMin)·(127/scale)²`
+    * (unit vectors: ||a−b||² = 2 − 2·cos). Null embeddings on either
+    * side are dropped (the family convention). Returns
+    * `(corpus_id, eval_id, exact_dist)` per contaminated pair;
+    * anti-join the corpus ids to quarantine before training.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eval: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      scale: Double,
+      maxDist: Long): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    import org.apache.spark.sql.functions.broadcast
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"),
+        Similarity.kmeansQuantize(col(vecCol), scale).as("_cq"))
+    val e = eval.filter(col(evalVecCol).isNotNull)
+      .select(col(evalIdCol).as("eval_id"),
+        Similarity.kmeansQuantize(col(evalVecCol), scale).as("_eq"))
+    c.crossJoin(broadcast(e))
+      .select(col("corpus_id"), col("eval_id"),
+        DedupExpressions.intL2(col("_cq"), col("_eq"),
+          "semantic contamination").as("exact_dist"))
+      .filter(col("exact_dist") <= maxDist)
+  }
+
   /** Deterministic uniform sample: the `k` rows with the smallest
     * md5-derived priority (per stratum when `strata` is given) — a
     * mergeable bottom-k sketch, i.e. distributed reservoir sampling

@@ -22,6 +22,36 @@ class CurationContaminationSpec extends SparkSpec {
     assert(hits.head._3 >= 2)
   }
 
+  test("semanticContamination: exact L2 range screen vs driver reference, nulls dropped") {
+    val rnd = new scala.util.Random(79)
+    val base = (0 until 30).map { i =>
+      (i.toLong, (0 until 8).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    // a paraphrase-shaped near-duplicate of eval vec 0: tiny jitter
+    val near = (100L, base(0)._2.map(x => (x + 0.01f)))
+    val corpus = (base.drop(2) :+ near).toDF("vec_id", "embedding")
+      .union(Seq((101L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val eval = base.take(2).toDF("eid", "embedding")
+    val all = (base :+ near).toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(all, "embedding")
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    def d(a: Seq[Float], b: Seq[Float]): Long =
+      quant(a).zip(quant(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val maxDist = 500L
+    val got = Curation.semanticContamination(corpus, "vec_id", "embedding",
+        eval, "eid", "embedding", scale, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (cid, cv) <- base.drop(2) :+ near
+      (eid, ev) <- base.take(2)
+      dist = d(cv, ev) if dist <= maxDist
+    } yield (cid, eid, dist)).toSet
+    assert(got == want, s"\n$got\nvs\n$want")
+    assert(got.exists(_._1 == 100L), "the near-duplicate must be flagged")
+    assert(!got.exists(_._1 == 101L), "null embeddings must be dropped")
+  }
+
   test("bottomKSample is deterministic, size-bounded, and stratum-stable") {
     val df = spark.range(0, 500).select(
       col("id"), (col("id") % 4).cast("string").as("grp"))
