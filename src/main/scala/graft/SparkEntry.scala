@@ -2973,6 +2973,29 @@ object SparkEntry {
       }.orderBy("vec_id")
     }),
 
+    // STREAMING SEMANTIC-CONTAMINATION screen: each incoming
+    // embedding scored statelessly against the broadcast-style
+    // driver-quantized eval set — nearest eval by the argmin kernel,
+    // exact integer L2, threshold flag. Stateless => streamed rows ==
+    // the batch replay, so the oracle runs the same cross-join argmin
+    // over every row. Eval = vec_id < 5 in id order, so the index IS
+    // the eval id.
+    "q_stream_semantic_screen" -> ((s, dir) => {
+      val art = ivfPqArtifacts(s, dir)
+      val evalQ = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") < 5 && col("embedding").isNotNull)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .map(r => Similarity.quantizeQueryVec(r.getSeq[Float](1), art.scale).toArray)
+      runStreamGate(s, dir, "embeddings", EmbeddingsStreamSchema,
+          "semscreen", "append") { st =>
+        val (idx, dist) = graft.functions.Curation.semanticScreenCols(
+          col("embedding"), art.scale, evalQ)
+        st.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), idx.cast("long").as("nearest_eval"),
+            dist.as("exact_dist"), (dist <= lit(80000L)).as("contaminated"))
+      }.orderBy("vec_id")
+    }),
+
     // FILTERED ANN — the production "vector search under a metadata
     // predicate" feature, shown as PURE COMPOSITION: the stored code
     // layout joins its attribute (label) back on the id, the
@@ -7431,6 +7454,25 @@ object SparkEntry {
            |SELECT query_id, n_true, n_hit,
            |  n_hit * 1000 // n_true AS recall_permille
            |FROM ragg ORDER BY query_id""".stripMargin),
+
+      // the streaming semantic screen is stateless, so the oracle is
+      // the batch replay: per-row argmin over the eval set (ties to
+      // the lower eval id — the kmeans_assign convention) + the exact
+      // distance + the threshold flag
+      "q_stream_semantic_screen" ->
+        (s"WITH $QuantVecCtes, " +
+          """sse AS (SELECT vec_id AS eval_id, q FROM qv
+           |  WHERE vec_id < 5 AND q IS NOT NULL),
+           |ssd AS (SELECT v.vec_id, e.eval_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      j -> (v.q[j] - e.q[j]) * (v.q[j] - e.q[j]))) AS BIGINT) AS dist
+           |  FROM qv v CROSS JOIN sse e WHERE v.q IS NOT NULL),
+           |ssr AS (SELECT vec_id, eval_id, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, eval_id) AS rn
+           |  FROM ssd)
+           |SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval,
+           |  dist AS exact_dist, dist <= 80000 AS contaminated
+           |FROM ssr WHERE rn = 1 ORDER BY vec_id""".stripMargin),
 
       "q_kmeans" ->
         s"""WITH $KMeansCtes

@@ -195,6 +195,33 @@ object Curation {
       .filter(col("exact_dist") <= maxDist)
   }
 
+  /** Stateless COLUMN form of [[semanticContamination]] — the
+    * streaming / map-side screen: with the eval set quantized on the
+    * driver (bounded by the eval-is-small contract;
+    * [[Similarity.quantizeQueryVec]]), emits
+    * `(nearest eval INDEX, exact integer L2 to it)` per row through
+    * two codegen kernels — argmin over the eval table
+    * (`kmeans_assign`, ties to the lower index) plus one `int_l2`
+    * recompute — no join, no state, so a streamed screen IS the
+    * batch screen row for row. The index is the position in `evalQ`;
+    * callers map it back to eval ids. Null vectors ride through as
+    * null (the family convention — filter or assert first).
+    */
+  def semanticScreenCols(
+      vec: Column,
+      scale: Double,
+      evalQ: Array[Array[Long]]): (Column, Column) = {
+    require(evalQ.nonEmpty, "empty eval set")
+    require(evalQ.forall(_.length == evalQ(0).length),
+      "eval vectors must share one dimension")
+    val q = Similarity.kmeansQuantize(vec, scale)
+    val idx = DedupExpressions.kmeansAssign(q, evalQ)
+    val dist = DedupExpressions.intL2(q,
+      element_at(typedLit(evalQ.map(_.toSeq).toSeq), idx + lit(1)),
+      "semantic screen")
+    (idx, dist)
+  }
+
   /** Deterministic uniform sample: the `k` rows with the smallest
     * md5-derived priority (per stratum when `strata` is given) — a
     * mergeable bottom-k sketch, i.e. distributed reservoir sampling

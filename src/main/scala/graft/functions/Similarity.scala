@@ -674,6 +674,14 @@ object Similarity {
   def kmeansQuantize(vec: Column, scale: Double): Column =
     transform(vec, x => floor(x.cast("double") * lit(127.0) / lit(scale) + lit(0.5)))
 
+  /** Driver-side twin of [[kmeansQuantize]] for query/eval vectors —
+    * the identical round-half-up projection, so a vector quantized on
+    * the driver (query literals, broadcast eval tables) lands in the
+    * same integer domain as the scan side.
+    */
+  def quantizeQueryVec(v: Seq[Float], scale: Double): Seq[Long] =
+    v.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+
   /** Distributed Lloyd's k-means over integer-quantized vectors with
     * integer-ROUNDED centroids — every iteration is bit-reproducible:
     * integer sums are order-independent (a float Lloyd's is not under
@@ -1213,7 +1221,7 @@ object Similarity {
     require(query.length == m * ds,
       s"query dim ${query.length} != m*ds = ${m * ds}")
     // the kernel's quantization, verbatim (floor(x·127/scale + 0.5))
-    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val qq = quantizeQueryVec(query, scale)
     DedupExpressions.pqAdc(codes, typedLit(pqAdcTable(qq, codebooks)), "pq adc")
   }
 
@@ -1637,7 +1645,7 @@ object Similarity {
     val dim = coarse(0).length
     require(query.length == dim, s"query dim ${query.length} != $dim")
     require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
-    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val qq = quantizeQueryVec(query, scale)
     val probed = coarse.zipWithIndex.map { case (c, i) =>
       var d = 0L; var j = 0
       while (j < dim) { val x = qq(j) - c(j); d += x * x; j += 1 }
@@ -1766,7 +1774,7 @@ object Similarity {
     require(query.length == dim, s"query dim ${query.length} != $dim")
     val cand = ivfPqTopKFromCodes(codes, idCol, query, rerank, scale,
       coarse, codebooks, nProbe)
-    val qq = query.map(x => math.floor(x.toDouble * 127.0 / scale + 0.5).toLong)
+    val qq = quantizeQueryVec(query, scale)
     // Contract: the code table is a SUBSET of `raw` (encode wrote it
     // from raw) — a candidate missing from raw (codes lagging a
     // delete) drops out of the inner join; keep the two in sync. A

@@ -52,6 +52,29 @@ class CurationContaminationSpec extends SparkSpec {
     assert(!got.exists(_._1 == 101L), "null embeddings must be dropped")
   }
 
+  test("semanticScreenCols: argmin + exact dist vs driver reference; null rides through") {
+    val rnd = new scala.util.Random(83)
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, (0 until 8).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .union(Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val evalQ = vecs.take(3)
+      .map(v => Similarity.quantizeQueryVec(v._2, scale).toArray).toArray
+    val (idx, dist) = Curation.semanticScreenCols(col("embedding"), scale, evalQ)
+    val got = df.select(col("vec_id"), idx.as("i"), dist.as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getLong(2))))).toMap
+    vecs.foreach { case (id, v) =>
+      val q = Similarity.quantizeQueryVec(v, scale)
+      val ds = evalQ.map(e => q.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val best = ds.zipWithIndex.minBy { case (d, i) => (d, i) }
+      assert(got(id).contains((best._2, best._1)), s"row $id")
+    }
+    assert(got(99L).isEmpty, "null vector must ride through as null")
+  }
+
   test("bottomKSample is deterministic, size-bounded, and stratum-stable") {
     val df = spark.range(0, 500).select(
       col("id"), (col("id") % 4).cast("string").as("grp"))
