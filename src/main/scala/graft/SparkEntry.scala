@@ -3269,8 +3269,8 @@ object SparkEntry {
           Similarity.kmeansQuantize(col("uvec"), uscale).as("_u"))
         .crossJoin(broadcast(uq))
         .select(col("query_id"), col("vec_id"),
-          aggregate(zip_with(col("_u"), col("_qq"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d"))
+          graft.functions.DedupExpressions.intL2(
+            col("_u"), col("_qq"), "cosine gate").as("d"))
         .withColumn("rk", row_number().over(wL2)).filter(col("rk") <= 10)
       brute.select("query_id", "vec_id")
         .join(l2.select(col("query_id"), col("vec_id")),

@@ -1901,11 +1901,14 @@ object Similarity {
         lit(s" != $dim"))))
     val cLit = typedLit(coarse.map(_.toSeq).toSeq)
     // per-query probe cells, scan-side: (dist, cell) structs sort by
-    // field order == the single-query driver probe's (d, i) tie rule
+    // field order == the single-query driver probe's (d, i) tie rule.
+    // The distance is the int_l2 kernel — inside a HOF lambda it
+    // still evaluates interpreted, but as ONE kernel call per cell
+    // (tight imperative loop) instead of dim boxed closures
     val cellDists = transform(sequence(lit(0), lit(coarse.length - 1)), c =>
       struct(
-        aggregate(zip_with(qv, element_at(cLit, c + 1), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d"),
+        DedupExpressions.intL2(qv, element_at(cLit, c + 1), "ivfpq knn probe")
+          .as("d"),
         c.as("cell")))
     // each (query, probed cell) row carries its OWN m×k residual ADC
     // table, computed ONCE here in the codegen'd PqAdcTableExpr
