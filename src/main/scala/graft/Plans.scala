@@ -44,8 +44,13 @@ object Plans {
         "q_ann_pq_persisted", "q_ann_ivfpq_persisted",
         "q_ann_ivfpq_refined", "q_ann_ivfpq_knn",
         // r13: serving over a compacted layout (pruning must survive
-        // the rewrite) and the delete-synced refine
-        "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired")
+        // the rewrite), the delete-synced refine, the recall
+        // observability pair (BNLJ + bottom-k ground truth), the
+        // refit migration's serving shape, and the contamination
+        // range screen (broadcast eval, no shuffle)
+        "q_ann_ivfpq_compacted", "q_ann_ivfpq_repaired",
+        "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit",
+        "q_semantic_contamination")
     for (n <- names; fn <- SparkEntry.queries.get(n)) {
       println(s"\n========== $n ==========")
       val df = fn(spark, sfDir)

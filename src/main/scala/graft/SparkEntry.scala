@@ -2982,16 +2982,23 @@ object SparkEntry {
     // the eval id.
     "q_stream_semantic_screen" -> ((s, dir) => {
       val art = ivfPqArtifacts(s, dir)
-      val evalQ = tbl(s, dir, "embeddings")
+      val evalRows = tbl(s, dir, "embeddings")
         .filter(col("vec_id") < 5 && col("embedding").isNotNull)
         .select("vec_id", "embedding").orderBy("vec_id").collect()
+      // map the argmin INDEX back to the eval id through an id
+      // literal (the semanticScreenCols contract) — robust to a
+      // future fixture null/hole in the 0..4 id range, which would
+      // silently shift a positional mapping off the oracle's ids
+      val evalIds = evalRows.map(_.getLong(0)).toSeq
+      val evalQ = evalRows
         .map(r => Similarity.quantizeQueryVec(r.getSeq[Float](1), art.scale).toArray)
       runStreamGate(s, dir, "embeddings", EmbeddingsStreamSchema,
           "semscreen", "append") { st =>
         val (idx, dist) = graft.functions.Curation.semanticScreenCols(
           col("embedding"), art.scale, evalQ)
         st.filter(col("embedding").isNotNull)
-          .select(col("vec_id"), idx.cast("long").as("nearest_eval"),
+          .select(col("vec_id"),
+            element_at(typedLit(evalIds), idx + lit(1)).as("nearest_eval"),
             dist.as("exact_dist"), (dist <= lit(80000L)).as("contaminated"))
       }.orderBy("vec_id")
     }),

@@ -2129,8 +2129,11 @@ object Similarity {
     // ONE reference to the O(sample × corpus) truth subtree: a
     // left-outer marker join + one aggregation (splitting n_hit and
     // n_true into two branches would rely on exchange reuse to avoid
-    // paying the brute-force pass twice — not guaranteed under AQE)
-    truth.join(ann.withColumn("_hit", lit(1)), Seq(qIdCol, idCol), "left_outer")
+    // paying the brute-force pass twice — not guaranteed under AQE).
+    // The ann side is ≤ sample·k id pairs by construction — broadcast
+    // it so the marker join never shuffles the truth stream
+    truth.join(broadcast(ann.withColumn("_hit", lit(1))),
+        Seq(qIdCol, idCol), "left_outer")
       .groupBy(col(qIdCol))
       .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_hit"))
       .withColumn("recall_permille", expr("(n_hit * 1000) div n_true"))

@@ -73,6 +73,22 @@ class CurationContaminationSpec extends SparkSpec {
       assert(got(id).contains((best._2, best._1)), s"row $id")
     }
     assert(got(99L).isEmpty, "null vector must ride through as null")
+    // the tie rule is a CONTRACT (oracle: ORDER BY dist, eval_id):
+    // a duplicated eval vector ties exactly — the LOWER index must win
+    val dupEval = Array(evalQ(1), evalQ(0), evalQ(1))
+    val (ti, td) = Curation.semanticScreenCols(col("embedding"), scale, dupEval)
+    val tie = vecs.take(5).toDF("vec_id", "embedding")
+      .select(col("vec_id"), ti.as("i"), td.as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    vecs.take(5).foreach { case (id, v) =>
+      val q = Similarity.quantizeQueryVec(v, scale)
+      val ds = dupEval.map(e => q.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(tie(id) == ds.zipWithIndex.minBy { case (d, i) => (d, i) }.swap, s"row $id")
+      if (ds(0) <= ds(1) && ds(0) <= ds(2))
+        assert(tie(id)._1 == 0, s"row $id: index-2 duplicate beat index 0")
+    }
+    assert(tie(1L)._1 == 0 && tie(1L)._2 == 0L,
+      "eval vec 1 duplicated at indices 0 and 2: the tie must resolve to 0")
   }
 
   test("bottomKSample is deterministic, size-bounded, and stratum-stable") {
