@@ -1542,6 +1542,128 @@ case class IntL2Expr(left: Expression, right: Expression, ctx: String)
   override def prettyName: String = "int_l2"
 }
 
+/** Fused PQ / IVF-PQ ENCODE kernel — the ingest-path hot loop as ONE
+  * imperative pass per row: int8-quantize (`floor(x·127/scale + 0.5)`
+  * — the kmeansQuantize formula verbatim, same double arithmetic),
+  * coarse argmin (strict `<`, ties to the lower cell), integer
+  * residual, and the per-sub codebook argmin — replacing an
+  * interpreted `transform` + `zip_with` + m `slice`s per row (each a
+  * boxed-closure lane over every component). Same integers: every
+  * encode-fed gate is bit-identical. With `coarse` EMPTY this is the
+  * plain-PQ encode (no cell, no residual; `cell` emitted as -1 and
+  * dropped by the wrapper).
+  *
+  * Null vector → null (the encode convention — wrappers filter the
+  * row out); a wrong DIMENSION fails loud ("vector dimension", the
+  * family message); a null COMPONENT fails loud (the HOF chain used
+  * to propagate it into a silent 0 read inside the assign kernels —
+  * a plausible wrong code).
+  */
+case class IvfPqEncodeExpr(
+    child: Expression,
+    scale: Double,
+    coarse: Array[Array[Long]],
+    codebooks: Array[Array[Array[Long]]]) extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks(0).nonEmpty, "empty codebooks")
+  // content-based equality on the Array params (the KMeansAssignExpr
+  // lesson — reference equality breaks semanticEquals/CSE)
+  override def equals(other: Any): Boolean = other match {
+    case e: IvfPqEncodeExpr =>
+      child == e.child && scale == e.scale &&
+        java.util.Arrays.deepEquals(
+          coarse.asInstanceOf[Array[Object]], e.coarse.asInstanceOf[Array[Object]]) &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[Object]], e.codebooks.asInstanceOf[Array[Object]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + scale.hashCode()) * 31 +
+      java.util.Arrays.deepHashCode(coarse.asInstanceOf[Array[Object]])) * 31 +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[Object]])
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivfpq_encode requires ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  @transient private lazy val m = codebooks.length
+  @transient private lazy val ds = codebooks(0)(0).length
+  @transient private lazy val dim =
+    if (coarse.nonEmpty) coarse(0).length else m * ds
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Kernel; public for the codegen `addReferenceObj` call. */
+  def encode(vecAny: Any): InternalRow = {
+    val arr = vecAny.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"ivfpq encode: vector dimension ${arr.numElements()} != $dim")
+    val q = new Array[Long](dim)
+    var j = 0
+    while (j < dim) {
+      if (arr.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"ivfpq encode: null vector component at index $j — repair the table")
+      val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      q(j) = math.floor(x * 127.0 / scale + 0.5).toLong
+      j += 1
+    }
+    var cell = -1
+    if (coarse.nonEmpty) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val cent = coarse(c)
+        var d = 0L
+        var t = 0
+        while (t < dim) { val diff = q(t) - cent(t); d += diff * diff; t += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      cell = best
+      val cent = coarse(best)
+      j = 0
+      while (j < dim) { q(j) -= cent(j); j += 1 }
+    }
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      var bc = 0
+      var bd = Long.MaxValue
+      var code = 0
+      while (code < cb.length) {
+        val cc = cb(code)
+        var d = 0L
+        var t = 0
+        while (t < ds) {
+          val diff = q(sub * ds + t) - cc(t); d += diff * diff; t += 1
+        }
+        if (d < bd) { bd = d; bc = code }
+        code += 1
+      }
+      codes(sub) = bc
+      sub += 1
+    }
+    InternalRow(cell, new GenericArrayData(codes))
+  }
+
+  override def nullSafeEval(input: Any): Any = encode(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfPqEncode", this, classOf[IvfPqEncodeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfPqEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "ivfpq_encode"
+}
+
 /** L2-normalize a float/double vector to unit length in one
   * imperative pass (the HOF formulation evaluates the norm aggregate
   * once per OUTPUT component — no CSE for interpreted lambdas).
@@ -1681,6 +1803,13 @@ object DedupExpressions {
 
   def intL2(a: Column, b: Column, ctx: String): Column =
     column(IntL2Expr(expression(a), expression(b), ctx))
+
+  def ivfPqEncodeVec(
+      vec: Column,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]]): Column =
+    column(IvfPqEncodeExpr(expression(vec), scale, coarse, codebooks))
 
   def l2Normalize(vec: Column): Column =
     column(L2NormalizeExpr(expression(vec)))

@@ -1175,9 +1175,14 @@ object Similarity {
       vecCol: String,
       scale: Double,
       codebooks: Array[Array[Array[Long]]]): DataFrame =
+    // the fused kernel with no coarse stage (cell = -1, dropped) —
+    // one codegen pass instead of the interpreted quantize transform
+    // + m slices; same integers
     df.select(col(idCol),
-        pqEncodeQ(kmeansQuantize(col(vecCol), scale), codebooks).as("codes"))
-      .filter(col("codes").isNotNull)
+        DedupExpressions.ivfPqEncodeVec(col(vecCol), scale,
+          Array.empty[Array[Long]], codebooks).as("_e"))
+      .filter(col("_e").isNotNull)
+      .select(col(idCol), col("_e.codes").as("codes"))
 
   /** Persist the PQ index: [[pqEncode]]'s `(id, codes)` written as
     * parquet at `path` (overwrite). `m` bytes of code per vector in
@@ -1318,18 +1323,15 @@ object Similarity {
     val ds = codebooks(0)(0).length
     val dim = coarse(0).length
     require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
-    val qvRaw = kmeansQuantize(col(vecCol), scale)
-    val qv = when(qvRaw.isNull, lit(null).cast("array<bigint>"))
-      .when(size(qvRaw) === lit(dim), qvRaw)
-      .otherwise(raise_error(concat(
-        lit("ivfpq: vector dimension "), size(qvRaw).cast("string"),
-        lit(s" != $dim"))))
-    val cLit = typedLit(coarse.map(_.toSeq).toSeq)
-    val cellCol = DedupExpressions.kmeansAssign(qv, coarse)
-    val resCol = zip_with(qv, element_at(cLit, cellCol + 1), (a, b) => a - b)
-    df.select(col(idCol), cellCol.as("cell"),
-        pqEncodeQ(resCol, codebooks).as("codes"))
-      .filter(col("codes").isNotNull)
+    // ONE fused codegen pass per row (quantize + coarse argmin +
+    // residual + m sub-argmins) — the ingest hot loop; the previous
+    // transform + zip_with + m slices paid ~3 interpreted
+    // boxed-closure lanes over every component. Same integers.
+    df.select(col(idCol),
+        DedupExpressions.ivfPqEncodeVec(col(vecCol), scale, coarse, codebooks)
+          .as("_e"))
+      .filter(col("_e").isNotNull)
+      .select(col(idCol), col("_e.cell").as("cell"), col("_e.codes").as("codes"))
   }
 
   /** Persist the IVF-PQ index PARTITIONED BY COARSE CELL — the

@@ -1794,6 +1794,74 @@ class SimilaritySpec extends SparkSpec {
     assert(serve(dir) == serve(fresh), "refit serving diverged from fresh save")
   }
 
+  test("fused encode kernel == staged driver reference; loud contracts") {
+    val rnd = new scala.util.Random(89)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale)
+    // driver re-derivation of the whole chain: quantize -> coarse
+    // argmin (strict <) -> residual -> per-sub argmin
+    def refEncode(v: Seq[Float]): (Int, Seq[Int]) = {
+      val q = Similarity.quantizeQueryVec(v, scale).toArray
+      def l2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val cell = coarse.zipWithIndex.minBy { case (c, i) => (l2(q, c), i) }._2
+      val r = q.zip(coarse(cell)).map { case (a, b) => a - b }
+      val ds = cbs(0)(0).length
+      val codes = cbs.zipWithIndex.map { case (cb, sub) =>
+        val sl = r.slice(sub * ds, sub * ds + ds)
+        cb.zipWithIndex.minBy { case (c, i) => (l2(sl, c), i) }._2
+      }
+      (cell, codes.toSeq)
+    }
+    val got = Similarity.ivfPqEncode(df, "vec_id", "embedding", scale, coarse, cbs)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == refEncode(v), s"row $id")
+    }
+    // plain PQ: same kernel, no coarse stage
+    val pq = Similarity.pqFitInt8(df, "vec_id", "embedding",
+      m = 4, k = 3, iters = 1, scale = scale)
+    val gotPq = Similarity.pqEncode(df, "vec_id", "embedding", scale, pq)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.take(5).foreach { case (id, v) =>
+      val q = Similarity.quantizeQueryVec(v, scale).toArray
+      val ds = pq(0)(0).length
+      val want = pq.zipWithIndex.map { case (cb, sub) =>
+        val sl = q.slice(sub * ds, sub * ds + ds)
+        cb.zipWithIndex.minBy { case (c, i) =>
+          (sl.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, i) }._2
+      }.toSeq
+      assert(gotPq(id) == want, s"pq row $id")
+    }
+    // contracts: null vector dropped; wrong dim and null element loud
+    val withNull = df.union(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    assert(!Similarity.ivfPqEncode(withNull, "vec_id", "embedding",
+      scale, coarse, cbs).collect().map(_.getLong(0)).contains(99L))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val short = Seq((7L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.ivfPqEncode(short, "vec_id", "embedding", scale, coarse, cbs)
+        .collect()
+    }
+    assert(msgs(e1).exists(_.contains("vector dimension")), msgs(e1).mkString(" | "))
+    val holed = spark.sql(
+      "SELECT 7L AS vec_id, array(" +
+        (0 until 16).map(i => if (i == 3) "CAST(NULL AS FLOAT)" else s"CAST(0.$i AS FLOAT)")
+          .mkString(", ") + ") AS embedding")
+    val e2 = intercept[Exception] {
+      Similarity.ivfPqEncode(holed, "vec_id", "embedding", scale, coarse, cbs)
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains("null vector component")), msgs(e2).mkString(" | "))
+  }
+
   test("intL2 kernel: reference math, null array, dim mismatch, null element") {
     val rnd = new scala.util.Random(61)
     val rows = (0 until 40).map { i =>
