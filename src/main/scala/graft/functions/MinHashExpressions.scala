@@ -1581,9 +1581,12 @@ case class IvfPqEncodeExpr(
       java.util.Arrays.deepHashCode(coarse.asInstanceOf[Array[Object]])) * 31 +
       java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[Object]])
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    // any numeric element — the replaced HOF chain quantized via
+    // x.cast("double"), so integer/decimal vector columns must keep
+    // encoding
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"ivfpq_encode requires ARRAY<FLOAT|DOUBLE>, got $t")
+      s"ivfpq_encode requires an ARRAY of a numeric type, got $t")
   }
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
@@ -1594,8 +1597,17 @@ case class IvfPqEncodeExpr(
   @transient private lazy val ds = codebooks(0)(0).length
   @transient private lazy val dim =
     if (coarse.nonEmpty) coarse(0).length else m * ds
-  @transient private lazy val isFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val elemAsDouble: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => (a, j) => a.getFloat(j).toDouble
+      case DoubleType => (a, j) => a.getDouble(j)
+      case LongType => (a, j) => a.getLong(j).toDouble
+      case IntegerType => (a, j) => a.getInt(j).toDouble
+      case ShortType => (a, j) => a.getShort(j).toDouble
+      case ByteType => (a, j) => a.getByte(j).toDouble
+      case d: DecimalType => (a, j) => a.getDecimal(j, d.precision, d.scale).toDouble
+      case t => throw new IllegalStateException(s"unsupported element type $t")
+    }
 
   /** Kernel; public for the codegen `addReferenceObj` call. */
   def encode(vecAny: Any): InternalRow = {
@@ -1609,8 +1621,7 @@ case class IvfPqEncodeExpr(
       if (arr.isNullAt(j))
         throw new IllegalArgumentException(
           s"ivfpq encode: null vector component at index $j — repair the table")
-      val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-      q(j) = math.floor(x * 127.0 / scale + 0.5).toLong
+      q(j) = math.floor(elemAsDouble(arr, j) * 127.0 / scale + 0.5).toLong
       j += 1
     }
     var cell = -1

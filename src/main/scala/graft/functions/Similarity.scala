@@ -1177,12 +1177,16 @@ object Similarity {
       codebooks: Array[Array[Array[Long]]]): DataFrame =
     // the fused kernel with no coarse stage (cell = -1, dropped) —
     // one codegen pass instead of the interpreted quantize transform
-    // + m slices; same integers
-    df.select(col(idCol),
-        DedupExpressions.ivfPqEncodeVec(col(vecCol), scale,
-          Array.empty[Array[Long]], codebooks).as("_e"))
-      .filter(col("_e").isNotNull)
-      .select(col(idCol), col("_e.codes").as("codes"))
+    // + m slices; same integers. Input-side null drop + a reserved
+    // alias, as in ivfPqEncode.
+    {
+      require(idCol != "__enc", "idCol '__enc' collides with the encode alias")
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol),
+          DedupExpressions.ivfPqEncodeVec(col(vecCol), scale,
+            Array.empty[Array[Long]], codebooks).as("__enc"))
+        .select(col(idCol), col("__enc.codes").as("codes"))
+    }
 
   /** Persist the PQ index: [[pqEncode]]'s `(id, codes)` written as
     * parquet at `path` (overwrite). `m` bytes of code per vector in
@@ -1323,15 +1327,20 @@ object Similarity {
     val ds = codebooks(0)(0).length
     val dim = coarse(0).length
     require(m * ds == dim, s"codebooks cover ${m * ds} dims != $dim")
+    require(idCol != "__enc", "idCol '__enc' collides with the encode alias")
     // ONE fused codegen pass per row (quantize + coarse argmin +
     // residual + m sub-argmins) — the ingest hot loop; the previous
     // transform + zip_with + m slices paid ~3 interpreted
     // boxed-closure lanes over every component. Same integers.
-    df.select(col(idCol),
+    // Null vectors are dropped on the INPUT column (the kernel is
+    // null iff the vector is) so alias substitution can't re-evaluate
+    // the kernel under a pushed-down output filter.
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
         DedupExpressions.ivfPqEncodeVec(col(vecCol), scale, coarse, codebooks)
-          .as("_e"))
-      .filter(col("_e").isNotNull)
-      .select(col(idCol), col("_e.cell").as("cell"), col("_e.codes").as("codes"))
+          .as("__enc"))
+      .select(col(idCol), col("__enc.cell").as("cell"),
+        col("__enc.codes").as("codes"))
   }
 
   /** Persist the IVF-PQ index PARTITIONED BY COARSE CELL — the

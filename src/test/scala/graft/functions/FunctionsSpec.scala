@@ -1860,6 +1860,15 @@ class SimilaritySpec extends SparkSpec {
         .collect()
     }
     assert(msgs(e2).exists(_.contains("null vector component")), msgs(e2).mkString(" | "))
+    // numeric-array parity: an INTEGER vector column encodes exactly
+    // like its float cast (the pre-kernel chain quantized any numeric
+    // array via x.cast("double"))
+    val intDf = spark.sql("SELECT 1L AS vec_id, array(" +
+      (1 to 16).mkString(", ") + ") AS embedding")
+    val gotInt = Similarity.ivfPqEncode(intDf, "vec_id", "embedding",
+        scale, coarse, cbs)
+      .collect().map(r => (r.getInt(1), r.getSeq[Int](2))).head
+    assert(gotInt == refEncode((1 to 16).map(_.toFloat)), "int-array encode")
   }
 
   test("intL2 kernel: reference math, null array, dim mismatch, null element") {
