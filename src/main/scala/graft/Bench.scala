@@ -120,7 +120,8 @@ object Bench {
     // the ANN-vs-exact report), the re-fit migration it triggers, and
     // the embedding-space contamination screen
     "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit",
-    "q_semantic_contamination", "q_stream_semantic_screen")
+    "q_semantic_contamination", "q_stream_semantic_screen",
+    "q_ann_ivfpq_compact_cells")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat
@@ -148,7 +149,8 @@ object Bench {
     "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_compacted",
     "q_ann_ivfpq_repaired", "q_ann_cosine", "q_ann_layout_cells",
     "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit",
-    "q_semantic_contamination", "q_stream_semantic_screen")
+    "q_semantic_contamination", "q_stream_semantic_screen",
+    "q_ann_ivfpq_compact_cells")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time

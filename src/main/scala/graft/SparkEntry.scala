@@ -3066,6 +3066,31 @@ object SparkEntry {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // INCREMENTAL per-cell compaction: the same 8-batch fragmented
+    // layout, but the threshold pass rewrites ONLY the cells over
+    // maxFilesPerCell (compactIvfPqCells — per-cell staged swaps;
+    // maintenance cost proportional to the dirty fraction, the
+    // steady-state cadence where ingest dirties a few hot cells).
+    // Values are untouched either way, so the shared IVF-PQ oracle
+    // pins the top-10 bit for bit.
+    "q_ann_ivfpq_compact_cells" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val path = scratchDir("graft-ivfpq-cc").resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
+      (1 to 3).foreach { i =>
+        Similarity.appendIvfPqEncoded(emb.filter(col("vec_id") % 4 === i),
+          "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
+      }
+      Similarity.compactIvfPqLayoutIfNeeded(s, path, maxFilesPerCell = 2,
+        incremental = true)
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id",
+          annQueryVec(s, dir), kTop = 10, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
     // LAYOUT HEALTH: the per-cell stats report that drives the
     // compaction/re-fit policy — row counts per coarse cell must
     // equal the oracle's replay of the coarse assignment (the file
@@ -7388,6 +7413,7 @@ object SparkEntry {
       // compaction moves bytes, never values: the 8-batch layout
       // compacted to one file per cell serves the SAME top-10
       "q_ann_ivfpq_compacted" -> AnnIvfPqOracle,
+      "q_ann_ivfpq_compact_cells" -> AnnIvfPqOracle,
       "q_ann_ivfpq_refit" -> AnnIvfPqOracle,
       "q_stream_ann_ingest" -> AnnIvfPqOracle,
 

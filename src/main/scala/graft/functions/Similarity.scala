@@ -1452,7 +1452,12 @@ object Similarity {
   }
 
   /** Self-heal a layout left at `_retired` by a crash between
-    * [[stagedLayoutRewrite]]'s two renames. No-op when `path` exists.
+    * [[stagedLayoutRewrite]]'s two renames (whole-layout form), and
+    * any single cells left at `<path>_cellretired/N` by a crash in
+    * [[compactIvfPqCells]]'s per-cell window. No-op on a clean
+    * layout. Every maintenance entry point calls this first, so the
+    * NEXT maintenance tick after any crash restores the layout
+    * before reading it.
     */
   private def restoreRetiredLayout(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
@@ -1465,6 +1470,90 @@ object Similarity {
         throw new IllegalStateException(
           s"crash recovery: could not restore $retired to $target")
     }
+    // per-cell crash recovery: a cell at `_cellretired/N` with no
+    // live `cell=N` dir is mid-swap — restore it; with BOTH present
+    // (crash after the second rename, before the delete) the live
+    // dir is the new data — drop the retired copy. Stage leftovers
+    // are pre-swap garbage either way.
+    val cellRetired = new Path(target.getParent, target.getName + "_cellretired")
+    if (fs.exists(cellRetired)) {
+      fs.listStatus(cellRetired).foreach { st =>
+        val live = new Path(target, "cell=" + st.getPath.getName)
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new IllegalStateException(
+              s"crash recovery: could not restore ${st.getPath} to $live")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(cellRetired, true)
+    }
+    fs.delete(new Path(target.getParent, target.getName + "_cellstage"), true)
+  }
+
+  /** INCREMENTAL per-cell compaction: rewrite ONLY the listed cell
+    * directories (each down to ≤ `filesPerCell` files), leaving every
+    * other cell's files physically untouched — maintenance cost
+    * proportional to the DIRTY fraction instead of the whole-layout
+    * shuffle ([[compactIvfPqLayout]] measured ~154 s at 1M×64d; a
+    * steady-state ingest window dirties only the hot cells). Each
+    * cell is rewritten to a sibling stage dir (`<path>_cellstage/N` —
+    * OUTSIDE the layout root, so partition discovery never sees a
+    * half-written dir or a `cell=N_x` name that would poison the
+    * partition-column type) and swapped via two renames; a crash
+    * between them leaves that ONE cell at `<path>_cellretired/N`,
+    * which the next maintenance call restores
+    * ([[restoreRetiredLayout]]). Same writer-exclusion contract as
+    * the whole-layout pass, enforced per cell by a before/after file
+    * listing that fails loud without touching the live cell.
+    */
+  def compactIvfPqCells(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cells: Seq[Long],
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    restoreRetiredLayout(spark, path)
+    if (cells.isEmpty) return
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stageRoot = new Path(target.getParent, target.getName + "_cellstage")
+    val retiredRoot = new Path(target.getParent, target.getName + "_cellretired")
+    fs.mkdirs(retiredRoot)
+    cells.foreach { cell =>
+      val live = new Path(target, s"cell=$cell")
+      require(fs.exists(live), s"no cell directory $live in the layout")
+      def listFiles(): Set[String] =
+        fs.listStatus(live).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(f => f.getPath.getName + ":" + f.getLen).toSet
+      val before = listFiles()
+      val stage = new Path(stageRoot, cell.toString)
+      fs.delete(stage, true)
+      val df = spark.read.parquet(live.toString)
+      val keyed =
+        if (filesPerCell == 1) df.repartition(1)
+        else df.repartition(filesPerCell,
+          pmod(hash(struct(df.columns.map(col): _*)), lit(filesPerCell)))
+      keyed.write.parquet(stage.toString)
+      if (listFiles() != before) {
+        fs.delete(stage, true)
+        throw new IllegalStateException(
+          s"cell $cell at $target changed during the rewrite (concurrent " +
+            "append?) — quiesce ingest before compacting; the live cell is untouched")
+      }
+      val retired = new Path(retiredRoot, cell.toString)
+      fs.delete(retired, true)
+      if (!fs.rename(live, retired))
+        throw new IllegalStateException(s"cell compaction rename failed for $live")
+      if (!fs.rename(stage, live)) {
+        fs.rename(retired, live) // roll back
+        throw new IllegalStateException(s"cell compaction swap failed for $live")
+      }
+      fs.delete(retired, true)
+    }
+    fs.delete(stageRoot, true)
+    fs.delete(retiredRoot, true)
   }
 
   /** Compact a cell-partitioned code layout: [[appendIvfPqEncoded]]
@@ -1549,24 +1638,32 @@ object Similarity {
         coalesce(col("bytes"), lit(0L)).as("bytes"))
   }
 
-  /** Threshold-policy compaction: rewrite the layout only when some
-    * cell's file count exceeds `maxFilesPerCell` (the stats listing
-    * is a driver directory walk — coarseK dirs — so a healthy layout
-    * pays no Spark job at all). Returns whether a compaction ran.
-    * The cadence wrapper a living-index maintenance cron calls after
-    * each ingest window; same writer-exclusion contract as
-    * [[compactIvfPqLayout]].
+  /** Threshold-policy compaction: rewrite only when some cell's file
+    * count exceeds `maxFilesPerCell` (the stats listing is a driver
+    * directory walk — coarseK dirs — so a healthy layout pays no
+    * Spark job at all). Returns whether a compaction ran. The cadence
+    * wrapper a living-index maintenance cron calls after each ingest
+    * window; same writer-exclusion contract as
+    * [[compactIvfPqLayout]]. With `incremental = true` only the cells
+    * OVER the threshold are rewritten ([[compactIvfPqCells]]) —
+    * steady-state cost proportional to the dirty fraction; the
+    * default rewrites the whole layout in one shuffle (cheaper when
+    * most cells are dirty, e.g. after a backfill).
     */
   def compactIvfPqLayoutIfNeeded(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       maxFilesPerCell: Int,
-      filesPerCell: Int = 1): Boolean = {
+      filesPerCell: Int = 1,
+      incremental: Boolean = false): Boolean = {
     require(maxFilesPerCell >= 1, s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
     restoreRetiredLayout(spark, path)
-    val worst = cellFileCounts(spark, path).map(_._2).maxOption.getOrElse(0L)
-    if (worst <= maxFilesPerCell) false
-    else { compactIvfPqLayout(spark, path, filesPerCell); true }
+    val dirty = cellFileCounts(spark, path)
+      .filter(_._2 > maxFilesPerCell).map(_._1)
+    if (dirty.isEmpty) false
+    else if (incremental) {
+      compactIvfPqCells(spark, path, dirty, filesPerCell); true
+    } else { compactIvfPqLayout(spark, path, filesPerCell); true }
   }
 
   /** RE-FIT migration for a living code layout — the action

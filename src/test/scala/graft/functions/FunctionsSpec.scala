@@ -1709,6 +1709,76 @@ class SimilaritySpec extends SparkSpec {
     assert(serve() == want2)
   }
 
+  test("compactIvfPqCells: only dirty cells rewritten, serving bit-equal, crash-safe") {
+    val rnd = new scala.util.Random(97)
+    val vecs = (0 until 70).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale)
+    val root = java.nio.file.Files.createTempDirectory("graft-cellcmp-t")
+    val dir = root.resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale, coarse, cbs, dir)
+    Similarity.compactIvfPqLayout(spark, dir)          // baseline: 1 file/cell
+    // dirty exactly ONE cell: append only rows assigned to it
+    val byCell = Similarity.ivfPqEncode(df, "vec_id", "embedding", scale, coarse, cbs)
+      .select("vec_id", "cell").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val hot = byCell.maxBy(_._2.size)._1
+    val hotRows = df.filter(col("vec_id").isInCollection(byCell(hot)))
+    (1 to 3).foreach { _ =>
+      Similarity.appendIvfPqEncoded(hotRows, "vec_id", "embedding",
+        scale, coarse, cbs, dir)
+    }
+    def cellFileNames(): Map[String, Set[String]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(c => c.getName ->
+          c.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .toMap
+    }
+    val before = cellFileNames()
+    assert(before(s"cell=$hot").size > 2,
+      s"hot cell should be fragmented past the threshold: $before")
+    assert(before.filterKeys(_ != s"cell=$hot").values.forall(_.size == 1))
+    val q = vecs(3)._2
+    def serve(): Seq[(Long, Long, Long)] =
+      Similarity.ivfPqTopKFromCodes(spark.read.parquet(dir), "vec_id",
+          q, kTop = 9, scale = scale, coarse = coarse, codebooks = cbs,
+          nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = serve()
+    // incremental threshold pass touches ONLY the dirty cell
+    assert(Similarity.compactIvfPqLayoutIfNeeded(spark, dir,
+      maxFilesPerCell = 2, incremental = true))
+    val after = cellFileNames()
+    assert(after(s"cell=$hot").size == 1, s"dirty cell not compacted: $after")
+    before.filterKeys(_ != s"cell=$hot").foreach { case (c, files) =>
+      assert(after(c) == files, s"clean cell $c was rewritten")
+    }
+    assert(serve() == want, "incremental compaction changed values")
+    // no stage/retired leftovers beside the layout
+    assert(root.toFile.listFiles().map(_.getName).toSet == Set("codes"))
+    // crash window: the hot cell left at _cellretired only; the next
+    // maintenance entry (stats here) self-heals before listing
+    val cellDir = java.nio.file.Paths.get(dir, s"cell=$hot")
+    val retired = java.nio.file.Paths.get(s"${dir}_cellretired", hot.toString)
+    java.nio.file.Files.createDirectories(retired.getParent)
+    java.nio.file.Files.move(cellDir, retired)
+    val stats = Similarity.ivfPqLayoutStats(spark, dir)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(stats.contains(hot.toLong), "crash recovery lost the retired cell")
+    assert(java.nio.file.Files.exists(cellDir) &&
+      !java.nio.file.Files.exists(retired.getParent))
+    assert(serve() == want, "recovery from the per-cell crash window lost rows")
+    // unknown cell fails loud
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfPqCells(spark, dir, Seq(999L))
+    }
+  }
+
   test("repairIvfPqLayout drops codes whose id left raw; refine serves the survivors") {
     val rnd = new scala.util.Random(59)
     val vecs = (0 until 60).map { i =>
