@@ -170,11 +170,48 @@ object AnnProbe {
     println(f"[probe] recall report at $nVecs%d vecs: overall recall@10 " +
       f"${rep.getLong(0) * 1000 / rep.getLong(1)}%d permille " +
       f"(nProbe=$nProbe/$coarseK), pass $tRecall%.1f s")
-    val (_, tRefit) = timed("refitIvfPqLayout (fit + re-encode + swap)") {
+    val (refitParams, tRefit) = timed("refitIvfPqLayout (fit + re-encode + swap)") {
       functions.Similarity.refitIvfPqLayout(spark, fragDir, saved,
         "vec_id", "embedding", coarseK = coarseK, m = m, k = k, iters = 2)
     }
     println(f"[probe] refit migration at $nVecs%d vecs: $tRefit%.1f s end-to-end")
+
+    // INCREMENTAL compaction at probe scale: dirty a few hot cells
+    // (the steady-state ingest shape) and let the threshold pass
+    // rewrite only those — the dirty-fraction win over the
+    // whole-layout shuffle measured above
+    val (rs, rc, rb) = refitParams
+    val dirtyCells = spark.read.parquet(fragDir)
+      .select("cell").distinct().orderBy("cell").limit(4)
+      .collect().map(_.getInt(0))
+    val hotIds = functions.Similarity.ivfPqEncode(saved, "vec_id", "embedding",
+        rs, rc, rb)
+      .filter(col("cell").isin(dirtyCells.map(Integer.valueOf): _*))
+      .select("vec_id")
+    val hotRows = saved.join(hotIds, "vec_id")
+    (1 to 3).foreach { _ =>
+      functions.Similarity.appendIvfPqEncoded(hotRows, "vec_id", "embedding",
+        rs, rc, rb, fragDir)
+    }
+    val rQuery = saved.filter(col("vec_id") === 42).head.getSeq[Float](1)
+    val preInc = functions.Similarity.ivfPqTopKFromCodes(
+        spark.read.parquet(fragDir), "vec_id", rQuery, kTop = 10,
+        scale = rs, coarse = rc, codebooks = rb, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (ranInc, tInc) = timed(
+      s"compactIvfPqLayoutIfNeeded(incremental) — ${dirtyCells.length}/$coarseK dirty") {
+      functions.Similarity.compactIvfPqLayoutIfNeeded(spark, fragDir,
+        maxFilesPerCell = 4, incremental = true)
+    }
+    require(ranInc, "threshold pass should have fired on the dirtied cells")
+    val postInc = functions.Similarity.ivfPqTopKFromCodes(
+        spark.read.parquet(fragDir), "vec_id", rQuery, kTop = 10,
+        scale = rs, coarse = rc, codebooks = rb, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    require(postInc == preInc, "incremental compaction changed the top-k")
+    println(f"[probe] incremental compaction: ${dirtyCells.length}%d/$coarseK%d " +
+      f"dirty cells rewritten in $tInc%.1f s (whole-layout pass above: " +
+      f"$tCompact%.1f s); top-10 bit-equal")
     spark.stop()
   }
 }
