@@ -121,7 +121,10 @@ object Bench {
     // the embedding-space contamination screen
     "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit",
     "q_semantic_contamination", "q_stream_semantic_screen",
-    "q_ann_ivfpq_compact_cells")
+    "q_ann_ivfpq_compact_cells",
+    // round-14: incremental (per-cell) delete repair and the
+    // maintenance orchestration tick
+    "q_ann_ivfpq_repair_cells", "q_ann_ivfpq_maintain")
 
   /** Omitted from the COMPACT stdout line only (they stay in the
     * full-precision `detail` line and in the total): long-flat
@@ -150,7 +153,11 @@ object Bench {
     "q_ann_ivfpq_repaired", "q_ann_cosine", "q_ann_layout_cells",
     "q_ann_exact_knn", "q_ann_recall", "q_ann_ivfpq_refit",
     "q_semantic_contamination", "q_stream_semantic_screen",
-    "q_ann_ivfpq_compact_cells")
+    "q_ann_ivfpq_compact_cells",
+    // r14: maintenance compositions of already-watched kernels (the
+    // repair/compact/recall primitives each keep their own detail
+    // rows; the serving read they end in is the watched persisted row)
+    "q_ann_ivfpq_repair_cells", "q_ann_ivfpq_maintain")
 
   /** The fixed-iteration graph walks: each is 4-8 rounds of one
     * co-partitioned equi-join + one aggregation, so their bench time
@@ -225,17 +232,25 @@ object Bench {
     try queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
-    // pre-build the shared ANN artifacts (one fit+encode per sf dir):
-    // serving rows time SERVING — the fit cost has its own rows
-    // (q_ann_pq_fit / q_ann_ivfpq_fit) and must not contaminate the
-    // first run of whichever serving gate touches the memo first
-    try SparkEntry.warmAnnArtifacts(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] ANN warm-up failed: ${e.getMessage}") }
     val set = only match {
       case Some(o) => Headline.filter(o.contains)
       case None => Headline
     }
+    // pre-build the shared ANN artifacts (one fit+encode per sf dir):
+    // serving rows time SERVING — the fit cost has its own rows
+    // (q_ann_pq_fit / q_ann_ivfpq_fit) and must not contaminate the
+    // first run of whichever serving gate touches the memo first.
+    // Skipped when a BENCH_ONLY subset selects no artifact consumer
+    // (r13 ADVICE): a run restricted to non-ANN rows should not pay
+    // two fit+encode jobs in warm-up.
+    val needsAnnWarm = set.exists(n =>
+      n.startsWith("q_ann_") || n == "q_semantic_contamination" ||
+        n == "q_stream_semantic_screen" || n == "q_stream_pq_screen" ||
+        n == "q_stream_ann_ingest")
+    if (needsAnnWarm)
+      try SparkEntry.warmAnnArtifacts(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ANN warm-up failed: ${e.getMessage}") }
     // a Headline name with no queries entry must be VISIBLE, not
     // silently skipped — a typo'd or renamed gate would otherwise
     // vanish from the artifact and read as "nothing regressed"

@@ -177,6 +177,59 @@ object SparkEntry {
     ivfPqArtifacts(s, dir)
   }
 
+  /** Local recursive file-tree copy (gate scratch is always local fs).
+    * The maintenance gates MUTATE their input layout, so each
+    * invocation works on a fresh copy of a memoized build instead of
+    * re-running encode jobs per run (r13 verdict #4).
+    */
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t)
+      }
+    } finally walk.close()
+  }
+
+  // one B-batch fragmented layout per (JVM, sf dir, B): the 8-batch
+  // (compaction) and 4-batch (incremental/maintain) builds each run
+  // their encode jobs ONCE; the gates file-copy the result because
+  // compaction/repair mutate bytes in place
+  private val fragLayoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def fragmentedLayoutCopy(s: SparkSession, dir: String, batches: Int): String = {
+    val src = fragLayoutMemo.computeIfAbsent((dir, batches), _ => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val path = scratchDir(s"graft-ivfpq-frag$batches").resolve("codes").toString
+      Similarity.saveIvfPqEncoded(emb.filter(col("vec_id") % batches === 0),
+        "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
+      (1 until batches).foreach { i =>
+        Similarity.appendIvfPqEncoded(emb.filter(col("vec_id") % batches === i),
+          "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
+      }
+      path
+    })
+    val dst = scratchDir("graft-ivfpq-fragcp").resolve("codes")
+    copyTree(java.nio.file.Paths.get(src), dst)
+    dst.toString
+  }
+
+  /** Fresh mutable copy of the shared one-shot encoded layout
+    * ([[ivfPqArtifacts]]) for gates that rewrite it (repair/refit) —
+    * a file copy, not a Spark re-encode job.
+    */
+  private def artifactLayoutCopy(s: SparkSession, dir: String): String = {
+    val art = ivfPqArtifacts(s, dir)
+    val dst = scratchDir("graft-ivfpq-artcp").resolve("codes")
+    copyTree(java.nio.file.Paths.get(art.codesPath), dst)
+    dst.toString
+  }
+
   /** The anchor query vector every single-query ANN gate probes with
     * (vec 0's embedding — one tiny head job, shared shape).
     */
@@ -3050,15 +3103,11 @@ object SparkEntry {
     // (q_ann_ivfpq's oracle pins it) — compaction moves bytes, never
     // values — and PlanSpec pins that partition pruning still fires.
     "q_ann_ivfpq_compacted" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
       val art = ivfPqArtifacts(s, dir)
-      val path = scratchDir("graft-ivfpq-cmp").resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb.filter(col("vec_id") % 8 === 0),
-        "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
-      (1 to 7).foreach { i =>
-        Similarity.appendIvfPqEncoded(emb.filter(col("vec_id") % 8 === i),
-          "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
-      }
+      // the 8-batch fragmented build is memoized per JVM and
+      // file-copied here (compaction mutates its input) — the gate
+      // times compact + serve, not eight encode jobs (r13 verdict #4)
+      val path = fragmentedLayoutCopy(s, dir, batches = 8)
       Similarity.compactIvfPqLayout(s, path, filesPerCell = 1)
       Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id",
           annQueryVec(s, dir), kTop = 10, scale = art.scale,
@@ -3074,15 +3123,9 @@ object SparkEntry {
     // Values are untouched either way, so the shared IVF-PQ oracle
     // pins the top-10 bit for bit.
     "q_ann_ivfpq_compact_cells" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
       val art = ivfPqArtifacts(s, dir)
-      val path = scratchDir("graft-ivfpq-cc").resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb.filter(col("vec_id") % 4 === 0),
-        "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
-      (1 to 3).foreach { i =>
-        Similarity.appendIvfPqEncoded(emb.filter(col("vec_id") % 4 === i),
-          "vec_id", "embedding", art.scale, art.coarse, art.cbs, path)
-      }
+      // memoized 4-batch fragmented build, file-copied per run
+      val path = fragmentedLayoutCopy(s, dir, batches = 4)
       Similarity.compactIvfPqLayoutIfNeeded(s, path, maxFilesPerCell = 2,
         incremental = true)
       Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id",
@@ -3113,9 +3156,8 @@ object SparkEntry {
     "q_ann_ivfpq_repaired" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val art = ivfPqArtifacts(s, dir)
-      val path = scratchDir("graft-ivfpq-rep").resolve("codes").toString
-      Similarity.saveIvfPqEncoded(emb, "vec_id", "embedding", art.scale,
-        art.coarse, art.cbs, path)
+      // file-copy of the shared encoded layout (repair mutates it)
+      val path = artifactLayoutCopy(s, dir)
       val surviving = emb.filter(col("vec_id") % 7 =!= 3)
       Similarity.repairIvfPqLayout(s, path, surviving, "vec_id")
       Similarity.ivfPqTopKRefined(s.read.parquet(path), surviving, "vec_id",
@@ -3123,6 +3165,65 @@ object SparkEntry {
           scale = art.scale, coarse = art.coarse, codebooks = art.cbs,
           nProbe = 2)
         .orderBy("exact_dist", "vec_id")
+    }),
+
+    // INCREMENTAL (per-cell) DELETE SYNC: the same lagging-delete
+    // scenario, repaired at O(delta) — repairIvfPqCells discovers the
+    // deleted (id, cell) pairs in one column-pruned pass and rewrites
+    // ONLY the cells that contain them (clean cells byte-untouched,
+    // spec'd); the refined serving output is bit-equal to the
+    // whole-layout repair, so the shared repaired oracle pins it.
+    "q_ann_ivfpq_repair_cells" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val path = artifactLayoutCopy(s, dir)
+      val surviving = emb.filter(col("vec_id") % 7 =!= 3)
+      val repaired = Similarity.repairIvfPqCells(s, path, surviving, "vec_id")
+      require(repaired.nonEmpty,
+        "delete sync must find dirty cells for the %7 delete pattern")
+      Similarity.ivfPqTopKRefined(s.read.parquet(path), surviving, "vec_id",
+          "embedding", annQueryVec(s, dir), kTop = 10, rerank = 50,
+          scale = art.scale, coarse = art.coarse, codebooks = art.cbs,
+          nProbe = 2)
+        .orderBy("exact_dist", "vec_id")
+    }),
+
+    // MAINTENANCE ORCHESTRATION — the one entry point an operator
+    // schedules (maintainIvfPqLayout: crash sweep → per-cell delete
+    // sync → incremental compaction threshold → sample recall →
+    // refit-if-below-floor), exercised through its three steady-state
+    // paths in one gate: a fragmented tick (compaction fires, nothing
+    // to repair), a delete tick (only dirty cells rewritten, nothing
+    // to compact), and the healthy tick (byte-identical no-op). The
+    // final serving read is the plain ADC top-10 over the survivors —
+    // oracle replays the chain minus the deleted ids. Floor 0 keeps
+    // the (deterministic but expensive) refit out of the gate; the
+    // refit-triggered path is spec'd (FunctionsSpec) and gated on its
+    // own (q_ann_ivfpq_refit).
+    "q_ann_ivfpq_maintain" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val art = ivfPqArtifacts(s, dir)
+      val path = fragmentedLayoutCopy(s, dir, batches = 4)
+      val qsample = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def tick(raw: DataFrame) = Similarity.maintainIvfPqLayout(s, path,
+        raw, "vec_id", "embedding", qsample, "query_id", "embedding",
+        art.scale, art.coarse, art.cbs, k = 5, nProbe = 2,
+        maxFilesPerCell = 2, recallFloorPermille = 0)
+      val m1 = tick(emb)
+      require(m1.compacted && m1.repairedCells.isEmpty && m1.refitParams.isEmpty,
+        s"fragmented tick should only compact: $m1")
+      val surviving = emb.filter(col("vec_id") % 7 =!= 3)
+      val m2 = tick(surviving)
+      require(m2.repairedCells.nonEmpty && !m2.compacted && m2.refitParams.isEmpty,
+        s"delete tick should only repair: $m2")
+      val m3 = tick(surviving)
+      require(m3.repairedCells.isEmpty && !m3.compacted && m3.refitParams.isEmpty,
+        s"healthy tick must be a no-op: $m3")
+      Similarity.ivfPqTopKFromCodes(s.read.parquet(path), "vec_id",
+          annQueryVec(s, dir), kTop = 10, scale = art.scale,
+          coarse = art.coarse, codebooks = art.cbs, nProbe = 2)
+        .orderBy("adc_dist", "vec_id")
     }),
 
     // STREAMING index ingest: the embeddings feed is encoded
@@ -3216,8 +3317,8 @@ object SparkEntry {
     "q_ann_ivfpq_refit" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val art = ivfPqArtifacts(s, dir)
-      val lay = scratchDir("graft-refit").resolve("codes").toString
-      s.read.parquet(art.codesPath).write.partitionBy("cell").parquet(lay)
+      // file-copy of the served layout (the refit swaps it in place)
+      val lay = artifactLayoutCopy(s, dir)
       val (sc2, coarse2, cbs2) = Similarity.refitIvfPqLayout(s, lay, emb,
         "vec_id", "embedding", coarseK = 4, m = 4, k = 4, iters = 2)
       Similarity.ivfPqTopKFromCodes(s.read.parquet(lay), "vec_id",
@@ -4905,6 +5006,33 @@ object SparkEntry {
        |  FROM iq_cand c JOIN qv v ON v.vec_id = c.vec_id CROSS JOIN iq_q q)
        |SELECT vec_id, cell, adc_dist, exact_dist FROM iq_ex
        |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin
+
+  /** The delete-sync oracle (whole-layout repair AND the per-cell
+    * form — the two are bit-equal by contract): the refine algebra
+    * with the deleted ids (`vec_id % 7 == 3`) removed from the
+    * candidate and re-rank stages.
+    */
+  private lazy val AnnIvfPqRepairedOracle: String =
+    s"WITH $AnnIvfPqCtes, " +
+      """iq_cand AS (SELECT vec_id, ccell, adc_dist FROM iq_score
+       |  WHERE vec_id % 7 <> 3 ORDER BY adc_dist, vec_id LIMIT 50),
+       |iq_ex AS (SELECT c.vec_id, CAST(c.ccell AS BIGINT) AS cell, c.adc_dist,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> (v.q[j] - q.q[j]) * (v.q[j] - q.q[j]))) AS BIGINT) AS exact_dist
+       |  FROM iq_cand c JOIN qv v ON v.vec_id = c.vec_id CROSS JOIN iq_q q)
+       |SELECT vec_id, cell, adc_dist, exact_dist FROM iq_ex
+       |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin
+
+  /** The maintenance-orchestration oracle: after the delete tick the
+    * layout serves exactly the surviving corpus — the plain ADC
+    * top-10 with `vec_id % 7 == 3` removed (compaction/no-op ticks
+    * move bytes, never values).
+    */
+  private lazy val AnnIvfPqMaintainOracle: String =
+    s"WITH $AnnIvfPqCtes " +
+      """SELECT vec_id, CAST(ccell AS BIGINT) AS cell, adc_dist FROM iq_score
+       |WHERE vec_id % 7 <> 3
+       |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
 
   /** The bulk-retrieval oracle: the shared coarse+residual+PQ chain,
     * then PER QUERY (vec_id < 5) — probe cells by row_number over the
@@ -7427,20 +7555,18 @@ object SparkEntry {
            |FROM ivq WHERE rq IS NOT NULL
            |GROUP BY 1 ORDER BY cell""".stripMargin),
 
-      // delete sync: ids vec_id % 7 == 3 left `raw`; after
-      // repairIvfPqLayout the refined serving path answers over
-      // exactly the surviving corpus — the refine algebra with the
-      // same ids removed from the candidate AND re-rank stages
-      "q_ann_ivfpq_repaired" ->
-        (s"WITH $AnnIvfPqCtes, " +
-          """iq_cand AS (SELECT vec_id, ccell, adc_dist FROM iq_score
-           |  WHERE vec_id % 7 <> 3 ORDER BY adc_dist, vec_id LIMIT 50),
-           |iq_ex AS (SELECT c.vec_id, CAST(c.ccell AS BIGINT) AS cell, c.adc_dist,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      j -> (v.q[j] - q.q[j]) * (v.q[j] - q.q[j]))) AS BIGINT) AS exact_dist
-           |  FROM iq_cand c JOIN qv v ON v.vec_id = c.vec_id CROSS JOIN iq_q q)
-           |SELECT vec_id, cell, adc_dist, exact_dist FROM iq_ex
-           |ORDER BY exact_dist, vec_id LIMIT 10""".stripMargin),
+      // delete sync: ids vec_id % 7 == 3 left `raw`; after the repair
+      // (whole-layout OR per-cell — bit-equal by contract) the refined
+      // serving path answers over exactly the surviving corpus — the
+      // refine algebra with the same ids removed from the candidate
+      // AND re-rank stages
+      "q_ann_ivfpq_repaired" -> AnnIvfPqRepairedOracle,
+      "q_ann_ivfpq_repair_cells" -> AnnIvfPqRepairedOracle,
+
+      // maintenance orchestration: fragmented tick + delete tick +
+      // healthy no-op tick, then the plain ADC top-10 over the
+      // survivors
+      "q_ann_ivfpq_maintain" -> AnnIvfPqMaintainOracle,
 
       // the cosine recipe's recall band (the q_ann_ivf pattern):
       // normalization + int8 quantization are float, so the oracle

@@ -24,9 +24,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // per-gate wall seconds on stderr: the budget observable
+          // that drives the twin-rotation policy (the driver's 4-min
+          // Verify window — rotate the slowest bit-equal twins first)
+          System.err.println(
+            f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

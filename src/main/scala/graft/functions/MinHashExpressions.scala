@@ -1454,6 +1454,17 @@ case class PqAdcTableExpr(child: Expression, codebooks: Array[Array[Array[Long]]
     if (res.numElements() != m * ds)
       throw new IllegalArgumentException(
         s"pq adc table: residual dimension ${res.numElements()} != m*ds = ${m * ds}")
+    // loud null-element guard (the sibling-kernel contract — PqAdcExpr
+    // / IntL2Expr / IvfPqEncodeExpr all fail loud): UnsafeArrayData
+    // reads a null slot as 0, which would yield a plausibly WRONG ADC
+    // table silently. One pass up front, off the m·k·ds hot loop.
+    var p = 0
+    while (p < m * ds) {
+      if (res.isNullAt(p))
+        throw new IllegalArgumentException(
+          s"pq adc table: null residual element at $p")
+      p += 1
+    }
     val rows = new Array[Any](m)
     var sub = 0
     while (sub < m) {

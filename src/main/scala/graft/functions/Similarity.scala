@@ -1401,17 +1401,22 @@ object Similarity {
     * so a batch appended concurrently (appendIvfPqEncoded, the
     * streaming sink) would be swept away with the retired copy. Run
     * maintenance with ingest quiesced; as a best-effort guard the
-    * pass re-lists the data files after staging and fails loud —
-    * without touching the live layout — if the set changed.
+    * pass lists the data files (path + length, the per-cell variant's
+    * convention) BEFORE the snapshot DataFrame is constructed — a
+    * snapshot's file index is resolved at construction, so a listing
+    * taken after it could show an appended file on both sides and
+    * pass while the snapshot silently misses the new rows — then
+    * re-lists after staging and fails loud, without touching the
+    * live layout, if the set changed. `makeSnapshot` is a thunk for
+    * exactly that ordering; callers whose snapshot does not read
+    * `path` (refit's re-encode of `raw`) still get the append guard.
     */
   private def stagedLayoutRewrite(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      snapshot: DataFrame,
+      makeSnapshot: () => DataFrame,
       filesPerCell: Int): Unit = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
-    require(snapshot.columns.contains("cell"),
-      s"$path is not a cell-partitioned code layout (no `cell` column)")
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1423,11 +1428,15 @@ object Similarity {
       val b = Set.newBuilder[String]
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.getName.startsWith("_")) b += f.getPath.toString
+        if (!f.getPath.getName.startsWith("_"))
+          b += f.getPath.toString + ":" + f.getLen
       }
       b.result()
     }
     val before = listDataFiles()
+    val snapshot = makeSnapshot()
+    require(snapshot.columns.contains("cell"),
+      s"$path is not a cell-partitioned code layout (no `cell` column)")
     val keyed =
       if (filesPerCell == 1) snapshot.repartition(col("cell"))
       else snapshot.repartition(col("cell"),
@@ -1469,6 +1478,13 @@ object Similarity {
       if (!fs.rename(retired, target))
         throw new IllegalStateException(
           s"crash recovery: could not restore $retired to $target")
+    } else if (fs.exists(target) && fs.exists(retired)) {
+      // crash after the SECOND rename but before the delete: the live
+      // layout is the new data, the `_retired` copy is always the
+      // just-replaced layout — drop it (the per-cell branch below has
+      // done this since r13; without it a stale full copy lingers on
+      // disk until the next whole-layout rewrite)
+      fs.delete(retired, true)
     }
     // per-cell crash recovery: a cell at `_cellretired/N` with no
     // live `cell=N` dir is mid-swap — restore it; with BOTH present
@@ -1511,8 +1527,28 @@ object Similarity {
       path: String,
       cells: Seq[Long],
       filesPerCell: Int = 1): Unit = {
-    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
     restoreRetiredLayout(spark, path)
+    perCellStagedRewrite(spark, path, cells, filesPerCell)((_, df) => df)
+  }
+
+  /** The per-cell staged-swap machinery shared by [[compactIvfPqCells]]
+    * and [[repairIvfPqCells]]: each listed cell directory is read,
+    * passed through `transform`, written to a sibling stage dir
+    * (`<path>_cellstage/N` — outside the layout root, so partition
+    * discovery never sees a half-written dir), and swapped via two
+    * renames. Per-cell crash window: a crash between the renames
+    * leaves that ONE cell at `<path>_cellretired/N`, restored by the
+    * next maintenance entry ([[restoreRetiredLayout]]); the
+    * before/after file listing (name + length, taken BEFORE the
+    * snapshot DataFrame is constructed) fails loud on a concurrent
+    * append without touching the live cell.
+    */
+  private def perCellStagedRewrite(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cells: Seq[Long],
+      filesPerCell: Int)(transform: (Long, DataFrame) => DataFrame): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
     if (cells.isEmpty) return
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
@@ -1530,7 +1566,7 @@ object Similarity {
       val before = listFiles()
       val stage = new Path(stageRoot, cell.toString)
       fs.delete(stage, true)
-      val df = spark.read.parquet(live.toString)
+      val df = transform(cell, spark.read.parquet(live.toString))
       val keyed =
         if (filesPerCell == 1) df.repartition(1)
         else df.repartition(filesPerCell,
@@ -1556,6 +1592,57 @@ object Similarity {
     fs.delete(retiredRoot, true)
   }
 
+  /** INCREMENTAL (per-cell) DELETE-SYNC — [[repairIvfPqLayout]]'s
+    * O(delta) form: ONE distributed discovery pass finds the code
+    * rows whose id left `raw` (the scan reads only `(id, cell)` —
+    * column pruning keeps the code bytes on disk; the anti-join
+    * shuffles two id columns, never the codes), then ONLY the cells
+    * that contain deleted ids are rewritten through the per-cell
+    * staged swap ([[perCellStagedRewrite]] — clean cells' files stay
+    * byte-identical, same crash/append guards as
+    * [[compactIvfPqCells]]). At 100 TB a daily 0.1% delete batch
+    * must not cost a full-index shuffle: the whole-layout pass
+    * rewrites every cell; this rewrites the dirty fraction.
+    *
+    * Each dirty cell's rewrite anti-joins against the BROADCAST
+    * deleted-id set of that cell — delete deltas are delta-sized by
+    * contract (a delete batch approaching corpus scale should take
+    * the one-shuffle [[repairIvfPqLayout]] instead, exactly as a
+    * mostly-dirty layout takes whole-layout compaction). Returns the
+    * repaired cell ids (empty = the `codes ⊆ raw` contract already
+    * held — no rewrite, no retired bytes). A cell whose every row
+    * was deleted keeps one empty data file (readers see zero rows).
+    */
+  def repairIvfPqCells(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      raw: DataFrame,
+      idCol: String,
+      filesPerCell: Int = 1): Seq[Long] = {
+    require(idCol != "__cell", "idCol '__cell' collides with the repair alias")
+    restoreRetiredLayout(spark, path)
+    val df = spark.read.parquet(path)
+    require(df.columns.contains(idCol),
+      s"layout at $path has no id column '$idCol' (columns: ${df.columns.mkString(", ")})")
+    val deleted = df.select(col(idCol), col("cell").cast("long").as("__cell"))
+      .join(raw.select(col(idCol)), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded collect: ≤ coarseK distinct cells
+      val dirty = deleted.select("__cell").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      perCellStagedRewrite(spark, path, dirty, filesPerCell) { (cell, cellDf) =>
+        cellDf.join(
+          broadcast(deleted.filter(col("__cell") === cell).select(col(idCol))),
+          Seq(idCol), "left_anti")
+      }
+      dirty
+    } finally {
+      deleted.unpersist()
+      ()
+    }
+  }
+
   /** Compact a cell-partitioned code layout: [[appendIvfPqEncoded]]
     * and the streaming ingest sink land one file SET per batch per
     * touched cell, so at production cadence a cell directory grows
@@ -1579,7 +1666,7 @@ object Similarity {
       path: String,
       filesPerCell: Int = 1): Unit = {
     restoreRetiredLayout(spark, path)
-    stagedLayoutRewrite(spark, path, spark.read.parquet(path), filesPerCell)
+    stagedLayoutRewrite(spark, path, () => spark.read.parquet(path), filesPerCell)
   }
 
   /** The shared per-cell directory listing of a code layout:
@@ -1705,8 +1792,9 @@ object Similarity {
     val scale = kmeansGlobalScale(raw, vecCol)
     val (coarse, codebooks) =
       ivfPqFit(raw, idCol, vecCol, coarseK, m, k, iters, scale)
-    val encoded = ivfPqEncode(raw, idCol, vecCol, scale, coarse, codebooks)
-    stagedLayoutRewrite(spark, path, encoded, filesPerCell)
+    stagedLayoutRewrite(spark, path,
+      () => ivfPqEncode(raw, idCol, vecCol, scale, coarse, codebooks),
+      filesPerCell)
     (scale, coarse, codebooks)
   }
 
@@ -1727,11 +1815,100 @@ object Similarity {
       idCol: String,
       filesPerCell: Int = 1): Unit = {
     restoreRetiredLayout(spark, path)
-    val df = spark.read.parquet(path)
-    require(df.columns.contains(idCol),
-      s"layout at $path has no id column '$idCol' (columns: ${df.columns.mkString(", ")})")
-    val kept = df.join(raw.select(col(idCol)), Seq(idCol), "left_semi")
-    stagedLayoutRewrite(spark, path, kept, filesPerCell)
+    stagedLayoutRewrite(spark, path, () => {
+      val df = spark.read.parquet(path)
+      require(df.columns.contains(idCol),
+        s"layout at $path has no id column '$idCol' (columns: ${df.columns.mkString(", ")})")
+      df.join(raw.select(col(idCol)), Seq(idCol), "left_semi")
+    }, filesPerCell)
+  }
+
+  /** What one [[maintainIvfPqLayout]] tick did: the cells the
+    * delete-sync rewrote (empty = `codes ⊆ raw` already held),
+    * whether the fragmentation threshold triggered a compaction,
+    * the sample's micro-averaged serving recall
+    * (`Σn_hit·1000 div Σn_true`; 1000 on an empty sample — no
+    * evidence of degradation is not a refit signal), and the new
+    * index params when recall fell below the floor and the layout
+    * was re-fit (REPUBLISH them atomically with the layout —
+    * [[saveIvfPqIndex]]; `recallPermille` always measures the
+    * PRE-refit index, the observation that triggered the action).
+    */
+  case class IvfPqMaintenanceReport(
+      repairedCells: Seq[Long],
+      compacted: Boolean,
+      recallPermille: Long,
+      refitParams: Option[(Double, Array[Array[Long]], Array[Array[Array[Long]]])])
+
+  /** ONE idempotent maintenance tick for a living IVF-PQ layout —
+    * the composition an operator actually schedules after each
+    * ingest window (ingest QUIESCED, like every pass it calls):
+    *
+    *   1. crash-recovery sweep ([[restoreRetiredLayout]] — fs-only);
+    *   2. DELETE-SYNC ([[repairIvfPqCells]]): one (id, cell)
+    *      discovery pass, then only cells holding deleted ids are
+    *      rewritten — restores the `codes ⊆ raw` refine contract at
+    *      O(delta), not O(corpus);
+    *   3. COMPACTION threshold ([[compactIvfPqLayoutIfNeeded]],
+    *      incremental): a driver directory listing; only cells over
+    *      `maxFilesPerCell` are rewritten — a healthy layout pays
+    *      zero Spark jobs here;
+    *   4. RECALL report ([[ivfPqRecallReport]] over `queriesSample`
+    *      — size the SAMPLE, not the corpus: one bulk ANN retrieval
+    *      + one O(sample × corpus) exact pass);
+    *   5. RE-FIT ([[refitIvfPqLayout]]) only when the micro-averaged
+    *      recall falls below `recallFloorPermille` — fit on the
+    *      current corpus, re-encode, crash-safe swap; the returned
+    *      params must be republished atomically with the layout.
+    *
+    * Steady-state tick on a healthy, delete-free, well-fit layout:
+    * the discovery pass + the sample recall report — no rewrite, no
+    * retired bytes, byte-identical layout. A second tick right after
+    * any action sequence is that no-op (idempotence). Index shape
+    * for the refit is taken from the passed params
+    * (`coarse.length` cells, `codebooks.length × codebooks(0).length`
+    * books), so a refit preserves the serving configuration.
+    */
+  def maintainIvfPqLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      raw: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queriesSample: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      scale: Double,
+      coarse: Array[Array[Long]],
+      codebooks: Array[Array[Array[Long]]],
+      k: Int,
+      nProbe: Int,
+      maxFilesPerCell: Int,
+      recallFloorPermille: Long,
+      refitIters: Int = 2,
+      filesPerCell: Int = 1): IvfPqMaintenanceReport = {
+    require(recallFloorPermille >= 0 && recallFloorPermille <= 1000,
+      s"recallFloorPermille must be in [0, 1000], got $recallFloorPermille")
+    restoreRetiredLayout(spark, path)
+    val repaired = repairIvfPqCells(spark, path, raw, idCol, filesPerCell)
+    val compacted = compactIvfPqLayoutIfNeeded(spark, path, maxFilesPerCell,
+      filesPerCell, incremental = true)
+    val recall = {
+      val agg = ivfPqRecallReport(spark.read.parquet(path), raw,
+          queriesSample, qIdCol, qVecCol, idCol, vecCol, k, scale,
+          coarse, codebooks, nProbe)
+        .agg(sum(col("n_hit")).as("h"), sum(col("n_true")).as("t")).head()
+      if (agg.isNullAt(1) || agg.getLong(1) == 0L) 1000L
+      else agg.getLong(0) * 1000L / agg.getLong(1)
+    }
+    val refit =
+      if (recall < recallFloorPermille)
+        Some(refitIvfPqLayout(spark, path, raw, idCol, vecCol,
+          coarseK = coarse.length, m = codebooks.length,
+          k = codebooks(0).length, iters = refitIters,
+          filesPerCell = filesPerCell))
+      else None
+    IvfPqMaintenanceReport(repaired, compacted, recall, refit)
   }
 
   /** Driver-side probe selection + per-probed-cell residual ADC

@@ -1814,6 +1814,179 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"repaired refine diverged:\n$got\nvs\n$want")
   }
 
+  test("repairIvfPqCells: O(delta) delete sync — clean cells byte-identical, crash-safe, idempotent") {
+    val rnd = new scala.util.Random(59)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale)
+    val root = java.nio.file.Files.createTempDirectory("graft-repc-t")
+    val dir = root.resolve("codes").toString
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale, coarse, cbs, dir)
+    Similarity.compactIvfPqLayout(spark, dir) // baseline: 1 file/cell
+    // delete ids from ONE cell only — the O(delta) scenario
+    val byCell = Similarity.ivfPqEncode(df, "vec_id", "embedding", scale, coarse, cbs)
+      .select("vec_id", "cell").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val hot = byCell.maxBy(_._2.size)._1
+    val deletedIds = byCell(hot).toSeq.sorted.take(3)
+    val surviving = df.filter(!col("vec_id").isInCollection(deletedIds))
+    def cellBytes(): Map[String, Map[String, Seq[Byte]]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(c => c.getName -> c.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName ->
+            java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap)
+        .toMap
+    }
+    val before = cellBytes()
+    val repaired = Similarity.repairIvfPqCells(spark, dir, surviving, "vec_id")
+    assert(repaired == Seq(hot.toLong),
+      s"only the cell holding deleted ids is dirty, got $repaired")
+    val after = cellBytes()
+    // clean cells: files BYTE-IDENTICAL (same names, same content)
+    before.filterKeys(_ != s"cell=$hot").foreach { case (c, files) =>
+      assert(after(c) == files, s"clean cell $c was rewritten")
+    }
+    // the layout now holds exactly the surviving ids
+    val ids = spark.read.parquet(dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == vecs.map(_._1).toSet -- deletedIds)
+    // refined serving == refining over codes encoded from the survivors
+    val q = vecs(2)._2
+    def refined(codes: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      Similarity.ivfPqTopKRefined(codes, surviving, "vec_id", "embedding",
+          q, kTop = 5, rerank = 12, scale = scale, coarse = coarse,
+          codebooks = cbs, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(refined(spark.read.parquet(dir)) ==
+      refined(Similarity.ivfPqEncode(surviving, "vec_id", "embedding",
+        scale, coarse, cbs)), "per-cell repaired refine diverged")
+    // idempotence: the contract already holds -> no dirty cells, and
+    // the ENTIRE layout (including the repaired cell) is byte-untouched
+    assert(Similarity.repairIvfPqCells(spark, dir, surviving, "vec_id").isEmpty)
+    assert(cellBytes() == after, "idempotent repair must not move bytes")
+    // no stage/retired leftovers beside the layout
+    assert(root.toFile.listFiles().map(_.getName).toSet == Set("codes"))
+    // per-cell crash window: repaired cell left at _cellretired only;
+    // the next repair call self-heals before discovery
+    val cellDir = java.nio.file.Paths.get(dir, s"cell=$hot")
+    val retired = java.nio.file.Paths.get(s"${dir}_cellretired", hot.toString)
+    java.nio.file.Files.createDirectories(retired.getParent)
+    java.nio.file.Files.move(cellDir, retired)
+    assert(Similarity.repairIvfPqCells(spark, dir, surviving, "vec_id").isEmpty)
+    assert(java.nio.file.Files.exists(cellDir) &&
+      !java.nio.file.Files.exists(retired.getParent))
+    assert(spark.read.parquet(dir).count() == surviving.count(),
+      "crash recovery lost the retired cell")
+    // a cell whose EVERY row is deleted keeps one empty file — readers
+    // see zero rows from it, serving stays correct
+    val cold = byCell.keys.filter(_ != hot).minBy(c => byCell(c).size)
+    val surviving2 = surviving.filter(!col("vec_id").isInCollection(byCell(cold)))
+    val repaired2 = Similarity.repairIvfPqCells(spark, dir, surviving2, "vec_id")
+    assert(repaired2 == Seq(cold.toLong))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"cell=$cold")))
+    val ids2 = spark.read.parquet(dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids -- byCell(cold))
+  }
+
+  test("maintainIvfPqLayout: recall floor triggers refit; healthy tick is a byte-identical no-op") {
+    val rnd = new scala.util.Random(73)
+    val base = (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val drift = (50 until 90).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 4 - 2).toFloat))
+    }
+    val baseDf = base.toDF("vec_id", "embedding")
+    val full = (base ++ drift).toDF("vec_id", "embedding")
+    val scale0 = Similarity.kmeansGlobalScale(baseDf, "embedding")
+    val (c0, b0) = Similarity.ivfPqFit(baseDf, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = scale0)
+    val root = java.nio.file.Files.createTempDirectory("graft-maint-t")
+    val dir = root.resolve("codes").toString
+    Similarity.saveIvfPqEncoded(baseDf, "vec_id", "embedding", scale0, c0, b0, dir)
+    Similarity.appendIvfPqEncoded(drift.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", scale0, c0, b0, dir)
+    // the drifted rows are the poorly-served sample under the stale
+    // quantizer — deterministic for this seed, recall < 1000
+    val qdf = drift.take(8).toDF("query_id", "embedding")
+    val m = Similarity.maintainIvfPqLayout(spark, dir, full, "vec_id",
+      "embedding", qdf, "query_id", "embedding", scale0, c0, b0,
+      k = 5, nProbe = 2, maxFilesPerCell = 8, recallFloorPermille = 1000,
+      refitIters = 1)
+    assert(m.recallPermille < 1000,
+      s"drift scenario must show degraded recall, got ${m.recallPermille}")
+    assert(m.repairedCells.isEmpty && !m.compacted,
+      s"no deletes, healthy file counts: $m")
+    assert(m.refitParams.nonEmpty, "recall below floor must trigger the refit")
+    val (s1, c1, b1) = m.refitParams.get
+    // refit fit == a fresh fit on the current corpus (the republish params)
+    val sWant = Similarity.kmeansGlobalScale(full, "embedding")
+    val (cW, bW) = Similarity.ivfPqFit(full, "vec_id", "embedding",
+      coarseK = 3, m = 4, k = 3, iters = 1, scale = sWant)
+    assert(s1 == sWant && c1.map(_.toSeq).toSeq == cW.map(_.toSeq).toSeq &&
+      b1.map(_.map(_.toSeq).toSeq).toSeq == bW.map(_.map(_.toSeq).toSeq).toSeq)
+    // healthy steady-state tick under the NEW params: byte-identical no-op
+    def layoutBytes(): Map[String, Seq[Byte]] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => p.toString ->
+            java.nio.file.Files.readAllBytes(p).toSeq).toMap
+      } finally walk.close()
+    }
+    val beforeTick = layoutBytes()
+    val m2 = Similarity.maintainIvfPqLayout(spark, dir, full, "vec_id",
+      "embedding", qdf, "query_id", "embedding", s1, c1, b1,
+      k = 5, nProbe = 2, maxFilesPerCell = 8, recallFloorPermille = 0,
+      refitIters = 1)
+    assert(m2.repairedCells.isEmpty && !m2.compacted && m2.refitParams.isEmpty,
+      s"healthy tick must take no action: $m2")
+    assert(layoutBytes() == beforeTick, "healthy tick must not move bytes")
+    // an empty query sample reads as no-evidence (1000), never a refit
+    val m3 = Similarity.maintainIvfPqLayout(spark, dir, full, "vec_id",
+      "embedding", qdf.filter(col("query_id") < 0), "query_id", "embedding",
+      s1, c1, b1, k = 5, nProbe = 2, maxFilesPerCell = 8,
+      recallFloorPermille = 1000, refitIters = 1)
+    assert(m3.recallPermille == 1000L && m3.refitParams.isEmpty)
+  }
+
+  test("restoreRetiredLayout drops a stale whole-layout _retired copy (crash after swap)") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 16).map(_ => (rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val scale = Similarity.kmeansGlobalScale(df, "embedding")
+    val (coarse, cbs) = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      coarseK = 2, m = 4, k = 2, iters = 1, scale = scale)
+    val root = java.nio.file.Files.createTempDirectory("graft-retired-t")
+    val dir = root.resolve("codes")
+    Similarity.saveIvfPqEncoded(df, "vec_id", "embedding", scale, coarse, cbs,
+      dir.toString)
+    val want = spark.read.parquet(dir.toString).count()
+    // crash after the SECOND rename but before the delete: target AND
+    // _retired both exist; the retired copy is the just-replaced
+    // layout and must be dropped by the next maintenance entry
+    val retired = root.resolve("codes_retired")
+    java.nio.file.Files.createDirectories(retired)
+    java.nio.file.Files.walk(dir).forEach { p =>
+      val t = retired.resolve(dir.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    Similarity.ivfPqLayoutStats(spark, dir.toString).collect()
+    assert(!java.nio.file.Files.exists(retired),
+      "stale _retired copy must be dropped when the live layout exists")
+    assert(spark.read.parquet(dir.toString).count() == want)
+  }
+
   test("refitIvfPqLayout: drifted corpus re-fit, re-encode, crash-safe swap") {
     val rnd = new scala.util.Random(73)
     val base = (0 until 50).map { i =>
@@ -2166,6 +2339,17 @@ class SimilaritySpec extends SparkSpec {
       holedCodes.select(DedupExpressions.pqAdc(col("codes"), tbl, "spec")).collect()
     }
     assert(msgs(e3).exists(_.contains("null code element")), msgs(e3).mkString(" | "))
+    // a NULL RESIDUAL element fails loud in the table kernel too (r13
+    // ADVICE: UnsafeArrayData reads a null slot as 0 — a plausibly
+    // wrong ADC table; previously shielded only because int_l2
+    // evaluated the same vector first in the knn probe stage)
+    val holedRes = Seq((1L, Seq(Some(2L), None, Some(2L), Some(2L))))
+      .toDF("id", "rq")
+    val e4 = intercept[Exception] {
+      holedRes.select(DedupExpressions.pqAdcTables(col("rq"), cbs)).collect()
+    }
+    assert(msgs(e4).exists(_.contains("null residual element")),
+      msgs(e4).mkString(" | "))
   }
 
   test("mixed-dimension corpora fail loud at fit time even with iters=0") {
