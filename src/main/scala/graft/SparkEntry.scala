@@ -259,32 +259,49 @@ object SparkEntry {
     // state: measured on the sf0.1 window gate, summed commit time
     // 24.6 s at 32 partitions vs 1.2 s at 8 for the same 3600 state
     // rows. Real deployments size this to state volume per the same
-    // rule; SPARK_GRAFT_STREAM_PARTITIONS overrides (conf is restored
-    // after the run — gates execute sequentially, so the temporary
-    // session-conf swap cannot leak into a concurrent plan).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-    try {
-      val q = agg(s.readStream.schema(schema).parquet(srcDir.toString))
-        .writeStream.outputMode(mode).format("memory").queryName(qname)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // steady-state telemetry for Bench: the summed per-micro-batch
-      // triggerExecution time is the PROCESSING cost of the stream; the
-      // gap to the gate's wall clock is one-time query startup
-      // (checkpoint init, source listing, plan compile), which amortizes
-      // away in a long-running deployment. Exposing it lets the bench
-      // report q_stream_window_steady alongside the startup-dominated
-      // total so a real per-row streaming regression is visible.
-      lastStreamBatchMs = q.recentProgress.toSeq
-        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-        .sum
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // rule; SPARK_GRAFT_STREAM_PARTITIONS overrides. [[streamGateLock]]
+    // serializes stream gates so the temporary session-conf swap is
+    // never live in two gates at once (a concurrent BATCH gate planned
+    // during the swap just gets 8 shuffle partitions, which cannot
+    // change any gate's partition-count-independent result).
+    streamGateLock.synchronized {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+      try {
+        val q = agg(s.readStream.schema(schema).parquet(srcDir.toString))
+          .writeStream.outputMode(mode).format("memory").queryName(qname)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // steady-state telemetry for Bench: the summed per-micro-batch
+        // triggerExecution time is the PROCESSING cost of the stream; the
+        // gap to the gate's wall clock is one-time query startup
+        // (checkpoint init, source listing, plan compile), which amortizes
+        // away in a long-running deployment. Exposing it lets the bench
+        // report q_stream_window_steady alongside the startup-dominated
+        // total so a real per-row streaming regression is visible.
+        lastStreamBatchMs = q.recentProgress.toSeq
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .sum
+        lastStreamProgress = q.recentProgress.toSeq.map(_.json)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(qname)
   }
+
+  /** Raw QueryProgress JSON of the most recent [[runStreamGate]] /
+    * [[runStreamGate2]] stream — probe/diagnostic surface (same
+    * volatile-telemetry contract as [[lastStreamBatchMs]]).
+    */
+  @volatile var lastStreamProgress: Seq[String] = Nil
+
+  /** Serializes the streaming gates' session-conf swap (and the
+    * micro-batch runs it brackets) under a parallel Verify — see the
+    * sizing note in [[runStreamGate]].
+    */
+  private val streamGateLock = new Object
 
   /** Summed micro-batch `triggerExecution` millis of the most recent
     * [[runStreamGate]] stream (−1 before any stream gate has run).
@@ -309,22 +326,25 @@ object SparkEntry {
       srcDir.resolve(s"$table.parquet"))
     val qname = prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = java.nio.file.Files.createTempDirectory(tmpBase, "graft-ck").toString
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-    try {
-      val q = agg(
-          s.readStream.schema(schema).parquet(srcDir.toString),
-          s.readStream.schema(schema).parquet(srcDir.toString))
-        .writeStream.outputMode(mode).format("memory").queryName(qname)
-        .option("checkpointLocation", ck)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      lastStreamBatchMs = q.recentProgress.toSeq
-        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-        .sum
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    streamGateLock.synchronized {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+      try {
+        val q = agg(
+            s.readStream.schema(schema).parquet(srcDir.toString),
+            s.readStream.schema(schema).parquet(srcDir.toString))
+          .writeStream.outputMode(mode).format("memory").queryName(qname)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        lastStreamBatchMs = q.recentProgress.toSeq
+          .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+          .sum
+        lastStreamProgress = q.recentProgress.toSeq.map(_.json)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(qname)
   }
 
@@ -797,13 +817,24 @@ object SparkEntry {
       val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = tbl(s, dir, "orders")
       val li = tbl(s, dir, "lineitem")
-      // customer (dim) broadcasts; lineitem⋈orders stays a shuffle join —
-      // at 100 TB orders is a fact table, so forcing its broadcast would
-      // OOM; AQE still converts to broadcast at small SFs at runtime
-      li.join(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+      // Aggregate lineitem revenue per order BEFORE the join (guide
+      // §2.3 "aggregate before you shuffle"): the group key IS the join
+      // key, so revenue crosses the one exchange as a compact
+      // (orderkey, decimal) partial per order instead of full lineitem
+      // rows — and no side of the join is ever a fact-table broadcast
+      // (the old join-first shape let the planner broadcast the ENTIRE
+      // 600k-row lineitem relation at sf0.1, a shape that dies at any
+      // real scale; customer, the true dim, still broadcasts). The
+      // re-aggregation after the join preserves join-then-group
+      // semantics exactly — even under duplicate order keys — and
+      // decimal sums are associative, so revenue is bit-identical.
+      li.groupBy(col("l_orderkey"))
+        .agg(sum(revenue).as("__rev"))
+        .join(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(cast_sum_double(revenue).as("revenue"))
+        .agg(sum(col("__rev")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),

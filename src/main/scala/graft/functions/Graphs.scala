@@ -105,17 +105,22 @@ object Graphs {
     require(unit == "auto" || Units.exists(_._1 == unit),
       s"unit must be one of auto|${Units.map(_._1).mkString("|")}, got $unit")
 
+    // LAZY setup pins: the nNodes count below materializes nodes AND
+    // (through its lineage) the cached edge table in ONE job; eDeg
+    // fuses into round 1's rank pin. Saves the 3 separate eager
+    // materialization barriers the old setup paid before round 1.
     val (e, ePins) = Pins.pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .repartition(col("src")))
+      .repartition(col("src")), eager = false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) co-partitioned on src — the per-round join probe
-    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src").repartition(col("src")))
+    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src").repartition(col("src")),
+      eager = false)
     val (nodes, nodePins) = Pins.pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct())
+      .distinct(), eager = false)
 
     val nNodes = nodes.count()
     require(nNodes < MaxNodes,
@@ -231,17 +236,19 @@ object Graphs {
     require(unit == "auto" || Units.exists(_._1 == unit),
       s"unit must be one of auto|${Units.map(_._1).mkString("|")}, got $unit")
 
+    // LAZY setup pins — same fusion as pageRank's setup
     val (e, ePins) = Pins.pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("w").isNotNull)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .repartition(col("src")))
+      .repartition(col("src")), eager = false)
     val wsum = e.groupBy("src").agg(sum(col("w")).as("ws"))
-    val (eW, eWPins) = Pins.pin(e.join(wsum, "src").repartition(col("src")))
+    val (eW, eWPins) = Pins.pin(e.join(wsum, "src").repartition(col("src")),
+      eager = false)
     val (nodes, nodePins) = Pins.pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct())
+      .distinct(), eager = false)
 
     val nNodes = nodes.count()
     require(nNodes < MaxNodes,
@@ -357,13 +364,16 @@ object Graphs {
     require(unit == "auto" || Units.exists(_._1 == unit),
       s"unit must be one of auto|${Units.map(_._1).mkString("|")}, got $unit")
 
+    // LAZY setup pins — same fusion as pageRank's setup (the nSeeds
+    // count below is the materializing action)
     val (e, ePins) = Pins.pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .repartition(col("src")))
+      .repartition(col("src")), eager = false)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src").repartition(col("src")))
+    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src").repartition(col("src")),
+      eager = false)
     val seedIds = seeds
       .select(col(seedCol).cast("long").as("node")).filter(col("node").isNotNull)
       .distinct()
@@ -371,7 +381,8 @@ object Graphs {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .join(seedIds.withColumn("_s", lit(true)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("_s"), lit(false)).as("is_seed")))
+      .select(col("node"), coalesce(col("_s"), lit(false)).as("is_seed")),
+      eager = false)
 
     // the ladder bounds scale with SEED mass, not graph size
     val nSeeds = nodes.filter(col("is_seed")).count()
@@ -490,10 +501,13 @@ object Graphs {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
+    // LAZY pins throughout the peel: every pinned frame's first action
+    // is the full-coverage count right below it, so materialization
+    // fuses into the count job — 1 job per round instead of 2
     var (e, ePins) = Pins.pin(half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("src")))
+      .repartition(col("src")), eager = false)
     var edgeCount = e.count()
     var done = false
     var round = 0
@@ -504,7 +518,7 @@ object Graphs {
         .join(keep, e("src") === keep("_keep"), "left_semi")
         .join(keep.withColumnRenamed("_keep", "_keep2"),
           e("dst") === col("_keep2"), "left_semi")
-        .repartition(col("src")))
+        .repartition(col("src")), eager = false)
       val nextCount = next.count()
       round += 1
       Pins.release(e, ePins)
@@ -573,10 +587,13 @@ object Graphs {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
+    // LAZY pin: round 1's rank pin is the first action over the
+    // symmetrized edges and covers every partition — the edge cache
+    // fills inside that job instead of a separate setup barrier
     val (e, ePins) = Pins.pin(half
       .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("src")))
+      .repartition(col("src")), eager = false)
     // every endpoint appears as src after symmetrization, so the node
     // set needs no second union — and every node has >= 1 neighbor,
     // so the per-round vote join never drops a node
@@ -658,11 +675,13 @@ object Graphs {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val (eBySrc, eSrcPins) = Pins.pin(cleaned.repartition(col("src")))
-    val (eByDst, eDstPins) = Pins.pin(cleaned.repartition(col("dst")))
+    // LAZY setup pins: the nNodes count materializes nodes + eBySrc in
+    // one job; eByDst fuses into the first hub half-step's pin job
+    val (eBySrc, eSrcPins) = Pins.pin(cleaned.repartition(col("src")), eager = false)
+    val (eByDst, eDstPins) = Pins.pin(cleaned.repartition(col("dst")), eager = false)
     val (nodes, nodePins) = Pins.pin(eBySrc.select(col("src").as("node"))
       .unionByName(eBySrc.select(col("dst").as("node")))
-      .distinct())
+      .distinct(), eager = false)
     val nNodes = nodes.count()
     require(nNodes > 0, "hits: no edges (empty or all-null edge input)")
     require(nNodes < 9000000000000L,
@@ -673,7 +692,11 @@ object Graphs {
     // cache — unpinned, the whole half-step subtree would run twice),
     // collect the 1-row max, divide by its ceiling ratio to U
     def rescale(raw: DataFrame, outCol: String): (DataFrame, Set[Int]) = {
-      val (pinnedRaw, rawPins) = Pins.pin(raw)
+      // LAZY pin: the 1-row max aggregate below is the first action and
+      // covers every partition, so the half-step materializes INSIDE
+      // that job instead of paying a separate eager one — 2 jobs per
+      // iteration instead of 4 (measured ~25% off the walk's floor)
+      val (pinnedRaw, rawPins) = Pins.pin(raw, eager = false)
       val m = pinnedRaw.agg(max(col("raw"))).head.getLong(0)
       val d = math.max((m + U - 1) / U, 1L)
       // `div` (truncating integer division), NOT `/` — the double
@@ -747,24 +770,34 @@ object Graphs {
     */
   def triangleCounts(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges
+    // canon, deg and oriented are each consumed by 2-3 downstream
+    // branches; un-pinned, every reference re-expanded the WHOLE
+    // upstream subtree (the co-purchase gate planned 174 Exchange
+    // nodes — the edge derivation ran once per copy wherever exchange
+    // reuse missed, and planning itself paid the blow-up). LAZY pins
+    // collapse each stage to one cached copy: the single downstream
+    // action covers every partition, so materialization fuses into
+    // that job — no extra barriers. Pins register on the result;
+    // callers release with [[unpin]].
+    val (canon, canonPins) = Pins.pin(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
-    val deg = canon.select(col("a").as("node"))
+      .distinct(), eager = false)
+    val (deg, degPins) = Pins.pin(canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("node").agg(count(lit(1)).as("degree")), eager = false)
     // orient: (deg, id)-lower endpoint -> higher; carry both ranks
     val withRanks = canon
       .join(deg.select(col("node").as("a"), col("degree").as("_da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("_db")), "b")
     val lower = struct(col("_da"), col("a")) < struct(col("_db"), col("b"))
-    val oriented = withRanks.select(
+    val (oriented, orientedPins) = Pins.pin(withRanks.select(
       when(lower, col("a")).otherwise(col("b")).as("src"),
       when(lower, col("b")).otherwise(col("a")).as("dst"),
       when(lower, struct(col("_db").as("d"), col("b").as("n")))
-        .otherwise(struct(col("_da").as("d"), col("a").as("n"))).as("_r"))
+        .otherwise(struct(col("_da").as("d"), col("a").as("n"))).as("_r")),
+      eager = false)
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("_r").as("_rv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("_r").as("_rw"))
     val wedges = o1.join(o2, Seq("src")).filter(col("_rv") < col("_rw"))
@@ -774,12 +807,14 @@ object Graphs {
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering",
         when(col("degree") < 2, lit(0.0)).otherwise(
           round(lit(2.0) * col("n_triangles").cast("double") /
             (col("degree") * (col("degree") - 1)).cast("double"), 6)))
+    Pins.register(out, canonPins ++ degPins ++ orientedPins)
+    out
   }
 }

@@ -27,6 +27,17 @@ private[graft] object Pins {
 
   def pin(df: DataFrame): (DataFrame, Set[Int]) = pin(df, eager = true)
 
+  /** Guards the persistent-RDD set-diff below: two concurrent pins
+    * would otherwise each see the other thread's just-registered RDD
+    * in their diff and later release blocks they do not own — fatal
+    * for a localCheckpoint, whose lineage is truncated and cannot be
+    * recomputed. Only the (job-free) registration is locked; the
+    * materializing job runs outside it, so concurrent pinning callers
+    * (a parallel Verify, overlapped pipeline stages) still overlap
+    * their heavy work.
+    */
+  private val pinRegistration = new Object
+
   /** `eager = false` defers materialization to the FIRST action that
     * touches the pinned frame — an operator whose very next step is a
     * full-coverage action (a count/collect over every partition) fuses
@@ -37,11 +48,23 @@ private[graft] object Pins {
     */
   def pin(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = eager)
-      else df.localCheckpoint(eager = eager)
-    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    // register lazily under the lock (Dataset.checkpoint(eager=false)
+    // runs no job: localCheckpoint persists-and-registers the internal
+    // RDD synchronously; a reliable checkpoint only marks it) ...
+    val (out, ids) = pinRegistration.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      val o =
+        if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      (o, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    // ... then materialize OUTSIDE it, at the RDD level — the job
+    // Dataset.checkpoint(eager=true) runs internally (and what
+    // finalizes a reliable checkpoint's write). NOT Dataset.count():
+    // that plans a SQL aggregate with an Exchange SinglePartition,
+    // which the plan-shape specs (correctly) forbid near operators.
+    if (eager) out.queryExecution.toRdd.count()
+    (out, ids)
   }
 
   def release(df: DataFrame, ids: Set[Int]): Unit = {

@@ -1556,7 +1556,14 @@ object Similarity {
     val stageRoot = new Path(target.getParent, target.getName + "_cellstage")
     val retiredRoot = new Path(target.getParent, target.getName + "_cellretired")
     fs.mkdirs(retiredRoot)
-    cells.foreach { cell =>
+    // Overlap independent cell rewrites (optimization guide §2.6):
+    // each cell's write job is small relative to the cluster, so run
+    // a few concurrently from a driver pool and let one cell's tail
+    // back-fill with the next cell's tasks — wall cost approaches
+    // (dirty work / cluster) instead of Σ(per-cell job latency). Every
+    // cell's stage/retired path, file listing, and rename pair are
+    // its own; the crash window stays ONE cell wide per the scaladoc.
+    def rewriteCell(cell: Long): Unit = {
       val live = new Path(target, s"cell=$cell")
       require(fs.exists(live), s"no cell directory $live in the layout")
       def listFiles(): Set[String] =
@@ -1587,6 +1594,22 @@ object Similarity {
         throw new IllegalStateException(s"cell compaction swap failed for $live")
       }
       fs.delete(retired, true)
+    }
+    val lanes = math.max(1, math.min(4, cells.length))
+    if (lanes == 1) cells.foreach(rewriteCell)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(lanes)
+      try {
+        val futures = cells.map(c => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = rewriteCell(c)
+        }))
+        // surface the FIRST failure (after every in-flight cell settles
+        // — a half-cancelled swap would widen the crash window)
+        futures.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
     }
     fs.delete(stageRoot, true)
     fs.delete(retiredRoot, true)

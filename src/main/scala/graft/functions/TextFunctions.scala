@@ -1666,25 +1666,36 @@ object TextFunctions {
         .select(transform(BpeEncodeExpr.symbols(col("_w")),
           (s, i) => when(i === 0, s).otherwise(concat(lit(pref), s))).as("syms"),
           col("_c").as("cnt")))
-    // seed pair table: the one occurrence-level pair explode
-    var (pairs, pairPins) = Pins.pin(
+    // Pair rows (`b` non-null) and symbol rows (`b` NULL) live in ONE
+    // pinned `(a, b, c)` table: the per-round state fold is then ONE
+    // union+aggregate pin instead of three jobs (delta pin + pair fold
+    // + symbol fold) — the distributed trainer's round cost is
+    // job-floor-bound at any corpus size (the tables are
+    // distinct-key-sized), so halving the jobs/round halves the round
+    // floor. The integer sums are unchanged (same rows, same keys up
+    // to the disjoint b-NULL namespace), so merges stay bit-identical.
+    var (tab, tabPins) = Pins.pin(
       words.filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
         .groupBy(col("p.0").as("a"), col("p.1").as("b"))
-        .agg(sum(col("cnt")).as("c")))
-    // seed symbol table: the one occurrence-level symbol explode
-    var (symCounts, symPins) = Pins.pin(
-      words.select(col("cnt"), explode(col("syms")).as("s"))
-        .groupBy(col("s")).agg(sum(col("cnt")).as("sc")))
+        .agg(sum(col("cnt")).as("c"))
+        .unionByName(
+          words.select(col("cnt"), explode(col("syms")).as("s"))
+            .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
+            .select(col("s").as("a"), lit(null).cast("string").as("b"),
+              col("sc").as("c"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var rounds = 0
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
-      val scored = pairs
-        .join(symCounts.select(col("s").as("a"), col("sc").as("ca")), Seq("a"))
-        .join(symCounts.select(col("s").as("b"), col("sc").as("cb")), Seq("b"))
+      val pairsT = tab.filter(col("b").isNotNull)
+      val symsT = tab.filter(col("b").isNull)
+        .select(col("a").as("s"), col("c").as("sc"))
+      val scored = pairsT
+        .join(symsT.select(col("s").as("a"), col("sc").as("ca")), Seq("a"))
+        .join(symsT.select(col("s").as("b"), col("sc").as("cb")), Seq("b"))
         .select(col("a"), col("b"), col("c"), col("ca"), col("cb"),
           (col("c").cast("double") /
             (col("ca").cast("double") * col("cb").cast("double"))).as("_sc"))
@@ -1758,37 +1769,26 @@ object TextFunctions {
         } else {
         // ONE adjacency scan of the word table per round: the combined
         // kernel emits pair deltas (s null) and symbol deltas (pa
-        // null) together for the WHOLE batch; the small exploded table
-        // (affected words only) pins once and feeds both folds
-        val (delta, deltaPins) = Pins.pin(words
+        // null) together for the WHOLE batch, mapped straight onto the
+        // unified (a, b) key — pair deltas keep pb, symbol deltas take
+        // b NULL — so ONE union+aggregate pin folds both tables at
+        // once and the delta needs no pin of its own (single consumer)
+        val delta = words
           .select(col("cnt"),
             explode(BpeEncodeExpr.batchDelta(col("syms"), triples,
-              withSymbols = true)).as("p")))
-        val pairDelta = delta
-          .filter(col("p.s").isNull)
-          .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
-          .agg(sum(col("p.d") * col("cnt")).as("c"))
-        val (nextPairs, nextPairPins) = Pins.pin(
-          pairs.unionByName(pairDelta)
+              withSymbols = true)).as("p"))
+          .filter(col("p.pa").isNotNull || col("p.s").isNotNull)
+          .select(coalesce(col("p.pa"), col("p.s")).as("a"),
+            when(col("p.pa").isNotNull, col("p.pb")).as("b"),
+            (col("p.d") * col("cnt")).as("c"))
+        val (nextTab, nextTabPins) = Pins.pin(
+          tab.unionByName(delta)
             .groupBy(col("a"), col("b"))
             .agg(sum(col("c")).as("c"))
             .filter(col("c") > 0))
-        Pins.release(pairs, pairPins)
-        pairs = nextPairs
-        pairPins = nextPairPins
-        val symDelta = delta
-          .filter(col("p.pa").isNull)
-          .groupBy(col("p.s").as("s"))
-          .agg(sum(col("p.d") * col("cnt")).as("sc"))
-        val (nextSyms, nextSymPins) = Pins.pin(
-          symCounts.unionByName(symDelta)
-            .groupBy(col("s"))
-            .agg(sum(col("sc")).as("sc"))
-            .filter(col("sc") > 0))
-        Pins.release(symCounts, symPins)
-        symCounts = nextSyms
-        symPins = nextSymPins
-        Pins.release(delta, deltaPins)
+        Pins.release(tab, tabPins)
+        tab = nextTab
+        tabPins = nextTabPins
         val next = words.select(
           BpeEncodeExpr.batchStep(col("syms"), triples).as("syms"), col("cnt"))
         if (rounds % pinEvery == 0) {
@@ -1802,8 +1802,7 @@ object TextFunctions {
         }
       }
     }
-    Pins.release(pairs, pairPins)
-    Pins.release(symCounts, symPins)
+    Pins.release(tab, tabPins)
     Pins.release(words, wordPins)
     lastWpTrainRounds = rounds
     import spark.implicits._
