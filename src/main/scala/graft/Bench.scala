@@ -301,6 +301,15 @@ object Bench {
         ts = ts ++ ts2; es = es ++ es2; st = st ++ st2
         attempt += 1
       }
+      // session hygiene BETWEEN queries (outside every timed region):
+      // pin-returning operators (walks, containment) register their
+      // result's cached blocks for the caller to unpin, but a bench
+      // gate's result dies with the count — 3+ runs per gate times a
+      // hundred gates otherwise accumulate session-lifetime blocks
+      // whose GC pressure taxes every LATER query. Bench runs gates
+      // sequentially, so no registered result is awaiting
+      // materialization here and the backstop is safe by its contract.
+      graft.functions.Pins.releaseAll(spark)
       QResult(name, ts, es, l0, loadavg1(), retried, st)
     }
 

@@ -602,8 +602,14 @@ object Graphs {
     var labelPins = Set.empty[Int]
     var i = 0
     while (i < iterations) {
+      // ONE exchange for both aggregation levels: hash partitioning on
+      // `node` alone satisfies the (node, label) clustered distribution
+      // (equal pairs share the node hash), so after this repartition
+      // the vote count AND the per-node argmax both aggregate in place
+      // — 2 exchanges per round (join + this) instead of 3
       val votes = e.join(labels, e("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
+        .repartition(col("node"))
       val counted = votes.groupBy("node", "label").agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc) as ONE map-side-combinable
       // aggregate: lexicographic max of (c, -label) — no window, no
@@ -770,34 +776,32 @@ object Graphs {
     */
   def triangleCounts(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canon, deg and oriented are each consumed by 2-3 downstream
-    // branches; un-pinned, every reference re-expanded the WHOLE
-    // upstream subtree (the co-purchase gate planned 174 Exchange
-    // nodes — the edge derivation ran once per copy wherever exchange
-    // reuse missed, and planning itself paid the blow-up). LAZY pins
-    // collapse each stage to one cached copy: the single downstream
-    // action covers every partition, so materialization fuses into
-    // that job — no extra barriers. Pins register on the result;
-    // callers release with [[unpin]].
-    val (canon, canonPins) = Pins.pin(edges
+    // NOTE (r14): canon/deg/oriented are each consumed by 2-3
+    // downstream branches, so the PLAN re-expands the upstream subtree
+    // per reference (174 Exchange nodes at the co-purchase gate).
+    // Pinning the three stages was tried and REVERTED: runtime
+    // exchange reuse already dedupes the clones (measured flat), while
+    // the pinned variant held ~3 cached edge-scale RDDs per call that
+    // no gate-shaped caller ever unpins — the heap pressure taxed every
+    // downstream query in the same session. Leave the lazy subtree.
+    val canon = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct(), eager = false)
-    val (deg, degPins) = Pins.pin(canon.select(col("a").as("node"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree")), eager = false)
+      .groupBy("node").agg(count(lit(1)).as("degree"))
     // orient: (deg, id)-lower endpoint -> higher; carry both ranks
     val withRanks = canon
       .join(deg.select(col("node").as("a"), col("degree").as("_da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("_db")), "b")
     val lower = struct(col("_da"), col("a")) < struct(col("_db"), col("b"))
-    val (oriented, orientedPins) = Pins.pin(withRanks.select(
+    val oriented = withRanks.select(
       when(lower, col("a")).otherwise(col("b")).as("src"),
       when(lower, col("b")).otherwise(col("a")).as("dst"),
       when(lower, struct(col("_db").as("d"), col("b").as("n")))
-        .otherwise(struct(col("_da").as("d"), col("a").as("n"))).as("_r")),
-      eager = false)
+        .otherwise(struct(col("_da").as("d"), col("a").as("n"))).as("_r"))
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("_r").as("_rv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("_r").as("_rw"))
     val wedges = o1.join(o2, Seq("src")).filter(col("_rv") < col("_rw"))
@@ -807,14 +811,12 @@ object Graphs {
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    val out = deg.join(perNode, Seq("node"), "left")
+    deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering",
         when(col("degree") < 2, lit(0.0)).otherwise(
           round(lit(2.0) * col("n_triangles").cast("double") /
             (col("degree") * (col("degree") - 1)).cast("double"), 6)))
-    Pins.register(out, canonPins ++ degPins ++ orientedPins)
-    out
   }
 }

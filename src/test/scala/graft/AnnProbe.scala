@@ -212,6 +212,24 @@ object AnnProbe {
     println(f"[probe] incremental compaction: ${dirtyCells.length}%d/$coarseK%d " +
       f"dirty cells rewritten in $tInc%.1f s (whole-layout pass above: " +
       f"$tCompact%.1f s); top-10 bit-equal")
+
+    // PER-CELL DELETE REPAIR at probe scale: a clustered delete batch
+    // (every id of the 4 hot cells' sample, ~the shape of a tenant or
+    // source purge) dirties only those cells — repairIvfPqCells must
+    // cost ~the dirty fraction, not the whole-layout shuffle.
+    val delIds = functions.Similarity.ivfPqEncode(saved, "vec_id", "embedding",
+        rs, rc, rb)
+      .filter(col("cell").isin(dirtyCells.map(Integer.valueOf): _*) &&
+        pmod(col("vec_id"), lit(50)) === 0)
+      .select("vec_id")
+    val survivors = saved.join(delIds, Seq("vec_id"), "left_anti")
+    val (repairedCells, tRepair) = timed(
+      s"repairIvfPqCells (clustered delete, ~${dirtyCells.length}/$coarseK dirty)") {
+      functions.Similarity.repairIvfPqCells(spark, fragDir, survivors, "vec_id")
+    }
+    println(f"[probe] per-cell delete repair: ${repairedCells.length}%d/$coarseK%d " +
+      f"cells rewritten in $tRepair%.1f s (whole-layout rewrite benchmark: " +
+      f"$tCompact%.1f s compact / $tRefit%.1f s refit)")
     spark.stop()
   }
 }
