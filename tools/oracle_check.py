@@ -58,54 +58,42 @@ def main(sf_dir, out_dir, only=None):
         if not os.path.isdir(os.path.join(out_dir, name)):
             results[name] = "MISSING RESULT DIR (query failed in Verify?)"
             n_bad += 1
-    for name in sorted(os.listdir(out_dir)):
+    def check_one(name):
+        """One gate's full compare; returns (name, verdict string).
+        Runs on a worker thread with its own DuckDB cursor — gates are
+        independent, per-gate parse/plan + pandas overhead dominates
+        the serial walk (189 s for 236 gates), and the verdicts are
+        accumulated then printed sorted, so output is byte-identical
+        to the sequential version."""
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
-        if only and name not in expected:
-            # stale result dir from a previous full/other-subset run:
-            # comparing it against CURRENT oracle SQL yields false
-            # failures (or stale passes) — skip outside the declared set
-            continue
         # sorted: part-00000..N must concatenate in write order or the
         # ordered comparison (and WARN-UNORDERED) is nondeterministic
         files = sorted(glob.glob(f"{d}/*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
             # no oracle = weaker check; count separately so the gap is visible
-            ok = len(got) > 0
-            results[name] = "rows-only:" + ("WARN-NO-ORACLE" if ok else "EMPTY")
-            n_warn += ok; n_bad += (not ok)
-            continue
+            return name, ("rows-only:" +
+                          ("WARN-NO-ORACLE" if len(got) > 0 else "EMPTY"))
         try:
-            exp = con.sql(oracles[name]).df()
+            exp = con.cursor().sql(oracles[name]).df()
         except Exception as e:
-            results[name] = f"ORACLE-SQL-ERROR: {e}"
-            n_bad += 1
-            continue
+            return name, f"ORACLE-SQL-ERROR: {e}"
         g, g_arr = norm(got)
         e, _ = norm(exp)
         if g_arr:
             # the driver comparator cannot hash array columns — this
             # gate WILL fail there; fail it here too
-            results[name] = (f"ARRAY-COLUMN {g_arr}: driver comparator "
-                             "cannot hash this; scalarize at the gate "
-                             "boundary (array_join)")
-            n_bad += 1
-            continue
+            return name, (f"ARRAY-COLUMN {g_arr}: driver comparator "
+                          "cannot hash this; scalarize at the gate "
+                          "boundary (array_join)")
         if list(g.columns) != list(e.columns):
-            results[name] = f"SCHEMA: got {list(g.columns)} vs exp {list(e.columns)}"
-            n_bad += 1
-            continue
+            return name, f"SCHEMA: got {list(g.columns)} vs exp {list(e.columns)}"
         if len(g) != len(e):
-            results[name] = f"ROWS: got {len(g)} vs exp {len(e)}"
-            n_bad += 1
-            continue
+            return name, f"ROWS: got {len(g)} vs exp {len(e)}"
         # dtypes may differ (int32 vs int64 etc.) -> compare as objects
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            results[name] = "OK"
-            n_ok += 1
+            return name, "OK"
         except AssertionError as ex:
             # retry order-insensitively
             try:
@@ -114,10 +102,26 @@ def main(sf_dir, out_dir, only=None):
                 pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
                 # order contract violated: values match but the stated
                 # total-order ORDER BY determinism does not hold — warn
-                results[name] = "WARN-UNORDERED (row order differs!)"
-                n_warn += 1
+                return name, "WARN-UNORDERED (row order differs!)"
             except Exception:
-                results[name] = "VALUES: " + str(ex).split("\n")[0]
+                return name, "VALUES: " + str(ex).split("\n")[0]
+
+    todo = [name for name in sorted(os.listdir(out_dir))
+            if os.path.isdir(os.path.join(out_dir, name))
+            # stale result dir from a previous full/other-subset run:
+            # comparing it against CURRENT oracle SQL yields false
+            # failures (or stale passes) — skip outside the declared set
+            and not (only and name not in expected)]
+    from concurrent.futures import ThreadPoolExecutor
+    workers = int(os.environ.get("ORACLE_CHECK_THREADS", "4"))
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        for name, verdict in pool.map(check_one, todo):
+            results[name] = verdict
+            if verdict == "OK":
+                n_ok += 1
+            elif "WARN" in verdict:
+                n_warn += 1
+            else:
                 n_bad += 1
     for k, v in sorted(results.items()):
         tag = "PASS" if v == "OK" else ("WARN" if "WARN" in v else "FAIL")
