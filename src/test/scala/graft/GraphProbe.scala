@@ -17,7 +17,10 @@ object GraphProbe {
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      // GRAPH_PROBE_AQE=false A/Bs the adaptive re-planning share of
+      // the per-round floor (r14 measurement)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAPH_PROBE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
