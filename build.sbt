@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: the driver keeps the LAST ~2000 chars of
+// `sbt "runMain graft.Bench"` stdout and json-parses the final line.
+// Since r11 that parse returned null because sbt wrapped the forked
+// run's output in "[info] " logger prefixes and appended a
+// "[success] Total time" trailer. Route forked-run output straight to
+// stdout (no prefix) and drop the success banner so the bench's
+// compact JSON line is the genuine last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

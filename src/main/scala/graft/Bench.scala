@@ -210,6 +210,26 @@ object Bench {
     val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "1").toInt.max(0)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Whole-run load gate (r14: a 32-cpu driver sample that STARTED at
+    // loadavg 6.75 — decay from a prior JVM — showed 4-6x phantom
+    // regressions on untouched trivial gates, absent at 8 cpus). Wait,
+    // bounded, for the 1-minute loadavg to decay below a threshold
+    // before timing anything; if the budget runs out, the run is
+    // flagged `load_suspect` in BOTH output lines so a contaminated
+    // sample cannot masquerade as (or hide) a regression. The wait is
+    // OUTSIDE every timed region and before the session/warm-up so our
+    // own startup work never counts against the gate.
+    val loadLimit = math.max(2.0, cpus.toInt / 8.0)
+    val loadWaitBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADWAIT", "120").toInt.max(0)
+    var loadWaited = 0
+    while (loadavg1() > loadLimit && loadWaited < loadWaitBudget) {
+      Thread.sleep(2000); loadWaited += 2
+    }
+    val loadSuspect = loadavg1() > loadLimit
+    if (loadSuspect)
+      System.err.println(f"[bench] host still loaded (${loadavg1()}%.2f > " +
+        f"$loadLimit%.1f) after $loadWaited s — run flagged load_suspect")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -360,6 +380,7 @@ object Bench {
       f""""walks_sec":$walksSec%.3f,"non_walks_sec":$nonWalksSec%.3f,""" +
       f""""missing":$missingField,""" +
       f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
+      s""""load_suspect":$loadSuspect,"load_wait_sec":$loadWaited,""" +
       f""""wall_sec":$wallSec%.1f,"sf":"$sfDir"}""")
     // The driver's artifact keeps only the LAST ~2000 chars of stdout;
     // the self-adjudicating line above outgrew that in r8-r11 and the
@@ -377,14 +398,23 @@ object Bench {
     // byte here competes with the queries map for the window)
     val missingCompact =
       if (missing.isEmpty) "" else s""","missing":$missingField"""
+    // load_suspect appears in the compact line only when TRUE (every
+    // byte competes with the queries map for the 2000-char window)
+    val suspectCompact = if (loadSuspect) ""","load_suspect":true""" else ""
     val compact =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_err":$nErr""" +
-      f"""$missingCompact,"queries":$qsCompact}"""
+      f"""$missingCompact$suspectCompact,"queries":$qsCompact}"""
     if (compact.length > 1700)
       System.err.println(s"[bench] compact line ${compact.length} chars — " +
         "over the 1700-char budget for the driver's 2000-char tail window " +
         "(sbt prefix + trailer eat the rest); move entries to CompactOmit")
+    // stop BEFORE the final compact line: the driver parses the LAST
+    // line of the captured output, and a shutdown-time log line landing
+    // after it would break the parse (the r11-r14 artifacts all died on
+    // exactly that class of trailer)
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(compact)
-    spark.stop()
   }
 }

@@ -35,28 +35,46 @@ object Verify {
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4")
       .toInt.max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-    SparkEntry.queries
+    // a gate that throws in the pool is retried SERIALLY after the
+    // walk (below) — a transient failure (GC pressure, a scheduling
+    // hiccup) must not silently shrink the correctness artifact: the
+    // driver enumerates result dirs, so a swallowed failure reads as a
+    // dropped query, not an error
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val gates = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        pool.submit(new Runnable {
-          override def run(): Unit = {
-            val t0 = System.nanoTime()
-            try {
-              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-                .parquet(s"$outDir/$name")
-              // per-gate wall seconds on stderr: the budget observable
-              // that drives the twin-rotation policy (the driver's 4-min
-              // Verify window — rotate the slowest bit-equal twins first)
-              System.err.println(
-                f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-            } catch { case e: Throwable =>
-              System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            }
-          }
-        })
+    def runGate(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        tag: String): Boolean = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-gate wall seconds on stderr: the budget observable
+        // that drives the twin-rotation policy (the driver's 4-min
+        // Verify window — rotate the slowest bit-equal twins first)
+        System.err.println(
+          f"[verify] $name$tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name$tag failed: ${e.getMessage}")
+        false
       }
+    }
+    gates.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit = if (!runGate(name, fn, "")) failed.add(name)
+      })
+    }
     pool.shutdown()
-    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    if (!pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS))
+      System.err.println("[verify] TIMED OUT after 2 h — results below are INCOMPLETE")
+    val stillFailed = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(failed).asScala.toSeq
+      .filterNot(name => runGate(name, gates(name), " (retry)"))
+    if (stillFailed.nonEmpty)
+      System.err.println(
+        s"[verify] GATES FAILED after retry: ${stillFailed.mkString(",")} — " +
+          "the correctness artifact is missing these result dirs")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

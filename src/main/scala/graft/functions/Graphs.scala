@@ -97,7 +97,32 @@ object Graphs {
       iterations: Int,
       dampingPerMille: Int = 850,
       pinEvery: Int = 1,
-      unit: String = "auto"): DataFrame = {
+      unit: String = "auto"): DataFrame =
+    pageRank(edges, srcCol, dstCol, iterations, dampingPerMille, pinEvery,
+      unit, fuseZero = false)
+
+  /** Probe-visible overload: `fuseZero = true` swaps the per-round
+    * union-zero branch (a separate map stage scanning the node pin
+    * each round) for a REP-EDGE fusion — the join goes right-outer
+    * over ranks, each node's zero presence row is emitted from its
+    * single representative out-edge (`rep` = the min-dst edge, marked
+    * once at setup) or from the null-padded row of a dangling node,
+    * via one conditional-array explode. Same rows into the aggregate
+    * (every node exactly one zero row + its in-contributions), so the
+    * integer sums are identical; one fewer stage per round. Measured
+    * A/B lives in GraphProbe `pr_ab` (r15, verdict #7); the production
+    * default is whichever shape measured faster (see
+    * OPTIMIZATION_r15.md).
+    */
+  private[graft] def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      dampingPerMille: Int,
+      pinEvery: Int,
+      unit: String,
+      fuseZero: Boolean): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
@@ -114,9 +139,16 @@ object Graphs {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .repartition(col("src")), eager = false)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) co-partitioned on src — the per-round join probe
-    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src").repartition(col("src")),
+    // min(dst) marks ONE representative edge per src (edges are
+    // distinct, so the flag is unique) — the fused shape emits each
+    // node's zero presence row from it instead of a union branch
+    val outdeg = e.groupBy("src")
+      .agg(count(lit(1)).as("deg"), min(col("dst")).as("_mindst"))
+    // (src, dst, deg, rep) co-partitioned on src — the per-round join probe
+    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg"),
+        (col("dst") === col("_mindst")).as("rep"))
+      .repartition(col("src")),
       eager = false)
     val (nodes, nodePins) = Pins.pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -156,12 +188,25 @@ object Graphs {
       // one join + ONE aggregation per round: instead of aggregating
       // contributions and left-joining the node set back (a second
       // join), every node contributes a zero row to the same agg — the
-      // integer sum is unchanged and no-in-edge nodes still surface
-      val contrib = eDeg
-        .join(ranks, eDeg("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-      val next = contrib
-        .unionByName(nodes.select(col("node"), lit(0L).as("c")))
+      // integer sum is unchanged and no-in-edge nodes still surface.
+      // `fuseZero` emits that zero row from the join itself (rep edge /
+      // dangling null-pad) instead of a union branch over the node pin.
+      val rows =
+        if (fuseZero) {
+          val zeroRow = struct(col("node").as("n"), lit(0L).as("c"))
+          val contribRow = struct(col("dst").as("n"), expr("r div deg").as("c"))
+          eDeg.join(ranks, eDeg("src") === ranks("node"), "right_outer")
+            .select(explode(
+              when(col("src").isNull, array(zeroRow))
+                .when(col("rep"), array(contribRow, zeroRow))
+                .otherwise(array(contribRow))).as("x"))
+            .select(col("x.n").as("node"), col("x.c").as("c"))
+        } else {
+          eDeg.join(ranks, eDeg("src") === ranks("node"))
+            .select(col("dst").as("node"), expr("r div deg").as("c"))
+            .unionByName(nodes.select(col("node"), lit(0L).as("c")))
+        }
+      val next = rows
         .groupBy("node")
         .agg(sum(col("c")).as("c"))
         .select(col("node"),
@@ -580,9 +625,37 @@ object Graphs {
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      pinEvery: Int = 1): DataFrame = {
+      pinEvery: Int = 1): DataFrame =
+    labelPropagation(edges, srcCol, dstCol, iterations, pinEvery,
+      voteShape = "combine")
+
+  /** Probe-visible overload: `voteShape` selects the per-round vote
+    * aggregation physical shape (identical results, measured A/B in
+    * GraphProbe — r15 adjudication of the r14 single-exchange rewrite):
+    *
+    *  - `"combine"`: `groupBy(node,label)` count → `groupBy(node)`
+    *    argmax — 2 aggregate exchanges, BOTH map-side combinable. The
+    *    production choice: the r14 driver bench showed the raw shape
+    *    slower (+32%/+43% in both samples), and on converged or
+    *    hub-skewed graphs raw votes concentrate an uncombined
+    *    edge-scale row stream on single reducers (guide §2.5) while
+    *    this shape ships at most one row per (node, distinct label)
+    *    after the map-side partial.
+    *  - `"raw"`: the r14 shape — `repartition(node)` once, then both
+    *    aggregation levels satisfy the distribution in place: 1
+    *    exchange carrying RAW votes (no map-side combine).
+    */
+  private[graft] def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      pinEvery: Int,
+      voteShape: String): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(pinEvery >= 1, "pinEvery must be >= 1")
+    require(Set("combine", "raw")(voteShape),
+      s"voteShape must be combine|raw, got $voteShape")
     val half = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -602,18 +675,18 @@ object Graphs {
     var labelPins = Set.empty[Int]
     var i = 0
     while (i < iterations) {
-      // ONE exchange for both aggregation levels: hash partitioning on
-      // `node` alone satisfies the (node, label) clustered distribution
-      // (equal pairs share the node hash), so after this repartition
-      // the vote count AND the per-node argmax both aggregate in place
-      // — 2 exchanges per round (join + this) instead of 3
       val votes = e.join(labels, e("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-        .repartition(col("node"))
-      val counted = votes.groupBy("node", "label").agg(count(lit(1)).as("c"))
-      // argmax by (count desc, label asc) as ONE map-side-combinable
-      // aggregate: lexicographic max of (c, -label) — no window, no
-      // per-node sort
+      // vote count then argmax by (count desc, label asc) — the argmax
+      // is ONE map-side-combinable aggregate: lexicographic max of
+      // (c, -label), no window, no per-node sort. The "raw" variant
+      // trades the count level's exchange away by repartitioning raw
+      // votes once (see the voteShape scaladoc for why "combine" is
+      // the production shape).
+      val counted = (voteShape match {
+        case "raw" => votes.repartition(col("node"))
+        case _ => votes
+      }).groupBy("node", "label").agg(count(lit(1)).as("c"))
       val next = counted.groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))

@@ -27,17 +27,6 @@ private[graft] object Pins {
 
   def pin(df: DataFrame): (DataFrame, Set[Int]) = pin(df, eager = true)
 
-  /** Guards the persistent-RDD set-diff below: two concurrent pins
-    * would otherwise each see the other thread's just-registered RDD
-    * in their diff and later release blocks they do not own — fatal
-    * for a localCheckpoint, whose lineage is truncated and cannot be
-    * recomputed. Only the (job-free) registration is locked; the
-    * materializing job runs outside it, so concurrent pinning callers
-    * (a parallel Verify, overlapped pipeline stages) still overlap
-    * their heavy work.
-    */
-  private val pinRegistration = new Object
-
   /** `eager = false` defers materialization to the FIRST action that
     * touches the pinned frame — an operator whose very next step is a
     * full-coverage action (a count/collect over every partition) fuses
@@ -45,24 +34,42 @@ private[graft] object Pins {
     * when that first action covers ALL partitions (a `limit`-style
     * partial action would checkpoint a partial subset lazily — Spark
     * handles it, but the pin's cost then resurfaces later).
+    *
+    * Id attribution is EXACT, not a persistent-RDD set-diff: the
+    * Dataset returned by `checkpoint(eager=false)` is a `LogicalRDD`
+    * over the internal RDD the checkpoint persisted, so its id is read
+    * straight off the returned plan. A set-diff (pre-r15) could
+    * capture a checkpoint RDD registered concurrently by ANOTHER
+    * thread — even one outside any lock here (operators call eager
+    * `localCheckpoint` directly) — and a later release of that foreign
+    * id is fatal: an unpersisted localCheckpoint's lineage is
+    * truncated and cannot be recomputed. Exact capture needs no lock
+    * at all; concurrent pins cannot observe each other.
     */
   def pin(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
-    // register lazily under the lock (Dataset.checkpoint(eager=false)
-    // runs no job: localCheckpoint persists-and-registers the internal
-    // RDD synchronously; a reliable checkpoint only marks it) ...
-    val (out, ids) = pinRegistration.synchronized {
-      val before = sc.getPersistentRDDs.keySet
-      val o =
-        if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = false)
-        else df.localCheckpoint(eager = false)
-      (o, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    // ... then materialize OUTSIDE it, at the RDD level — the job
-    // Dataset.checkpoint(eager=true) runs internally (and what
-    // finalizes a reliable checkpoint's write). NOT Dataset.count():
-    // that plans a SQL aggregate with an Exchange SinglePartition,
-    // which the plan-shape specs (correctly) forbid near operators.
+    val reliable = sc.getCheckpointDir.isDefined
+    val out =
+      if (reliable) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    // Reliable checkpoints materialize to FILES, not cached blocks —
+    // the id set stays empty there (release is a no-op, per scaladoc).
+    val ids: Set[Int] =
+      if (reliable) Set.empty
+      else out.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Set(lr.rdd.id)
+        case other =>
+          // fail loud: silently returning no ids would leak the pinned
+          // blocks for the session lifetime on every release
+          throw new IllegalStateException(
+            s"Pins.pin: localCheckpoint returned ${other.getClass.getName}, " +
+              "not LogicalRDD — cannot attribute the pinned RDD id")
+      }
+    // materialize at the RDD level — the job Dataset.checkpoint(eager
+    // = true) runs internally (and what finalizes a reliable
+    // checkpoint's write). NOT Dataset.count(): that plans a SQL
+    // aggregate with an Exchange SinglePartition, which the plan-shape
+    // specs (correctly) forbid near operators.
     if (eager) out.queryExecution.toRdd.count()
     (out, ids)
   }

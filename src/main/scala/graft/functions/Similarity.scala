@@ -1536,9 +1536,11 @@ object Similarity {
     * passed through `transform`, written to a sibling stage dir
     * (`<path>_cellstage/N` — outside the layout root, so partition
     * discovery never sees a half-written dir), and swapped via two
-    * renames. Per-cell crash window: a crash between the renames
-    * leaves that ONE cell at `<path>_cellretired/N`, restored by the
-    * next maintenance entry ([[restoreRetiredLayout]]); the
+    * renames. Crash window: rewrites run up to 4 cells concurrently,
+    * so a driver crash can leave UP TO `lanes` (≤4) cells mid-swap,
+    * each at its own `<path>_cellretired/N` — every one independently
+    * restored by the next maintenance entry
+    * ([[restoreRetiredLayout]]); the
     * before/after file listing (name + length, taken BEFORE the
     * snapshot DataFrame is constructed) fails loud on a concurrent
     * append without touching the live cell.
@@ -1561,8 +1563,11 @@ object Similarity {
     // a few concurrently from a driver pool and let one cell's tail
     // back-fill with the next cell's tasks — wall cost approaches
     // (dirty work / cluster) instead of Σ(per-cell job latency). Every
-    // cell's stage/retired path, file listing, and rename pair are
-    // its own; the crash window stays ONE cell wide per the scaladoc.
+    // cell's stage/retired path, file listing, and rename pair are its
+    // own; a driver crash can leave up to `lanes` cells mid-swap at
+    // _cellretired/N, EACH independently recovered by
+    // restoreRetiredLayout — the crash window is `lanes` cells wide,
+    // not one.
     def rewriteCell(cell: Long): Unit = {
       val live = new Path(target, s"cell=$cell")
       require(fs.exists(live), s"no cell directory $live in the layout")

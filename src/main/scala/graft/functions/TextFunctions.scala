@@ -1411,6 +1411,10 @@ object TextFunctions {
       .select(explode(array(col("a"), col("b"))).as("s"))
       .distinct().collect().map(_.getString(0))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // merge triples applied since the last word pin — composed into
+    // ONE batchStep kernel call per consumer instead of a stacked
+    // projection per round (see the fold note in the loop)
+    var pending = IndexedSeq.empty[(String, String, String)]
     var rounds = 0
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -1432,10 +1436,23 @@ object TextFunctions {
           // last merge recorded: the folded pair table and the merged
           // word table would never be read — skip their eager jobs
         } else {
-        // delta: only words containing a batch pair emit anything
+        // delta: only words containing a batch pair emit anything.
+        // Un-pinned rounds FOLD into the kernel, not the plan (r15):
+        // the batch kernels are order-faithful, so k rounds since the
+        // last pin compose as ONE batchStep over the pinned words with
+        // the concatenated `pending` batch — same merge sequence,
+        // bit-identical rewrites — instead of k stacked projections.
+        // That keeps every round's generated source IDENTICAL (the
+        // merge list rides addReferenceObj, not source text), so
+        // Janino compiles each trainer plan shape ONCE per JVM instead
+        // of once per chain depth (measured cold-start cure, verdict
+        // #5), and one decode→applyAll→encode pass replaces k.
+        val preSyms =
+          if (pending.isEmpty) col("syms")
+          else BpeEncodeExpr.batchStep(col("syms"), pending)
         val delta = words
           .select(col("cnt"),
-            explode(BpeEncodeExpr.batchDelta(col("syms"), triples,
+            explode(BpeEncodeExpr.batchDelta(preSyms, triples,
               withSymbols = false)).as("p"))
           .groupBy(col("p.pa").as("a"), col("p.pb").as("b"))
           .agg(sum(col("p.d") * col("cnt")).as("c"))
@@ -1447,15 +1464,15 @@ object TextFunctions {
         Pins.release(pairs, pairPins)
         pairs = nextPairs
         pairPins = nextPairPins
-        val next = words.select(
-          BpeEncodeExpr.batchStep(col("syms"), triples).as("syms"), col("cnt"))
+        pending = pending ++ triples
         if (rounds % pinEvery == 0) {
-          val (pinned, nextPins) = Pins.pin(next)
+          val (pinned, nextPins) = Pins.pin(words.select(
+            BpeEncodeExpr.batchStep(col("syms"), pending).as("syms"),
+            col("cnt")))
           Pins.release(words, wordPins)
           words = pinned
           wordPins = nextPins
-        } else {
-          words = next
+          pending = IndexedSeq.empty
         }
         }
       }
@@ -1687,6 +1704,10 @@ object TextFunctions {
             .select(col("s").as("a"), lit(null).cast("string").as("b"),
               col("sc").as("c"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    // merge triples applied since the last word pin — composed into
+    // ONE batchStep kernel call per consumer instead of a stacked
+    // projection per round (see the fold note in the loop)
+    var pending = IndexedSeq.empty[(String, String, String)]
     var rounds = 0
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -1772,10 +1793,22 @@ object TextFunctions {
         // null) together for the WHOLE batch, mapped straight onto the
         // unified (a, b) key — pair deltas keep pb, symbol deltas take
         // b NULL — so ONE union+aggregate pin folds both tables at
-        // once and the delta needs no pin of its own (single consumer)
+        // once and the delta needs no pin of its own (single consumer).
+        // Un-pinned rounds FOLD into the kernel, not the plan (r15):
+        // the batch kernels are order-faithful, so the rounds since
+        // the last pin compose as ONE batchStep with the concatenated
+        // `pending` batch — same merge sequence, bit-identical
+        // rewrites — instead of stacked projections. Every round's
+        // generated source is then IDENTICAL (merge lists ride
+        // addReferenceObj, not source text): Janino compiles each
+        // trainer plan shape ONCE per JVM instead of once per chain
+        // depth, and one decode→applyAll→encode pass replaces k.
+        val preSyms =
+          if (pending.isEmpty) col("syms")
+          else BpeEncodeExpr.batchStep(col("syms"), pending)
         val delta = words
           .select(col("cnt"),
-            explode(BpeEncodeExpr.batchDelta(col("syms"), triples,
+            explode(BpeEncodeExpr.batchDelta(preSyms, triples,
               withSymbols = true)).as("p"))
           .filter(col("p.pa").isNotNull || col("p.s").isNotNull)
           .select(coalesce(col("p.pa"), col("p.s")).as("a"),
@@ -1789,15 +1822,15 @@ object TextFunctions {
         Pins.release(tab, tabPins)
         tab = nextTab
         tabPins = nextTabPins
-        val next = words.select(
-          BpeEncodeExpr.batchStep(col("syms"), triples).as("syms"), col("cnt"))
+        pending = pending ++ triples
         if (rounds % pinEvery == 0) {
-          val (pinned, nextPins) = Pins.pin(next)
+          val (pinned, nextPins) = Pins.pin(words.select(
+            BpeEncodeExpr.batchStep(col("syms"), pending).as("syms"),
+            col("cnt")))
           Pins.release(words, wordPins)
           words = pinned
           wordPins = nextPins
-        } else {
-          words = next
+          pending = IndexedSeq.empty
         }
         }
       }

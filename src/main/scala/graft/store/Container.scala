@@ -125,17 +125,18 @@ class Container(
       spark.sparkContext.parallelize(
         vals.map(Row(_)), math.max(1, vals.size / 500000)),
       StructType(Seq(StructField("k", oidType))))
-    // eager localCheckpoint that TRACKS the RDD blocks it pins, so each
+    // eager checkpoint that TRACKS the RDD blocks it pins, so each
     // hop can release the previous hop's frames — without the cut, the
     // plan lineage (and with it, planning time) grows per hop; without
     // the release, a long closure would pin every fringe generation in
-    // executor memory for the life of the session
-    def pin(plan: DataFrame): (DataFrame, Set[Int]) = {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      val df = plan.localCheckpoint(eager = true)
-      val after = spark.sparkContext.getPersistentRDDs.keySet
-      (df, (after -- before).toSet)
-    }
+    // executor memory for the life of the session. Routed through
+    // [[graft.functions.Pins]] (r15): its exact-id attribution reads
+    // the checkpoint RDD id off the returned plan, so a concurrent
+    // pinner (parallel Verify gates) can never be misattributed here —
+    // the old local set-diff spanned this pin's whole eager job and
+    // could capture, then release, another gate's checkpoint blocks.
+    def pin(plan: DataFrame): (DataFrame, Set[Int]) =
+      graft.functions.Pins.pin(plan)
     def release(ids: Set[Int]): Unit = ids.foreach { id =>
       spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false))
     }

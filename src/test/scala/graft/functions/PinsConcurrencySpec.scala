@@ -54,6 +54,89 @@ class PinsConcurrencySpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("pin/release threads never unpersist a concurrent DIRECT eager localCheckpoint") {
+    // the r14 failure mode (dropped q_semantic_recluster): operators
+    // call df.localCheckpoint(eager = true) directly, OUTSIDE Pins —
+    // with set-diff attribution a concurrent Pins.pin could capture
+    // that foreign checkpoint RDD in its diff window and a later
+    // Pins.release would unpersist it; the checkpoint's lineage is
+    // truncated, so the victim's next read dies. Exact-id attribution
+    // makes this impossible; this spec hammers precisely that
+    // interleaving.
+    val sc = spark.sparkContext
+    val mine = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      // 4 churn threads: pin + release in a tight loop
+      val churners = (0 until 4).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int = {
+            var n = 0
+            while (!stop.get()) {
+              val (df, pins) = Pins.pin(
+                spark.range(t * 10000 + n, t * 10000 + n + 50).toDF("id"))
+              pins.foreach(mine.add)
+              Pins.release(df, pins)
+              n += 1
+            }
+            n
+          }
+        })
+      }
+      // 4 victim threads: direct eager localCheckpoints, read AFTER a
+      // churn window so a cross-release would surface as a lost block
+      val victims = (0 until 4).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            (0 until 10).foreach { k =>
+              val ck = spark.range(t * 1000 + k * 100, t * 1000 + k * 100 + 100)
+                .select(col("id"), (col("id") * 3).as("v"))
+                .localCheckpoint(true)
+              val ckId = ck.queryExecution.logical match {
+                case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+                case other => fail(s"localCheckpoint returned $other")
+              }
+              mine.add(ckId)
+              Thread.sleep(10) // let churners cycle around this checkpoint
+              val got = ck.agg(sum(col("v"))).head().getLong(0)
+              val lo = t * 1000L + k * 100
+              assert(got == (lo until lo + 100).map(_ * 3).sum,
+                s"victim $t/$k read wrong data — a foreign release hit it")
+              // release the checkpoint's UNDERLYING rdd — a
+              // Dataset.unpersist is a CacheManager call and does not
+              // touch localCheckpoint blocks
+              sc.getPersistentRDDs.get(ckId).foreach(_.unpersist(false))
+            }
+          }
+        })
+      }
+      victims.foreach(_.get()) // throws if any victim lost its blocks
+      stop.set(true)
+      assert(churners.map(_.get()).sum > 0, "churners never cycled")
+      // only THIS test's ids: parallel suites persist their own RDDs
+      // concurrently, so a global before/after set-diff is racy
+      val persistent = sc.getPersistentRDDs.keySet
+      val leaked = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(mine).asScala.toSet.filter(persistent.contains)
+      assert(leaked.isEmpty, s"leaked persistent RDDs from this spec: $leaked")
+    } finally { stop.set(true); pool.shutdown() }
+  }
+
+  test("pin attributes exactly the checkpoint RDD id of the returned frame") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (df, pins) = Pins.pin(spark.range(10).toDF("id"))
+    try {
+      assert(pins.size == 1, s"expected exactly one pin id, got $pins")
+      // subset, not equality: concurrently-running suites may register
+      // their own persistent RDDs in the window
+      val after = sc.getPersistentRDDs.keySet -- before
+      assert(pins.subsetOf(after),
+        s"attributed ids $pins not among newly persistent ids $after")
+    } finally Pins.release(df, pins)
+  }
+
   test("eager pin materializes without planning a SQL aggregate (plan-shape contract)") {
     // the materializing job must be RDD-level: operators' plan-shape
     // specs forbid an Exchange SinglePartition near their subtrees,

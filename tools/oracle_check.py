@@ -64,7 +64,15 @@ def main(sf_dir, out_dir, only=None):
         independent, per-gate parse/plan + pandas overhead dominates
         the serial walk (189 s for 236 gates), and the verdicts are
         accumulated then printed sorted, so output is byte-identical
-        to the sequential version."""
+        to the sequential version. Any unexpected exception (truncated
+        parquet from a killed Verify, a cursor error) fails THIS gate
+        only — propagating through pool.map would abort the whole
+        check and lose every other gate's verdict."""
+        try:
+            return check_one_inner(name)
+        except Exception as e:
+            return name, f"CHECK-ERROR: {type(e).__name__}: {e}"
+    def check_one_inner(name):
         d = os.path.join(out_dir, name)
         # sorted: part-00000..N must concatenate in write order or the
         # ordered comparison (and WARN-UNORDERED) is nondeterministic
