@@ -301,13 +301,26 @@ object SparkEntry {
     ss.table(qname)
   }
 
-  /** Child session for one stream gate: own SQLConf (stream-sized
-    * shuffle partitions — see the sizing note in [[runStreamGate]]),
-    * shared SparkContext/catalog. The memory-sink table registers in
-    * this session; the returned gate frame carries it.
+  /** ONE child stream session per parent session (memoized): a fresh
+    * newSession per gate would register a fresh
+    * StreamingQueryListenerBus on the shared LiveListenerBus for the
+    * context lifetime — hundreds of gate invocations per bench/Verify
+    * JVM would each add a bus that processes every subsequent event.
     */
-  private def streamSession(s: SparkSession): SparkSession = {
-    val ss = s.newSession()
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** Child session for the stream gates: own SQLConf (stream-sized
+    * shuffle partitions — see the sizing note in [[runStreamGate]]),
+    * shared SparkContext/catalog. The conf is written ONCE at creation
+    * and never mutated, so concurrent stream gates need no lock and a
+    * concurrently-planning batch gate can never observe it. The
+    * memory-sink table registers in this session; the returned gate
+    * frame carries it.
+    */
+  private def streamSession(s: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(s, parent => {
+    val ss = parent.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
     // State-store provider A/B hook (r15, verdict #4): checkpoints are
@@ -326,7 +339,7 @@ object SparkEntry {
         "spark.sql.streaming.stateStore.providerClass", other)
     }
     ss
-  }
+  })
 
   /** Raw QueryProgress JSON of the most recent [[runStreamGate]] /
     * [[runStreamGate2]] stream — probe/diagnostic surface (same

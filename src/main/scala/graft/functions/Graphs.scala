@@ -139,16 +139,22 @@ object Graphs {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .repartition(col("src")), eager = false)
-    // min(dst) marks ONE representative edge per src (edges are
-    // distinct, so the flag is unique) — the fused shape emits each
-    // node's zero presence row from it instead of a union branch
-    val outdeg = e.groupBy("src")
-      .agg(count(lit(1)).as("deg"), min(col("dst")).as("_mindst"))
-    // (src, dst, deg, rep) co-partitioned on src — the per-round join probe
-    val (eDeg, eDegPins) = Pins.pin(e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg"),
-        (col("dst") === col("_mindst")).as("rep"))
-      .repartition(col("src")),
+    // fused shape only: min(dst) marks ONE representative edge per src
+    // (edges are distinct, so the flag is unique) — the zero presence
+    // row is emitted from it instead of a union branch. The default
+    // shape carries no extra column (the rep byte would ride the pin
+    // cache every round for nothing).
+    val outdeg =
+      if (fuseZero) e.groupBy("src")
+        .agg(count(lit(1)).as("deg"), min(col("dst")).as("_mindst"))
+      else e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg[, rep]) co-partitioned on src — the per-round join probe
+    val eDegPlan =
+      if (fuseZero) e.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("deg"),
+          (col("dst") === col("_mindst")).as("rep"))
+      else e.join(outdeg, "src")
+    val (eDeg, eDegPins) = Pins.pin(eDegPlan.repartition(col("src")),
       eager = false)
     val (nodes, nodePins) = Pins.pin(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
