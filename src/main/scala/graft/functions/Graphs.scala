@@ -650,6 +650,12 @@ object Graphs {
     *  - `"raw"`: the r14 shape — `repartition(node)` once, then both
     *    aggregation levels satisfy the distribution in place: 1
     *    exchange carrying RAW votes (no map-side combine).
+    *  - `"mode"`: one `groupBy(node).agg(mode(label, true))` — one
+    *    exchange AND map-side reduction (the typed-imperative mode
+    *    keeps a per-group label-count map; deterministic ties = lowest
+    *    label, identical to the argmax order), but the aggregate runs
+    *    outside whole-stage codegen; measured in GraphProbe before
+    *    choosing the production default.
     */
   private[graft] def labelPropagation(
       edges: DataFrame,
@@ -660,8 +666,8 @@ object Graphs {
       voteShape: String): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(pinEvery >= 1, "pinEvery must be >= 1")
-    require(Set("combine", "raw")(voteShape),
-      s"voteShape must be combine|raw, got $voteShape")
+    require(Set("combine", "raw", "mode")(voteShape),
+      s"voteShape must be combine|raw|mode, got $voteShape")
     val half = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -687,15 +693,26 @@ object Graphs {
       // is ONE map-side-combinable aggregate: lexicographic max of
       // (c, -label), no window, no per-node sort. The "raw" variant
       // trades the count level's exchange away by repartitioning raw
-      // votes once (see the voteShape scaladoc for why "combine" is
-      // the production shape).
-      val counted = (voteShape match {
-        case "raw" => votes.repartition(col("node"))
-        case _ => votes
-      }).groupBy("node", "label").agg(count(lit(1)).as("c"))
-      val next = counted.groupBy("node")
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
+      // votes once; the "mode" variant gets one exchange AND map-side
+      // reduction from the typed-imperative mode aggregate
+      // (deterministic=true ties to the LOWEST label — exactly this
+      // argmax's (count desc, label asc) order) at the price of
+      // leaving whole-stage codegen (ObjectHashAggregate with a
+      // per-group counting map). See the voteShape scaladoc for why
+      // "combine" is the production shape.
+      val next = voteShape match {
+        case "mode" =>
+          votes.groupBy("node")
+            .agg(expr("mode(label, true)").as("label"))
+        case shape =>
+          val counted = (shape match {
+            case "raw" => votes.repartition(col("node"))
+            case _ => votes
+          }).groupBy("node", "label").agg(count(lit(1)).as("c"))
+          counted.groupBy("node")
+            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("label"))
+      }
       i += 1
       if (i % pinEvery == 0 || i == iterations) {
         val (pinned, nextPins) = Pins.pin(next)

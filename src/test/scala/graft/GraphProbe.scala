@@ -124,7 +124,9 @@ object GraphProbe {
       // alternate the two shapes run-to-run so neither owns the warm
       // caches; equality of the checksums proves result identity
       val reps = sys.env.getOrElse("GRAPH_PROBE_AB_REPS", "3").toInt
-      for (rep <- 1 to reps; shape <- Seq("combine", "raw")) {
+      for (rep <- 1 to reps;
+           shape <- sys.env.getOrElse("GRAPH_PROBE_LPA_SHAPES",
+             "combine,raw").split(",").toSeq) {
         val b0 = drainAndRead()
         val t0 = System.nanoTime()
         val lp = functions.Graphs.labelPropagation(
